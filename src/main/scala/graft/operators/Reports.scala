@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Report-table operators: frequency/rate tables, completeness,
+  * histograms, top-k — the reference's §2 "demonstration analysis"
+  * outputs (SURVEY.md §2.4 A4-A12, §2.6).
+  *
+  * Scale notes: the rate-over-total pattern uses an unpartitioned window
+  * `sum over ()`, which is fine *after* aggregation (the windowed input is
+  * already group-count-sized, i.e. tiny), never over the raw fact table.
+  * Histograms bucket with pure arithmetic (no UDF) so they stay inside
+  * whole-stage codegen and reduce map-side.
+  */
+object Reports {
+
+  /** Frequency table with percentage-of-total
+    * (reference: `ipynb:cell 28` mortality rates, cells 33/35/37).
+    * The window runs over the aggregated (small) result, not the fact. */
+  def freqTable(df: DataFrame, key: String, cnt: Column = lit(1)): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(cnt).as("cnt"))
+    counts.withColumn("pct",
+      round(lit(100.0) * col("cnt") / sum("cnt").over(Window.partitionBy()), 4))
+  }
+
+  /** Per-group distinct-entity completeness vs the global distinct count
+    * (reference: `ipynb:cell 57` — fraction of stays with each variable).
+    * Exact `countDistinct` here; at 100 TB swap in
+    * `approx_count_distinct` (HLL) — same API shape. */
+  def completeness(df: DataFrame, groupKey: String, entity: String): DataFrame = {
+    val total = df.select(countDistinct(col(entity)).as("total"))
+    df.groupBy(col(groupKey)).agg(countDistinct(col(entity)).as("n_entities"))
+      .crossJoin(broadcast(total))
+      .withColumn("completeness", round(col("n_entities") / col("total"), 4))
+      .drop("total")
+  }
+
+  /** Fixed-width histogram (reference: `plt.hist(vals, bins=20)`,
+    * `ipynb:cells 40,42,65`). Pure-arithmetic bucketing → codegen'd,
+    * partial-aggregated map-side; one shuffle of at most `bins` rows. */
+  def histogram(df: DataFrame, c: Column, lo: Double, width: Double): DataFrame =
+    df.select(floor((c - lit(lo)) / lit(width)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Deterministic top-k: total order (measure desc, then tie-break keys
+    * asc) before limit. Spark plans this as TakeOrderedAndProject — no
+    * global sort, each partition keeps k rows. */
+  def topK(df: DataFrame, k: Int, measure: Column, tieBreak: Column*): DataFrame =
+    df.orderBy(measure.desc +: tieBreak.map(_.asc): _*).limit(k)
+}

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks — the engine's version of the reference's
+  * print-based `validation()` (`/root/reference/clean_encounterids.py:97-120`)
+  * and the notebook's uniqueness asserts (`ipynb:cell 10`).
+  *
+  * Everything returns a DataFrame (composable, lazily planned) rather
+  * than printing; callers decide whether to `count()`, assert, or sink.
+  */
+object Validation {
+
+  /** Groups whose key occurs more than once — the dedup post-condition
+    * and the reference's `groups[count==2]` inspection. One hash agg. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** True iff `keys` is a primary key of `df`. */
+  def isUnique(df: DataFrame, keys: Seq[String]): Boolean =
+    duplicateKeys(df, keys).isEmpty
+
+  /** Row/distinct/null-count summary for a key column, mirroring the
+    * counts `validation()` prints. Single pass, single row out. */
+  def keyProfile(df: DataFrame, key: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(key)).as("n_distinct"),
+      count(when(col(key).isNull, 1)).as("n_null"))
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+SQL in DuckDB against views over the same parquet tables, loads the Spark
+parquet result, sorts columns by name + rows by all columns, and compares
+values exactly. Mirrors what the driver does so mismatches surface before
+a round ends.
+"""
+import json
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify (arrays/timestamps) then sort rows for order-insensitivity
+    s = df.astype(str)
+    order = s.sort_values(by=list(s.columns)).index
+    return s.loc[order].reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output")
+            failures += 1
+            continue
+        try:
+            duck = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {e}")
+            failures += 1
+            continue
+        spark = pd.concat([pd.read_parquet(p) for p in sorted(spark_files)])
+        a, b = canon(spark), canon(duck)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns spark={list(a.columns)} duck={list(b.columns)}")
+            failures += 1
+        elif len(a) != len(b):
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            failures += 1
+        elif not a.equals(b):
+            neq = (a != b).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())}/{len(a)} differing rows; first:")
+            idx = neq.idxmax()
+            print("  spark:", a.loc[idx].to_dict())
+            print("  duck :", b.loc[idx].to_dict())
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(a)} rows")
+    print(f"{len(oracle) - failures}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

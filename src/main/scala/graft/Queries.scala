@@ -29,7 +29,7 @@ object Queries {
       .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
         round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
@@ -38,7 +38,7 @@ object Queries {
   }
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
       |  round(avg(l_quantity), 4) AS avg_qty,
@@ -56,11 +56,14 @@ object Queries {
     Tables.lineitem(s, dir)
       .filter($"l_quantity" >= 48 && $"l_returnflag" === "R")
       .select($"l_orderkey", $"l_linenumber",
-        $"l_quantity".cast("int").as("qty"), $"l_returnflag")
+        // floor() before the int cast: Spark CAST truncates toward zero
+        // while DuckDB rounds half-away-from-zero; floor is identical in
+        // both engines for any value, integral or not (ADVICE r1).
+        floor($"l_quantity").cast("int").as("qty"), $"l_returnflag")
       .orderBy($"l_orderkey", $"l_linenumber")
   }
   val q02Sql: String =
-    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty, l_returnflag
+    """SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS INT) AS qty, l_returnflag
       |FROM lineitem
       |WHERE l_quantity >= 48 AND l_returnflag = 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin

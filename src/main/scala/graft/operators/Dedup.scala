@@ -48,6 +48,8 @@ object Dedup {
   /** "simple" merge: caller supplies the per-column aggregation recipe;
     * this is just the canonical groupBy shape with key uniqueness as the
     * post-condition (checked by Validation.duplicateKeys). */
-  def combine(df: DataFrame, key: Seq[String], aggs: Seq[Column]): DataFrame =
+  def combine(df: DataFrame, key: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "Dedup.combine needs at least one aggregate column")
     df.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -20,12 +20,20 @@ object KeyCorrection {
     * `keyCol` with the corrected value where present.
     * Adds `<keyCol>_original` preserving the raw key
     * (reference: `clean_encounterids.py:74-82`).
+    *
+    * The issue list is deduplicated on the key before the join (smallest
+    * corrected value wins, deterministically): a duplicate key would
+    * otherwise silently fan out fact rows through the left join and
+    * corrupt downstream counts/sums (ADVICE r1). The reference's curated
+    * list assumes uniqueness; here it is enforced.
     */
   def correctKeys(df: DataFrame, issues: DataFrame,
                   keyCol: String, correctedCol: String): DataFrame = {
     val orig = s"${keyCol}_original"
+    val uniqueIssues = issues.withColumnRenamed(keyCol, orig)
+      .groupBy(col(orig)).agg(min(col(correctedCol)).as(correctedCol))
     df.withColumnRenamed(keyCol, orig)
-      .join(broadcast(issues.withColumnRenamed(keyCol, orig)), Seq(orig), "left")
+      .join(broadcast(uniqueIssues), Seq(orig), "left")
       .withColumn(keyCol, coalesce(col(correctedCol), col(orig)))
       .drop(correctedCol)
   }

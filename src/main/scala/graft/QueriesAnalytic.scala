@@ -1,0 +1,277 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.Derivations
+
+/** Analytic / windowed / reshaping query catalog (SURVEY.md §2 rows not
+  * covered by [[Queries]]): set ops (U1), rate-over-total and ranking
+  * windows (§2.5, A4), exact percentiles + both stddev flavors (A8/A9),
+  * histogram binning (A12), top-k (O1/O2), EAV→wide pivot (S4), temporal
+  * derivations (F1-F10), LIKE (F12), per-group distinct-count
+  * completeness (A6), lenient casts + JSON extraction (P12).
+  *
+  * Same determinism contract as [[Queries]]: aliases match the oracle,
+  * float aggregates rounded, results totally ordered. Timestamps are
+  * never emitted raw (parquet ns vs Spark µs precision would flip the
+  * driver's hash) — they surface as epoch seconds via `unix_timestamp`.
+  */
+object QueriesAnalytic {
+  import Queries.Q
+
+  // ---------------------------------------------------------------- q13
+  /** U1 UNION ALL: two filtered projections re-combined by name, then
+    * aggregated. At scale both branches scan the same parquet once each
+    * with their filters pushed down; the union is a no-shuffle narrow op. */
+  val q13Union: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val interactions = ev.filter($"event_type".isin("click", "view"))
+      .select($"event_id", $"event_type", $"value")
+    val conversions = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"event_type", $"value")
+    interactions.unionByName(conversions)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("value_sum"))
+      .orderBy($"event_type")
+  }
+  val q13Sql: String =
+    """WITH u AS (
+      |  SELECT event_id, event_type, value FROM events WHERE event_type IN ('click','view')
+      |  UNION ALL
+      |  SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase')
+      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** A4 rate-over-total: frequency table with percentage via an
+    * unpartitioned window — safe because it runs over the already
+    * aggregated (group-count-sized) result, never the fact table. */
+  val q14FreqRate: Q = (s, dir) => {
+    import s.implicits._
+    Reports.freqTable(Tables.orders(s, dir), "o_orderpriority")
+      .orderBy($"o_orderpriority")
+  }
+  val q14Sql: String =
+    """WITH counts AS (
+      |  SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, cnt,
+      |       round(100.0 * cnt / sum(cnt) OVER (), 4) AS pct
+      |FROM counts ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** §2.5 ranking window: top-2 orders per priority class by price.
+    * row_number (not rank) + unique tie-break key ⇒ deterministic. */
+  val q15WindowRank: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_orderpriority", $"rn", $"o_orderkey",
+        round($"o_totalprice", 2).as("price"))
+      .orderBy($"o_orderpriority", $"rn")
+  }
+  val q15Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM r WHERE rn <= 2 ORDER BY o_orderpriority, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** A8/A9 grouped stats: both stddev flavors (sample vs population —
+    * the reference uses both, SURVEY §2.4) plus numpy-style exact
+    * linear-interpolation percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). Exact percentile sorts per group — at 100 TB swap
+    * `percentile_approx`, same call shape. */
+  val q16GroupStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"l_extendedprice"), 4).as("mean_price"),
+        round(stddev_samp($"l_extendedprice"), 4).as("sd_samp"),
+        round(stddev_pop($"l_extendedprice"), 4).as("sd_pop"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy($"l_returnflag")
+  }
+  val q16Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(avg(l_extendedprice), 4) AS mean_price,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_samp,
+      |  round(stddev_pop(l_extendedprice), 4) AS sd_pop,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** A12 fixed-width histogram: arithmetic bucketing (codegen'd, partial
+    * agg map-side; shuffle carries ≤ #buckets rows). */
+  val q17Histogram: Q = (s, dir) => {
+    import s.implicits._
+    Reports.histogram(Tables.orders(s, dir), $"o_totalprice", 0.0, 25000.0)
+      .orderBy($"bucket")
+  }
+  val q17Sql: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bucket, count(*) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** O1/O2 deterministic top-k: agg → TakeOrderedAndProject (each
+    * partition retains k rows; no global sort). */
+  val q18TopK: Q = (s, dir) => {
+    import s.implicits._
+    val rev = Tables.orders(s, dir).groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+    Reports.topK(rev, 10, $"revenue", $"o_custkey")
+  }
+  val q18Sql: String =
+    """SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** S4 EAV→wide pivot with an explicit value list (one pass — no
+    * value-discovery scan, the same trick the engine uses for the
+    * reference's 205-column CMP pivot). Missing cells coalesced to 0. */
+  val q19Pivot: Q = (s, dir) => {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(wide)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy($"user_id")
+  }
+  val q19Sql: String =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS "click",
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS "error",
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS "purchase",
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS "signup",
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** F2/F5/F6/F10 temporal derivations + a lag window (event-time deltas
+    * per user). Timestamps surface as epoch seconds (never raw — see
+    * object doc); deltas are therefore exact integers cross-engine. */
+  val q20Temporal: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("es", unix_timestamp($"ts"))
+      .withColumn("prev_es",
+        lag($"es", 1).over(Window.partitionBy($"user_id").orderBy($"es", $"event_id")))
+    ev.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"es").as("first_es"),
+        max($"es").as("last_es"),
+        round(avg(Derivations.hourOfDay($"ts")), 4).as("avg_hour"),
+        round(avg(Derivations.minutesToDays(($"es" - $"prev_es") / 60.0)), 4)
+          .as("avg_gap_days"))
+      .orderBy($"event_type")
+  }
+  val q20Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |         hour(ts) + minute(ts)/60.0 AS hod,
+      |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_es
+      |  FROM events)
+      |SELECT event_type, count(*) AS n, min(es) AS first_es, max(es) AS last_es,
+      |       round(avg(hod), 4) AS avg_hour,
+      |       round(avg((es - prev_es) / 86400.0), 4) AS avg_gap_days
+      |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** F12 LIKE predicate pushed into the scan + P1-style filtering over
+    * the documents table. */
+  val q21Like: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"text".like("%spark%"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+  val q21Sql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE text LIKE '%spark%'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** A6 per-group distinct-entity completeness vs global distinct count
+    * (reference cell 57). Exact countDistinct here; HLL at 100 TB. */
+  val q22Completeness: Q = (s, dir) => {
+    import s.implicits._
+    Reports.completeness(Tables.events(s, dir), "event_type", "user_id")
+      .orderBy($"event_type")
+  }
+  val q22Sql: String =
+    """WITH tot AS (SELECT count(DISTINCT user_id) AS total FROM events)
+      |SELECT event_type, count(DISTINCT user_id) AS n_entities,
+      |       round(count(DISTINCT user_id) / (SELECT total FROM tot), 4) AS completeness
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** P12 lenient cast + JSON-ish extraction: pull `k` out of the props
+    * payload with a shared-regex extract (portable across engines), then
+    * try_cast junk → null (pandas `to_numeric(errors='coerce')` intent). */
+  val q23JsonLenient: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("k", regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("int"))
+      .withColumn("k_str",
+        when($"k" > 75, lit("not-a-number")).otherwise($"k".cast("string")))
+      .withColumn("k_lenient", Derivations.lenientDouble($"k_str"))
+    ev.groupBy(($"k" % 10).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        count($"k_lenient").as("n_parsed"),
+        round(sum(coalesce($"k_lenient", lit(0.0))), 2).as("k_sum"),
+        round(avg($"value"), 4).as("value_avg"))
+      .orderBy($"k_mod")
+  }
+  val q23Sql: String =
+    """WITH ev AS (
+      |  SELECT value, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+      |  FROM events),
+      |lenient AS (
+      |  SELECT value, k,
+      |         TRY_CAST(CASE WHEN k > 75 THEN 'not-a-number'
+      |                       ELSE CAST(k AS VARCHAR) END AS DOUBLE) AS k_lenient
+      |  FROM ev)
+      |SELECT k % 10 AS k_mod, count(*) AS n, count(k_lenient) AS n_parsed,
+      |       round(sum(coalesce(k_lenient, 0.0)), 2) AS k_sum,
+      |       round(avg(value), 4) AS value_avg
+      |FROM lenient GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Registry: name → (spark program, oracle sql). */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+    ("q13_union_all", q13Union, Some(q13Sql)),
+    ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
+    ("q15_window_rank", q15WindowRank, Some(q15Sql)),
+    ("q16_group_stats", q16GroupStats, Some(q16Sql)),
+    ("q17_histogram", q17Histogram, Some(q17Sql)),
+    ("q18_topk", q18TopK, Some(q18Sql)),
+    ("q19_pivot", q19Pivot, Some(q19Sql)),
+    ("q20_temporal", q20Temporal, Some(q20Sql)),
+    ("q21_like_filter", q21Like, Some(q21Sql)),
+    ("q22_completeness", q22Completeness, Some(q22Sql)),
+    ("q23_json_lenient", q23JsonLenient, Some(q23Sql)),
+  )
+}

@@ -10,12 +10,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q08JoinInner(spark, "/root/testdata/sf0.001")
 
+  /** Full registry across catalogs (relational parity, analytic,
+    * text/dedup, similarity). */
+  private def catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Queries.catalog ++ QueriesAnalytic.catalog
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.catalog.map { case (name, q, _) => name -> q }.toMap
+    catalog.map { case (name, q, _) => name -> q }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.catalog.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+    catalog.collect { case (name, _, Some(sql)) => name -> sql }.toMap
 }

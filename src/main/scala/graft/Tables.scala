@@ -27,7 +27,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** The events table is written with ns-precision timestamps, which
+    * Spark's parquet reader rejects by default (PARQUET_TYPE_ILLEGAL).
+    * Read ns as long and rebuild a µs timestamp (truncation, matching
+    * Spark's own ns→µs behavior everywhere else). Queries that need
+    * exact cross-engine values use epoch *seconds* anyway (see
+    * QueriesAnalytic doc). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer DIV, not `/`: a double roundtrip at ns magnitude (~1e18)
+    // exceeds the 53-bit mantissa and would corrupt the µs value
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

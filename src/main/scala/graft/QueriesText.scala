@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.TextDedup
+
+/** Text-analysis + near-duplicate-detection query catalog over the
+  * `documents` table (driver brief: the training-data-pipeline operator
+  * set — token counting, quality scoring, language ID, fingerprinting,
+  * exact/Jaccard/MinHash-LSH/SimHash dedup).
+  *
+  * Near-dup queries run against a corpus of the documents plus a
+  * perturbed copy (`doc_id + 100000`, two boilerplate tokens appended) —
+  * the deterministic stand-in for a re-crawl, guaranteeing every doc has
+  * exactly one true near-duplicate to find.
+  *
+  * All hash functions are md5-based so the DuckDB oracle reproduces
+  * every value bit-for-bit (see TextDedup doc for the scale trade-off).
+  */
+object QueriesText {
+  import Queries.Q
+
+  /** Normalization as a DuckDB SQL fragment — mirrors
+    * [[TextAnalysis.normalizeText]] exactly. */
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  /** corpus = documents ∪ perturbed copy (Spark side). */
+  private def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+    val copy = Tables.documents(s, dir).select(
+      ($"doc_id" + 100000L).as("doc_id"),
+      (if (perturb) concat($"text", lit(" zz qq")) else $"text").as("text"))
+    d.unionByName(copy)
+  }
+
+  /** corpus as a DuckDB CTE body. */
+  private def corpusSql(perturb: Boolean): String = {
+    val copyText = if (perturb) "text || ' zz qq'" else "text"
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, $copyText AS text FROM documents""".stripMargin
+  }
+
+  /** Shared shingle-table CTEs (5-shingles over the corpus), mirroring
+    * [[TextDedup.shingleTable]]: norm → tokens → distinct shingles with
+    * the per-doc distinct count riding along. */
+  private def shingleSql(perturb: Boolean): String =
+    s"""corpus AS (
+       |  ${corpusSql(perturb)}),
+       |toks AS (SELECT doc_id AS id, string_split($normSql, ' ') AS w FROM corpus),
+       |shd AS (
+       |  SELECT DISTINCT id, s FROM (
+       |    SELECT id, unnest(list_transform(generate_series(1, len(w)-4),
+       |             i -> array_to_string(list_slice(w, i, i+4), ' '))) AS s
+       |    FROM toks)),
+       |sh AS (
+       |  SELECT shd.id, shd.s, sz.n_shingles
+       |  FROM shd JOIN (SELECT id, count(*) AS n_shingles FROM shd GROUP BY id) sz
+       |    ON shd.id = sz.id)""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Token counting + quality scoring: one codegen'd scan, no shuffle
+    * (the order-by is for the deterministic dump only). */
+  val q24TokenStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      TextAnalysis.wsTokenCount($"text").as("n_ws"),
+      TextAnalysis.bpeTokenCount($"text").as("n_bpe"),
+      TextAnalysis.punctCount($"text").as("n_punct"),
+      TextAnalysis.stopwordHits($"text", TextAnalysis.stopEn).as("stop_hits"),
+      TextAnalysis.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+  val q24Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    len(string_split($normSql, ' ')) AS n_ws,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+       |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+       |    len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|a|in|that)\\b')) AS stop_hits
+       |  FROM documents)
+       |SELECT doc_id, n_ws, n_bpe, n_punct, stop_hits,
+       |  round(0.4 * least(stop_hits / greatest(n_ws, 1.0) * 4.0, 1.0)
+       |      + 0.3 * least(n_ws / 50.0, 1.0)
+       |      + 0.3 * (1.0 - least(n_punct / greatest(length(text), 1.0) * 5.0, 1.0)),
+       |      4) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Corpus quality profile per language tag. */
+  val q25QualityByLang: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("q", TextAnalysis.qualityScore($"text"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"q"), 4).as("avg_quality"),
+        count(when($"q" >= 0.5, 1)).as("n_good"))
+      .orderBy($"lang")
+  }
+  val q25Sql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    round(0.4 * least(
+       |        len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|a|in|that)\\b'))
+       |          / greatest(len(string_split($normSql, ' ')), 1.0) * 4.0, 1.0)
+       |      + 0.3 * least(len(string_split($normSql, ' ')) / 50.0, 1.0)
+       |      + 0.3 * (1.0 - least(
+       |          length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+       |            / greatest(length(text), 1.0) * 5.0, 1.0)), 4) AS q
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+       |       count(CASE WHEN q >= 0.5 THEN 1 END) AS n_good
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Language-ID confusion matrix: heuristic stopword-argmax prediction
+    * vs the labeled lang column. */
+  val q26LangId: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("predicted", TextAnalysis.predictLang($"text"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+  val q26Sql: String = {
+    def hits(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    s"""WITH sc AS (
+       |  SELECT lang,
+       |    ${hits(TextAnalysis.stopEn)} AS s_en, ${hits(TextAnalysis.stopEs)} AS s_es,
+       |    ${hits(TextAnalysis.stopDe)} AS s_de, ${hits(TextAnalysis.stopFr)} AS s_fr
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END AS predicted,
+       |  count(*) AS n
+       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Document fingerprinting: md5 content fingerprint + distinct
+    * 5-shingle count per doc (the rolling-window fingerprint input). */
+  val q27Fingerprint: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      TextAnalysis.fingerprint($"text").as("fp"),
+      size(array_distinct(TextAnalysis.wordShingles($"text", 5))).as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+  val q27Sql: String =
+    s"""SELECT doc_id, md5($normSql) AS fp,
+       |  len(list_distinct(list_transform(
+       |    generate_series(1, len(string_split($normSql, ' '))-4),
+       |    i -> array_to_string(list_slice(string_split($normSql, ' '), i, i+4), ' '))))
+       |    AS n_shingles
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Exact dedup over corpus + identical copy: hash-groupBy on the
+    * content fingerprint, canonical id = min. */
+  val q28DedupExact: Q = (s, dir) => {
+    import s.implicits._
+    TextDedup.exactDedup(corpus(s, dir, perturb = false), "doc_id", "text")
+      .orderBy($"keep_id")
+  }
+  val q28Sql: String =
+    s"""WITH corpus AS (
+       |  ${corpusSql(perturb = false)})
+       |SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Exact pairwise n-gram Jaccard ≥ 0.3 via shingle inverted-index
+    * join (no cross join; shuffle keys are shingles). */
+  val q29JaccardPairs: Q = (s, dir) => {
+    import s.implicits._
+    val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
+    TextDedup.jaccardPairs(sh, 0.3).orderBy($"a_id", $"b_id")
+  }
+  val q29Sql: String =
+    s"""WITH ${shingleSql(perturb = true)},
+       |inter AS (
+       |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS i,
+       |         min(a.n_shingles) AS na, min(b.n_shingles) AS nb
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, round(i * 1.0 / (na + nb - i), 4) AS jaccard
+       |FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** MinHash(k=8) + LSH(4 bands × 2 rows) candidates, then exact
+    * Jaccard verification of candidates only. */
+  val q30MinHashLsh: Q = (s, dir) => {
+    import s.implicits._
+    val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
+    TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3)
+      .orderBy($"a_id", $"b_id")
+  }
+  val q30Sql: String = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n    ")
+    val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
+    s"""WITH ${shingleSql(perturb = true)},
+       |mh AS (
+       |  SELECT id, $mins
+       |  FROM sh GROUP BY id),
+       |bands AS (
+       |  SELECT id, b, h FROM (
+       |    SELECT id, unnest([0, 1, 2, 3]) AS b,
+       |           unnest([$bandHashes]) AS h
+       |    FROM mh)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.id < b.id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i,
+       |         min(x.n_shingles) AS na, min(y.n_shingles) AS nb
+       |  FROM cand c JOIN sh x ON x.id = c.a_id
+       |              JOIN sh y ON y.id = c.b_id AND x.s = y.s
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, round(i * 1.0 / (na + nb - i), 4) AS jaccard
+       |FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Shared SimHash CTEs: token hash from md5 hex prefix (decoded with
+    * digit-position arithmetic — DuckDB has no conv()), 32 signed bit
+    * votes, sign → bit. Mirrors [[TextDedup.simHash32]]. */
+  private def simhashSql(corpusBody: String): String = {
+    val hexDigits = (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(md5(tk), $p, 1)) - 1) * $mult"
+    }.mkString("\n        + ")
+    val bitSums = (0 until 32).map(j =>
+      s"sum(2 * ((h // ${1L << j}) % 2) - 1) AS s$j").mkString(",\n    ")
+    val simBits = (0 until 32).map(j =>
+      s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString("\n    + ")
+    s"""corpus AS (
+       |  $corpusBody),
+       |tok AS (SELECT doc_id AS id, unnest(string_split($normSql, ' ')) AS tk FROM corpus),
+       |th AS (
+       |  SELECT id, $hexDigits AS h
+       |  FROM tok),
+       |agg AS (
+       |  SELECT id, $bitSums
+       |  FROM th GROUP BY id),
+       |simt AS (
+       |  SELECT id, $simBits AS simhash
+       |  FROM agg)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Per-document 32-bit SimHash signatures. */
+  val q31SimHash: Q = (s, dir) => {
+    import s.implicits._
+    TextDedup.simHash32(
+      Tables.documents(s, dir).select($"doc_id", $"text"), "doc_id", "text")
+      .select($"id".as("doc_id"), $"simhash")
+      .orderBy($"doc_id")
+  }
+  val q31Sql: String =
+    s"""WITH ${simhashSql("SELECT doc_id, text FROM documents")}
+       |SELECT id AS doc_id, simhash FROM simt ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** SimHash near-dup pairs (Hamming ≤ 3) over the perturbed corpus —
+    * each doc's re-crawl copy differs by 2 tokens, so true pairs sit at
+    * tiny Hamming distance while random 32-bit pairs almost never do. */
+  val q32SimHashPairs: Q = (s, dir) => {
+    import s.implicits._
+    val sim = TextDedup.simHash32(corpus(s, dir, perturb = true), "doc_id", "text")
+    TextDedup.hammingPairs(sim, maxHd = 3).orderBy($"a_id", $"b_id")
+  }
+  val q32Sql: String =
+    s"""WITH ${simhashSql(corpusSql(perturb = true))}
+       |SELECT a.id AS a_id, b.id AS b_id,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hd
+       |FROM simt a JOIN simt b ON a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Registry: name → (spark program, oracle sql). */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+    ("q24_token_stats", q24TokenStats, Some(q24Sql)),
+    ("q25_quality_by_lang", q25QualityByLang, Some(q25Sql)),
+    ("q26_lang_id", q26LangId, Some(q26Sql)),
+    ("q27_fingerprint", q27Fingerprint, Some(q27Sql)),
+    ("q28_dedup_exact", q28DedupExact, Some(q28Sql)),
+    ("q29_jaccard_pairs", q29JaccardPairs, Some(q29Sql)),
+    ("q30_minhash_lsh", q30MinHashLsh, Some(q30Sql)),
+    ("q31_simhash", q31SimHash, Some(q31Sql)),
+    ("q32_simhash_pairs", q32SimHashPairs, Some(q32Sql)),
+  )
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Near-duplicate detection over document corpora: exact fingerprint
+  * dedup, shingle-Jaccard pair similarity, MinHash + LSH banding, and
+  * SimHash — the standard large-scale training-data curation stack.
+  *
+  * Scale design (the point of each shape):
+  *  - every pipeline is shuffle-on-key only: shingle explode → join on
+  *    shingle / band hash, never an O(n²) cross join. The only cartesian
+  *    product in this file is [[hammingPairs]], which runs over the
+  *    *aggregated* per-doc signature table (one int per doc), and at
+  *    real scale is replaced by banding the signature exactly like
+  *    [[lshCandidatePairs]];
+  *  - `maxShingleDf` caps join fan-out on boilerplate shingles (a
+  *    shingle occurring in k docs contributes k² candidate pairs —
+  *    frequency-capping is the standard skew guard);
+  *  - hash functions are md5-based: deterministic, seed-free, identical
+  *    across engines (so the DuckDB oracle reproduces results exactly),
+  *    and uniformly distributed, at the cost of being slower than
+  *    xxhash64 — swap `hashFn` for xxhash64 when cross-engine
+  *    reproducibility is not required.
+  */
+object TextDedup {
+
+  /** Exact dedup: group by normalized-text fingerprint, keep the
+    * smallest id as canonical. One hash aggregation. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document distinct word-n-shingle table `(id, n_shingles, s)`,
+    * the common input of the Jaccard/MinHash paths. The distinct-shingle
+    * count rides along each row so downstream pair-joins never need a
+    * second sizes-join. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+    sh.select(col("id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("s"))
+  }
+
+  /** Exact pairwise Jaccard similarity ≥ `threshold` via shingle
+    * inverted-index join: shuffle on shingle, count intersections per
+    * pair, sizes already carried. `maxShingleDf` drops shingles present
+    * in more than that many documents (skew/boilerplate guard). */
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val hot = shingles.groupBy(col("s")).agg(count(lit(1)).as("df_cnt"))
+          .filter(col("df_cnt") > cap).select(col("s"))
+        shingles.join(hot, Seq("s"), "left_anti")
+      case None => shingles
+    }
+    val a = sh.select(col("id").as("a_id"), col("n_shingles").as("na"), col("s"))
+    val b = sh.select(col("id").as("b_id"), col("n_shingles").as("nb"), col("s"))
+    a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("i"), min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: k independent permutations simulated by keyed
+    * md5 — `mh_j = min(md5(j || ':' || shingle))`. One hash agg over the
+    * shingle table; signature width k is a column count, not a row
+    * count, so this scales linearly in corpus size. */
+  def minHashSignature(shingles: DataFrame, k: Int): DataFrame =
+    shingles.groupBy(col("id"))
+      .agg(min(col("n_shingles")).as("n_shingles"),
+        (0 until k).map(j =>
+          min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j")): _*)
+
+  /** LSH banding: hash `rowsPerBand` consecutive signature components
+    * into one band key; docs sharing any band key become candidate
+    * pairs. Probability of catching a pair rises sharply with its true
+    * Jaccard (the (b, r) S-curve), so candidates ≪ n². */
+  def lshCandidatePairs(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val nBands = k / rowsPerBand
+    val bandHash = (b: Int) => md5(concat(
+      (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*))
+    val bands = sig.select(col("id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("h"))): _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pipeline: candidates from banding, then exact
+    * Jaccard verification of candidates only (join back to the shingle
+    * table restricted to candidate ids). */
+  def minHashLshPairs(shingles: DataFrame, k: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val cand = lshCandidatePairs(minHashSignature(shingles, k), k, rowsPerBand)
+    val x = shingles.select(col("id").as("a_id"), col("n_shingles").as("na"), col("s"))
+    val y = shingles.select(col("id").as("b_id"), col("n_shingles").as("nb"), col("s"))
+    cand.join(x, Seq("a_id")).join(y, Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("i"), min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex
+    * chars of md5, decoded with `conv(_, 16, 10)` (the oracle decodes
+    * the same hex with digit-position arithmetic — same value, portable
+    * check); per-bit weighted vote, sign → bit. One explode + one hash
+    * agg; the 32 conditional sums stay in codegen. */
+  def simHash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("tk"))
+    val withH = tok.withColumn("h",
+      conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map(j =>
+      sum(lit(2) * ((col("h") / lit(1L << j)).cast("long") % 2) - lit(1)).as(s"s$j"))
+    val agg = withH.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    agg.select(col("id"),
+      (0 until 32).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ `maxHd`. Runs over the
+    * per-doc signature table; at full scale, band the signature bits
+    * (pigeonhole: hd ≤ k pairs must share one of k+1 bit-blocks) and
+    * join on block value instead of the O(n²) self-join used here. */
+  def hammingPairs(sim: DataFrame, maxHd: Int): DataFrame =
+    sim.as("a").join(sim.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hd"))
+      .filter(col("hd") <= maxHd)
+}

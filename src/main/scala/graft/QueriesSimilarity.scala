@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Similarity-search query catalog over the `embeddings` table
+  * (driver brief: ANN over an embedding column — brute-force cosine
+  * top-k baseline, LSH-bucketed variant as the scale path).
+  *
+  * The synthetic embeddings are near-uniform (max cross-pair cosine
+  * ≈ 0.51), so near-dup queries use a corpus of the vectors plus a
+  * scaled copy (`vec_id + 100000`, every component × 1.01): scaling
+  * leaves cosine ≈ 1, giving each vector exactly one true near-dup,
+  * while cross pairs stay far below any threshold.
+  *
+  * Oracle determinism: cosine on both sides is a strict sequential
+  * double fold over array order (Spark: the codegen'd
+  * [[graft.plans.CosineSimilarity]] kernel; DuckDB:
+  * `list_reduce(list_transform(...))`), so scores are bit-identical and
+  * rank order cannot diverge.
+  */
+object QueriesSimilarity {
+  import Queries.Q
+
+  /** (id, v) corpus of double-cast embeddings ∪ scaled copy. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    e.unionByName(e.select(($"id" + 100000L).as("id"),
+      transform($"v", x => x * lit(1.01)).as("v")))
+  }
+
+  private val nearDupCorpusSql =
+    """corpus AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS id,
+      |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01) AS v
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB fragment: sequential-fold dot of `$a` · `$b`. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** DuckDB fragment: norm² of `$a` as a sequential fold. */
+  private def norm2Sql(a: String): String =
+    s"list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)"
+
+  // ---------------------------------------------------------------- q33
+  /** Brute-force cosine top-5: 10 query vectors against the rest of the
+    * corpus. Query side broadcast; one shuffle for the ranking window. */
+  val q33KnnBrute: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val corpus = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("n_id"), $"embedding".cast("array<double>").as("cv"))
+    Similarity.bruteForceTopK(s, queries, corpus, 5)
+      .orderBy($"q_id", $"rank")
+  }
+  val q33Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, v AS cv FROM e WHERE vec_id >= 10),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |         ${dotSql("qv", "cv")} / sqrt(${norm2Sql("qv")} * ${norm2Sql("cv")}) AS cos
+       |  FROM c CROSS JOIN q),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Embedding-cosine near-dup pairs, exact all-pairs baseline: every
+    * (vector, scaled copy) pair scores ≈ 1; nothing else crosses 0.99. */
+  val q34EmbedNearDup: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.bruteForcePairs(s, nearDupCorpus(s, dir), 0.99)
+      .orderBy($"a_id", $"b_id")
+  }
+  val q34Sql: String =
+    s"""WITH $nearDupCorpusSql,
+       |pairs AS (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |         ${dotSql("a.v", "b.v")} / sqrt(${norm2Sql("a.v")} * ${norm2Sql("b.v")}) AS cos
+       |  FROM corpus a JOIN corpus b ON a.id < b.id)
+       |SELECT a_id, b_id, round(cos, 4) AS cos
+       |FROM pairs WHERE cos >= 0.99 ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** LSH-bucketed ANN: 12 deterministic ±1 hyperplanes → sign-bit
+    * bucket → bucket equi-join → exact verification. The scale path:
+    * candidates ≪ n², and scaling a vector never flips a sign bit, so
+    * recall vs q34 is 1 up to FP-boundary buckets. */
+  val q35AnnLsh: Q = (s, dir) => {
+    import s.implicits._
+    val planes = Similarity.hyperplanes(nPlanes = 12, dim = 64)
+    Similarity.annLshPairs(s, nearDupCorpus(s, dir), planes, 0.99)
+      .orderBy($"a_id", $"b_id")
+  }
+  val q35Sql: String = {
+    val planes = Similarity.hyperplanes(nPlanes = 12, dim = 64)
+    val planeLits = planes.zipWithIndex.map { case (p, j) =>
+      s"[${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}] AS p$j"
+    }.mkString(",\n         ")
+    val bits = planes.indices.map { j =>
+      s"(CASE WHEN ${dotSql("v", s"p$j")} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n       + ")
+    s"""WITH $nearDupCorpusSql,
+       |planes AS (
+       |  SELECT $planeLits),
+       |bucketed AS (
+       |  SELECT id, v,
+       |         $bits AS bucket
+       |  FROM corpus CROSS JOIN planes),
+       |pairs AS (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |         ${dotSql("a.v", "b.v")} / sqrt(${norm2Sql("a.v")} * ${norm2Sql("b.v")}) AS cos
+       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id)
+       |SELECT a_id, b_id, round(cos, 4) AS cos
+       |FROM pairs WHERE cos >= 0.99 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Registry: name → (spark program, oracle sql). */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+    ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
+    ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
+    ("q35_ann_lsh", q35AnnLsh, Some(q35Sql)),
+  )
+}

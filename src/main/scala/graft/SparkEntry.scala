@@ -13,7 +13,8 @@ object SparkEntry {
   /** Full registry across catalogs (relational parity, analytic,
     * text/dedup, similarity). */
   private def catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Queries.catalog ++ QueriesAnalytic.catalog ++ QueriesText.catalog
+    Queries.catalog ++ QueriesAnalytic.catalog ++ QueriesText.catalog ++
+      QueriesSimilarity.catalog
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions
+
+/** Similarity search over embedding columns (`array<float>`): exact
+  * brute-force cosine top-k as the baseline, random-hyperplane LSH
+  * bucketing as the scale path.
+  *
+  * Scale design:
+  *  - the query set is broadcast (it is dimension-sized); the corpus
+  *    never moves except the one shuffle that ranks per-query
+  *    candidates;
+  *  - LSH turns the O(|Q|·|C|) scoring into a bucket-equi-join: only
+  *    vectors agreeing on all `nPlanes` sign bits are scored. Plane
+  *    matrix is deterministic (md5-derived ±1 entries, seed-free) so
+  *    runs — and the DuckDB oracle — agree exactly;
+  *  - cosine is the codegen'd [[graft.plans.CosineSimilarity]] kernel
+  *    (strict sequential fold ⇒ cross-engine bit-identical values).
+  */
+object Similarity {
+
+  /** Codegen'd cosine over two `array<double>` columns (register the
+    * engine functions first — [[GraftFunctions.register]]). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
+  /** Pure-Catalyst fallback with the same numerics (sequential fold),
+    * for sessions where engine-native functions cannot be registered. */
+  def cosineFold(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / sqrt(na * nb)
+  }
+
+  /** Exact brute-force top-k: score every (query, corpus) pair, rank
+    * per query. `queries` must be small (it is broadcast); the scored
+    * pairs shuffle once on query id for the ranking window. */
+  def bruteForceTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                     k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix: sign of plane j, dim i is the
+    * parity of the first byte of md5("j:i"). Seed-free ⇒ reproducible
+    * everywhere, including inside the SQL oracle (same literals). */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      Array.tabulate(dim) { i =>
+        val d = md.digest(s"$j:$i".getBytes(StandardCharsets.UTF_8))
+        if ((d(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** LSH bucket id: one sign bit per hyperplane, packed into a long.
+    * The per-plane dot uses the same sequential-fold numerics as
+    * everything else (sign decisions must agree with the oracle). */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(v, planeCol, (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN near-dup pairs: bucket equi-join (only same-bucket vectors are
+    * scored) + exact cosine verification at `threshold`. Input must
+    * have columns (id, v: array<double>). */
+  def annLshPairs(spark: SparkSession, corpus: DataFrame,
+                  planes: Seq[Array[Double]], threshold: Double): DataFrame = {
+    GraftFunctions.register(spark)
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("v"), planes))
+    val a = bucketed.select(col("id").as("a_id"), col("v").as("va"), col("bucket"))
+    val b = bucketed.select(col("id").as("b_id"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Exact all-pairs cosine ≥ threshold (brute force — the correctness
+    * oracle for [[annLshPairs]]; replaced by it at scale). */
+  def bruteForcePairs(spark: SparkSession, corpus: DataFrame,
+                      threshold: Double): DataFrame = {
+    GraftFunctions.register(spark)
+    val a = corpus.select(col("id").as("a_id"), col("v").as("va"))
+    val b = corpus.select(col("id").as("b_id"), col("v").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+}

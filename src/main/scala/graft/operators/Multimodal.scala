@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: images/audio/video ride through the
+  * engine as opaque `binary` content plus a typed metadata struct; the
+  * compute-heavy steps (decode, feature extraction, resize, frame
+  * sampling) run as partition-local batch transforms.
+  *
+  * Spark-side design (all real and tested):
+  *  - schema: `(media_id long, kind string, content binary,
+  *    meta struct<mime:string, width:int, height:int, duration_ms:long>)`;
+  *  - parallelism: work is `mapPartitions` over the content column —
+  *    the Scala analogue of an arrow-batched pandas UDF: one iterator
+  *    per partition, so a decode library would be initialized once per
+  *    partition (not per row), and batch size is governed by partition
+  *    sizing (`spark.sql.files.maxPartitionBytes` / `repartition`);
+  *  - the decode kernels themselves are STUBS (this environment has no
+  *    image/audio codecs): deterministic byte-derived fakes, clearly
+  *    marked below. Swapping in a real codec changes only the function
+  *    body — schema, partitioning, signatures and batch shape stay.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = false),
+      // width/height/duration are computed expressions → nullable in
+      // the produced schema even though values are always present
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = false)))
+
+  /** Deterministic media table derived from the documents fixture: the
+    * text bytes stand in for an encoded payload. This is the ingest
+    * contract a real pipeline would satisfy with actual files. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") * 10L).as("duration_ms")).as("meta"))
+  }
+
+  /** STUB decode kernel: a real implementation would hand `bytes` to a
+    * codec; this deterministic fake folds the payload into `dim` float
+    * "features" (position-weighted byte mix). Deterministic ⇒ testable
+    * plumbing end-to-end. */
+  private[operators] def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += (bytes(i) & 0xff) * (1.0f + (i % 7))
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { acc(j) = acc(j) / (bytes.length.max(1)); j += 1 }
+    acc
+  }
+
+  /** Feature extraction: binary content → `array<float>` embedding,
+    * executed partition-local (codec init once per partition). Output
+    * plugs straight into [[Similarity]] after a double cast. */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init of the (stub) decoder would go here
+        it.map { case (id, bytes) => (id, fakeDecodeFeatures(bytes, dim)) }
+      }
+      .toDF("media_id", "features")
+    media.join(out, Seq("media_id"))
+  }
+
+  /** Resize: pure-metadata transform (no decode needed for layout
+    * planning) — new meta struct with scaled dimensions; content is
+    * passed through untouched (a real pipeline would re-encode in the
+    * same mapPartitions pass as [[extractFeatures]]). */
+  def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = when(greatest(w, h) > maxSide,
+      lit(maxSide).cast("double") / greatest(w, h)).otherwise(lit(1.0))
+    media.withColumn("meta", struct(
+      col("meta.mime").as("mime"),
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      col("meta.duration_ms").as("duration_ms")))
+  }
+
+  /** Frame sampling for video rows: explode each payload into
+    * `ceil(duration_ms / everyMs)` frame stubs — (media_id, frame_idx,
+    * frame_ts_ms, frame_bytes). The explode is a narrow op: rows fan
+    * out inside their partition, no shuffle. Frame bytes are a
+    * deterministic slice stub standing in for a real frame grab. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    val n = greatest(ceil(col("meta.duration_ms") / lit(everyMs.toDouble)), lit(1L))
+    media.filter(col("kind") === "video")
+      .withColumn("frame_idx", explode(sequence(lit(0L), n - 1)))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        (col("frame_idx") * everyMs).as("frame_ts_ms"),
+        // STUB: a real grab would decode frame frame_idx; slice the
+        // payload deterministically instead (1-based, clamped)
+        expr("substring(content, CAST(frame_idx % greatest(length(content), 1) + 1 AS INT), 16)")
+          .as("frame_bytes"))
+  }
+}

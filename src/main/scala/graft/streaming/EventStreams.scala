@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the events feed.
+  *
+  * The reference is batch-only, but its chartevents table is event-time
+  * data (`chartTime` vs `storeTime` — exactly Spark's event-time vs
+  * processing-time split, `dataset_curation.ipynb:cell 46`); these
+  * transforms are the streaming generalization the driver brief asks
+  * for. Every transform below is expressed on a plain DataFrame, so the
+  * SAME code runs in batch (tests, backfills) and via `readStream` →
+  * `writeStream` in production — the Structured Streaming contract.
+  *
+  * Scale notes: watermarking bounds state; the windowed aggregation
+  * partial-aggregates map-side before the keyed state store shuffle;
+  * sessionization state is one small case class per active user, purged
+  * on event-time timeout.
+  */
+object EventStreams {
+
+  /** Event-time tumbling-window counts with a watermark: late rows
+    * beyond `lateness` are dropped, state for closed windows is purged.
+    * Works identically on batch input (watermark is a no-op there). */
+  def windowedTypeCounts(events: DataFrame, windowLen: String = "1 hour",
+                         lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, nEvents: Int, valueSum: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Int, value_sum: Double)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (`flatMapGroupsWithState`): a session closes when `gapMs` passes
+    * with no event (event-time timeout in streaming; end-of-group in
+    * batch). Emits one row per closed session. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // plain Boolean captured by the state closure — capturing the
+    // Dataset itself would fail task serialization
+    val streaming = events.isStreaming
+
+    def close(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.nEvents, s.valueSum)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // streaming path: gap elapsed in event time → close session
+            val out = state.getOption.map(close(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            // fold this micro-batch (or the whole group, in batch mode)
+            // in event-time order, closing sessions at each gap
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.nEvents + 1, s.valueSum + e.value))
+                case Some(s) =>
+                  closed ::= close(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            if (streaming) {
+              // keep the open session in state; close it on event-time
+              // timeout (requires withWatermark upstream)
+              cur.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.end + gapMs)
+              }
+              closed.reverse.iterator
+            } else {
+              // batch never times out: emit the trailing session too
+              state.remove()
+              (closed.reverse ++ cur.map(close(userId, _))).iterator
+            }
+          }
+      }
+  }
+
+  /** Windowed counts as a memory-sink streaming query (test/demo
+    * harness): returns the query so callers can processAllAvailable()
+    * then read table `name`. */
+  def startToMemory(spark: SparkSession, stream: DataFrame, name: String) =
+    windowedTypeCounts(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+}

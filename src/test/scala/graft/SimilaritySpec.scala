@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.GraftFunctions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("CosineSimilarity expression") {
+    it("computes exact cosine for known vectors") {
+      GraftFunctions.register(spark)
+      val df = Seq(
+        (Array(1.0, 0.0), Array(0.0, 1.0), 0.0), // orthogonal
+        (Array(1.0, 2.0), Array(2.0, 4.0), 1.0), // parallel
+        (Array(1.0, 0.0), Array(-1.0, 0.0), -1.0), // opposite
+        (Array(1.0, 1.0), Array(1.0, 0.0), math.sqrt(0.5))
+      ).toDF("a", "b", "expected")
+      val bad = df.filter(
+        abs(Similarity.cosine($"a", $"b") - $"expected") > 1e-12)
+      bad.count() shouldBe 0
+    }
+
+    it("returns 0.0 for length-mismatched or zero-norm input") {
+      GraftFunctions.register(spark)
+      val df = Seq(
+        (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)),
+        (Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+      df.select(Similarity.cosine($"a", $"b").as("c"))
+        .collect().map(_.getDouble(0)) shouldBe Array(0.0, 0.0)
+    }
+
+    it("matches the pure-Catalyst fold bit-for-bit") {
+      GraftFunctions.register(spark)
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .limit(500)
+        .select(Similarity.cosine(col("a.v"), col("b.v")).as("expr"),
+          Similarity.cosineFold(col("a.v"), col("b.v")).as("fold"))
+      pairs.filter($"expr" =!= $"fold").count() shouldBe 0
+    }
+  }
+
+  describe("bruteForceTopK") {
+    it("ranks nearest neighbors per query deterministically") {
+      GraftFunctions.register(spark)
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val q = e.filter($"vec_id" < 3)
+        .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+      val c = e.filter($"vec_id" >= 3)
+        .select($"vec_id".as("n_id"), $"embedding".cast("array<double>").as("cv"))
+      val out = Similarity.bruteForceTopK(spark, q, c, 4)
+      out.count() shouldBe 12
+      out.groupBy($"q_id").agg(count(lit(1)).as("n"))
+        .filter($"n" =!= 4).count() shouldBe 0
+      // rank 1 has the max cos within each query group
+      val r = out.groupBy($"q_id")
+        .agg(max($"cos").as("mx"), max(when($"rank" === 1, $"cos")).as("r1"))
+      r.filter($"mx" =!= $"r1").count() shouldBe 0
+    }
+  }
+
+  describe("annLshPairs") {
+    it("recovers every brute-force near-dup pair on the scaled corpus") {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val corpus = e.unionByName(
+        e.select(($"id" + 100000L).as("id"), transform($"v", x => x * lit(1.01)).as("v")))
+      val brute = Similarity.bruteForcePairs(spark, corpus, 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planes = Similarity.hyperplanes(nPlanes = 12, dim = 64)
+      val ann = Similarity.annLshPairs(spark, corpus, planes, 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.nonEmpty shouldBe true
+      ann shouldBe brute // scaling never flips a sign bit → recall 1.0
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  describe("windowedTypeCounts (batch parity)") {
+    it("aggregates per event-time window on a batch frame") {
+      val df = Seq(
+        (ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(61), "click", 4.0),
+        (ts(10), "view", 8.0)
+      ).toDF("ts", "event_type", "value")
+      val out = EventStreams.windowedTypeCounts(df, "1 hour", "10 minutes")
+      val rows = out.collect().map(r =>
+        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      rows shouldBe Set(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 4.0),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L, 8.0))
+    }
+  }
+
+  describe("windowedTypeCounts (streaming)") {
+    it("emits closed windows through a watermark over micro-batches") {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Timestamp, String, Double)]
+      val stream = mem.toDF().toDF("ts", "event_type", "value")
+      val query = EventStreams.startToMemory(spark, stream, "win_counts")
+      try {
+        mem.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0))
+        query.processAllAvailable()
+        // advance event time far past 10:00–11:00 + lateness → closes it
+        mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "view", 1.0))
+        query.processAllAvailable()
+        val rows = spark.table("win_counts").collect().map(r =>
+          (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+        rows should contain(
+          (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0))
+      } finally query.stop()
+    }
+  }
+
+  describe("sessionize (batch mode)") {
+    it("splits a user's events into gap-separated sessions") {
+      val events = Seq(
+        Event(1L, ts(0), "click", 1.0),
+        Event(1L, ts(2), "view", 2.0),
+        Event(1L, ts(30), "click", 4.0), // > 10 min gap → new session
+        Event(2L, ts(7), "signup", 8.0)
+      ).toDS()
+      val sessions = EventStreams.sessionize(events, gapMs = 10 * 60 * 1000L)
+        .collect().toSet
+      sessions shouldBe Set(
+        Session(1L, ts(0), ts(2), 2, 3.0),
+        Session(1L, ts(30), ts(30), 1, 4.0),
+        Session(2L, ts(7), ts(7), 1, 8.0))
+    }
+  }
+
+  describe("sessionize (streaming mode)") {
+    it("closes sessions via event-time timeout across micro-batches") {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val sessions = EventStreams.sessionize(
+        mem.toDS().withWatermark("ts", "0 seconds").as[Event],
+        gapMs = 10 * 60 * 1000L)
+      val query = sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(Event(1L, ts(0), "click", 1.0), Event(1L, ts(2), "view", 2.0))
+        query.processAllAvailable()
+        // watermark jumps past end+gap → the open session times out
+        mem.addData(Event(9L, ts(45), "click", 0.5))
+        query.processAllAvailable()
+        mem.addData(Event(9L, Timestamp.valueOf("2024-01-01 12:00:00"), "view", 0.25))
+        query.processAllAvailable()
+        val got = spark.table("sessions_out").as[Session].collect().toSet
+        got should contain(Session(1L, ts(0), ts(2), 2, 3.0))
+      } finally query.stop()
+    }
+  }
+}

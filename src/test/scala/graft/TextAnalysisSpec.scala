@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("TextAnalysis") {
+    it("counts whitespace and BPE-ish tokens") {
+      val df = Seq(("a", "Hello, world! 42 times")).toDF("id", "text")
+      val row = df.select(
+        wsTokenCount($"text").as("ws"),
+        bpeTokenCount($"text").as("bpe"),
+        punctCount($"text").as("punct")).head()
+      row.getInt(0) shouldBe 4 // Hello, | world! | 42 | times
+      row.getInt(1) shouldBe 6 // hello , world ! 42 times
+      row.getInt(2) shouldBe 2 // , !
+    }
+
+    it("normalizes case and whitespace into one fingerprint") {
+      val df = Seq(("A", "Hello   World"), ("B", "hello world"),
+        ("C", "different text")).toDF("id", "text")
+      val fps = df.select(fingerprint($"text").as("fp")).collect().map(_.getString(0))
+      fps(0) shouldBe fps(1)
+      fps(0) should not be fps(2)
+    }
+
+    it("predicts language by stopword argmax with fixed tie-break") {
+      val df = Seq(
+        ("the cat is on the mat and it is happy", "en"),
+        ("el perro y la casa de los vecinos", "es"),
+        ("der hund und die katze mit das haus", "de"),
+        ("le chien et les chats des voisins dans une maison", "fr"),
+        ("xyzzy plugh", "en") // no hits anywhere → tie → en
+      ).toDF("text", "expected")
+      df.filter(predictLang($"text") =!= $"expected").count() shouldBe 0
+    }
+
+    it("builds overlapping word shingles, empty below n tokens") {
+      val df = Seq(Tuple1("one two three four")).toDF("text")
+      df.select(wordShingles($"text", 3)).head().getSeq[String](0) shouldBe
+        Seq("one two three", "two three four")
+      df.select(wordShingles($"text", 5)).head().getSeq[String](0) shouldBe Seq.empty
+    }
+
+    it("keeps quality score within [0, 1]") {
+      val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      df.select(qualityScore($"text").as("q"))
+        .filter($"q" < 0 || $"q" > 1).count() shouldBe 0
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextDedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "THE quick   brown fox jumps over the lazy dog tonight"), // exact dup of 1 after norm
+    (3L, "the quick brown fox jumps over the lazy dog yesterday"), // near dup of 1
+    (4L, "completely different words about spark query engines here now")
+  ).toDF("doc_id", "text")
+
+  describe("TextDedup.exactDedup") {
+    it("collapses normalization-equal texts to the smallest id") {
+      val out = TextDedup.exactDedup(docs, "doc_id", "text")
+      out.count() shouldBe 3
+      val g = out.filter($"n_copies" === 2).head()
+      g.getAs[Long]("keep_id") shouldBe 1L
+    }
+  }
+
+  describe("TextDedup.jaccardPairs") {
+    it("computes exact shingle jaccard for overlapping docs") {
+      val sh = TextDedup.shingleTable(docs, "doc_id", "text", 3)
+      val pairs = TextDedup.jaccardPairs(sh, 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // docs 1/2 identical after norm → jaccard 1.0
+      pairs should contain((1L, 2L, 1.0))
+      // docs 1/3 share 7 of 8 3-shingles positions minus last → 7/9
+      assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j > 0.7 && j < 0.8 })
+      // doc 4 pairs with nothing
+      pairs.exists { case (a, b, _) => a == 4L || b == 4L } shouldBe false
+    }
+
+    it("drops boilerplate shingles above the frequency cap") {
+      val sh = TextDedup.shingleTable(docs, "doc_id", "text", 3)
+      // cap=1: every shared shingle is dropped → no pairs survive
+      TextDedup.jaccardPairs(sh, 0.01, maxShingleDf = Some(1)).count() shouldBe 0
+    }
+  }
+
+  describe("TextDedup.minHashLshPairs") {
+    it("finds the planted near-dup pair via banding + verification") {
+      val sh = TextDedup.shingleTable(docs, "doc_id", "text", 3)
+      val found = TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      found should contain((1L, 2L)) // identical → all bands agree
+    }
+  }
+
+  describe("TextDedup.simHash32") {
+    it("is deterministic and separates near-dups from unrelated docs") {
+      val sim = TextDedup.simHash32(docs, "doc_id", "text")
+      val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sim2 = TextDedup.simHash32(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      m shouldBe sim2
+      m(1L) shouldBe m(2L) // normalization-identical → same signature
+      java.lang.Long.bitCount(m(1L) ^ m(3L)) should be < 12
+      java.lang.Long.bitCount(m(1L) ^ m(4L)) should be > 6
+    }
+
+    it("pairs by hamming distance") {
+      val sim = TextDedup.simHash32(docs, "doc_id", "text")
+      val pairs = TextDedup.hammingPairs(sim, 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs should contain((1L, 2L))
+    }
+  }
+}

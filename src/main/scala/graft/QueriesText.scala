@@ -206,7 +206,12 @@ object QueriesText {
       .orderBy($"a_id", $"b_id")
   }
   val q30Sql: String = {
-    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n    ")
+    // mirrors TextDedup.minHashSignature's md5-lane scheme: four 32-bit
+    // lanes per md5 call, second block salted with "1:"
+    val mins = (0 until 8).map { j =>
+      val src = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
+      s"min(substr($src, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+    }.mkString(",\n    ")
     val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
     s"""WITH ${shingleSql(perturb = true)},
        |mh AS (

@@ -52,3 +52,26 @@ object Probe {
     spark.stop()
   }
 }
+
+/** Repeat one catalog query N times in a single session — separates
+  * within-JVM stability from environment noise. */
+object Repeat {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q30_minhash_lsh")
+    val n = if (args.length > 1) args(1).toInt else 3
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"[repeat] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

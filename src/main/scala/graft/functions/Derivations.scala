@@ -11,10 +11,13 @@ object Derivations {
   /** F1: separate date + time string columns → one timestamp.
     * Reference `combine_date_time_columns`
     * (`/root/reference/clean_encounterids.py:248-258`) used pandas
-    * format inference; Spark pins an explicit format (SURVEY §7.4#3). */
+    * format inference; Spark pins an explicit format (SURVEY §7.4#3).
+    * `concat` (not `concat_ws`) so a null date or time yields a null
+    * timestamp — concat_ws would skip the null and feed the ANSI
+    * parser an unparseable partial string. */
   def combineDateTime(date: Column, time: Column,
                       fmt: String = "yyyy-MM-dd HH:mm:ss"): Column =
-    to_timestamp(concat_ws(" ", date, time), fmt)
+    to_timestamp(concat(date, lit(" "), time), fmt)
 
   /** F5: age in years from two timestamps (365.25-day years,
     * `ipynb:cell 21`). */

@@ -38,6 +38,23 @@ object KeyCorrection {
       .drop(correctedCol)
   }
 
+  /** Variant of [[correctKeys]] where the lookup key and the column
+    * being repaired differ: join `issues(joinKey, correctedCol)` on
+    * `joinKey` and overwrite `targetCol` where a correction exists —
+    * the reference's WW repair *intent* (replace `CIS Patient ID` for
+    * records whose `ICNARC number` is on the issue list;
+    * `clean_encounterids.py:43-50`, whose row loop tests Series *index*
+    * membership — a latent bug this keyed join does not replicate). */
+  def correctVia(df: DataFrame, issues: DataFrame, joinKey: String,
+                 targetCol: String, correctedCol: String): DataFrame = {
+    val uniqueIssues = issues
+      .groupBy(col(joinKey)).agg(min(col(correctedCol)).as(correctedCol))
+    df.withColumnRenamed(targetCol, s"${targetCol}_original")
+      .join(broadcast(uniqueIssues), Seq(joinKey), "left")
+      .withColumn(targetCol, coalesce(col(correctedCol), col(s"${targetCol}_original")))
+      .drop(correctedCol)
+  }
+
   /** Null-safe default fill: `coalesce(col, lit(default))`
     * (reference: `Explanation.fillna('NA')`, `clean_encounterids.py:78`). */
   def fillDefault(c: Column, default: String): Column = coalesce(c, lit(default))

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Source/sink layer (SURVEY.md §2.1 S1-S7).
+  *
+  * Scan-level concerns live here so pipelines stay declarative:
+  *  - S1 `csv`: comma CSV, header + schema inference;
+  *  - S2 `tsvWithFooter`: tab-separated SQL-Server `.rpt`-style export
+  *    whose trailing "(N rows affected)" footer the reference deletes
+  *    by hand (`/root/reference/clean_encounterids.py:17-19`) — here
+  *    DROPMALFORMED absorbs it: footer lines have the wrong token
+  *    count and are dropped at parse time, no manual editing;
+  *  - S3 `dimensionCsv`: small lookup workbooks pre-converted to CSV
+  *    (no xlsx reader on a Spark cluster; the ingest contract is CSV/
+  *    parquet), always broadcast-sized;
+  *  - S4 `xml`: Spark 4's built-in XML source (`rowTag`), replacing the
+  *    reference's ElementTree parser (`parse_ICNARC_xml.py:22-64`);
+  *  - S5/S6 sinks: parquet is the engine default (splittable, columnar,
+  *    statistics for pushdown); CSV kept for reference parity.
+  * JDBC (S7) is `spark.read.jdbc` — nothing to wrap.
+  */
+object Readers {
+
+  /** S1: comma CSV with header + inferred schema. */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S2: tab-separated export with possible non-tabular footer garbage.
+    * Read with an all-string schema derived from the header line (a
+    * driver-side metadata peek, not a data scan) + DROPMALFORMED so
+    * short footer rows vanish; then cast the declared timestamp
+    * columns with a pinned format (SURVEY §7.4#3 — never inference). */
+  def tsvWithFooter(spark: SparkSession, path: String, dateCols: Seq[String],
+                    fmt: String = "yyyy-MM-dd HH:mm:ss"): DataFrame = {
+    val header = spark.read.text(path).first().getString(0)
+    val schema = StructType(header.split("\t").map(c =>
+      StructField(c, StringType, nullable = true)))
+    val raw = spark.read
+      .option("header", "true").option("sep", "\t").option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .csv(path)
+    dateCols.foldLeft(raw)((df, c) => df.withColumn(c, to_timestamp(col(c), fmt)))
+  }
+
+  /** S3: dimension-table CSV (converted from xlsx at ingest). Small by
+    * contract — callers broadcast it into joins. */
+  def dimensionCsv(spark: SparkSession, path: String): DataFrame =
+    csv(spark, path)
+
+  /** S4: XML scan via the built-in Spark 4 source. One row per
+    * `rowTag` element; absent child elements → null columns (the
+    * reference's NaN-for-missing contract, `parse_ICNARC_xml.py:15-16`).
+    * Schema inference is off — CMP values are "all stored as strings"
+    * (`parse_ICNARC_xml.py:8-9`) and inference would mangle time-only
+    * fields into timestamps anchored at the read date. */
+  def xml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTag).option("inferSchema", "false")
+      .load(path)
+
+  /** §1.3 metadata-driven rename: map opaque source codes to readable
+    * names using a (code, description) dictionary. The dictionary is
+    * dimension-scale by definition, so collecting it to the driver to
+    * drive the projection is correct — the *data* never moves. */
+  def renameByDictionary(df: DataFrame, dictionary: DataFrame,
+                         codeCol: String = "CODE",
+                         descCol: String = "Description"): DataFrame = {
+    val mapping = dictionary.select(col(codeCol), col(descCol))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    df.columns.foldLeft(df)((d, c) =>
+      mapping.get(c).map(d.withColumnRenamed(c, _)).getOrElse(d))
+  }
+
+  /** S5/S6: engine-default sink (splittable columnar checkpoint). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S5: CSV sink for reference-parity exports. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

@@ -99,6 +99,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen
+    * within the watermark horizon — the streaming face of
+    * [[graft.operators.TextDedup.exactDedup]]. State is bounded: keys
+    * older than the watermark are purged, so this runs indefinitely on
+    * an unbounded feed (the unbounded-state `dropDuplicates` variant
+    * does not). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Windowed counts as a memory-sink streaming query (test/demo
     * harness): returns the query so callers can processAllAvailable()
     * then read table `name`. */

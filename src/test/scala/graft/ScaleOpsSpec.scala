@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.functions.FirstNonDefaultAgg
+import graft.operators.SkewJoin
+import graft.sources.Bucketing
+import graft.streaming.EventStreams
+
+/** Specs for the cluster-scale shapes: salted joins/aggregations,
+  * bucketed co-located joins (plan-verified shuffle elimination),
+  * watermark-bounded streaming dedup, and the order-exact Aggregator. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("SkewJoin.saltedJoin") {
+    it("produces exactly the plain join's result") {
+      val facts = Tables.orders(spark, "/root/testdata/sf0.001")
+      val dim = Tables.customer(spark, "/root/testdata/sf0.001")
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+      val plain = facts.join(dim, Seq("o_custkey"))
+        .agg(count(lit(1)), sum($"o_totalprice")).head()
+      val salted = SkewJoin.saltedJoin(facts, dim, Seq("o_custkey"), saltFactor = 7)
+        .agg(count(lit(1)), sum($"o_totalprice")).head()
+      salted.getLong(0) shouldBe plain.getLong(0)
+      salted.getDouble(1) shouldBe (plain.getDouble(1) +- 1e-6)
+    }
+  }
+
+  describe("SkewJoin.saltedAggregate") {
+    it("matches the single-phase aggregation") {
+      val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      val plain = df.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("s"))
+      val salted = SkewJoin.saltedAggregate(df, Seq("o_orderstatus"), 7,
+        partials = Seq(count(lit(1)).as("pn"), sum($"o_totalprice").as("ps")),
+        finals = Seq(sum($"pn").as("n"), round(sum($"ps"), 2).as("s")))
+      rowsOf(salted) shouldBe rowsOf(plain)
+    }
+  }
+
+  describe("Bucketing") {
+    it("joins two co-bucketed tables without a shuffle exchange") {
+      val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      val customers = Tables.customer(spark, "/root/testdata/sf0.001")
+        .select($"c_custkey", $"c_mktsegment")
+      Bucketing.writeBucketed(orders, "orders_b", "o_custkey", 4)
+      Bucketing.writeBucketed(
+        customers.withColumnRenamed("c_custkey", "o_custkey"), "cust_b", "o_custkey", 4)
+      val joined = Bucketing.readBucketed(spark, "orders_b")
+        .join(Bucketing.readBucketed(spark, "cust_b"), Seq("o_custkey"))
+      // disable auto-broadcast so the test sees the bucketed SMJ path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = joined.queryExecution.executedPlan.toString
+        plan should not include "Exchange hashpartitioning"
+        joined.count() shouldBe orders.count()
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  describe("EventStreams.dedupWithinWatermark") {
+    it("drops duplicate keys arriving within the watermark horizon") {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val stream = mem.toDF().toDF("ts", "event_id", "event_type")
+      val out = EventStreams.dedupWithinWatermark(stream, Seq("event_id"))
+      val query = out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").start()
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      try {
+        mem.addData((t(0), 1L, "click"), (t(1), 1L, "click"), (t(2), 2L, "view"))
+        query.processAllAvailable()
+        mem.addData((t(3), 1L, "click"), (t(4), 3L, "view"))
+        query.processAllAvailable()
+        val ids = spark.table("dedup_out").collect().map(_.getLong(1)).sorted
+        ids shouldBe Array(1L, 2L, 3L)
+      } finally query.stop()
+    }
+  }
+
+  describe("FirstNonDefaultAgg") {
+    it("returns the first non-default in explicit order, not the minimum") {
+      val df = Seq(
+        (1L, 10L, "NA"), (1L, 20L, "ZERR"), (1L, 30L, "AERR"),
+        (2L, 5L, "NA")).toDF("id", "ord", "err")
+      val out = df.groupBy($"id")
+        .agg(FirstNonDefaultAgg($"ord", $"err", "NA").as("first_err"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out(1L) shouldBe "ZERR" // file-order first, though "AERR" < "ZERR"
+      out(2L) shouldBe "NA"
+    }
+  }
+}

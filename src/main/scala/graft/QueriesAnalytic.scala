@@ -260,6 +260,60 @@ object QueriesAnalytic {
       |       round(avg(value), 4) AS value_avg
       |FROM lenient GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** ROLLUP grouping sets (hierarchy totals in one pass — Spark expands
+    * to a single Expand + hash agg, no second scan). Rollup nulls are
+    * labeled 'ALL' on both sides so cross-engine null-ordering rules
+    * can't touch the sort. */
+  val q36Rollup: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"revenue")
+      .orderBy($"status", $"priority")
+  }
+  val q36Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** EXCEPT set difference (§2.7 notes the reference's list-exclusion
+    * idiom): high-value order customers outside the BUILDING segment. */
+  val q37Except: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir).filter($"o_totalprice" > 150000.0)
+      .select($"o_custkey".as("custkey"))
+      .except(Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("custkey")))
+      .orderBy($"custkey")
+  }
+  val q37Sql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** INTERSECT: nations present on both sides. */
+  val q38Intersect: Q = (s, dir) => {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+  val q38Sql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
@@ -273,5 +327,8 @@ object QueriesAnalytic {
     ("q21_like_filter", q21Like, Some(q21Sql)),
     ("q22_completeness", q22Completeness, Some(q22Sql)),
     ("q23_json_lenient", q23JsonLenient, Some(q23Sql)),
+    ("q36_rollup", q36Rollup, Some(q36Sql)),
+    ("q37_except", q37Except, Some(q37Sql)),
+    ("q38_intersect", q38Intersect, Some(q38Sql)),
   )
 }

@@ -49,4 +49,28 @@ object Reports {
     * global sort, each partition keeps k rows. */
   def topK(df: DataFrame, k: Int, measure: Column, tieBreak: Column*): DataFrame =
     df.orderBy(measure.desc +: tieBreak.map(_.asc): _*).limit(k)
+
+  /** Sketch-based completeness for the 100 TB path: HyperLogLog++
+    * (`approx_count_distinct`) replaces the exact distinct count, whose
+    * per-group distinct sets would dominate shuffle volume at scale.
+    * Same output shape as [[completeness]]; `rsd` is the target
+    * relative standard deviation (accuracy ↔ sketch size). */
+  def completenessApprox(df: DataFrame, groupKey: String, entity: String,
+                         rsd: Double = 0.05): DataFrame = {
+    val total = df.select(approx_count_distinct(col(entity), rsd).as("total"))
+    df.groupBy(col(groupKey)).agg(approx_count_distinct(col(entity), rsd).as("n_entities"))
+      .crossJoin(broadcast(total))
+      .withColumn("completeness", round(col("n_entities") / col("total"), 4))
+      .drop("total")
+  }
+
+  /** Sketch-based grouped quantiles for the 100 TB path: t-digest-style
+    * `percentile_approx` replaces the exact per-group sort. `acc` is
+    * the accuracy parameter (1/relative-error). */
+  def quartilesApprox(df: DataFrame, key: String, value: Column,
+                      acc: Int = 1000): DataFrame =
+    df.groupBy(col(key)).agg(
+      percentile_approx(value, lit(0.25), lit(acc)).as("p25"),
+      percentile_approx(value, lit(0.5), lit(acc)).as("p50"),
+      percentile_approx(value, lit(0.75), lit(acc)).as("p75"))
 }

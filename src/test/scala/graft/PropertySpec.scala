@@ -1,0 +1,103 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, KeyCorrection, TextDedup, Validation}
+
+/** Property-style invariants (SURVEY.md §5.3) over seeded random
+  * inputs: the contracts must hold for arbitrary data, not just the
+  * fixtures. A fixed seed keeps runs deterministic; each property is
+  * exercised over several independently drawn samples. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = 5
+
+  private def randRows(rng: Random): List[(Long, Long, Double)] =
+    List.fill(1 + rng.nextInt(40))(
+      (rng.nextInt(9).toLong, rng.nextInt(1000).toLong, rng.nextDouble() * 200 - 100))
+
+  private def randDocs(rng: Random): List[(Long, String)] = {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    List.tabulate(1 + rng.nextInt(20))(i =>
+      (i.toLong, List.fill(1 + rng.nextInt(8))(words(rng.nextInt(words.size))).mkString(" ")))
+  }
+
+  describe("Dedup.combine invariants") {
+    it("always yields a unique key set and preserves totals") {
+      val rng = new Random(1)
+      (1 to samples).foreach { _ =>
+        val rows = randRows(rng)
+        val out = Dedup.combine(rows.toDF("k", "ord", "v"), Seq("k"),
+          Seq(sum($"v").as("v_sum"), count(lit(1)).as("n")))
+        Validation.isUnique(out, Seq("k")) shouldBe true
+        out.agg(sum($"n")).head().getLong(0) shouldBe rows.length
+        out.agg(sum($"v_sum")).head().getDouble(0) shouldBe
+          (rows.map(_._3).sum +- 1e-6)
+      }
+    }
+  }
+
+  describe("KeyCorrection.correctKeys invariants") {
+    it("never changes the row count and never nulls a key") {
+      val rng = new Random(2)
+      (1 to samples).foreach { _ =>
+        val facts = randRows(rng)
+        val issues = randRows(rng).map(r => (r._1, r._2 + 1000L))
+        val out = KeyCorrection.correctKeys(
+          facts.toDF("k", "ord", "v"), issues.toDF("k", "fixed"), "k", "fixed")
+        out.count() shouldBe facts.length
+        out.filter($"k".isNull).count() shouldBe 0
+      }
+    }
+  }
+
+  describe("union invariants") {
+    it("row counts are additive") {
+      val rng = new Random(3)
+      (1 to samples).foreach { _ =>
+        val a = randRows(rng); val b = randRows(rng)
+        a.toDF("k", "ord", "v").unionByName(b.toDF("k", "ord", "v"))
+          .count() shouldBe (a.length + b.length)
+      }
+    }
+  }
+
+  describe("TextDedup invariants") {
+    it("jaccard pairs are ordered (a<b) and bounded in [threshold, 1]") {
+      val rng = new Random(4)
+      (1 to samples).foreach { _ =>
+        val sh = TextDedup.shingleTable(
+          randDocs(rng).toDF("doc_id", "text"), "doc_id", "text", 2)
+        TextDedup.jaccardPairs(sh, 0.4).collect().foreach { r =>
+          r.getLong(0) should be < r.getLong(1)
+          r.getDouble(2) should (be >= 0.4 and be <= 1.0)
+        }
+      }
+    }
+
+    it("exact dedup copy counts sum to the corpus size") {
+      val rng = new Random(5)
+      (1 to samples).foreach { _ =>
+        val docs = randDocs(rng)
+        TextDedup.exactDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+          .agg(sum($"n_copies")).head().getLong(0) shouldBe docs.length
+      }
+    }
+  }
+
+  describe("coalesce invariants") {
+    it("never increases the null count") {
+      val rng = new Random(6)
+      (1 to samples).foreach { _ =>
+        val xs = List.fill(1 + rng.nextInt(30))(
+          if (rng.nextBoolean()) Some(rng.alphanumeric.take(4).mkString) else None)
+        val df = xs.map(Tuple1(_)).toDF("a")
+        val before = df.filter($"a".isNull).count()
+        df.select(coalesce($"a", lit("d")).as("a"))
+          .filter($"a".isNull).count() should be <= before
+      }
+    }
+  }
+}

@@ -81,6 +81,30 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  describe("approx sketch variants") {
+    it("completenessApprox tracks the exact completeness within 10%") {
+      val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      val exact = graft.operators.Reports.completeness(ev, "event_type", "user_id")
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("completeness")).toMap
+      val approx = graft.operators.Reports.completenessApprox(ev, "event_type", "user_id")
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("completeness")).toMap
+      exact.foreach { case (k, v) =>
+        approx(k) shouldBe (v +- math.max(0.1 * v, 0.02))
+      }
+    }
+
+    it("quartilesApprox tracks the exact quartiles within 5%") {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      val approx = graft.operators.Reports
+        .quartilesApprox(li, "l_returnflag", $"l_extendedprice")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val exact = li.groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (k, v) => approx(k) shouldBe (v +- 0.05 * v) }
+    }
+  }
+
   describe("FirstNonDefaultAgg") {
     it("returns the first non-default in explicit order, not the minimum") {
       val df = Seq(

@@ -182,7 +182,11 @@ object QueriesText {
     * join (no cross join; shuffle keys are shingles). */
   val q29JaccardPairs: Q = (s, dir) => {
     import s.implicits._
+    // persisted: both sides of the pair self-join read the same shingle
+    // table — without the cache the whole tokenize→shingle→explode
+    // chain runs once per side
     val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TextDedup.jaccardPairs(sh, 0.3).orderBy($"a_id", $"b_id")
   }
   val q29Sql: String =
@@ -201,7 +205,10 @@ object QueriesText {
     * Jaccard verification of candidates only. */
   val q30MinHashLsh: Q = (s, dir) => {
     import s.implicits._
+    // persisted: the shingle table feeds the signature pass AND both
+    // sides of the candidate-verification join (3 consumers)
     val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3)
       .orderBy($"a_id", $"b_id")
   }
@@ -281,7 +288,9 @@ object QueriesText {
     * tiny Hamming distance while random 32-bit pairs almost never do. */
   val q32SimHashPairs: Q = (s, dir) => {
     import s.implicits._
+    // persisted: the signature table self-joins for Hamming pairing
     val sim = TextDedup.simHash32(corpus(s, dir, perturb = true), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TextDedup.hammingPairs(sim, maxHd = 3).orderBy($"a_id", $"b_id")
   }
   val q32Sql: String =

@@ -53,6 +53,24 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact brute-force top-k via the bounded-heap aggregation
+    * ([[graft.functions.TopKAgg]]) instead of a ranking window: partial
+    * aggregation trims every partition's candidates to k before the
+    * shuffle, so the exchange carries k×|queries| rows rather than
+    * |corpus|×|queries|. Same results as [[bruteForceTopK]] (spec-
+    * verified); this is the shape that survives a 100 TB corpus. */
+  def bruteForceTopKAgg(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                        k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(k, col("cos"), col("n_id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("n_id"), round(col("col.score"), 4).as("cos"))
+  }
+
   /** Deterministic ±1 hyperplane matrix: sign of plane j, dim i is the
     * parity of the first byte of md5("j:i"). Seed-free ⇒ reproducible
     * everywhere, including inside the SQL oracle (same literals). */

@@ -61,6 +61,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("bruteForceTopKAgg") {
+    it("matches the window-based top-k exactly") {
+      GraftFunctions.register(spark)
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+      val c = e.filter($"vec_id" >= 5)
+        .select($"vec_id".as("n_id"), $"embedding".cast("array<double>").as("cv"))
+      val win = Similarity.bruteForceTopK(spark, q, c, 7)
+      val agg = Similarity.bruteForceTopKAgg(spark, q, c, 7)
+      rowsOf(agg) shouldBe rowsOf(win)
+    }
+  }
+
   describe("annLshPairs") {
     it("recovers every brute-force near-dup pair on the scaled corpus") {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

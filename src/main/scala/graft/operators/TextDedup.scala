@@ -141,13 +141,41 @@ object TextDedup {
         .reduce(_ + _).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ `maxHd`. Runs over the
-    * per-doc signature table; at full scale, band the signature bits
-    * (pigeonhole: hd ≤ k pairs must share one of k+1 bit-blocks) and
-    * join on block value instead of the O(n²) self-join used here. */
+  /** Near-dup pairs by SimHash Hamming distance ≤ `maxHd`, exact
+    * all-pairs form — the correctness oracle for [[bandedHammingPairs]]
+    * and fine below ~10⁵ docs. */
   def hammingPairs(sim: DataFrame, maxHd: Int): DataFrame =
     sim.as("a").join(sim.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hd"))
       .filter(col("hd") <= maxHd)
+
+  /** Scale path for SimHash pairing: pigeonhole banding. Split the
+    * 32-bit signature into `maxHd + 1` contiguous blocks — two
+    * signatures within Hamming distance maxHd MUST agree exactly on at
+    * least one block — and equi-join on (block index, block value), so
+    * the shuffle key is a block value and no cross join exists
+    * anywhere. Candidates are then verified with the real Hamming
+    * distance. Exact same result set as [[hammingPairs]]
+    * (spec-verified): banding is a complete (recall-1) filter. */
+  def bandedHammingPairs(sim: DataFrame, maxHd: Int): DataFrame = {
+    val nBlocks = maxHd + 1
+    val width = 32 / nBlocks
+    // block b = bits [b*width, (b+1)*width) (last block takes the rest)
+    val blocks = (0 until nBlocks).map { b =>
+      val w = if (b == nBlocks - 1) 32 - b * width else width
+      struct(lit(b).as("blk"),
+        col("simhash").bitwiseAND(lit(((1L << w) - 1) << (b * width))).as("v"))
+    }
+    val banded = sim.select(col("id"), col("simhash"),
+      explode(array(blocks: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHd)
+  }
 }

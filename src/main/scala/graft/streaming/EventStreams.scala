@@ -99,6 +99,27 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream event-time join: attribute each purchase to the same
+    * user's most recent prior click within `horizon`. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so state for expired intervals is purged — the canonical bounded-
+    * state stream-stream inner join. Works identically on batch frames. */
+  def clickPurchaseAttribution(events: DataFrame, horizon: String = "1 hour",
+                               lateness: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", lateness)
+    purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(purchases("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen
     * within the watermark horizon — the streaming face of
     * [[graft.operators.TextDedup.exactDedup]]. State is bounded: keys

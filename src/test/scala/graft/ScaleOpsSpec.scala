@@ -81,6 +81,42 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  describe("TextDedup.bandedHammingPairs") {
+    it("reproduces the exact all-pairs hamming result via banding") {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", $"text")
+      val sim = graft.operators.TextDedup.simHash32(docs, "doc_id", "text")
+        .persist()
+      val exact = graft.operators.TextDedup.hammingPairs(sim, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val banded = graft.operators.TextDedup.bandedHammingPairs(sim, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      banded shouldBe exact
+      exact.nonEmpty shouldBe true
+    }
+  }
+
+  describe("EventStreams.clickPurchaseAttribution") {
+    it("joins purchases to prior clicks within the horizon (stream-stream)") {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      val stream = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+      val out = EventStreams.clickPurchaseAttribution(stream)
+      val query = out.writeStream.format("memory").queryName("attr_out")
+        .outputMode("append").start()
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      try {
+        mem.addData(
+          (t(0), 1L, "click", 1.0), (t(5), 1L, "purchase", 50.0),
+          (t(1), 2L, "click", 2.0), (t(2), 3L, "purchase", 9.0)) // user 3: no click
+        query.processAllAvailable()
+        val rows = spark.table("attr_out").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+        rows shouldBe Set((1L, t(0), t(5)))
+      } finally query.stop()
+    }
+  }
+
   describe("approx sketch variants") {
     it("completenessApprox tracks the exact completeness within 10%") {
       val ev = Tables.events(spark, "/root/testdata/sf0.01")

@@ -74,6 +74,19 @@ object Readers {
       mapping.get(c).map(d.withColumnRenamed(c, _)).getOrElse(d))
   }
 
+  /** S4/§7.3: EAV long→wide pivot with an EXPLICIT code list (the
+    * reference's 205-column CMP table): supplying the pivot values from
+    * the data dictionary keeps this a single pass — Spark never runs
+    * the extra distinct-values discovery job, and the output schema is
+    * stable regardless of which codes happen to appear in a batch.
+    * `min(value)` (not `first`) so the wide cell is deterministic if a
+    * (entity, code) pair ever duplicates. */
+  def pivotEav(df: DataFrame, entityCol: String, codeCol: String,
+               valueCol: String, codes: Seq[String]): DataFrame =
+    df.groupBy(col(entityCol))
+      .pivot(codeCol, codes)
+      .agg(min(col(valueCol)))
+
   /** S5/S6: engine-default sink (splittable columnar checkpoint). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -88,6 +88,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Readers.pivotEav") {
+    it("widens EAV rows over an explicit code list with stable schema") {
+      val eav = Seq(
+        (1L, "HR", "88"), (1L, "TEMP", "37.5"),
+        (2L, "HR", "92")).toDF("id", "code", "value")
+      val wide = graft.sources.Readers.pivotEav(eav, "id", "code", "value",
+        Seq("HR", "TEMP", "SPO2"))
+      wide.columns.toSeq shouldBe Seq("id", "HR", "TEMP", "SPO2")
+      val r2 = wide.filter($"id" === 2L).head()
+      r2.getString(1) shouldBe "92"
+      r2.isNullAt(2) shouldBe true // absent code → null, column still present
+      r2.isNullAt(3) shouldBe true
+    }
+  }
+
   describe("Derivations") {
     it("combines date+time, derives spans and hour-of-day") {
       val df = Seq(("2020-03-01", "08:30:00")).toDF("d", "t")

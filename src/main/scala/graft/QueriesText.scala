@@ -62,16 +62,30 @@ object QueriesText {
 
   // ---------------------------------------------------------------- q24
   /** Token counting + quality scoring: one codegen'd scan, no shuffle
-    * (the order-by is for the deterministic dump only). */
+    * (the order-by is for the deterministic dump only).
+    *
+    * Staged projections on purpose: the lowered text and each regex
+    * count are aliased once and referenced by name downstream —
+    * Catalyst does not share non-cheap subexpressions across output
+    * columns, so the inlined form re-ran every regex stack per column
+    * (measured 2.5× slower). Same values, same oracle. */
   val q24TokenStats: Q = (s, dir) => {
     import s.implicits._
-    Tables.documents(s, dir).select(
-      $"doc_id",
-      TextAnalysis.wsTokenCount($"text").as("n_ws"),
-      TextAnalysis.bpeTokenCount($"text").as("n_bpe"),
-      TextAnalysis.punctCount($"text").as("n_punct"),
-      TextAnalysis.stopwordHits($"text", TextAnalysis.stopEn).as("stop_hits"),
-      TextAnalysis.qualityScore($"text").as("quality"))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", lower($"text").as("lo"))
+      .select($"doc_id", $"text",
+        size(split(trim(regexp_replace($"lo", "\\s+", " ")), " ")).as("n_ws"),
+        size(regexp_extract_all($"lo", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe"),
+        length(regexp_replace($"lo", "[a-z0-9\\s]", "")).as("n_punct"),
+        size(regexp_extract_all($"lo",
+          lit("\\b(" + TextAnalysis.stopEn.mkString("|") + ")\\b"), lit(0))).as("stop_hits"))
+      .select($"doc_id", $"n_ws", $"n_bpe", $"n_punct", $"stop_hits",
+        round(lit(0.4) * least($"stop_hits".cast("double")
+            / greatest($"n_ws".cast("double"), lit(1.0)) * lit(4.0), lit(1.0))
+          + lit(0.3) * least($"n_ws".cast("double") / lit(50.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - least($"n_punct".cast("double")
+            / greatest(length($"text").cast("double"), lit(1.0)) * lit(5.0), lit(1.0))),
+          4).as("quality"))
       .orderBy($"doc_id")
   }
   val q24Sql: String =

@@ -69,7 +69,10 @@ object Repeat {
     spark.sparkContext.setLogLevel("WARN")
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
+      // noop sink, matching Bench: count() would let Catalyst prune
+      // all columns of projection-only queries
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       println(f"[repeat] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -92,6 +92,9 @@ object QueriesAnalytic {
     * `percentile_approx`, same call shape. */
   val q16GroupStats: Q = (s, dir) => {
     import s.implicits._
+    // ONE array-percentile call, not three scalar ones: each scalar
+    // percentile(col, p) builds and sorts its own per-group buffer of
+    // the whole column — the array form sorts once (measured ~3×)
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
@@ -99,9 +102,11 @@ object QueriesAnalytic {
         round(avg($"l_extendedprice"), 4).as("mean_price"),
         round(stddev_samp($"l_extendedprice"), 4).as("sd_samp"),
         round(stddev_pop($"l_extendedprice"), 4).as("sd_pop"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p_arr"))
+      .select($"l_returnflag", $"n", $"mean_price", $"sd_samp", $"sd_pop",
+        round($"p_arr"(0), 4).as("p25"),
+        round($"p_arr"(1), 4).as("p50"),
+        round($"p_arr"(2), 4).as("p75"))
       .orderBy($"l_returnflag")
   }
   val q16Sql: String =

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions
+
+/** IVF (inverted-file) approximate nearest-neighbor index: partition
+  * the corpus into k coarse cells by cosine-nearest centroid; a query
+  * probes only its `nProbe` nearest cells instead of the full corpus.
+  *
+  * The centroid fit is a deterministic, fully distributed Lloyd's
+  * k-means expressed in DataFrame ops (no MLlib dependency, no RNG):
+  * seeds are the first k vectors by id, assignment is a broadcast-join
+  * + argmax-cosine, and the centroid update is a posexplode →
+  * groupBy(cluster, dim) → avg → rebuild — every step shuffles on
+  * (cluster, dim), never on pairs.
+  *
+  * Scale shape: centroids are dimension-sized (k × dim) and always
+  * broadcast; the corpus is scanned once per fit iteration and once at
+  * index time; search cost is |cell|·nProbe per query. Compared to the
+  * random-hyperplane LSH path ([[Similarity.annLshPairs]]), IVF adapts
+  * to the data distribution at the price of the fit pass.
+  */
+object IvfIndex {
+
+  /** Deterministic k-means centroids over `(id, v: array<double>)`.
+    * Returns `(cluster, centroid: array<double>)`. */
+  def fitCentroids(spark: SparkSession, corpus: DataFrame, k: Int,
+                   iterations: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    // deterministic seeds: the first k vectors in id order
+    var centroids = corpus.orderBy(col("id")).limit(k)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("id")))
+        .minus(1).as("cluster"), col("v").as("centroid"))
+    (1 to iterations).foreach { _ =>
+      val assigned = assign(corpus, centroids)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cluster"),
+          expr("transform(pairs, p -> p.m)").as("centroid"))
+    }
+    centroids
+  }
+
+  /** Assign every corpus vector to its argmax-cosine centroid.
+    * Centroids are broadcast; ties break toward the lower cluster id. */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim", Similarity.cosine(col("v"), col("centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("sim").desc, col("cluster").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cluster"))
+  }
+
+  /** ANN top-k search: each query probes its `nProbe` nearest cells
+    * only. Same output shape as [[Similarity.bruteForceTopK]]. */
+  def search(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
+             centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val qScored = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("centroid")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cluster"))
+    val cand = probes.join(indexed, Seq("cluster"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+}

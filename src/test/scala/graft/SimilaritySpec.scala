@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => Fn}
 import graft.operators.Similarity
 import graft.plans.GraftFunctions
 
@@ -72,6 +73,26 @@ class SimilaritySpec extends SparkSpec {
       val win = Similarity.bruteForceTopK(spark, q, c, 7)
       val agg = Similarity.bruteForceTopKAgg(spark, q, c, 7)
       rowsOf(agg) shouldBe rowsOf(win)
+    }
+  }
+
+  describe("IvfIndex") {
+    it("fits k centroids of the right shape and finds planted near-dups") {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val centroids = graft.operators.IvfIndex.fitCentroids(spark, e, k = 4)
+      centroids.count() shouldBe 4
+      centroids.filter(Fn.size($"centroid") =!= 64).count() shouldBe 0
+
+      val indexed = graft.operators.IvfIndex.assign(e, centroids)
+      indexed.count() shouldBe e.count()
+      // queries = scaled copies; their true nearest original is themselves/1.01
+      val queries = e.limit(20).select($"id".as("q_id"),
+        transform($"v", x => x * lit(1.01)).as("qv"))
+      val hits = graft.operators.IvfIndex
+        .search(spark, queries, indexed, centroids, k = 1, nProbe = 1)
+      // scaling preserves cosine → same cell as the original → recall 1
+      hits.filter($"rank" === 1 && $"n_id" === $"q_id").count() shouldBe 20
     }
   }
 

@@ -159,23 +159,34 @@ object QueriesText {
   }
 
   // ---------------------------------------------------------------- q27
-  /** Document fingerprinting: md5 content fingerprint + distinct
-    * 5-shingle count per doc (the rolling-window fingerprint input). */
+  /** Document fingerprinting: md5 content fingerprint, order-sensitive
+    * polynomial rolling hash, and the distinct 5-shingle count. */
   val q27Fingerprint: Q = (s, dir) => {
     import s.implicits._
     Tables.documents(s, dir).select(
       $"doc_id",
       TextAnalysis.fingerprint($"text").as("fp"),
+      TextAnalysis.rollingFingerprint($"text").as("rolling_fp"),
       size(array_distinct(TextAnalysis.wordShingles($"text", 5))).as("n_shingles"))
       .orderBy($"doc_id")
   }
-  val q27Sql: String =
+  val q27Sql: String = {
+    // h(t): first 32 md5 bits via digit-position arithmetic (no conv())
+    val tokenHash = (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * $mult"
+    }.mkString(" + ")
     s"""SELECT doc_id, md5($normSql) AS fp,
+       |  list_reduce(
+       |    list_prepend(0, list_transform(string_split($normSql, ' '),
+       |      t -> $tokenHash)),
+       |    (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp,
        |  len(list_distinct(list_transform(
        |    generate_series(1, len(string_split($normSql, ' '))-4),
        |    i -> array_to_string(list_slice(string_split($normSql, ' '), i, i+4), ' '))))
        |    AS n_shingles
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q28
   /** Exact dedup over corpus + identical copy: hash-groupBy on the

@@ -86,6 +86,21 @@ object TextAnalysis {
     * forever — the right property for a persisted corpus fingerprint. */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
+  /** Polynomial rolling-hash fingerprint (Rabin–Karp shape) over the
+    * token stream: `fp = fold(tokens, 0, (acc, t) → (acc·31 + h(t)) mod
+    * (2³¹−1))` with `h(t)` the first 32 md5 bits. Order-sensitive —
+    * unlike the content md5, two documents with the same words in a
+    * different order fingerprint differently — and incremental, the
+    * property a streaming ingest uses to fingerprint chunk-by-chunk.
+    * The modulus keeps every intermediate below 2³⁶ so the same
+    * arithmetic is exact in any engine's 64-bit integers. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(
+      transform(wsTokens(c), t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, lit(2147483647L)))
+
   /** All word n-shingles of normalized text (overlapping windows of n
     * tokens, space-joined). Documents shorter than n tokens get an empty
     * array — the `when` guard matters because `sequence(1, k)` with

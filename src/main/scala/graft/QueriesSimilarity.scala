@@ -127,10 +127,80 @@ object QueriesSimilarity {
        |FROM pairs WHERE cos >= 0.99 ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q39
+  /** IVF ANN: deterministic k-means fit (k=8 cells, 1 Lloyd step,
+    * ordered-fold mean for cross-engine bit-reproducibility), corpus
+    * assigned to cells once, then 10 queries probe only their 2
+    * nearest cells for an exact top-5 inside the probed candidates.
+    * The data-adaptive counterpart of q35's hyperplane LSH: search
+    * cost is nProbe·|cell| per query instead of |corpus|. */
+  val q39AnnIvf: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    // persisted: the fit output feeds corpus assignment AND query
+    // probing — without it the whole Lloyd pass re-runs per consumer.
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.IvfIndex.search(s, queries, indexed, cent, k = 5, nProbe = 2)
+      .orderBy($"q_id", $"rank")
+  }
+  val q39Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS centroid
+       |  FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
+       |s0 AS (
+       |  SELECT e.id, e.v, s.cluster,
+       |         ${dotSql("e.v", "s.centroid")} / sqrt(${norm2Sql("e.v")} * ${norm2Sql("s.centroid")}) AS cos
+       |  FROM e CROSS JOIN seeds s),
+       |a0 AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |upd AS (
+       |  SELECT cluster, dim,
+       |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
+       |           / count(*) AS m
+       |  FROM (SELECT cluster, id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM a0)
+       |  GROUP BY cluster, dim),
+       |cent AS (SELECT cluster, list(m ORDER BY dim) AS centroid FROM upd GROUP BY cluster),
+       |s1 AS (
+       |  SELECT e.id, e.v, c.cluster,
+       |         ${dotSql("e.v", "c.centroid")} / sqrt(${norm2Sql("e.v")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM e CROSS JOIN cent c),
+       |idx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s1)
+       |  WHERE rn = 1),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.q_id, i.id AS n_id,
+       |         ${dotSql("p.qv", "i.v")} / sqrt(${norm2Sql("p.qv")} * ${norm2Sql("i.v")}) AS cos
+       |  FROM probes p JOIN idx i USING (cluster)),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
     ("q35_ann_lsh", q35AnnLsh, Some(q35Sql)),
+    ("q39_ann_ivf", q39AnnIvf, Some(q39Sql)),
   )
 }

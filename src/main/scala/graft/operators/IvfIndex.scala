@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.GraftFunctions
 
@@ -24,20 +24,35 @@ import graft.plans.GraftFunctions
 object IvfIndex {
 
   /** Deterministic k-means centroids over `(id, v: array<double>)`.
-    * Returns `(cluster, centroid: array<double>)`. */
+    * Returns `(cluster, centroid: array<double>)`.
+    *
+    * `orderedMean = false` (the scale default) updates centroids with
+    * a plain partial-aggregated `avg` — fastest, but its floating-point
+    * summation order follows partitioning, so low-order centroid bits
+    * vary across engines/plans. `orderedMean = true` sums each
+    * (cluster, dim) group as a strict sequential fold in id order,
+    * making the fit bit-reproducible anywhere (the correctness-gate
+    * path; costs a collect_list per group). */
   def fitCentroids(spark: SparkSession, corpus: DataFrame, k: Int,
-                   iterations: Int = 3): DataFrame = {
+                   iterations: Int = 3, orderedMean: Boolean = false): DataFrame = {
     GraftFunctions.register(spark)
     // deterministic seeds: the first k vectors in id order
     var centroids = corpus.orderBy(col("id")).limit(k)
       .select(row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("id")))
         .minus(1).as("cluster"), col("v").as("centroid"))
+    val mean: Column =
+      if (orderedMean)
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("id"), col("x")))),
+            p => p.getField("x")),
+          lit(0d), (acc, x) => acc + x) / count(lit(1))).as("m")
+      else avg(col("x")).as("m")
     (1 to iterations).foreach { _ =>
       val assigned = assign(corpus, centroids)
       centroids = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+        .select(col("cluster"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim")).agg(mean)
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cluster"),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Multimodal-column query catalog (driver brief: image/audio/video as
+  * opaque binary + typed metadata; decode stubbed, plumbing real).
+  * The media table is derived deterministically from `documents`
+  * ([[Multimodal.mediaFromDocuments]]) so the metadata/frame path has a
+  * full DuckDB oracle; the decode-stub feature path is gated rows-only
+  * (its float32 accumulator is not portably expressible in SQL).
+  */
+object QueriesMultimodal {
+  import Queries.Q
+
+  // ---------------------------------------------------------------- q40
+  /** Video pipeline: ingest contract → metadata resize (pure-metadata,
+    * no decode) → frame sampling (narrow explode, one row per sampled
+    * frame) → hex of the 16-byte frame slice. Exercises the binary
+    * column end-to-end with an exact oracle. */
+  val q40FrameSample: Q = (s, dir) => {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(s, dir).filter($"kind" === "video")
+    val resized = Multimodal.resizeMeta(media, maxSide = 320)
+    Multimodal.sampleFrames(resized, everyMs = 1000L)
+      .join(resized.select($"media_id",
+        $"meta.width".as("r_width"), $"meta.height".as("r_height")), Seq("media_id"))
+      .select($"media_id", $"frame_idx", $"frame_ts_ms",
+        hex($"frame_bytes").as("frame_hex"), $"r_width", $"r_height")
+      .orderBy($"media_id", $"frame_idx")
+  }
+  // DuckDB 1.0 cannot substring a BLOB: slice the hex string at 2× the
+  // byte offset instead (identical to Spark's hex(substring(bin,…))).
+  val q40Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |         encode(text) AS content,
+      |         CAST(n_chars % 640 AS INT) AS width,
+      |         CAST(n_chars % 480 AS INT) AS height,
+      |         n_chars * 10 AS duration_ms
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |resized AS (
+      |  SELECT *, CASE WHEN greatest(width, height) > 320
+      |                 THEN CAST(320 AS DOUBLE) / greatest(width, height)
+      |                 ELSE 1.0 END AS scale
+      |  FROM media),
+      |frames AS (
+      |  SELECT media_id,
+      |         CAST(floor(width * scale) AS INT) AS r_width,
+      |         CAST(floor(height * scale) AS INT) AS r_height,
+      |         unnest(generate_series(0,
+      |           CAST(greatest(ceil(duration_ms / 1000.0), 1) AS BIGINT) - 1)) AS frame_idx,
+      |         hex(content) AS content_hex, octet_length(content) AS n_bytes
+      |  FROM resized)
+      |SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms,
+      |       substring(content_hex,
+      |         CAST((frame_idx % greatest(n_bytes, 1)) * 2 + 1 AS INT), 32) AS frame_hex,
+      |       r_width, r_height
+      |FROM frames ORDER BY media_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Feature extraction over binary content: partition-local decode
+    * stub → array<float> features (mapPartitions; codec init once per
+    * partition). Deterministic but not SQL-expressible → rows-only
+    * gate; exact values are pinned in MultimodalSpec. */
+  val q41MediaFeatures: Q = (s, dir) => {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(s, dir)
+    Multimodal.extractFeatures(media, dim = 16)
+      .select($"media_id", $"kind", size($"features").as("n_feat"),
+        round(element_at($"features", 1).cast("double"), 3).as("f0"))
+      .orderBy($"media_id")
+  }
+
+  /** Registry: name → (spark program, oracle sql). */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+    ("q40_frame_sample", q40FrameSample, Some(q40Sql)),
+    ("q41_media_features", q41MediaFeatures, None),
+  )
+}

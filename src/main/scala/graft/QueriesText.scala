@@ -163,11 +163,15 @@ object QueriesText {
     * polynomial rolling hash, and the distinct 5-shingle count. */
   val q27Fingerprint: Q = (s, dir) => {
     import s.implicits._
-    Tables.documents(s, dir).select(
-      $"doc_id",
-      TextAnalysis.fingerprint($"text").as("fp"),
-      TextAnalysis.rollingFingerprint($"text").as("rolling_fp"),
-      size(array_distinct(TextAnalysis.wordShingles($"text", 5))).as("n_shingles"))
+    // staged projections: the normalize regex runs once per row, the
+    // whitespace split once — not once per consuming output column
+    Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.normalizeText($"text").as("norm"))
+      .select($"doc_id", md5($"norm").as("fp"), split($"norm", " ").as("toks"))
+      .select($"doc_id", $"fp",
+        TextAnalysis.rollingFingerprintFromTokens($"toks").as("rolling_fp"),
+        size(array_distinct(TextAnalysis.wordShinglesFromTokens($"toks", 5)))
+          .as("n_shingles"))
       .orderBy($"doc_id")
   }
   val q27Sql: String = {

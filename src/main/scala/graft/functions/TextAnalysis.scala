@@ -95,8 +95,15 @@ object TextAnalysis {
     * The modulus keeps every intermediate below 2³⁶ so the same
     * arithmetic is exact in any engine's 64-bit integers. */
   def rollingFingerprint(c: Column): Column =
+    rollingFingerprintFromTokens(wsTokens(c))
+
+  /** [[rollingFingerprint]] over an already-materialized token array —
+    * use this form when the tokens column is staged in a prior
+    * projection, so the regex split runs once per row however many
+    * consumers it has (Catalyst does not CSE non-cheap expressions). */
+  def rollingFingerprintFromTokens(toks: Column): Column =
     aggregate(
-      transform(wsTokens(c), t =>
+      transform(toks, t =>
         conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + h, lit(2147483647L)))
@@ -113,10 +120,15 @@ object TextAnalysis {
     * slower on the shingle-explode path. */
   def wordShingles(c: Column, n: Int): Column =
     element_at(
-      transform(array(wsTokens(c)), w =>
-        when(size(w) >= n,
-          transform(sequence(lit(1), size(w) - lit(n - 1)),
-            i => concat_ws(" ", slice(w, i, lit(n)))))
-          .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))),
+      transform(array(wsTokens(c)), w => wordShinglesFromTokens(w, n)),
       1)
+
+  /** [[wordShingles]] over an already-materialized token array (a bound
+    * lambda variable or staged projection column — both cheap to
+    * re-reference, so no bind-once wrapper is needed here). */
+  def wordShinglesFromTokens(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))
 }

@@ -1,0 +1,94 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Readers
+
+/** Source/sink round-trip catalog (SURVEY.md §2.1): each query writes a
+  * fixture in the source's native format under the repo's scratch dir,
+  * reads it back through [[Readers]], and surfaces the recovered rows —
+  * so the oracle over the original parquet table gates the full
+  * sink → reader → cast path, not just a happy-path spec.
+  */
+object QueriesSources {
+  import Queries.Q
+
+  /** Repo-local scratch (the driver forbids writes outside the repo);
+    * suffixed with the sf-dir name so scale factors never collide. */
+  private def scratch(tag: String, dir: String): String =
+    s"/root/repo/target/tmp/${tag}_${new File(dir).getName}"
+
+  // ---------------------------------------------------------------- q42
+  /** S4/S5 XML round-trip: nation → built-in XML sink → [[Readers.xml]]
+    * (inference off — everything reads back as strings, the reference's
+    * contract) → explicit casts. Gates rowTag handling, null-for-absent
+    * semantics, and the no-inference policy. */
+  val q42XmlRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val out = scratch("q42_xml", dir)
+    Tables.nation(s, dir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode("overwrite")
+      .format("xml").option("rootTag", "nations").option("rowTag", "nation")
+      .save(out)
+    Readers.xml(s, out, rowTag = "nation")
+      .select($"n_nationkey".cast("int").as("n_nationkey"), $"n_name",
+        $"n_regionkey".cast("int").as("n_regionkey"))
+      .orderBy($"n_nationkey")
+  }
+  val q42Sql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  // ---------------------------------------------------------------- q43
+  /** S2 `.rpt`-style TSV: supplier (+ a synthesized datetime column)
+    * → single tab-separated file, then the SQL-Server "(N rows
+    * affected)" footer is appended verbatim — the garbage the reference
+    * deletes by hand (`clean_encounterids.py:17-19`). DROPMALFORMED
+    * must absorb the footer and the pinned-format `to_timestamp` must
+    * recover the datetime (surfaced as epoch seconds, never raw). */
+  val q43TsvFooter: Q = (s, dir) => {
+    import s.implicits._
+    val out = scratch("q43_tsv", dir)
+    val n = Tables.supplier(s, dir).count()
+    Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey",
+        concat(lit("2020-01-"),
+          lpad(($"s_suppkey" % 28 + 1).cast("string"), 2, "0"),
+          lit(" 08:30:00")).as("ww_date"),
+        $"s_acctbal")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").option("sep", "\t")
+      .csv(out)
+    val part = new File(out).listFiles
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(sys.error(s"no part file written under $out"))
+    Files.write(Paths.get(part.getPath),
+      s"\n($n rows affected)\n".getBytes("UTF-8"), StandardOpenOption.APPEND)
+    // the local Hadoop FS wrote a checksum sidecar at part-file write
+    // time; the appended footer invalidates it, so drop it or the
+    // re-read fails with a CRC mismatch
+    Files.deleteIfExists(Paths.get(part.getParent, s".${part.getName}.crc"))
+    Readers.tsvWithFooter(s, part.getPath, dateCols = Seq("ww_date"))
+      .select($"s_suppkey".cast("long").as("s_suppkey"), $"s_name",
+        $"s_nationkey".cast("int").as("s_nationkey"),
+        unix_timestamp($"ww_date").as("ww_es"),
+        round($"s_acctbal".cast("double"), 2).as("acctbal"))
+      .orderBy($"s_suppkey")
+  }
+  val q43Sql: String =
+    """SELECT s_suppkey, s_name, s_nationkey,
+      |  CAST(floor(epoch(CAST(
+      |    '2020-01-' || lpad(CAST(s_suppkey % 28 + 1 AS VARCHAR), 2, '0')
+      |      || ' 08:30:00' AS TIMESTAMP))) AS BIGINT) AS ww_es,
+      |  round(s_acctbal, 2) AS acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** Registry: name → (spark program, oracle sql). */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+    ("q42_xml_roundtrip", q42XmlRoundtrip, Some(q42Sql)),
+    ("q43_tsv_footer", q43TsvFooter, Some(q43Sql)),
+  )
+}

@@ -14,7 +14,8 @@ object SparkEntry {
     * text/dedup, similarity). */
   private def catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Queries.catalog ++ QueriesAnalytic.catalog ++ QueriesText.catalog ++
-      QueriesSimilarity.catalog ++ QueriesMultimodal.catalog
+      QueriesSimilarity.catalog ++ QueriesMultimodal.catalog ++
+      QueriesSources.catalog
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -62,14 +62,20 @@ object IvfIndex {
   }
 
   /** Assign every corpus vector to its argmax-cosine centroid.
-    * Centroids are broadcast; ties break toward the lower cluster id. */
+    * Centroids are broadcast; ties break toward the lower cluster id
+    * (the `-cluster` component of the max_by ordering key).
+    *
+    * Shape: after the broadcast cross join every vector's k scored
+    * rows are partition-local, so the max_by aggregation collapses
+    * them map-side — the shuffle moves one row per vector, not k. A
+    * window over `id` here would shuffle and sort all n·k rows. */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("sim", Similarity.cosine(col("v"), col("centroid")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("sim").desc, col("cluster").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cluster"))
+    scored.groupBy(col("id"))
+      .agg(max_by(struct(col("cluster"), col("v")),
+        struct(col("sim"), (-col("cluster")).as("tb"))).as("best"))
+      .select(col("id"), col("best.v").as("v"), col("best.cluster").as("cluster"))
   }
 
   /** ANN top-k search: each query probes its `nProbe` nearest cells
@@ -84,7 +90,10 @@ object IvfIndex {
     val probes = qScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("qv"), col("cluster"))
-    val cand = probes.join(indexed, Seq("cluster"))
+    // probes is |queries|·nProbe rows (dimension-sized, same contract
+    // as the brute-force query side) — broadcast it so the indexed
+    // corpus never shuffles for the candidate join
+    val cand = indexed.join(broadcast(probes), Seq("cluster"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("id").asc)

@@ -58,7 +58,9 @@ object QueriesSimilarity {
       .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
     val corpus = e.filter($"vec_id" >= 10)
       .select($"vec_id".as("n_id"), $"embedding".cast("array<double>").as("cv"))
-    Similarity.bruteForceTopK(s, queries, corpus, 5)
+    // the bounded-heap variant (map-side trim to k before the shuffle)
+    // is the gated shape; the window variant is spec-verified equal
+    Similarity.bruteForceTopKAgg(s, queries, corpus, 5)
       .orderBy($"q_id", $"rank")
   }
   val q33Sql: String =

@@ -95,10 +95,12 @@ object IvfIndex {
     // corpus never shuffles for the candidate join
     val cand = indexed.join(broadcast(probes), Seq("cluster"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("id").as("n_id"),
-        round(col("cos"), 4).as("cos"))
+    // bounded-heap top-k: each partition trims its candidates to k
+    // before the shuffle (a ranking window would move them all)
+    cand.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(k, col("cos"), col("id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("n_id"), round(col("col.score"), 4).as("cos"))
   }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Structured-Streaming gate query: the events table consumed through
+  * a real file-stream source (not a batch scan), windowed-aggregated
+  * with event-time semantics, and compared to the batch GROUP BY
+  * oracle — stream/batch parity is exactly the guarantee Structured
+  * Streaming is supposed to give, so it is gateable.
+  */
+object QueriesStreaming {
+  import Queries.Q
+
+  // ---------------------------------------------------------------- q45
+  /** File-stream → tumbling 1 h event-time windows per event_type →
+    * memory sink in Complete mode (all windows emitted; the watermark
+    * drops nothing on a finite replay) → read back as a batch frame.
+    * Window starts surface as epoch seconds (never raw timestamps).
+    *
+    * The nanosecond-timestamp repair mirrors [[Tables.events]]: the
+    * parquet has TIMESTAMP(NANOS), read as long and rebuilt with
+    * integer division (a double roundtrip corrupts ns magnitudes). */
+  val q45StreamWindow: Q = (s, dir) => {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val file = s"$dir/events.parquet"
+    // the file-stream source wants a directory to watch; expose the
+    // single-file fixture through a repo-scratch symlink dir
+    val watch = java.nio.file.Paths.get(
+      s"/root/repo/target/tmp/q45_events_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(watch)
+    val link = watch.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(file))
+    // driver-side schema peek (footer metadata only, not a data scan) —
+    // a streaming source cannot infer
+    val schema = s.read.parquet(file).schema
+    val stream = s.readStream.schema(schema).parquet(watch.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val name = s"q45_win_${System.nanoTime()}"
+    val query = EventStreams.windowedTypeCounts(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(name)
+      .select(unix_timestamp($"window_start").as("ws"),
+        $"event_type", $"n", $"value_sum")
+      .orderBy($"ws", $"event_type")
+  }
+  val q45Sql: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Registry: name → (spark program, oracle sql). */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+    ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
+  )
+}

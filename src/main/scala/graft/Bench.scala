@@ -14,7 +14,10 @@ object Bench {
     // machinery) so the first timed query is not charged ~4s of JVM
     // bring-up; touches no benchmark data
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: Map iteration order is hash-based, which
+    // would shuffle which query absorbs residual warm-up between runs
+    // and make per-query numbers incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // column of a pure projection query and time an empty scan;
@@ -25,7 +28,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -35,6 +35,8 @@ object IvfIndex {
     * path; costs a collect_list per group). */
   def fitCentroids(spark: SparkSession, corpus: DataFrame, k: Int,
                    iterations: Int = 3, orderedMean: Boolean = false): DataFrame = {
+    require(k > 0, s"IvfIndex.fitCentroids needs k > 0 cells, got $k")
+    require(iterations >= 0, s"negative Lloyd iterations: $iterations")
     GraftFunctions.register(spark)
     // deterministic seeds: the first k vectors in id order
     var centroids = corpus.orderBy(col("id")).limit(k)
@@ -82,6 +84,8 @@ object IvfIndex {
     * only. Same output shape as [[Similarity.bruteForceTopK]]. */
   def search(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
              centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(k > 0, s"IvfIndex.search needs k > 0 neighbors, got $k")
+    require(nProbe > 0, s"IvfIndex.search needs nProbe > 0 cells, got $nProbe")
     GraftFunctions.register(spark)
     val qScored = queries.crossJoin(broadcast(centroids))
       .withColumn("sim", Similarity.cosine(col("qv"), col("centroid")))

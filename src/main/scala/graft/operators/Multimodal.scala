@@ -73,6 +73,7 @@ object Multimodal {
     * executed partition-local (codec init once per partition). Output
     * plugs straight into [[Similarity]] after a double cast. */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0, s"extractFeatures needs a positive feature dim, got $dim")
     val spark = media.sparkSession
     import spark.implicits._
     val out = media.select(col("media_id"), col("content"))
@@ -106,6 +107,7 @@ object Multimodal {
     * out inside their partition, no shuffle. Frame bytes are a
     * deterministic slice stub standing in for a real frame grab. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"sampleFrames needs a positive sampling interval, got $everyMs ms")
     val n = greatest(ceil(col("meta.duration_ms") / lit(everyMs.toDouble)), lit(1L))
     media.filter(col("kind") === "video")
       .withColumn("frame_idx", explode(sequence(lit(0L), n - 1)))

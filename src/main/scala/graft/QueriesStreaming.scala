@@ -55,8 +55,43 @@ object QueriesStreaming {
       |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Gap-based sessionization through the custom-state operator
+    * ([[EventStreams.sessionize]], `flatMapGroupsWithState`) run in
+    * batch mode — semantics identical to streaming minus timeouts. The
+    * oracle is the classic SQL shape (lag → break flag → running sum →
+    * group), so the stateful fold is proven against relational
+    * sessionization. Deterministic because (user_id, millisecond) is
+    * unique in the fixture: the event-time sort inside the operator is
+    * a total order. Boundaries surface as epoch millis. */
+  val q46Sessionize: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .as[EventStreams.Event]
+    EventStreams.sessionize(ev, gapMs = 43200000L).toDF()
+      .select($"user_id", unix_millis($"session_start").as("start_ms"),
+        unix_millis($"session_end").as("end_ms"), $"n_events",
+        round($"value_sum", 2).as("value_sum"))
+      .orderBy($"user_id", $"start_ms")
+  }
+  val q46Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+      |g AS (SELECT user_id, ms, value,
+      |        CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 43200000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM ev),
+      |sess AS (SELECT user_id, ms, value,
+      |           sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |         FROM g)
+      |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+      |       count(*) AS n_events, round(sum(value), 2) AS value_sum
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
+    ("q46_sessionize", q46Sessionize, Some(q46Sql)),
   )
 }

@@ -89,9 +89,44 @@ object QueriesStreaming {
       |       count(*) AS n_events, round(sum(value), 2) AS value_sum
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Click→purchase attribution (the bounded-state stream-stream
+    * interval join) run on batch frames: one row per click–purchase
+    * pair of the same user with the click inside the 1 h window before
+    * the purchase. Pure join — no float aggregation — so the gate is
+    * exact; event times surface as epoch millis. */
+  val q47Attribution: Q = (s, dir) => {
+    import s.implicits._
+    // truncate to millis first: the oracle compares epoch-ms values, so
+    // a µs-precision boundary exactly 1 h apart must not classify
+    // differently between engines
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    EventStreams.clickPurchaseAttribution(ev, horizon = "1 hour")
+      .select($"user_id",
+        unix_millis($"click_ts").as("click_ms"),
+        unix_millis($"purchase_ts").as("purchase_ms"),
+        round($"click_value", 2).as("click_value"),
+        round($"purchase_value", 2).as("purchase_value"))
+      .orderBy($"user_id", $"purchase_ms", $"click_ms")
+  }
+  val q47Sql: String =
+    """WITH c AS (SELECT user_id, epoch_ms(ts) AS click_ms, value AS click_value
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ms(ts) AS purchase_ms, value AS purchase_value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, c.click_ms, p.purchase_ms,
+      |       round(c.click_value, 2) AS click_value,
+      |       round(p.purchase_value, 2) AS purchase_value
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.click_ms <= p.purchase_ms
+      |  AND c.click_ms >= p.purchase_ms - 3600000
+      |ORDER BY p.user_id, p.purchase_ms, c.click_ms""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
+    ("q47_attribution", q47Attribution, Some(q47Sql)),
   )
 }

@@ -99,11 +99,13 @@ object EventStreams {
       }
   }
 
-  /** Stream-stream event-time join: attribute each purchase to the same
-    * user's most recent prior click within `horizon`. Both sides carry
-    * watermarks and the join condition bounds event time on both ends,
-    * so state for expired intervals is purged — the canonical bounded-
-    * state stream-stream inner join. Works identically on batch frames. */
+  /** Stream-stream event-time join: attribute each purchase to every
+    * prior click by the same user within `horizon` (one output row per
+    * qualifying click–purchase pair; a most-recent-only policy is a
+    * `max_by` over this output). Both sides carry watermarks and the
+    * join condition bounds event time on both ends, so state for
+    * expired intervals is purged — the canonical bounded-state
+    * stream-stream inner join. Works identically on batch frames. */
   def clickPurchaseAttribution(events: DataFrame, horizon: String = "1 hour",
                                lateness: String = "10 minutes"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

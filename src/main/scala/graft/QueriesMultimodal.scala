@@ -62,8 +62,11 @@ object QueriesMultimodal {
   // ---------------------------------------------------------------- q41
   /** Feature extraction over binary content: partition-local decode
     * stub → array<float> features (mapPartitions; codec init once per
-    * partition). Deterministic but not SQL-expressible → rows-only
-    * gate; exact values are pinned in MultimodalSpec. */
+    * partition). Fully oracled despite the float32 accumulator: every
+    * partial sum is an integer below 2²⁴, where float32 arithmetic is
+    * exact and order-free, so DuckDB can replay it with BIGINT sums,
+    * byte extraction from the hex of the payload, and one float32
+    * division. */
   val q41MediaFeatures: Q = (s, dir) => {
     import s.implicits._
     val media = Multimodal.mediaFromDocuments(s, dir)
@@ -73,9 +76,27 @@ object QueriesMultimodal {
       .orderBy($"media_id")
   }
 
+  val q41Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |                  octet_length(encode(text)) AS nb FROM documents),
+      |pos AS (SELECT media_id, nb, hx, unnest(generate_series(0, nb-1)) AS i FROM m),
+      |byt AS (SELECT media_id, nb,
+      |          CAST(i % 16 AS INT) AS dim,
+      |          ((instr('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+      |            + instr('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1)
+      |            * (1 + i % 7) AS w
+      |        FROM pos),
+      |agg AS (SELECT media_id, dim,
+      |          CAST(CAST(sum(w) AS BIGINT) AS FLOAT)
+      |            / CAST(greatest(max(nb), 1) AS FLOAT) AS f
+      |        FROM byt GROUP BY 1, 2)
+      |SELECT media_id, ['image','audio','video'][CAST(media_id % 3 + 1 AS INT)] AS kind,
+      |       16 AS n_feat, round(CAST(f AS DOUBLE), 3) AS f0
+      |FROM agg WHERE dim = 0 ORDER BY media_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q40_frame_sample", q40FrameSample, Some(q40Sql)),
-    ("q41_media_features", q41MediaFeatures, None),
+    ("q41_media_features", q41MediaFeatures, Some(q41Sql)),
   )
 }

@@ -10,10 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session warm-up (executor threads, codegen compiler, shuffle
-    // machinery) so the first timed query is not charged ~4s of JVM
-    // bring-up; touches no benchmark data
+    // session warm-up (executor threads, codegen compiler, shuffle and
+    // broadcast machinery, parquet reader path) so the first timed
+    // query is not charged ~4s of JVM bring-up; nation is the smallest
+    // fixture (25 rows), so no benchmark-scale data is pre-read
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    val warm = spark.read.parquet(s"$sfDir/nation.parquet")
+    warm.groupBy("n_regionkey").count()
+      .join(org.apache.spark.sql.functions.broadcast(warm), "n_regionkey")
+      .write.format("noop").mode("overwrite").save()
     // deterministic name order: Map iteration order is hash-based, which
     // would shuffle which query absorbs residual warm-up between runs
     // and make per-query numbers incomparable across rounds

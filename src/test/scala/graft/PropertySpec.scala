@@ -100,4 +100,62 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private def randVecs(rng: Random, n: Int, dim: Int): List[(Long, Seq[Double])] =
+    List.tabulate(n)(i => (i.toLong, Seq.fill(dim)(rng.nextDouble() * 2 - 1)))
+
+  describe("IvfIndex invariants") {
+    it("assignment partitions the corpus: every vector lands in exactly one cell") {
+      val rng = new Random(6)
+      (1 to samples).foreach { _ =>
+        val vecs = randVecs(rng, 20 + rng.nextInt(30), 8)
+        val corpus = vecs.toDF("id", "v")
+        val cent = operators.IvfIndex.fitCentroids(spark, corpus, k = 4, iterations = 1)
+        val assigned = operators.IvfIndex.assign(corpus, cent)
+        assigned.count() shouldBe vecs.length
+        Validation.isUnique(assigned, Seq("id")) shouldBe true
+        assigned.filter($"cluster" < 0 || $"cluster" >= 4).count() shouldBe 0L
+      }
+    }
+    it("probing every cell reproduces brute-force top-k exactly") {
+      val rng = new Random(7)
+      val vecs = randVecs(rng, 40, 8)
+      val corpus = vecs.toDF("id", "v")
+      val cent = operators.IvfIndex.fitCentroids(spark, corpus, k = 4, iterations = 2)
+      val indexed = operators.IvfIndex.assign(corpus, cent)
+      val queries = corpus.limit(3).select($"id".as("q_id"), $"v".as("qv"))
+      val ivf = operators.IvfIndex.search(spark, queries, indexed, cent, k = 5, nProbe = 4)
+      val brute = operators.Similarity.bruteForceTopKAgg(spark, queries,
+        corpus.select($"id".as("n_id"), $"v".as("cv")), 5)
+      ivf.orderBy("q_id", "rank").collect() shouldBe
+        brute.orderBy("q_id", "rank").collect()
+    }
+  }
+
+  describe("sessionize invariants") {
+    it("sessions partition the events and never contain an internal gap > gapMs") {
+      val rng = new Random(8)
+      (1 to samples).foreach { _ =>
+        val gap = 1000L * (1 + rng.nextInt(50))
+        val events = List.fill(5 + rng.nextInt(60))(streaming.EventStreams.Event(
+          rng.nextInt(4).toLong,
+          new java.sql.Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L),
+          "click", rng.nextDouble() * 10))
+        val ds = events.toDS()
+        val sessions = streaming.EventStreams.sessionize(ds, gap).collect()
+        sessions.map(_.n_events).sum shouldBe events.length
+        sessions.foreach { s =>
+          s.session_start.getTime should be <= s.session_end.getTime
+        }
+        // consecutive sessions of one user are separated by more than gap
+        sessions.groupBy(_.user_id).values.foreach { ss =>
+          ss.sortBy(_.session_start.getTime).sliding(2).foreach {
+            case Array(a, b) =>
+              (b.session_start.getTime - a.session_end.getTime) should be > gap
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
 }

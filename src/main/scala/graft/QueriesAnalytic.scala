@@ -319,6 +319,55 @@ object QueriesAnalytic {
       |SELECT s_nationkey AS nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** As-of join (temporal latest-observation join): every purchase paired
+    * with the most recent click at-or-before it for the same user —
+    * the batch analogue of the reference's chart/lab temporal alignment.
+    * Runs through [[AsOfJoin.asOf]]'s union + running-window plan (one
+    * shuffle on user_id, no range-join pair explosion); the oracle states
+    * the naive semantics directly as a LATERAL arg-max, so the gate
+    * proves the linear-state plan equals the quadratic definition.
+    * Times compare at millisecond precision on both sides (q47 rule);
+    * unmatched purchases surface the -1 sentinel to keep null handling
+    * out of the cross-engine hash. */
+  val q48AsOf: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+      tieBreak = "event_id", rightPrefix = "click_")
+      .select(
+        $"user_id",
+        $"event_id".as("purchase_id"),
+        unix_millis($"ts").as("purchase_ms"),
+        round($"value", 2).as("purchase_value"),
+        coalesce($"click_event_id", lit(-1L)).as("click_id"),
+        coalesce(unix_millis($"click_ts"), lit(-1L)).as("click_ms"),
+        coalesce(round($"click_value", 2), lit(-1.0)).as("click_value"))
+      .orderBy($"user_id", $"purchase_ms", $"purchase_id")
+  }
+  val q48Sql: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id AS purchase_id, p.ms AS purchase_ms,
+      |       round(p.value, 2) AS purchase_value,
+      |       coalesce(l.click_id, -1) AS click_id,
+      |       coalesce(l.click_ms, -1) AS click_ms,
+      |       coalesce(l.click_value, -1.0) AS click_value
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT c.event_id AS click_id, c.ms AS click_ms,
+      |         round(c.value, 2) AS click_value
+      |  FROM c WHERE c.user_id = p.user_id AND c.ms <= p.ms
+      |  ORDER BY c.ms DESC, c.event_id DESC LIMIT 1
+      |) l ON TRUE
+      |ORDER BY p.user_id, purchase_ms, purchase_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
@@ -335,5 +384,6 @@ object QueriesAnalytic {
     ("q36_rollup", q36Rollup, Some(q36Sql)),
     ("q37_except", q37Except, Some(q37Sql)),
     ("q38_intersect", q38Intersect, Some(q38Sql)),
+    ("q48_asof_join", q48AsOf, Some(q48Sql)),
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.TextDedup
+import graft.operators.{Curation, TextDedup}
 
 /** Text-analysis + near-duplicate-detection query catalog over the
   * `documents` table (driver brief: the training-data-pipeline operator
@@ -330,6 +330,97 @@ object QueriesText {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** The composed curation funnel ([[graft.operators.Curation]]): quality
+    * gate → exact dedup → MinHash-LSH near-dup removal in ONE dataflow,
+    * reported as per-stage (docs, tokens) funnel metrics. The corpus is
+    * documents ∪ identical copy (+100000) ∪ perturbed copy (+200000), so
+    * every stage has real work: quality drops short/noisy docs, exact
+    * dedup collapses the identical copies, LSH catches the perturbed
+    * ones. The oracle restates the whole chain in SQL (QUALIFY for the
+    * canonical-id rule, the q30 band CTEs for LSH), so the gate covers
+    * stage COMPOSITION — survivors of one stage feeding the next — not
+    * just each operator alone. */
+  val q49Curation: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+    val triCorpus = d
+      .unionByName(d.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      .unionByName(d.select(($"doc_id" + 200000L).as("doc_id"),
+        concat($"text", lit(" zz qq")).as("text")))
+    Curation.funnel(triCorpus, "doc_id", "text")
+  }
+  val q49Sql: String = {
+    // same md5-lane minhash + banding CTEs as q30 (k=8, 4 bands × 2)
+    val mins = (0 until 8).map { j =>
+      val src = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
+      s"min(substr($src, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+    }.mkString(",\n    ")
+    val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, text || ' zz qq' AS text FROM documents),
+       |scored AS (
+       |  SELECT doc_id AS id, text,
+       |    len(string_split($normSql, ' ')) AS n_ws,
+       |    round(0.4 * least(
+       |        len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|a|in|that)\\b'))
+       |          / greatest(len(string_split($normSql, ' ')), 1.0) * 4.0, 1.0)
+       |      + 0.3 * least(len(string_split($normSql, ' ')) / 50.0, 1.0)
+       |      + 0.3 * (1.0 - least(
+       |          length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+       |            / greatest(length(text), 1.0) * 5.0, 1.0)), 4) AS q
+       |  FROM corpus),
+       |qual AS (SELECT * FROM scored WHERE q >= 0.5 AND n_ws >= 10),
+       |ex AS (
+       |  SELECT * FROM qual
+       |  QUALIFY id = min(id) OVER (PARTITION BY md5($normSql))),
+       |toks AS (SELECT id, string_split($normSql, ' ') AS w FROM ex),
+       |shd AS (
+       |  SELECT DISTINCT id, s FROM (
+       |    SELECT id, unnest(list_transform(generate_series(1, len(w)-4),
+       |             i -> array_to_string(list_slice(w, i, i+4), ' '))) AS s
+       |    FROM toks)),
+       |sh AS (
+       |  SELECT shd.id, shd.s, sz.n_shingles
+       |  FROM shd JOIN (SELECT id, count(*) AS n_shingles FROM shd GROUP BY id) sz
+       |    ON shd.id = sz.id),
+       |mh AS (
+       |  SELECT id, $mins
+       |  FROM sh GROUP BY id),
+       |bands AS (
+       |  SELECT id, b, h FROM (
+       |    SELECT id, unnest([0, 1, 2, 3]) AS b,
+       |           unnest([$bandHashes]) AS h
+       |    FROM mh)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.id < b.id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i,
+       |         min(x.n_shingles) AS na, min(y.n_shingles) AS nb
+       |  FROM cand c JOIN sh x ON x.id = c.a_id
+       |              JOIN sh y ON y.id = c.b_id AND x.s = y.s
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT b_id FROM inter
+       |  WHERE i * 1.0 / (na + nb - i) >= 0.3),
+       |surv AS (SELECT * FROM ex WHERE id NOT IN (SELECT b_id FROM dropped))
+       |SELECT stage, n_docs, n_tokens FROM (
+       |  SELECT 's1_raw' AS stage, count(*) AS n_docs,
+       |         CAST(coalesce(sum(n_ws), 0) AS BIGINT) AS n_tokens FROM scored
+       |  UNION ALL
+       |  SELECT 's2_quality', count(*), CAST(coalesce(sum(n_ws), 0) AS BIGINT) FROM qual
+       |  UNION ALL
+       |  SELECT 's3_exact', count(*), CAST(coalesce(sum(n_ws), 0) AS BIGINT) FROM ex
+       |  UNION ALL
+       |  SELECT 's4_neardup', count(*), CAST(coalesce(sum(n_ws), 0) AS BIGINT) FROM surv)
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -341,5 +432,6 @@ object QueriesText {
     ("q30_minhash_lsh", q30MinHashLsh, Some(q30Sql)),
     ("q31_simhash", q31SimHash, Some(q31Sql)),
     ("q32_simhash_pairs", q32SimHashPairs, Some(q32Sql)),
+    ("q49_curation_pipeline", q49Curation, Some(q49Sql)),
   )
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.TextAnalysis
+
+/** End-to-end training-corpus curation: the composed funnel a large-scale
+  * data pipeline runs before tokenization — quality/length gate, exact
+  * dedup, MinHash-LSH near-dup removal — reported as per-stage survivor
+  * counts (the funnel metrics every curation run publishes).
+  *
+  * Stage chain and scale behavior (each stage is one pass over the
+  * previous stage's survivors, persisted because it feeds both the next
+  * stage and its own funnel aggregate):
+  *   1. `s1_raw`      — score every doc once (normalize / token count /
+  *                      quality are per-row expressions in one codegen'd
+  *                      scan; no shuffle).
+  *   2. `s2_quality`  — filter on quality ≥ minQuality AND tokens ≥
+  *                      minTokens (narrow; no shuffle).
+  *   3. `s3_exact`    — exact dedup on the md5 content fingerprint,
+  *                      smallest id canonical (one shuffle on fp).
+  *   4. `s4_neardup`  — MinHash(k)+LSH banding candidates, exact-Jaccard
+  *                      verified ≥ threshold; the greater id of each
+  *                      verified pair is dropped (greedy, not
+  *                      connected-components: A~B,B~C drops B and C even
+  *                      if A≁C — the usual curation trade: one
+  *                      candidate-join instead of an iterative
+  *                      transitive closure).
+  *
+  * Only the LSH stage shuffles more than once, and its keys are band
+  * hashes / shingles — cardinality ~docs × bands, never docs², so the
+  * funnel stays linear in corpus size at 100 TB.
+  */
+object Curation {
+
+  /** Run the funnel over `corpus(idCol, textCol)`; returns one row per
+    * stage: `(stage, n_docs, n_tokens)` where n_tokens sums surviving
+    * whitespace token counts. */
+  def funnel(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.5,
+      minTokens: Int = 10,
+      shingleSize: Int = 5,
+      minhashK: Int = 8,
+      rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.3): DataFrame = {
+    require(minhashK % rowsPerBand == 0,
+      s"minhashK=$minhashK not divisible by rowsPerBand=$rowsPerBand")
+
+    // one scoring pass; staged projections so normalize/split run once
+    val scored = corpus
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        TextAnalysis.normalizeText(col(textCol)).as("norm"))
+      .select(col("id"), col("text"), col("norm"),
+        size(split(col("norm"), " ")).as("n_ws"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val qual = scored
+      .filter(col("q") >= minQuality && col("n_ws") >= minTokens)
+
+    // norm is dead after the fingerprint — dropping it halves the
+    // persisted footprint (shingleTable re-derives tokens from text)
+    val exact = qual
+      .withColumn("fp", md5(col("norm")))
+      .withColumn("keep_id", min(col("id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("id") === col("keep_id"))
+      .drop("fp", "keep_id", "norm")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val shingles = TextDedup
+      .shingleTable(exact, "id", "text", shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dropIds = TextDedup
+      .minHashLshPairs(shingles, minhashK, rowsPerBand, jaccardThreshold)
+      .select(col("b_id").as("id"))
+      .distinct()
+    val survivors = exact.join(dropIds, Seq("id"), "left_anti")
+
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_ws")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+
+    stage("s1_raw", scored)
+      .unionByName(stage("s2_quality", qual))
+      .unionByName(stage("s3_exact", exact))
+      .unionByName(stage("s4_neardup", survivors))
+      .orderBy(col("stage"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 50 stopword-rich tokens → quality 1.0 (stop ratio, length, no punct)
+  val good: String =
+    Iterator.continually("the cat and the dog is to a in that").take(5)
+      .mkString(" ") // 10 tokens × 5
+  val nearDup: String = good + " zz qq"
+  val tiny: String = "tiny doc"
+
+  describe("Curation.funnel") {
+    val corpus = Seq(
+      (1L, good), // survives everything
+      (2L, good), // exact copy → dropped at s3
+      (3L, nearDup), // near-dup of 1 → dropped at s4
+      (4L, tiny) // short → dropped at s2
+    ).toDF("doc_id", "text")
+
+    it("drops each pollution class at its own stage") {
+      val out = Curation.funnel(corpus, "doc_id", "text").collect()
+      out.map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe Seq(
+        ("s1_raw", 4L), ("s2_quality", 3L), ("s3_exact", 2L), ("s4_neardup", 1L))
+      // token sums: 50+50+52+2 → minus tiny → minus one copy → minus near-dup
+      out.map(_.getLong(2)).toSeq shouldBe Seq(154L, 152L, 102L, 50L)
+    }
+
+    it("keeps the smallest id as the canonical exact-dup survivor") {
+      // survivor set must be ids 1 (not 2) — checked via the final count
+      // plus a run without the near-dup to expose the exact stage alone
+      val noNear = corpus.filter($"doc_id" =!= 3L)
+      val out = Curation.funnel(noNear, "doc_id", "text").collect()
+      out.map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe Seq(
+        ("s1_raw", 3L), ("s2_quality", 2L), ("s3_exact", 1L), ("s4_neardup", 1L))
+    }
+
+    it("rejects a band width that does not divide k") {
+      an[IllegalArgumentException] should be thrownBy
+        Curation.funnel(corpus, "doc_id", "text", minhashK = 8, rowsPerBand = 3)
+    }
+  }
+}

@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.SkewJoin
+import graft.operators.{Packing, Sampling, SkewJoin}
 
 /** Scale-operator gate queries: shapes whose *point* is cluster-scale
-  * behavior (skew mitigation), gated by proving they return exactly the
-  * plain-shape answer on real data.
+  * behavior — skew mitigation, shuffle-free deterministic sampling, the
+  * two-pass distributed prefix scan — gated by proving they return
+  * exactly the naive plain-shape answer on real data.
   */
 object QueriesScale {
   import Queries.Q
@@ -39,8 +40,66 @@ object QueriesScale {
       |  count(*) AS n, round(max(l_extendedprice), 2) AS max_price
       |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Deterministic hash train/val/test split ([[Sampling.hashSplit]]):
+    * split = f(md5(id)) — a pure per-row expression, no shuffle, stable
+    * across reruns and engines (the property `rand()`-based splits lack).
+    * The oracle recomputes the md5 bucket with digit-position arithmetic
+    * (DuckDB has no conv()), so the 32-bit hash → bucket → label path is
+    * checked bit-for-bit. */
+  val q50HashSplit: Q = (s, dir) => {
+    import s.implicits._
+    Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"split")
+  }
+  val q50Sql: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT doc_id, n_chars, ($digits) % 100 AS bucket
+       |  FROM (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+       |        FROM documents))
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q51
+  /** Sequence packing ([[Packing.packChunks]]): concatenate documents in
+    * doc_id order, split every 4096 chars, count docs per chunk. The
+    * Spark side runs the two-pass distributed prefix sum (bucketSize=100
+    * forces multiple buckets + a real offset join even at sf0.01); the
+    * oracle is the naive single-scan global window — the gate proves the
+    * distributed scan equals it. Integer sums throughout: exact. */
+  val q51Packing: Q = (s, dir) => {
+    import s.implicits._
+    Packing.packChunks(
+      Tables.documents(s, dir).select($"doc_id", $"n_chars"),
+      orderCol = "doc_id", sizeCol = "n_chars",
+      budget = 4096L, bucketSize = 100L)
+      .groupBy($"chunk")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chunk_chars"))
+      .orderBy($"chunk")
+  }
+  val q51Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, n_chars,
+      |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM documents)
+      |SELECT CAST(cum_before // 4096 AS BIGINT) AS chunk, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chunk_chars
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q44_salted_agg", q44SaltedAgg, Some(q44Sql)),
+    ("q50_hash_split", q50HashSplit, Some(q50Sql)),
+    ("q51_seq_packing", q51Packing, Some(q51Sql)),
   )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining-style corpora: concatenate documents
+  * in a fixed global order and split every `budget` tokens; a document
+  * belongs to the chunk where its first token lands.
+  *
+  * The primitive underneath is a GLOBAL prefix sum, which a naive window
+  * (`sum over (order by id)`) computes on ONE partition — the whole
+  * corpus through a single task at 100 TB. This implementation is the
+  * classic two-pass distributed scan instead:
+  *   1. coarse bucket `id div bucketSize`; within-bucket running sums run
+  *      in parallel per bucket (bounded partitions);
+  *   2. bucket TOTALS (one row per bucket — corpus/bucketSize rows, tiny
+  *      by construction) get an exclusive running sum; only this
+  *      bucket-level scan is single-partition;
+  *   3. broadcast the offsets back and add.
+  * Wall-clock is two linear passes + a broadcast join; no stage sees more
+  * than `bucketSize` rows in one window partition. The q52 gate proves
+  * the two-pass scan equals the naive global window stated by the oracle.
+  */
+object Packing {
+
+  /** Append `prefixCol` = exclusive prefix sum of `valueCol` in ascending
+    * `orderCol` order (sum of all strictly-earlier rows). `orderCol` must
+    * be numeric and unique; `bucketSize` bounds per-partition window
+    * size. */
+  def exclusivePrefixSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      prefixCol: String,
+      bucketSize: Long = 1 << 20): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    // integer div, not `/`: a double roundtrip loses bits past 2^53
+    val bucketed = df.withColumn("__b", expr(s"$orderCol div $bucketSize"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(sum(col(valueCol)).as("__btotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__btotal")).over(overBuckets), lit(0L)))
+      .select(col("__b"), col("__offset"))
+    bucketed
+      .withColumn("__run", sum(col(valueCol)).over(inBucket))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn(prefixCol, col("__offset") + col("__run") - col(valueCol))
+      .drop("__b", "__run", "__offset")
+  }
+
+  /** Append `chunkCol` = which fixed-`budget` chunk each row starts in
+    * when rows are concatenated in `orderCol` order. */
+  def packChunks(
+      df: DataFrame,
+      orderCol: String,
+      sizeCol: String,
+      budget: Long,
+      chunkCol: String = "chunk",
+      bucketSize: Long = 1 << 20): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    exclusivePrefixSum(df, orderCol, sizeCol, "__prefix", bucketSize)
+      .withColumn(chunkCol, expr(s"__prefix div $budget"))
+      .drop("__prefix")
+  }
+}

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.functions.FirstNonDefaultAgg
-import graft.operators.SkewJoin
+import graft.operators.{Packing, Sampling, SkewJoin}
 import graft.sources.Bucketing
 import graft.streaming.EventStreams
 
@@ -151,6 +151,54 @@ class ScaleOpsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       out(1L) shouldBe "ZERR" // file-order first, though "AERR" < "ZERR"
       out(2L) shouldBe "NA"
+    }
+  }
+
+  describe("Sampling.hashSplit") {
+    val docs = spark.range(0, 1000).toDF("id")
+
+    it("partitions every row into exactly one split, deterministically") {
+      val s1 = Sampling.hashSplit(docs, "id")
+      s1.count() shouldBe 1000
+      val byLabel = s1.groupBy($"split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      byLabel.values.sum shouldBe 1000L
+      byLabel.keySet shouldBe Set("train", "val", "test")
+      // train must dominate under an 80/10/10 spec
+      byLabel("train") should be > byLabel("val").max(byLabel("test"))
+      // re-run + re-partition → identical assignment per id
+      val s2 = Sampling.hashSplit(docs.repartition(13), "id")
+      s1.join(s2.withColumnRenamed("split", "split2"), Seq("id"))
+        .filter($"split" =!= $"split2").count() shouldBe 0
+    }
+
+    it("rejects fractions that do not sum to 100") {
+      an[IllegalArgumentException] should be thrownBy
+        Sampling.hashSplit(docs, "id", Seq(("a", 50), ("b", 40)))
+    }
+  }
+
+  describe("Packing.exclusivePrefixSum") {
+    it("matches the naive global running sum for any bucket size") {
+      val df = spark.range(0, 500).toDF("id")
+        .withColumn("sz", ($"id" * 7 % 13) + 1)
+      val naive = df
+        .withColumn("want", coalesce(sum($"sz").over(
+          org.apache.spark.sql.expressions.Window.orderBy($"id")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      for (bucket <- Seq(1L, 37L, 100L, 1000L)) {
+        val got = Packing.exclusivePrefixSum(df, "id", "sz", "got", bucket)
+        naive.join(got, Seq("id", "sz"))
+          .filter($"want" =!= $"got").count() shouldBe 0
+      }
+    }
+
+    it("assigns chunks by where each row's first unit lands") {
+      val df = Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("id", "sz")
+      val out = Packing.packChunks(df, "id", "sz", budget = 4L, bucketSize = 2L)
+        .orderBy($"id").select($"chunk").as[Long].collect().toSeq
+      // prefixes 0,3,6,9 over budget 4 → chunks 0,0,1,2
+      out shouldBe Seq(0L, 0L, 1L, 2L)
     }
   }
 }

@@ -96,10 +96,60 @@ object QueriesScale {
       |       CAST(sum(n_chars) AS BIGINT) AS chunk_chars
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-source mixture weights for q52 — drives BOTH sides: the Spark
+    * `when` chain and the oracle CASE are generated from this one map,
+    * so they cannot drift. Keys are source-index mod 4; values are
+    * exact binary fractions (0.5/0.25 steps) so `frac × 1000` rounds
+    * identically in both engines. */
+  private val mixWeights: Seq[(Int, Double)] =
+    Seq(0 -> 2.5, 1 -> 1.25, 2 -> 1.0, 3 -> 0.25)
+
+  // ---------------------------------------------------------------- q52
+  /** Weighted source mixing ([[Sampling.weightedMix]]): epoch-style
+    * up/down-sampling of sources (2.5× / 1.25× / 1× / 0.25× by source
+    * index mod 4). The Spark side MATERIALIZES the replicated rows
+    * (sequence+explode, no shuffle) and aggregates them; the oracle
+    * never replicates — it sums the closed-form per-row copy count —
+    * so the gate proves the explode path realizes exactly the declared
+    * mixture. */
+  val q52WeightedMix: Q = (s, dir) => {
+    import s.implicits._
+    val widx = (substring($"source", 4, 10).cast("int") % 4).as("widx")
+    val weight = mixWeights.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (i, wt)) => acc.when($"widx" === i, wt)
+    }
+    Sampling.weightedMix(
+      Tables.documents(s, dir).withColumn("widx", widx).withColumn("wt", weight),
+      "doc_id", $"wt")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("mix_chars"))
+      .orderBy($"source")
+  }
+  val q52Sql: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    val cases = mixWeights.map { case (i, wt) => s"WHEN $i THEN $wt" }.mkString(" ")
+    s"""WITH w AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CASE CAST(substr(source, 4) AS INT) % 4 $cases END AS wt,
+       |    ($digits) % 1000 AS bucket
+       |  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |n AS (
+       |  SELECT source, n_chars,
+       |    CAST(floor(wt) AS BIGINT)
+       |      + CASE WHEN bucket < round((wt - floor(wt)) * 1000) THEN 1 ELSE 0 END AS n
+       |  FROM w)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+       |       CAST(sum(n * n_chars) AS BIGINT) AS mix_chars
+       |FROM n GROUP BY source HAVING sum(n) > 0 ORDER BY source""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q44_salted_agg", q44SaltedAgg, Some(q44Sql)),
     ("q50_hash_split", q50HashSplit, Some(q50Sql)),
     ("q51_seq_packing", q51Packing, Some(q51Sql)),
+    ("q52_weighted_mix", q52WeightedMix, Some(q52Sql)),
   )
 }

@@ -86,9 +86,50 @@ object QueriesSources {
       |  round(s_acctbal, 2) AS acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** JSONL round-trip: documents → line-delimited JSON sink →
+    * [[Readers.jsonl]] with an explicit schema (no inference — sampling
+    * the data for types is run-order-dependent). Text survives JSON
+    * string escaping byte-for-byte: the gate compares md5(text) against
+    * the original parquet. */
+  val q53JsonlRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val out = scratch("q53_jsonl", dir)
+    val docs = Tables.documents(s, dir)
+    Readers.writeJsonl(docs, out)
+    Readers.jsonl(s, out, docs.schema)
+      .select($"doc_id", md5($"text").as("text_md5"), $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  val q53Sql: String =
+    """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** ORC round-trip on the EVENTS table — the timestamp-bearing one:
+    * µs-precision timestamps must survive the ORC writer/reader pair
+    * (surfaced as epoch millis under the q47 rule). */
+  val q54OrcRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val out = scratch("q54_orc", dir)
+    Readers.writeOrc(
+      Tables.events(s, dir).select($"event_id", $"ts", $"user_id", $"event_type", $"value"),
+      out)
+    Readers.orc(s, out)
+      .select($"event_id", unix_millis($"ts").as("ms"), $"user_id", $"event_type",
+        round($"value", 2).as("value"))
+      .orderBy($"event_id")
+  }
+  val q54Sql: String =
+    """SELECT event_id, epoch_ms(ts) AS ms, user_id, event_type,
+      |  round(value, 2) AS "value"
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q42_xml_roundtrip", q42XmlRoundtrip, Some(q42Sql)),
     ("q43_tsv_footer", q43TsvFooter, Some(q43Sql)),
+    ("q53_jsonl_roundtrip", q53JsonlRoundtrip, Some(q53Sql)),
+    ("q54_orc_roundtrip", q54OrcRoundtrip, Some(q54Sql)),
   )
 }

@@ -40,4 +40,23 @@ object Sampling {
       .otherwise(fractions.last._1)
     df.withColumn("split", labeled)
   }
+
+  /** Training-mixture up/down-sampling: replicate each row
+    * `floor(weight)` times plus one fractional extra copy decided by the
+    * id hash (`hashBucket(id, 1000) < frac·1000`), so a weight of 2.5
+    * yields 2 copies always and a 3rd for a deterministic half of ids;
+    * 0.25 keeps a quarter of rows. No shuffle — replication is a
+    * per-row `sequence`+`explode` and the fractional pick is the same
+    * rerun-stable hash as [[hashSplit]]. The emitted `copy` column
+    * (1..n) keeps replicated rows distinguishable downstream.
+    * `weight` must be non-negative; rows with a resolved count of 0 are
+    * dropped. */
+  def weightedMix(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val frac = weight - floor(weight)
+    val extra = (hashBucket(col(idCol), 1000) < round(frac * 1000)).cast("long")
+    df.withColumn("__n", floor(weight).cast("long") + extra)
+      .filter(col("__n") >= 1)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
 }

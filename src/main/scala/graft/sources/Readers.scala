@@ -94,4 +94,24 @@ object Readers {
   /** S5: CSV sink for reference-parity exports. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSONL (line-delimited JSON) sink — the interchange format of
+    * training-data pipelines. Splittable: one JSON document per line. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL source with a CALLER-SUPPLIED schema — same no-inference
+    * policy as [[xml]]: schema inference samples the data, so two runs
+    * over different partitions could disagree on types. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC round-trip (columnar alternative to parquet; same pushdown and
+    * pruning behavior through the DSv2 scan). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

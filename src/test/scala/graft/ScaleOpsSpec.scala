@@ -178,6 +178,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  describe("Sampling.weightedMix") {
+    val docs = spark.range(0, 400).toDF("id")
+
+    it("replicates integer weights exactly and fractions proportionally") {
+      val out = Sampling.weightedMix(docs, "id", lit(3.0))
+      out.count() shouldBe 1200 // exactly 3 copies each
+      out.groupBy($"id").count().filter($"count" =!= 3).count() shouldBe 0
+      val half = Sampling.weightedMix(docs, "id", lit(0.5)).count()
+      half.toDouble shouldBe (200.0 +- 60.0) // hash-selected ~half
+      // determinism: identical selection on re-run
+      Sampling.weightedMix(docs, "id", lit(0.5)).count() shouldBe half
+    }
+
+    it("drops zero-weight rows and keeps copy indices 1..n") {
+      val out = Sampling.weightedMix(docs, "id", lit(0.0))
+      out.count() shouldBe 0
+      val two = Sampling.weightedMix(docs.limit(1), "id", lit(2.0))
+      two.select($"copy").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+    }
+  }
+
   describe("Packing.exclusivePrefixSum") {
     it("matches the naive global running sum for any bucket size") {
       val df = spark.range(0, 500).toDF("id")

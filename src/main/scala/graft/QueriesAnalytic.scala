@@ -368,6 +368,45 @@ object QueriesAnalytic {
       |) l ON TRUE
       |ORDER BY p.user_id, purchase_ms, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Forward as-of join: each purchase paired with the EARLIEST click
+    * at-or-after it (the re-engagement / next-observation variant of
+    * q48). Same single-shuffle union + running-window plan scanning time
+    * descending; same LATERAL arg-min oracle proving it equals the
+    * naive definition. */
+  val q55AsOfForward: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+      tieBreak = "event_id", rightPrefix = "click_", direction = "forward")
+      .select(
+        $"user_id",
+        $"event_id".as("purchase_id"),
+        unix_millis($"ts").as("purchase_ms"),
+        coalesce($"click_event_id", lit(-1L)).as("click_id"),
+        coalesce(unix_millis($"click_ts"), lit(-1L)).as("click_ms"))
+      .orderBy($"user_id", $"purchase_ms", $"purchase_id")
+  }
+  val q55Sql: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id AS purchase_id, p.ms AS purchase_ms,
+      |       coalesce(l.click_id, -1) AS click_id,
+      |       coalesce(l.click_ms, -1) AS click_ms
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT c.event_id AS click_id, c.ms AS click_ms
+      |  FROM c WHERE c.user_id = p.user_id AND c.ms >= p.ms
+      |  ORDER BY c.ms ASC, c.event_id DESC LIMIT 1
+      |) l ON TRUE
+      |ORDER BY p.user_id, purchase_ms, purchase_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
@@ -385,5 +424,6 @@ object QueriesAnalytic {
     ("q37_except", q37Except, Some(q37Sql)),
     ("q38_intersect", q38Intersect, Some(q38Sql)),
     ("q48_asof_join", q48AsOf, Some(q48Sql)),
+    ("q55_asof_forward", q55AsOfForward, Some(q55Sql)),
   )
 }

@@ -37,8 +37,12 @@ object AsOfJoin {
     * @param rightTime right ordering column (same type as leftTime)
     * @param tieBreak  right column breaking right-time ties (greatest wins)
     * @param rightPrefix prefix for carried right columns in the output
-    * @param tolerance optional SQL interval expression; matches older than
-    *                  `leftTime - tolerance` are nulled out
+    * @param tolerance optional SQL interval expression; matches further
+    *                  than `tolerance` from `leftTime` are nulled out
+    * @param direction "backward" (latest right at-or-before, the default)
+    *                  or "forward" (earliest right at-or-after — the
+    *                  next-observation join; same plan scanning time
+    *                  descending)
     * Output: every left column, plus `rightPrefix + c` for each non-key
     * right column (including rightTime and tieBreak).
     */
@@ -50,11 +54,14 @@ object AsOfJoin {
       rightTime: String,
       tieBreak: String,
       rightPrefix: String = "right_",
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
     require(on.nonEmpty, "AsOfJoin.asOf needs at least one equi-key column")
     require(left.columns.contains(leftTime), s"left is missing time column $leftTime")
     require(right.columns.contains(rightTime), s"right is missing time column $rightTime")
     require(right.columns.contains(tieBreak), s"right is missing tie-break column $tieBreak")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
 
     val payloadCols = right.columns.filterNot(on.contains).toSeq
     val keyCols = on.map(col)
@@ -78,9 +85,14 @@ object AsOfJoin {
         lit(null).cast(structType(right, payloadCols)).as("__payload"),
         struct(left.columns.map(col): _*).as("__row")): _*)
 
+    // forward scans time descending: the carried "last right seen" is
+    // then the SMALLEST right time ≥ the left time. Either way ties at
+    // equal time put right rows first (inclusive bound) and resolve
+    // among right rows to the greatest tieBreak (last in __tie-asc scan).
+    val tOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .orderBy(tOrder, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rightTagged.unionByName(leftTagged)
@@ -88,8 +100,10 @@ object AsOfJoin {
       .filter(col("__side") === 1)
 
     val withinTolerance: Column = tolerance match {
-      case Some(interval) =>
+      case Some(interval) if direction == "backward" =>
         col(s"__asof.$rightTime") >= col("__row").getField(leftTime) - expr(interval)
+      case Some(interval) =>
+        col(s"__asof.$rightTime") <= col("__row").getField(leftTime) + expr(interval)
       case None => lit(true)
     }
     val out = left.columns.map(c => col(s"__row.$c").as(c)) ++

@@ -67,5 +67,31 @@ class AsOfJoinSpec extends SparkSpec {
       an[IllegalArgumentException] should be thrownBy
         AsOfJoin.asOf(labs, obs, Seq.empty, "t", "t", tieBreak = "obs_id")
     }
+
+    it("forward direction attaches the earliest right row at or after") {
+      val out = AsOfJoin.asOf(labs, obs, Seq("stay"), "t", "t",
+        tieBreak = "obs_id", direction = "forward")
+        .select($"stay", $"lab", $"right_obs_id")
+      // lactate@10:00 → obs@11:00; ph@12:00 → none after; stay 2 → none
+      rowsOf(out) shouldBe rowsOf(Seq(
+        (1L, "lactate", Some(102L)),
+        (1L, "ph", None),
+        (2L, "k", None)
+      ).toDF("stay", "lab", "right_obs_id"))
+    }
+
+    it("forward tolerance nulls matches beyond leftTime + tolerance") {
+      val tight = AsOfJoin.asOf(labs, obs, Seq("stay"), "t", "t",
+        tieBreak = "obs_id", direction = "forward",
+        tolerance = Some("INTERVAL 30 MINUTES"))
+      // lactate@10:00 → obs@11:00 is 60 min out → nulled
+      tight.filter($"right_obs_id".isNotNull).count() shouldBe 0
+    }
+
+    it("rejects an unknown direction") {
+      an[IllegalArgumentException] should be thrownBy
+        AsOfJoin.asOf(labs, obs, Seq("stay"), "t", "t",
+          tieBreak = "obs_id", direction = "sideways")
+    }
   }
 }

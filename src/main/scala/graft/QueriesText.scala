@@ -421,6 +421,45 @@ object QueriesText {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Quota data selection: the top-3 quality documents per source, via
+    * the bounded-heap [[graft.functions.TopKAgg]] UDAF instead of a
+    * ranking window — partial aggregation trims every map partition to
+    * k rows BEFORE the shuffle, where the window form shuffles every
+    * candidate row (the difference that matters when selecting from
+    * 100 TB into a fixed token budget). The oracle IS the naive window:
+    * the gate proves heap-trim ≡ row_number semantics, ties and all. */
+  val q56QuotaSelect: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TopKAgg
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .groupBy($"source")
+      .agg(TopKAgg(3, $"q", $"doc_id").as("top"))
+      .select($"source", posexplode($"top.items"))
+      .select($"source", (col("pos") + 1).as("rank"),
+        $"col.id".as("doc_id"), round($"col.score", 4).as("quality"))
+      .orderBy($"source", $"rank")
+  }
+  val q56Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    round(0.4 * least(
+       |        len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|a|in|that)\\b'))
+       |          / greatest(len(string_split($normSql, ' ')), 1.0) * 4.0, 1.0)
+       |      + 0.3 * least(len(string_split($normSql, ' ')) / 50.0, 1.0)
+       |      + 0.3 * (1.0 - least(
+       |          length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+       |            / greatest(length(text), 1.0) * 5.0, 1.0)), 4) AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, q,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY q DESC, doc_id ASC) AS "rank"
+       |  FROM t)
+       |SELECT source, "rank", doc_id, round(q, 4) AS quality
+       |FROM r WHERE "rank" <= 3 ORDER BY source, "rank"""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -433,5 +472,6 @@ object QueriesText {
     ("q31_simhash", q31SimHash, Some(q31Sql)),
     ("q32_simhash_pairs", q32SimHashPairs, Some(q32Sql)),
     ("q49_curation_pipeline", q49Curation, Some(q49Sql)),
+    ("q56_quota_select", q56QuotaSelect, Some(q56Sql)),
   )
 }

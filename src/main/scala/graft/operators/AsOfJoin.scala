@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   *     `tieBreak` value (deterministic — required for a hash-stable gate);
   *   - unmatched left rows keep null payload columns;
   *   - `tolerance` (an interval expression, e.g. "INTERVAL 1 HOUR") nulls
-  *     the payload when the match is older than `left.time - tolerance`.
+  *     the payload when the match is older than `left.time - tolerance`;
+  *   - time columns must be NON-NULL: a null time sorts to one end of
+  *     the scan and would silently match nothing (backward) or
+  *     everything-before-it (forward). Filter null times upstream.
   */
 object AsOfJoin {
 

@@ -26,8 +26,9 @@ object Packing {
 
   /** Append `prefixCol` = exclusive prefix sum of `valueCol` in ascending
     * `orderCol` order (sum of all strictly-earlier rows). `orderCol` must
-    * be numeric and unique; `bucketSize` bounds per-partition window
-    * size. */
+    * be numeric, unique, and NON-NEGATIVE (`div` truncates toward zero,
+    * so negative ids would fold into bucket 0 out of order); `bucketSize`
+    * bounds per-partition window size. */
   def exclusivePrefixSum(
       df: DataFrame,
       orderCol: String,

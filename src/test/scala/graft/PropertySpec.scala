@@ -158,4 +158,88 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  describe("AsOfJoin invariants") {
+    it("preserves left cardinality and never matches across the time bound") {
+      val rng = new Random(9)
+      (1 to samples).foreach { _ =>
+        val left = List.fill(1 + rng.nextInt(30))(
+          (rng.nextInt(5).toLong, rng.nextInt(1000).toLong))
+          .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        val right = List.fill(1 + rng.nextInt(30))(
+          (rng.nextInt(5).toLong, rng.nextInt(1000).toLong))
+          .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, rng.nextDouble()) }
+        val l = left.toDF("k", "t", "lid")
+        val r = right.toDF("k", "t", "rid", "v")
+        for (dir <- Seq("backward", "forward")) {
+          val out = operators.AsOfJoin
+            .asOf(l, r, Seq("k"), "t", "t", tieBreak = "rid", direction = dir)
+          out.count() shouldBe left.length.toLong // left-join cardinality
+          val bad =
+            if (dir == "backward") out.filter($"right_t" > $"t")
+            else out.filter($"right_t" < $"t")
+          bad.count() shouldBe 0L
+          // every match is the nearest eligible right time for its key
+          val byKey = right.groupBy(_._1)
+          out.collect().foreach { row =>
+            Option(row.getAs[Any]("right_t")).foreach { rt =>
+              val eligible = byKey.getOrElse(row.getAs[Long]("k"), Nil)
+                .map(_._2.toLong)
+                .filter(t => if (dir == "backward") t <= row.getAs[Long]("t")
+                             else t >= row.getAs[Long]("t"))
+              val nearest =
+                if (dir == "backward") eligible.max else eligible.min
+              rt.asInstanceOf[Long] shouldBe nearest
+            }
+          }
+        }
+      }
+    }
+  }
+
+  describe("Curation.funnel invariants") {
+    it("is a monotone funnel whose raw stage counts the corpus") {
+      val rng = new Random(10)
+      (1 to samples).foreach { _ =>
+        val docs = randDocs(rng).toDF("doc_id", "text")
+        val stages = operators.Curation
+          .funnel(docs, "doc_id", "text", minQuality = 0.0, minTokens = 1)
+          .collect()
+        stages.map(_.getString(0)).toSeq shouldBe
+          Seq("s1_raw", "s2_quality", "s3_exact", "s4_neardup")
+        stages.head.getLong(1) shouldBe docs.count()
+        stages.map(_.getLong(1)).toSeq.sliding(2).foreach {
+          case Seq(a, b) => b should be <= a
+          case _ => ()
+        }
+        stages.map(_.getLong(2)).toSeq.sliding(2).foreach {
+          case Seq(a, b) => b should be <= a
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  describe("Packing.exclusivePrefixSum invariants") {
+    it("is order-preserving and totals to the corpus sum minus the last row") {
+      val rng = new Random(11)
+      (1 to samples).foreach { _ =>
+        val rows = List.tabulate(1 + rng.nextInt(60))(i =>
+          (i.toLong, 1L + rng.nextInt(100)))
+        val out = operators.Packing
+          .exclusivePrefixSum(rows.toDF("id", "sz"), "id", "sz", "p",
+            bucketSize = 1L + rng.nextInt(20))
+          .orderBy($"id").collect()
+        // prefix of row 0 is 0; prefixes strictly increase (sizes > 0)
+        out.head.getAs[Long]("p") shouldBe 0L
+        out.map(_.getAs[Long]("p")).toSeq.sliding(2).foreach {
+          case Seq(a, b) => b should be > a
+          case _ => ()
+        }
+        // last prefix = total - last size
+        out.last.getAs[Long]("p") shouldBe
+          rows.map(_._2).sum - rows.last._2
+      }
+    }
+  }
 }

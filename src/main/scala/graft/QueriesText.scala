@@ -460,6 +460,60 @@ object QueriesText {
        |SELECT source, "rank", doc_id, round(q, 4) AS quality
        |FROM r WHERE "rank" <= 3 ORDER BY source, "rank"""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Train/test contamination audit: shingle-level overlap of each TEST
+    * document against the union of TRAIN shingles, with the split
+    * assignment coming from the deterministic hash splitter (q50). The
+    * chain [[graft.operators.Sampling.hashSplit]] →
+    * [[TextDedup.shingleTable]] → [[TextDedup.contamination]] shuffles
+    * only on the shingle key; the oracle restates split + shingles +
+    * semi-join in SQL. On this corpus the audit finds real leakage
+    * (several test docs share >95% of shingles with a train doc) —
+    * exactly what it exists to catch. */
+  val q57Contamination: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val splits = graft.operators.Sampling.hashSplit(docs.select($"doc_id"), "doc_id")
+      .select($"doc_id".as("id"), $"split")
+    val sh = TextDedup.shingleTable(docs, "doc_id", "text", 5)
+    TextDedup.contamination(sh, splits, from = "test", against = "train")
+      .orderBy($"doc_id")
+  }
+  val q57Sql: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ($digits) % 100 < 80 THEN 'train'
+       |         WHEN ($digits) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |toks AS (SELECT doc_id AS id, string_split($normSql, ' ') AS w FROM documents),
+       |shd AS (
+       |  SELECT DISTINCT id, s FROM (
+       |    SELECT id, unnest(list_transform(generate_series(1, len(w)-4),
+       |             i -> array_to_string(list_slice(w, i, i+4), ' '))) AS s
+       |    FROM toks)),
+       |sh AS (
+       |  SELECT shd.id, shd.s, sz.n_shingles
+       |  FROM shd JOIN (SELECT id, count(*) AS n_shingles FROM shd GROUP BY id) sz
+       |    ON shd.id = sz.id),
+       |train_sh AS (
+       |  SELECT DISTINCT s FROM sh JOIN sp ON sh.id = sp.doc_id
+       |  WHERE sp.split = 'train'),
+       |test_sh AS (
+       |  SELECT sh.* FROM sh JOIN sp ON sh.id = sp.doc_id
+       |  WHERE sp.split = 'test'),
+       |hits AS (
+       |  SELECT id, count(*) AS n_hit FROM test_sh
+       |  WHERE s IN (SELECT s FROM train_sh) GROUP BY id),
+       |test_docs AS (SELECT DISTINCT id, n_shingles FROM test_sh)
+       |SELECT d.id AS doc_id, d.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+       |       round(coalesce(h.n_hit, 0) * 1.0 / d.n_shingles, 4) AS contamination
+       |FROM test_docs d LEFT JOIN hits h ON d.id = h.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -473,5 +527,6 @@ object QueriesText {
     ("q32_simhash_pairs", q32SimHashPairs, Some(q32Sql)),
     ("q49_curation_pipeline", q49Curation, Some(q49Sql)),
     ("q56_quota_select", q56QuotaSelect, Some(q56Sql)),
+    ("q57_contamination", q57Contamination, Some(q57Sql)),
   )
 }

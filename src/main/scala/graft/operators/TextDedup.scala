@@ -178,4 +178,29 @@ object TextDedup {
       .distinct()
       .filter(col("hd") <= maxHd)
   }
+
+  /** Cross-split contamination audit: for every document in split `from`,
+    * the fraction of its distinct shingles that also occur anywhere in
+    * split `against` — the benchmark-leakage check run before a split is
+    * trusted. Inputs: a [[shingleTable]] and a `(id, split)` assignment
+    * (e.g. [[Sampling.hashSplit]] output). One distinct pass over the
+    * reference split's shingles, one semi-join on the shingle key (the
+    * shuffle key is the shingle, never a doc pair — no quadratic
+    * blow-up), one per-doc count. Docs with zero shingles (shorter than
+    * the shingle width) cannot appear — they have no rows in the shingle
+    * table. */
+  def contamination(shingles: DataFrame, splits: DataFrame,
+                    from: String, against: String): DataFrame = {
+    val tagged = shingles.join(splits, Seq("id"))
+    val refSh = tagged.filter(col("split") === against).select(col("s")).distinct()
+    val fromSh = tagged.filter(col("split") === from)
+    val hits = fromSh.join(refSh, Seq("s"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    fromSh.select(col("id"), col("n_shingles")).distinct()
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_shingles"), 4).as("contamination"))
+  }
 }

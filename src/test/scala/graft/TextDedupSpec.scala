@@ -70,4 +70,22 @@ class TextDedupSpec extends SparkSpec {
       pairs should contain((1L, 2L))
     }
   }
+
+  describe("contamination") {
+    it("scores full, partial, and zero overlap against the train split") {
+      val base = "a b c d e f g h i j" // 6 distinct 5-shingles
+      val corpus = Seq(
+        (1L, base), // train
+        (2L, base), // test: identical → contamination 1.0
+        (3L, "a b c d e x y z w v"), // test: shares 1 of 6 shingles
+        (4L, "p q r s t u m n o k") // test: disjoint → 0.0
+      ).toDF("doc_id", "text")
+      val splits = Seq((1L, "train"), (2L, "test"), (3L, "test"), (4L, "test"))
+        .toDF("id", "split")
+      val sh = TextDedup.shingleTable(corpus, "doc_id", "text", 5)
+      val out = TextDedup.contamination(sh, splits, "test", "train")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      out shouldBe Map(2L -> 1.0, 3L -> 0.1667, 4L -> 0.0)
+    }
+  }
 }

@@ -241,15 +241,17 @@ object QueriesText {
     TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3)
       .orderBy($"a_id", $"b_id")
   }
-  val q30Sql: String = {
-    // mirrors TextDedup.minHashSignature's md5-lane scheme: four 32-bit
-    // lanes per md5 call, second block salted with "1:"
+  /** Shared MinHash-LSH CTE chain (shingles → signatures → bands →
+    * verified intersections), mirroring [[TextDedup.minHashLshPairs]]'s
+    * md5-lane scheme: four 32-bit lanes per md5 call, second block
+    * salted with "1:". Used by q30 (pairs) and q58 (components). */
+  private def minhashCtes(perturb: Boolean): String = {
     val mins = (0 until 8).map { j =>
       val src = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
       s"min(substr($src, ${(j % 4) * 8 + 1}, 8)) AS h$j"
     }.mkString(",\n    ")
     val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
-    s"""WITH ${shingleSql(perturb = true)},
+    s"""${shingleSql(perturb)},
        |mh AS (
        |  SELECT id, $mins
        |  FROM sh GROUP BY id),
@@ -266,11 +268,14 @@ object QueriesText {
        |         min(x.n_shingles) AS na, min(y.n_shingles) AS nb
        |  FROM cand c JOIN sh x ON x.id = c.a_id
        |              JOIN sh y ON y.id = c.b_id AND x.s = y.s
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val q30Sql: String =
+    s"""WITH ${minhashCtes(perturb = true)}
        |SELECT a_id, b_id, round(i * 1.0 / (na + nb - i), 4) AS jaccard
        |FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
-  }
 
   /** Shared SimHash CTEs: token hash from md5 hex prefix (decoded with
     * digit-position arithmetic — DuckDB has no conv()), 32 signed bit
@@ -514,6 +519,44 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q58
+  /** Transitive dedup clusters: connected components of the MinHash-LSH
+    * near-dup pair graph ([[graft.operators.Components]], iterated
+    * min-label propagation — one shuffle-join per round, driver sees
+    * only a convergence count). Every corpus doc gets its cluster's
+    * minimum id as canonical (singletons map to themselves). The oracle
+    * computes the same closure by a completely different route — a
+    * recursive CTE — so the gate proves the distributed fixpoint equals
+    * true transitive reachability. */
+  val q58DedupClusters: Q = (s, dir) => {
+    import s.implicits._
+    val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3)
+    val comps = graft.operators.Components
+      .connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    corpus(s, dir, perturb = true).select($"doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("comp"))
+      .orderBy($"doc_id")
+  }
+  val q58Sql: String =
+    s"""WITH RECURSIVE ${minhashCtes(perturb = true)},
+       |edges AS (
+       |  SELECT a_id, b_id FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.3),
+       |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+       |        UNION ALL SELECT b_id, a_id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+       |SELECT c.doc_id, CAST(coalesce(m.comp, c.doc_id) AS BIGINT) AS comp
+       |FROM (SELECT doc_id FROM corpus) c
+       |LEFT JOIN (SELECT id, min(r) AS comp FROM reach GROUP BY id) m
+       |  ON c.doc_id = m.id
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -528,5 +571,6 @@ object QueriesText {
     ("q49_curation_pipeline", q49Curation, Some(q49Sql)),
     ("q56_quota_select", q56QuotaSelect, Some(q56Sql)),
     ("q57_contamination", q57Contamination, Some(q57Sql)),
+    ("q58_dedup_clusters", q58DedupClusters, Some(q58Sql)),
   )
 }

@@ -22,12 +22,15 @@ import graft.functions.TextAnalysis
   *   3. `s3_exact`    — exact dedup on the md5 content fingerprint,
   *                      smallest id canonical (one shuffle on fp).
   *   4. `s4_neardup`  — MinHash(k)+LSH banding candidates, exact-Jaccard
-  *                      verified ≥ threshold; the greater id of each
-  *                      verified pair is dropped (greedy, not
-  *                      connected-components: A~B,B~C drops B and C even
-  *                      if A≁C — the usual curation trade: one
-  *                      candidate-join instead of an iterative
-  *                      transitive closure).
+  *                      verified ≥ threshold. Two drop policies:
+  *                      greedy (default) drops the greater id of each
+  *                      verified pair — one candidate-join, no
+  *                      iteration; `transitive = true` runs
+  *                      [[Components.connectedComponents]] over the pair
+  *                      graph and keeps only each cluster's minimum id,
+  *                      so duplicate CHAINS (A~B~C with A≁C) collapse to
+  *                      one survivor at the cost of a few propagation
+  *                      rounds.
   *
   * Only the LSH stage shuffles more than once, and its keys are band
   * hashes / shingles — cardinality ~docs × bands, never docs², so the
@@ -47,7 +50,8 @@ object Curation {
       shingleSize: Int = 5,
       minhashK: Int = 8,
       rowsPerBand: Int = 2,
-      jaccardThreshold: Double = 0.3): DataFrame = {
+      jaccardThreshold: Double = 0.3,
+      transitive: Boolean = false): DataFrame = {
     require(minhashK % rowsPerBand == 0,
       s"minhashK=$minhashK not divisible by rowsPerBand=$rowsPerBand")
 
@@ -75,10 +79,14 @@ object Curation {
     val shingles = TextDedup
       .shingleTable(exact, "id", "text", shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dropIds = TextDedup
+    val pairs = TextDedup
       .minHashLshPairs(shingles, minhashK, rowsPerBand, jaccardThreshold)
-      .select(col("b_id").as("id"))
-      .distinct()
+    val dropIds =
+      if (transitive)
+        Components.connectedComponents(pairs, "a_id", "b_id")
+          .filter(col("id") =!= col("comp")).select(col("id"))
+      else
+        pairs.select(col("b_id").as("id")).distinct()
     val survivors = exact.join(dropIds, Seq("id"), "left_anti")
 
     def stage(name: String, df: DataFrame): DataFrame =

@@ -41,5 +41,25 @@ class CurationSpec extends SparkSpec {
       an[IllegalArgumentException] should be thrownBy
         Curation.funnel(corpus, "doc_id", "text", minhashK = 8, rowsPerBand = 3)
     }
+
+    it("transitive mode collapses V-shaped similarity that greedy keeps") {
+      // docs 1 and 2 are dissimilar to each other but both overlap hub
+      // doc 3 (the largest id): greedy only ever drops pair maxima, so it
+      // drops just the hub; transitive clustering sees {1,2,3} and keeps
+      // only the minimum
+      val w = (1 to 90).map(i => s"t$i")
+      val vCorpus = Seq(
+        (1L, w.slice(0, 50).mkString(" ")),
+        (2L, w.slice(40, 90).mkString(" ")),
+        (3L, w.slice(20, 70).mkString(" "))
+      ).toDF("doc_id", "text")
+      def survivors(transitive: Boolean): Long =
+        Curation.funnel(vCorpus, "doc_id", "text",
+          minQuality = 0.0, minTokens = 1, rowsPerBand = 1,
+          transitive = transitive)
+          .filter($"stage" === "s4_neardup").head().getLong(1)
+      survivors(false) shouldBe 2L // {1, 2} — hub 3 dropped
+      survivors(true) shouldBe 1L // {1} — cluster min only
+    }
   }
 }

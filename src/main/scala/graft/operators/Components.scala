@@ -40,9 +40,14 @@ object Components {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the edge cache ONCE before the loop: round 1 otherwise
+    // references sym from two plan subtrees at once and the upstream
+    // edge computation (for q58, the whole MinHash chain) runs per
+    // subtree instead of filling the cache first
+    sym.count()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

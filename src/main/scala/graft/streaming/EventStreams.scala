@@ -133,6 +133,19 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: join each streaming fact row to a small
+    * static dimension (the streaming face of the reference's
+    * harmonisation-key join, `dataset_curation.ipynb:cells 53-54`). The
+    * dimension is broadcast explicitly — a stream-static join never
+    * shuffles the stream side then, each micro-batch probes the
+    * broadcast hash map, and no state store is involved at all (the
+    * static side is re-resolved per batch, so a dimension refresh is
+    * picked up without restarting the query). Left join: facts with no
+    * dimension row pass through with nulls, the reference's
+    * null-on-miss contract. */
+  def enrich(events: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    events.join(broadcast(dim), on, "left")
+
   /** Windowed counts as a memory-sink streaming query (test/demo
     * harness): returns the query so callers can processAllAvailable()
     * then read table `name`. */

@@ -89,4 +89,29 @@ class StreamingSpec extends SparkSpec {
       } finally query.stop()
     }
   }
+
+  describe("enrich (stream-static broadcast join)") {
+    it("labels stream rows from the static dimension, null on miss") {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Timestamp, String, Double)]
+      val stream = mem.toDF().toDF("ts", "event_type", "value")
+      val dim = Seq(("click", "interaction"), ("purchase", "conversion"))
+        .toDF("event_type", "category")
+      val query = EventStreams.enrich(stream, dim, Seq("event_type"))
+        .writeStream.format("memory").queryName("enrich_out")
+        .outputMode("append").start()
+      try {
+        def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+        mem.addData((t(0), "click", 1.0), (t(1), "signup", 2.0),
+          (t(2), "purchase", 3.0))
+        query.processAllAvailable()
+        val got = spark.table("enrich_out")
+          .collect()
+          .map(r => r.getAs[String]("event_type")
+            -> Option(r.getAs[String]("category"))).toSet
+        got shouldBe Set("click" -> Some("interaction"),
+          "purchase" -> Some("conversion"), "signup" -> None)
+      } finally query.stop()
+    }
+  }
 }

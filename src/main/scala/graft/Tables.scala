@@ -20,6 +20,19 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread an under-split scan across the cluster before per-row-heavy
+    * compute (regex tokenize, shingling, md5, cosine). A single-row-group
+    * parquet file yields ONE scan task no matter the split config, so
+    * everything up to the first exchange — including map-side partial
+    * aggregation — runs on one core. At 100 TB the input is thousands of
+    * row groups and this is a no-op (partitions ≥ parallelism already);
+    * the shuffle only exists exactly when the scan cannot parallelize
+    * itself and the data is therefore tiny. */
+  def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
@@ -41,6 +54,11 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts DIV 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  // documents/embeddings feed the per-row-expensive pipelines (shingle
+  // explode + md5 lanes, 256-dim cosine): fan the scan out so that work
+  // uses every core, not the single task a one-row-group file produces
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOut(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanOut(s, table(s, d, "embeddings"))
 }

@@ -13,64 +13,90 @@ import org.apache.spark.storage.StorageLevel
   * Algorithm: iterated min-label propagation. Every vertex starts
   * labeled with its own id; each round it takes the min of its label and
   * its neighbors' labels; fixpoint = per-component minimum. Rounds
-  * needed = graph diameter, and each round is one shuffle-join + one
-  * aggregation — for dedup graphs (tiny, shallow clusters) this
-  * converges in a handful of rounds. The driver only ever sees a
-  * changed-row COUNT per round (convergence test), never the data. For
-  * adversarially long path graphs the alternating small-star/large-star
-  * contraction halves the diameter per round; this implementation trades
-  * that away for one join per round, and `maxIter` bounds the worst
-  * case explicitly.
+  * needed = graph diameter, and each round is ONE dataflow —
+  * `union(edges ⋈ labels, labels) → min-by-id` — i.e. two shuffles
+  * (join key, then group key), both partially aggregated map-side. For
+  * dedup graphs (tiny, shallow clusters) this converges in a handful of
+  * rounds. Convergence is tested with an exact decimal label-sum:
+  * labels only ever decrease, so the sum is strictly decreasing until
+  * the fixpoint — the driver sees one number per round, never data.
+  * For adversarially long path graphs the alternating
+  * small-star/large-star contraction halves the diameter per round;
+  * this implementation trades that away for the cheaper per-round
+  * dataflow, and `maxIter` bounds the worst case explicitly.
   */
 object Components {
 
   /** Label every vertex of the `(aCol, bCol)` edge list with its
     * component's minimum vertex id. Returns `(id, comp)` — vertices that
     * appear in at least one edge only (isolated ids never enter the edge
-    * list; callers left-join and coalesce to `id`). Fails fast if the
-    * propagation has not converged within `maxIter` rounds rather than
-    * return a partially-merged clustering. */
+    * list; callers left-join and coalesce to `id`). Duplicate edges are
+    * tolerated (min-aggregation is idempotent); heavily duplicated edge
+    * lists should be `distinct()`-ed by the caller to shrink the join.
+    * Fails fast if the propagation has not converged within `maxIter`
+    * rounds rather than return a partially-merged clustering. */
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // no distinct(): a_id < b_id pair lists are already duplicate-free in
+    // both directions, and min-agg absorbs any stray duplicates anyway —
+    // dropping the distinct removes a full shuffle + materialization
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize the edge cache ONCE before the loop: round 1 otherwise
-    // references sym from two plan subtrees at once and the upstream
+    // references sym from several plan subtrees at once and the upstream
     // edge computation (for q58, the whole MinHash chain) runs per
     // subtree instead of filling the cache first
     sym.count()
+    // initial labels are referenced twice per round (join side + union
+    // side): checkpoint once so neither subtree recomputes the distinct
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    // outer None = no previous round yet; inner None = null sum (empty graph)
+    var prevSum: Option[Option[java.math.BigDecimal]] = None
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     while (!converged && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("nmin"))
+      val tRound = System.nanoTime()
+      // one dataflow per round: neighbor labels ∪ own labels → min per
+      // id. The id set is invariant (sym is symmetric, so every vertex
+      // occurs as dst; the union keeps the rest), so this is exactly
+      // "comp := min(comp, min over neighbors' comp)".
+      //
       // localCheckpoint (eager) — NOT just persist: every round's plan
-      // embeds the previous round's twice (once directly, once under the
-      // neighbor aggregation), so without truncation the logical plan
-      // DOUBLES per round and analysis time goes exponential long before
-      // any data moves. Checkpointing cuts the plan to the materialized
+      // embeds the previous round's, so without truncation the logical
+      // plan grows per round and analysis time compounds long before any
+      // data moves. Checkpointing cuts the plan to the materialized
       // result; on a cluster, reliable `checkpoint()` to HDFS serves the
       // same role with executor-loss tolerance.
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (col("nmin") < col("comp")).as("changed"))
+      val next = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      converged = next.filter(col("changed")).count() == 0L
+      // exact decimal sum: labels are monotonically non-increasing, so
+      // an unchanged sum ⇔ no label changed ⇔ fixpoint (decimal(38,0)
+      // cannot overflow or round — a bigint sum could overflow at 10¹⁹)
+      // sums carry the fixed declared scale (0), so Option/BigDecimal
+      // equality is exact value equality here
+      val curSum = Option(
+        next.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+          .head.getDecimal(0))
+      converged = prevSum.contains(curSum)
+      prevSum = Some(curSum)
       labels.unpersist()
-      labels = next.drop("changed")
+      labels = next
       iter += 1
+      if (verbose)
+        println(f"[cc] round $iter: ${(System.nanoTime() - tRound) / 1e9}%.2f s (converged=$converged)")
     }
     sym.unpersist()
     if (!converged)

@@ -67,13 +67,72 @@ object Repeat {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
       // noop sink, matching Bench: count() would let Catalyst prune
       // all columns of projection-only queries
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[repeat] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // process-CPU seconds ride along: the host has heavy external CPU
+      // interference, so wall time alone cannot A/B two implementations —
+      // CPU time measures the actual work done
+      println(f"[repeat] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+        f"(cpu ${(osBean.getProcessCpuTime - c0) / 1e9}%.1f s)")
+    }
+    spark.stop()
+  }
+}
+
+/** Dev-only breakdown of q58's phases: edge-building LSH chain vs the
+  * label-propagation loop vs the final corpus join. */
+object ProbeComponents {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft._
+    import graft.operators._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe58] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = docs.unionByName(
+      docs.select(($"doc_id" + 100000L).as("doc_id"),
+        concat($"text", lit(" zz qq")).as("text")))
+    val sh = TextDedup.shingleTable(corpus, "doc_id", "text", 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = time("edges (lsh chain)") {
+      val p = TextDedup.minHashLshPairs(sh, 8, 2, 0.3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe58]   n_edges = ${p.count()}")
+      p
+    }
+    val comps = time("connectedComponents") {
+      val c = Components.connectedComponents(pairs, "a_id", "b_id")
+      c.count()
+      c
+    }
+    time("final corpus join") {
+      corpus.select($"doc_id")
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"comp", $"doc_id").as("comp"))
+        .orderBy($"doc_id")
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomJoin, Sampling, TermScoring}
+
+/** Data-selection / relevance extension catalog: term weighting,
+  * stratified sampling, per-group normalization, Bloom semi-join
+  * reduction, and exact equi-depth histograms — the selection toolkit a
+  * curation pipeline applies between dedup and packing.
+  */
+object QueriesSelect {
+  import Queries.Q
+
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  /** md5 first-32-bits as digit-position arithmetic (DuckDB has no
+    * conv()) — shared by the sampling oracles. */
+  private def md5DigitsSql(expr: String): String =
+    (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(md5($expr), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+
+  // ---------------------------------------------------------------- q59
+  /** TF-IDF top-3 terms per document ([[TermScoring]]): explode → (doc,
+    * term) agg → df derived from tf → broadcast corpus-size join →
+    * ranked window on the rounded score. */
+  val q59Tfidf: Q = (s, dir) => {
+    import s.implicits._
+    val scored = TermScoring.tfIdf(
+      Tables.documents(s, dir).select($"doc_id", $"text"), "doc_id", "text")
+    TermScoring.topTermsPerDoc(scored, 3)
+      .select($"id".as("doc_id"), $"rank", $"term", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+  val q59Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                  ORDER BY tfidf DESC, term ASC) AS rk
+       |      FROM scored)
+       |SELECT doc_id, rk AS "rank", term, tf, df, tfidf
+       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Stratified deterministic sampling ([[Sampling.stratifiedSample]]):
+    * per-language keep rates decided by the id hash — shuffle-free,
+    * rerun-stable, join-consistent. Aggregated per stratum so the gate
+    * checks the exact kept-row set (counts + char sums). */
+  val q60Stratified: Q = (s, dir) => {
+    import s.implicits._
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+      Map("en" -> 50, "es" -> 25, "de" -> 25, "fr" -> 10))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
+      .orderBy($"lang")
+  }
+  val q60Sql: String =
+    s"""WITH b AS (
+       |  SELECT lang, n_chars,
+       |         (${md5DigitsSql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket,
+       |         CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25
+       |                   WHEN 'de' THEN 25 WHEN 'fr' THEN 10 ELSE 0 END AS rate
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM b WHERE bucket < rate GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Per-group z-score normalization: length normalized within language
+    * via window mean/stddev — the feature-scaling shape applied before
+    * mixing heterogeneous sources. Integer inputs keep the moment sums
+    * exact; the 3-dp round absorbs the engines' different streaming-
+    * variance update orders. */
+  val q61ZScore: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        round(($"n_chars" - avg($"n_chars").over(w)) / stddev_samp($"n_chars").over(w), 3)
+          .as("z"))
+      .orderBy($"doc_id")
+  }
+  val q61Sql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+      |        / stddev_samp(n_chars) OVER (PARTITION BY lang), 3) AS z
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Bloom semi-join reduction ([[BloomJoin]]): sketch the urgent-order
+    * keys, pre-filter lineitem BEFORE its shuffle, then exact-join (the
+    * join kills the sketch's false positives). The oracle is the PLAIN
+    * join — the gate proves the reduction changes row traffic, never the
+    * answer. */
+  val q62BloomJoin: Q = (s, dir) => {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderpriority")
+    BloomJoin.bloomJoin(
+      Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity"),
+      "l_orderkey", urgent, "o_orderkey",
+      expectedItems = 1000000L, fpp = 0.01)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor($"l_quantity").cast("long")).as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+  val q62Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Exact equi-depth histogram: ntile(8) over the (n_chars, doc_id)
+    * total order → per-bucket count/lo/hi. The single-partition global
+    * window is the exactness price and is fine at report cardinalities;
+    * the 100 TB path computes bucket BOUNDARIES from a quantile sketch
+    * ([[graft.operators.Reports.quartilesApprox]]) and assigns buckets
+    * with a per-row comparison instead. */
+  val q63EquiDepth: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_chars", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars", ntile(8).over(w).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+      .orderBy($"bucket")
+  }
+  val q63Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |         ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+      |  FROM documents)
+      |SELECT bucket, count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Registry: name → (spark program, oracle sql). */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+    ("q59_tfidf", q59Tfidf, Some(q59Sql)),
+    ("q60_stratified", q60Stratified, Some(q60Sql)),
+    ("q61_zscore", q61ZScore, Some(q61Sql)),
+    ("q62_bloom_join", q62BloomJoin, Some(q62Sql)),
+    ("q63_equidepth", q63EquiDepth, Some(q63Sql)),
+  )
+}

@@ -15,7 +15,8 @@ object SparkEntry {
   private def catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Queries.catalog ++ QueriesAnalytic.catalog ++ QueriesText.catalog ++
       QueriesSimilarity.catalog ++ QueriesMultimodal.catalog ++
-      QueriesSources.catalog ++ QueriesScale.catalog ++ QueriesStreaming.catalog
+      QueriesSources.catalog ++ QueriesScale.catalog ++ QueriesStreaming.catalog ++
+      QueriesSelect.catalog
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter semi-join reduction — the classic 100 TB join shrinker:
+  * build a compact Bloom sketch of the dimension-side join keys, ship it
+  * to every fact-side task, and drop fact rows that cannot possibly
+  * match BEFORE the shuffle. The exact join that follows removes the
+  * sketch's false positives, so the final result is identical to the
+  * plain join — the sketch only changes how many rows reach the
+  * exchange.
+  *
+  * Spark's optimizer injects this automatically inside a single query
+  * when `spark.sql.optimizer.runtime.bloomFilter.enabled` fires; the
+  * explicit operator exists for the cases the rule cannot see — building
+  * the filter ONCE and reusing it across many queries/tables of a
+  * pipeline (every fact table derived from the same curated dimension),
+  * or filtering before a non-join operator (e.g. a pre-shuffle
+  * aggregation keyed on the dimension).
+  */
+object BloomJoin {
+
+  /** Sketch of `dim`'s `keyCol` (long-typed keys). One distributed
+    * aggregation; the returned filter is `expectedItems·~10 bits`
+    * regardless of dim row count. */
+  def keyFilter(dim: DataFrame, keyCol: String,
+                expectedItems: Long, fpp: Double = 0.01): BloomFilter =
+    dim.stat.bloomFilter(keyCol, expectedItems, fpp)
+
+  /** Reduce `fact` to rows whose `factKey` *might* be in `filter`.
+    * Guarantees no false negatives: every truly-matching row survives.
+    * The broadcast rides the closure; on a cluster each executor
+    * deserializes the sketch once. */
+  def reduce(fact: DataFrame, factKey: String, filter: BloomFilter): DataFrame = {
+    val bcast = fact.sparkSession.sparkContext.broadcast(filter)
+    val might = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+    fact.filter(might(col(factKey)))
+  }
+
+  /** The composed shape: sketch the dimension keys, pre-filter the fact,
+    * then run the EXACT inner join (which removes false positives).
+    * Result ≡ `fact ⋈ dim`, with the fact-side shuffle carrying only
+    * ~|matching| + fpp·|fact| rows instead of |fact|. */
+  def bloomJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val reduced = reduce(fact, factKey, keyFilter(dim, dimKey, expectedItems, fpp))
+    reduced.join(dim, col(factKey) === dim(dimKey))
+  }
+}

@@ -41,6 +41,26 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Stratified deterministic down-sampling: keep a per-stratum fraction
+    * of rows (`rates` maps stratum value → keep-percent), decided by the
+    * same id-hash as [[hashSplit]] — so the sample is rerun-stable,
+    * shuffle-free, and join-consistent across derived tables. Strata
+    * absent from `rates` are dropped (rate 0). The rate lookup is a
+    * literal `when` chain — strata sets are small by definition; a
+    * thousand-strata design would broadcast-join a rates dimension
+    * instead. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Int]): DataFrame = {
+    require(rates.nonEmpty, "stratifiedSample needs at least one stratum rate")
+    require(rates.values.forall(r => r >= 0 && r <= 100),
+      s"rates must be percents in [0,100], got $rates")
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0))) { case (acc, (k, r)) =>
+        acc.when(col(strataCol) === k, r)
+      }.otherwise(lit(0))
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+
   /** Training-mixture up/down-sampling: replicate each row
     * `floor(weight)` times plus one fractional extra copy decided by the
     * id hash (`hashBucket(id, 1000) < frac·1000`), so a weight of 2.5

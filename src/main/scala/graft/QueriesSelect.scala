@@ -145,6 +145,42 @@ object QueriesSelect {
       |SELECT bucket, count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** The native [[graft.plans.TopKPerKey]] operator (custom logical plan
+    * + strategy + two-phase bounded-heap physical exec) on q56's
+    * selection task: top-3 quality docs per source. The oracle is the
+    * naive ranking window — the gate proves the custom physical operator
+    * implements exactly row_number semantics, ties and all. */
+  val q64TopkPlan: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextAnalysis
+    val scored = Tables.documents(s, dir)
+      .select($"source", $"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+    graft.plans.TopKPerKey.of(scored,
+        keys = Seq("source"), orderBy = Seq(("q", true), ("doc_id", false)), k = 3)
+      .select($"source", $"doc_id", round($"q", 4).as("quality"), $"q")
+      .orderBy($"source", $"q".desc, $"doc_id")
+      .drop($"q")
+  }
+  val q64Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    round(0.4 * least(
+       |        len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|a|in|that)\\b'))
+       |          / greatest(len(string_split($normSql, ' ')), 1.0) * 4.0, 1.0)
+       |      + 0.3 * least(len(string_split($normSql, ' ')) / 50.0, 1.0)
+       |      + 0.3 * (1.0 - least(
+       |          length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+       |            / greatest(length(text), 1.0) * 5.0, 1.0)), 4) AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, q,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY q DESC, doc_id ASC) AS rk
+       |  FROM t)
+       |SELECT source, doc_id, round(q, 4) AS quality
+       |FROM r WHERE rk <= 3 ORDER BY source, q DESC, doc_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
@@ -152,5 +188,6 @@ object QueriesSelect {
     ("q61_zscore", q61ZScore, Some(q61Sql)),
     ("q62_bloom_join", q62BloomJoin, Some(q62Sql)),
     ("q63_equidepth", q63EquiDepth, Some(q63Sql)),
+    ("q64_topk_plan", q64TopkPlan, Some(q64Sql)),
   )
 }

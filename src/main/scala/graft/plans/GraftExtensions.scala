@@ -15,10 +15,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     from the harness and cannot assume the plugin was configured).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // whole-operator stack (§2.10(c)): logical TopKPerKey + combine rule
+    // + two-phase physical planning
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => CombineTopK)
+  }
 }
 
 object GraftFunctions {

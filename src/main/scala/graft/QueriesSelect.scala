@@ -181,6 +181,54 @@ object QueriesSelect {
        |SELECT source, doc_id, round(q, 4) AS quality
        |FROM r WHERE rk <= 3 ORDER BY source, q DESC, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Semi-structured columns through Spark 4's native VARIANT type:
+    * `parse_json` once, typed `variant_get` extraction — the
+    * shredding-friendly path that replaces per-field regex/JSON-string
+    * reparsing (q23's lenient form stays for malformed payloads). The
+    * oracle extracts the same field with DuckDB's JSON operator. */
+  val q65Variant: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(variant_get(parse_json($"props"), "$.k", "int").as("k"), $"value")
+      .groupBy(($"k" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum($"k").cast("long").as("k_sum"),
+        round(avg($"value"), 4).as("value_avg"))
+      .orderBy($"k_mod")
+  }
+  val q65Sql: String =
+    """SELECT CAST(props->>'k' AS INT) % 10 AS k_mod, count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+      |  round(avg(value), 4) AS value_avg
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** Wide → long unpivot (the inverse of the q19 EAV pivot): melt the
+    * numeric part attributes into (attr, val) rows with the native
+    * `unpivot` operator — one Expand, no self-union scan. The oracle IS
+    * the self-union, stating the semantics in portable SQL. */
+  val q66Unpivot: Q = (s, dir) => {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey", $"p_retailprice",
+        $"p_size".cast("double").as("p_size"))
+      .unpivot(Array($"p_partkey"), Array($"p_retailprice", $"p_size"),
+        "attr", "val")
+      .groupBy($"attr")
+      .agg(count(lit(1)).as("n"), round(sum($"val"), 2).as("total"),
+        round(avg($"val"), 4).as("mean"))
+      .orderBy($"attr")
+  }
+  val q66Sql: String =
+    """WITH u AS (
+      |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
+      |SELECT attr, count(*) AS n, round(sum(val), 2) AS total,
+      |       round(avg(val), 4) AS mean
+      |FROM u GROUP BY attr ORDER BY attr""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
@@ -189,5 +237,7 @@ object QueriesSelect {
     ("q62_bloom_join", q62BloomJoin, Some(q62Sql)),
     ("q63_equidepth", q63EquiDepth, Some(q63Sql)),
     ("q64_topk_plan", q64TopkPlan, Some(q64Sql)),
+    ("q65_variant", q65Variant, Some(q65Sql)),
+    ("q66_unpivot", q66Unpivot, Some(q66Sql)),
   )
 }

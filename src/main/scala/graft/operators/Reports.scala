@@ -73,4 +73,25 @@ object Reports {
       percentile_approx(value, lit(0.25), lit(acc)).as("p25"),
       percentile_approx(value, lit(0.5), lit(acc)).as("p50"),
       percentile_approx(value, lit(0.75), lit(acc)).as("p75"))
+
+  /** Sketch-based heavy hitters for the 100 TB path: a Count-Min sketch
+    * of `keyCol` (one distributed merge pass, fixed `eps`/`confidence`-
+    * sized state) estimates each candidate's frequency; candidates are
+    * the exact distinct keys of a SMALL candidate frame the caller
+    * supplies (e.g. yesterday's hitters, or a capped distinct). Estimates
+    * only ever OVER-count, so every true heavy hitter above the
+    * threshold survives; the exact groupBy is the small-data oracle in
+    * the spec. Returns `(key, est)` for estimates ≥ `minCount`. */
+  def heavyHittersApprox(df: DataFrame, keyCol: String, candidates: DataFrame,
+                         minCount: Long, eps: Double = 0.001,
+                         confidence: Double = 0.99): DataFrame = {
+    // sketch over the string rendering so build-side and estimate-side
+    // hashing agree for any key type
+    val sketch = df.stat.countMinSketch(col(keyCol).cast("string"), eps, confidence, seed = 42)
+    val bcast = df.sparkSession.sparkContext.broadcast(sketch)
+    val est = udf((k: String) => bcast.value.estimateCount(k))
+    candidates.select(col(keyCol)).distinct()
+      .withColumn("est", est(col(keyCol).cast("string")))
+      .filter(col("est") >= minCount)
+  }
 }

@@ -153,4 +153,30 @@ object EventStreams {
     windowedTypeCounts(stream)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
+
+  /** One micro-batch of the idempotent file sink: the batch lands in a
+    * `batch_id=<id>` partition with DYNAMIC partition overwrite, so a
+    * replayed batch (restart between sink write and checkpoint commit —
+    * foreachBatch's at-least-once window) overwrites its own partition
+    * instead of appending duplicates. Factored out of the stream wiring
+    * so the idempotence property is directly testable. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Exactly-once-effective parquet sink via `foreachBatch` +
+    * [[writeBatchIdempotent]] — the standard recipe when the built-in
+    * file sink's commit log can't own the output layout (downstream
+    * batch readers, partition contracts). Checkpointed so batch ids are
+    * stable across restarts. */
+  def idempotentParquetSink(df: DataFrame, outPath: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatchIdempotent(batch.toDF(), batchId, outPath))
+      .start()
 }

@@ -77,6 +77,25 @@ class OperatorsSpec extends SparkSpec {
       Reports.topK(df, 2, $"m", $"k").collect().map(_.getString(0)) shouldBe
         Array("b", "c")
     }
+
+    it("heavyHittersApprox never misses a true heavy hitter") {
+      val df = Tables.orders(spark, "/root/testdata/sf0.001")
+        .select($"o_orderpriority")
+      val exact = df.groupBy($"o_orderpriority").count()
+      val candidates = df.select($"o_orderpriority").distinct()
+      val approx = Reports.heavyHittersApprox(df, "o_orderpriority",
+        candidates, minCount = 100L)
+      val trueHitters = exact.filter($"count" >= 100)
+        .collect().map(_.getString(0)).toSet
+      val found = approx.collect().map(_.getString(0)).toSet
+      // CMS only over-counts: every true hitter must be found
+      trueHitters.subsetOf(found) shouldBe true
+      // and estimates dominate the exact counts
+      val est = approx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.collect().foreach { r =>
+        est.get(r.getString(0)).foreach(_ should be >= r.getLong(1))
+      }
+    }
   }
 
   describe("Validation") {

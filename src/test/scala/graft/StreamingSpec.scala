@@ -49,6 +49,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("writeBatchIdempotent") {
+    it("replaying a batch overwrites its partition instead of duplicating") {
+      val out = java.nio.file.Files.createTempDirectory("idem_sink").toString
+      val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      EventStreams.writeBatchIdempotent(batch, batchId = 7L, out)
+      EventStreams.writeBatchIdempotent(batch, batchId = 7L, out) // replay
+      EventStreams.writeBatchIdempotent(batch, batchId = 8L, out)
+      val back = spark.read.parquet(out)
+      back.count() shouldBe 4L // 2 rows per DISTINCT batch, no dupes
+      // partition values come back type-inferred from the path (int)
+      back.select($"batch_id".cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet shouldBe Set(7L, 8L)
+    }
+  }
+
   describe("sessionize (batch mode)") {
     it("splits a user's events into gap-separated sessions") {
       val events = Seq(

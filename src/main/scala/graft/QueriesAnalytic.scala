@@ -94,7 +94,10 @@ object QueriesAnalytic {
     import s.implicits._
     // ONE array-percentile call, not three scalar ones: each scalar
     // percentile(col, p) builds and sorts its own per-group buffer of
-    // the whole column — the array form sorts once (measured ~3×)
+    // the whole column — the array form sorts once (measured ~3×).
+    // No fanOut here: repartitioning 600k rows costs more than the
+    // single-task scan it parallelizes (measured 2.3s vs 2.9s) — the
+    // holistic buffer merge moves the same rows either way
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(

@@ -229,6 +229,33 @@ object QueriesSelect {
       |       round(avg(val), 4) AS mean
       |FROM u GROUP BY attr ORDER BY attr""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Binned range join ([[graft.operators.RangeJoin]]): point-in-interval
+    * containment restated as an equi-join on value bins — the scale path
+    * that replaces the broadcast-nested-loop a bare `BETWEEN` join
+    * plans. Irregular band widths + a coverage gap prove the bin
+    * expansion and the exact re-check; the oracle IS the theta join. */
+  val q67RangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 40.0, "b1_tiny"), (60.0, 90.0, "b2_low"), (90.0, 200.0, "b3_mid"),
+      (200.0, 350.0, "b4_high"), (350.0, 500.0, "b5_top"))
+      .toDF("lo", "hi", "band")
+    graft.operators.RangeJoin.binnedRangeJoin(
+      Tables.events(s, dir).select($"value"), "value",
+      bands, "lo", "hi", binWidth = 25.0)
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("value_avg"))
+      .orderBy($"band")
+  }
+  val q67Sql: String =
+    """WITH bands(lo, hi, band) AS (VALUES
+      |  (0.0, 40.0, 'b1_tiny'), (60.0, 90.0, 'b2_low'), (90.0, 200.0, 'b3_mid'),
+      |  (200.0, 350.0, 'b4_high'), (350.0, 500.0, 'b5_top'))
+      |SELECT band, count(*) AS n, round(avg(value), 4) AS value_avg
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
@@ -239,5 +266,6 @@ object QueriesSelect {
     ("q64_topk_plan", q64TopkPlan, Some(q64Sql)),
     ("q65_variant", q65Variant, Some(q65Sql)),
     ("q66_unpivot", q66Unpivot, Some(q66Sql)),
+    ("q67_range_join", q67RangeJoin, Some(q67Sql)),
   )
 }

@@ -123,10 +123,47 @@ object QueriesStreaming {
       |  AND c.click_ms >= p.purchase_ms - 3600000
       |ORDER BY p.user_id, p.purchase_ms, c.click_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Streaming exact dedup: the events FILE STREAM deduplicated on
+    * (event_type, user_id) with `dropDuplicates` state, then aggregated
+    * per type in Complete mode — count plus a user-id checksum, so the
+    * gate fails if dedup keeps any key twice or drops one. The oracle is
+    * batch SELECT DISTINCT. (The watermark-bounded variant
+    * `dedupWithinWatermark` is spec-gated — its keep-set depends on
+    * arrival batches, which a batch oracle cannot restate.) */
+  val q68StreamDedup: Q = (s, dir) => {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val file = s"$dir/events.parquet"
+    val watch = java.nio.file.Paths.get(
+      s"/root/repo/target/tmp/q68_events_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(watch)
+    val link = watch.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(file))
+    val schema = s.read.parquet(file).schema
+    val stream = s.readStream.schema(schema).parquet(watch.toString)
+      .select($"event_type", $"user_id")
+      .dropDuplicates("event_type", "user_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"), sum($"user_id").as("user_sum"))
+    val name = s"q68_dedup_${System.nanoTime()}"
+    val query = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(name).orderBy($"event_type")
+  }
+  val q68Sql: String =
+    """SELECT event_type, count(*) AS n_users,
+      |       CAST(sum(user_id) AS BIGINT) AS user_sum
+      |FROM (SELECT DISTINCT event_type, user_id FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
     ("q47_attribution", q47Attribution, Some(q47Sql)),
+    ("q68_stream_dedup", q68StreamDedup, Some(q68Sql)),
   )
 }

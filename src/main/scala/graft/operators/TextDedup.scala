@@ -75,15 +75,22 @@ object TextDedup {
     * hash agg over the shingle table; signature width k is a column
     * count, not a row count, so this scales linearly in corpus size. */
   def minHashSignature(shingles: DataFrame, k: Int): DataFrame = {
-    def lane(j: Int): Column = {
-      val block = j / 4
-      val h = if (block == 0) md5(col("s"))
-              else md5(concat(lit(s"$block:"), col("s")))
-      substring(h, (j % 4) * 8 + 1, 8)
-    }
-    shingles.groupBy(col("id"))
+    val nBlocks = (k + 3) / 4
+    // stage each md5 ONCE in a projection: aggregate expressions do not
+    // share subexpressions, so min(substr(md5(s),…)) ×4 lanes would
+    // hash every shingle 4× per block instead of once
+    val staged = shingles.select(
+      col("id") +: col("n_shingles") +:
+        (0 until nBlocks).map { b =>
+          val h = if (b == 0) md5(col("s"))
+                  else md5(concat(lit(s"$b:"), col("s")))
+          h.as(s"h$b")
+        }: _*)
+    staged.groupBy(col("id"))
       .agg(min(col("n_shingles")).as("n_shingles"),
-        (0 until k).map(j => min(lane(j)).as(s"mh$j")): _*)
+        (0 until k).map { j =>
+          min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"mh$j")
+        }: _*)
   }
 
   /** LSH banding: hash `rowsPerBand` consecutive signature components

@@ -125,11 +125,41 @@ object QueriesSources {
       |  round(value, 2) AS "value"
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Z-order layout round-trip ([[graft.sources.Layout.writeZOrdered]]):
+    * events rewritten into 16 Morton-clustered files on (user_id,
+    * value), read back through a 2-dimensional range predicate and
+    * aggregated. The oracle applies the same predicate to the ORIGINAL
+    * table — the gate proves the clustering rewrite is content-neutral
+    * while `LayoutSpec` separately proves it tightens per-file min/max
+    * spans (what the scan-skipping exists for). */
+  val q69ZOrderRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val out = scratch("q69_zorder", dir)
+    graft.sources.Layout.writeZOrdered(
+      Tables.events(s, dir).select($"event_id", $"user_id", $"event_type", $"value"),
+      out, Seq("user_id", "value"), nFiles = 16)
+    s.read.parquet(out)
+      .filter($"user_id".between(25, 75) && $"value" >= 50.0 && $"value" < 200.0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"),
+        round(sum($"value"), 2).as("value_sum"))
+      .orderBy($"event_type")
+  }
+  val q69Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  round(sum(value), 2) AS value_sum
+      |FROM events
+      |WHERE user_id BETWEEN 25 AND 75 AND value >= 50.0 AND value < 200.0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q42_xml_roundtrip", q42XmlRoundtrip, Some(q42Sql)),
     ("q43_tsv_footer", q43TsvFooter, Some(q43Sql)),
     ("q53_jsonl_roundtrip", q53JsonlRoundtrip, Some(q53Sql)),
     ("q54_orc_roundtrip", q54OrcRoundtrip, Some(q54Sql)),
+    ("q69_zorder_roundtrip", q69ZOrderRoundtrip, Some(q69Sql)),
   )
 }

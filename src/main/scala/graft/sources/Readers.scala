@@ -114,4 +114,20 @@ object Readers {
 
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** S7: partitioned JDBC read — the shape that matters at scale: the
+    * table splits into `numPartitions` range queries on `partitionCol`
+    * (each executor pulls its own slice concurrently), never one giant
+    * single-connection result set. Bounds come from the caller (or a
+    * cheap min/max probe); rows outside them are still read — bounds
+    * control the split, not a filter. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionCol: String, lower: Long, upper: Long, numPartitions: Int,
+           props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions, props)
+
+  /** S7 sink: full-table JDBC write (overwrite = drop-and-recreate). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode("overwrite").jdbc(url, table, props)
 }

@@ -256,6 +256,62 @@ object QueriesSelect {
       |FROM events JOIN bands ON value >= lo AND value < hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Winsorized per-group stats ([[graft.operators.Normalize]]): clip
+    * n_chars to each language's exact [p10, p90] band, report clipped
+    * counts and the winsorized mean — outlier-robust normalization
+    * before cross-source mixing. Exact percentile ≡ quantile_cont
+    * (q16's rule); the bounds join back via broadcast. */
+  val q70Winsorize: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Normalize
+      .winsorize(Tables.documents(s, dir), "lang", "n_chars", 0.10, 0.90)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"n_chars" < $"p_lo" || $"n_chars" > $"p_hi", 1L)
+          .otherwise(0L)).as("n_clipped"),
+        round(avg($"n_chars_wins"), 4).as("wins_mean"))
+      .orderBy($"lang")
+  }
+  val q70Sql: String =
+    """WITH b AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.10) AS p10,
+      |         quantile_cont(n_chars, 0.90) AS p90
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, count(*) AS n,
+      |  CAST(sum(CASE WHEN n_chars < p10 OR n_chars > p90 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped,
+      |  round(avg(least(greatest(n_chars, p10), p90)), 4) AS wins_mean
+      |FROM documents d JOIN b ON d.lang = b.lang
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Sliding window FRAME aggregation (§2.5 depth beyond rank/lag): a
+    * 3-event moving average of view values per user in event-time
+    * order. Frame order is a total order (user, ms), so the ≤3-value
+    * float sums are bit-identical across engines pre-round. */
+  val q71MovingAvg: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ms").rowsBetween(-2, 0)
+    Tables.events(s, dir)
+      .filter($"event_type" === "view")
+      .select($"user_id", unix_millis($"ts").as("ms"), $"value")
+      .select($"user_id", $"ms", round($"value", 2).as("value"),
+        round(avg($"value").over(w), 4).as("mv3"),
+        count(lit(1)).over(w).as("w"))
+      .orderBy($"user_id", $"ms")
+  }
+  val q71Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value
+      |           FROM events WHERE event_type = 'view')
+      |SELECT user_id, ms, round(value, 2) AS value,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ms
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv3,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ms
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w
+      |FROM e ORDER BY user_id, ms""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
@@ -267,5 +323,7 @@ object QueriesSelect {
     ("q65_variant", q65Variant, Some(q65Sql)),
     ("q66_unpivot", q66Unpivot, Some(q66Sql)),
     ("q67_range_join", q67RangeJoin, Some(q67Sql)),
+    ("q70_winsorize", q70Winsorize, Some(q70Sql)),
+    ("q71_moving_avg", q71MovingAvg, Some(q71Sql)),
   )
 }

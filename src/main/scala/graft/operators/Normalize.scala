@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group distribution normalization for heterogeneous-source
+  * mixing: outlier clipping (winsorization) against per-group exact
+  * percentiles. One grouped percentile aggregation (the bounds table is
+  * group-cardinality-sized → broadcast join back), one narrow clip
+  * projection. At 100 TB swap the exact `percentile` for
+  * `percentile_approx` — same two-step shape, sketch-sized state. */
+object Normalize {
+
+  /** Append `<valueCol>_wins` — `valueCol` clipped to its group's
+    * [loP, hiP] exact percentile band — plus the band columns `p_lo`,
+    * `p_hi`. Group bounds join back via broadcast. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loP: Double, hiP: Double): DataFrame = {
+    require(0 <= loP && loP < hiP && hiP <= 1, s"need 0 ≤ loP < hiP ≤ 1, got ($loP, $hiP)")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array(${loP}D, ${hiP}D))").as("p_arr"))
+      .select(col(groupCol), col("p_arr")(0).as("p_lo"), col("p_arr")(1).as("p_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol).cast("double"), col("p_lo")), col("p_hi")))
+  }
+}

@@ -238,7 +238,12 @@ object QueriesText {
     // sides of the candidate-verification join (3 consumers)
     val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the pair table is persisted under the SAME canonical plan q58
+    // derives its edges from, so within one session the signature/band/
+    // verify chain runs once for both queries (CacheManager matches
+    // canonicalized plans)
     TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy($"a_id", $"b_id")
   }
   /** Shared MinHash-LSH CTE chain (shingles → signatures → bands →
@@ -532,7 +537,10 @@ object QueriesText {
     import s.implicits._
     val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same canonical plan as q30's persisted pair table → cache hit when
+    // both run in one session; standalone, sym materializes it once
     val pairs = TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = graft.operators.Components
       .connectedComponents(pairs, "a_id", "b_id")
       .withColumnRenamed("id", "doc_id")

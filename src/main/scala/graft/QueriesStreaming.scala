@@ -123,6 +123,37 @@ object QueriesStreaming {
       |  AND c.click_ms >= p.purchase_ms - 3600000
       |ORDER BY p.user_id, p.purchase_ms, c.click_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Unattributed-conversion report: the LEFT OUTER interval join
+    * ([[EventStreams.clickPurchaseAttributionOuter]]) in batch mode —
+    * every purchase, with its in-horizon clicks or null when none. Null
+    * click columns are labeled (-1) before ordering: Spark sorts nulls
+    * first, DuckDB last, and the gate must not depend on that. */
+  val q72AttributionOuter: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    EventStreams.clickPurchaseAttributionOuter(ev, horizon = "1 hour")
+      .select($"user_id",
+        coalesce(unix_millis($"click_ts"), lit(-1L)).as("click_ms"),
+        unix_millis($"purchase_ts").as("purchase_ms"),
+        round(coalesce($"click_value", lit(-1.0)), 2).as("click_value"),
+        round($"purchase_value", 2).as("purchase_value"))
+      .orderBy($"user_id", $"purchase_ms", $"click_ms")
+  }
+  val q72Sql: String =
+    """WITH c AS (SELECT user_id, epoch_ms(ts) AS click_ms, value AS click_value
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ms(ts) AS purchase_ms, value AS purchase_value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, coalesce(c.click_ms, -1) AS click_ms, p.purchase_ms,
+      |       round(coalesce(c.click_value, -1.0), 2) AS click_value,
+      |       round(p.purchase_value, 2) AS purchase_value
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |  AND c.click_ms <= p.purchase_ms
+      |  AND c.click_ms >= p.purchase_ms - 3600000
+      |ORDER BY p.user_id, p.purchase_ms, click_ms""".stripMargin
+
   // ---------------------------------------------------------------- q68
   /** Streaming exact dedup: the events FILE STREAM deduplicated on
     * (event_type, user_id) with `dropDuplicates` state, then aggregated
@@ -165,5 +196,6 @@ object QueriesStreaming {
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
     ("q47_attribution", q47Attribution, Some(q47Sql)),
     ("q68_stream_dedup", q68StreamDedup, Some(q68Sql)),
+    ("q72_attribution_outer", q72AttributionOuter, Some(q72Sql)),
   )
 }

@@ -122,6 +122,30 @@ object EventStreams {
         col("click_value"), col("purchase_value"))
   }
 
+  /** Left-outer variant of [[clickPurchaseAttribution]]: every purchase
+    * emits, with null click columns when no click fell in the horizon —
+    * the "unattributed conversion" report. In streaming, the outer row
+    * can only emit once the click-side watermark passes the purchase's
+    * join window (state eviction proves absence); in batch it is a plain
+    * outer interval join — same code, same result set. */
+  def clickPurchaseAttributionOuter(events: DataFrame, horizon: String = "1 hour",
+                                    lateness: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", lateness)
+    purchases.join(clicks,
+        purchases("user_id") === clicks("click_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(purchases("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen
     * within the watermark horizon — the streaming face of
     * [[graft.operators.TextDedup.exactDedup]]. State is bounded: keys

@@ -105,6 +105,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("clickPurchaseAttributionOuter (streaming)") {
+    it("emits unmatched purchases with null clicks once the watermark passes") {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp, String, Double)]
+      val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+      val query = EventStreams.clickPurchaseAttributionOuter(stream)
+        .writeStream.format("memory").queryName("attr_outer")
+        .outputMode("append").start()
+      try {
+        def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+        // user 1: click then purchase in horizon; user 2: bare purchase
+        mem.addData((1L, t(5), "click", 1.0), (1L, t(30), "purchase", 10.0),
+          (2L, t(31), "purchase", 20.0))
+        query.processAllAvailable()
+        // advance both watermarks far past the join window so the
+        // unmatched outer row can prove absence and emit
+        mem.addData((9L, Timestamp.valueOf("2024-01-01 14:00:00"), "click", 0.0),
+          (9L, Timestamp.valueOf("2024-01-01 14:00:00"), "purchase", 0.0))
+        query.processAllAvailable()
+        val rows = spark.table("attr_outer")
+          .select($"user_id", $"click_ts", $"purchase_ts").collect()
+        rows.find(_.getLong(0) == 1L).get.getTimestamp(1) shouldBe t(5)
+        val bare = rows.find(_.getLong(0) == 2L).get
+        bare.isNullAt(1) shouldBe true // outer row, no click
+        bare.getTimestamp(2) shouldBe t(31)
+      } finally query.stop()
+    }
+  }
+
   describe("enrich (stream-static broadcast join)") {
     it("labels stream rows from the static dimension, null on miss") {
       implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{NgramLm, QualityFilters, Redaction, SnapshotDiff}
+
+/** Corpus-compliance / lifecycle extension catalog: repetition quality
+  * filters, PII redaction, snapshot reconciliation, cube grouping sets,
+  * and n-gram LM scoring — the governance layer of a training-data
+  * pipeline (what runs between ingest and selection).
+  *
+  * Same determinism contract as [[Queries]]: aliases match the oracle,
+  * float aggregates rounded, results totally ordered.
+  */
+object QueriesCurate {
+  import Queries.Q
+
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  // ---------------------------------------------------------------- q73
+  /** Gopher-style repetition audit ([[QualityFilters.ngramRepetition]]):
+    * per-doc duplicated-2-gram fraction and top-gram share, rolled up per
+    * source with a flag count. dup_frac/top_share are exact rationals
+    * (ints divided once in double), so the 0.03 threshold compares
+    * identically cross-engine. */
+  val q73Repetition: Q = (s, dir) => {
+    import s.implicits._
+    QualityFilters.ngramRepetition(
+      Tables.documents(s, dir), Seq("doc_id", "source"), "text", n = 2)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"dup_frac"), 4).as("avg_dup"),
+        round(avg($"top_share"), 4).as("avg_top_share"),
+        sum(when($"dup_frac" > 0.03, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy($"source")
+  }
+  val q73Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, string_split($normSql, ' ') AS w FROM documents),
+       |ng AS (
+       |  SELECT doc_id, source, len(w) - 1 AS total,
+       |         list_transform(generate_series(1, len(w) - 1),
+       |                        i -> w[i] || ' ' || w[i+1]) AS grams
+       |  FROM tok WHERE len(w) >= 2),
+       |ex AS (SELECT doc_id, source, total, unnest(grams) AS g FROM ng),
+       |cnt AS (SELECT doc_id, source, total, g, count(*) AS c
+       |        FROM ex GROUP BY 1, 2, 3, 4),
+       |per_doc AS (
+       |  SELECT doc_id, source,
+       |         1.0 - count(*) * 1.0 / total AS dup_frac,
+       |         max(c) * 1.0 / total AS top_share
+       |  FROM cnt GROUP BY doc_id, source, total)
+       |SELECT source, count(*) AS n_docs,
+       |       round(avg(dup_frac), 4) AS avg_dup,
+       |       round(avg(top_share), 4) AS avg_top_share,
+       |       CAST(sum(CASE WHEN dup_frac > 0.03 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_flagged
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** PII redaction audit ([[Redaction]]): deterministic synthetic
+    * identifiers (email / IPv4 / phone derived from doc_id) are injected,
+    * redacted back out, and counted per source. The injection makes the
+    * fixture self-contained; the operator itself is the generic
+    * three-pattern codegen'd replace chain. */
+  val q74PiiRedact: Q = (s, dir) => {
+    import s.implicits._
+    val injected = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com or +1-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit("-99 ip 10."), ($"doc_id" % 256).cast("string"),
+          lit(".0.1 end")).as("raw"))
+    injected
+      .select($"doc_id", $"source", $"raw",
+        Redaction.redactPii($"raw").as("clean"))
+      .groupBy($"source")
+      .agg(
+        sum(Redaction.tokenCount($"clean", Redaction.emailToken).cast("long"))
+          .as("n_email"),
+        sum(Redaction.tokenCount($"clean", Redaction.ipToken).cast("long"))
+          .as("n_ip"),
+        sum(Redaction.tokenCount($"clean", Redaction.phoneToken).cast("long"))
+          .as("n_phone"),
+        sum(Redaction.charsRemoved($"raw", $"clean").cast("long"))
+          .as("chars_removed"))
+      .orderBy($"source")
+  }
+  val q74Sql: String =
+    raw"""WITH injected AS (
+         |  SELECT doc_id, source,
+         |    text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-99 ip 10.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' AS raw
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, source, raw,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+         |                       '[EMAIL]', 'g'),
+         |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+         |      '\+?\d[\d-]{6,}\d', '[PHONE]', 'g') AS clean
+         |  FROM injected)
+         |SELECT source,
+         |  CAST(sum(len(regexp_extract_all(clean, '\[EMAIL\]'))) AS BIGINT) AS n_email,
+         |  CAST(sum(len(regexp_extract_all(clean, '\[IP\]'))) AS BIGINT) AS n_ip,
+         |  CAST(sum(len(regexp_extract_all(clean, '\[PHONE\]'))) AS BIGINT) AS n_phone,
+         |  CAST(sum(length(raw) - length(clean)) AS BIGINT) AS chars_removed
+         |FROM red GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** Snapshot reconciliation ([[SnapshotDiff.diff]]): two deterministic
+    * "extract versions" of orders (modular drop-outs simulate deletes and
+    * inserts, a 10% price bump on keys ≡ 0 mod 7 simulates updates) are
+    * full-outer diffed and the change taxonomy aggregated. */
+  val q75SnapshotDiff: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val old = orders.filter($"o_orderkey" % 97 =!= 0)
+      .select($"o_orderkey", $"o_totalprice")
+    // +1000.0 is exact in double at price magnitudes — a multiplicative
+    // bump would need a re-round whose half-even boundary behavior
+    // differs between engines' round(double) implementations
+    val neu = orders.filter($"o_orderkey" % 89 =!= 0)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1000.0)
+          .otherwise($"o_totalprice").as("o_totalprice"))
+    SnapshotDiff.diff(old, neu, Seq("o_orderkey"), Seq("o_totalprice"))
+      .groupBy($"change_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"change_type")
+  }
+  val q75Sql: String =
+    """WITH old AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0),
+      |new AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 89 <> 0)
+      |SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |            WHEN new.o_orderkey IS NULL THEN 'removed'
+      |            WHEN old.o_totalprice <> new.o_totalprice THEN 'changed'
+      |            ELSE 'same' END AS change_type,
+      |       count(*) AS n,
+      |       round(sum(coalesce(new.o_totalprice, old.o_totalprice)), 2)
+      |         AS total_price
+      |FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** CUBE grouping sets (completing the §2.4 grouping-set family next to
+    * q36's ROLLUP): all four aggregation lattices of priority × status in
+    * one pass (Spark plans a single Expand + hash-agg, not four scans).
+    * Grouping nulls are labeled before ordering (Spark sorts nulls first,
+    * DuckDB last) and disambiguated from data by the explicit gid. */
+  val q76Cube: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      // grouping_id() is only resolvable inside the cube's aggregate
+      // list; with two cube columns it equals grouping(a)·2+grouping(b)
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"gid", $"n", $"total")
+      .orderBy($"gid", $"priority", $"status")
+  }
+  val q76Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
+      |         AS gid,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY gid, priority, status""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Character-trigram LM quality scoring ([[NgramLm]]): fit trigram
+    * frequencies on the corpus, score every document by mean ln P(gram),
+    * report per-language mean and worst scores. The model table is
+    * vocabulary-bounded → broadcast at scoring time; only the per-doc
+    * aggregation shuffles. */
+  val q77TrigramLm: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val model = NgramLm.fit(docs, "text", n = 3)
+    NgramLm.score(docs, Seq("doc_id", "lang"), "text", model, n = 3)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"avg_logp"), 3).as("mean_logp"),
+        round(min($"avg_logp"), 3).as("worst_logp"))
+      .orderBy($"lang")
+  }
+  val q77Sql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, lang, $normSql AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, lang, unnest(list_transform(
+       |    generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS g
+       |  FROM norm WHERE length(t) >= 3),
+       |model AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+       |tot AS (SELECT count(*) AS n FROM tri),
+       |doc_tri AS (SELECT doc_id, lang, g, count(*) AS dc FROM tri GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |         sum(d.dc * ln(m.c * 1.0 / tot.n)) / sum(d.dc) AS avg_logp
+       |  FROM doc_tri d JOIN model m ON d.g = m.g CROSS JOIN tot
+       |  GROUP BY d.doc_id, d.lang)
+       |SELECT lang, count(*) AS n_docs,
+       |       round(avg(avg_logp), 3) AS mean_logp,
+       |       round(min(avg_logp), 3) AS worst_logp
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Registry: name → (spark program, oracle sql). */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+    ("q73_repetition", q73Repetition, Some(q73Sql)),
+    ("q74_pii_redact", q74PiiRedact, Some(q74Sql)),
+    ("q75_snapshot_diff", q75SnapshotDiff, Some(q75Sql)),
+    ("q76_cube", q76Cube, Some(q76Sql)),
+    ("q77_trigram_lm", q77TrigramLm, Some(q77Sql)),
+  )
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Character n-gram language-model scoring: fit unsmoothed n-gram
+  * frequencies on a corpus, score each document by its mean log
+  * probability — the cheap proxy for "does this read like the corpus"
+  * used to rank candidate training documents (a KenLM-style perplexity
+  * filter, reduced to the Spark-expressible core).
+  *
+  * Capability extension beyond the reference (driver brief): the
+  * reference's closest analogue is the per-variable frequency plausibility
+  * tables (`/root/reference/dataset_curation.ipynb:cell 61`).
+  *
+  * Scale shape: the model is a `(gram, count)` table bounded by the
+  * n-gram vocabulary (≤ charset^n, thousands of rows for n = 3) — it is
+  * fit with one explode + hash-agg over the corpus and is always
+  * broadcastable at scoring time, so scoring adds no shuffle on the
+  * corpus side beyond the per-doc aggregation.
+  */
+object NgramLm {
+
+  /** All character n-grams of the normalized text, as an array column.
+    * The normalized string binds once per row (single-element `transform`
+    * lambda) so the regex normalization is not re-evaluated per window —
+    * see [[TextAnalysis.wordShingles]] for the measured rationale. */
+  def charNgrams(c: Column, n: Int): Column =
+    element_at(
+      transform(array(TextAnalysis.normalizeText(c)), t =>
+        when(length(t) >= n,
+          transform(sequence(lit(1), length(t) - lit(n - 1)),
+            i => t.substr(i, lit(n))))
+          .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))),
+      1)
+
+  /** Fit the model: `(gram, c)` counts plus the corpus total stamped on
+    * every row (a 1-row aggregate cross-joined in — broadcast, no
+    * shuffle of the counts). */
+  def fit(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val grams = df.select(explode(charNgrams(col(textCol), n)).as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("c")).as("total"))))
+  }
+
+  /** Score documents against a fitted model: mean `ln P(gram)` over each
+    * document's n-grams (grams absent from the model are impossible by
+    * construction when the model was fit on the same corpus; against a
+    * foreign model, join misses drop the gram — document that or refit
+    * with smoothing). Returns `idCols ++ (n_grams, avg_logp)`. */
+  def score(df: DataFrame, idCols: Seq[String], textCol: String,
+            model: DataFrame, n: Int): DataFrame = {
+    val ids = idCols.map(col)
+    val docGrams = df
+      .select(ids :+ explode(charNgrams(col(textCol), n)).as("gram"): _*)
+      .groupBy(ids :+ col("gram"): _*)
+      .agg(count(lit(1)).as("dc"))
+    docGrams
+      .join(broadcast(model), Seq("gram"))
+      .groupBy(ids: _*)
+      .agg(sum(col("dc")).as("n_grams"),
+        (sum(col("dc") * log(col("c").cast("double") / col("total")))
+          / sum(col("dc"))).as("avg_logp"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over text columns — the compliance pass a
+  * training-data pipeline runs before anything leaves the raw zone.
+  *
+  * Capability extension beyond the reference (driver brief): the
+  * reference handles patient-identifiable data by *dropping* identifier
+  * columns before publication (`/root/reference/README.md:5` — the data
+  * are private); this operator family generalizes that to in-content
+  * identifiers.
+  *
+  * Everything is a pure Catalyst `regexp_replace`/`regexp_count`
+  * expression chain: codegen'd, embarrassingly parallel, no UDFs — a
+  * full-corpus redaction is one narrow map over the scan with zero
+  * shuffles.
+  *
+  * Replacement order matters and is fixed: emails first (their local
+  * part may contain digits a later pass would mangle), then IPs (dotted
+  * digits the phone pattern must not see), then phone numbers.
+  */
+object Redaction {
+
+  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\+?\\d[\\d-]{6,}\\d"
+
+  val emailToken = "[EMAIL]"
+  val ipToken = "[IP]"
+  val phoneToken = "[PHONE]"
+
+  /** Replace emails, IPv4 addresses, and phone-like digit runs with
+    * their redaction tokens. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, emailToken),
+        ipPattern, ipToken),
+      phonePattern, phoneToken)
+
+  /** Occurrences of a literal redaction token (regex-escaped). */
+  def tokenCount(c: Column, token: String): Column =
+    size(regexp_extract_all(c, lit(token.replaceAll("([\\[\\]])", "\\\\$1")),
+      lit(0)))
+
+  /** Characters removed by redaction: `length(raw) − length(redacted)`.
+    * Integer-exact, so it is a portable cross-engine audit measure. */
+  def charsRemoved(raw: Column, redacted: Column): Column =
+    length(raw) - length(redacted)
+}

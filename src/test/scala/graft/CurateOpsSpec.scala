@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{NgramLm, QualityFilters, Redaction, SnapshotDiff}
+
+/** Unit coverage for the corpus-governance operators behind
+  * [[QueriesCurate]]: repetition metrics, PII redaction, snapshot diff,
+  * and n-gram LM scoring — hand-computed expectations on small inputs.
+  */
+class CurateOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("QualityFilters") {
+    it("computes duplicated-2-gram fraction and top share") {
+      // "a b a b a" → 2-grams: [a b, b a, a b, b a] → 4 total, 2 distinct
+      val df = Seq((1L, "a b a b a"), (2L, "w x y z")).toDF("id", "text")
+      val m = QualityFilters.ngramRepetition(df, Seq("id"), "text", 2)
+        .orderBy($"id").collect()
+      m(0).getInt(1) shouldBe 4              // n_grams (size() is int-typed)
+      m(0).getDouble(2) shouldBe 0.5         // dup_frac = 1 - 2/4
+      m(0).getDouble(3) shouldBe 0.5         // top_share = 2/4
+      m(1).getDouble(2) shouldBe 0.0         // all distinct
+      m(1).getDouble(3) shouldBe (1.0 / 3.0) // 3 grams, each once
+    }
+
+    it("drops documents shorter than n tokens and matches dupFraction") {
+      val df = Seq((1L, "solo"), (2L, "a a a")).toDF("id", "text")
+      val m = QualityFilters.ngramRepetition(df, Seq("id"), "text", 2)
+      m.count() shouldBe 1L
+      val narrow = df.select($"id",
+        QualityFilters.dupFraction($"text", 2).as("f")).orderBy($"id").collect()
+      assert(narrow(0).isNullAt(1))          // too short → null, not 0
+      narrow(1).getDouble(1) shouldBe 0.5    // [a a, a a] → 1 - 1/2
+    }
+  }
+
+  describe("Redaction") {
+    it("redacts emails, IPs, and phones in the right order") {
+      val raw = "mail bob.smith+x@corp.example.org node 192.168.0.1 tel +44-20-7946-0958 done"
+      val out = Seq(raw).toDF("t")
+        .select(Redaction.redactPii($"t").as("c")).head().getString(0)
+      out shouldBe "mail [EMAIL] node [IP] tel [PHONE] done"
+    }
+
+    it("counts tokens and removed characters") {
+      val df = Seq("a@b.io and c@d.io here").toDF("t")
+        .select($"t", Redaction.redactPii($"t").as("c"))
+      df.select(Redaction.tokenCount($"c", Redaction.emailToken))
+        .head().getInt(0) shouldBe 2
+      // both 6-char emails → two 7-char tokens: removed = 12 - 14 = -2
+      df.select(Redaction.charsRemoved($"t", $"c")).head().getInt(0) shouldBe -2
+    }
+
+    it("leaves clean text untouched") {
+      val clean = "no identifiers in this sentence at all"
+      Seq(clean).toDF("t").select(Redaction.redactPii($"t"))
+        .head().getString(0) shouldBe clean
+    }
+  }
+
+  describe("SnapshotDiff") {
+    it("classifies added / removed / changed / same with null-safe compare") {
+      val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+        .toDF("k", "v")
+      val neu = Seq((1L, Some(10.0)), (2L, Some(25.0)), (3L, Some(30.0)), (5L, Some(50.0)))
+        .toDF("k", "v")
+      val d = SnapshotDiff.diff(old, neu, Seq("k"), Seq("v"))
+        .orderBy($"k").collect()
+      d.map(r => (r.getLong(0), r.getString(2))) shouldBe Array(
+        (1L, "same"), (2L, "changed"), (3L, "changed"), // null→30 is a change
+        (4L, "removed"), (5L, "added"))
+      d(1).getDouble(1) shouldBe 25.0 // coalesced new-over-old
+      d(3).getDouble(1) shouldBe 40.0 // removed row keeps old value
+    }
+  }
+
+  describe("NgramLm") {
+    it("extracts char n-grams of normalized text") {
+      val g = Seq("AB  cd").toDF("t")
+        .select(NgramLm.charNgrams($"t", 3).as("g")).head().getSeq[String](0)
+      g shouldBe Seq("ab ", "b c", " cd") // normalized: "ab cd"
+      Seq("ab").toDF("t").select(NgramLm.charNgrams($"t", 3))
+        .head().getSeq[String](0) shouldBe Seq.empty
+    }
+
+    it("fits counts with corpus total and scores ln-probabilities") {
+      // corpus "aaab": trigrams aaa, aab → each count 1, total 2
+      val docs = Seq((1L, "aaab")).toDF("id", "text")
+      val model = NgramLm.fit(docs, "text", 3)
+      rowsOf(model.select($"gram", $"c", $"total")) shouldBe Seq(
+        Seq("aaa", 1L, 2L), Seq("aab", 1L, 2L))
+      val sc = NgramLm.score(docs, Seq("id"), "text", model, 3).head()
+      sc.getLong(1) shouldBe 2L // n_grams
+      sc.getDouble(2) shouldBe math.log(0.5) +- 1e-12
+    }
+  }
+}

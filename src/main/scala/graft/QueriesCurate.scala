@@ -218,6 +218,36 @@ object QueriesCurate {
        |       round(min(avg_logp), 3) AS worst_logp
        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Explicit GROUPING SETS (the general form behind q36's ROLLUP and
+    * q76's CUBE): exactly the per-priority, per-status, and grand-total
+    * lattices — no (priority, status) cross cell — in one Expand +
+    * hash-agg pass. This is the shape reporting pipelines want when the
+    * cross cells would be cardinality noise. */
+  val q79GroupingSets: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"gid", $"n", $"total")
+      .orderBy($"gid", $"priority", $"status")
+  }
+  val q79Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
+      |         AS gid,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, priority, status""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -225,5 +255,6 @@ object QueriesCurate {
     ("q75_snapshot_diff", q75SnapshotDiff, Some(q75Sql)),
     ("q76_cube", q76Cube, Some(q76Sql)),
     ("q77_trigram_lm", q77TrigramLm, Some(q77Sql)),
+    ("q79_grouping_sets", q79GroupingSets, Some(q79Sql)),
   )
 }

@@ -154,6 +154,35 @@ object QueriesSources {
       |WHERE user_id BETWEEN 25 AND 75 AND value >= 50.0 AND value < 200.0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Hive-partitioned layout round-trip
+    * ([[graft.sources.Layout.writeHivePartitioned]]): documents rewritten
+    * as per-language `lang=...` directories, read back through a partition-column
+    * predicate — which prunes whole directories before any file is
+    * listed (`PartitionFilters` in the scan, proven by `LayoutSpec`) —
+    * and aggregated per source. The oracle applies the same predicate to
+    * the ORIGINAL table: the partitioning rewrite must be content-neutral
+    * including the text payload (md5-checked). */
+  val q78PartitionPrune: Q = (s, dir) => {
+    import s.implicits._
+    val out = scratch("q78_part", dir)
+    graft.sources.Layout.writeHivePartitioned(
+      Tables.documents(s, dir), out, Seq("lang"))
+    s.read.parquet(out)
+      .filter($"lang".isin("en", "fr"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"),
+        // cross-engine-stable content checksum: min/max of md5(text)
+        min(md5($"text")).as("text_md5_lo"), max(md5($"text")).as("text_md5_hi"))
+      .orderBy($"lang", $"source")
+  }
+  val q78Sql: String =
+    """SELECT lang, source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  min(md5(text)) AS text_md5_lo, max(md5(text)) AS text_md5_hi
+      |FROM documents WHERE lang IN ('en', 'fr')
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q42_xml_roundtrip", q42XmlRoundtrip, Some(q42Sql)),
@@ -161,5 +190,6 @@ object QueriesSources {
     ("q53_jsonl_roundtrip", q53JsonlRoundtrip, Some(q53Sql)),
     ("q54_orc_roundtrip", q54OrcRoundtrip, Some(q54Sql)),
     ("q69_zorder_roundtrip", q69ZOrderRoundtrip, Some(q69Sql)),
+    ("q78_partition_prune", q78PartitionPrune, Some(q78Sql)),
   )
 }

@@ -154,6 +154,40 @@ object QueriesStreaming {
       |  AND c.click_ms >= p.purchase_ms - 3600000
       |ORDER BY p.user_id, p.purchase_ms, click_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Native `session_window` sessionization
+    * ([[EventStreams.sessionWindowAgg]]) in batch mode, against the SAME
+    * relational island oracle as q46 — proving the built-in
+    * merging-window aggregate, the custom flatMapGroupsWithState fold,
+    * and the lag/running-sum SQL all implement one semantics. */
+  val q80SessionWindow: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    EventStreams.sessionWindowAgg(ev, gapMs = 43200000L)
+      .select($"user_id", unix_millis($"session_start").as("start_ms"),
+        unix_millis($"session_end").as("end_ms"), $"n_events",
+        round($"value_sum", 2).as("value_sum"))
+      .orderBy($"user_id", $"start_ms")
+  }
+  /** Same island shape as q46's oracle but with a `>=` break: Spark's
+    * session windows are half-open `[ts, ts+gap)`, so an event EXACTLY
+    * gap after its predecessor starts a new session (the custom q46
+    * operator keeps it — the two agree except on exact-boundary data). */
+  val q80Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+      |g AS (SELECT user_id, ms, value,
+      |        CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 43200000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM ev),
+      |sess AS (SELECT user_id, ms, value,
+      |           sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |         FROM g)
+      |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+      |       count(*) AS n_events, round(sum(value), 2) AS value_sum
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
+
   // ---------------------------------------------------------------- q68
   /** Streaming exact dedup: the events FILE STREAM deduplicated on
     * (event_type, user_id) with `dropDuplicates` state, then aggregated
@@ -197,5 +231,6 @@ object QueriesStreaming {
     ("q47_attribution", q47Attribution, Some(q47Sql)),
     ("q68_stream_dedup", q68StreamDedup, Some(q68Sql)),
     ("q72_attribution_outer", q72AttributionOuter, Some(q72Sql)),
+    ("q80_session_window", q80SessionWindow, Some(q80Sql)),
   )
 }

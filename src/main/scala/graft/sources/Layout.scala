@@ -57,6 +57,20 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hive-style partitioned parquet write: one directory per distinct
+    * value combination of `partCols` (`col=value/...` paths). The scan
+    * side then prunes whole directories from a predicate on the
+    * partition columns BEFORE listing files — the coarsest and cheapest
+    * skipping tier, ahead of row-group stats and z-ordering. Choose
+    * partition columns with bounded cardinality (lang, date, source);
+    * high-cardinality partitioning produces the small-file problem
+    * [[compact]] exists to fix. */
+  def writeHivePartitioned(df: DataFrame, path: String,
+                           partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "writeHivePartitioned needs partition columns")
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+  }
+
   /** Compact a parquet directory to ~`targetBytes` files: read, coalesce
     * to ceil(total/target) partitions (narrow — no shuffle), rewrite to
     * `outPath`. The file-count floor is 1; data is byte-identical

@@ -146,6 +146,26 @@ object EventStreams {
         col("click_value"), col("purchase_value"))
   }
 
+  /** Gap-based sessionization via the NATIVE `session_window` aggregate —
+    * the declarative sibling of [[sessionize]]'s custom-state fold. Spark
+    * merges overlapping per-event windows `[ts, ts+gap)` into sessions
+    * inside the aggregation operator itself (no user state code, and in
+    * streaming the watermark closes sessions exactly like the custom
+    * operator's event-time timeout). Emits one row per (user, session):
+    * first/last event time, event count, value sum. `session_end` is the
+    * LAST EVENT time (the raw window end is last+gap — an implementation
+    * artifact callers shouldn't see). Works identically on batch frames,
+    * which is what the oracle gate compares. */
+  def sessionWindowAgg(events: DataFrame, gapMs: Long): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr(s"INTERVAL $gapMs MILLISECONDS"))
+          .as("session_end"),
+        col("n_events"), col("value_sum"))
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen
     * within the watermark horizon — the streaming face of
     * [[graft.operators.TextDedup.exactDedup]]. State is bounded: keys

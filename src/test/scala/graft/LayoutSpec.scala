@@ -32,6 +32,32 @@ class LayoutSpec extends SparkSpec {
       df.agg(count(lit(1)), round(sum($"value"), 2)).head
   }
 
+  it("hive-partitioned write prunes non-matching directories at scan time") {
+    val out = java.nio.file.Files.createTempDirectory("hivepart").toString
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    Layout.writeHivePartitioned(df, out, Seq("lang"))
+    // one directory per language on disk
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName)
+    dirs.toSet.map((s: String) => s.takeWhile(_ != '=')) shouldBe Set("lang")
+
+    // a partition predicate must reach the scan as a partition filter:
+    // only files under lang=en may be touched (AQE hides the scan node
+    // behind query stages, so disable it for the plan assert)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = spark.read.parquet(out).filter($"lang" === "en")
+      val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+      files should not be empty
+      all(files) should include("lang=en")
+      val scan = pruned.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      scan.partitionFilters should not be empty
+      // and content round-trips (partition column folded back in)
+      pruned.count() shouldBe df.filter($"lang" === "en").count()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   it("compact merges small files and preserves the data") {
     val in = java.nio.file.Files.createTempDirectory("cmp_in").toString
     val out = java.nio.file.Files.createTempDirectory("cmp_out").toString

@@ -105,6 +105,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("sessionWindowAgg (native session_window)") {
+    it("matches the custom sessionize operator on a batch frame") {
+      val events = Seq(
+        (1L, ts(0), "click", 1.0), (1L, ts(2), "view", 2.0),
+        (1L, ts(30), "click", 4.0), (2L, ts(7), "signup", 8.0)
+      ).toDF("user_id", "ts", "event_type", "value")
+      val got = EventStreams.sessionWindowAgg(events, gapMs = 10 * 60 * 1000L)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      got shouldBe Set(
+        (1L, ts(0), ts(2), 2L, 3.0),
+        (1L, ts(30), ts(30), 1L, 4.0),
+        (2L, ts(7), ts(7), 1L, 8.0))
+    }
+
+    it("closes sessions through the watermark in streaming mode") {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp, String, Double)]
+      val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+        .withWatermark("ts", "0 seconds")
+      val query = EventStreams.sessionWindowAgg(stream, gapMs = 10 * 60 * 1000L)
+        .writeStream.format("memory").queryName("native_sessions")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, ts(0), "click", 1.0), (1L, ts(2), "view", 2.0))
+        query.processAllAvailable()
+        // event time far past end+gap → watermark closes the session
+        mem.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00"), "view", 0.25))
+        query.processAllAvailable()
+        val got = spark.table("native_sessions")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getLong(3), r.getDouble(4))).toSet
+        got should contain((1L, ts(0), ts(2), 2L, 3.0))
+      } finally query.stop()
+    }
+  }
+
   describe("clickPurchaseAttributionOuter (streaming)") {
     it("emits unmatched purchases with null clicks once the watermark passes") {
       implicit val sqlCtx = spark.sqlContext

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{NgramLm, QualityFilters, Redaction, SnapshotDiff}
+import graft.operators.{IncrementalAgg, Linkage, NgramLm, Normalize, QualityFilters, Redaction, SnapshotDiff}
 
 /** Corpus-compliance / lifecycle extension catalog: repetition quality
   * filters, PII redaction, snapshot reconciliation, cube grouping sets,
@@ -248,6 +248,106 @@ object QueriesCurate {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY gid, priority, status""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Incremental aggregate maintenance ([[IncrementalAgg]]): fold a
+    * "history" state and a "new batch" delta (split on order date) into
+    * one state and publish — proven equal to the full recompute, which
+    * IS the oracle. The algebraic-merge property is what lets a 100 TB
+    * rollup refresh touch only the delta. */
+  val q81IncrementalAgg: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val split = to_timestamp(lit("1997-01-01 00:00:00"))
+    val state = IncrementalAgg.partial(
+      orders.filter($"o_orderdate" < split), Seq("o_orderpriority"), "o_totalprice")
+    val delta = IncrementalAgg.partial(
+      orders.filter($"o_orderdate" >= split), Seq("o_orderpriority"), "o_totalprice")
+    IncrementalAgg.finish(IncrementalAgg.merge(Seq(state, delta), Seq("o_orderpriority")))
+      .select($"o_orderpriority".as("priority"), $"n",
+        round($"total", 2).as("total"), round($"mean", 4).as("mean"))
+      .orderBy($"priority")
+  }
+  val q81Sql: String =
+    """SELECT o_orderpriority AS priority, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       round(avg(o_totalprice), 4) AS mean
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Probabilistic record linkage ([[Linkage]], Fellegi–Sunter shape):
+    * customers linked to a key-perturbed copy of themselves (damaged
+    * names on keys ≡ 0 mod 3, drifted balances on ≡ 0 mod 7), blocked on
+    * (nation, segment), scored by weighted field agreement. The gate
+    * reports the score distribution split by true/false match — the
+    * linkage-quality table a real deployment tunes its threshold on. */
+  val q82LinkageScore: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val damaged = cust.select(
+      $"c_custkey",
+      when($"c_custkey" % 3 === 0, concat($"c_name", lit("~")))
+        .otherwise($"c_name").as("c_name"),
+      $"c_nationkey",
+      when($"c_custkey" % 7 === 0, $"c_acctbal" + 500.0)
+        .otherwise($"c_acctbal").as("c_acctbal"),
+      $"c_mktsegment")
+    Linkage.link(cust, damaged,
+        blockKeys = Seq("c_nationkey", "c_mktsegment"),
+        comparators = Seq(
+          (col("a_c_name") === col("b_c_name"), 2.0),
+          (abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 1.0, 1.5),
+          (floor(col("a_c_acctbal") / 1000.0) === floor(col("b_c_acctbal") / 1000.0), 0.5)),
+        threshold = 2.0)
+      .groupBy($"link_score",
+        when($"a_c_custkey" === $"b_c_custkey", 1).otherwise(0).as("is_true"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"link_score", $"is_true")
+  }
+  val q82Sql: String =
+    """WITH b AS (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 3 = 0 THEN c_name || '~' ELSE c_name END AS c_name,
+      |        c_nationkey,
+      |        CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END
+      |          AS c_acctbal,
+      |        c_mktsegment FROM customer),
+      |p AS (SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |        (CASE WHEN a.c_name = b.c_name THEN 2.0 ELSE 0.0 END) +
+      |        (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 1.0 THEN 1.5 ELSE 0.0 END) +
+      |        (CASE WHEN floor(a.c_acctbal/1000.0) = floor(b.c_acctbal/1000.0)
+      |              THEN 0.5 ELSE 0.0 END) AS link_score
+      |      FROM customer a JOIN b ON a.c_nationkey = b.c_nationkey
+      |                            AND a.c_mktsegment = b.c_mktsegment)
+      |SELECT link_score, CASE WHEN a_key = b_key THEN 1 ELSE 0 END AS is_true,
+      |       count(*) AS n
+      |FROM p WHERE link_score >= 2.0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Group-mean imputation ([[Normalize.imputeGroupMean]]): n_chars
+    * nulled on doc_id ≡ 0 mod 11, refilled from each language's mean of
+    * the surviving values — per-language counts and the filled mean
+    * gate both the null bookkeeping and the broadcast fill. */
+  val q84Impute: Q = (s, dir) => {
+    import s.implicits._
+    val holed = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        when($"doc_id" % 11 === 0, lit(null)).otherwise($"n_chars").as("v"))
+    Normalize.imputeGroupMean(holed, "lang", "v")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_imputed"),
+        round(avg($"v_filled"), 4).as("filled_mean"))
+      .orderBy($"lang")
+  }
+  val q84Sql: String =
+    """WITH d AS (SELECT lang,
+      |             CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS v
+      |           FROM documents),
+      |m AS (SELECT lang, avg(v) AS grp_mean FROM d GROUP BY lang)
+      |SELECT d.lang, count(*) AS n,
+      |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+      |  round(avg(coalesce(v, grp_mean)), 4) AS filled_mean
+      |FROM d JOIN m USING (lang) GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -256,5 +356,8 @@ object QueriesCurate {
     ("q76_cube", q76Cube, Some(q76Sql)),
     ("q77_trigram_lm", q77TrigramLm, Some(q77Sql)),
     ("q79_grouping_sets", q79GroupingSets, Some(q79Sql)),
+    ("q81_incremental_agg", q81IncrementalAgg, Some(q81Sql)),
+    ("q82_linkage_score", q82LinkageScore, Some(q82Sql)),
+    ("q84_impute", q84Impute, Some(q84Sql)),
   )
 }

@@ -183,6 +183,40 @@ object QueriesSources {
       |FROM documents WHERE lang IN ('en', 'fr')
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Schema-evolution read: two parquet generations of the orders feed
+    * (v2 adds `o_orderpriority`) land in sibling directories; a
+    * `mergeSchema` read reconciles them — v1 rows surface the new column
+    * as null, exactly the additive-evolution contract. The oracle
+    * restates the union with an explicit NULL column. At scale the
+    * merged-footer schema comes from a bounded sample of files, which is
+    * why additive (never type-changing) evolution is the rule. */
+  val q83SchemaEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val out = scratch("q83_evo", dir)
+    val orders = Tables.orders(s, dir)
+    orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    orders.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+      .groupBy(coalesce($"o_orderpriority", lit("MISSING")).as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"priority")
+  }
+  val q83Sql: String =
+    """WITH m AS (
+      |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT coalesce(o_orderpriority, 'MISSING') AS priority,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q42_xml_roundtrip", q42XmlRoundtrip, Some(q42Sql)),
@@ -191,5 +225,6 @@ object QueriesSources {
     ("q54_orc_roundtrip", q54OrcRoundtrip, Some(q54Sql)),
     ("q69_zorder_roundtrip", q69ZOrderRoundtrip, Some(q69Sql)),
     ("q78_partition_prune", q78PartitionPrune, Some(q78Sql)),
+    ("q83_schema_evolution", q83SchemaEvolution, Some(q83Sql)),
   )
 }

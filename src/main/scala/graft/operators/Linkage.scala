@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi–Sunter shape): generate
+  * candidate pairs by equi-join on blocking keys, score each pair as the
+  * sum of per-field agreement weights, link above a threshold.
+  *
+  * This is the natural extension of the reference's *deterministic*
+  * linkage — ICNARC↔Philips rows are joined on curated keys with a
+  * hand-maintained error list (`/root/reference/clean_encounterids.py:
+  * 86-95`, `31-53`); when no trustworthy key exists, field-agreement
+  * scoring is what record-linkage practice (and the accompanying
+  * F1000Research paper's citations) reaches for. Weights are the
+  * caller's ln(m/u) estimates per comparator.
+  *
+  * Scale shape: blocking turns the quadratic all-pairs comparison into
+  * one shuffle equi-join whose fan-out is Σ|block|² — choose blocking
+  * keys so blocks stay bounded (add more keys or hash-coarsen a
+  * continuous column); the scoring itself is a codegen'd per-row
+  * expression over the joined frame.
+  */
+object Linkage {
+
+  /** Candidate pairs: `left` × `right` restricted to equal blocking
+    * keys. Left columns come out prefixed `a_`, right columns `b_`. */
+  def candidatePairs(left: DataFrame, right: DataFrame,
+                     blockKeys: Seq[String]): DataFrame = {
+    val a = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val cond = blockKeys.map(k => col(s"a_$k") === col(s"b_$k")).reduce(_ && _)
+    a.join(b, cond)
+  }
+
+  /** Score pairs: each comparator is (agreement predicate over the
+    * prefixed pair frame, weight); the score is the weight sum of
+    * agreeing comparators. */
+  def scorePairs(pairs: DataFrame,
+                 comparators: Seq[(Column, Double)]): DataFrame = {
+    require(comparators.nonEmpty, "Linkage.scorePairs needs comparators")
+    val score = comparators.map { case (pred, w) =>
+      when(pred, lit(w)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    pairs.withColumn("link_score", score)
+  }
+
+  /** Full pipeline: block → score → threshold. */
+  def link(left: DataFrame, right: DataFrame, blockKeys: Seq[String],
+           comparators: Seq[(Column, Double)], threshold: Double): DataFrame =
+    scorePairs(candidatePairs(left, right, blockKeys), comparators)
+      .filter(col("link_score") >= threshold)
+}

@@ -24,4 +24,20 @@ object Normalize {
       .withColumn(s"${valueCol}_wins",
         least(greatest(col(valueCol).cast("double"), col("p_lo")), col("p_hi")))
   }
+
+  /** Append `<valueCol>_filled` — nulls imputed with the group's mean of
+    * the present values (the standard curation fill before models that
+    * can't take missing features). Same two-step shape as
+    * [[winsorize]]: one grouped aggregate (group-cardinality-sized →
+    * broadcast back), one narrow coalesce projection. Groups whose
+    * values are ALL null stay null — a mean of nothing is not 0. */
+  def imputeGroupMean(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame = {
+    val means = df.groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("_grp_mean"))
+    df.join(broadcast(means), Seq(groupCol))
+      .withColumn(s"${valueCol}_filled",
+        coalesce(col(valueCol).cast("double"), col("_grp_mean")))
+      .drop("_grp_mean")
+  }
 }

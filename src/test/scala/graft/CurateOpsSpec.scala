@@ -74,6 +74,51 @@ class CurateOpsSpec extends SparkSpec {
     }
   }
 
+  describe("IncrementalAgg") {
+    it("state ∪ delta merge equals the full recompute") {
+      val all = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0))
+        .toDF("k", "v")
+      val state = operators.IncrementalAgg.partial(all.limit(2), Seq("k"), "v")
+      val delta = operators.IncrementalAgg.partial(
+        all.exceptAll(all.limit(2)), Seq("k"), "v")
+      val merged = operators.IncrementalAgg.finish(
+        operators.IncrementalAgg.merge(Seq(state, delta), Seq("k")))
+      rowsOf(merged) shouldBe rowsOf(operators.IncrementalAgg.finish(
+        operators.IncrementalAgg.partial(all, Seq("k"), "v")))
+      merged.filter($"k" === "a").head().getDouble(2) shouldBe 7.0 // total
+    }
+  }
+
+  describe("Linkage") {
+    it("blocks, scores weighted agreements, and thresholds") {
+      val left = Seq((1L, "ann", 10, 5.0), (2L, "bob", 10, 9.0), (3L, "cat", 20, 1.0))
+        .toDF("id", "name", "blk", "x")
+      val right = Seq((1L, "ann", 10, 5.2), (2L, "BOB", 10, 9.0), (4L, "dan", 30, 2.0))
+        .toDF("id", "name", "blk", "x")
+      val linked = operators.Linkage.link(left, right, Seq("blk"),
+        Seq((col("a_name") === col("b_name"), 2.0),
+          (abs(col("a_x") - col("b_x")) <= 0.5, 1.0)),
+        threshold = 1.0)
+      val got = linked.select($"a_id", $"b_id", $"link_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // (1,1): name+proximity = 3.0; (2,2): proximity only = 1.0;
+      // cross pairs (1,2)/(2,1) agree on nothing; id 3/4 blocks don't meet
+      got shouldBe Set((1L, 1L, 3.0), (2L, 2L, 1.0))
+    }
+  }
+
+  describe("Normalize.imputeGroupMean") {
+    it("fills nulls with the group mean and leaves all-null groups null") {
+      val df = Seq(("g1", Some(2.0)), ("g1", None), ("g1", Some(4.0)),
+        ("g2", None)).toDF("g", "v")
+      val out = operators.Normalize.imputeGroupMean(df, "g", "v")
+      out.filter($"v".isNull && $"g" === "g1")
+        .head().getAs[Double]("v_filled") shouldBe 3.0
+      out.filter($"g" === "g2").head().isNullAt(
+        out.columns.indexOf("v_filled")) shouldBe true
+    }
+  }
+
   describe("NgramLm") {
     it("extracts char n-grams of normalized text") {
       val g = Seq("AB  cd").toDF("t")

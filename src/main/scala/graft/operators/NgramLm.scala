@@ -37,11 +37,18 @@ object NgramLm {
 
   /** Fit the model: `(gram, c)` counts plus the corpus total stamped on
     * every row (a 1-row aggregate cross-joined in — broadcast, no
-    * shuffle of the counts). */
+    * shuffle of the counts). The total is computed arithmetically from
+    * normalized lengths — `Σ max(len − n + 1, 0)` — NOT by re-counting
+    * the exploded grams: summing counts would re-run the whole corpus
+    * explode a second time (Catalyst does not share the unpersisted
+    * subtree between the crossJoin's two sides). */
   def fit(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val grams = df.select(explode(charNgrams(col(textCol), n)).as("gram"))
-    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-    counts.crossJoin(broadcast(counts.agg(sum(col("c")).as("total"))))
+    val counts = df.select(explode(charNgrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    val total = df.agg(
+      sum(greatest(length(TextAnalysis.normalizeText(col(textCol))) - lit(n - 1),
+        lit(0)).cast("long")).as("total"))
+    counts.crossJoin(broadcast(total))
   }
 
   /** Score documents against a fitted model: mean `ln P(gram)` over each

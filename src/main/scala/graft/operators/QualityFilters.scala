@@ -14,12 +14,13 @@ import graft.functions.TextAnalysis
   * (`/root/reference/clean_encounterids.py:97-120`); this generalizes
   * them to content-level quality.
   *
-  * Scale shape: [[ngramRepetition]] explodes n-grams and aggregates
-  * twice — (doc, gram) then doc — so the heavy per-row tokenization is a
-  * narrow map and both aggregations combine map-side before their
-  * shuffle. [[dupFraction]] is the shuffle-free variant: when only the
-  * duplicate fraction is needed (no top-gram share), `array_distinct`
-  * computes it per row inside whole-stage codegen with zero exchanges.
+  * Scale shape: the metrics are doc-LOCAL — no cross-document state —
+  * so they are computed narrowly per row (sort the gram array, count
+  * distincts and the longest equal-run with one fold) inside the scan
+  * projection: ZERO shuffles for the per-doc table, where an
+  * explode + (doc, gram) re-aggregation would move every corpus token
+  * through two exchanges. Per-doc work is O(tokens · log tokens); a
+  * document always fits its executor (the text column already does).
   */
 object QualityFilters {
 
@@ -33,32 +34,37 @@ object QualityFilters {
           lit(1.0) - size(array_distinct(g)).cast("double") / size(g))),
       1)
 
+  /** Longest equal-element run in an ALREADY-SORTED array = count of the
+    * most frequent element: one sequential fold carrying (prev value,
+    * current run, best run). */
+  private def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Per-document repetition metrics over word n-grams: returns
     * `idCols ++ (n_grams, dup_frac, top_share)` where `dup_frac` is the
     * duplicated-gram fraction and `top_share` the share of the single
     * most frequent gram. Docs shorter than n tokens are dropped (they
-    * have no n-grams to judge).
-    *
-    * Two hash aggregations, both with map-side partial combine; the
-    * explode is linear in corpus token count — no quadratic per-doc
-    * array scans, which is what makes this shape survive 100 TB. */
+    * have no n-grams to judge). Purely narrow — the gram array binds
+    * once per row, is sorted once, and both metrics fall out of
+    * `array_distinct` + the run-length fold. */
   def ngramRepetition(df: DataFrame, idCols: Seq[String], textCol: String,
                       n: Int): DataFrame = {
     val ids = idCols.map(col)
-    val grams = df
-      .select(ids :+ TextAnalysis.wordShingles(col(textCol), n).as("_grams"): _*)
+    df.select(ids :+ TextAnalysis.wordShingles(col(textCol), n).as("_grams"): _*)
       .filter(size(col("_grams")) > 0)
-      .select(ids ++ Seq(size(col("_grams")).as("_total"),
-        explode(col("_grams")).as("_gram")): _*)
-    grams
-      .groupBy(ids ++ Seq(col("_total"), col("_gram")): _*)
-      .agg(count(lit(1)).as("_c"))
-      .groupBy(ids :+ col("_total"): _*)
-      .agg(count(lit(1)).as("_n_distinct"), max(col("_c")).as("_top"))
       .select(ids ++ Seq(
-        col("_total").as("n_grams"),
-        (lit(1.0) - col("_n_distinct").cast("double") / col("_total"))
-          .as("dup_frac"),
-        (col("_top").cast("double") / col("_total")).as("top_share")): _*)
+        size(col("_grams")).as("n_grams"),
+        (lit(1.0) - size(array_distinct(col("_grams"))).cast("double")
+          / size(col("_grams"))).as("dup_frac"),
+        (maxRunLength(array_sort(col("_grams"))).cast("double")
+          / size(col("_grams"))).as("top_share")): _*)
   }
 }

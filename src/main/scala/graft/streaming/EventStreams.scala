@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface for the events feed.
   *
@@ -144,6 +145,45 @@ object EventStreams {
         "left_outer")
       .select(purchases("user_id"), col("click_ts"), col("purchase_ts"),
         col("click_value"), col("purchase_value"))
+  }
+
+  case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Per-user running totals on the `transformWithState` API (Spark 4's
+    * arbitrary-stateful-processing surface, the successor of
+    * `mapGroupsWithState`): typed `ValueState` in the RocksDB state
+    * store, updated per micro-batch, one Update-mode row per touched
+    * user. TTL on the state (`ttl`) is what bounds an unbounded key
+    * space at scale — expired users evict without a watermark. */
+  class RunningTotalProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal](
+        "totals", Encoders.product[UserTotal], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+      val next = rows.foldLeft(prev)((acc, e) =>
+        UserTotal(key, acc.n_events + 1L, acc.value_sum + e.value))
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Running per-user totals via [[RunningTotalProcessor]]. Requires the
+    * RocksDB state store provider (`spark.sql.streaming.stateStore
+    * .providerClass`) — the transformWithState operator does not run on
+    * the default HDFS-backed store. */
+  def runningTotals(events: Dataset[Event],
+                    ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Gap-based sessionization via the NATIVE `session_window` aggregate —

@@ -142,6 +142,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("runningTotals (transformWithState, RocksDB state store)") {
+    it("accumulates typed ValueState across micro-batches") {
+      implicit val sqlCtx = spark.sqlContext
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[Event]
+      val query = EventStreams.runningTotals(mem.toDS())
+        .writeStream.format("memory").queryName("running_totals")
+        .outputMode("update").start()
+      try {
+        mem.addData(Event(1L, ts(0), "click", 1.0), Event(1L, ts(1), "view", 2.0),
+          Event(2L, ts(2), "click", 5.0))
+        query.processAllAvailable()
+        mem.addData(Event(1L, ts(10), "click", 4.0))
+        query.processAllAvailable()
+        // update mode: latest row per (user, batch); user 1 appears in
+        // both batches — its LAST row carries the accumulated state
+        val rows = spark.table("running_totals")
+          .groupBy($"user_id")
+          .agg(max(struct($"n_events", $"value_sum")).as("s"))
+          .select($"user_id", $"s.n_events", $"s.value_sum")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        rows shouldBe Set((1L, 3L, 7.0), (2L, 1L, 5.0))
+      } finally {
+        query.stop()
+        prevProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+  }
+
   describe("clickPurchaseAttributionOuter (streaming)") {
     it("emits unmatched purchases with null clicks once the watermark passes") {
       implicit val sqlCtx = spark.sqlContext

@@ -242,4 +242,63 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  describe("IncrementalAgg invariants") {
+    it("merge is split-invariant: any partition of the rows gives the full recompute") {
+      val rng = new Random(12)
+      (1 to samples).foreach { _ =>
+        val rows = randRows(rng)
+        val df = rows.toDF("k", "ord", "v")
+        val full = operators.IncrementalAgg.finish(
+          operators.IncrementalAgg.partial(df, Seq("k"), "v"))
+        // split on an arbitrary predicate, including empty sides
+        val cut = rng.nextInt(1001)
+        val parts = Seq(df.filter($"ord" % 1000 < cut), df.filter($"ord" % 1000 >= cut))
+          .map(operators.IncrementalAgg.partial(_, Seq("k"), "v"))
+        val merged = operators.IncrementalAgg.finish(
+          operators.IncrementalAgg.merge(parts, Seq("k")))
+        rowsOf(merged.select($"k", $"n")) shouldBe rowsOf(full.select($"k", $"n"))
+        // float totals agree to summation-order tolerance
+        val m = merged.orderBy($"k").collect().map(_.getDouble(2))
+        val f = full.orderBy($"k").collect().map(_.getDouble(2))
+        m.zip(f).foreach { case (a, b) => a shouldBe (b +- 1e-9) }
+      }
+    }
+  }
+
+  describe("SnapshotDiff invariants") {
+    it("diff(x, x) is all-same and classes partition the key union") {
+      val rng = new Random(13)
+      (1 to samples).foreach { _ =>
+        val rows = randRows(rng).distinctBy(_._2)
+        val df = rows.toDF("k", "ord", "v").drop("k")
+          .withColumnRenamed("ord", "key")
+        val self = operators.SnapshotDiff.diff(df, df, Seq("key"), Seq("v"))
+        self.filter($"change_type" =!= "same").count() shouldBe 0L
+        self.count() shouldBe rows.length
+        // against a perturbed copy, every key lands in exactly one class
+        val other = df.filter($"key" % 3 =!= 0)
+          .withColumn("v", when($"key" % 5 === 0, $"v" + 1.0).otherwise($"v"))
+        val d = operators.SnapshotDiff.diff(df, other, Seq("key"), Seq("v"))
+        d.groupBy($"key").count().filter($"count" > 1).count() shouldBe 0L
+        d.count() shouldBe rows.length // union of keys = left here (other ⊆ df)
+      }
+    }
+  }
+
+  describe("Linkage invariants") {
+    it("self-linkage with equality comparators scores every block-mate pair fully") {
+      val rng = new Random(14)
+      (1 to samples).foreach { _ =>
+        val rows = randRows(rng).distinctBy(_._2)
+        val df = rows.toDF("blk", "id", "x")
+        val pairs = operators.Linkage.link(df, df, Seq("blk"),
+          Seq((col("a_id") === col("b_id"), 1.0)), threshold = 0.0)
+        // every same-block pair appears; diagonal pairs score 1, others 0
+        val nPerBlock = rows.groupBy(_._1).view.mapValues(_.size)
+        pairs.count() shouldBe nPerBlock.values.map(n => n.toLong * n).sum
+        pairs.filter($"link_score" === 1.0).count() shouldBe rows.length
+      }
+    }
+  }
 }

@@ -217,6 +217,43 @@ object QueriesSources {
       |       count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Bucketed co-located join ([[graft.sources.Bucketing]]): orders and
+    * customer rewritten as EXTERNAL bucketed tables (explicit repo-local
+    * paths; the in-memory catalog carries only metadata) hashed into the
+    * same bucket count on the customer key, then joined and aggregated.
+    * Both scans arrive pre-partitioned on the key, so the sort-merge
+    * join needs no Exchange on either side (`BucketingSpec` proves the
+    * plan shape) — at 100 TB that is the fact-table shuffle paid once at
+    * ingest instead of per query. The oracle is the plain join. */
+  val q85BucketedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val tag = new File(dir).getName.replace('.', '_')
+    val (ot, ct) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
+    s.sql(s"DROP TABLE IF EXISTS $ot")
+    s.sql(s"DROP TABLE IF EXISTS $ct")
+    Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite").option("path", scratch("q85_orders", dir))
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable(ot)
+    Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+      .write.mode("overwrite").option("path", scratch("q85_customer", dir))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable(ct)
+    graft.sources.Bucketing.readBucketed(s, ot)
+      .join(graft.sources.Bucketing.readBucketed(s, ct),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"c_mktsegment")
+  }
+  val q85Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q42_xml_roundtrip", q42XmlRoundtrip, Some(q42Sql)),
@@ -226,5 +263,6 @@ object QueriesSources {
     ("q69_zorder_roundtrip", q69ZOrderRoundtrip, Some(q69Sql)),
     ("q78_partition_prune", q78PartitionPrune, Some(q78Sql)),
     ("q83_schema_evolution", q83SchemaEvolution, Some(q83Sql)),
+    ("q85_bucketed_join", q85BucketedJoin, Some(q85Sql)),
   )
 }

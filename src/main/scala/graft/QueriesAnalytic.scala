@@ -410,6 +410,69 @@ object QueriesAnalytic {
       |) l ON TRUE
       |ORDER BY p.user_id, purchase_ms, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** The remaining §2.5 window family in one pass: `lead`, `ntile`,
+    * `percent_rank`, `cume_dist` over a per-priority total order
+    * (price, then key — ties broken, so every function is
+    * deterministic), folded to per-quartile bounds. percent_rank and
+    * cume_dist are exact integer ratios — identical doubles in any
+    * engine — rounded only as belt-and-braces. */
+  val q86WindowFuncs: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"), $"o_orderkey",
+        lead($"o_orderkey", 1).over(w).as("next_key"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .groupBy($"priority", $"quartile")
+      .agg(count(lit(1)).as("n"), min($"pr").as("pr_lo"), max($"cd").as("cd_hi"),
+        sum(when($"next_key".isNull, 1L).otherwise(0L)).as("n_last"))
+      .orderBy($"priority", $"quartile")
+  }
+  val q86Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority AS priority, o_orderkey,
+      |    lead(o_orderkey) OVER w AS next_key,
+      |    ntile(4) OVER w AS quartile,
+      |    round(percent_rank() OVER w, 6) AS pr,
+      |    round(cume_dist() OVER w, 6) AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice, o_orderkey))
+      |SELECT priority, quartile, count(*) AS n,
+      |  min(pr) AS pr_lo, max(cd) AS cd_hi,
+      |  CAST(sum(CASE WHEN next_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_last
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** Bivariate aggregate family (extending A8/A9's univariate moments):
+    * Pearson correlation, both covariance flavors, and the regression
+    * slope of value on user id per event type. Co-moment accumulation
+    * order differs per engine — rounded like every float aggregate. */
+  val q87CorrCovar: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", $"value", $"user_id".cast("double").as("u"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(corr($"value", $"u"), 4).as("corr_vu"),
+        round(covar_samp($"value", $"u"), 4).as("cov_s"),
+        round(covar_pop($"value", $"u"), 4).as("cov_p"),
+        round(regr_slope($"value", $"u"), 6).as("slope"))
+      .orderBy($"event_type")
+  }
+  val q87Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+      |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_s,
+      |  round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS cov_p,
+      |  round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
@@ -428,5 +491,7 @@ object QueriesAnalytic {
     ("q38_intersect", q38Intersect, Some(q38Sql)),
     ("q48_asof_join", q48AsOf, Some(q48Sql)),
     ("q55_asof_forward", q55AsOfForward, Some(q55Sql)),
+    ("q86_window_funcs", q86WindowFuncs, Some(q86Sql)),
+    ("q87_corr_covar", q87CorrCovar, Some(q87Sql)),
   )
 }

@@ -458,19 +458,21 @@ object QueriesAnalytic {
     Tables.events(s, dir)
       .select($"event_type", $"value", $"user_id".cast("double").as("u"))
       .groupBy($"event_type")
+      // + 0.0 normalizes IEEE −0.0 (a tiny negative moment rounds to
+      // −0.0 in DuckDB, +0.0 in Spark — the q61 lesson)
       .agg(count(lit(1)).as("n"),
-        round(corr($"value", $"u"), 4).as("corr_vu"),
-        round(covar_samp($"value", $"u"), 4).as("cov_s"),
-        round(covar_pop($"value", $"u"), 4).as("cov_p"),
-        round(regr_slope($"value", $"u"), 6).as("slope"))
+        (round(corr($"value", $"u"), 4) + 0.0).as("corr_vu"),
+        (round(covar_samp($"value", $"u"), 4) + 0.0).as("cov_s"),
+        (round(covar_pop($"value", $"u"), 4) + 0.0).as("cov_p"),
+        (round(regr_slope($"value", $"u"), 6) + 0.0).as("slope"))
       .orderBy($"event_type")
   }
   val q87Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
-      |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_s,
-      |  round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS cov_p,
-      |  round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope
+      |  round(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS corr_vu,
+      |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS cov_s,
+      |  round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS cov_p,
+      |  round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) + 0.0 AS slope
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Registry: name → (spark program, oracle sql). */

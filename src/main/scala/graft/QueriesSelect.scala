@@ -77,20 +77,23 @@ object QueriesSelect {
     * via window mean/stddev — the feature-scaling shape applied before
     * mixing heterogeneous sources. Integer inputs keep the moment sums
     * exact; the 3-dp round absorbs the engines' different streaming-
-    * variance update orders. */
+    * variance update orders. The `+ 0.0` normalizes IEEE negative zero:
+    * a z of −0.0004 rounds to −0.0 in DuckDB but +0.0 in Spark
+    * (BigDecimal HALF_UP drops the sign), and the driver compares
+    * stringified values. */
   val q61ZScore: Q = (s, dir) => {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
     Tables.documents(s, dir)
       .select($"doc_id", $"lang", $"n_chars",
-        round(($"n_chars" - avg($"n_chars").over(w)) / stddev_samp($"n_chars").over(w), 3)
-          .as("z"))
+        (round(($"n_chars" - avg($"n_chars").over(w)) / stddev_samp($"n_chars").over(w), 3)
+          + 0.0).as("z"))
       .orderBy($"doc_id")
   }
   val q61Sql: String =
     """SELECT doc_id, lang, n_chars,
       |  round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
-      |        / stddev_samp(n_chars) OVER (PARTITION BY lang), 3) AS z
+      |        / stddev_samp(n_chars) OVER (PARTITION BY lang), 3) + 0.0 AS z
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q62

@@ -475,6 +475,65 @@ object QueriesAnalytic {
       |  round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) + 0.0 AS slope
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Cohort retention (the classic product-analytics triangle): users
+    * cohorted by first-activity week (any event), activity measured as
+    * purchase weeks, offsets in whole weeks. `date_trunc('week')` is
+    * Monday-anchored UTC in both engines; week starts surface as epoch
+    * seconds, offsets as exact day-multiples of 7. Two hash aggregations
+    * plus one equi-join — the first-event window is a groupBy `min`, not
+    * a per-row window sort. */
+  val q88Retention: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", date_trunc("week", $"ts").as("wk"))
+    val firstWk = e.groupBy($"user_id").agg(min($"wk").as("first_wk"))
+    val active = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"wk").distinct()
+    active.join(firstWk, Seq("user_id"))
+      .select(unix_timestamp($"first_wk").as("cohort_ws"),
+        (datediff($"wk", $"first_wk") / 7).cast("int").as("offset_wk"))
+      .groupBy($"cohort_ws", $"offset_wk")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"cohort_ws", $"offset_wk")
+  }
+  val q88Sql: String =
+    """WITH e AS (SELECT user_id, event_type, date_trunc('week', ts) AS wk
+      |           FROM events),
+      |f AS (SELECT user_id, min(wk) AS first_wk FROM e GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, wk FROM e WHERE event_type = 'purchase'),
+      |r AS (SELECT act.user_id, f.first_wk,
+      |        CAST(date_diff('day', f.first_wk, act.wk) / 7 AS INT) AS offset_wk
+      |      FROM act JOIN f USING (user_id))
+      |SELECT CAST(floor(epoch(first_wk)) AS BIGINT) AS cohort_ws, offset_wk,
+      |       count(*) AS n_active
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** Multi-aggregate pivot (S4 breadth beyond q19's single-agg EAV
+    * pivot): per status, count AND price total pivoted over two explicit
+    * priority values — one Expand + hash-agg, columns renamed to the
+    * oracle's FILTER-clause aliases. */
+  val q89PivotMulti: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority", Seq("1-URGENT", "5-LOW"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select($"o_orderstatus",
+        col("1-URGENT_n").as("urgent_n"), col("1-URGENT_total").as("urgent_total"),
+        col("5-LOW_n").as("low_n"), col("5-LOW_total").as("low_total"))
+      .orderBy($"o_orderstatus")
+  }
+  val q89Sql: String =
+    """SELECT o_orderstatus,
+      |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent_n,
+      |  round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2)
+      |    AS urgent_total,
+      |  count(*) FILTER (o_orderpriority = '5-LOW') AS low_n,
+      |  round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS low_total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
@@ -495,5 +554,7 @@ object QueriesAnalytic {
     ("q55_asof_forward", q55AsOfForward, Some(q55Sql)),
     ("q86_window_funcs", q86WindowFuncs, Some(q86Sql)),
     ("q87_corr_covar", q87CorrCovar, Some(q87Sql)),
+    ("q88_retention", q88Retention, Some(q88Sql)),
+    ("q89_pivot_multi", q89PivotMulti, Some(q89Sql)),
   )
 }

@@ -186,6 +186,58 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class QuietUser(user_id: Long, last_seen: Timestamp, n_events: Long)
+
+  /** Event-time TIMER side of the transformWithState API: track each
+    * user's last event, (re)arm a timer `quietMs` past it, and when the
+    * WATERMARK crosses the timer — absence proven, not merely observed —
+    * emit one churn row and drop the state. The register/delete dance on
+    * every input is the canonical sliding-deadline pattern; state and
+    * timers are both per-key and purged on expiry, so an unbounded user
+    * population stays bounded by the active set. */
+  class QuietUserProcessor(quietMs: Long)
+      extends StatefulProcessor[Long, Event, QuietUser] {
+    @transient private var seen: ValueState[(Long, Long)] = _ // (lastSeenMs, n)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[(Long, Long)](
+        "seen", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[QuietUser] = {
+      val (prevLast, prevN) = if (seen.exists()) seen.get() else (Long.MinValue, 0L)
+      var last = prevLast
+      var n = prevN
+      rows.foreach { e => last = math.max(last, e.ts.getTime); n += 1 }
+      if (prevLast != Long.MinValue) getHandle.deleteTimer(prevLast + quietMs)
+      getHandle.registerTimer(last + quietMs)
+      seen.update((last, n))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[QuietUser] = {
+      val out = if (seen.exists()) {
+        val (last, n) = seen.get()
+        Iterator.single(QuietUser(key, new Timestamp(last), n))
+      } else Iterator.empty
+      seen.clear()
+      out
+    }
+  }
+
+  /** Quiet-user (churn) detection via [[QuietUserProcessor]] — event-time
+    * timers, so the stream needs a watermark on `ts`. RocksDB provider
+    * required, as for [[runningTotals]]. */
+  def quietUsers(events: Dataset[Event], quietMs: Long): Dataset[QuietUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new QuietUserProcessor(quietMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Gap-based sessionization via the NATIVE `session_window` aggregate —
     * the declarative sibling of [[sessionize]]'s custom-state fold. Spark
     * merges overlapping per-event windows `[ts, ts+gap)` into sessions

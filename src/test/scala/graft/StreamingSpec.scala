@@ -177,6 +177,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("quietUsers (transformWithState event-time timers)") {
+    it("emits a churn row only after the watermark proves the quiet gap") {
+      implicit val sqlCtx = spark.sqlContext
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[Event]
+      val quiet = EventStreams.quietUsers(
+        mem.toDS().withWatermark("ts", "0 seconds"), quietMs = 10 * 60 * 1000L)
+      val query = quiet.writeStream.format("memory").queryName("quiet_users")
+        .outputMode("append").start()
+      try {
+        mem.addData(Event(1L, ts(0), "click", 1.0), Event(1L, ts(5), "view", 2.0),
+          Event(2L, ts(6), "click", 3.0))
+        query.processAllAvailable()
+        // nothing can have expired yet: watermark is at 10:06
+        spark.table("quiet_users").count() shouldBe 0L
+        // user 2 stays active past both deadlines; user 1 goes quiet
+        mem.addData(Event(2L, ts(20), "view", 1.0))
+        query.processAllAvailable()
+        mem.addData(Event(9L, Timestamp.valueOf("2024-01-01 11:00:00"), "view", 0.0))
+        query.processAllAvailable()
+        val rows = spark.table("quiet_users")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        rows.map(_._1) should contain(1L)
+        val u1 = rows.find(_._1 == 1L).get
+        u1._2 shouldBe ts(5) // last seen at 10:05
+        u1._3 shouldBe 2L    // two events before going quiet
+        // user 2's re-arm moved its deadline to 10:30 < 11:00 watermark,
+        // so it expires too — but with the LATER last_seen
+        rows.find(_._1 == 2L).foreach(_._2 shouldBe ts(20))
+      } finally {
+        query.stop()
+        prevProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+  }
+
   describe("clickPurchaseAttributionOuter (streaming)") {
     it("emits unmatched purchases with null clicks once the watermark passes") {
       implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the scan-efficiency contracts the
+  * engine's 100 TB story rests on, pinned as tests: predicates and
+  * column pruning must reach the parquet scan, dimension joins must
+  * broadcast, top-k must plan `TakeOrderedAndProject`, and the hot path
+  * must stay inside whole-stage codegen. AQE is disabled per assertion
+  * (query-stage nodes hide the scan from `collect` — measured lesson).
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withoutAqe[T](f: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def scanOf(df: DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no parquet scan in plan"))
+
+  it("pushes filters and prunes columns at the parquet scan") {
+    withoutAqe {
+      val df = Tables.lineitem(spark, dir)
+        .filter($"l_quantity" >= 48 && $"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_quantity")
+      val scan = scanOf(df)
+      val pushed = scan.metadata("PushedFilters")
+      pushed should include("GreaterThanOrEqual(l_quantity,48.0)")
+      pushed should include("EqualTo(l_returnflag,R)")
+      // ReadSchema carries only the 3 referenced columns, not all 16
+      scan.requiredSchema.fieldNames.toSet shouldBe
+        Set("l_orderkey", "l_quantity", "l_returnflag")
+    }
+  }
+
+  it("broadcasts the dimension side of a fact-dim join") {
+    withoutAqe {
+      val plan = Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)),
+          $"o_custkey" === $"c_custkey")
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+      (plan should not).include("SortMergeJoin")
+    }
+  }
+
+  it("plans order-by-limit as TakeOrderedAndProject (top-k, no full sort)") {
+    withoutAqe {
+      val plan = Tables.orders(spark, dir)
+        .orderBy($"o_totalprice".desc).limit(5)
+        .queryExecution.executedPlan.toString
+      plan should include("TakeOrderedAndProject")
+    }
+  }
+
+  it("keeps scalar text analysis inside whole-stage codegen") {
+    withoutAqe {
+      val df = Tables.documents(spark, dir).select(
+        graft.functions.TextAnalysis.qualityScore($"text").as("q"))
+      // the compact toString marks codegen stages with `*(n)`; assert on
+      // the exec node itself
+      val stages = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      stages should not be empty
+    }
+  }
+}

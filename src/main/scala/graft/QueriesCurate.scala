@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{IncrementalAgg, Linkage, NgramLm, Normalize, QualityFilters, Redaction, SnapshotDiff}
+import graft.operators.{IncrementalAgg, Linkage, NgramLm, Normalize, QualityFilters, Redaction, SnapshotDiff, TermScoring}
 
 /** Corpus-compliance / lifecycle extension catalog: repetition quality
   * filters, PII redaction, snapshot reconciliation, cube grouping sets,
@@ -348,6 +348,75 @@ object QueriesCurate {
       |  round(avg(coalesce(v, grp_mean)), 4) AS filled_mean
       |FROM d JOIN m USING (lang) GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Vocabulary coverage ([[TermScoring.topVocabulary]]/[[TermScoring.oovRate]]):
+    * fit the top-20 corpus vocabulary (frequency desc, term asc — the
+    * deterministic tie-break), score every document's out-of-vocabulary
+    * token rate against it, roll up per language. The coverage check run
+    * before committing to a tokenizer/vocab at training time. */
+  val q90OovRate: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocab = TermScoring.topVocabulary(docs, "text", 20)
+    TermScoring.oovRate(docs, Seq("doc_id", "lang"), "text", vocab)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_oov".cast("double") / $"n_tok"), 4).as("oov_rate"),
+        sum($"n_tok").as("total_tok"))
+      .orderBy($"lang")
+  }
+  val q90Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS w
+       |  FROM documents),
+       |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+       |vocab AS (SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM cnt)
+       |  WHERE rk <= 20),
+       |scored AS (
+       |  SELECT t.doc_id, t.lang, count(*) AS n_tok,
+       |         sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+       |  GROUP BY 1, 2)
+       |SELECT lang, count(*) AS n_docs,
+       |       round(avg(n_oov * 1.0 / n_tok), 4) AS oov_rate,
+       |       CAST(sum(n_tok) AS BIGINT) AS total_tok
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** CDC apply ([[SnapshotDiff.applyChanges]]): reconstruct the new
+    * snapshot as `apply(old, diff(old, new))` — the inverse law, also
+    * property-tested — and aggregate it per key bucket. The oracle
+    * aggregates the NEW snapshot directly: equality proves the
+    * anti-join + upsert MERGE semantics end-to-end. */
+  val q91MergeApply: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val old = orders.filter($"o_orderkey" % 97 =!= 0)
+      .select($"o_orderkey", $"o_totalprice")
+    val neu = orders.filter($"o_orderkey" % 89 =!= 0)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1000.0)
+          .otherwise($"o_totalprice").as("o_totalprice"))
+    val changes = SnapshotDiff.diff(old, neu, Seq("o_orderkey"), Seq("o_totalprice"))
+    SnapshotDiff.applyChanges(old, changes, Seq("o_orderkey"))
+      .groupBy(($"o_orderkey" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"),
+        min($"o_orderkey").as("k_min"), max($"o_orderkey").as("k_max"))
+      .orderBy($"bucket")
+  }
+  val q91Sql: String =
+    """WITH new AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 89 <> 0)
+      |SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       CAST(min(o_orderkey) AS BIGINT) AS k_min,
+      |       CAST(max(o_orderkey) AS BIGINT) AS k_max
+      |FROM new GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -359,5 +428,7 @@ object QueriesCurate {
     ("q81_incremental_agg", q81IncrementalAgg, Some(q81Sql)),
     ("q82_linkage_score", q82LinkageScore, Some(q82Sql)),
     ("q84_impute", q84Impute, Some(q84Sql)),
+    ("q90_oov_rate", q90OovRate, Some(q90Sql)),
+    ("q91_merge_apply", q91MergeApply, Some(q91Sql)),
   )
 }

@@ -43,4 +43,18 @@ object SnapshotDiff {
         ++ compareCols.map(c => coalesce(col(s"${c}_new"), col(s"${c}_old")).as(c))
         :+ col("change_type"): _*)
   }
+
+  /** Apply a changeset (any subset of [[diff]]'s output — it need not
+    * contain `same` rows) to a snapshot: keys marked `removed` are
+    * deleted, every other change row upserts. One anti-join plus a
+    * union — the MERGE INTO shape without a table format. Inverse law,
+    * property-tested: `applyChanges(old, diff(old, new)) ≡ new`. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val untouched = snapshot.join(changes.select(keys.map(col): _*),
+      keys, "left_anti")
+    val upserts = changes.filter(col("change_type") =!= "removed")
+      .drop("change_type")
+    untouched.unionByName(upserts)
+  }
 }

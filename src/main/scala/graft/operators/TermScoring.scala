@@ -50,4 +50,30 @@ object TermScoring {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Top-`k` corpus vocabulary by (frequency desc, term asc — the
+    * deterministic tie-break): one explode + hash-agg, then a global
+    * top-k (`TakeOrderedAndProject`, never a full sort). Returns
+    * `(term, c)`. */
+  def topVocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(k)
+
+  /** Per-document out-of-vocabulary rate against a `(term)` vocabulary
+    * table: tokens explode, the vocabulary broadcasts (it is top-k-sized
+    * by construction), misses count as OOV. Returns
+    * `idCols ++ (n_tok, n_oov)` — the coverage signal that decides
+    * whether a tokenizer/vocab fits a corpus before training starts. */
+  def oovRate(docs: DataFrame, idCols: Seq[String], textCol: String,
+              vocab: DataFrame): DataFrame = {
+    val ids = idCols.map(col)
+    docs.select(ids :+ explode(TextAnalysis.wsTokens(col(textCol))).as("term"): _*)
+      .join(broadcast(vocab.select(col("term"), lit(true).as("_in_vocab"))),
+        Seq("term"), "left")
+      .groupBy(ids: _*)
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
 }

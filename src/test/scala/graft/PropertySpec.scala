@@ -286,6 +286,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  describe("SnapshotDiff.applyChanges inverse law") {
+    it("apply(old, diff(old, new)) reconstructs new exactly") {
+      val rng = new Random(15)
+      (1 to samples).foreach { _ =>
+        val base = randRows(rng).distinctBy(_._2)
+        val old = base.toDF("g", "key", "v").drop("g")
+        val neu = base.filter(_._2 % 3 != 0)
+          .map { case (_, k, v) => (k, if (k % 5 == 0) v + 7.0 else v) }
+          .toDF("key", "v")
+        val changes = operators.SnapshotDiff.diff(old, neu, Seq("key"), Seq("v"))
+        val applied = operators.SnapshotDiff.applyChanges(old, changes, Seq("key"))
+        rowsOf(applied) shouldBe rowsOf(neu)
+        // and with the no-op changeset filtered out, same result
+        val applied2 = operators.SnapshotDiff.applyChanges(
+          old, changes.filter(col("change_type") =!= "same"), Seq("key"))
+        rowsOf(applied2) shouldBe rowsOf(neu)
+      }
+    }
+  }
+
   describe("Linkage invariants") {
     it("self-linkage with equality comparators scores every block-mate pair fully") {
       val rng = new Random(14)

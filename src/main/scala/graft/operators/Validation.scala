@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks — the engine's version of the reference's
@@ -29,4 +29,20 @@ object Validation {
       count(lit(1)).as("n_rows"),
       countDistinct(col(key)).as("n_distinct"),
       count(when(col(key).isNull, 1)).as("n_null"))
+
+  /** Attach a key-quality observation to `df`: row count and null count
+    * for `key` are collected AS A SIDE EFFECT of whatever action the
+    * caller runs next — zero extra passes over the data, which at 100 TB
+    * is the difference between free metrics and a second full scan
+    * (`keyProfile` is the standalone-pass form). Read the metrics from
+    * the returned [[Observation]] after the action completes:
+    * `obs.get("n_rows")`. Spark routes them via accumulator-style
+    * `CollectMetrics`, so they are exact even under task retries. */
+  def observed(df: DataFrame, name: String, key: String): (DataFrame, Observation) = {
+    val obs = Observation(name)
+    val observedDf = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col(key).isNull, 1)).as("n_null"))
+    (observedDf, obs)
+  }
 }

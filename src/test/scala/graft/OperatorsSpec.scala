@@ -105,6 +105,16 @@ class OperatorsSpec extends SparkSpec {
       val p = Validation.keyProfile(df, "k").head()
       (p.getLong(0), p.getLong(1), p.getLong(2)) shouldBe ((4L, 2L, 1L))
     }
+
+    it("collects observed metrics as a side effect of the main action") {
+      val df = Seq(Some(1L), Some(2L), None, Some(4L)).toDF("k")
+      val (observed, obs) = Validation.observed(df, "kq", "k")
+      // ONE action drives both the real work and the metrics
+      val kept = observed.filter($"k".isNotNull).count()
+      kept shouldBe 3L
+      obs.get("n_rows") shouldBe 4L // metrics see pre-filter rows
+      obs.get("n_null") shouldBe 1L // (Map.apply via get(): Map[String, Any])
+    }
   }
 
   describe("Readers.pivotEav") {

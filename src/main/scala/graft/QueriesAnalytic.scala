@@ -534,6 +534,49 @@ object QueriesAnalytic {
       |  round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS low_total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Ordered event-funnel analysis (view → click → purchase, each step
+    * within 24 h of the one before): the sequential-pattern query
+    * product analytics runs constantly, expressed as cascaded
+    * first-occurrence aggregations — each step is one groupBy `min`
+    * over events later than the previous step's time, so the chain is
+    * k hash-aggs + k broadcast-sized joins, never a per-user sort or
+    * cross join. Step times are exact epoch millis. */
+  val q93EventFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val winMs = 86400000L
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ms").as("v_ms"))
+    val c = e.filter($"event_type" === "click").join(v, Seq("user_id"))
+      .filter($"ms" > $"v_ms" && $"ms" <= $"v_ms" + winMs)
+      .groupBy($"user_id").agg(min($"ms").as("c_ms"))
+    val p = e.filter($"event_type" === "purchase").join(c, Seq("user_id"))
+      .filter($"ms" > $"c_ms" && $"ms" <= $"c_ms" + winMs)
+      .groupBy($"user_id").agg(min($"ms").as("p_ms"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("step1_view").as("step"), $"n_users")
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("step2_click").as("step"), $"n_users"))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("step3_purchase").as("step"), $"n_users"))
+      .orderBy($"step")
+  }
+  val q93Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, min(ms) AS v_ms FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ms > v_ms
+      |        AND ms <= v_ms + 86400000 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(ms) AS p_ms FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ms > c_ms
+      |        AND ms <= c_ms + 86400000 GROUP BY 1)
+      |SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+      |UNION ALL SELECT 'step2_click', count(*) FROM c
+      |UNION ALL SELECT 'step3_purchase', count(*) FROM p
+      |ORDER BY step""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
@@ -556,5 +599,6 @@ object QueriesAnalytic {
     ("q87_corr_covar", q87CorrCovar, Some(q87Sql)),
     ("q88_retention", q88Retention, Some(q88Sql)),
     ("q89_pivot_multi", q89PivotMulti, Some(q89Sql)),
+    ("q93_event_funnel", q93EventFunnel, Some(q93Sql)),
   )
 }

@@ -417,6 +417,46 @@ object QueriesCurate {
       |       CAST(max(o_orderkey) AS BIGINT) AS k_max
       |FROM new GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Fuzzy linkage comparator ([[Linkage.candidatePairs]] + edit
+    * distance): block as in q82, then classify candidate pairs by
+    * Levenshtein distance ≤ 1 against a copy with single-character name
+    * damage (append on keys ≡ 0, truncate on ≡ 1 mod 4). The
+    * true/false-positive table at each distance is what calibrates a
+    * fuzzy comparator's weight before it joins the q82 score. Edit
+    * distance is integer-exact in both engines. */
+  val q92FuzzyLinkage: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val damaged = cust.select(
+      $"c_custkey",
+      when($"c_custkey" % 4 === 0, concat($"c_name", lit("x")))
+        .when($"c_custkey" % 4 === 1,
+          substring($"c_name", 1, 17)) // names are 18 chars: drop the last
+        .otherwise($"c_name").as("c_name"),
+      $"c_nationkey", $"c_mktsegment")
+    Linkage.candidatePairs(cust, damaged, Seq("c_nationkey", "c_mktsegment"))
+      .withColumn("dist", levenshtein($"a_c_name", $"b_c_name"))
+      .filter($"dist" <= 1)
+      .groupBy($"dist",
+        when($"a_c_custkey" === $"b_c_custkey", 1).otherwise(0).as("is_true"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"dist", $"is_true")
+  }
+  val q92Sql: String =
+    """WITH b AS (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 4 = 0 THEN c_name || 'x'
+      |             WHEN c_custkey % 4 = 1 THEN substr(c_name, 1, 17)
+      |             ELSE c_name END AS c_name,
+      |        c_nationkey, c_mktsegment FROM customer)
+      |SELECT levenshtein(a.c_name, b.c_name) AS dist,
+      |       CASE WHEN a.c_custkey = b.c_custkey THEN 1 ELSE 0 END AS is_true,
+      |       count(*) AS n
+      |FROM customer a JOIN b ON a.c_nationkey = b.c_nationkey
+      |                      AND a.c_mktsegment = b.c_mktsegment
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -430,5 +470,6 @@ object QueriesCurate {
     ("q84_impute", q84Impute, Some(q84Sql)),
     ("q90_oov_rate", q90OovRate, Some(q90Sql)),
     ("q91_merge_apply", q91MergeApply, Some(q91Sql)),
+    ("q92_fuzzy_linkage", q92FuzzyLinkage, Some(q92Sql)),
   )
 }

@@ -577,6 +577,44 @@ object QueriesAnalytic {
       |UNION ALL SELECT 'step3_purchase', count(*) FROM p
       |ORDER BY step""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Time-based RANGE frames (completing the frame family next to q71's
+    * ROWS): per user, each click's trailing-1 h event count, value sum,
+    * and window-start via `first_value` — a VALUE-bounded frame over
+    * event-time millis, so burst detection follows the clock, not row
+    * positions. Folded per user (max burst, exact integer span sum). */
+  val q94RangeFrame: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms")
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, dir)
+      .filter($"event_type" === "click")
+      .select($"user_id", unix_millis($"ts").as("ms"), $"value")
+      .select($"user_id", $"ms",
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum($"value").over(w), 2).as("sum_1h"),
+        first_value($"ms").over(w).as("window_start_ms"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"n_1h").as("max_burst"),
+        round(sum($"sum_1h"), 2).as("sum_of_sums"),
+        sum($"ms" - $"window_start_ms").as("span_total"))
+      .orderBy($"user_id")
+  }
+  val q94Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+      |           WHERE event_type = 'click'),
+      |r AS (SELECT user_id, ms,
+      |        count(*) OVER w AS n_1h,
+      |        round(sum(value) OVER w, 2) AS sum_1h,
+      |        first_value(ms) OVER w AS window_start_ms
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ms
+      |                   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, count(*) AS n_events, max(n_1h) AS max_burst,
+      |       round(sum(sum_1h), 2) AS sum_of_sums,
+      |       CAST(sum(ms - window_start_ms) AS BIGINT) AS span_total
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
@@ -600,5 +638,6 @@ object QueriesAnalytic {
     ("q88_retention", q88Retention, Some(q88Sql)),
     ("q89_pivot_multi", q89PivotMulti, Some(q89Sql)),
     ("q93_event_funnel", q93EventFunnel, Some(q93Sql)),
+    ("q94_range_frame", q94RangeFrame, Some(q94Sql)),
   )
 }

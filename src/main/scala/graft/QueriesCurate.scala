@@ -427,7 +427,9 @@ object QueriesCurate {
     * distance is integer-exact in both engines. */
   val q92FuzzyLinkage: Q = (s, dir) => {
     import s.implicits._
-    val cust = Tables.customer(s, dir)
+    // fan the probe side out: a one-row-group scan is ONE task, and it
+    // would otherwise generate + score every blocked pair alone
+    val cust = Tables.fanOut(s, Tables.customer(s, dir))
     val damaged = cust.select(
       $"c_custkey",
       when($"c_custkey" % 4 === 0, concat($"c_name", lit("x")))
@@ -435,9 +437,11 @@ object QueriesCurate {
           substring($"c_name", 1, 17)) // names are 18 chars: drop the last
         .otherwise($"c_name").as("c_name"),
       $"c_nationkey", $"c_mktsegment")
+    // bounded form: early-exits the DP once distance exceeds 1 (returns
+    // −1), so the dominant far-apart pairs cost O(len) not O(len²)
     Linkage.candidatePairs(cust, damaged, Seq("c_nationkey", "c_mktsegment"))
-      .withColumn("dist", levenshtein($"a_c_name", $"b_c_name"))
-      .filter($"dist" <= 1)
+      .withColumn("dist", levenshtein($"a_c_name", $"b_c_name", 1))
+      .filter($"dist" >= 0)
       .groupBy($"dist",
         when($"a_c_custkey" === $"b_c_custkey", 1).otherwise(0).as("is_true"))
       .agg(count(lit(1)).as("n"))

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   /** Candidate pairs: `left` × `right` restricted to equal blocking
-    * keys. Left columns come out prefixed `a_`, right columns `b_`. */
+    * keys. Left columns come out prefixed `a_`, right columns `b_`.
+    * Null block keys never pair (SQL equality) — records with missing
+    * blocking fields need a fallback blocking pass, which is standard
+    * multi-pass linkage practice. */
   def candidatePairs(left: DataFrame, right: DataFrame,
                      blockKeys: Seq[String]): DataFrame = {
     val a = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"a_$c"))

@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   * Replacement order matters and is fixed: emails first (their local
   * part may contain digits a later pass would mangle), then IPs (dotted
   * digits the phone pattern must not see), then phone numbers.
-  */
+  *
+  * Known over-match, by design: the phone pattern is any 8+ run of
+  * digits and dashes, which also matches ISO dates (`2024-01-01`) and
+  * long invoice numbers. For PII purposes a false redaction is the safe
+  * direction; date-bearing text should pre-mask dates or swap in a
+  * stricter pattern — the operator takes the patterns as constants
+  * precisely so deployments can re-tune them. */
 object Redaction {
 
   val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -20,7 +20,13 @@ object SnapshotDiff {
 
   /** Full-outer diff of `oldDf` vs `newDf` on `keys`, comparing
     * `compareCols`. Returns the coalesced keys, each compared column
-    * coalesced new-over-old, and `change_type`. */
+    * coalesced new-over-old, and `change_type`.
+    *
+    * PRECONDITION: `keys` is a primary key of BOTH sides — that is what
+    * makes a table a snapshot. A duplicate key would fan out through
+    * the full-outer join and corrupt downstream counts (the same hazard
+    * [[KeyCorrection.correctKeys]] guards against); assert with
+    * `Validation.isUnique` when ingesting untrusted snapshots. */
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
            compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "SnapshotDiff.diff needs at least one compared column")

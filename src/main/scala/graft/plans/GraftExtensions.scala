@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // + two-phase physical planning
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => CombineTopK)
+    // rewrite rules over built-in expressions
+    ext.injectOptimizerRule(_ => BoundLevenshtein)
   }
 }
 

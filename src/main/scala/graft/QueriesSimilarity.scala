@@ -103,7 +103,11 @@ object QueriesSimilarity {
   val q35AnnLsh: Q = (s, dir) => {
     import s.implicits._
     val planes = Similarity.hyperplanes(nPlanes = 12, dim = 64)
-    Similarity.annLshPairs(s, nearDupCorpus(s, dir), planes, 0.99)
+    // cap = the production skew guard, sized as a no-op on this corpus
+    // (SimilaritySpec proves the degenerate-bucket behavior): the gate
+    // certifies the capped plan — the one you'd run at scale
+    Similarity.annLshPairs(s, nearDupCorpus(s, dir), planes, 0.99,
+        maxBucketSize = Some(4096))
       .orderBy($"a_id", $"b_id")
   }
   val q35Sql: String = {

@@ -242,7 +242,11 @@ object QueriesText {
     // derives its edges from, so within one session the signature/band/
     // verify chain runs once for both queries (CacheManager matches
     // canonicalized plans)
-    TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3)
+    // maxBandDf = the production skew guard, sized as a no-op here (the
+    // perturbed corpus collides in groups of 2; TextDedupSpec proves the
+    // degenerate-bucket behavior) so the gate certifies the capped plan
+    TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3,
+        maxBandDf = Some(1024))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy($"a_id", $"b_id")
   }
@@ -324,13 +328,17 @@ object QueriesText {
   // ---------------------------------------------------------------- q32
   /** SimHash near-dup pairs (Hamming ≤ 3) over the perturbed corpus —
     * each doc's re-crawl copy differs by 2 tokens, so true pairs sit at
-    * tiny Hamming distance while random 32-bit pairs almost never do. */
+    * tiny Hamming distance while random 32-bit pairs almost never do.
+    * Gated on the pigeonhole-banded form — the plan that survives 100 TB
+    * (shuffle key = signature block, no cross join). The oracle SQL is
+    * the all-pairs definition: banding is recall-1, so the result sets
+    * are identical (also spec-proven vs [[TextDedup.hammingPairs]]). */
   val q32SimHashPairs: Q = (s, dir) => {
     import s.implicits._
-    // persisted: the signature table self-joins for Hamming pairing
+    // persisted: the signature table feeds all maxHd+1 banded lanes
     val sim = TextDedup.simHash32(corpus(s, dir, perturb = true), "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    TextDedup.hammingPairs(sim, maxHd = 3).orderBy($"a_id", $"b_id")
+    TextDedup.bandedHammingPairs(sim, maxHd = 3).orderBy($"a_id", $"b_id")
   }
   val q32Sql: String =
     s"""WITH ${simhashSql(corpusSql(perturb = true))}
@@ -537,9 +545,11 @@ object QueriesText {
     import s.implicits._
     val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same canonical plan as q30's persisted pair table → cache hit when
-    // both run in one session; standalone, sym materializes it once
-    val pairs = TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3)
+    // same canonical plan as q30's persisted pair table (cap included) →
+    // cache hit when both run in one session; standalone, it
+    // materializes once
+    val pairs = TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3,
+        maxBandDf = Some(1024))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = graft.operators.Components
       .connectedComponents(pairs, "a_id", "b_id")

@@ -51,7 +51,8 @@ object Curation {
       minhashK: Int = 8,
       rowsPerBand: Int = 2,
       jaccardThreshold: Double = 0.3,
-      transitive: Boolean = false): DataFrame = {
+      transitive: Boolean = false,
+      maxBandDf: Option[Int] = None): DataFrame = {
     require(minhashK % rowsPerBand == 0,
       s"minhashK=$minhashK not divisible by rowsPerBand=$rowsPerBand")
 
@@ -80,7 +81,7 @@ object Curation {
       .shingleTable(exact, "id", "text", shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = TextDedup
-      .minHashLshPairs(shingles, minhashK, rowsPerBand, jaccardThreshold)
+      .minHashLshPairs(shingles, minhashK, rowsPerBand, jaccardThreshold, maxBandDf)
     val dropIds =
       if (transitive)
         Components.connectedComponents(pairs, "a_id", "b_id")

@@ -97,11 +97,28 @@ object Similarity {
 
   /** ANN near-dup pairs: bucket equi-join (only same-bucket vectors are
     * scored) + exact cosine verification at `threshold`. Input must
-    * have columns (id, v: array<double>). */
+    * have columns (id, v: array<double>).
+    *
+    * `maxBucketSize` is the skew guard (mirror of the shingle path's
+    * `maxShingleDf`): a bucket holding m vectors contributes m²
+    * scored pairs, so a degenerate corpus — near-identical embeddings
+    * all falling on the same side of every hyperplane — makes one hot
+    * bucket quadratic. Buckets larger than the cap are dropped before
+    * the self-join (one count agg over the bucketed table; the hot
+    * bucket's pairs are sacrificed rather than scored). */
   def annLshPairs(spark: SparkSession, corpus: DataFrame,
-                  planes: Seq[Array[Double]], threshold: Double): DataFrame = {
+                  planes: Seq[Array[Double]], threshold: Double,
+                  maxBucketSize: Option[Int] = None): DataFrame = {
     GraftFunctions.register(spark)
-    val bucketed = corpus.withColumn("bucket", lshBucket(col("v"), planes))
+    val allBucketed = corpus.withColumn("bucket", lshBucket(col("v"), planes))
+    val bucketed = maxBucketSize match {
+      case Some(cap) =>
+        val hot = allBucketed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > cap).select(col("bucket"))
+        allBucketed.join(hot, Seq("bucket"), "left_anti")
+      case None => allBucketed
+    }
     val a = bucketed.select(col("id").as("a_id"), col("v").as("va"), col("bucket"))
     val b = bucketed.select(col("id").as("b_id"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))

@@ -96,16 +96,36 @@ object TextDedup {
   /** LSH banding: hash `rowsPerBand` consecutive signature components
     * into one band key; docs sharing any band key become candidate
     * pairs. Probability of catching a pair rises sharply with its true
-    * Jaccard (the (b, r) S-curve), so candidates ≪ n². */
-  def lshCandidatePairs(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    * Jaccard (the (b, r) S-curve), so candidates ≪ n².
+    *
+    * `maxBandDf` is the skew guard mirroring `maxShingleDf` on the
+    * shingle path: a (band, hash) key shared by m docs contributes m²
+    * candidate pairs, so one degenerate bucket (boilerplate corpus that
+    * survived exact dedup, near-constant embeddings) turns the
+    * equi-join quadratic. Keys with document frequency above the cap
+    * are dropped BEFORE the self-join — both sides shrink, and the
+    * bucket's pairs are sacrificed (they are overwhelmingly duplicates
+    * of pairs still caught via their other, non-degenerate bands).
+    * Capped keys are counted once (one extra agg on the already-built
+    * band table), never materialized per pair. */
+  def lshCandidatePairs(sig: DataFrame, k: Int, rowsPerBand: Int,
+                        maxBandDf: Option[Int] = None): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     val nBands = k / rowsPerBand
     val bandHash = (b: Int) => md5(concat(
       (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*))
-    val bands = sig.select(col("id"),
+    val allBands = sig.select(col("id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), bandHash(b).as("h"))): _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val bands = maxBandDf match {
+      case Some(cap) =>
+        val hot = allBands.groupBy(col("band"), col("h"))
+          .agg(count(lit(1)).as("df_cnt"))
+          .filter(col("df_cnt") > cap).select(col("band"), col("h"))
+        allBands.join(hot, Seq("band", "h"), "left_anti")
+      case None => allBands
+    }
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h")
           && col("x.id") < col("y.id"))
@@ -117,8 +137,8 @@ object TextDedup {
     * Jaccard verification of candidates only (join back to the shingle
     * table restricted to candidate ids). */
   def minHashLshPairs(shingles: DataFrame, k: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
-    val cand = lshCandidatePairs(minHashSignature(shingles, k), k, rowsPerBand)
+                      threshold: Double, maxBandDf: Option[Int] = None): DataFrame = {
+    val cand = lshCandidatePairs(minHashSignature(shingles, k), k, rowsPerBand, maxBandDf)
     val x = shingles.select(col("id").as("a_id"), col("n_shingles").as("na"), col("s"))
     val y = shingles.select(col("id").as("b_id"), col("n_shingles").as("nb"), col("s"))
     cand.join(x, Seq("a_id")).join(y, Seq("b_id", "s"))

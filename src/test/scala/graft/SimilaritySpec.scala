@@ -110,5 +110,30 @@ class SimilaritySpec extends SparkSpec {
       brute.nonEmpty shouldBe true
       ann shouldBe brute // scaling never flips a sign bit → recall 1.0
     }
+
+    it("maxBucketSize bounds the candidate join on a degenerate corpus") {
+      // 30 copies of one vector: all land in the same bucket, so the
+      // uncapped join scores C(30,2) = 435 pairs from a single bucket
+      val base = Array.tabulate(64)(i => math.sin(i + 1))
+      val hot = spark.createDataFrame(
+        (1L to 30L).map(i => (i, base))).toDF("id", "v")
+      val planes = Similarity.hyperplanes(nPlanes = 12, dim = 64)
+      Similarity.annLshPairs(spark, hot, planes, 0.0).count() shouldBe 435
+      // cap below the hot bucket → it is dropped before the self-join
+      Similarity.annLshPairs(spark, hot, planes, 0.0, maxBucketSize = Some(10))
+        .count() shouldBe 0
+    }
+
+    it("maxBucketSize above every bucket is a result no-op on normal data") {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val planes = Similarity.hyperplanes(nPlanes = 12, dim = 64)
+      val plain = Similarity.annLshPairs(spark, e, planes, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val capped = Similarity.annLshPairs(spark, e, planes, 0.9,
+          maxBucketSize = Some(4096))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      capped shouldBe plain
+    }
   }
 }

@@ -49,6 +49,28 @@ class TextDedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       found should contain((1L, 2L)) // identical → all bands agree
     }
+
+    it("maxBandDf bounds candidates on a degenerate hot-bucket corpus") {
+      // 40 identical docs: every band key has df=40, so the uncapped
+      // candidate join explodes to C(40,2) = 780 pairs PER BAND side
+      val hot = (1L to 40L).map(i => (i, "same boilerplate text repeated " +
+        "in every single crawled document body here")).toDF("doc_id", "text")
+      val sh = TextDedup.shingleTable(hot, "doc_id", "text", 3)
+      val sig = TextDedup.minHashSignature(sh, 8)
+      TextDedup.lshCandidatePairs(sig, 8, 2).count() shouldBe 780
+      // cap below the hot df → the degenerate bucket is dropped entirely
+      TextDedup.lshCandidatePairs(sig, 8, 2, maxBandDf = Some(10))
+        .count() shouldBe 0
+    }
+
+    it("maxBandDf above every band's df is a result no-op on normal data") {
+      val sh = TextDedup.shingleTable(docs, "doc_id", "text", 3)
+      val plain = TextDedup.minHashLshPairs(sh, 8, 2, 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val capped = TextDedup.minHashLshPairs(sh, 8, 2, 0.2, maxBandDf = Some(1024))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      capped shouldBe plain
+    }
   }
 
   describe("TextDedup.simHash32") {

@@ -23,13 +23,21 @@ object Bench {
     // would shuffle which query absorbs residual warm-up between runs
     // and make per-query numbers incomparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed query must FAIL the bench, not be timed as ~0s: an
+      // OOM or codegen error that only reproduces at bench scale would
+      // otherwise silently flatter the total (the correctness gate runs
+      // at a different sf and wouldn't see it)
+      var err: Option[String] = None
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune every
         // column of a pure projection query and time an empty scan;
         // the noop write forces full evaluation of all result columns
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          System.err.println(s"[bench] $name FAILED: ${err.get}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // two iterations per query: the first run is dominated by one-time
@@ -40,14 +48,19 @@ object Bench {
       // predicts 100 TB behavior; the cold pass is still reported in
       // cold_total for transparency.
       val cold = once()
-      val warm = once()
-      (name, math.min(cold, warm), cold)
+      val warm = if (err.isEmpty) once() else cold
+      (name, math.min(cold, warm), cold, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, Some(e)) => (k, e) }
+    val errsJson = failed
+      .map { case (k, e) => "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":${failed.size},"errors":$errsJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

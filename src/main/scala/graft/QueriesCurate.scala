@@ -99,7 +99,7 @@ object QueriesCurate {
          |  SELECT doc_id, source, raw,
          |    regexp_replace(
          |      regexp_replace(
-         |        regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+         |        regexp_replace(raw, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
          |                       '[EMAIL]', 'g'),
          |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
          |      '\+?\d[\d-]{6,}\d', '[PHONE]', 'g') AS clean

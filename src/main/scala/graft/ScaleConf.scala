@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   * Verify/Bench at local[32]) deliberately use small fixed values; this
   * object is what a production `spark-submit` applies instead.
   *
-  * None of these change query SEMANTICS — every catalog query
-  * hash-matches its oracle under any of them; they change plan CHOICE
-  * (AQE) and memory/shuffle behavior.
+  * With one deliberate exception (the UTC session-timezone pin, which
+  * exists to make timestamp semantics deployment-invariant), none of
+  * these change query SEMANTICS — every catalog query hash-matches its
+  * oracle under any of them; they change plan CHOICE (AQE) and
+  * memory/shuffle behavior.
   */
 object ScaleConf {
 
@@ -39,7 +41,17 @@ object ScaleConf {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     // the engine's iterative operators (connectedComponents, Lloyd
     // fits) checkpoint per round; a reliable dir makes that
-    // executor-loss-tolerant where localCheckpoint is not
+    // executor-loss-tolerant where localCheckpoint is not (production
+    // submits should point this at durable storage, e.g. an HDFS/object
+    // path; equivalently sparkContext.setCheckpointDir at startup)
+    "spark.checkpoint.dir" -> "/tmp/graft-checkpoints",
+    // pin timestamp-function semantics to UTC everywhere: to_timestamp /
+    // unix_timestamp / window() are session-timezone-sensitive, so an
+    // un-pinned cluster default (machine-local TZ) would make temporal
+    // queries return different rows than the same code run elsewhere.
+    // This is the one entry here that IS semantics-affecting — it exists
+    // precisely to make semantics deployment-invariant, and it matches
+    // the UTC pin Verify/Bench use locally.
     "spark.sql.session.timeZone" -> "UTC")
 
   /** Apply [[clusterConfs]] to a session builder. */

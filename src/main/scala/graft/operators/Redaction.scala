@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * precisely so deployments can re-tune them. */
 object Redaction {
 
-  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // (?i): emails are case-insensitive by spec (and in the wild mixed
+  // case is common — John.Doe@Example.COM must not escape a compliance
+  // pass). The inline flag works in both Java regex (Spark) and RE2
+  // (DuckDB), so the oracle SQL mirrors it verbatim.
+  val emailPattern: String = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val ipPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phonePattern: String = "\\+?\\d[\\d-]{6,}\\d"
 

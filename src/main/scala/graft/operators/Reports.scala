@@ -90,7 +90,10 @@ object Reports {
     val sketch = df.stat.countMinSketch(col(keyCol).cast("string"), eps, confidence, seed = 42)
     val bcast = df.sparkSession.sparkContext.broadcast(sketch)
     val est = udf((k: String) => bcast.value.estimateCount(k))
-    candidates.select(col(keyCol)).distinct()
+    // the sketch build side silently skips nulls, so a null candidate
+    // can never be a heavy hitter — and CountMinSketch.estimateCount
+    // throws on null. Drop nulls before probing (they survive distinct).
+    candidates.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
       .withColumn("est", est(col(keyCol).cast("string")))
       .filter(col("est") >= minCount)
   }

@@ -128,6 +128,11 @@ case class TopKExec(
     val limit = k
     val childOutput = child.output
     child.execute().mapPartitions({ iter =>
+      // execute()'s contract is InternalRow, not UnsafeRow — normalize
+      // through an identity projection instead of casting so a child
+      // emitting e.g. GenericInternalRow still works (the projection is
+      // a no-op copy-through for rows that are already Unsafe-backed)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
       // generated comparator over the UNBOUND sort orders bound here to
       // the child schema: rows compare "better" when ordered first
@@ -136,7 +141,7 @@ case class TopKExec(
       // candidate enters iff it beats the worst once the heap is full
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = toUnsafe(iter.next())
         val key = keyProj.apply(row)
         var heap = heaps.get(key)
         if (heap == null) {

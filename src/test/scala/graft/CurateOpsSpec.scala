@@ -56,6 +56,12 @@ class CurateOpsSpec extends SparkSpec {
       Seq(clean).toDF("t").select(Redaction.redactPii($"t"))
         .head().getString(0) shouldBe clean
     }
+
+    it("redacts mixed-case emails") {
+      val raw = "write John.Doe@Example.COM or JANE_99@SUB.Example.Org today"
+      Seq(raw).toDF("t").select(Redaction.redactPii($"t"))
+        .head().getString(0) shouldBe "write [EMAIL] or [EMAIL] today"
+    }
   }
 
   describe("SnapshotDiff") {

@@ -96,6 +96,14 @@ class OperatorsSpec extends SparkSpec {
         est.get(r.getString(0)).foreach(_ should be >= r.getLong(1))
       }
     }
+
+    it("heavyHittersApprox ignores null candidates instead of crashing") {
+      val df = Seq("a", "a", "a", "b").toDF("k")
+      val candidates = Seq(Some("a"), None).toDF("k")
+      val found = Reports.heavyHittersApprox(df, "k", candidates, minCount = 2L)
+        .collect().map(_.getString(0)).toSet
+      found shouldBe Set("a")
+    }
   }
 
   describe("Validation") {

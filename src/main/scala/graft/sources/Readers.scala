@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    by hand (`/root/reference/clean_encounterids.py:17-19`) — here
   *    DROPMALFORMED absorbs it: footer lines have the wrong token
   *    count and are dropped at parse time, no manual editing;
-  *  - S3 `dimensionCsv`: small lookup workbooks pre-converted to CSV
-  *    (no xlsx reader on a Spark cluster; the ingest contract is CSV/
-  *    parquet), always broadcast-sized;
+  *  - S3 `dimensionCsv` / `dimensionXlsx`: small lookup workbooks,
+  *    either pre-converted to CSV or read directly from `.xlsx` (JDK
+  *    zip + StAX, no library dependency — see [[Xlsx]]), always
+  *    broadcast-sized;
   *  - S4 `xml`: Spark 4's built-in XML source (`rowTag`), replacing the
   *    reference's ElementTree parser (`parse_ICNARC_xml.py:22-64`);
   *  - S5/S6 sinks: parquet is the engine default (splittable, columnar,
@@ -49,6 +50,13 @@ object Readers {
     * contract — callers broadcast it into joins. */
   def dimensionCsv(spark: SparkSession, path: String): DataFrame =
     csv(spark, path)
+
+  /** S3: direct sheet-addressed `.xlsx` ingest (the reference's
+    * `pd.read_excel(…, sheet_name=…)` — `clean_encounterids.py:40,67`,
+    * `parse_ICNARC_xml.py:53`). Same broadcast-sized dimension contract
+    * and the same schema a pre-converted CSV would get; see [[Xlsx]]. */
+  def dimensionXlsx(spark: SparkSession, path: String, sheet: String): DataFrame =
+    Xlsx.readSheet(spark, path, sheet)
 
   /** S4: XML scan via the built-in Spark 4 source. One row per
     * `rowTag` element; absent child elements → null columns (the

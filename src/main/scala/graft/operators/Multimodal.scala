@@ -17,9 +17,14 @@ import org.apache.spark.sql.types._
   *    per partition, so a decode library would be initialized once per
   *    partition (not per row), and batch size is governed by partition
   *    sizing (`spark.sql.files.maxPartitionBytes` / `repartition`);
-  *  - the decode kernels themselves are STUBS (this environment has no
-  *    image/audio codecs): deterministic byte-derived fakes, clearly
-  *    marked below. Swapping in a real codec changes only the function
+  *  - IMAGE decode is REAL: [[decodeImage]]/[[extractImageFeatures]]
+  *    run `javax.imageio` (JDK-built-in PNG/JPEG/BMP/GIF codecs) inside
+  *    the same partition-local kernel shape — luminance statistics and
+  *    a normalized histogram per image, null-safe on undecodable bytes;
+  *  - audio/video kernels remain STUBS (no codecs for those in the
+  *    JDK): deterministic byte-derived fakes, clearly marked below, and
+  *    [[fakeDecodeFeatures]] is kept as the oracle-replayable path for
+  *    the gated queries. Swapping in a codec changes only the function
   *    body — schema, partitioning, signatures and batch shape stay.
   */
 object Multimodal {
@@ -67,6 +72,67 @@ object Multimodal {
     var j = 0
     while (j < dim) { acc(j) = acc(j) / (bytes.length.max(1)); j += 1 }
     acc
+  }
+
+  /** REAL image decode: PNG/JPEG/BMP/GIF bytes → (width, height, mean
+    * luminance, `bins`-bucket normalized luma histogram), or None when
+    * the payload is not a decodable image (truncated file, wrong kind).
+    * Luma is Rec.601 (0.299R + 0.587G + 0.114B) over the int-ARGB
+    * rendering, which is format-independent. */
+  private[operators] def decodeImage(bytes: Array[Byte], bins: Int)
+      : Option[(Int, Int, Double, Array[Double])] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val hist = new Array[Double](bins)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          sum += luma
+          hist((luma * bins / 256.0).toInt.min(bins - 1)) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      var b = 0
+      while (b < bins) { hist(b) /= n; b += 1 }
+      (w, h, sum / n, hist)
+    }
+  }
+
+  /** Real-codec feature extraction for image rows: same partition-local
+    * kernel shape as [[extractFeatures]], but the body is an actual
+    * `javax.imageio` decode. Emits `(media_id, img_width, img_height,
+    * mean_luma, luma_hist)`; undecodable payloads yield nulls (the
+    * schema keeps the row — a curation pass filters on
+    * `img_width IS NULL` rather than silently dropping). */
+  def extractImageFeatures(media: DataFrame, bins: Int = 16): DataFrame = {
+    require(bins > 0, s"extractImageFeatures needs a positive bin count, got $bins")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init: no disk-backed ImageIO scratch —
+        // executor-local tmp would be a hidden I/O dependency
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          decodeImage(bytes, bins) match {
+            case Some((w, h, luma, hist)) => (id, Some(w), Some(h), Some(luma), Some(hist))
+            case None => (id, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "img_width", "img_height", "mean_luma", "luma_hist")
+    media.join(out, Seq("media_id"))
   }
 
   /** Feature extraction: binary content → `array<float>` embedding,

@@ -52,4 +52,64 @@ class MultimodalSpec extends SparkSpec {
       frames.filter(Fn.length($"frame_bytes") === 0).count() shouldBe 0
     }
   }
+
+  // real fixtures: encode BufferedImages through the same JDK codecs a
+  // production ingest would produce files with — PNG exact, JPEG lossy
+  private def encodeImage(fmt: String, w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, fmt, bos)
+    bos.toByteArray
+  }
+
+  describe("extractImageFeatures (real javax.imageio decode)") {
+    it("decodes PNG and JPEG bytes to exact dimensions and luminance stats") {
+      // solid gray 120: every luma is exactly 120 (0.299+0.587+0.114 = 1)
+      val gray = encodeImage("png", 8, 6)((_, _) => (120 << 16) | (120 << 8) | 120)
+      // half black / half white 16x4: mean luma 127.5, histogram mass
+      // split between the first and last of 16 bins
+      val bw = encodeImage("png", 16, 4)((x, _) => if (x < 8) 0 else 0xffffff)
+      val jpegGray = encodeImage("jpeg", 10, 10)((_, _) => (120 << 16) | (120 << 8) | 120)
+      val corrupt = Array[Byte](1, 2, 3, 4, 5)
+      val df = Seq(
+        (1L, "image", gray), (2L, "image", bw),
+        (3L, "image", jpegGray), (4L, "image", corrupt)
+      ).toDF("media_id", "kind", "content")
+      val out = Multimodal.extractImageFeatures(df, bins = 16)
+        .select($"media_id", $"img_width", $"img_height", $"mean_luma", $"luma_hist")
+        .collect().map(r => r.getLong(0) -> r).toMap
+
+      out(1L).getInt(1) shouldBe 8
+      out(1L).getInt(2) shouldBe 6
+      out(1L).getDouble(3) shouldBe 120.0 +- 1e-9
+      // all mass in bin floor(120*16/256) = 7
+      out(1L).getSeq[Double](4)(7) shouldBe 1.0 +- 1e-9
+
+      out(2L).getDouble(3) shouldBe 127.5 +- 1e-9
+      val hist2 = out(2L).getSeq[Double](4)
+      hist2.head shouldBe 0.5 +- 1e-9
+      hist2.last shouldBe 0.5 +- 1e-9
+
+      // JPEG is lossy but a solid color survives within a few levels
+      out(3L).getInt(1) shouldBe 10
+      out(3L).getDouble(3) shouldBe 120.0 +- 3.0
+
+      // undecodable bytes keep the row with null features
+      out(4L).isNullAt(1) shouldBe true
+      out(4L).isNullAt(3) shouldBe true
+    }
+
+    it("histograms always sum to 1 over decodable rows") {
+      val imgs = (1L to 5L).map { i =>
+        (i, "image", encodeImage("png", 12, 12)((x, y) =>
+          ((x * 21 + i.toInt) % 256 << 16) | ((y * 17) % 256 << 8) | ((x * y) % 256)))
+      }
+      val out = Multimodal.extractImageFeatures(imgs.toDF("media_id", "kind", "content"))
+        .select(Fn.aggregate($"luma_hist", lit(0.0), (a, x) => a + x).as("s"))
+        .collect()
+      all(out.map(_.getDouble(0))) shouldBe 1.0 +- 1e-9
+    }
+  }
 }

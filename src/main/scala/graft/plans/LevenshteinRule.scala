@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.IntegerType
   * and null propagates identically on both sides. `<` lowers through
   * `<= k−1`; literal-on-the-left comparisons mirror. Registered via
   * [[GraftExtensions]] (`injectOptimizerRule`).
+  *
+  * Scope: `transformAllExpressions` reaches every operator's
+  * expressions, so the rewrite fires in Filter predicates AND inside
+  * Join conditions — the blocked fuzzy-linkage join (q92's shape,
+  * equi-block + levenshtein residual) is where it pays most
+  * (spec-proven in `LevenshteinRuleSpec`).
   */
 object BoundLevenshtein extends Rule[LogicalPlan] {
 

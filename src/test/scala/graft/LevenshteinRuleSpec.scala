@@ -62,4 +62,38 @@ class LevenshteinRuleSpec extends SparkSpec {
       rowsOf(pairs.filter(levenshtein($"a", $"b") <= 2)) shouldBe off
     }
   }
+
+  it("rewrites edit-distance predicates inside JOIN conditions") {
+    // the fuzzy-linkage shape that pays for the rewrite (q92): a blocked
+    // equi-key plus a non-equi levenshtein residual in the join ON —
+    // transformAllExpressions must reach the Join node's condition, not
+    // just Filters
+    withRule {
+      val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+      val left = cust.select($"c_custkey".as("lk"), $"c_nationkey".as("lblock"),
+        $"c_name".as("lname"))
+      val right = cust.select($"c_custkey".as("rk"), $"c_nationkey".as("rblock"),
+        concat(substring($"c_name", 1, 17),
+          when($"c_custkey" % 2 === 0, "Z").otherwise("")).as("rname"))
+      val joined = left.join(right,
+        $"lblock" === $"rblock" && levenshtein($"lname", $"rname") <= 1)
+      val boundedInJoin = joined.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.toSeq.flatMap(_.collect {
+            case l: Levenshtein if l.threshold.isDefined => l
+          })
+      }.flatten
+      boundedInJoin should not be empty
+      // and no unbounded form survives anywhere in the plan
+      val unbounded = joined.queryExecution.optimizedPlan
+        .flatMap(_.expressions).flatMap(_.collect {
+          case l: Levenshtein if l.threshold.isEmpty => l
+        })
+      unbounded shouldBe empty
+      // results identical to the explicit bounded join
+      val expect = left.join(right,
+        $"lblock" === $"rblock" && levenshtein($"lname", $"rname", 1) >= 0)
+      rowsOf(joined) shouldBe rowsOf(expect)
+    }
+  }
 }

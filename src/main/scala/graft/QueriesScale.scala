@@ -145,9 +145,44 @@ object QueriesScale {
        |FROM n GROUP BY source HAVING sum(n) > 0 ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Salted JOIN under deliberate key skew ([[SkewJoin.saltedJoin]]):
+    * lineitem rows get a synthesized nation key where ~80% of rows land
+    * on key 0 (the hot-key pathology AQE's partition-level splitting may
+    * be too coarse for: ONE key, not one partition, is hot), then join
+    * the 25-row nation dim on (key, salt) with the dim exploded ×8. The
+    * oracle is the plain join + GROUP BY — salting changes where rows
+    * meet, never which rows meet. Counts and floor-sums are integer
+    * aggregates: exact under any salt split. Complements q44, which
+    * gates only the salted AGGREGATE. */
+  val q95SaltedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val facts = Tables.lineitem(s, dir).select(
+      when($"l_orderkey" % 5 === 0, ($"l_orderkey" % 25).cast("long"))
+        .otherwise(0L).as("nk"),
+      $"l_quantity")
+    val dim = Tables.nation(s, dir)
+      .select($"n_nationkey".cast("long").as("nk"), $"n_name")
+    SkewJoin.saltedJoin(facts, dim, Seq("nk"), saltFactor = 8)
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"l_quantity").cast("long")).as("sum_qty"))
+      .orderBy($"n_name")
+  }
+  val q95Sql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 5 = 0 THEN l_orderkey % 25 ELSE 0 END AS nk,
+      |         l_quantity
+      |  FROM lineitem)
+      |SELECT n_name, count(*) AS n,
+      |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM f JOIN nation ON f.nk = nation.n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q44_salted_agg", q44SaltedAgg, Some(q44Sql)),
+    ("q95_salted_join", q95SaltedJoin, Some(q95Sql)),
     ("q50_hash_split", q50HashSplit, Some(q50Sql)),
     ("q51_seq_packing", q51Packing, Some(q51Sql)),
     ("q52_weighted_mix", q52WeightedMix, Some(q52Sql)),

@@ -27,6 +27,29 @@ class ScaleOpsSpec extends SparkSpec {
       salted.getLong(0) shouldBe plain.getLong(0)
       salted.getDouble(1) shouldBe (plain.getDouble(1) +- 1e-6)
     }
+
+    it("spreads a single hot key across salts and still matches the plain join") {
+      // 90% of facts on one key — the single-hot-KEY pathology, which is
+      // finer-grained than AQE's partition-level skew split (AQE divides
+      // an oversized shuffle partition; pre-salting divides the KEY)
+      val facts = Tables.orders(spark, "/root/testdata/sf0.001")
+        .select(when($"o_orderkey" % 10 === 0, $"o_orderkey" % 5)
+          .otherwise(lit(3L)).as("k"), $"o_totalprice")
+      val dim = (0L to 4L).map(k => (k, s"dim_$k")).toDF("k", "label")
+      val plain = facts.join(dim, Seq("k")).groupBy($"label")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("s"))
+      val salted = SkewJoin.saltedJoin(facts, dim, Seq("k"), saltFactor = 8)
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("s"))
+      rowsOf(salted) shouldBe rowsOf(plain)
+      // the mechanism: the hot key's rows actually fan out over the salt
+      // domain (same salt expression the operator derives)
+      val spread = facts.filter($"k" === 3L)
+        .select(pmod(xxhash64(facts.columns.map(col).toIndexedSeq: _*), lit(8))
+          .cast("int").as("salt"))
+        .distinct().count()
+      spread shouldBe 8L
+    }
   }
 
   describe("SkewJoin.saltedAggregate") {

@@ -575,6 +575,31 @@ object QueriesText {
        |  ON c.doc_id = m.id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** q58's cluster assignment computed by the OTHER algorithm:
+    * alternating small-star/large-star contraction
+    * ([[graft.operators.Components.connectedComponentsContraction]],
+    * the high-diameter-safe opt-in). Same edges, same recursive-CTE
+    * oracle — the gate proves both distributed fixpoints equal true
+    * transitive reachability, so a user can switch algorithms on graph
+    * shape without a semantic change. */
+  val q96DedupClustersContraction: Q = (s, dir) => {
+    import s.implicits._
+    val sh = TextDedup.shingleTable(corpus(s, dir, perturb = true), "doc_id", "text", 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same canonical pair-table plan as q30/q58 → cache hit in-session
+    val pairs = TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2, threshold = 0.3,
+        maxBandDf = Some(1024))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comps = graft.operators.Components
+      .connectedComponentsContraction(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    corpus(s, dir, perturb = true).select($"doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("comp"))
+      .orderBy($"doc_id")
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -590,5 +615,6 @@ object QueriesText {
     ("q56_quota_select", q56QuotaSelect, Some(q56Sql)),
     ("q57_contamination", q57Contamination, Some(q57Sql)),
     ("q58_dedup_clusters", q58DedupClusters, Some(q58Sql)),
+    ("q96_dedup_clusters_contraction", q96DedupClustersContraction, Some(q58Sql)),
   )
 }

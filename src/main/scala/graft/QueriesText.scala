@@ -575,6 +575,58 @@ object QueriesText {
        |  ON c.doc_id = m.id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Two-lane (64-bit) SimHash CTEs mirroring [[TextDedup.simHash64]]:
+    * lo lane = md5(tk), hi lane = md5('1:' || tk) — the same salt
+    * scheme as the minhash lanes — 32 signed bit votes per lane,
+    * packed into two 32-bit halves (portable: no sign-bit hazard). */
+  private def simhash64Sql(corpusBody: String): String = {
+    def hexDigits(lane: String) = (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(md5($lane), $p, 1)) - 1) * $mult"
+    }.mkString("\n        + ")
+    def bitSums(h: String, pfx: String) = (0 until 32).map(j =>
+      s"sum(2 * (($h // ${1L << j}) % 2) - 1) AS $pfx$j").mkString(",\n    ")
+    def pack(pfx: String) = (0 until 32).map(j =>
+      s"(CASE WHEN $pfx$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString("\n    + ")
+    s"""corpus AS (
+       |  $corpusBody),
+       |tok AS (SELECT doc_id AS id, unnest(string_split($normSql, ' ')) AS tk FROM corpus),
+       |th AS (
+       |  SELECT id, ${hexDigits("tk")} AS hlo,
+       |         ${hexDigits("'1:' || tk")} AS hhi
+       |  FROM tok),
+       |agg AS (
+       |  SELECT id, ${bitSums("hlo", "l")},
+       |    ${bitSums("hhi", "u")}
+       |  FROM th GROUP BY id),
+       |simt AS (
+       |  SELECT id, ${pack("u")} AS sim_hi, ${pack("l")} AS sim_lo
+       |  FROM agg)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q97
+  /** 64-bit SimHash near-dup pairs (Hamming ≤ 3), gated on the
+    * 16-bit-block pigeonhole banding — the signature width that keeps
+    * band buckets sparse at 10⁸+ docs (see [[TextDedup.simHash64]];
+    * q32's 32-bit form has only 2⁸ band values, which densifies
+    * quadratically). Oracle is the all-pairs definition over the same
+    * two-lane signatures: banding is recall-1, results identical. */
+  val q97SimHash64Pairs: Q = (s, dir) => {
+    import s.implicits._
+    val sim = TextDedup.simHash64(corpus(s, dir, perturb = true), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextDedup.bandedHammingPairs64(sim, maxHd = 3).orderBy($"a_id", $"b_id")
+  }
+  val q97Sql: String =
+    s"""WITH ${simhash64Sql(corpusSql(perturb = true))}
+       |SELECT a.id AS a_id, b.id AS b_id,
+       |       bit_count(xor(a.sim_lo, b.sim_lo))
+       |         + bit_count(xor(a.sim_hi, b.sim_hi)) AS hd
+       |FROM simt a JOIN simt b ON a.id < b.id
+       |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+       |        + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** q58's cluster assignment computed by the OTHER algorithm:
     * alternating small-star/large-star contraction
@@ -616,5 +668,6 @@ object QueriesText {
     ("q57_contamination", q57Contamination, Some(q57Sql)),
     ("q58_dedup_clusters", q58DedupClusters, Some(q58Sql)),
     ("q96_dedup_clusters_contraction", q96DedupClustersContraction, Some(q58Sql)),
+    ("q97_simhash64_pairs", q97SimHash64Pairs, Some(q97Sql)),
   )
 }

@@ -206,6 +206,83 @@ object TextDedup {
       .filter(col("hd") <= maxHd)
   }
 
+  /** 64-bit SimHash, carried as two 32-bit halves `(sim_hi, sim_lo)`.
+    *
+    * Why 64 over [[simHash32]] at scale: pigeonhole banding for
+    * Hamming ≤ 3 splits the signature into 4 blocks, so 32-bit
+    * signatures give 8-bit blocks — only 256 distinct band values, and
+    * every band bucket holds n/256 docs regardless of content, making
+    * the candidate join quadratically dense as n grows. 64-bit
+    * signatures give 16-bit blocks (65 536 values): 256× sparser
+    * buckets for the same recall guarantee, which is the difference
+    * between a workable and a degenerate candidate join at 10⁸+ docs.
+    * Halves (not one long) keep bit 63 out of the sign position, so
+    * both engines agree on plain integer comparisons — the same
+    * portability trick as the minhash md5 lanes; the second lane salts
+    * the token with `"1:"` exactly like [[minHashSignature]]. */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("tk"))
+    val withH = tok
+      .withColumn("hlo", conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hhi",
+        conv(substring(md5(concat(lit("1:"), col("tk"))), 1, 8), 16, 10).cast("long"))
+    def sums(h: String, p: String) = (0 until 32).map(j =>
+      sum(lit(2) * ((col(h) / lit(1L << j)).cast("long") % 2) - lit(1)).as(s"$p$j"))
+    val bitSums = sums("hlo", "l") ++ sums("hhi", "u")
+    val agg = withH.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    def pack(p: String) = (0 until 32)
+      .map(j => when(col(s"$p$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), pack("u").as("sim_hi"), pack("l").as("sim_lo"))
+  }
+
+  /** All-pairs Hamming ≤ `maxHd` over [[simHash64]] signatures — the
+    * small-data oracle for [[bandedHammingPairs64]]. */
+  def hammingPairs64(sim: DataFrame, maxHd: Int): DataFrame =
+    sim.as("a").join(sim.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
+          bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).as("hd"))
+      .filter(col("hd") <= maxHd)
+
+  /** Pigeonhole banding over the 64-bit signature: `maxHd + 1`
+    * contiguous blocks, equi-join on (block index, block value), exact
+    * Hamming verify of candidates. Recall-1 like
+    * [[bandedHammingPairs]], but with 64/(maxHd+1)-bit blocks the band
+    * value space is ~2¹⁶ for maxHd = 3 instead of 2⁸ — see
+    * [[simHash64]]. */
+  def bandedHammingPairs64(sim: DataFrame, maxHd: Int): DataFrame = {
+    require(maxHd >= 1 && maxHd <= 31, s"maxHd must be in [1, 31], got $maxHd")
+    val nBlocks = maxHd + 1
+    val width = 64 / nBlocks
+    // value of signature bits [s, s+w) assembled from the two halves
+    def blockVal(s: Int, w: Int): Column = {
+      val mask = (1L << w) - 1
+      if (s + w <= 32) shiftrightunsigned(col("sim_lo"), s).bitwiseAND(lit(mask))
+      else if (s >= 32) shiftrightunsigned(col("sim_hi"), s - 32).bitwiseAND(lit(mask))
+      else shiftrightunsigned(col("sim_lo"), s)
+        .bitwiseOR(shiftleft(col("sim_hi"), 32 - s)).bitwiseAND(lit(mask))
+    }
+    val blocks = (0 until nBlocks).map { b =>
+      val s = b * width
+      val w = if (b == nBlocks - 1) 64 - s else width
+      struct(lit(b).as("blk"), blockVal(s, w).as("v"))
+    }
+    val banded = sim.select(col("id"), col("sim_hi"), col("sim_lo"),
+      explode(array(blocks: _*)).as("bb"))
+      .select(col("id"), col("sim_hi"), col("sim_lo"),
+        col("bb.blk").as("blk"), col("bb.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
+          bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHd)
+  }
+
   /** Cross-split contamination audit: for every document in split `from`,
     * the fraction of its distinct shingles that also occur anywhere in
     * split `against` — the benchmark-leakage check run before a split is

@@ -93,6 +93,33 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  describe("TextDedup.simHash64") {
+    it("halves stay in [0, 2^32) and normalization-identical docs collide") {
+      val sim = TextDedup.simHash64(docs, "doc_id", "text")
+      val m = sim.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      m.values.foreach { case (hi, lo) =>
+        hi should (be >= 0L and be < (1L << 32))
+        lo should (be >= 0L and be < (1L << 32))
+      }
+      m(1L) shouldBe m(2L)
+    }
+
+    it("banded 64-bit pairing equals the all-pairs form (recall 1)") {
+      // fixture + planted near-dups: flip two tokens of each doc so true
+      // pairs sit at small Hamming distance across a 64-bit signature
+      val perturbed = docs.select($"doc_id" + 100L as "doc_id",
+        concat($"text", lit(" zz qq")).as("text"))
+      val corpus = docs.unionByName(perturbed)
+      val sim = TextDedup.simHash64(corpus, "doc_id", "text")
+      val brute = TextDedup.hammingPairs64(sim, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val banded = TextDedup.bandedHammingPairs64(sim, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      banded shouldBe brute
+    }
+  }
+
   describe("contamination") {
     it("scores full, partial, and zero overlap against the train split") {
       val base = "a b c d e f g h i j" // 6 distinct 5-shingles

@@ -49,6 +49,10 @@ object Bench {
       // cold_total for transparency.
       val cold = once()
       val warm = if (err.isEmpty) once() else cold
+      // per-query progress on stderr: long runs are otherwise silent
+      // until the final JSON line, which makes a hung or pathological
+      // query indistinguishable from normal progress
+      System.err.println(f"[bench] $name cold=$cold%.2fs steady=${math.min(cold, warm)}%.2fs")
       (name, math.min(cold, warm), cold, err)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }

@@ -21,8 +21,12 @@ import org.apache.spark.sql.types._
   *    run `javax.imageio` (JDK-built-in PNG/JPEG/BMP/GIF codecs) inside
   *    the same partition-local kernel shape — luminance statistics and
   *    a normalized histogram per image, null-safe on undecodable bytes;
-  *  - audio/video kernels remain STUBS (no codecs for those in the
-  *    JDK): deterministic byte-derived fakes, clearly marked below, and
+  *  - AUDIO decode is REAL: [[decodeAudio]]/[[extractAudioFeatures]]
+  *    run `javax.sound.sampled` (JDK WAV/AIFF/AU PCM codecs) in the
+  *    same kernel — sample rate, channels, frames, RMS loudness and
+  *    zero-crossing rate per payload;
+  *  - VIDEO kernels remain STUBS (the JDK ships no video codec):
+  *    deterministic byte-derived fakes, clearly marked below, and
   *    [[fakeDecodeFeatures]] is kept as the oracle-replayable path for
   *    the gated queries. Swapping in a codec changes only the function
   *    body — schema, partitioning, signatures and batch shape stay.
@@ -106,6 +110,92 @@ object Multimodal {
       while (b < bins) { hist(b) /= n; b += 1 }
       (w, h, sum / n, hist)
     }
+  }
+
+  /** REAL audio decode: WAV/AIFF/AU bytes (the JDK's built-in
+    * `javax.sound.sampled` codecs) → (sample rate, channels, number of
+    * sample frames, RMS amplitude, zero-crossing rate), or None when
+    * the payload is not decodable audio. Samples are normalized to
+    * [-1, 1] from 8/16-bit PCM (signed little/big-endian per the
+    * format header); multi-channel audio is analyzed on channel 0 —
+    * RMS/ZCR are per-signal statistics, and cross-channel mixing would
+    * blur exactly the silence/noise distinction a curation filter
+    * wants. */
+  private[operators] def decodeAudio(bytes: Array[Byte])
+      : Option[(Float, Int, Long, Double, Double)] = {
+    val stream =
+      try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    stream.flatMap { in =>
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) None
+        else {
+          val channels = fmt.getChannels
+          val frameBytes = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          val signed = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val data = in.readAllBytes()
+          val nFrames = data.length / frameBytes
+          var i = 0
+          var sumSq = 0.0
+          var crossings = 0L
+          var prev = 0.0
+          while (i < nFrames) {
+            val off = i * frameBytes // channel 0 sits first in each frame
+            val raw =
+              if (bits == 8) {
+                val b = data(off)
+                if (signed) b.toInt else (b & 0xff) - 128
+              } else {
+                val (b0, b1) = if (big) (data(off), data(off + 1))
+                               else (data(off + 1), data(off))
+                (b0 << 8) | (b1 & 0xff)
+              }
+            val x = raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
+            sumSq += x * x
+            if (i > 0 && ((prev < 0 && x >= 0) || (prev >= 0 && x < 0)))
+              crossings += 1
+            prev = x
+            i += 1
+          }
+          if (nFrames == 0) None
+          else Some((fmt.getSampleRate, channels, nFrames.toLong,
+            math.sqrt(sumSq / nFrames),
+            crossings.toDouble / math.max(nFrames - 1, 1)))
+        }
+      } finally in.close()
+    }
+  }
+
+  /** Real-codec feature extraction for audio rows: same partition-local
+    * kernel shape as [[extractFeatures]]. Emits `(media_id,
+    * sample_rate, n_channels, n_frames, rms, zcr)`; undecodable
+    * payloads keep their row with nulls. RMS ~ loudness (silence
+    * filter), ZCR ~ spectral brightness proxy (noise-vs-tone filter) —
+    * the two cheapest useful curation signals. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudio(bytes) match {
+            case Some((sr, ch, nf, rms, zcr)) =>
+              (id, Some(sr), Some(ch), Some(nf), Some(rms), Some(zcr))
+            case None => (id, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_channels", "n_frames", "rms", "zcr")
+    media.join(out, Seq("media_id"))
   }
 
   /** Real-codec feature extraction for image rows: same partition-local

@@ -101,6 +101,61 @@ class MultimodalSpec extends SparkSpec {
       out(4L).isNullAt(3) shouldBe true
     }
 
+    it("decodes WAV audio to exact RMS and zero-crossing rate") {
+      // square wave at half amplitude: |x| = 0.5 everywhere → RMS 0.5
+      // exactly; blocks of 4 samples per polarity → one crossing every
+      // 4th sample boundary
+      def wav(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+        val bytes = new Array[Byte](samples.length * 2)
+        samples.zipWithIndex.foreach { case (s, i) =>
+          bytes(2 * i) = (s & 0xff).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        }
+        val in = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(in,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val square = Array.tabulate(800)(i =>
+        if ((i / 4) % 2 == 0) 16384.toShort else (-16384).toShort)
+      val silence = Array.fill(100)(0.toShort)
+      // stereo: channel 0 = square, channel 1 = silence (interleaved)
+      val stereo = Array.tabulate(400)(i =>
+        if (i % 2 == 0) { val f = i / 2
+          if ((f / 4) % 2 == 0) 16384.toShort else (-16384).toShort
+        } else 0.toShort)
+      val df = Seq(
+        (1L, "audio", wav(square)),
+        (2L, "audio", wav(silence)),
+        (3L, "audio", wav(stereo, channels = 2)),
+        (4L, "audio", Array[Byte](9, 9, 9))
+      ).toDF("media_id", "kind", "content")
+      val out = Multimodal.extractAudioFeatures(df)
+        .select($"media_id", $"sample_rate", $"n_channels", $"n_frames", $"rms", $"zcr")
+        .collect().map(r => r.getLong(0) -> r).toMap
+
+      out(1L).getFloat(1) shouldBe 8000f
+      out(1L).getInt(2) shouldBe 1
+      out(1L).getLong(3) shouldBe 800L
+      out(1L).getDouble(4) shouldBe 0.5 +- 1e-12
+      // 800 samples in blocks of 4 → 199 polarity flips over 799 gaps
+      out(1L).getDouble(5) shouldBe (199.0 / 799.0) +- 1e-12
+
+      out(2L).getDouble(4) shouldBe 0.0
+      out(2L).getDouble(5) shouldBe 0.0
+
+      // stereo analyzes channel 0 only → same RMS as the mono square
+      out(3L).getInt(2) shouldBe 2
+      out(3L).getLong(3) shouldBe 200L
+      out(3L).getDouble(4) shouldBe 0.5 +- 1e-12
+
+      out(4L).isNullAt(1) shouldBe true
+      out(4L).isNullAt(4) shouldBe true
+    }
+
     it("histograms always sum to 1 over decodable rows") {
       val imgs = (1L to 5L).map { i =>
         (i, "image", encodeImage("png", 12, 12)((x, y) =>

@@ -73,4 +73,33 @@ class PlanShapeSpec extends SparkSpec {
       stages should not be empty
     }
   }
+
+  it("plans banded simhash pairing as an equi-join, never a cross product") {
+    withoutAqe {
+      // the whole point of pigeonhole banding: the self-join keys on
+      // (block, value) — a nested-loop/cartesian here would be the
+      // all-pairs plan sneaking back in
+      val sim = graft.operators.TextDedup.simHash64(
+        Tables.documents(spark, dir).select($"doc_id", $"text"), "doc_id", "text")
+      val plan = graft.operators.TextDedup.bandedHammingPairs64(sim, 3)
+        .queryExecution.executedPlan.toString
+      (plan should not).include("CartesianProduct")
+      (plan should not).include("BroadcastNestedLoopJoin")
+    }
+  }
+
+  it("broadcasts the exploded dim side of a salted join") {
+    withoutAqe {
+      val facts = Tables.lineitem(spark, dir)
+        .select(($"l_orderkey" % 25).as("nk"), $"l_quantity")
+      val dim = Tables.nation(spark, dir)
+        .select($"n_nationkey".cast("long").as("nk"), $"n_name")
+      val plan = graft.operators.SkewJoin.saltedJoin(facts, dim, Seq("nk"), 8)
+        .queryExecution.executedPlan.toString
+      // 25 rows x 8 salts is still dimension-sized: must broadcast, and
+      // the salt must not force a shuffled join
+      plan should include("BroadcastHashJoin")
+      (plan should not).include("SortMergeJoin")
+    }
+  }
 }

@@ -94,9 +94,73 @@ object QueriesMultimodal {
       |       16 AS n_feat, round(CAST(f AS DOUBLE), 3) AS f0
       |FROM agg WHERE dim = 0 ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** REAL audio decode round-trip, oracle-gated by construction: per
+    * doc_id, synthesize a WAV square wave with closed-form parameters
+    * (amp = ((id%8)+1)·4000 — a multiple of 2⁵, so amp/2¹⁵ is an exact
+    * binary fraction; block length b = 2^(id%3), which divides the 400
+    * samples), run the actual javax.sound.sampled decode
+    * ([[Multimodal.extractAudioFeatures]]), and compare the measured
+    * RMS/ZCR against the arithmetic the oracle computes WITHOUT any
+    * codec: RMS = amp/32768, ZCR = (400/b − 1)/399. A header mis-parse,
+    * endianness flip, or channel-stride bug all shift the measured
+    * stats off the closed form. */
+  val q98AudioDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val amp = ((id % 8) + 1).toInt * 4000
+          val block = 1 << (id % 3).toInt
+          (id, Multimodal.synthWavSquare(amp, block, n = 400))
+        }
+      }
+      .toDF("media_id", "content")
+    Multimodal.extractAudioFeatures(media)
+      .select($"media_id", $"sample_rate".cast("int").as("sample_rate"),
+        $"n_channels", $"n_frames",
+        round($"rms", 6).as("rms"), round($"zcr", 6).as("zcr"))
+      .orderBy($"media_id")
+  }
+  val q98Sql: String =
+    """SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+      |       CAST(400 AS BIGINT) AS n_frames,
+      |       round(((doc_id % 8) + 1) * 4000 / 32768.0, 6) AS rms,
+      |       round((400 / (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) - 1)
+      |             / 399.0, 6) AS zcr
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+  /** REAL image decode round-trip, same mechanism as q98: per doc_id a
+    * solid-gray PNG at level id%256 is encoded and decoded with the
+    * actual JDK codecs; measured mean luminance must equal the gray
+    * level (Rec.601 weights sum to 1; round(…,6) absorbs the last-ulp
+    * float noise) and the histogram's hot bin must be gray/16 (derived
+    * from the ROUNDED luma so a boundary value can't flicker bins). */
+  val q99ImageDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map(id => (id, Multimodal.synthGrayPng((id % 256).toInt)))
+      }
+      .toDF("media_id", "content")
+    Multimodal.extractImageFeatures(media, bins = 16)
+      .select($"media_id", $"img_width", $"img_height",
+        round($"mean_luma", 6).as("mean_luma"),
+        floor(round($"mean_luma", 3) / 16).cast("long").as("hot_bin"))
+      .orderBy($"media_id")
+  }
+  val q99Sql: String =
+    """SELECT doc_id AS media_id, 8 AS img_width, 6 AS img_height,
+      |       round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_luma,
+      |       CAST(floor((doc_id % 256) / 16) AS BIGINT) AS hot_bin
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q40_frame_sample", q40FrameSample, Some(q40Sql)),
     ("q41_media_features", q41MediaFeatures, Some(q41Sql)),
+    ("q98_audio_decode", q98AudioDecode, Some(q98Sql)),
+    ("q99_image_decode", q99ImageDecode, Some(q99Sql)),
   )
 }

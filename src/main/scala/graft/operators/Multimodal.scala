@@ -174,6 +174,53 @@ object Multimodal {
     }
   }
 
+  /** Deterministic test signal: 16-bit mono little-endian WAV square
+    * wave — `n` samples of ±`amp`, polarity flipping every `blockLen`
+    * samples. Closed-form ground truth (RMS = amp/32768 exactly when
+    * amp is a multiple of a power of two; ZCR = (n/blockLen − 1)/(n−1))
+    * makes the REAL encode→decode→stats chain verifiable by pure
+    * arithmetic — the mechanism q98 uses to oracle-gate
+    * [[extractAudioFeatures]] without a codec on the oracle side. */
+  def synthWavSquare(amp: Int, blockLen: Int, n: Int,
+                     sampleRate: Float = 8000f): Array[Byte] = {
+    require(amp > 0 && amp <= 32767 && blockLen > 0 && n > 0)
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val bytes = new Array[Byte](n * 2)
+    var j = 0
+    while (j < n) {
+      val s = if ((j / blockLen) % 2 == 0) amp else -amp
+      bytes(2 * j) = (s & 0xff).toByte
+      bytes(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic test image: solid-gray `w`×`h` PNG at level `gray`.
+    * Ground truth: mean luma = gray exactly (Rec.601 weights sum to 1),
+    * the counterpart of [[synthWavSquare]] for oracle-gating
+    * [[extractImageFeatures]] (q99). */
+  def synthGrayPng(gray: Int, w: Int = 8, h: Int = 6): Array[Byte] = {
+    require(gray >= 0 && gray <= 255 && w > 0 && h > 0)
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { im.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   /** Real-codec feature extraction for audio rows: same partition-local
     * kernel shape as [[extractFeatures]]. Emits `(media_id,
     * sample_rate, n_channels, n_frames, rms, zcr)`; undecodable

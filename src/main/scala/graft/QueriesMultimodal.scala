@@ -135,8 +135,10 @@ object QueriesMultimodal {
     * solid-gray PNG at level id%256 is encoded and decoded with the
     * actual JDK codecs; measured mean luminance must equal the gray
     * level (Rec.601 weights sum to 1; round(…,6) absorbs the last-ulp
-    * float noise) and the histogram's hot bin must be gray/16 (derived
-    * from the ROUNDED luma so a boundary value can't flicker bins). */
+    * float noise) and the HISTOGRAM's argmax bin — read from
+    * `luma_hist` itself, so the binning code path is genuinely gated —
+    * must be gray/16 (a solid image puts mass 1.0 in exactly one bin,
+    * so the argmax is noise-free). */
   val q99ImageDecode: Q = (s, dir) => {
     import s.implicits._
     val media = Tables.documents(s, dir).select($"doc_id").as[Long]
@@ -147,7 +149,8 @@ object QueriesMultimodal {
     Multimodal.extractImageFeatures(media, bins = 16)
       .select($"media_id", $"img_width", $"img_height",
         round($"mean_luma", 6).as("mean_luma"),
-        floor(round($"mean_luma", 3) / 16).cast("long").as("hot_bin"))
+        (array_position($"luma_hist", array_max($"luma_hist")) - 1)
+          .cast("long").as("hot_bin"))
       .orderBy($"media_id")
   }
   val q99Sql: String =

@@ -134,10 +134,11 @@ object Components {
       bCol: String,
       maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // not persisted: referenced exactly once, in the final (lazy) join —
+    // a cache here could never be read before the caller's action
     val vertices = edges.select(col(aCol).as("id"))
       .unionByName(edges.select(col(bCol).as("id")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // canonical directed form: u = max endpoint, v = min endpoint
     var e = edges
       .select(greatest(col(aCol), col(bCol)).as("u"),
@@ -188,10 +189,8 @@ object Components {
         "rounds; raise maxIter")
     // fixpoint edge list is the star (v → component min); the min itself
     // has no outgoing edge, so coalesce to self on the full vertex set
-    val out = vertices
+    vertices
       .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    vertices.unpersist()
-    out
   }
 }

@@ -86,8 +86,12 @@ object Multimodal {
   private[operators] def decodeImage(bytes: Array[Byte], bins: Int)
       : Option[(Int, Int, Double, Array[Double])] = {
     val img =
+      // NonFatal, not just IOException: the JDK decoders throw
+      // RuntimeExceptions on many malformed payloads (CMMException for
+      // corrupt ICC profiles, IndexOutOfBounds on truncated data) and
+      // one bad row must yield nulls, not abort the job
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       val w = im.getWidth; val h = im.getHeight
       val hist = new Array[Double](bins)
@@ -97,8 +101,13 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val rgb = im.getRGB(x, y)
-          val luma = 0.299 * ((rgb >> 16) & 0xff) +
-            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          // integer weights over 1000, one exact division: for gray
+          // pixels (r=g=b=v) the sum is exactly 1000v, so luma == v
+          // bit-exactly — the naive 0.299v+0.587v+0.114v form lands one
+          // ulp BELOW v and drops boundary grays into the wrong
+          // histogram bin (v a multiple of bins' width)
+          val luma = (299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000.0
           sum += luma
           hist((luma * bins / 256.0).toInt.min(bins - 1)) += 1.0
           x += 1
@@ -134,13 +143,17 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        if (bits != 8 && bits != 16) None
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        // linear PCM only: decoding ULAW/ALAW/float frames as linear
+        // PCM would produce garbage statistics with non-null columns —
+        // worse than the honest None this contract promises
+        if ((bits != 8 && bits != 16) || !(signed || unsigned)) None
         else {
           val channels = fmt.getChannels
           val frameBytes = fmt.getFrameSize
           val big = fmt.isBigEndian
-          val signed = fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
           val data = in.readAllBytes()
           val nFrames = data.length / frameBytes
           var i = 0
@@ -156,7 +169,8 @@ object Multimodal {
               } else {
                 val (b0, b1) = if (big) (data(off), data(off + 1))
                                else (data(off + 1), data(off))
-                (b0 << 8) | (b1 & 0xff)
+                val s = (b0 << 8) | (b1 & 0xff)
+                if (signed) s else (s & 0xffff) - 32768
               }
             val x = raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
             sumSq += x * x

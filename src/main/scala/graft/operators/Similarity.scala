@@ -113,10 +113,13 @@ object Similarity {
     val allBucketed = corpus.withColumn("bucket", lshBucket(col("v"), planes))
     val bucketed = maxBucketSize match {
       case Some(cap) =>
-        val hot = allBucketed.groupBy(col("bucket"))
+        // persist: the bucketed table feeds both self-join sides AND the
+        // hot-bucket agg; unpersisted, the bucket hash runs per subtree
+        val cached = allBucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = cached.groupBy(col("bucket"))
           .agg(count(lit(1)).as("sz"))
           .filter(col("sz") > cap).select(col("bucket"))
-        allBucketed.join(hot, Seq("bucket"), "left_anti")
+        cached.join(hot, Seq("bucket"), "left_anti")
       case None => allBucketed
     }
     val a = bucketed.select(col("id").as("a_id"), col("v").as("va"), col("bucket"))

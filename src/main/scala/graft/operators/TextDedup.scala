@@ -120,10 +120,15 @@ object TextDedup {
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
     val bands = maxBandDf match {
       case Some(cap) =>
-        val hot = allBands.groupBy(col("band"), col("h"))
+        // persist: with the cap on, the band table feeds THREE subtrees
+        // (both self-join sides + the hot-key agg), and the agg's
+        // partial-agg shape defeats exchange reuse — unpersisted, the
+        // whole signature→explode→md5 chain would run again per subtree
+        val cached = allBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = cached.groupBy(col("band"), col("h"))
           .agg(count(lit(1)).as("df_cnt"))
           .filter(col("df_cnt") > cap).select(col("band"), col("h"))
-        allBands.join(hot, Seq("band", "h"), "left_anti")
+        cached.join(hot, Seq("band", "h"), "left_anti")
       case None => allBands
     }
     bands.as("x").join(bands.as("y"),

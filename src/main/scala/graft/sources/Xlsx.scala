@@ -100,18 +100,23 @@ object Xlsx {
   }
 
   /** Shared-string table: one entry per `<si>`, concatenating every
-    * `<t>` run (rich-text cells split one string across `<r><t>` runs). */
+    * `<t>` run (rich-text cells split one string across `<r><t>` runs).
+    * Runs inside `<rPh>` phonetic-guide blocks (furigana annotations
+    * written by Japanese-locale Excel) are NOT cell text and are
+    * skipped — including them would corrupt the value vs the CSV twin. */
   private def sharedStrings(zip: ZipFile): IndexedSeq[String] =
     withPart(zip, "xl/sharedStrings.xml") { r =>
       val out = mutable.ArrayBuffer[String]()
       val cur = new StringBuilder
       var inSi = false
       var inT = false
+      var phoneticDepth = 0
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => inSi = true; cur.clear()
-            case "t" if inSi => inT = true
+            case "rPh" | "phoneticPr" => phoneticDepth += 1
+            case "t" if inSi && phoneticDepth == 0 => inT = true
             case _ => ()
           }
         case XMLStreamConstants.CHARACTERS if inT =>
@@ -119,6 +124,7 @@ object Xlsx {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
+            case "rPh" | "phoneticPr" => phoneticDepth -= 1
             case "si" => inSi = false; out += cur.toString
             case _ => ()
           }
@@ -200,10 +206,15 @@ object Xlsx {
         require(rows.nonEmpty, s"sheet '$sheet' in $path is empty")
         (rows.head, rows.tail)
       } finally zip.close()
-    val names = header.zipWithIndex.map { case (h, i) =>
+    // width covers the WIDEST row, not just the header: a data row with
+    // cells beyond the last named header column must surface those
+    // values (as _cN columns, matching what the CSV twin would show),
+    // never drop them silently
+    val width = (header.length +: data.map(_.length)).max
+    val names = (0 until width).map { i =>
+      val h = if (i < header.length) header(i) else null
       if (h == null || h.isEmpty) s"_c$i" else h
     }
-    val width = names.length
     if (inferSchema && data.nonEmpty) {
       // serialize to CSV lines and let spark.read.csv type the columns —
       // the same inference path dimensionCsv uses (one implementation)

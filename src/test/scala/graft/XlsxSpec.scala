@@ -147,6 +147,17 @@ class XlsxSpec extends SparkSpec {
       raw.schema.fields.map(_.dataType.simpleString).distinct.toSeq shouldBe Seq("string")
       Files.delete(p)
     }
+
+    it("surfaces data columns wider than the header instead of dropping them") {
+      val p = Files.createTempFile("graft-wide", ".xlsx")
+      writeWorkbook(p, Seq(("wide", Seq(
+        Seq("a", "b"),
+        Seq("1", "x", "extra")))))
+      val df = Xlsx.readSheet(spark, p.toString, "wide")
+      df.columns.toSeq shouldBe Seq("a", "b", "_c2")
+      df.head().getString(2) shouldBe "extra"
+      Files.delete(p)
+    }
   }
 
   describe("Xlsx end-to-end against the pipeline's dimension fixtures") {

@@ -202,11 +202,62 @@ object QueriesSimilarity {
        |SELECT q_id, rank, n_id, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
+    * deterministic 8-cell Lloyd fit over the near-dup corpus, per-cell
+    * cosine pairs at 0.99, keep = no smaller-id same-cell neighbor
+    * above threshold. Every scaled copy shares a cell with its original
+    * (scaling never moves the argmax centroid), so exactly the copies
+    * drop. The oracle replays the fit (same CTE chain as q39), the
+    * cell-restricted pairing, and the NOT EXISTS keep rule in SQL. */
+  val q100SemanticDedup: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.semanticDedup(s, nearDupCorpus(s, dir), k = 8,
+        iterations = 1, threshold = 0.99)
+      .orderBy($"id")
+  }
+  val q100Sql: String =
+    s"""WITH $nearDupCorpusSql,
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS centroid
+       |  FROM (SELECT id, v FROM corpus ORDER BY id LIMIT 8)),
+       |s0 AS (
+       |  SELECT corpus.id, corpus.v, s.cluster,
+       |         ${dotSql("corpus.v", "s.centroid")} / sqrt(${norm2Sql("corpus.v")} * ${norm2Sql("s.centroid")}) AS cos
+       |  FROM corpus CROSS JOIN seeds s),
+       |a0 AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |upd AS (
+       |  SELECT cluster, dim,
+       |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
+       |           / count(*) AS m
+       |  FROM (SELECT cluster, id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM a0)
+       |  GROUP BY cluster, dim),
+       |cent AS (SELECT cluster, list(m ORDER BY dim) AS centroid FROM upd GROUP BY cluster),
+       |s1 AS (
+       |  SELECT corpus.id, corpus.v, c.cluster,
+       |         ${dotSql("corpus.v", "c.centroid")} / sqrt(${norm2Sql("corpus.v")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM corpus CROSS JOIN cent c),
+       |idx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s1)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.id
+       |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE ${dotSql("a.v", "b.v")} / sqrt(${norm2Sql("a.v")} * ${norm2Sql("b.v")}) >= 0.99)
+       |SELECT i.id, i.cluster, d.id IS NULL AS keep
+       |FROM idx i LEFT JOIN dropped d ON i.id = d.id
+       |ORDER BY i.id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
     ("q35_ann_lsh", q35AnnLsh, Some(q35Sql)),
     ("q39_ann_ivf", q39AnnIvf, Some(q39Sql)),
+    ("q100_semantic_dedup", q100SemanticDedup, Some(q100Sql)),
   )
 }

@@ -6,6 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.plans.GraftFunctions
 
 /** Similarity search over embedding columns (`array<float>`): exact
@@ -141,5 +142,43 @@ object Similarity {
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Semantic deduplication in the SemDeDup shape (public method:
+    * Abbas et al. 2023, arXiv:2303.09540 — cluster embeddings, then
+    * look for near-duplicates only WITHIN a cluster): deterministic
+    * Lloyd fit ([[IvfIndex.fitCentroids]], ordered-mean for
+    * cross-engine bit-reproducibility), per-cell cosine pairs, and a
+    * vector is dropped iff a smaller-id same-cell neighbor scores
+    * ≥ `threshold` (the smallest member of each near-dup set survives —
+    * deterministic, order-free, and expressible in plain SQL for the
+    * gate, unlike a sequentially-greedy sweep).
+    *
+    * Scale shape: the pair join is keyed on the cell, so the work is
+    * Σ|cell|² ≈ n²/k — pick k ~ n/10⁴ to bound cells, exactly the IVF
+    * sizing rule. Centroids broadcast at assignment; no all-pairs join
+    * exists anywhere. Known recall trade (inherited from SemDeDup): a
+    * near-dup pair straddling a cell boundary is missed — raise k only
+    * as far as the cell-size bound needs, or run [[annLshPairs]] for a
+    * recall-1 candidate set.
+    *
+    * Returns `(id, cluster, keep)` for every corpus row. */
+  def semanticDedup(spark: SparkSession, corpus: DataFrame, k: Int,
+                    iterations: Int, threshold: Double): DataFrame = {
+    // persisted: the fit feeds assignment; assignment feeds both pair
+    // sides and the final labeling
+    val cent = IvfIndex.fitCentroids(spark, corpus, k, iterations, orderedMean = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = IvfIndex.assign(corpus, cent)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = idx.select(col("cluster"), col("id").as("a_id"), col("v").as("va"))
+    val b = idx.select(col("cluster"), col("id").as("b_id"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    idx.select(col("id"), col("cluster"))
+      .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
   }
 }

@@ -124,6 +124,23 @@ class SimilaritySpec extends SparkSpec {
         .count() shouldBe 0
     }
 
+    it("semanticDedup drops exactly the scaled copies, keeping originals") {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val corpus = e.unionByName(e.select(($"id" + 100000L).as("id"),
+        transform($"v", x => x * lit(1.01)).as("v")))
+      val out = Similarity.semanticDedup(spark, corpus, k = 8,
+        iterations = 1, threshold = 0.99)
+      out.count() shouldBe corpus.count() // every row labeled
+      val dropped = out.filter(!$"keep").select($"id")
+        .collect().map(_.getLong(0)).toSet
+      val originals = e.collect().map(_.getLong(0)).toSet
+      // scaling never moves the argmax centroid, so each copy shares its
+      // original's cell and (being the larger id) is the one dropped;
+      // originals are mutually far (max cross cos ≈ 0.51) and survive
+      dropped shouldBe originals.map(_ + 100000L)
+    }
+
     it("maxBucketSize above every bucket is a result no-op on normal data") {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))

@@ -42,8 +42,6 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Xlsx {
 
-  private val mainNs = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
-
   /** DTD-free, external-entity-free StAX factory: workbook parts are
     * untrusted input, so XXE is disabled outright. */
   private def staxFactory(): XMLInputFactory = {

@@ -102,9 +102,12 @@ object QueriesMultimodal {
     * samples), run the actual javax.sound.sampled decode
     * ([[Multimodal.extractAudioFeatures]]), and compare the measured
     * RMS/ZCR against the arithmetic the oracle computes WITHOUT any
-    * codec: RMS = amp/32768, ZCR = (400/b − 1)/399. A header mis-parse,
+    * codec: RMS = amp/32768, ZCR = (120/b − 1)/119. A header mis-parse,
     * endianness flip, or channel-stride bug all shift the measured
-    * stats off the closed form. */
+    * stats off the closed form. (120 samples: every block length
+    * divides it, and the gate checks decode correctness, not codec
+    * throughput — the per-row encode+decode constant dominates this
+    * query's cost, so the signal is as short as the math allows.) */
   val q98AudioDecode: Q = (s, dir) => {
     import s.implicits._
     val media = Tables.documents(s, dir).select($"doc_id").as[Long]
@@ -112,7 +115,7 @@ object QueriesMultimodal {
         it.map { id =>
           val amp = ((id % 8) + 1).toInt * 4000
           val block = 1 << (id % 3).toInt
-          (id, Multimodal.synthWavSquare(amp, block, n = 400))
+          (id, Multimodal.synthWavSquare(amp, block, n = 120))
         }
       }
       .toDF("media_id", "content")
@@ -124,10 +127,10 @@ object QueriesMultimodal {
   }
   val q98Sql: String =
     """SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS n_channels,
-      |       CAST(400 AS BIGINT) AS n_frames,
+      |       CAST(120 AS BIGINT) AS n_frames,
       |       round(((doc_id % 8) + 1) * 4000 / 32768.0, 6) AS rms,
-      |       round((400 / (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) - 1)
-      |             / 399.0, 6) AS zcr
+      |       round((120 / (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) - 1)
+      |             / 119.0, 6) AS zcr
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q99

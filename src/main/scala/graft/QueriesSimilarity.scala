@@ -48,6 +48,40 @@ object QueriesSimilarity {
   private def norm2Sql(a: String): String =
     s"list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)"
 
+  /** Shared CTE chain replaying [[graft.operators.IvfIndex]]'s
+    * deterministic Lloyd fit over source relation `$src` (one
+    * iteration, ordered-fold means, cos-desc/cluster-asc tie-break):
+    * seeds → s0 → a0 → upd → cent → s1 → `idx(id, v, cluster)`. ONE
+    * text used by every fit-replaying oracle (q39, q100) so the SQL
+    * cannot drift from the Scala semantics in just one of them. */
+  private def lloydIdxSql(src: String, k: Int): String =
+    s"""seeds AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS centroid
+       |  FROM (SELECT id, v FROM $src ORDER BY id LIMIT $k)),
+       |s0 AS (
+       |  SELECT $src.id, $src.v, s.cluster,
+       |         ${dotSql(s"$src.v", "s.centroid")} / sqrt(${norm2Sql(s"$src.v")} * ${norm2Sql("s.centroid")}) AS cos
+       |  FROM $src CROSS JOIN seeds s),
+       |a0 AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |upd AS (
+       |  SELECT cluster, dim,
+       |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
+       |           / count(*) AS m
+       |  FROM (SELECT cluster, id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM a0)
+       |  GROUP BY cluster, dim),
+       |cent AS (SELECT cluster, list(m ORDER BY dim) AS centroid FROM upd GROUP BY cluster),
+       |s1 AS (
+       |  SELECT $src.id, $src.v, c.cluster,
+       |         ${dotSql(s"$src.v", "c.centroid")} / sqrt(${norm2Sql(s"$src.v")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM $src CROSS JOIN cent c),
+       |idx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s1)
+       |  WHERE rn = 1)""".stripMargin
+
   // ---------------------------------------------------------------- q33
   /** Brute-force cosine top-5: 10 query vectors against the rest of the
     * corpus. Query side broadcast; one shuffle for the ranking window. */
@@ -156,32 +190,7 @@ object QueriesSimilarity {
   }
   val q39Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |seeds AS (
-       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS centroid
-       |  FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
-       |s0 AS (
-       |  SELECT e.id, e.v, s.cluster,
-       |         ${dotSql("e.v", "s.centroid")} / sqrt(${norm2Sql("e.v")} * ${norm2Sql("s.centroid")}) AS cos
-       |  FROM e CROSS JOIN seeds s),
-       |a0 AS (
-       |  SELECT id, v, cluster FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s0)
-       |  WHERE rn = 1),
-       |upd AS (
-       |  SELECT cluster, dim,
-       |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
-       |           / count(*) AS m
-       |  FROM (SELECT cluster, id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM a0)
-       |  GROUP BY cluster, dim),
-       |cent AS (SELECT cluster, list(m ORDER BY dim) AS centroid FROM upd GROUP BY cluster),
-       |s1 AS (
-       |  SELECT e.id, e.v, c.cluster,
-       |         ${dotSql("e.v", "c.centroid")} / sqrt(${norm2Sql("e.v")} * ${norm2Sql("c.centroid")}) AS cos
-       |  FROM e CROSS JOIN cent c),
-       |idx AS (
-       |  SELECT id, v, cluster FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s1)
-       |  WHERE rn = 1),
+       |${lloydIdxSql("e", 8)},
        |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
        |qscored AS (
        |  SELECT q.q_id, q.qv, c.cluster,
@@ -218,32 +227,7 @@ object QueriesSimilarity {
   }
   val q100Sql: String =
     s"""WITH $nearDupCorpusSql,
-       |seeds AS (
-       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS centroid
-       |  FROM (SELECT id, v FROM corpus ORDER BY id LIMIT 8)),
-       |s0 AS (
-       |  SELECT corpus.id, corpus.v, s.cluster,
-       |         ${dotSql("corpus.v", "s.centroid")} / sqrt(${norm2Sql("corpus.v")} * ${norm2Sql("s.centroid")}) AS cos
-       |  FROM corpus CROSS JOIN seeds s),
-       |a0 AS (
-       |  SELECT id, v, cluster FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s0)
-       |  WHERE rn = 1),
-       |upd AS (
-       |  SELECT cluster, dim,
-       |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
-       |           / count(*) AS m
-       |  FROM (SELECT cluster, id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM a0)
-       |  GROUP BY cluster, dim),
-       |cent AS (SELECT cluster, list(m ORDER BY dim) AS centroid FROM upd GROUP BY cluster),
-       |s1 AS (
-       |  SELECT corpus.id, corpus.v, c.cluster,
-       |         ${dotSql("corpus.v", "c.centroid")} / sqrt(${norm2Sql("corpus.v")} * ${norm2Sql("c.centroid")}) AS cos
-       |  FROM corpus CROSS JOIN cent c),
-       |idx AS (
-       |  SELECT id, v, cluster FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s1)
-       |  WHERE rn = 1),
+       |${lloydIdxSql("corpus", 8)},
        |dropped AS (
        |  SELECT DISTINCT b.id
        |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.id < b.id

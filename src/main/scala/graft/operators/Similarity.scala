@@ -165,10 +165,9 @@ object Similarity {
     * Returns `(id, cluster, keep)` for every corpus row. */
   def semanticDedup(spark: SparkSession, corpus: DataFrame, k: Int,
                     iterations: Int, threshold: Double): DataFrame = {
-    // persisted: the fit feeds assignment; assignment feeds both pair
-    // sides and the final labeling
+    // cent is consumed exactly once (by assign) — no persist; idx feeds
+    // both pair sides AND the final labeling, so it is the one to cache
     val cent = IvfIndex.fitCentroids(spark, corpus, k, iterations, orderedMean = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val idx = IvfIndex.assign(corpus, cent)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = idx.select(col("cluster"), col("id").as("a_id"), col("v").as("va"))

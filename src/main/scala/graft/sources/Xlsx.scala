@@ -207,8 +207,14 @@ object Xlsx {
     // width covers the WIDEST row, not just the header: a data row with
     // cells beyond the last named header column must surface those
     // values (as _cN columns, matching what the CSV twin would show),
-    // never drop them silently
+    // never drop them silently. Bounded: one stray note cell parked at
+    // column BZ must fail loudly, not silently inflate the schema to
+    // hundreds of mostly-null columns
     val width = (header.length +: data.map(_.length)).max
+    require(width - header.length <= 64,
+      s"sheet '$sheet' in $path has data ${width - header.length} columns wider " +
+        s"than its ${header.length}-column header — a stray far-right cell? " +
+        "Clean the sheet or name the columns in the header row")
     val names = (0 until width).map { i =>
       val h = if (i < header.length) header(i) else null
       if (h == null || h.isEmpty) s"_c$i" else h

@@ -49,6 +49,35 @@ object QueriesSelect {
        |SELECT doc_id, rk AS "rank", term, tf, df, tfidf
        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** BM25 retrieval scores ([[TermScoring.bm25]]) for the query bag
+    * {scan, join, window} over the documents corpus — k1 = 1.2,
+    * b = 0.75, the standard Okapi constants. The oracle restates the
+    * full formula (dl/avgdl normalization, Lucene-form idf) in SQL;
+    * ordering is by doc_id, so no rank depends on a float compare. */
+  val q101Bm25: Q = (s, dir) => {
+    import s.implicits._
+    TermScoring.bm25(Tables.documents(s, dir).select($"doc_id", $"text"),
+        "doc_id", "text", queryTerms = Seq("scan", "join", "window"))
+      .select($"id".as("doc_id"), $"n_terms", $"bm25")
+      .orderBy($"doc_id")
+  }
+  val q101Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ('scan', 'join', 'window') GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.id, ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+       |           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+       |           AS contrib
+       |  FROM tf JOIN dfx USING (term) JOIN dl USING (id) CROSS JOIN stats s)
+       |SELECT id AS doc_id, count(*) AS n_terms, round(sum(contrib), 4) AS bm25
+       |FROM scored GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q60
   /** Stratified deterministic sampling ([[Sampling.stratifiedSample]]):
     * per-language keep rates decided by the id hash — shuffle-free,
@@ -318,6 +347,7 @@ object QueriesSelect {
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
+    ("q101_bm25", q101Bm25, Some(q101Sql)),
     ("q60_stratified", q60Stratified, Some(q60Sql)),
     ("q61_zscore", q61ZScore, Some(q61Sql)),
     ("q62_bloom_join", q62BloomJoin, Some(q62Sql)),

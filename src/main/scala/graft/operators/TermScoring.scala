@@ -51,6 +51,48 @@ object TermScoring {
       .filter(col("rank") <= k)
   }
 
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms (Robertson et al.'s Okapi BM25, public formula; idf in the
+    * never-negative `ln(1 + (N − df + ½)/(df + ½))` form Lucene uses):
+    *
+    *   score(d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * — the lexical-retrieval primitive for seeding topical subsets and
+    * quality-mixing a corpus against a reference query set.
+    *
+    * Dataflow at scale: document length and corpus stats come from one
+    * explode + agg; the tf table is filtered to the query terms BEFORE
+    * its aggregation, so everything after the first agg is
+    * query-sized, and df/stats join in as broadcasts. Returns one row
+    * per document with ≥ 1 matching term: `(id, n_terms, bm25)`
+    * (rounded to 4 dp — the cross-engine float rule; the ≤|q|-term sum
+    * leaves FP error ~1e-15, far under the rounding unit). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
+    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // integer token counts sum exactly in double → avgdl is bit-stable
+    // regardless of partial-agg order
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(dfx), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("contrib")), 4).as("bm25"))
+  }
+
   /** Top-`k` corpus vocabulary by (frequency desc, term asc — the
     * deterministic tie-break): one explode + hash-agg, then a global
     * top-k (`TakeOrderedAndProject`, never a full sort). Returns

@@ -73,5 +73,22 @@ class SelectOpsSpec extends SparkSpec {
         .filter($"id" === 1L).head()
       top1.getString(top1.fieldIndex("term")) shouldBe "beta"
     }
+
+    it("bm25 matches the hand-computed Okapi formula") {
+      val docs = Seq(
+        (1L, "a b a"),
+        (2L, "b b b b"),
+        (3L, "c d")).toDF("doc_id", "text")
+      // N=3, dl = (3,4,2), avgdl = 3; df(a)=1, df(b)=2
+      val out = TermScoring.bm25(docs, "doc_id", "text", Seq("a", "b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      def idf(df: Int) = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+      def w(tf: Int, dl: Int, df: Int) =
+        idf(df) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      out(1L) shouldBe ((2L, r4(w(2, 3, 1) + w(1, 3, 2)))) // a:tf2 + b:tf1
+      out(2L) shouldBe ((1L, r4(w(4, 4, 2))))              // b:tf4
+      out.contains(3L) shouldBe false // no query term → no row
+    }
   }
 }

@@ -96,6 +96,33 @@ object QueriesScale {
       |       CAST(sum(n_chars) AS BIGINT) AS chunk_chars
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Sliding-window passage chunking ([[Packing.chunkText]]): 200-char
+    * windows advancing by 150 (50-char overlap) — the embedding-side
+    * chunker. Gated at CHUNK granularity: every chunk's md5 must match
+    * the oracle's substring arithmetic, so a one-character boundary slip
+    * anywhere in any document fails the gate. Narrow plan: sequence +
+    * explode + substring, no shuffle before the output sort. */
+  val q102ChunkText: Q = (s, dir) => {
+    import s.implicits._
+    Packing.chunkText(Tables.documents(s, dir), "doc_id", "text",
+        size = 200, overlap = 50)
+      .select($"id".as("doc_id"), $"chunk_idx", $"chunk_len",
+        md5($"chunk_text").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+  val q102Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |         substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(0,
+      |            CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS BIGINT) - 1)) AS i
+      |        FROM documents))
+      |SELECT doc_id, chunk_idx, length(chunk_text) AS chunk_len,
+      |       md5(chunk_text) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Per-source mixture weights for q52 — drives BOTH sides: the Spark
     * `when` chain and the oracle CASE are generated from this one map,
     * so they cannot drift. Keys are source-index mod 4; values are
@@ -185,6 +212,7 @@ object QueriesScale {
     ("q95_salted_join", q95SaltedJoin, Some(q95Sql)),
     ("q50_hash_split", q50HashSplit, Some(q50Sql)),
     ("q51_seq_packing", q51Packing, Some(q51Sql)),
+    ("q102_chunk_text", q102ChunkText, Some(q102Sql)),
     ("q52_weighted_mix", q52WeightedMix, Some(q52Sql)),
   )
 }

@@ -68,4 +68,35 @@ object Packing {
       .withColumn(chunkCol, expr(s"__prefix div $budget"))
       .drop("__prefix")
   }
+
+  /** Sliding-window passage chunking — the embedding/RAG-side
+    * counterpart of [[packChunks]]: split each document's text into
+    * fixed-`size` character windows advancing by `size − overlap`, so
+    * consecutive chunks share `overlap` characters and no content is
+    * lost at a boundary. Entirely per-row (sequence + explode +
+    * substring — narrow, shuffle-free, codegen'd); chunk count is
+    * `ceil((len − overlap) / (size − overlap))` with a minimum of one,
+    * so a document shorter than `size` still yields its single
+    * (shorter) chunk. Returns `(id, chunk_idx, chunk_text, chunk_len)`. */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
+    val step = size - overlap
+    val n = greatest(
+      ceil((length(col("t")) - lit(overlap)).cast("double") / step).cast("long"),
+      lit(1L))
+    docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), n - 1)))
+      .select(col("id"), col("chunk_idx"),
+        substring_index_safe(col("t"), col("chunk_idx"), step, size).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+
+  /** `substring(t, idx·step + 1, size)` as a Column (1-based start). */
+  private def substring_index_safe(t: org.apache.spark.sql.Column,
+                                   idx: org.apache.spark.sql.Column,
+                                   step: Int, size: Int) =
+    t.substr((idx * step + 1L).cast("int"), lit(size))
 }

@@ -64,6 +64,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  describe("Packing.chunkText") {
+    it("covers every character with the declared overlap, edge cases included") {
+      val docs = Seq(
+        (1L, "abcdefghij"),   // len 10: size 4, overlap 1 → step 3, 3 chunks
+        (2L, "ab"),           // shorter than size → 1 short chunk
+        (3L, "abcd")          // exactly size → 1 chunk
+      ).toDF("doc_id", "text")
+      val out = Packing.chunkText(docs, "doc_id", "text", size = 4, overlap = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      out shouldBe Map(
+        (1L, 0L) -> "abcd", (1L, 1L) -> "defg", (1L, 2L) -> "ghij",
+        (2L, 0L) -> "ab",
+        (3L, 0L) -> "abcd")
+      // consecutive chunks overlap by exactly `overlap` characters
+      out((1L, 0L)).takeRight(1) shouldBe out((1L, 1L)).take(1)
+    }
+  }
+
   describe("Bucketing") {
     it("joins two co-bucketed tables without a shuffle exchange") {
       val orders = Tables.orders(spark, "/root/testdata/sf0.001")

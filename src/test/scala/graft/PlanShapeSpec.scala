@@ -88,6 +88,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  it("chunks text without any exchange (narrow sequence+explode+substring)") {
+    withoutAqe {
+      // raw table, not Tables.documents: the latter adds its own
+      // deliberate fan-out repartition for single-row-group files
+      val plan = graft.operators.Packing.chunkText(
+        Tables.table(spark, dir, "documents"), "doc_id", "text",
+        size = 200, overlap = 50)
+        .queryExecution.executedPlan.toString
+      (plan should not).include("Exchange")
+    }
+  }
+
   it("broadcasts the exploded dim side of a salted join") {
     withoutAqe {
       val facts = Tables.lineitem(spark, dir)

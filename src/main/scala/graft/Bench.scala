@@ -52,12 +52,18 @@ object Bench {
       // long-lived job serves repeated queries from exactly those
       // caches, and cold_total carries the no-cache number.
       val cold = once()
-      val warm = if (err.isEmpty) once() else cold
+      val coldErr = err.isDefined
+      val warm = if (!coldErr) once() else cold
+      // if the warm pass failed after a successful cold pass, its short
+      // abort duration must not be reported as the steady time — that
+      // would understate the total in the JSON while only the exit code
+      // flags the failure; report the cold (successful) time instead
+      val steady = if (!coldErr && err.isDefined) cold else math.min(cold, warm)
       // per-query progress on stderr: long runs are otherwise silent
       // until the final JSON line, which makes a hung or pathological
       // query indistinguishable from normal progress
-      System.err.println(f"[bench] $name cold=$cold%.2fs steady=${math.min(cold, warm)}%.2fs")
-      (name, math.min(cold, warm), cold, err)
+      System.err.println(f"[bench] $name cold=$cold%.2fs steady=$steady%.2fs")
+      (name, steady, cold, err)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

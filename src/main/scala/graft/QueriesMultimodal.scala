@@ -98,7 +98,7 @@ object QueriesMultimodal {
   /** REAL audio decode round-trip, oracle-gated by construction: per
     * doc_id, synthesize a WAV square wave with closed-form parameters
     * (amp = ((id%8)+1)·4000 — a multiple of 2⁵, so amp/2¹⁵ is an exact
-    * binary fraction; block length b = 2^(id%3), which divides the 400
+    * binary fraction; block length b = 2^(id%3), which divides the 120
     * samples), run the actual javax.sound.sampled decode
     * ([[Multimodal.extractAudioFeatures]]), and compare the measured
     * RMS/ZCR against the arithmetic the oracle computes WITHOUT any

@@ -76,8 +76,12 @@ object Packing {
     * lost at a boundary. Entirely per-row (sequence + explode +
     * substring — narrow, shuffle-free, codegen'd); chunk count is
     * `ceil((len − overlap) / (size − overlap))` with a minimum of one,
-    * so a document shorter than `size` still yields its single
-    * (shorter) chunk. Returns `(id, chunk_idx, chunk_text, chunk_len)`. */
+    * so a NON-NULL document shorter than `size` still yields its single
+    * (shorter) chunk. Documents with NULL text are DROPPED (explode of
+    * a null sequence emits no rows) — deliberate: a null document has
+    * no passages to embed; run a null-filter report upstream if those
+    * rows must be accounted for. Returns
+    * `(id, chunk_idx, chunk_text, chunk_len)`. */
   def chunkText(docs: DataFrame, idCol: String, textCol: String,
                 size: Int, overlap: Int): DataFrame = {
     require(size > 0, s"chunk size must be positive, got $size")

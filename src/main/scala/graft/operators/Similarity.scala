@@ -115,7 +115,9 @@ object Similarity {
     val bucketed = maxBucketSize match {
       case Some(cap) =>
         // persist: the bucketed table feeds both self-join sides AND the
-        // hot-bucket agg; unpersisted, the bucket hash runs per subtree
+        // hot-bucket agg; unpersisted, the bucket hash runs per subtree.
+        // Cache is session-owned (see TextDedup's cache contract):
+        // long-lived callers clearCache() between batches
         val cached = allBucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hot = cached.groupBy(col("bucket"))
           .agg(count(lit(1)).as("sz"))
@@ -166,7 +168,8 @@ object Similarity {
   def semanticDedup(spark: SparkSession, corpus: DataFrame, k: Int,
                     iterations: Int, threshold: Double): DataFrame = {
     // cent is consumed exactly once (by assign) — no persist; idx feeds
-    // both pair sides AND the final labeling, so it is the one to cache
+    // both pair sides AND the final labeling, so it is the one to cache.
+    // Session-owned cache — see TextDedup's cache contract
     val cent = IvfIndex.fitCentroids(spark, corpus, k, iterations, orderedMean = true)
     val idx = IvfIndex.assign(corpus, cent)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -28,6 +28,8 @@ object TermScoring {
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
+    // tf feeds both the df agg and the final join; session-owned cache —
+    // see TextDedup's cache contract (clearCache() between batches)
     val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -72,6 +74,8 @@ object TermScoring {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val tok = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.wsTokens(col(textCol))).as("term"))
+    // dl feeds stats and the per-doc join; session-owned cache — see
+    // TextDedup's cache contract
     val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // integer token counts sum exactly in double → avgdl is bit-stable

@@ -23,6 +23,15 @@ import graft.functions.TextAnalysis
   *    and uniformly distributed, at the cost of being slower than
   *    xxhash64 — swap `hashFn` for xxhash64 when cross-engine
   *    reproducibility is not required.
+  *
+  * Cache contract: [[lshCandidatePairs]] (cap on) persists its band
+  * table at MEMORY_AND_DISK because it feeds three subtrees. The cache
+  * is owned by the CALLER's session — it lives until the session ends
+  * or `spark.catalog.clearCache()` runs. A long-lived service issuing
+  * many independent calls should clearCache() between batches; a batch
+  * job (this repo's gates and bench) lets session teardown reclaim it.
+  * The same contract applies to [[Similarity.annLshPairs]],
+  * [[Similarity.semanticDedup]] and [[TermScoring.bm25]].
   */
 object TextDedup {
 

@@ -36,9 +36,21 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    inference implementation, not two;
   *  - empty/absent cells → null (the reference's NaN-for-missing);
   *  - numeric cells keep their raw stored lexeme (Excel stores
-  *    integers without a decimal point); date-styled numerics are NOT
-  *    decoded to dates (none of the reference's dimension sheets use
-  *    them — they carry dates as text).
+  *    integers without a decimal point);
+  *  - date-styled numeric cells ARE decoded: the style table
+  *    (`xl/styles.xml`) maps each cell's style index to a number
+  *    format, and formats that are date/time-shaped (builtin ids
+  *    14–22/27–36/45–47/50–58, or a custom code containing y/m/d/h/s
+  *    tokens outside quotes and brackets) trigger serial→ISO
+  *    conversion under the workbook's declared date system (1900 or
+  *    1904). Whole serials render as `yyyy-MM-dd`, fractional ones as
+  *    `yyyy-MM-dd HH:mm:ss` — the lexeme Spark's CSV inference then
+  *    types as date/timestamp, exactly as a CSV export would carry;
+  *  - rows are anchored to their `r` attribute: a workbook whose first
+  *    stored non-empty row is not row 1 fails loudly (a blank or
+  *    skipped first row would otherwise silently promote a data row to
+  *    header), and duplicate header names fail loudly rather than
+  *    yielding ambiguous duplicate DataFrame columns.
   */
 object Xlsx {
 
@@ -135,14 +147,120 @@ object Xlsx {
   private def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, ch) => a * 26 + (ch.toUpper - 'A' + 1)) - 1
 
-  /** One worksheet part → rows of (possibly null) cell strings. */
-  private def sheetRows(zip: ZipFile, part: String,
-                        sst: IndexedSeq[String]): Seq[Array[String]] =
+  /** "C7" → 7 (1-based row), or None when no digits present. */
+  private def rowIndex(ref: String): Option[Int] =
+    Option(ref.dropWhile(_.isLetter)).filter(_.nonEmpty).flatMap(_.toIntOption)
+
+  /** Builtin SpreadsheetML number-format ids that render dates/times
+    * (ECMA-376 §18.8.30 implied table). */
+  private val builtinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Heuristic for CUSTOM format codes: date-shaped iff any y/m/d/h/s
+    * token survives after stripping quoted literals ("…"), bracketed
+    * sections ([Red], [$-409]) and backslash escapes — the standard
+    * detection every spreadsheet reader uses (the code cannot say
+    * whether `m` means month or minute, but both imply a date/time). */
+  private[graft] def isDateFormatCode(code: String): Boolean = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < code.length) code.charAt(i) match {
+      case '"'  => i += 1; while (i < code.length && code.charAt(i) != '"') i += 1; i += 1
+      case '['  => i += 1; while (i < code.length && code.charAt(i) != ']') i += 1; i += 1
+      case '\\' => i += 2
+      case c    => sb.append(c); i += 1
+    }
+    sb.toString.toLowerCase.exists("ymdhs".contains(_))
+  }
+
+  /** Style indexes (positions in `cellXfs`) whose number format is
+    * date-shaped. One streaming pass over `xl/styles.xml`: custom
+    * `<numFmt>` codes first (they appear before `<cellXfs>` in the
+    * part), then each `<xf>`'s numFmtId in order. */
+  private def dateStyles(zip: ZipFile): Set[Int] =
+    withPart(zip, "xl/styles.xml") { r =>
+      val customDate = mutable.Set[Int]()
+      val out = mutable.Set[Int]()
+      var inCellXfs = false
+      var xfIdx = 0
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            val id = Option(r.getAttributeValue(null, "numFmtId")).flatMap(_.toIntOption)
+            val code = Option(r.getAttributeValue(null, "formatCode"))
+            if (id.isDefined && code.exists(isDateFormatCode)) customDate += id.get
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            val fmt = Option(r.getAttributeValue(null, "numFmtId"))
+              .flatMap(_.toIntOption).getOrElse(0)
+            if (builtinDateFmts(fmt) || customDate(fmt)) out += xfIdx
+            xfIdx += 1
+          case _ => ()
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ => ()
+      }
+      out.toSet
+    }.getOrElse(Set.empty)
+
+  /** Workbook date system: true iff `<workbookPr date1904="1"/>`. */
+  private def isDate1904(zip: ZipFile): Boolean =
+    withPart(zip, "xl/workbook.xml") { r =>
+      var found = false
+      while (r.hasNext && !found) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+          val v = Option(r.getAttributeValue(null, "date1904")).getOrElse("0")
+          found = v == "1" || v == "true"
+        }
+      }
+      found
+    }.getOrElse(false)
+
+  /** Excel serial → ISO lexeme. 1900 system: serial 1 = 1900-01-01,
+    * with the famous phantom 1900-02-29 at serial 60 (Lotus 1-2-3
+    * compatibility bug carried by every implementation) — serials < 60
+    * anchor at 1899-12-31, ≥ 60 at 1899-12-30, which lands the phantom
+    * serial 60 itself on 1900-02-28. 1904 system: serial 0 =
+    * 1904-01-01.
+    * Whole serials → `yyyy-MM-dd`; fractional → `yyyy-MM-dd HH:mm:ss`
+    * (fraction = time of day, rounded to the second). Non-numeric raw
+    * text passes through untouched. */
+  private[graft] def serialToIso(raw: String, date1904: Boolean): String =
+    raw.toDoubleOption match {
+      case None => raw
+      case Some(d) =>
+        val days0 = math.floor(d).toLong
+        val secs0 = math.round((d - days0) * 86400.0)
+        // carry a rounded-up 24:00:00 into the next day
+        val (days, secs) = if (secs0 >= 86400) (days0 + 1, 0L) else (days0, secs0)
+        val base =
+          if (date1904) java.time.LocalDate.of(1904, 1, 1)
+          else if (days >= 60) java.time.LocalDate.of(1899, 12, 30)
+          else java.time.LocalDate.of(1899, 12, 31)
+        val date = base.plusDays(days)
+        if (secs == 0) date.toString
+        else f"$date ${secs / 3600}%02d:${secs / 60 % 60}%02d:${secs % 60}%02d"
+    }
+
+  /** One worksheet part → rows of (possibly null) cell strings.
+    * Rows are anchored to their 1-based `r` attribute: the first
+    * emitted (non-empty) row must be row 1 — otherwise the caller
+    * would silently promote a data row to header — and that is a loud
+    * `require` failure, not a compaction. Interleaved all-empty rows
+    * are skipped, matching what Spark's CSV reader does with blank
+    * lines in the pre-converted-CSV twin. */
+  private def sheetRows(zip: ZipFile, part: String, sst: IndexedSeq[String],
+                        dateStyleIdx: Set[Int], date1904: Boolean): Seq[Array[String]] =
     withPart(zip, part) { r =>
       val rows = mutable.ArrayBuffer[Array[String]]()
       val cells = mutable.ArrayBuffer[(Int, String)]()
       var col = -1              // running index for <c> without an r attr
+      var rowR = 0              // running 1-based row number
+      var firstEmittedR = -1
       var cellType = ""
+      var cellStyle = -1
       var inV = false
       var inIsT = false
       val v = new StringBuilder
@@ -152,17 +270,29 @@ object Xlsx {
           case "s" => raw.toIntOption.flatMap(sst.lift).orNull
           case "b" => if (raw == "1") "true" else "false"
           case "e" => null                      // formula error → missing
-          case _   => if (raw.isEmpty) null else raw // n / str / inlineStr
+          case _ =>                             // n / str / inlineStr
+            if (raw.isEmpty) null
+            else if (cellType == "n" && dateStyleIdx(cellStyle))
+              serialToIso(raw, date1904)
+            else raw
         }
         if (value != null) cells += ((col, value))
       }
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-          case "row" => cells.clear(); col = -1
+          case "row" =>
+            cells.clear(); col = -1
+            rowR = Option(r.getAttributeValue(null, "r"))
+              .flatMap(_.toIntOption).getOrElse(rowR + 1)
           case "c" =>
-            col = Option(r.getAttributeValue(null, "r"))
-              .map(colIndex).getOrElse(col + 1)
+            val ref = Option(r.getAttributeValue(null, "r"))
+            col = ref.map(colIndex).getOrElse(col + 1)
+            // a cell ref like "C7" also carries the row — trust it over
+            // the running counter if the <row> element lacked r
+            ref.flatMap(rowIndex).foreach(rowR = _)
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            cellStyle = Option(r.getAttributeValue(null, "s"))
+              .flatMap(_.toIntOption).getOrElse(-1)
             v.clear()
           case "v" => inV = true
           case "t" if cellType == "inlineStr" => inIsT = true
@@ -176,6 +306,7 @@ object Xlsx {
           case "c" => flushCell()
           case "row" =>
             if (cells.nonEmpty) {
+              if (firstEmittedR < 0) firstEmittedR = rowR
               val width = cells.map(_._1).max + 1
               val arr = new Array[String](width)
               cells.foreach { case (i, s) => arr(i) = s }
@@ -185,6 +316,10 @@ object Xlsx {
         }
         case _ => ()
       }
+      require(rows.isEmpty || firstEmittedR == 1,
+        s"worksheet part '$part': first non-empty row is row $firstEmittedR, not row 1 — " +
+          "a blank or skipped first row would silently promote the wrong row to header; " +
+          "clean the sheet so the header occupies row 1")
       rows.toSeq
     }.getOrElse(Seq.empty)
 
@@ -200,7 +335,8 @@ object Xlsx {
         val part = sheetParts(zip).collectFirst { case (`sheet`, p) => p }
           .getOrElse(throw new IllegalArgumentException(
             s"sheet '$sheet' not found in $path (has: ${sheetParts(zip).map(_._1).mkString(", ")})"))
-        val rows = sheetRows(zip, part, sharedStrings(zip))
+        val rows = sheetRows(zip, part, sharedStrings(zip),
+          dateStyles(zip), isDate1904(zip))
         require(rows.nonEmpty, s"sheet '$sheet' in $path is empty")
         (rows.head, rows.tail)
       } finally zip.close()
@@ -219,6 +355,13 @@ object Xlsx {
       val h = if (i < header.length) header(i) else null
       if (h == null || h.isEmpty) s"_c$i" else h
     }
+    // duplicate header names would yield ambiguous duplicate DataFrame
+    // columns (any later select fails with AMBIGUOUS_REFERENCE) while
+    // the CSV twin's inference silently renames — fail loudly instead
+    val dupNames = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"sheet '$sheet' in $path has duplicate header names: ${dupNames.mkString(", ")} — " +
+        "rename the columns so every header is unique")
     if (inferSchema && data.nonEmpty) {
       // serialize to CSV lines and let spark.read.csv type the columns —
       // the same inference path dimensionCsv uses (one implementation)

@@ -162,11 +162,80 @@ object QueriesMultimodal {
       |       CAST(floor((doc_id % 256) / 16) AS BIGINT) AS hot_bin
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  /** Image near-dup dedup end-to-end: REAL encode→decode→perceptual
+    * dHash ([[Multimodal.imageDHash]]) feeding the text path's
+    * 64-bit pigeonhole banded join
+    * ([[graft.operators.TextDedup.bandedHammingPairs64]], Hamming ≤ 3)
+    * — image dedup at 100 TB with zero new join machinery.
+    *
+    * Gated by construction (the q98/q99 mechanism, extended to the
+    * full 64-bit hash): per doc_id, [[Multimodal.synthGridPng]] builds
+    * a 9×8 block image whose adjacent-cell brightness steps encode 8
+    * known row bytes, so the dHash of the DECODED image equals those
+    * bytes exactly and the oracle replays hash + pairing with integer
+    * arithmetic alone — no codec on the DuckDB side. Any pooling,
+    * luma, bit-packing, or banding bug shifts measured hashes off the
+    * closed form and breaks the pair set.
+    *
+    * Hash classes: group `doc_id % 32` fixes the base bytes; variant
+    * `(doc_id / 32) % 3` perturbs them — v1 flips 2 bits of row 0
+    * (near-dup of v0, hd = 2 ≤ 3), v2 flips all 8 bits of row 7
+    * (hd = 8 from v0, 10 from v1 — correctly NOT paired). The result
+    * therefore contains exact-dup pairs (hd 0) and near-dup pairs
+    * (hd 2) while proving the banding drops the far variants. */
+  val q103ImageDedup: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val grp = (id % 32).toInt
+          val v = ((id / 32) % 3).toInt
+          val rows = Array.tabulate(8) { gy =>
+            val base = (grp * 37 + gy * 13) % 256
+            val flip =
+              if (v == 1 && gy == 0) 3
+              else if (v == 2 && gy == 7) 255
+              else 0
+            base ^ flip
+          }
+          (id, Multimodal.synthGridPng(rows))
+        }
+      }
+      .toDF("media_id", "content")
+    val hashed = Multimodal.imageDHash(media)
+      .filter($"sim_hi".isNotNull)
+      .select($"media_id".as("id"), $"sim_hi", $"sim_lo")
+    graft.operators.TextDedup.bandedHammingPairs64(hashed, maxHd = 3)
+      .orderBy($"a_id", $"b_id")
+  }
+  val q103Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id AS id, gy,
+      |         xor(CAST(((doc_id % 32) * 37 + gy * 13) % 256 AS BIGINT),
+      |             CASE WHEN (doc_id // 32) % 3 = 1 AND gy = 0 THEN 3
+      |                  WHEN (doc_id // 32) % 3 = 2 AND gy = 7 THEN 255
+      |                  ELSE 0 END) AS rb
+      |  FROM documents, unnest(generate_series(0, 7)) AS t(gy)),
+      |h AS (
+      |  SELECT id,
+      |         CAST(sum(CASE WHEN gy < 4 THEN rb << (8 * gy) ELSE 0 END) AS BIGINT) AS sim_lo,
+      |         CAST(sum(CASE WHEN gy >= 4 THEN rb << (8 * (gy - 4)) ELSE 0 END) AS BIGINT) AS sim_hi
+      |  FROM r GROUP BY id)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |       bit_count(xor(a.sim_lo, b.sim_lo))
+      |         + bit_count(xor(a.sim_hi, b.sim_hi)) AS hd
+      |FROM h a JOIN h b ON a.id < b.id
+      |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+      |        + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q40_frame_sample", q40FrameSample, Some(q40Sql)),
     ("q41_media_features", q41MediaFeatures, Some(q41Sql)),
     ("q98_audio_decode", q98AudioDecode, Some(q98Sql)),
     ("q99_image_decode", q99ImageDecode, Some(q99Sql)),
+    ("q103_image_dedup", q103ImageDedup, Some(q103Sql)),
   )
 }

@@ -235,6 +235,136 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an encoded image:
+    * decode with the real JDK codecs, area-average the luma plane onto
+    * a 9×8 grid, and set bit gx of row byte gy iff
+    * `grid(gy)(gx+1) > grid(gy)(gx)` — the classic
+    * brighter-than-neighbor fingerprint (public method: the dHash
+    * family popularized by Krawetz's HackerFactor writeups; aHash/pHash
+    * siblings differ only in the grid statistic). Robust to re-encoding
+    * and mild brightness shifts because only ORDER between adjacent
+    * cells survives into the hash.
+    *
+    * Pooling is exact area averaging over the integer block boundaries
+    * `[gx·w/9, (gx+1)·w/9)` — deterministic arithmetic, NOT
+    * `Graphics2D` rescaling, so the hash is reproducible across JVMs
+    * and replayable by an oracle that knows the pixel layout. Returns
+    * the hash as two 32-bit halves `(hi = rows 4–7, lo = rows 0–3)`,
+    * little-endian by row (row byte gy sits at bit 8·gy of its half) —
+    * the exact `(sim_hi, sim_lo)` convention
+    * [[graft.operators.TextDedup.bandedHammingPairs64]] consumes, so
+    * image near-dup detection at 100 TB reuses the text path's banded
+    * join with zero new machinery. None when the payload is not a
+    * decodable image of at least 9×8 pixels. */
+  private[operators] def dHash64(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.flatMap { im =>
+      val w = im.getWidth; val h = im.getHeight
+      if (w < 9 || h < 8) None
+      else {
+        val grid = Array.ofDim[Double](8, 9)
+        var gy = 0
+        while (gy < 8) {
+          val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+          var gx = 0
+          while (gx < 9) {
+            val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+            var sum = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = im.getRGB(x, y)
+                // same exact integer-weight luma as decodeImage: gray
+                // pixels recover their level bit-exactly
+                sum += (299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000.0
+                x += 1
+              }
+              y += 1
+            }
+            grid(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+            gx += 1
+          }
+          gy += 1
+        }
+        var lo = 0L; var hi = 0L
+        gy = 0
+        while (gy < 8) {
+          var rowByte = 0L
+          var gx = 0
+          while (gx < 8) {
+            if (grid(gy)(gx + 1) > grid(gy)(gx)) rowByte |= (1L << gx)
+            gx += 1
+          }
+          if (gy < 4) lo |= rowByte << (8 * gy) else hi |= rowByte << (8 * (gy - 4))
+          gy += 1
+        }
+        Some((hi, lo))
+      }
+    }
+  }
+
+  /** Perceptual-hash column for image rows: `(media_id, sim_hi,
+    * sim_lo)` via [[dHash64]], partition-local like the other decode
+    * kernels; undecodable or sub-9×8 payloads keep their row with
+    * nulls (filter `sim_hi IS NOT NULL` before pairing). Feed the
+    * non-null rows — renamed to `id` — straight into
+    * [[TextDedup.bandedHammingPairs64]] for banded near-dup pairs. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          dHash64(bytes) match {
+            case Some((hi, lo)) => (id, Some(hi), Some(lo))
+            case None           => (id, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "sim_hi", "sim_lo")
+  }
+
+  /** Deterministic test image for [[dHash64]]: a 9×8 grid of
+    * `cellW`×`cellH` gray blocks whose levels walk ±1 from 128 along
+    * each row, turning the 8 bits of `rowBytes(gy)` into the exact
+    * adjacent-cell comparisons dHash reads back — so the 64-bit hash
+    * of the ENCODED+DECODED image equals `rowBytes` by construction,
+    * and an oracle can replay it with integer arithmetic alone (the
+    * q99 mechanism, extended from one statistic to the full hash). */
+  def synthGridPng(rowBytes: Array[Int], cellW: Int = 2, cellH: Int = 2): Array[Byte] = {
+    require(rowBytes.length == 8 && rowBytes.forall(b => b >= 0 && b <= 255),
+      s"rowBytes must be 8 values in [0,255], got ${rowBytes.mkString(",")}")
+    require(cellW > 0 && cellH > 0)
+    val im = new java.awt.image.BufferedImage(9 * cellW, 8 * cellH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var gy = 0
+    while (gy < 8) {
+      var g = 128
+      var gx = 0
+      while (gx < 9) {
+        if (gx > 0) g += (if (((rowBytes(gy) >> (gx - 1)) & 1) == 1) 1 else -1)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = gy * cellH
+        while (y < (gy + 1) * cellH) {
+          var x = gx * cellW
+          while (x < (gx + 1) * cellW) { im.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   /** Real-codec feature extraction for audio rows: same partition-local
     * kernel shape as [[extractFeatures]]. Emits `(media_id,
     * sample_rate, n_channels, n_frames, rms, zcr)`; undecodable

@@ -167,4 +167,45 @@ class MultimodalSpec extends SparkSpec {
       all(out.map(_.getDouble(0))) shouldBe 1.0 +- 1e-9
     }
   }
+
+  describe("imageDHash (perceptual hash over the real decode path)") {
+    it("recovers the grid fixture's row bytes through encode→decode→pool") {
+      val rows = Array(0x5A, 0x13, 0xFF, 0x00, 0x81, 0x42, 0x24, 0xE7)
+      val df = Seq(
+        (1L, Multimodal.synthGridPng(rows)),                       // 2×2 cells
+        (2L, Multimodal.synthGridPng(rows, cellW = 3, cellH = 5)), // odd pooling blocks
+        (3L, "not an image".getBytes),                             // undecodable
+        (4L, Multimodal.synthGrayPng(100, w = 8, h = 6))           // too small for 9×8
+      ).toDF("media_id", "content")
+      val out = Multimodal.imageDHash(df).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val lo = (0 until 4).map(gy => rows(gy).toLong << (8 * gy)).sum
+      val hi = (4 until 8).map(gy => rows(gy).toLong << (8 * (gy - 4))).sum
+      out(1L).getLong(1) shouldBe hi
+      out(1L).getLong(2) shouldBe lo
+      // pooling is exact area averaging → cell size cannot change the hash
+      out(2L).getLong(1) shouldBe hi
+      out(2L).getLong(2) shouldBe lo
+      out(3L).isNullAt(1) shouldBe true
+      out(4L).isNullAt(1) shouldBe true
+    }
+
+    it("pairs a perturbed image with its original and drops a distant one") {
+      val base = Array(0x5A, 0x13, 0xFF, 0x00, 0x81, 0x42, 0x24, 0xE7)
+      val near = base.clone(); near(0) = base(0) ^ 0x03   // 2 bits → hd 2
+      val far = base.clone(); far(7) = base(7) ^ 0xFF     // 8 bits → hd 8
+      val media = Seq(
+        (10L, Multimodal.synthGridPng(base)),
+        (11L, Multimodal.synthGridPng(near)),
+        (12L, Multimodal.synthGridPng(far))
+      ).toDF("media_id", "content")
+      val hashed = Multimodal.imageDHash(media)
+        .filter($"sim_hi".isNotNull)
+        .select($"media_id".as("id"), $"sim_hi", $"sim_lo")
+      val pairs = graft.operators.TextDedup.bandedHammingPairs64(hashed, maxHd = 3)
+        .select($"a_id", $"b_id", $"hd").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      pairs shouldBe Map((10L, 11L) -> 2)
+    }
+  }
 }

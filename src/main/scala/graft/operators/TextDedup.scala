@@ -297,6 +297,67 @@ object TextDedup {
       .filter(col("hd") <= maxHd)
   }
 
+  /** Per-passage duplication summary: chunk every document into
+    * `size`-char windows advancing by `size − overlap`
+    * ([[Packing.chunkText]]), fingerprint each passage (md5 of the RAW
+    * chunk — char-exact spans; normalize the text upstream if
+    * case/whitespace variants should collapse), and report every
+    * fingerprint occurring in at least `minDocs` distinct documents:
+    * `(fp, n_docs, n_occurrences)`. The training-data insight this
+    * serves: documents share long verbatim spans (licenses, templates,
+    * quoted passages) without being document-level near-dups, so
+    * document-granularity dedup never sees them. One chunk explode +
+    * two hash aggs, shuffle keyed on the fingerprint — never a doc
+    * pair. */
+  def duplicatedPassages(docs: DataFrame, idCol: String, textCol: String,
+                         size: Int, overlap: Int, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    Packing.chunkText(docs, idCol, textCol, size, overlap)
+      .select(col("id"), md5(col("chunk_text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count_distinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Cross-document duplicated-passage PAIRS: documents sharing at
+    * least one identical `size`-char passage, with the shared-passage
+    * count — `(a_id, b_id, n_shared)`. Candidate generation is an
+    * inverted-index equi-join on the passage fingerprint (the
+    * [[jaccardPairs]] shape at passage granularity), so the shuffle
+    * key is a fingerprint and no doc-pair cross join exists.
+    *
+    * `maxPassageDf` is this path's boilerplate guard, mirroring
+    * `maxShingleDf`: a passage present in m documents (a license
+    * header, a navigation template) contributes m² pairs, so
+    * fingerprints above the document-frequency cap are dropped BEFORE
+    * the self-join — boilerplate is exactly what passage-level dedup
+    * should ignore, since it says nothing about the documents being
+    * related. */
+  def duplicatedPassagePairs(docs: DataFrame, idCol: String, textCol: String,
+                             size: Int, overlap: Int,
+                             maxPassageDf: Option[Int] = None): DataFrame = {
+    val p = Packing.chunkText(docs, idCol, textCol, size, overlap)
+      .select(col("id"), md5(col("chunk_text")).as("fp"))
+      .distinct()
+    val kept = maxPassageDf match {
+      case Some(cap) =>
+        // cap on: the passage table feeds three subtrees (hot-fp agg +
+        // both self-join sides) — session-owned cache, same contract
+        // as lshCandidatePairs above
+        val cached = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = cached.groupBy(col("fp")).agg(count(lit(1)).as("df_cnt"))
+          .filter(col("df_cnt") > cap).select(col("fp"))
+        cached.join(hot, Seq("fp"), "left_anti")
+      case None => p
+    }
+    val a = kept.select(col("id").as("a_id"), col("fp"))
+    val b = kept.select(col("id").as("b_id"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Cross-split contamination audit: for every document in split `from`,
     * the fraction of its distinct shingles that also occur anywhere in
     * split `against` — the benchmark-leakage check run before a split is

@@ -120,6 +120,39 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  describe("duplicated passages") {
+    // 10-char passages, no overlap: every doc decomposes exactly;
+    // "AAAAAAAAAA" is the boilerplate passage present in all four docs
+    val pdocs = Seq(
+      (1L, "AAAAAAAAAAshared-oneBBBBBBBBBB"),
+      (2L, "AAAAAAAAAAshared-oneCCCCCCCCCC"), // shares boiler + shared-one with 1
+      (3L, "AAAAAAAAAAunique-333DDDDDDDDDD"),
+      (4L, "AAAAAAAAAA")                      // boilerplate only
+    ).toDF("doc_id", "text")
+
+    it("summarizes fingerprints by distinct-document frequency") {
+      val out = TextDedup.duplicatedPassages(pdocs, "doc_id", "text",
+          size = 10, overlap = 0, minDocs = 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+      // two duplicated passages: the boilerplate (4 docs) and shared-one (2)
+      out.sorted shouldBe List((2L, 2L), (4L, 4L))
+    }
+
+    it("pairs documents on shared passages, capping boilerplate") {
+      def pairs(cap: Option[Int]) =
+        TextDedup.duplicatedPassagePairs(pdocs, "doc_id", "text",
+            size = 10, overlap = 0, maxPassageDf = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // uncapped: the boilerplate passage links EVERY doc pair
+      pairs(None) shouldBe Map(
+        (1L, 2L) -> 2L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+        (2L, 3L) -> 1L, (2L, 4L) -> 1L, (3L, 4L) -> 1L)
+      // cap 3 drops the df=4 boilerplate: only the true shared passage
+      // survives, exactly the pair a curation pass wants
+      pairs(Some(3)) shouldBe Map((1L, 2L) -> 1L)
+    }
+  }
+
   describe("contamination") {
     it("scores full, partial, and zero overlap against the train split") {
       val base = "a b c d e f g h i j" // 6 distinct 5-shingles

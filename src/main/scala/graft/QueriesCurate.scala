@@ -461,6 +461,74 @@ object QueriesCurate {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q105
+  /** HTML boilerplate stripping ahead of the quality gate
+    * ([[graft.functions.TextAnalysis.stripMarkup]] /
+    * [[graft.functions.TextAnalysis.mainContent]]): each document is
+    * wrapped in a deterministic crawl-page shell — head with style +
+    * script, a nav of `doc_id % 5` links, an HTML comment, the text as
+    * the main `<p>` block carrying entities, an entity-bearing footer
+    * — and the query must recover the main content exactly: nav (link-
+    * dense, short), footer (short) and all invisible markup drop;
+    * entities decode AFTER tag removal. The oracle replays the entire
+    * regex/lambda pipeline in SQL, so every stage (invisible-block
+    * removal, block split, density filter, entity decode, collapse) is
+    * hash-gated. Both engines run per-row expression chains only —
+    * shuffle-free, the shape that scales to raw-crawl input. */
+  val q105HtmlStrip: Q = (s, dir) => {
+    import s.implicits._
+    val html = Tables.documents(s, dir).select($"doc_id",
+      concat(
+        lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><div id=\"nav\">"),
+        expr("""repeat('<a href="/l">link</a> ', CAST(doc_id % 5 AS INT))"""),
+        lit("</div><!-- crawl &amp; noise --><p>"),
+        $"text",
+        lit(" &amp; tail&nbsp;&lt;mark&gt;</p><div class=\"footer\">&copy; legal</div></body></html>")
+      ).as("html"))
+    html.select($"doc_id",
+        graft.functions.TextAnalysis.mainContent($"html").as("main_text"),
+        length(graft.functions.TextAnalysis.stripMarkup($"html")).as("n_all"))
+      .withColumn("n_main", length($"main_text"))
+      .orderBy($"doc_id")
+  }
+  val q105Sql: String = {
+    // the exact Spark chains, restated: entity chain as nested plain
+    // replace (same literals), every regexp_replace global
+    def ent(x: String) =
+      s"replace(replace(replace(replace(replace(replace(replace($x, " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+        "'&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')"
+    def clean(b: String) =
+      s"trim(regexp_replace(${ent(s"regexp_replace($b, '<[^>]+>', ' ', 'g')")}, '\\s+', ' ', 'g'))"
+    val invisible =
+      "regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g')"
+    val boundary =
+      "'(?i)</?(p|div|td|th|li|ul|ol|h[1-6]|table|tr|section|article|aside|header|footer|nav|blockquote|br)[^>]*>'"
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><div id="nav">'
+       |           || repeat('<a href="/l">link</a> ', CAST(doc_id % 5 AS INT))
+       |           || '</div><!-- crawl &amp; noise --><p>' || text
+       |           || ' &amp; tail&nbsp;&lt;mark&gt;</p><div class="footer">&copy; legal</div></body></html>' AS html
+       |  FROM documents),
+       |pre AS (SELECT doc_id, $invisible AS nohide FROM h),
+       |blk AS (SELECT doc_id, string_split_regex(nohide, $boundary) AS blocks,
+       |               ${clean("nohide")} AS all_text
+       |        FROM pre),
+       |kept AS (
+       |  SELECT doc_id, all_text,
+       |         list_filter(blocks, b -> len(${clean("b")}) >= 30
+       |           AND len(regexp_extract_all(b, '(?i)<a[\\s>]')) * 25 <= len(${clean("b")})) AS ks
+       |  FROM blk)
+       |SELECT doc_id,
+       |       array_to_string(list_transform(ks, b -> ${clean("b")}), ' ') AS main_text,
+       |       length(all_text) AS n_all,
+       |       length(array_to_string(list_transform(ks, b -> ${clean("b")}), ' ')) AS n_main
+       |FROM kept ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -475,5 +543,6 @@ object QueriesCurate {
     ("q90_oov_rate", q90OovRate, Some(q90Sql)),
     ("q91_merge_apply", q91MergeApply, Some(q91Sql)),
     ("q92_fuzzy_linkage", q92FuzzyLinkage, Some(q92Sql)),
+    ("q105_html_strip", q105HtmlStrip, Some(q105Sql)),
   )
 }

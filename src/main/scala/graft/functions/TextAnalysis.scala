@@ -81,6 +81,68 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  // ------------------------------------------------------------ markup
+
+  /** Decode the common HTML character entities. Ordered so `&amp;` is
+    * LAST: decoding it first would turn `&amp;lt;` into `&lt;` and then
+    * double-decode it into `<`. Patterns are literal (no regex
+    * metacharacters), so the same chain replays verbatim in any
+    * engine's regexp_replace/replace. */
+  private def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+
+  /** Remove the markup that renders as NOTHING: script/style blocks
+    * (their text content is code, not prose) and comments. Lazy spans
+    * with inline flags only — portable to RE2-based engines (no
+    * backreferences, no lookaround). */
+  private def dropInvisible(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Strip ALL markup from an HTML/XML-ish document: invisible blocks
+    * out, every remaining tag replaced by a space, entities decoded
+    * (after tag removal, so `&lt;b&gt;` becomes literal text `<b>`,
+    * never a tag), whitespace collapsed. Raw crawl data is HTML and
+    * every quality metric downstream assumes clean prose — run this (or
+    * [[mainContent]]) ahead of [[graft.operators.Curation.funnel]].
+    * Pure per-row regex chain: codegen'd, shuffle-free, linear. */
+  def stripMarkup(c: Column): Column =
+    trim(regexp_replace(
+      decodeEntities(regexp_replace(dropInvisible(c), "<[^>]+>", " ")),
+      "\\s+", " "))
+
+  /** Block-level tag boundary — where browsers break text flow, and
+    * where the text-density heuristic evaluates candidate blocks. */
+  private val blockBoundary =
+    "(?i)</?(p|div|td|th|li|ul|ol|h[1-6]|table|tr|section|article|aside|header|footer|nav|blockquote|br)[^>]*>"
+
+  /** Main-content extraction by text density — the classic
+    * boilerplate-removal heuristic (Kohlschütter et al.'s boilerpipe
+    * line of work, reduced to its portable core): split the document
+    * at block-level tags, keep blocks with at least `minChars` of
+    * clean text AND at most one anchor tag per `anchorPenalty` clean
+    * characters (navigation/footer link lists have many links and
+    * little text), join survivors in document order. Everything is
+    * array/lambda expressions over one row — no shuffle, no UDF; the
+    * whole heuristic replays in DuckDB SQL for the gate. */
+  def mainContent(c: Column, minChars: Int = 30, anchorPenalty: Int = 25): Column = {
+    require(minChars >= 1 && anchorPenalty >= 1)
+    def clean(b: Column): Column =
+      trim(regexp_replace(
+        decodeEntities(regexp_replace(b, "<[^>]+>", " ")), "\\s+", " "))
+    def anchors(b: Column): Column =
+      size(regexp_extract_all(b, lit("(?i)<a[\\s>]"), lit(0)))
+    val blocks = split(dropInvisible(c), blockBoundary)
+    val kept = filter(blocks, b =>
+      length(clean(b)) >= minChars &&
+        anchors(b) * lit(anchorPenalty) <= length(clean(b)))
+    array_join(transform(kept, b => clean(b)), " ")
+  }
+
   /** Exact-dedup document fingerprint: md5 of normalized text. md5 (not
     * xxhash64) because it is bit-identical across engines and stable
     * forever — the right property for a persisted corpus fingerprint. */

@@ -42,6 +42,37 @@ class CurationSpec extends SparkSpec {
         Curation.funnel(corpus, "doc_id", "text", minhashK = 8, rowsPerBand = 3)
     }
 
+    it("HTML input funnels correctly only after boilerplate stripping") {
+      import org.apache.spark.sql.functions.{col, length => slen}
+      // raw crawl page: nav + comments + script wrap the good prose
+      val page =
+        s"""<html><head><script>var nav=1;</script></head><body>
+           |<div><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">More</a></div>
+           |<p>$good</p>
+           |<div class="footer">&copy; site</div></body></html>""".stripMargin
+      val html = Seq((1L, page), (2L, page), (3L, "<p>tiny doc</p>")).toDF("doc_id", "html")
+      val stripped = html.select(col("doc_id"),
+        graft.functions.TextAnalysis.mainContent(col("html")).as("text"))
+      // main content recovered exactly → quality gate sees clean prose,
+      // exact dedup collapses the two copies of the page
+      stripped.filter(col("doc_id") === 1L).head().getString(1) shouldBe good
+      val out = Curation.funnel(stripped, "doc_id", "text").collect()
+      out.map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe Seq(
+        ("s1_raw", 3L), ("s2_quality", 2L), ("s3_exact", 1L), ("s4_neardup", 1L))
+      // un-stripped, markup depresses the quality signal (punctuation-
+      // dense tags, markup tokens) — the metric measures the page, not
+      // the prose; stripping restores the prose's own score
+      val qRaw = html.filter(col("doc_id") === 1L)
+        .select(graft.functions.TextAnalysis.qualityScore(col("html"))).head().getDouble(0)
+      val qStripped = stripped.filter(col("doc_id") === 1L)
+        .select(graft.functions.TextAnalysis.qualityScore(col("text"))).head().getDouble(0)
+      qRaw should be < qStripped
+      // and token counts are inflated by markup: the funnel's n_tokens
+      // on raw input would overcount the corpus
+      html.select(graft.functions.TextAnalysis.wsTokenCount(col("html"))).head().getInt(0) should be >
+        stripped.select(graft.functions.TextAnalysis.wsTokenCount(col("text"))).head().getInt(0)
+    }
+
     it("transitive mode collapses V-shaped similarity that greedy keeps") {
       // docs 1 and 2 are dissimilar to each other but both overlap hub
       // doc 3 (the largest id): greedy only ever drops pair maxima, so it

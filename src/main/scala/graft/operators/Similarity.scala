@@ -187,14 +187,24 @@ object Similarity {
   /** [[semanticDedup]] with the cell count derived from the corpus
     * instead of hand-picked: `k = max(kFloor, ceil(n / targetCellSize))`,
     * which bounds expected per-cell pair work at ~targetCellSize²
-    * regardless of corpus size and makes total work
+    * regardless of corpus size and makes PAIR work
     * Σ|cell|² ≈ n·targetCellSize — LINEAR in n, where a fixed k scales
     * as n²/k (the q100 probe measured exactly that ×5-at-10× curve
-    * before this existed). targetCellSize ~10⁴ is the IVF sizing rule
-    * from the scaladoc above; the floor keeps tiny corpora from
-    * degenerating to one cell per vector. Costs one count() pass over
-    * the corpus before the fit — at scale that is a parquet
-    * metadata-level scan, noise next to the Lloyd iteration it sizes. */
+    * before this existed). The other term is centroid ASSIGNMENT:
+    * n·k = n²/targetCellSize cosine scores, so the linear-in-n claim
+    * holds only while n ≪ targetCellSize² — with the 10⁴ default that
+    * covers corpora to ~10⁸ vectors; past that, balance the two terms
+    * with targetCellSize ~ √n (total work 2·n^1.5) or assign through a
+    * two-level centroid tree. This is measured, not theoretical: the
+    * round-5 100× probe ran the q100 gate's test-scale cell size (100)
+    * at n = 4·10⁵, deriving k = 4000, and the 1.6×10⁹-cosine assignment
+    * dominated the cold pass at 465 s — exactly the n²/c term — while
+    * the same corpus under the production default would assign with
+    * k = 40. targetCellSize ~10⁴ is the IVF sizing rule from the
+    * scaladoc above; the floor keeps tiny corpora from degenerating to
+    * one cell per vector. Costs one count() pass over the corpus before
+    * the fit — at scale that is a parquet metadata-level scan, noise
+    * next to the Lloyd iteration it sizes. */
   def semanticDedupAuto(spark: SparkSession, corpus: DataFrame,
                         iterations: Int, threshold: Double,
                         targetCellSize: Long = 10000L, kFloor: Int = 8): DataFrame = {

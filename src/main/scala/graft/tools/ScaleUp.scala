@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * constant as their referenced primary keys, so referential joins
   * keep resolving within each replica.
   *
-  * Usage: `runMain graft.tools.ScaleUp <srcDir> <dstDir> <copies>`.
+  * Usage: `runMain graft.tools.ScaleUp <srcDir> <dstDir> <copies>
+  * [tables]` — `tables` is an optional comma-separated subset (e.g.
+  * `documents,embeddings` for a text/ANN-only probe, so a 100× corpus
+  * build does not also write 100× of lineitem it will never read).
   */
 object ScaleUp {
 
@@ -77,8 +80,15 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, copiesStr) = args
+    val Array(src, dst, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val selected =
+      if (args.length > 3) {
+        val sel = args(3).split(",").map(_.trim).toSeq
+        val unknown = sel.filterNot(tables.contains)
+        require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(", ")}")
+        sel
+      } else tables
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -90,7 +100,7 @@ object ScaleUp {
     // read ns as raw long and write it back untouched — Tables.events
     // reconstructs the µs timestamp the same way on the scaled copy
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tables.foreach { t =>
+    selected.foreach { t =>
       scaleTable(spark.read.parquet(s"$src/$t.parquet"), t, copies)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t done")

@@ -215,4 +215,23 @@ object Similarity {
     require(k <= Int.MaxValue, s"derived k=$k overflows Int")
     semanticDedup(spark, corpus, k.toInt, iterations, threshold)
   }
+
+  /** [[semanticDedup]] with the BALANCED cell count `k = ⌈√n⌉`
+    * (floored at kFloor): assignment work is n·k and pair work is
+    * n²/k, so their sum is minimized where the two terms meet —
+    * k = √n — giving total work 2·n^1.5 instead of a quadratic term
+    * either side of the trade (the round-5 100× probe measured the
+    * assignment side dominating at 465 s cold when k overshot; see
+    * [[semanticDedupAuto]]). Use this form when nothing is known
+    * about the corpus; use `semanticDedupAuto` when a recall target
+    * fixes the cell size (bigger cells = fewer boundary misses). */
+  def semanticDedupBalanced(spark: SparkSession, corpus: DataFrame,
+                            iterations: Int, threshold: Double,
+                            kFloor: Int = 8): DataFrame = {
+    require(kFloor > 0, s"kFloor must be positive, got $kFloor")
+    val n = corpus.count()
+    val k = math.max(kFloor.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)
+    require(k <= Int.MaxValue, s"derived k=$k overflows Int")
+    semanticDedup(spark, corpus, k.toInt, iterations, threshold)
+  }
 }

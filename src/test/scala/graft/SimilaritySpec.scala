@@ -160,6 +160,25 @@ class SimilaritySpec extends SparkSpec {
           iterations = 1, threshold = 0.99))
     }
 
+    it("semanticDedupBalanced derives k = ceil(sqrt(n)) and matches the explicit-k call") {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val corpus = e.unionByName(e.select(($"id" + 100000L).as("id"),
+        transform($"v", x => x * lit(1.01)).as("v"))) // n = 1000
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      // derivation engages: ceil(sqrt(1000)) = 32 > floor 8
+      canon(Similarity.semanticDedupBalanced(spark, corpus, iterations = 1,
+        threshold = 0.99, kFloor = 8)) shouldBe
+        canon(Similarity.semanticDedup(spark, corpus, k = 32,
+          iterations = 1, threshold = 0.99))
+      // floor engages when sqrt(n) is below it
+      canon(Similarity.semanticDedupBalanced(spark, corpus, iterations = 1,
+        threshold = 0.99, kFloor = 40)) shouldBe
+        canon(Similarity.semanticDedup(spark, corpus, k = 40,
+          iterations = 1, threshold = 0.99))
+    }
+
     it("IVF save/load round-trips centroids and index exactly; search is identical") {
       import graft.operators.IvfIndex
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -690,6 +690,107 @@ object QueriesText {
        |GROUP BY a.id, b.id
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Incremental snapshot-ingest dedup ([[TextDedup.dedupAgainstStore]]):
+    * the "existing corpus" (md5 buckets 0–7 of documents) is reduced to
+    * its persisted dedup store — distinct fingerprints + MinHash
+    * signatures ([[TextDedup.buildDedupStore]]) — and a new delta shard
+    * is classified against it without ever re-reading corpus text. The
+    * delta is built to exercise every verdict lane deterministically:
+    * buckets 8–9 as the novel docs, exact copies of corpus docs
+    * (doc_id ≡ 0 mod 7, shifted +200000) for `dup_exact`, perturbed
+    * copies (≡ 0 mod 11, +300000, ' zz qq' suffix) for `dup_near`
+    * (band-key hit + signature-lane agreement ≥ 4 of 8 — appending two
+    * tokens moves few lane minima, so agreement stays high), and
+    * in-shard duplicates of novel docs (≡ 0 mod 13, +400000) for
+    * `shard_dup` (smallest delta id wins; NOT near-dups, the store
+    * never saw them — the gate proves the three flags are independent).
+    * The oracle replays the whole chain — bucket split, fingerprints,
+    * both signature tables, banding, agreement count, in-shard min —
+    * in SQL, so a drift anywhere in the store or ingest path breaks
+    * the hash. maxBandDf is the production skew cap, sized as a no-op
+    * here (same convention as q30). */
+  val q107IncrementalDedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select($"doc_id", $"text")
+    val bkt = base.withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
+    val corpusDocs = bkt.filter($"b" < 8).select($"doc_id", $"text")
+    val delta = bkt.filter($"b" >= 8).select($"doc_id", $"text")
+      .unionByName(corpusDocs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+      .unionByName(corpusDocs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"),
+          concat($"text", lit(" zz qq")).as("text")))
+      .unionByName(bkt.filter($"b" >= 8 && $"doc_id" % 13 === 0)
+        .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
+    val (storeFp, storeSig) =
+      TextDedup.buildDedupStore(corpusDocs, "doc_id", "text", shingleN = 5, k = 8)
+    TextDedup.dedupAgainstStore(delta, "doc_id", "text", storeFp, storeSig,
+        shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4, maxBandDf = Some(1024))
+      .orderBy($"id")
+  }
+  val q107Sql: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    // shingles → 8 md5-lane minima → 4 band keys, for one source CTE
+    def sigCtes(pre: String, src: String): String = {
+      val mins = (0 until 8).map { j =>
+        val m = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
+        s"min(substr($m, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+      }.mkString(",\n    ")
+      val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
+      s"""${pre}shd AS (
+         |  SELECT DISTINCT id, s FROM (
+         |    SELECT doc_id AS id, unnest(list_transform(
+         |      generate_series(1, len(string_split($normSql, ' '))-4),
+         |      i -> array_to_string(list_slice(string_split($normSql, ' '), i, i+4), ' '))) AS s
+         |    FROM $src)),
+         |${pre}mh AS (
+         |  SELECT id, $mins
+         |  FROM ${pre}shd GROUP BY id),
+         |${pre}bands AS (
+         |  SELECT id, b, h FROM (
+         |    SELECT id, unnest([0, 1, 2, 3]) AS b, unnest([$bandHashes]) AS h
+         |    FROM ${pre}mh))""".stripMargin
+    }
+    val agreeSum = (0 until 8)
+      .map(j => s"(CASE WHEN dm.h$j = sm.h$j THEN 1 ELSE 0 END)").mkString("\n    + ")
+    s"""WITH bkt AS (
+       |  SELECT doc_id, text, ($digits) % 10 AS bk
+       |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |corpus AS (SELECT doc_id, text FROM bkt WHERE bk < 8),
+       |delta AS (
+       |  SELECT doc_id, text FROM bkt WHERE bk >= 8
+       |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000 AS doc_id, text || ' zz qq' AS text
+       |    FROM corpus WHERE doc_id % 11 = 0
+       |  UNION ALL SELECT doc_id + 400000 AS doc_id, text
+       |    FROM bkt WHERE bk >= 8 AND doc_id % 13 = 0),
+       |sfp AS (SELECT DISTINCT md5($normSql) AS fp FROM corpus),
+       |${sigCtes("s_", "corpus")},
+       |${sigCtes("d_", "delta")},
+       |cand AS (
+       |  SELECT DISTINCT d.id AS d_id, s.id AS s_id
+       |  FROM d_bands d JOIN s_bands s ON d.b = s.b AND d.h = s.h),
+       |near AS (
+       |  SELECT DISTINCT c.d_id AS id
+       |  FROM cand c JOIN d_mh dm ON dm.id = c.d_id JOIN s_mh sm ON sm.id = c.s_id
+       |  WHERE $agreeSum >= 4),
+       |dfp AS (SELECT doc_id AS id, md5($normSql) AS fp FROM delta),
+       |keepid AS (SELECT fp, min(id) AS keep_id FROM dfp GROUP BY fp)
+       |SELECT f.id,
+       |  sf.fp IS NOT NULL AS dup_exact,
+       |  nr.id IS NOT NULL AS dup_near,
+       |  f.id <> ki.keep_id AS shard_dup,
+       |  (sf.fp IS NULL AND nr.id IS NULL AND f.id = ki.keep_id) AS keep
+       |FROM dfp f
+       |JOIN keepid ki ON f.fp = ki.fp
+       |LEFT JOIN sfp sf ON f.fp = sf.fp
+       |LEFT JOIN near nr ON f.id = nr.id
+       |ORDER BY f.id""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -708,5 +809,6 @@ object QueriesText {
     ("q96_dedup_clusters_contraction", q96DedupClustersContraction, Some(q58Sql)),
     ("q97_simhash64_pairs", q97SimHash64Pairs, Some(q97Sql)),
     ("q104_passage_dup", q104PassageDup, Some(q104Sql)),
+    ("q107_incremental_dedup", q107IncrementalDedup, Some(q107Sql)),
   )
 }

@@ -102,6 +102,44 @@ object TextDedup {
         }: _*)
   }
 
+  /** `(id, band, h)` LSH band-key table of a MinHash signature table —
+    * the shared candidate-generation input of [[lshCandidatePairs]]
+    * (corpus self-join) and [[dedupAgainstStore]] (delta-vs-store
+    * join). Band keys are pure column math over the signature columns:
+    * no shingles or text needed, which is what lets a persisted
+    * signature store answer near-dup membership without re-reading the
+    * corpus. */
+  def signatureBands(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val nBands = k / rowsPerBand
+    val bandHash = (b: Int) => md5(concat(
+      (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*))
+    sig.select(col("id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("h"))): _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  /** Drop band keys with document frequency above `cap` — the
+    * degenerate-bucket guard (see [[lshCandidatePairs]] doc). Persists
+    * the band table when the cap is on (it then feeds the hot-key agg
+    * plus every join consumer; session-owned cache, same contract as
+    * the other operator persists). */
+  private def capBands(allBands: DataFrame, maxBandDf: Option[Int]): DataFrame =
+    maxBandDf match {
+      case Some(cap) =>
+        // persist: with the cap on, the band table feeds THREE subtrees
+        // (both self-join sides + the hot-key agg), and the agg's
+        // partial-agg shape defeats exchange reuse — unpersisted, the
+        // whole signature→explode→md5 chain would run again per subtree
+        val cached = allBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = cached.groupBy(col("band"), col("h"))
+          .agg(count(lit(1)).as("df_cnt"))
+          .filter(col("df_cnt") > cap).select(col("band"), col("h"))
+        cached.join(hot, Seq("band", "h"), "left_anti")
+      case None => allBands
+    }
+
   /** LSH banding: hash `rowsPerBand` consecutive signature components
     * into one band key; docs sharing any band key become candidate
     * pairs. Probability of catching a pair rises sharply with its true
@@ -119,27 +157,7 @@ object TextDedup {
     * band table), never materialized per pair. */
   def lshCandidatePairs(sig: DataFrame, k: Int, rowsPerBand: Int,
                         maxBandDf: Option[Int] = None): DataFrame = {
-    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
-    val nBands = k / rowsPerBand
-    val bandHash = (b: Int) => md5(concat(
-      (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*))
-    val allBands = sig.select(col("id"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), bandHash(b).as("h"))): _*)).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    val bands = maxBandDf match {
-      case Some(cap) =>
-        // persist: with the cap on, the band table feeds THREE subtrees
-        // (both self-join sides + the hot-key agg), and the agg's
-        // partial-agg shape defeats exchange reuse — unpersisted, the
-        // whole signature→explode→md5 chain would run again per subtree
-        val cached = allBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hot = cached.groupBy(col("band"), col("h"))
-          .agg(count(lit(1)).as("df_cnt"))
-          .filter(col("df_cnt") > cap).select(col("band"), col("h"))
-        cached.join(hot, Seq("band", "h"), "left_anti")
-      case None => allBands
-    }
+    val bands = capBands(signatureBands(sig, k, rowsPerBand), maxBandDf)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h")
           && col("x.id") < col("y.id"))
@@ -162,6 +180,79 @@ object TextDedup {
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Build the persisted dedup-store tables for [[dedupAgainstStore]]
+    * from an already-curated corpus: `(fp)` distinct content
+    * fingerprints and `(id, n_shingles, mh0..mh{k-1})` MinHash
+    * signatures. Written once at corpus-dedup time (both are parquet-
+    * friendly narrow tables, ~1 row per corpus doc), reloaded per
+    * ingest — the corpus TEXT is never read again. */
+  def buildDedupStore(corpus: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, k: Int): (DataFrame, DataFrame) =
+    (corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct(),
+      minHashSignature(shingleTable(corpus, idCol, textCol, shingleN), k))
+
+  /** Incremental-ingest dedup: classify a NEW delta shard against the
+    * persisted index of an already-deduplicated corpus — the production
+    * snapshot shape (a crawl arrives weekly; re-shingling and
+    * re-self-joining the full corpus per snapshot is not an option).
+    * Corpus-side state is exactly the two [[buildDedupStore]] tables:
+    * `storeFp` answers exact membership by fingerprint semi-join;
+    * `storeSig` answers near-dup membership — its band keys are
+    * recomputed from the signature COLUMNS ([[signatureBands]] is pure
+    * column math), equi-joined against the delta's band keys, and the
+    * candidates are verified by signature-lane agreement (the standard
+    * MinHash Jaccard estimate): a delta doc is `dup_near` when ≥
+    * `minAgree` of its k lanes match some store doc it shares a band
+    * with. In-shard exact duplicates resolve to the smallest delta id
+    * (`shard_dup`). Every join is keyed on fp / (band, h) / candidate
+    * ids, so work scales with |delta| + matched buckets, never with
+    * |corpus| beyond one scan of each store table; `maxBandDf` caps hot
+    * band keys on BOTH sides before the join (same degenerate-bucket
+    * argument as [[lshCandidatePairs]], and a boilerplate-heavy store
+    * band would otherwise multiply every delta doc that hits it).
+    *
+    * Returns one row per delta doc:
+    * `(id, dup_exact, dup_near, shard_dup, keep)`,
+    * keep = none of the three. Delta docs too short to shingle never
+    * reach the near-dup join (no signature rows) but are still labeled
+    * via the fingerprint side. */
+  def dedupAgainstStore(delta: DataFrame, idCol: String, textCol: String,
+                        storeFp: DataFrame, storeSig: DataFrame,
+                        shingleN: Int, k: Int, rowsPerBand: Int,
+                        minAgree: Int, maxBandDf: Option[Int] = None): DataFrame = {
+    require(minAgree >= 1 && minAgree <= k, s"minAgree must be in [1, $k], got $minAgree")
+    // session-owned caches (see the cache contract above): fp feeds the
+    // exact semi-join, the shard-dup agg AND the final labeling; sig
+    // feeds the band build AND the agreement verification join
+    val fp = delta.select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minHashSignature(shingleTable(delta, idCol, textCol, shingleN), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = capBands(signatureBands(sig, k, rowsPerBand), maxBandDf).as("d")
+      .join(capBands(signatureBands(storeSig, k, rowsPerBand), maxBandDf).as("s"),
+        col("d.band") === col("s.band") && col("d.h") === col("s.h"))
+      .select(col("d.id").as("d_id"), col("s.id").as("s_id")).distinct()
+    val agree = (0 until k)
+      .map(j => when(col(s"d.mh$j") === col(s"s.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val near = cand
+      .join(sig.as("d"), col("d_id") === col("d.id"))
+      .join(storeSig.as("s"), col("s_id") === col("s.id"))
+      .filter(agree >= minAgree)
+      .select(col("d_id").as("id")).distinct()
+    val exact = fp.join(storeFp, Seq("fp"), "left_semi").select(col("id"))
+    val shardKeep = fp.groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+    fp.join(shardKeep, Seq("fp"))
+      .join(exact.withColumn("de", lit(true)), Seq("id"), "left")
+      .join(near.withColumn("dn", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("de"), lit(false)).as("dup_exact"),
+        coalesce(col("dn"), lit(false)).as("dup_near"),
+        (col("id") =!= col("keep_id")).as("shard_dup"))
+      .withColumn("keep", !col("dup_exact") && !col("dup_near") && !col("shard_dup"))
   }
 
   /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex

@@ -153,6 +153,46 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  describe("TextDedup.dedupAgainstStore") {
+    val storeCorpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight and tomorrow"),
+      (2L, "completely different words about spark query engines here now today")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight and tomorrow"), // exact store dup
+      (11L, "the quick brown fox jumps over the lazy dog tonight and tomorrow zz qq"), // near store dup
+      (12L, "fresh novel text with nothing in common with anything else whatsoever"), // novel → keep
+      (13L, "fresh novel text with nothing in common with anything else whatsoever")  // in-shard dup of 12
+    ).toDF("doc_id", "text")
+    def run(cap: Option[Int]) = {
+      val (fp, sig) = TextDedup.buildDedupStore(storeCorpus, "doc_id", "text",
+        shingleN = 3, k = 8)
+      TextDedup.dedupAgainstStore(delta, "doc_id", "text", fp, sig,
+          shingleN = 3, k = 8, rowsPerBand = 2, minAgree = 4, maxBandDf = cap)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    }
+
+    it("labels exact, near, in-shard and novel delta docs independently") {
+      val out = run(None)
+      // identical text: exact AND near (identical signature collides)
+      out(10L) shouldBe ((true, true, false, false))
+      // two appended tokens: near via band hit + lane agreement, not exact
+      out(11L) shouldBe ((false, true, false, false))
+      // novel doc: smallest id of its fingerprint keeps
+      out(12L) shouldBe ((false, false, false, true))
+      // in-shard copy: shard_dup only — the store never saw it, so the
+      // near flag stays false (the three flags are independent lanes)
+      out(13L) shouldBe ((false, false, true, false))
+    }
+
+    it("maxBandDf cap suppresses band candidates but not the exact path") {
+      val out = run(Some(0)) // degenerate cap: every band key dropped
+      out(10L) shouldBe ((true, false, false, false))
+      out(11L) shouldBe ((false, false, false, true))
+    }
+  }
+
   describe("contamination") {
     it("scores full, partial, and zero overlap against the train split") {
       val base = "a b c d e f g h i j" // 6 distinct 5-shingles

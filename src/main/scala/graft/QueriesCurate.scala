@@ -529,6 +529,33 @@ object QueriesCurate {
        |FROM kept ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q108
+  /** Per-domain document quota ([[graft.operators.Curation.domainCap]]):
+    * keep at most 10 docs per `source`, selected by deterministic md5
+    * priority. The Spark side runs the native bounded-heap per-key
+    * top-k plan (TopKPerKey — map-side partial heaps, k rows per
+    * partition per domain cross the shuffle); the oracle states the
+    * row_number window form, which is the same RESULT but the plan
+    * that dies on a hot domain — the gate certifies the heap path
+    * returns exactly the window's selection. Output keeps n_chars so
+    * the gate proves non-key columns ride through the heap intact. */
+  val q108DomainCap: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Curation.domainCap(
+        Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars"),
+        "source", "doc_id", maxPerDomain = 10)
+      .orderBy($"source", $"doc_id")
+  }
+  val q108Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (
+      |           PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
+      |ORDER BY source, doc_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -544,5 +571,6 @@ object QueriesCurate {
     ("q91_merge_apply", q91MergeApply, Some(q91Sql)),
     ("q92_fuzzy_linkage", q92FuzzyLinkage, Some(q92Sql)),
     ("q105_html_strip", q105HtmlStrip, Some(q105Sql)),
+    ("q108_domain_cap", q108DomainCap, Some(q108Sql)),
   )
 }

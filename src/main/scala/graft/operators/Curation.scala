@@ -101,4 +101,27 @@ object Curation {
       .unionByName(stage("s4_neardup", survivors))
       .orderBy(col("stage"))
   }
+
+  /** Per-domain document cap — the crawl-curation quota that keeps one
+    * hot domain from dominating a training mix: at most `maxPerDomain`
+    * docs per `domainCol` value survive, chosen by a DETERMINISTIC
+    * priority (md5 of the id, ties to the id) — rerun-stable and
+    * engine-portable, never "first N in scan order".
+    *
+    * Scale shape: selection runs through the native bounded-heap
+    * per-key top-k plan ([[graft.plans.TopKPerKey]]) — partial heaps
+    * trim every map partition to k rows per domain BEFORE the shuffle,
+    * so a 10⁸-doc domain ships k rows per partition, while the
+    * equivalent `row_number() OVER (PARTITION BY domain ...)` window
+    * materializes and sorts the entire hot domain in a single task and
+    * dies exactly there. The oracle states the window form — same
+    * result, the plan is the difference. */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String,
+                maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val prio = docs.withColumn("domain_pri", md5(col(idCol).cast("string")))
+    graft.plans.TopKPerKey.of(prio, Seq(domainCol),
+        Seq(("domain_pri", false), (idCol, false)), maxPerDomain)
+      .drop("domain_pri")
+  }
 }

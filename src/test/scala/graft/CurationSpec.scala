@@ -93,4 +93,38 @@ class CurationSpec extends SparkSpec {
       survivors(true) shouldBe 1L // {1} — cluster min only
     }
   }
+
+  describe("Curation.domainCap") {
+    val docs = ((1L to 9L).map(i => (i, "big.example")) ++
+      (20L to 22L).map(i => (i, "small.example")))
+      .toDF("doc_id", "domain")
+
+    it("keeps exactly the md5-priority window selection per domain") {
+      import org.apache.spark.sql.functions._
+      val capped = Curation.domainCap(docs, "domain", "doc_id", maxPerDomain = 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"domain")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      val windowed = docs.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 4).select($"doc_id", $"domain")
+      capped.except(windowed).count() shouldBe 0L
+      windowed.except(capped).count() shouldBe 0L
+      // under-cap domain survives whole; priority column does not leak
+      capped.filter($"domain" === "small.example").count() shouldBe 3L
+      capped.columns.toSeq shouldBe Seq("doc_id", "domain")
+    }
+
+    it("runs through the bounded-heap TopKExec, not a window sort") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = try {
+        Curation.domainCap(docs, "domain", "doc_id", maxPerDomain = 4)
+          .queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      plan.collect { case e: graft.plans.TopKExec => e.partial }
+        .sorted shouldBe Seq(false, true)
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      } shouldBe empty
+    }
+  }
 }

@@ -556,6 +556,47 @@ object QueriesCurate {
       |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
       |ORDER BY source, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q109
+  /** Hashed linear classifier scoring
+    * ([[graft.operators.QualityFilters.linearScore]]): a 64-bucket
+    * fastText-shape model with deterministic weights
+    * `w(b) = ((b·2654435761) mod 997)/997 − 0.5` scores every document
+    * in one shuffle-free codegen'd scan — the weight vector is a plan
+    * literal, the per-token bucket is md5 arithmetic, and the fold is
+    * sequential so the oracle (which recomputes the same weights from
+    * the bucket id instead of indexing an array) reproduces the score
+    * bit-for-bit before the 4-digit round. Gate covers hashing, the
+    * weight formula, the mean-pool + bias + scale sigmoid, and the
+    * 0.5 decision boundary. */
+  val q109ClassifierScore: Q = (s, dir) => {
+    import s.implicits._
+    val weights = (0 until 64).map(b => ((b * 2654435761L) % 997L) / 997.0 - 0.5)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        graft.functions.TextAnalysis.wsTokenCount($"text").as("n_toks"),
+        graft.operators.QualityFilters.linearScore($"text", weights,
+          bias = -0.01, scale = 4.0).as("raw"))
+      .select($"doc_id", $"n_toks", round($"raw", 4).as("score"),
+        ($"raw" >= 0.5).as("label"))
+      .orderBy($"doc_id")
+  }
+  val q109Sql: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    val sig = "1.0 / (1.0 + exp(-(ssum / greatest(n_toks, 1.0) - 0.01) * 4.0))"
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |sc AS (
+       |  SELECT doc_id, len(w) AS n_toks,
+       |    list_reduce(list_prepend(0.0, list_transform(w,
+       |      t -> ((($digits) % 64) * 2654435761 % 997) / 997.0 - 0.5)),
+       |      (a, x) -> a + x) AS ssum
+       |  FROM tk)
+       |SELECT doc_id, n_toks, round($sig, 4) AS score, $sig >= 0.5 AS label
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -572,5 +613,6 @@ object QueriesCurate {
     ("q92_fuzzy_linkage", q92FuzzyLinkage, Some(q92Sql)),
     ("q105_html_strip", q105HtmlStrip, Some(q105Sql)),
     ("q108_domain_cap", q108DomainCap, Some(q108Sql)),
+    ("q109_classifier_score", q109ClassifierScore, Some(q109Sql)),
   )
 }

@@ -67,4 +67,33 @@ object QualityFilters {
         (maxRunLength(array_sort(col("_grams"))).cast("double")
           / size(col("_grams"))).as("top_share")): _*)
   }
+
+  /** FastText-style hashed linear classifier applied at scan time — the
+    * model-based quality scorer (educational-value / toxicity / domain
+    * classifiers) every modern curation pipeline runs after the
+    * heuristic gates: each token hashes into one of `weights.length`
+    * buckets (first 32 md5 bits, mod dim — engine-portable, no feature
+    * dictionary to ship), and the document scores
+    * `sigmoid(scale · (Σ w[h(t)] / n_tokens + bias))`.
+    *
+    * Scale shape: a trained linear model is a few KB–MB, so the weight
+    * vector rides the plan as a LITERAL array — no model join, no
+    * shuffle, the whole scorer is one sequential per-row fold inside
+    * whole-stage codegen; scoring 100 TB is exactly one scan. (A
+    * vocabulary-keyed model with per-term columns would broadcast-join
+    * instead — that shape is [[TermScoring.oovRate]]'s.) The sequential
+    * fold also pins float addition order, so the oracle reproduces the
+    * score bit-for-bit before rounding. */
+  def linearScore(text: Column, weights: Seq[Double], bias: Double,
+                  scale: Double): Column = {
+    require(weights.nonEmpty, "linearScore needs a non-empty weight vector")
+    val dim = weights.length
+    val toks = TextAnalysis.wsTokens(text)
+    val wArr = array(weights.map(lit): _*)
+    val hit = (t: Column) => element_at(wArr,
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim + 1).cast("int"))
+    val s = aggregate(toks, lit(0.0), (acc, t) => acc + hit(t))
+    val z = (s / greatest(size(toks), lit(1)).cast("double") + lit(bias)) * lit(scale)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
 }

@@ -32,6 +32,31 @@ class CurateOpsSpec extends SparkSpec {
       assert(narrow(0).isNullAt(1))          // too short → null, not 0
       narrow(1).getDouble(1) shouldBe 0.5    // [a a, a a] → 1 - 1/2
     }
+
+    it("linearScore reduces to exact sigmoid arithmetic on constant weights") {
+      def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+      val df = Seq((1L, "alpha beta gamma")).toDF("id", "text")
+      def score(w: Seq[Double], bias: Double, scale: Double): Double =
+        df.select(QualityFilters.linearScore($"text", w, bias, scale).as("s"))
+          .head().getDouble(0)
+      // every bucket weighs 0 → only bias survives the mean pool
+      score(Seq.fill(16)(0.0), bias = 0.25, scale = 2.0) shouldBe
+        sigmoid(0.25 * 2.0) +- 1e-12
+      // every bucket weighs 1 → mean is exactly 1 regardless of hashing
+      score(Seq.fill(16)(1.0), bias = -0.5, scale = 3.0) shouldBe
+        sigmoid((1.0 - 0.5) * 3.0) +- 1e-12
+    }
+
+    it("linearScore indexes the bucket the md5 hash selects") {
+      def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+      val df = Seq((1L, "alpha")).toDF("id", "text")
+      // the token's bucket, computed independently of linearScore
+      val b = df.select((conv(substring(md5(lit("alpha")), 1, 8), 16, 10)
+        .cast("long") % 8).as("b")).head().getLong(0).toInt
+      val weights = (0 until 8).map(_.toDouble / 10)
+      df.select(QualityFilters.linearScore($"text", weights, 0.0, 1.0).as("s"))
+        .head().getDouble(0) shouldBe sigmoid(weights(b)) +- 1e-12
+    }
   }
 
   describe("Redaction") {

@@ -224,6 +224,74 @@ object QueriesStreaming {
       |FROM (SELECT DISTINCT event_type, user_id FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** Streaming ingest deduplicated against a STATIC store — the
+    * continuous face of q107's snapshot ingest, and the oracle gate for
+    * the stream-static join surface ([[EventStreams.enrich]] is the
+    * spec-gated enrichment face): documents arrive as a file stream
+    * (unioned with a re-crawl copy, so the in-stream dedup state is
+    * genuinely exercised), each row fingerprints in the scan, a
+    * stream-static broadcast LEFT ANTI join drops fingerprints the
+    * corpus store already holds (each micro-batch probes the broadcast
+    * map; the static side never shuffles the stream and keeps NO state
+    * store), and `dropDuplicates` on the fingerprint admits each novel
+    * text once. The output aggregates fingerprint-derived values only
+    * (count + first-32-bit checksum per fp hex prefix), so it is
+    * arrival-order-independent — WHICH twin of a duplicate survives is
+    * racy, its fingerprint is not; that is what makes a streaming dedup
+    * gateable against a batch DISTINCT oracle. */
+  val q110StreamIngest: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/documents.parquet"
+    val watch = java.nio.file.Paths.get(
+      s"/root/repo/target/tmp/q110_docs_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(watch)
+    val link = watch.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(file))
+    val schema = s.read.parquet(file).schema
+    // static corpus store: fingerprints of md5 buckets 0-7 (as in q107)
+    val storeFp = s.read.parquet(file)
+      .filter(graft.operators.Sampling.hashBucket($"doc_id", 10) < 8)
+      .select(graft.functions.TextAnalysis.fingerprint($"text").as("fp"))
+      .distinct()
+    def arriving = s.readStream.schema(schema).parquet(watch.toString)
+      .select(graft.functions.TextAnalysis.fingerprint($"text").as("fp"))
+    val stream = arriving.union(arriving) // re-crawl: every text twice
+      .join(broadcast(storeFp), Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+      .groupBy(substring($"fp", 1, 1).as("bucket"))
+      .agg(count(lit(1)).as("n_accepted"),
+        sum(conv(substring($"fp", 1, 8), 16, 10).cast("long")).as("fp_sum"))
+    val name = s"q110_ingest_${System.nanoTime()}"
+    val query = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(name).orderBy($"bucket")
+  }
+  val q110Sql: String = {
+    val bdig = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    val fdig = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(fp, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    s"""WITH bkt AS (
+       |  SELECT doc_id, text, ($bdig) % 10 AS bk
+       |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |sfp AS (
+       |  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM bkt WHERE bk < 8),
+       |novel AS (
+       |  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents
+       |  WHERE md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |        NOT IN (SELECT fp FROM sfp))
+       |SELECT substr(fp, 1, 1) AS bucket, count(*) AS n_accepted,
+       |       CAST(sum($fdig) AS BIGINT) AS fp_sum
+       |FROM novel GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
@@ -232,5 +300,6 @@ object QueriesStreaming {
     ("q68_stream_dedup", q68StreamDedup, Some(q68Sql)),
     ("q72_attribution_outer", q72AttributionOuter, Some(q72Sql)),
     ("q80_session_window", q80SessionWindow, Some(q80Sql)),
+    ("q110_stream_ingest", q110StreamIngest, Some(q110Sql)),
   )
 }

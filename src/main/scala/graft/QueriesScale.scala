@@ -172,6 +172,44 @@ object QueriesScale {
        |FROM n GROUP BY source HAVING sum(n) > 0 ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q111
+  /** Source-mix planning ([[Sampling.mixPlan]]): the step BEFORE q52's
+    * mixing executes — per-source token supply (Σ n_chars as the token
+    * proxy) meets non-uniform target weights (1 + source-index mod 3)
+    * and a budget of 70% of total supply, chosen so the rate cap
+    * genuinely engages: over-weighted sources want more than they have
+    * and cap at rate 1, under-weighted ones get a fractional keep rate.
+    * The corpus-total scalar is a driver-side read of the 20-row stats
+    * table (dimension-sized by definition); the Σw normalizer joins
+    * back as a broadcast scalar. Gate covers the share/want/rate/
+    * planned arithmetic and both sides of the cap. */
+  val q111MixPlan: Q = (s, dir) => {
+    import s.implicits._
+    val stats = Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(sum($"n_chars").as("n_tokens"))
+      .withColumn("w", lit(1.0) + (substring($"source", 4, 10).cast("int") % 3))
+    val total = stats.agg(sum($"n_tokens")).head().getLong(0)
+    Sampling.mixPlan(stats, "w", "n_tokens", budget = (0.7 * total).floor.toLong)
+      .select($"source", $"n_tokens", $"w",
+        round($"share", 6).as("share"), round($"rate", 6).as("rate"),
+        round($"planned", 2).as("planned"))
+      .orderBy($"source")
+  }
+  val q111Sql: String =
+    """WITH st AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+      |         1.0 + (CAST(substr(source, 4) AS INT) % 3) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT sum(w) AS wsum,
+      |             CAST(floor(0.7 * sum(n_tokens)) AS BIGINT) AS budget
+      |      FROM st)
+      |SELECT source, n_tokens, w,
+      |  round(w / wsum, 6) AS share,
+      |  round(least(1.0, (w / wsum) * budget / n_tokens), 6) AS rate,
+      |  round(least((w / wsum) * budget, CAST(n_tokens AS DOUBLE)), 2) AS planned
+      |FROM st, t ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q95
   /** Salted JOIN under deliberate key skew ([[SkewJoin.saltedJoin]]):
     * lineitem rows get a synthesized nation key where ~80% of rows land
@@ -214,5 +252,6 @@ object QueriesScale {
     ("q51_seq_packing", q51Packing, Some(q51Sql)),
     ("q102_chunk_text", q102ChunkText, Some(q102Sql)),
     ("q52_weighted_mix", q52WeightedMix, Some(q52Sql)),
+    ("q111_mix_plan", q111MixPlan, Some(q111Sql)),
   )
 }

@@ -79,4 +79,31 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1L), col("__n"))))
       .drop("__n")
   }
+
+  /** Source-mix sampling plan: given per-source availability
+    * (`tokensCol`) and target mix weights (`weightCol`), the keep rate
+    * per source that fills a `budget` of tokens at the target
+    * proportions — the planning step before [[stratifiedSample]] /
+    * [[weightedMix]] executes the mix. `share = w/Σw`,
+    * `want = share·budget`, `rate = min(1, want/tokens)` (an
+    * under-supplied source caps at keeping everything — up-sampling
+    * beyond 1 is [[weightedMix]] replication, a separate decision),
+    * `planned = min(want, tokens)`.
+    *
+    * Scale shape: `stats` is one row per source — dimension-sized by
+    * definition — so the Σw total joins back as a broadcast scalar
+    * (the one legitimate crossJoin pattern, see Reports); everything
+    * else is per-row arithmetic. The heavy input (per-source token
+    * counts over the corpus) is the caller's one aggregation scan. */
+  def mixPlan(stats: DataFrame, weightCol: String, tokensCol: String,
+              budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val tot = stats.agg(sum(col(weightCol)).as("__wsum"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("share", col(weightCol) / col("__wsum"))
+      .withColumn("want", col("share") * budget)
+      .withColumn("rate", least(lit(1.0), col("want") / col(tokensCol)))
+      .withColumn("planned", least(col("want"), col(tokensCol).cast("double")))
+      .drop("__wsum")
+  }
 }

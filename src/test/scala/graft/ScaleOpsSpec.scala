@@ -278,6 +278,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  describe("Sampling.mixPlan") {
+    it("hits the budget at target proportions, capping under-supplied sources") {
+      // a: wants 3/6 of 600 = 300 but has 100 → caps at rate 1
+      // b: wants 2/6 of 600 = 200 of 1000 → rate 0.2
+      // c: wants 1/6 of 600 = 100 of 400  → rate 0.25
+      val stats = Seq(("a", 100L, 3.0), ("b", 1000L, 2.0), ("c", 400L, 1.0))
+        .toDF("source", "n_tokens", "w")
+      val out = Sampling.mixPlan(stats, "w", "n_tokens", budget = 600L)
+        .orderBy($"source")
+        .collect().map(r => (r.getString(0),
+          r.getAs[Double]("rate"), r.getAs[Double]("planned"))).toSeq
+      out shouldBe Seq(("a", 1.0, 100.0), ("b", 0.2, 200.0), ("c", 0.25, 100.0))
+    }
+  }
+
   describe("Packing.exclusivePrefixSum") {
     it("matches the naive global running sum for any bucket size") {
       val df = spark.range(0, 500).toDF("id")

@@ -597,6 +597,66 @@ object QueriesCurate {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q112
+  /** URL canonicalization + registrable-domain extraction
+    * ([[graft.functions.TextAnalysis.canonicalizeUrl]] /
+    * `registrableDomain`): every document gets a deterministic crawl
+    * URL exercising the full mess — mixed-case scheme and host, default
+    * ports on both schemes, duplicate path slashes, trailing slash,
+    * tracking params interleaved with real ones, a fragment — and the
+    * query must produce the canonical form (scheme+host lowercased,
+    * path case preserved, :80/:443 stripped, utm_* and ref dropped,
+    * surviving params sorted) plus the last-two-label domain. The
+    * oracle replays the regex/list chain stage by stage; both engines
+    * run per-row expression chains only — shuffle-free, one scan at
+    * crawl scale. */
+  val q112UrlCanon: Q = (s, dir) => {
+    import s.implicits._
+    val url = concat(
+      when($"doc_id" % 2 === 0,
+        concat(lit("HTTP://WWW.News."), $"source", lit(".COM:80")))
+        .otherwise(concat(lit("https://Blog."), $"source", lit(".org:443"))),
+      lit("/Articles//"), $"doc_id".cast("string"), lit("/?utm_campaign=x&id="),
+      ($"doc_id" % 7).cast("string"), lit("&ref=rss&z=1#sec-2"))
+    Tables.documents(s, dir)
+      .select($"doc_id", url.as("url"))
+      .select($"doc_id",
+        graft.functions.TextAnalysis.canonicalizeUrl($"url").as("url_canon"),
+        graft.functions.TextAnalysis.registrableDomain($"url").as("domain"))
+      .orderBy($"doc_id")
+  }
+  val q112Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN 'HTTP://WWW.News.' || source || '.COM:80'
+      |          ELSE 'https://Blog.' || source || '.org:443' END)
+      |      || '/Articles//' || CAST(doc_id AS VARCHAR) || '/?utm_campaign=x&id='
+      |      || CAST(doc_id % 7 AS VARCHAR) || '&ref=rss&z=1#sec-2' AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+      |s2 AS (SELECT doc_id,
+      |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+      |s3 AS (SELECT doc_id, scheme,
+      |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':(80|443)$', '') AS host,
+      |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
+      |s4 AS (SELECT doc_id, scheme, host,
+      |  regexp_replace(regexp_replace(
+      |    regexp_extract(pathq, '^([^?]*)', 1), '//+', '/', 'g'), '/$', '') AS path,
+      |  regexp_extract(pathq, '^[^?]*\?(.*)$', 1) AS q FROM s3),
+      |s5 AS (SELECT doc_id, scheme, host, path,
+      |  list_sort(list_filter(string_split(q, '&'),
+      |    p -> p <> '' AND NOT regexp_matches(p,
+      |      '^(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)(=|$)'))) AS keep
+      |  FROM s4)
+      |SELECT doc_id,
+      |  scheme || '://' || host || path ||
+      |    (CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&')
+      |          ELSE '' END) AS url_canon,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      |FROM s5 ORDER BY doc_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -614,5 +674,6 @@ object QueriesCurate {
     ("q105_html_strip", q105HtmlStrip, Some(q105Sql)),
     ("q108_domain_cap", q108DomainCap, Some(q108Sql)),
     ("q109_classifier_score", q109ClassifierScore, Some(q109Sql)),
+    ("q112_url_canon", q112UrlCanon, Some(q112Sql)),
   )
 }

@@ -193,4 +193,44 @@ object TextAnalysis {
       transform(sequence(lit(1), size(w) - lit(n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))
+
+  /** Canonical form of a crawl URL for URL-level dedup and per-domain
+    * grouping: fragment dropped, scheme and host lowercased (path case
+    * PRESERVED — it is significant on most servers), default ports
+    * (:80/:443) stripped, duplicate path slashes collapsed, trailing
+    * slash removed, tracking parameters (utm_*, fbclid, gclid, ref)
+    * dropped, and the surviving query params SORTED — two crawls of the
+    * same page with reordered params canonicalize identically.
+    *
+    * Per-row regex/array chain only (RE2-portable patterns, no
+    * lookaround/backrefs), shuffle-free and codegen'd — canonicalizing
+    * 100 TB of crawl metadata is one scan. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]*)", 1)), ":(80|443)$", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "//+", "/"),
+      "/$", "")
+    val query = regexp_extract(pathq, "^[^?]*\\?(.*)$", 1)
+    val keep = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$)")))
+    val q = when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, q)
+  }
+
+  /** Registrable-domain heuristic: the last two host labels
+    * (`a.b.c.example.com` → `example.com`). Deliberately NOT a public-
+    * suffix-list lookup — multi-label suffixes (`co.uk`) group one
+    * level too coarse; shipping and refreshing the PSL is a data
+    * dependency this engine leaves to the caller (pass a suffix
+    * dimension and broadcast-join for PSL fidelity). */
+  def registrableDomain(c: Column): Column =
+    regexp_extract(
+      lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)),
+      "([^.]+\\.[^.]+)$", 1)
 }

@@ -73,5 +73,28 @@ class TextAnalysisSpec extends SparkSpec {
         .select(mainContent($"t")).head().getString(0)
       out shouldBe s"$prose one link but this block carries enough real text to survive the density rule"
     }
+
+    it("canonicalizes URLs: case, ports, slashes, tracking params, sorting") {
+      def canon(u: String): String = Seq(Tuple1(u)).toDF("u")
+        .select(canonicalizeUrl($"u")).head().getString(0)
+      // the full mess at once; path case preserved, params sorted
+      canon("HTTP://WWW.Ex.COM:80//A//b/?z=2&utm_source=f&id=1#frag") shouldBe
+        "http://www.ex.com/A/b?id=1&z=2"
+      // non-default port survives; bare tracking param (no '=') drops
+      canon("https://ex.org:8080/p?ref&b=1") shouldBe
+        "https://ex.org:8080/p?b=1"
+      // tracking-only query → no '?'; root path collapses to empty
+      canon("https://Ex.org/?utm_campaign=x") shouldBe "https://ex.org"
+      // 'refresh=1' is NOT the tracking param 'ref' (boundary anchors)
+      canon("https://ex.org/p?refresh=1") shouldBe "https://ex.org/p?refresh=1"
+    }
+
+    it("extracts the registrable domain as the last two host labels") {
+      def dom(u: String): String = Seq(Tuple1(u)).toDF("u")
+        .select(registrableDomain($"u")).head().getString(0)
+      dom("https://a.b.c.Example.COM/x?q=1") shouldBe "example.com"
+      dom("http://ex.org:8080/") shouldBe "ex.org"
+      dom("https://localhost/x") shouldBe "" // single label: no registrable pair
+    }
   }
 }

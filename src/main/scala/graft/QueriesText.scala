@@ -791,6 +791,62 @@ object QueriesText {
        |ORDER BY f.id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q113
+  /** Benchmark decontamination ([[TextDedup.decontaminate]]): train =
+    * md5 buckets 0–8 plus PLANTED copies of eval docs (≡ 0 mod 3,
+    * +500000) — contaminated by construction; eval = bucket 9. A train
+    * doc is dropped when ≥ 5 of its distinct 5-shingles occur anywhere
+    * in the eval set. The scale asymmetry is the point: the eval
+    * shingle set is broadcast (a benchmark is MBs, the corpus is TBs),
+    * so the train side's explode → semi-probe → per-doc count runs
+    * map-side with only the doc-id count merge shuffling. The planted
+    * copies must all flag; organically shared 5-shingles across the
+    * synthetic corpus flag only if they genuinely repeat. Oracle
+    * restates bucket split, planting, both shingle sets, the overlap
+    * count and the threshold. */
+  val q113Decontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select($"doc_id", $"text")
+    val bkt = base.withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
+    val evalSet = bkt.filter($"b" === 9).select($"doc_id", $"text")
+    val train = bkt.filter($"b" < 9).select($"doc_id", $"text")
+      .unionByName(evalSet.filter($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+    TextDedup.decontaminate(train, evalSet, "doc_id", "text", n = 5, minOverlap = 5)
+      .orderBy($"id")
+  }
+  val q113Sql: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    val shingles =
+      s"""list_transform(generate_series(1, len(string_split($normSql, ' '))-4),
+         |      i -> array_to_string(list_slice(string_split($normSql, ' '), i, i+4), ' '))""".stripMargin
+    s"""WITH bkt AS (
+       |  SELECT doc_id, text, ($digits) % 10 AS bk
+       |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |ev AS (SELECT doc_id, text FROM bkt WHERE bk = 9),
+       |train AS (
+       |  SELECT doc_id, text FROM bkt WHERE bk < 9
+       |  UNION ALL SELECT doc_id + 500000 AS doc_id, text FROM ev WHERE doc_id % 3 = 0),
+       |esh AS (
+       |  SELECT DISTINCT s FROM (SELECT unnest($shingles) AS s FROM ev)),
+       |tsh AS (
+       |  SELECT DISTINCT doc_id AS id, s
+       |  FROM (SELECT doc_id, unnest($shingles) AS s FROM train)),
+       |hits AS (
+       |  SELECT id, count(*) AS n_overlap
+       |  FROM tsh JOIN esh USING (s) GROUP BY id),
+       |b AS (
+       |  SELECT doc_id AS id, len(list_distinct($shingles)) AS n_shingles
+       |  FROM train)
+       |SELECT b.id, b.n_shingles,
+       |       coalesce(h.n_overlap, 0) AS n_overlap,
+       |       coalesce(h.n_overlap, 0) < 5 AS keep
+       |FROM b LEFT JOIN hits h ON b.id = h.id
+       |ORDER BY b.id""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -810,5 +866,6 @@ object QueriesText {
     ("q97_simhash64_pairs", q97SimHash64Pairs, Some(q97Sql)),
     ("q104_passage_dup", q104PassageDup, Some(q104Sql)),
     ("q107_incremental_dedup", q107IncrementalDedup, Some(q107Sql)),
+    ("q113_decontaminate", q113Decontaminate, Some(q113Sql)),
   )
 }

@@ -473,4 +473,39 @@ object TextDedup {
         round(coalesce(col("n_hit"), lit(0L)).cast("double")
           / col("n_shingles"), 4).as("contamination"))
   }
+
+  /** Benchmark decontamination — the REMOVAL counterpart of the
+    * [[contamination]] audit: flag (and let the caller drop) every
+    * training document sharing ≥ `minOverlap` distinct word-n-shingles
+    * with ANY document of an evaluation benchmark, the n-gram-overlap
+    * rule training pipelines apply before a corpus is trusted.
+    *
+    * Scale shape exploits the deep asymmetry of the two sides: a
+    * benchmark suite is MBs where the corpus is TBs, so the eval
+    * shingle SET (deduplicated — doc identity is irrelevant to the
+    * decision) is BROADCAST, and the train side never shuffles at all:
+    * shingle explode, broadcast-hash semi-probe, and the per-doc
+    * overlap count's partial aggregation all happen map-side; the only
+    * exchange is the per-doc-id count merge, keyed on the doc id it was
+    * already grouped by. Compare [[contamination]], which equi-joins on
+    * the shingle key — right when BOTH splits are corpus-sized.
+    *
+    * Returns one row per train doc:
+    * `(id, n_shingles, n_overlap, keep)`; docs too short to shingle
+    * have zero shingles and keep. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int, minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val evalSh = shingleTable(eval, idCol, textCol, n).select(col("s")).distinct()
+    val trainSh = shingleTable(train, idCol, textCol, n)
+    val hits = trainSh.join(broadcast(evalSh), Seq("s"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol).as("id"),
+        size(array_distinct(TextAnalysis.wordShingles(col(textCol), n)))
+          .as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("keep", col("n_overlap") < minOverlap)
+  }
 }

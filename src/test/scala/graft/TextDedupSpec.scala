@@ -193,6 +193,35 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  describe("TextDedup.decontaminate") {
+    it("flags threshold overlap, keeps disjoint and sub-shingle docs, broadcasts eval") {
+      val evalSet = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text") // 6 5-shingles
+      val train = Seq(
+        (1L, "a b c d e f g h i j"), // all 6 eval shingles → drop at minOverlap 5
+        (2L, "a b c d e x y z w v"), // shares 1 shingle → keep
+        (3L, "too short")            // no 5-shingles → keep, n_overlap 0
+      ).toDF("doc_id", "text")
+      val out = TextDedup.decontaminate(train, evalSet, "doc_id", "text",
+        n = 5, minOverlap = 5)
+      out.orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq shouldBe Seq((1L, 6, 6L, false), (2L, 6, 1L, true), (3L, 0, 0L, true))
+      // the eval shingle set probes as a broadcast — the train side of
+      // the semi-join must not shuffle (AQE off: its leaf query stages
+      // hide the joins from collect(), same caveat as TopKPlanSpec)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val semis = try {
+        TextDedup.decontaminate(train, evalSet, "doc_id", "text",
+            n = 5, minOverlap = 5)
+          .queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+              if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      semis should not be empty
+    }
+  }
+
   describe("contamination") {
     it("scores full, partial, and zero overlap against the train split") {
       val base = "a b c d e f g h i j" // 6 distinct 5-shingles

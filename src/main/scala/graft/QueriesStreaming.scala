@@ -14,6 +14,29 @@ import graft.streaming.EventStreams
 object QueriesStreaming {
   import Queries.Q
 
+  /** A directory a file-stream source can watch for `$dir/$name`: the
+    * testdata fixtures are single parquet FILES (exposed through a
+    * repo-scratch symlink dir), while Spark-written datasets — e.g. the
+    * ScaleUp probe corpora — are DIRECTORIES and stream directly. A
+    * directory SYMLINK must never be used: the source lists zero files
+    * through it, and the query silently streams nothing (caught by the
+    * round-5 10× probe — q45/q68/q110 "ran" in 0.2 s because they
+    * processed an empty stream; round 4's sf1.0 streaming numbers had
+    * the same flaw). */
+  private def streamableDir(dir: String, name: String, tag: String): String = {
+    val target = java.nio.file.Paths.get(s"$dir/$name")
+    if (java.nio.file.Files.isDirectory(target)) target.toString
+    else {
+      val watch = java.nio.file.Paths.get(
+        s"/root/repo/target/tmp/${tag}_${new java.io.File(dir).getName}")
+      java.nio.file.Files.createDirectories(watch)
+      val link = watch.resolve(name)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, target)
+      watch.toString
+    }
+  }
+
   // ---------------------------------------------------------------- q45
   /** File-stream → tumbling 1 h event-time windows per event_type →
     * memory sink in Complete mode (all windows emitted; the watermark
@@ -27,18 +50,11 @@ object QueriesStreaming {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val file = s"$dir/events.parquet"
-    // the file-stream source wants a directory to watch; expose the
-    // single-file fixture through a repo-scratch symlink dir
-    val watch = java.nio.file.Paths.get(
-      s"/root/repo/target/tmp/q45_events_${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(watch)
-    val link = watch.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(file))
+    val watch = streamableDir(dir, "events.parquet", "q45_events")
     // driver-side schema peek (footer metadata only, not a data scan) —
     // a streaming source cannot infer
     val schema = s.read.parquet(file).schema
-    val stream = s.readStream.schema(schema).parquet(watch.toString)
+    val stream = s.readStream.schema(schema).parquet(watch)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val name = s"q45_win_${System.nanoTime()}"
     val query = EventStreams.windowedTypeCounts(stream)
@@ -200,14 +216,9 @@ object QueriesStreaming {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val file = s"$dir/events.parquet"
-    val watch = java.nio.file.Paths.get(
-      s"/root/repo/target/tmp/q68_events_${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(watch)
-    val link = watch.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(file))
+    val watch = streamableDir(dir, "events.parquet", "q68_events")
     val schema = s.read.parquet(file).schema
-    val stream = s.readStream.schema(schema).parquet(watch.toString)
+    val stream = s.readStream.schema(schema).parquet(watch)
       .select($"event_type", $"user_id")
       .dropDuplicates("event_type", "user_id")
       .groupBy($"event_type")
@@ -243,19 +254,14 @@ object QueriesStreaming {
   val q110StreamIngest: Q = (s, dir) => {
     import s.implicits._
     val file = s"$dir/documents.parquet"
-    val watch = java.nio.file.Paths.get(
-      s"/root/repo/target/tmp/q110_docs_${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(watch)
-    val link = watch.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(file))
+    val watch = streamableDir(dir, "documents.parquet", "q110_docs")
     val schema = s.read.parquet(file).schema
     // static corpus store: fingerprints of md5 buckets 0-7 (as in q107)
     val storeFp = s.read.parquet(file)
       .filter(graft.operators.Sampling.hashBucket($"doc_id", 10) < 8)
       .select(graft.functions.TextAnalysis.fingerprint($"text").as("fp"))
       .distinct()
-    def arriving = s.readStream.schema(schema).parquet(watch.toString)
+    def arriving = s.readStream.schema(schema).parquet(watch)
       .select(graft.functions.TextAnalysis.fingerprint($"text").as("fp"))
     val stream = arriving.union(arriving) // re-crawl: every text twice
       .join(broadcast(storeFp), Seq("fp"), "left_anti")

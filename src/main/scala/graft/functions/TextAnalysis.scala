@@ -220,7 +220,10 @@ object TextAnalysis {
       p => p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$)")))
     val q = when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
       .otherwise(lit(""))
-    concat(scheme, lit("://"), host, path, q)
+    // scheme-less input (no "://") is not a URL this canonicalizer
+    // understands — pass it through untouched rather than emitting a
+    // mangled "://…" string
+    when(scheme === "", c).otherwise(concat(scheme, lit("://"), host, path, q))
   }
 
   /** Registrable-domain heuristic: the last two host labels

@@ -87,6 +87,8 @@ class TextAnalysisSpec extends SparkSpec {
       canon("https://Ex.org/?utm_campaign=x") shouldBe "https://ex.org"
       // 'refresh=1' is NOT the tracking param 'ref' (boundary anchors)
       canon("https://ex.org/p?refresh=1") shouldBe "https://ex.org/p?refresh=1"
+      // scheme-less input passes through untouched, never "://…"
+      canon("www.ex.com/p?a=1") shouldBe "www.ex.com/p?a=1"
     }
 
     it("extracts the registrable domain as the last two host labels") {

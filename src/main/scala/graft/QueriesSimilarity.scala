@@ -274,6 +274,43 @@ object QueriesSimilarity {
        |FROM idx i LEFT JOIN dropped d ON i.id = d.id
        |ORDER BY i.id""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** Embedding normalization + Matryoshka truncation
+    * ([[Similarity.l2Norm]]/`l2Normalize`/`truncateDims`): per vector,
+    * the full L2 norm, the prefix-mass diagnostic (how much norm the
+    * first 16 of 64 dims carry — the quantity that decides whether an
+    * MRL prefix is servable), and the first component of the
+    * truncated-and-renormalized vector (exercises the rescale
+    * arithmetic, discriminating per row). All three are sequential
+    * per-row folds — bit-identical across engines before rounding, no
+    * shuffle; re-normalizing a 100 TB embedding store is one scan. */
+  val q114MrlTruncate: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    e.select($"id",
+        round(Similarity.l2Norm($"v"), 4).as("norm"),
+        round(Similarity.l2Norm(slice($"v", 1, 16)) / Similarity.l2Norm($"v"), 6)
+          .as("prefix_mass"),
+        round(element_at(Similarity.truncateDims($"v", 16), 1), 6).as("t1"))
+      .orderBy($"id")
+  }
+  val q114Sql: String = {
+    def l2(expr: String) =
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform($expr, " +
+        "x -> CAST(x AS DOUBLE) * x)), (a, x) -> a + x))"
+    s"""WITH n AS (
+       |  SELECT vec_id AS id,
+       |         ${l2("embedding")} AS n_full,
+       |         ${l2("list_slice(embedding, 1, 16)")} AS n_pre,
+       |         CAST(embedding[1] AS DOUBLE) AS v1
+       |  FROM embeddings)
+       |SELECT id, round(n_full, 4) AS norm,
+       |       round(n_pre / n_full, 6) AS prefix_mass,
+       |       round(v1 / n_pre, 6) AS t1
+       |FROM n ORDER BY id""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
@@ -282,5 +319,6 @@ object QueriesSimilarity {
     ("q39_ann_ivf", q39AnnIvf, Some(q39Sql)),
     ("q100_semantic_dedup", q100SemanticDedup, Some(q100Sql)),
     ("q106_ivf_persist", q106IvfPersist, Some(q106Sql)),
+    ("q114_mrl_truncate", q114MrlTruncate, Some(q114Sql)),
   )
 }

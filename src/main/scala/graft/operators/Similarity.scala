@@ -31,6 +31,34 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
+  /** L2 norm of an embedding column — sequential square-sum fold, so
+    * the value is bit-reproducible across engines (same guarantee as
+    * [[cosineFold]]). */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Unit-norm rescale. Zero vectors pass through unchanged — a null
+    * or NaN result would poison every downstream cosine, and a zero
+    * vector is equally dissimilar to everything either way. Per-row
+    * transform, no shuffle: normalizing a 100 TB embedding store is
+    * one scan. */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n > 0.0, transform(v, x => x / n)).otherwise(v)
+  }
+
+  /** Matryoshka-style dimension truncation (Kusupati et al. 2022,
+    * arXiv:2205.13147): keep the first `k` dimensions and
+    * re-normalize — the serving trade where one long stored embedding
+    * answers searches at a cheaper prefix dimension. Prefix + rescale
+    * only; no model is consulted, which is exactly why it works for
+    * MRL-trained embeddings and why it is a single codegen'd scan
+    * here. */
+  def truncateDims(v: Column, k: Int): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    l2Normalize(slice(v, 1, k))
+  }
+
   /** Pure-Catalyst fallback with the same numerics (sequential fold),
     * for sessions where engine-native functions cannot be registered. */
   def cosineFold(a: Column, b: Column): Column = {

@@ -160,6 +160,22 @@ class SimilaritySpec extends SparkSpec {
           iterations = 1, threshold = 0.99))
     }
 
+    it("l2Normalize and truncateDims rescale exactly; zero vectors pass through") {
+      val df = Seq(
+        (1L, Array(3.0, 4.0, 0.0)),
+        (2L, Array(0.0, 0.0, 0.0))
+      ).toDF("id", "v")
+      val out = df.select($"id",
+          Similarity.l2Normalize($"v").as("n"),
+          Similarity.truncateDims($"v", 2).as("t"))
+        .orderBy($"id").collect()
+      out(0).getSeq[Double](1) shouldBe Seq(0.6, 0.8, 0.0)
+      out(0).getSeq[Double](2) shouldBe Seq(0.6, 0.8) // ||(3,4)|| = 5
+      // zero vector: unchanged, never null/NaN
+      out(1).getSeq[Double](1) shouldBe Seq(0.0, 0.0, 0.0)
+      out(1).getSeq[Double](2) shouldBe Seq(0.0, 0.0)
+    }
+
     it("semanticDedupBalanced derives k = ceil(sqrt(n)) and matches the explicit-k call") {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))

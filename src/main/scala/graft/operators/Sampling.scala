@@ -94,7 +94,11 @@ object Sampling {
     * definition — so the Σw total joins back as a broadcast scalar
     * (the one legitimate crossJoin pattern, see Reports); everything
     * else is per-row arithmetic. The heavy input (per-source token
-    * counts over the corpus) is the caller's one aggregation scan. */
+    * counts over the corpus) is the caller's one aggregation scan.
+    *
+    * Edge: a zero-token source yields rate 1.0 (want/0 = +∞, capped)
+    * and planned 0.0 — "keep everything of nothing", benign for the
+    * executing sampler. */
   def mixPlan(stats: DataFrame, weightCol: String, tokensCol: String,
               budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

@@ -22,7 +22,8 @@ object ExplainDump {
       if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q02_filter_project", "q08_join_inner",
         "q19_pivot", "q29_jaccard_pairs", "q33_knn_brute",
-        "q73_repetition", "q77_trigram_lm", "q82_linkage_score", "q85_bucketed_join")
+        "q73_repetition", "q77_trigram_lm", "q82_linkage_score", "q85_bucketed_join",
+        "q107_incremental_dedup", "q108_domain_cap", "q113_decontaminate")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

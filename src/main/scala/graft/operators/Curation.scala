@@ -119,6 +119,8 @@ object Curation {
   def domainCap(docs: DataFrame, domainCol: String, idCol: String,
                 maxPerDomain: Int): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    require(!docs.columns.contains("domain_pri"),
+      "domainCap stages its priority as 'domain_pri' — rename that input column")
     val prio = docs.withColumn("domain_pri", md5(col(idCol).cast("string")))
     graft.plans.TopKPerKey.of(prio, Seq(domainCol),
         Seq(("domain_pri", false), (idCol, false)), maxPerDomain)

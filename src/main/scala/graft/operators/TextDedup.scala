@@ -492,7 +492,11 @@ object TextDedup {
     *
     * Returns one row per train doc:
     * `(id, n_shingles, n_overlap, keep)`; docs too short to shingle
-    * have zero shingles and keep. */
+    * have zero shingles and keep. `n_shingles` is recomputed narrowly
+    * per row (a second cheap scan) rather than re-reading the exploded
+    * shingle table — reusing it would mean persisting a corpus-sized
+    * explode or re-running it, both worse than one extra text scan at
+    * corpus scale. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int, minOverlap: Int): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")

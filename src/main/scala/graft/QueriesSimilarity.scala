@@ -311,6 +311,40 @@ object QueriesSimilarity {
        |FROM n ORDER BY id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q115
+  /** SQL-surface gate: the engine driven through `spark.sql` TEXT — a
+    * temp view over the embeddings, a self-join, and the custom
+    * codegen'd Catalyst expression `cosine_similarity` called BY NAME
+    * from SQL ([[graft.plans.GraftFunctions.register]] puts it in the
+    * session function registry, the same path `SparkSessionExtensions`
+    * installs for a cluster). A reference user who writes SQL instead
+    * of the DataFrame API gets the identical engine: same expression
+    * class, same codegen, same values — which is exactly what this
+    * gate certifies (the oracle recomputes the cosine arithmetically,
+    * so a registry miss or a different function binding breaks the
+    * hash). */
+  val q115SqlSurface: Q = (s, dir) => {
+    import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      .createOrReplaceTempView("emb")
+    s.sql("""
+      SELECT a.id AS a_id, b.id AS b_id,
+             round(cosine_similarity(a.v, b.v), 4) AS cos
+      FROM emb a JOIN emb b ON a.id < b.id
+      WHERE a.id % 50 = 0 AND b.id % 50 = 0
+      ORDER BY a_id, b_id""")
+  }
+  val q115Sql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 50 = 0)
+       |SELECT a.id AS a_id, b.id AS b_id,
+       |       round(${dotSql("a.v", "b.v")} / sqrt(${norm2Sql("a.v")} * ${norm2Sql("b.v")}), 4) AS cos
+       |FROM emb a JOIN emb b ON a.id < b.id
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
@@ -320,5 +354,6 @@ object QueriesSimilarity {
     ("q100_semantic_dedup", q100SemanticDedup, Some(q100Sql)),
     ("q106_ivf_persist", q106IvfPersist, Some(q106Sql)),
     ("q114_mrl_truncate", q114MrlTruncate, Some(q114Sql)),
+    ("q115_sql_surface", q115SqlSurface, Some(q115Sql)),
   )
 }

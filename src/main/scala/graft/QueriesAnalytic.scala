@@ -615,6 +615,40 @@ object QueriesAnalytic {
       |       CAST(sum(ms - window_start_ms) AS BIGINT) AS span_total
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Per-user event-sequence assembly
+    * ([[graft.operators.Packing.assembleSequences]]): each user's
+    * events render as `type:ms:value` strings, order by (ms, render) —
+    * deterministic under any partitioning, ties included — and digest
+    * as one md5 per user, the "training example from an event log"
+    * shape (conversation turns, session traces). The oracle's
+    * `string_agg(... ORDER BY ms, r)` restates the struct sort, so a
+    * single out-of-order or dropped event anywhere flips the digest —
+    * a per-group ORDER-SENSITIVE gate, which the set-style hash
+    * compare alone cannot give. */
+  val q116AssembleSeq: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_type",
+        round($"value", 2).cast("string").as("vr"))
+    graft.operators.Packing.assembleSequences(
+        ev, "user_id", "ms",
+        concat($"event_type", lit(":"), $"ms".cast("string"), lit(":"), $"vr"))
+      .withColumnRenamed("first_ord", "first_ms")
+      .withColumnRenamed("last_ord", "last_ms")
+      .orderBy($"user_id")
+  }
+  val q116Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |         event_type || ':' || CAST(epoch_ms(ts) AS VARCHAR) || ':'
+      |           || CAST(round(value, 2) AS VARCHAR) AS r
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |       min(ms) AS first_ms, max(ms) AS last_ms,
+      |       md5(string_agg(r, '|' ORDER BY ms, r)) AS digest
+      |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
@@ -639,5 +673,6 @@ object QueriesAnalytic {
     ("q89_pivot_multi", q89PivotMulti, Some(q89Sql)),
     ("q93_event_funnel", q93EventFunnel, Some(q93Sql)),
     ("q94_range_frame", q94RangeFrame, Some(q94Sql)),
+    ("q116_assemble_seq", q116AssembleSeq, Some(q116Sql)),
   )
 }

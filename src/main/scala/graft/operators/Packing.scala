@@ -103,4 +103,28 @@ object Packing {
                                    idx: org.apache.spark.sql.Column,
                                    step: Int, size: Int) =
     t.substr((idx * step + 1L).cast("int"), lit(size))
+
+  /** Deterministic per-key event-sequence assembly — the "training
+    * example from an event log" shape (conversation turns, session
+    * traces, user histories): group by `keyCol`, order each group by
+    * `(orderCol, rendered row)` — `sort_array` over structs is
+    * lexicographic, so the sequence is deterministic under ANY input
+    * partitioning or arrival order, ties included — and emit the
+    * ordered digest plus span stats.
+    *
+    * Scale shape: one hash aggregation; a group's events never leave
+    * its key, and the collected sequence is bounded by the largest
+    * single key — the same contract as any per-key collect (cap or
+    * split degenerate keys upstream; [[graft.operators.Curation.domainCap]]
+    * is the tool). Returns
+    * `(key, n_events, first_ord, last_ord, digest)`. */
+  def assembleSequences(df: DataFrame, keyCol: String, orderCol: String,
+                        render: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(keyCol), col(orderCol).cast("long").as("__o"), render.as("__r"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__o")).as("first_ord"), max(col("__o")).as("last_ord"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("__o"), col("__r")))),
+            x => x.getField("__r")), "|")).as("digest"))
 }

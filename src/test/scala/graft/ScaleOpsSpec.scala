@@ -293,6 +293,29 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  describe("Packing.assembleSequences") {
+    it("digest is order-deterministic under any input arrangement, ties included") {
+      val rows = Seq(
+        (1L, 30L, "c"), (1L, 10L, "a"), (1L, 20L, "b"),
+        (1L, 20L, "a"), // tie on order key → render breaks it
+        (2L, 5L, "x"))
+      def digests(s: Seq[(Long, Long, String)]) =
+        Packing.assembleSequences(s.toDF("k", "o", "r"), "k", "o", col("r"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(4))).toMap
+      val base = digests(rows)
+      base(1L)._1 shouldBe 4L
+      // identical digests from reversed input and a different partitioning
+      digests(rows.reverse) shouldBe base
+      Packing.assembleSequences(
+          rows.reverse.toDF("k", "o", "r").repartition(7), "k", "o", col("r"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(4)))
+        .toMap shouldBe base
+      // the digest is the md5 of the pipe-joined ordered renders
+      base(1L)._2 shouldBe java.security.MessageDigest.getInstance("MD5")
+        .digest("a|a|b|c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
+
   describe("Packing.exclusivePrefixSum") {
     it("matches the naive global running sum for any bucket size") {
       val df = spark.range(0, 500).toDF("id")

@@ -657,6 +657,63 @@ object QueriesCurate {
       |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
       |FROM s5 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q117
+  /** Luhn-validated card redaction
+    * ([[graft.operators.Redaction.redactCards]]): each document gets a
+    * planted candidate by `doc_id % 4` — two industry TEST numbers that
+    * pass the Luhn check (one bare, one space-separated) and two
+    * same-shape runs that fail it — and only the valid ones may turn
+    * into `[CARD]`. This is the practical fix for the naive digit-run
+    * rule (which also eats order ids and barcodes): a 16-digit run
+    * passes Luhn 1 time in 10, so validation removes ~90% of false
+    * redactions while a real card never escapes. Extraction,
+    * validation fold, and replacement fold are per-row Catalyst
+    * chains; the oracle replays the whole thing — pattern, checksum
+    * arithmetic (nested DuckDB lambdas), and the replace fold. */
+  val q117CardRedact: Q = (s, dir) => {
+    import s.implicits._
+    val card = expr("""CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '4111111111111111'
+      WHEN 1 THEN '4111-1111-1111-1112'
+      WHEN 2 THEN '5500 0000 0000 0004'
+      ELSE '1234567890123456' END""")
+    Tables.documents(s, dir)
+      .select($"doc_id", concat($"text", lit(" pay "), card).as("raw"))
+      .select($"doc_id",
+        graft.operators.Redaction.redactCards($"raw").as("redacted"))
+      .withColumn("n_cards", graft.operators.Redaction.tokenCount(
+        $"redacted", graft.operators.Redaction.cardToken))
+      .orderBy($"doc_id")
+  }
+  val q117Sql: String = {
+    val reg = "list_filter(string_split(regexp_replace(c, '[ -]', '', 'g'), ''), d -> d <> '')"
+    def dig(i: String) = s"CAST($reg[len($reg)-$i+1] AS BIGINT)"
+    val luhn =
+      s"""(len($reg) BETWEEN 13 AND 19) AND
+         |   (list_reduce(list_prepend(0, list_transform(generate_series(1, len($reg)), i ->
+         |      CASE WHEN i % 2 = 0 THEN
+         |        CASE WHEN ${dig("i")}*2 > 9 THEN ${dig("i")}*2 - 9 ELSE ${dig("i")}*2 END
+         |      ELSE ${dig("i")} END)),
+         |     (a, x) -> a + x) % 10 = 0)""".stripMargin
+    val valids =
+      s"list_filter(regexp_extract_all(raw, '\\b\\d(?:[ -]?\\d){12,18}\\b'), c -> $luhn)"
+    s"""WITH r AS (
+       |  SELECT doc_id, text || ' pay ' || (CASE CAST(doc_id % 4 AS INT)
+       |    WHEN 0 THEN '4111111111111111'
+       |    WHEN 1 THEN '4111-1111-1111-1112'
+       |    WHEN 2 THEN '5500 0000 0000 0004'
+       |    ELSE '1234567890123456' END) AS raw
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(raw, $valids),
+       |      (acc, c) -> replace(acc, c, '[CARD]')) AS redacted
+       |  FROM r)
+       |SELECT doc_id, redacted,
+       |       len(regexp_extract_all(redacted, '\\[CARD\\]')) AS n_cards
+       |FROM red ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -675,5 +732,6 @@ object QueriesCurate {
     ("q108_domain_cap", q108DomainCap, Some(q108Sql)),
     ("q109_classifier_score", q109ClassifierScore, Some(q109Sql)),
     ("q112_url_canon", q112UrlCanon, Some(q112Sql)),
+    ("q117_card_redact", q117CardRedact, Some(q117Sql)),
   )
 }

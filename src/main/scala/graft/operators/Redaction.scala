@@ -59,4 +59,40 @@ object Redaction {
     * Integer-exact, so it is a portable cross-engine audit measure. */
   def charsRemoved(raw: Column, redacted: Column): Column =
     length(raw) - length(redacted)
+
+  /** 13–19-digit runs with optional single space/dash separators — the
+    * payment-card surface form. RE2-portable (no lookaround), so the
+    * oracle uses it verbatim. */
+  val cardPattern: String = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+  val cardToken = "[CARD]"
+
+  /** Luhn check over a candidate card string (separators tolerated):
+    * from the rightmost digit, double every second one, subtract 9 when
+    * doubling exceeds 9, and the total must divide by 10. A pure
+    * sequential Catalyst fold — no UDF. */
+  def luhnValid(cand: Column): Column = {
+    val ds = filter(split(regexp_replace(cand, "[ -]", ""), ""), d => d =!= "")
+    val n = size(ds)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      val v = element_at(ds, n - i + 1).cast("long") // i-th from the right
+      val dbl = when(i % 2 === 0, when(v * 2 > 9, v * 2 - 9).otherwise(v * 2))
+        .otherwise(v)
+      acc + dbl
+    })
+    n >= 13 && n <= 19 && total % 10 === 0
+  }
+
+  /** CHECKSUM-VALIDATED card redaction: only candidates that pass the
+    * Luhn check are replaced with [[cardToken]] — the practical fix for
+    * the naive digit-run rule, which also eats order ids, timestamps,
+    * and EAN barcodes (a 16-digit run has a 1-in-10 chance of passing
+    * Luhn, so validation removes ~90% of false redactions while a true
+    * card number never escapes). Extraction, validation, and the
+    * replacement fold are all per-row Catalyst expression chains —
+    * same zero-shuffle contract as [[redactPii]]. */
+  def redactCards(c: Column): Column = {
+    val valid = filter(regexp_extract_all(c, lit(cardPattern), lit(0)),
+      cand => luhnValid(cand))
+    aggregate(valid, c, (acc, cand) => call_function("replace", acc, cand, lit(cardToken)))
+  }
 }

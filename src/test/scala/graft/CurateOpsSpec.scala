@@ -87,6 +87,27 @@ class CurateOpsSpec extends SparkSpec {
       Seq(raw).toDF("t").select(Redaction.redactPii($"t"))
         .head().getString(0) shouldBe "write [EMAIL] or [EMAIL] today"
     }
+
+    it("redacts only Luhn-valid card numbers, separators tolerated") {
+      val raw = "a 4111111111111111 b 4111-1111-1111-1112 c 5500 0000 0000 0004 " +
+        "d 1234567890123456 e 123456789012 f"
+      Seq(raw).toDF("t").select(Redaction.redactCards($"t"))
+        .head().getString(0) shouldBe
+        // valid bare + valid spaced redact; bad check digit, Luhn-failing
+        // run, and the 12-digit (too-short) run all survive
+        "a [CARD] b 4111-1111-1111-1112 c [CARD] d 1234567890123456 e 123456789012 f"
+    }
+
+    it("luhnValid implements the checksum, not a shape test") {
+      val cases = Seq(
+        ("4111111111111111", true), ("4111111111111112", false),
+        ("5500-0000-0000-0004", true), ("378282246310005", true), // 15-digit Amex
+        ("1111111111111", false))
+      val out = cases.map(_._1).toDF("c")
+        .select($"c", Redaction.luhnValid($"c").as("ok"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      cases.foreach { case (c, exp) => out(c) shouldBe exp }
+    }
   }
 
   describe("SnapshotDiff") {

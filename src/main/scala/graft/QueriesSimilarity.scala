@@ -231,14 +231,25 @@ object QueriesSimilarity {
       .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = graft.operators.IvfIndex.assign(e, cent)
-    // deterministic per-sf scratch path: bench/verify rerun safely
+    // per-invocation scratch path: concurrent runs over the same sf
+    // (bench + verify, or two drivers) must not race on one directory
     val idxDir = sys.props("java.io.tmpdir") +
-      "/graft_ivf_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    graft.operators.IvfIndex.save(cent, indexed, idxDir)
-    val (cent2, indexed2) = graft.operators.IvfIndex.load(s, idxDir)
-    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
-    graft.operators.IvfIndex.search(s, queries, indexed2, cent2, k = 5, nProbe = 2)
-      .orderBy($"q_id", $"rank")
+      "/graft_ivf_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      graft.operators.IvfIndex.save(cent, indexed, idxDir)
+      val (cent2, indexed2) = graft.operators.IvfIndex.load(s, idxDir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      graft.operators.IvfIndex.search(s, queries, indexed2, cent2, k = 5, nProbe = 2)
+        .orderBy($"q_id", $"rank")
+        .localCheckpoint() // materialize before the scratch dir is deleted
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(idxDir))
+    }
   }
   /** Same oracle as q39 — the lifecycle must be invisible in results. */
   val q106Sql: String = q39Sql

@@ -31,12 +31,21 @@ object BloomJoin {
 
   /** Reduce `fact` to rows whose `factKey` *might* be in `filter`.
     * Guarantees no false negatives: every truly-matching row survives.
-    * The broadcast rides the closure; on a cluster each executor
-    * deserializes the sketch once. */
+    *
+    * The probe is Spark's own `BloomFilterMightContain` — the codegen'd
+    * predicate its runtime-filter rule injects — surfaced by name via
+    * [[graft.plans.GraftFunctions]] (Spark does not register it for SQL
+    * callers). The serialized sketch rides the plan as a binary literal,
+    * so the filter stays inside WholeStageCodegen instead of breaking
+    * the span at a closure udf; each task deserializes the sketch once
+    * (the expression caches it lazily). A null key probes as null →
+    * filter drops it, matching an inner join's null-key semantics. */
   def reduce(fact: DataFrame, factKey: String, filter: BloomFilter): DataFrame = {
-    val bcast = fact.sparkSession.sparkContext.broadcast(filter)
-    val might = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
-    fact.filter(might(col(factKey)))
+    graft.plans.GraftFunctions.register(fact.sparkSession)
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    fact.filter(call_function("might_contain",
+      lit(bos.toByteArray), col(factKey).cast("long")))
   }
 
   /** The composed shape: sketch the dimension keys, pre-filter the fact,

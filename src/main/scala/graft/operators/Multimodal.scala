@@ -190,15 +190,16 @@ object Multimodal {
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    // chunk walk: fmt and data may arrive in any order; even-padded
-    var pos = 12
+    // chunk walk: fmt and data may arrive in any order; even-padded.
+    // pos is Long so a hostile chunk size near Int.MaxValue advances
+    // past bytes.length instead of wrapping negative and indexing OOB.
+    var pos = 12L
     var fmt: Option[(Int, Int, Long, Int, Int)] = None // tag, ch, rate, align, bits
     var dat: Option[(Int, Int)] = None                 // offset, length
     while (pos + 8 <= bytes.length && (fmt.isEmpty || dat.isEmpty)) {
-      val id = tag(pos)
-      val sz = u32(pos + 4)
-      if (sz < 0 || sz > Int.MaxValue) return None
-      val body = pos + 8
+      val id = tag(pos.toInt)
+      val sz = u32(pos.toInt + 4) // unsigned 32-bit, 0 <= sz <= 0xffffffff
+      val body = pos.toInt + 8
       id match {
         case "fmt " if sz >= 16 && body + 16 <= bytes.length =>
           fmt = Some((u16(body), u16(body + 2), u32(body + 4), u16(body + 12), u16(body + 14)))
@@ -208,7 +209,7 @@ object Multimodal {
           dat = Some((body, math.min(sz, (bytes.length - body).toLong).toInt))
         case _ => ()
       }
-      pos = body + sz.toInt + (sz.toInt & 1)
+      pos = body.toLong + sz + (sz & 1L)
     }
     for {
       (audioTag, channels, rate, align, bits) <- fmt

@@ -43,7 +43,7 @@ object Normalize {
     require(0 <= loP && loP < hiP && hiP <= 1, s"need 0 ≤ loP < hiP ≤ 1, got ($loP, $hiP)")
     require(acc > 0, s"accuracy must be positive, got $acc")
     val bounds = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile_approx($valueCol, array(${loP}D, ${hiP}D), $acc)").as("p_arr"))
+      .agg(percentile_approx(col(valueCol), array(lit(loP), lit(hiP)), lit(acc)).as("p_arr"))
       .select(col(groupCol),
         col("p_arr")(0).cast("double").as("p_lo"),
         col("p_arr")(1).cast("double").as("p_hi"))

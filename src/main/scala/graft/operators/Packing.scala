@@ -117,10 +117,15 @@ object Packing {
     * single key — the same contract as any per-key collect (cap or
     * split degenerate keys upstream; [[graft.operators.Curation.domainCap]]
     * is the tool). Returns
-    * `(key, n_events, first_ord, last_ord, digest)`. */
+    * `(key, n_events, first_ord, last_ord, digest)`. `orderCol` keeps
+    * its NATIVE type throughout (struct sort compares timestamps at
+    * full precision and `first_ord`/`last_ord` come back in the input
+    * type) — casting to long here would silently coarsen a timestamp
+    * to whole seconds and reorder same-second events by the rendered
+    * string. */
   def assembleSequences(df: DataFrame, keyCol: String, orderCol: String,
                         render: org.apache.spark.sql.Column): DataFrame =
-    df.select(col(keyCol), col(orderCol).cast("long").as("__o"), render.as("__r"))
+    df.select(col(keyCol), col(orderCol).as("__o"), render.as("__r"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         min(col("__o")).as("first_ord"), max(col("__o")).as("last_ord"),

@@ -96,9 +96,11 @@ object Sampling {
     * else is per-row arithmetic. The heavy input (per-source token
     * counts over the corpus) is the caller's one aggregation scan.
     *
-    * Edge: a zero-token source yields rate 1.0 (want/0 = +∞, capped)
-    * and planned 0.0 — "keep everything of nothing", benign for the
-    * executing sampler. */
+    * Edge: a zero-token source yields rate 1.0 and planned 0.0 —
+    * "keep everything of nothing", benign for the executing sampler.
+    * The zero case is branched explicitly: Spark's `Divide` returns
+    * NULL on a zero divisor (non-ANSI), so leaning on `least`'s
+    * null-skipping would tie the edge to optimizer/ANSI settings. */
   def mixPlan(stats: DataFrame, weightCol: String, tokensCol: String,
               budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -106,7 +108,9 @@ object Sampling {
     stats.crossJoin(broadcast(tot))
       .withColumn("share", col(weightCol) / col("__wsum"))
       .withColumn("want", col("share") * budget)
-      .withColumn("rate", least(lit(1.0), col("want") / col(tokensCol)))
+      .withColumn("rate",
+        when(col(tokensCol) === 0, lit(1.0))
+          .otherwise(least(lit(1.0), col("want") / col(tokensCol))))
       .withColumn("planned", least(col("want"), col(tokensCol).cast("double")))
       .drop("__wsum")
   }

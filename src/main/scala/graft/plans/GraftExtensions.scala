@@ -38,7 +38,18 @@ object GraftFunctions {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
-      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))),
+    // Spark ships BloomFilterMightContain (with doGenCode) for its
+    // runtime-filter rule but does not register it as a SQL-callable
+    // function; surfacing it by name lets the engine's Bloom semi-join
+    // probe run as a native codegen'd predicate instead of a closure udf
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -191,6 +191,21 @@ class MultimodalSpec extends SparkSpec {
       fast shouldBe Multimodal.decodeAudioViaProvider(cut)
       fast.map(_._3) shouldBe Some(95L) // 100 frames - 10 bytes / 2
     }
+
+    it("declines a hostile chunk size near Int.MaxValue instead of throwing") {
+      // a chunk claiming 0x7FFFFFFF bytes: Int arithmetic would wrap pos
+      // negative and index out of bounds; the Long walk just runs off the
+      // end and falls back to None
+      val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(24); b.put("WAVE".getBytes)
+      b.put("JUNK".getBytes); b.putInt(Int.MaxValue)
+      b.putLong(0L)
+      Multimodal.decodeWavPcmFast(b.array()) shouldBe None
+      // same with the unsigned-overflow value 0xFFFFFFFF
+      val c = b.array().clone()
+      c(16) = -1; c(17) = -1; c(18) = -1; c(19) = -1
+      Multimodal.decodeWavPcmFast(c) shouldBe None
+    }
   }
 
   describe("imageDHash (perceptual hash over the real decode path)") {

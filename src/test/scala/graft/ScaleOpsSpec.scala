@@ -291,6 +291,17 @@ class ScaleOpsSpec extends SparkSpec {
           r.getAs[Double]("rate"), r.getAs[Double]("planned"))).toSeq
       out shouldBe Seq(("a", 1.0, 100.0), ("b", 0.2, 200.0), ("c", 0.25, 100.0))
     }
+
+    it("handles a zero-token source by explicit branch, not null-skipping") {
+      // "keep everything of nothing": rate 1.0, planned 0.0 — and NOT
+      // via Divide-returns-null + least, which ANSI mode would break
+      val stats = Seq(("a", 0L, 1.0), ("b", 100L, 1.0)).toDF("source", "n_tokens", "w")
+      val out = Sampling.mixPlan(stats, "w", "n_tokens", budget = 100L)
+        .orderBy($"source")
+        .collect().map(r => (r.getString(0),
+          r.getAs[Double]("rate"), r.getAs[Double]("planned"))).toSeq
+      out shouldBe Seq(("a", 1.0, 0.0), ("b", 0.5, 50.0))
+    }
   }
 
   describe("Packing.assembleSequences") {
@@ -313,6 +324,22 @@ class ScaleOpsSpec extends SparkSpec {
       // the digest is the md5 of the pipe-joined ordered renders
       base(1L)._2 shouldBe java.security.MessageDigest.getInstance("MD5")
         .digest("a|a|b|c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
+    it("orders a timestamp column at native precision, not coarsened to seconds") {
+      // two events in the same second, 1 ms apart, renders chosen so
+      // string order CONTRADICTS time order: a long-cast would coarsen
+      // both to the same second and sort "a" before "z" — wrong
+      val df = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05.002"), "a"),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05.001"), "z"))
+        .toDF("k", "ts", "r")
+      val row = Packing.assembleSequences(df, "k", "ts", col("r")).collect()(0)
+      row.getAs[String]("digest") shouldBe
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("z|a".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // first_ord/last_ord come back as timestamps, full precision kept
+      row.getAs[java.sql.Timestamp]("first_ord").getNanos shouldBe 1000000
     }
   }
 

@@ -36,6 +36,19 @@ class SelectOpsSpec extends SparkSpec {
       bloomed.getLong(0) shouldBe plain.getLong(0)
       bloomed.getDouble(1) shouldBe (plain.getDouble(1) +- 1e-9)
     }
+
+    it("probes with Spark's native might_contain, not a closure udf") {
+      val dim = Tables.orders(spark, sf).select($"o_orderkey").limit(100)
+      val fact = Tables.lineitem(spark, sf).select($"l_orderkey")
+      val bf = BloomJoin.keyFilter(dim, "o_orderkey", expectedItems = 1000L)
+      val plan = BloomJoin.reduce(fact, "l_orderkey", bf)
+        .queryExecution.executedPlan.toString
+      plan should include("might_contain")
+      plan should not include "ScalaUDF"
+      // the probe predicate stays inside the codegen span over the scan
+      // (the executedPlan toString marks codegen stages as "*(n)")
+      plan should include("*(1) Filter might_contain")
+    }
   }
 
   describe("Sampling.stratifiedSample") {

@@ -598,24 +598,32 @@ object QueriesCurate {
   }
 
   // --------------------------------------------------------------- q112
-  /** URL canonicalization + registrable-domain extraction
+  /** URL canonicalization + PSL registrable-domain extraction
     * ([[graft.functions.TextAnalysis.canonicalizeUrl]] /
-    * `registrableDomain`): every document gets a deterministic crawl
-    * URL exercising the full mess — mixed-case scheme and host, default
-    * ports on both schemes, duplicate path slashes, trailing slash,
-    * tracking params interleaved with real ones, a fragment — and the
-    * query must produce the canonical form (scheme+host lowercased,
-    * path case preserved, :80/:443 stripped, utm_* and ref dropped,
-    * surviving params sorted) plus the last-two-label domain. The
-    * oracle replays the regex/list chain stage by stage; both engines
-    * run per-row expression chains only — shuffle-free, one scan at
-    * crawl scale. */
+    * [[graft.functions.PublicSuffixes]]): every document gets a
+    * deterministic crawl URL exercising the full canonicalization mess
+    * (mixed-case scheme and host, default ports, duplicate path
+    * slashes, tracking params, a fragment) AND, by `doc_id % 5`, a host
+    * under a different suffix class — plain `.com`, ccTLD registries
+    * `.co.uk` / `.com.au` (where the naive last-two-label heuristic
+    * groups one level too coarse), the private registry `.github.io`,
+    * and a bare public suffix (`co.uk` itself → NULL domain: nothing
+    * registrable). The oracle replays the regex/list chain stage by
+    * stage and restates the SAME suffix table (generated from
+    * [[graft.functions.PublicSuffixes.rules]], full precedence chain:
+    * exceptions > longer rules > shorter > default), so a drifted rule
+    * list or a wrong precedence branch flips the hash. Both engines run
+    * per-row expression chains only — shuffle-free, one scan at crawl
+    * scale. */
   val q112UrlCanon: Q = (s, dir) => {
     import s.implicits._
+    val host = when($"doc_id" % 5 === 0, concat(lit("WWW.News."), $"source", lit(".COM:80")))
+      .when($"doc_id" % 5 === 1, concat(lit("Blog."), $"source", lit(".co.uk:443")))
+      .when($"doc_id" % 5 === 2, concat(lit("Shop."), $"source", lit(".com.au")))
+      .when($"doc_id" % 5 === 3, concat($"source", lit(".GitHub.io")))
+      .otherwise(lit("co.uk"))
     val url = concat(
-      when($"doc_id" % 2 === 0,
-        concat(lit("HTTP://WWW.News."), $"source", lit(".COM:80")))
-        .otherwise(concat(lit("https://Blog."), $"source", lit(".org:443"))),
+      when($"doc_id" % 2 === 0, lit("HTTP://")).otherwise(lit("https://")), host,
       lit("/Articles//"), $"doc_id".cast("string"), lit("/?utm_campaign=x&id="),
       ($"doc_id" % 7).cast("string"), lit("&ref=rss&z=1#sec-2"))
     Tables.documents(s, dir)
@@ -625,12 +633,20 @@ object QueriesCurate {
         graft.functions.TextAnalysis.registrableDomain($"url").as("domain"))
       .orderBy($"doc_id")
   }
-  val q112Sql: String =
-    """WITH u AS (
+  /** `IN (…)` list literal for the oracle's restated suffix table. */
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+  val q112Sql: String = {
+    import graft.functions.PublicSuffixes._
+    s"""WITH u AS (
       |  SELECT doc_id,
-      |    (CASE WHEN doc_id % 2 = 0
-      |          THEN 'HTTP://WWW.News.' || source || '.COM:80'
-      |          ELSE 'https://Blog.' || source || '.org:443' END)
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+      |      || (CASE doc_id % 5
+      |          WHEN 0 THEN 'WWW.News.' || source || '.COM:80'
+      |          WHEN 1 THEN 'Blog.' || source || '.co.uk:443'
+      |          WHEN 2 THEN 'Shop.' || source || '.com.au'
+      |          WHEN 3 THEN source || '.GitHub.io'
+      |          ELSE 'co.uk' END)
       |      || '/Articles//' || CAST(doc_id AS VARCHAR) || '/?utm_campaign=x&id='
       |      || CAST(doc_id % 7 AS VARCHAR) || '&ref=rss&z=1#sec-2' AS url
       |  FROM documents),
@@ -639,23 +655,43 @@ object QueriesCurate {
       |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
       |s3 AS (SELECT doc_id, scheme,
-      |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':(80|443)$', '') AS host,
+      |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':(80|443)$$', '') AS host,
       |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
       |s4 AS (SELECT doc_id, scheme, host,
       |  regexp_replace(regexp_replace(
-      |    regexp_extract(pathq, '^([^?]*)', 1), '//+', '/', 'g'), '/$', '') AS path,
-      |  regexp_extract(pathq, '^[^?]*\?(.*)$', 1) AS q FROM s3),
+      |    regexp_extract(pathq, '^([^?]*)', 1), '//+', '/', 'g'), '/$$', '') AS path,
+      |  regexp_extract(pathq, '^[^?]*\\?(.*)$$', 1) AS q FROM s3),
       |s5 AS (SELECT doc_id, scheme, host, path,
       |  list_sort(list_filter(string_split(q, '&'),
       |    p -> p <> '' AND NOT regexp_matches(p,
-      |      '^(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)(=|$)'))) AS keep
-      |  FROM s4)
+      |      '^(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)(=|$$)'))) AS keep
+      |  FROM s4),
+      |-- PSL longest-suffix match, restating the engine's rule snapshot:
+      |-- exceptions first, then longer rules, then the prevailing default
+      |psl AS (SELECT doc_id, scheme, host, path, keep,
+      |  regexp_extract(host, '(?:^|\\.)((?:[^.]+\\.){0}[^.]+)$$', 1) AS suf1,
+      |  regexp_extract(host, '(?:^|\\.)((?:[^.]+\\.){1}[^.]+)$$', 1) AS suf2,
+      |  regexp_extract(host, '(?:^|\\.)((?:[^.]+\\.){2}[^.]+)$$', 1) AS suf3
+      |  FROM s5),
+      |ps AS (SELECT *, CASE
+      |    WHEN suf3 IN (${sqlList(excByLen(3))}) THEN 2
+      |    WHEN suf2 IN (${sqlList(excByLen(2))}) THEN 1
+      |    WHEN suf3 IN (${sqlList(plainByLen(3))})
+      |      OR (suf2 IN (${sqlList(wildParentsByLen(2))}) AND suf3 <> '') THEN 3
+      |    WHEN suf2 IN (${sqlList(plainByLen(2))})
+      |      OR (suf1 IN (${sqlList(wildParentsByLen(1))}) AND suf2 <> '') THEN 2
+      |    ELSE 1 END AS ps_len FROM psl)
       |SELECT doc_id,
       |  scheme || '://' || host || path ||
       |    (CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&')
       |          ELSE '' END) AS url_canon,
-      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
-      |FROM s5 ORDER BY doc_id""".stripMargin
+      |  CASE ps_len
+      |    WHEN 3 THEN nullif(regexp_extract(host, '(?:^|\\.)((?:[^.]+\\.){3}[^.]+)$$', 1), '')
+      |    WHEN 2 THEN nullif(regexp_extract(host, '(?:^|\\.)((?:[^.]+\\.){2}[^.]+)$$', 1), '')
+      |    ELSE nullif(regexp_extract(host, '(?:^|\\.)((?:[^.]+\\.){1}[^.]+)$$', 1), '')
+      |  END AS domain
+      |FROM ps ORDER BY doc_id""".stripMargin
+  }
 
   // --------------------------------------------------------------- q117
   /** Luhn-validated card redaction

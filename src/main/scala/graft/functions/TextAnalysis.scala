@@ -226,14 +226,14 @@ object TextAnalysis {
     when(scheme === "", c).otherwise(concat(scheme, lit("://"), host, path, q))
   }
 
-  /** Registrable-domain heuristic: the last two host labels
-    * (`a.b.c.example.com` → `example.com`). Deliberately NOT a public-
-    * suffix-list lookup — multi-label suffixes (`co.uk`) group one
-    * level too coarse; shipping and refreshing the PSL is a data
-    * dependency this engine leaves to the caller (pass a suffix
-    * dimension and broadcast-join for PSL fidelity). */
+  /** Registrable domain of a URL — public-suffix-list semantics
+    * ([[PublicSuffixes]]): longest-rule match against a PSL snapshot,
+    * so `a.co.uk` groups as `a.co.uk` (not `co.uk`) and `x.github.io`
+    * sites stay distinct. NULL when the host has no registrable part
+    * (single label, or the host IS a public suffix). Callers needing a
+    * fully refreshed rule set use
+    * [[PublicSuffixes.joinRegistrable]] with their own parsed list —
+    * identical semantics, dimension-driven. */
   def registrableDomain(c: Column): Column =
-    regexp_extract(
-      lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)),
-      "([^.]+\\.[^.]+)$", 1)
+    PublicSuffixes.registrableDomainOfUrl(c)
 }

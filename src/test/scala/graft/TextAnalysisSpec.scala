@@ -91,12 +91,16 @@ class TextAnalysisSpec extends SparkSpec {
       canon("www.ex.com/p?a=1") shouldBe "www.ex.com/p?a=1"
     }
 
-    it("extracts the registrable domain as the last two host labels") {
+    it("extracts the registrable domain with PSL semantics") {
       def dom(u: String): String = Seq(Tuple1(u)).toDF("u")
         .select(registrableDomain($"u")).head().getString(0)
       dom("https://a.b.c.Example.COM/x?q=1") shouldBe "example.com"
       dom("http://ex.org:8080/") shouldBe "ex.org"
-      dom("https://localhost/x") shouldBe "" // single label: no registrable pair
+      // multi-label public suffixes group one level deeper than the
+      // naive last-two-label heuristic
+      dom("https://news.bbc.co.uk/x") shouldBe "bbc.co.uk"
+      dom("https://someuser.github.io/repo") shouldBe "someuser.github.io"
+      dom("https://localhost/x") shouldBe null // single label: nothing registrable
     }
   }
 }

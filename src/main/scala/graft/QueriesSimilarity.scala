@@ -255,28 +255,31 @@ object QueriesSimilarity {
   val q106Sql: String = q39Sql
 
   // ---------------------------------------------------------------- q100
-  /** SemDeDup-style semantic dedup, gated on the SELF-SIZING form
-    * ([[Similarity.semanticDedupAuto]]): the cell count is derived
-    * from the corpus — `k = max(8, ceil(n / 100))` here, so the gate
-    * certifies the k-derivation arithmetic as well as the fit (the
-    * oracle computes the same k with an integer scalar subquery, and a
-    * wrong k mis-seeds every cluster). targetCellSize = 100 engages
-    * the derivation at test scale (k = 10 at n = 1000, 40 at
-    * n = 4000); production uses the ~10⁴ default, which bounds
-    * per-cell pair work and makes total work linear in n. Then: per-
-    * cell cosine pairs at 0.99, keep = no smaller-id same-cell
-    * neighbor above threshold. Every scaled copy shares a cell with
-    * its original (scaling never moves the argmax centroid), so
-    * exactly the copies drop. */
+  /** SemDeDup-style semantic dedup, gated on the BALANCED self-sizing
+    * form ([[Similarity.semanticDedupBalanced]]): `k = max(8, ⌈√n⌉)`,
+    * the cell count that minimizes assignment work (n·k) plus pair
+    * work (n²/k) at 2·n^1.5 total — the round-5 100× probe measured
+    * the pinned-cell auto form's assignment term going quadratic
+    * (×92 CPU at ×100 data) once n ≫ targetCellSize², which is why
+    * balanced is the gated default; `semanticDedupAuto` remains the
+    * pinned-cell variant for callers whose recall target fixes the
+    * cell size. The gate certifies the √n derivation as well as the
+    * fit: the oracle recomputes the same k with a scalar subquery
+    * (`greatest(8, ceil(sqrt(n)))` — IEEE sqrt on both engines), and a
+    * wrong k mis-seeds every cluster. Then: per-cell cosine pairs at
+    * 0.99, keep = no smaller-id same-cell neighbor above threshold.
+    * Every scaled copy shares a cell with its original (scaling never
+    * moves the argmax centroid), so exactly the copies drop. */
   val q100SemanticDedup: Q = (s, dir) => {
     import s.implicits._
-    Similarity.semanticDedupAuto(s, nearDupCorpus(s, dir),
-        iterations = 1, threshold = 0.99, targetCellSize = 100L, kFloor = 8)
+    Similarity.semanticDedupBalanced(s, nearDupCorpus(s, dir),
+        iterations = 1, threshold = 0.99, kFloor = 8)
       .orderBy($"id")
   }
   val q100Sql: String =
     s"""WITH $nearDupCorpusSql,
-       |${lloydIdxSql("corpus", "(SELECT greatest(8, (count(*) + 99) // 100) FROM corpus)")},
+       |${lloydIdxSql("corpus",
+          "(SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM corpus)")},
        |dropped AS (
        |  SELECT DISTINCT b.id
        |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.id < b.id

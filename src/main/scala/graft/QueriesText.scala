@@ -847,6 +847,62 @@ object QueriesText {
        |ORDER BY b.id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q118
+  /** Unicode-fold exact dedup
+    * ([[graft.operators.TextDedup.exactDedup]] with `unicodeFold`,
+    * backed by the engine-native `unicode_normalize` NFKC expression):
+    * every document gets TWO planted variants of the same final text —
+    * one NFC + ASCII (`… café münchen abc`), one NFD + full-width
+    * (`… cafe`+U+0301+` mu`+U+0308+`nchen ＡＢＣ`) — spelled
+    * differently at the byte level, identical after NFKC + lowercase.
+    * Per source the query reports total rows, distinct NFKC-folded
+    * fingerprints, and distinct raw fingerprints: the folded count
+    * collapses each pair (= docs), the raw count does not (= 2·docs) —
+    * the half-recall failure mode the fold exists to fix, certified in
+    * one gate. The oracle restates the fold for the planted characters
+    * (`nfc_normalize` composes the NFD sequences; explicit full-width
+    * replacement restates NFKC's compatibility folding) with all
+    * Unicode characters built via `chr()` — no literal-encoding
+    * ambiguity between engines. Scale shape: per-row expression chains
+    * into one hash aggregation, nothing else. */
+  val q118UnicodeDedup: Q = (s, dir) => {
+    import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    val base = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
+    val nfc = base.select(($"doc_id" * 2).as("id"), $"source",
+      concat($"text", lit(" caf\u00e9 m\u00fcnchen abc")).as("txt"))
+    val nfd = base.select(($"doc_id" * 2 + 1).as("id"), $"source",
+      concat($"text", lit(" cafe\u0301 mu\u0308nchen \uff21\uff22\uff23")).as("txt"))
+    nfc.unionByName(nfd)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(TextAnalysis.fingerprintUnicode($"txt")).as("n_uniq_folded"),
+        countDistinct(TextAnalysis.fingerprint($"txt")).as("n_uniq_raw"))
+      .orderBy($"source")
+  }
+  val q118Sql: String = {
+    // planted characters, all via chr(): é=233, combining acute=769,
+    // ü=252, combining diaeresis=776, full-width A/B/C=65313..65315
+    val foldedNorm =
+      """lower(trim(regexp_replace(nfc_normalize(
+        |    replace(replace(replace(txt, chr(65313), 'A'), chr(65314), 'B'),
+        |            chr(65315), 'C')), '\s+', ' ', 'g')))""".stripMargin
+    val rawNorm = """lower(trim(regexp_replace(txt, '\s+', ' ', 'g')))"""
+    s"""WITH u AS (
+       |  SELECT doc_id * 2 AS id, source,
+       |         text || ' caf' || chr(233) || ' m' || chr(252) || 'nchen abc' AS txt
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS id, source,
+       |         text || ' cafe' || chr(769) || ' mu' || chr(776) || 'nchen '
+       |           || chr(65313) || chr(65314) || chr(65315) AS txt
+       |  FROM documents)
+       |SELECT source, count(*) AS n_rows,
+       |       count(DISTINCT md5($foldedNorm)) AS n_uniq_folded,
+       |       count(DISTINCT md5($rawNorm)) AS n_uniq_raw
+       |FROM u GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -867,5 +923,6 @@ object QueriesText {
     ("q104_passage_dup", q104PassageDup, Some(q104Sql)),
     ("q107_incremental_dedup", q107IncrementalDedup, Some(q107Sql)),
     ("q113_decontaminate", q113Decontaminate, Some(q113Sql)),
+    ("q118_unicode_dedup", q118UnicodeDedup, Some(q118Sql)),
   )
 }

@@ -143,10 +143,32 @@ object TextAnalysis {
     array_join(transform(kept, b => clean(b)), " ")
   }
 
+  /** Unicode normalization to a fixed form (NFKC default) via the
+    * engine-native [[graft.plans.UnicodeNormalize]] expression —
+    * codegen'd, one static JVM call per row, ASCII fast path. Callers
+    * must have run [[graft.plans.GraftFunctions.register]] on the
+    * session (every engine entry point does). */
+  def unicodeNormalize(c: Column, form: String = "NFKC"): Column =
+    call_function("unicode_normalize", c, lit(form))
+
+  /** [[normalizeText]] with an NFKC fold FIRST: NFD spellings compose
+    * (`e`+combining acute → `é`) and compatibility variants fold
+    * (full-width `ＡＢＣ` → `ABC`, ligatures, super/subscripts) before
+    * the lower/trim/whitespace collapse. Use ahead of any fingerprint
+    * or shingle when the corpus is not ASCII-clean: byte-level dedup
+    * treats each Unicode spelling of the SAME text as distinct, which
+    * silently halves dedup recall on mixed-source crawls. */
+  def normalizeTextUnicode(c: Column): Column =
+    lower(trim(regexp_replace(unicodeNormalize(c, "NFKC"), "\\s+", " ")))
+
   /** Exact-dedup document fingerprint: md5 of normalized text. md5 (not
     * xxhash64) because it is bit-identical across engines and stable
     * forever — the right property for a persisted corpus fingerprint. */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** [[fingerprint]] over the NFKC-folded normalization — the variant
+    * to persist for corpora where Unicode spelling varies by source. */
+  def fingerprintUnicode(c: Column): Column = md5(normalizeTextUnicode(c))
 
   /** Polynomial rolling-hash fingerprint (Rabin–Karp shape) over the
     * token stream: `fp = fold(tokens, 0, (acc, t) → (acc·31 + h(t)) mod

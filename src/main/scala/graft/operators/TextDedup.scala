@@ -37,10 +37,18 @@ object TextDedup {
 
   /** Exact dedup: group by normalized-text fingerprint, keep the
     * smallest id as canonical. One hash aggregation. */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+  def exactDedup(df: DataFrame, idCol: String, textCol: String,
+                 unicodeFold: Boolean = false): DataFrame = {
+    // unicodeFold keys on the NFKC-folded fingerprint so NFD / full-width
+    // spellings of identical text land in one group (mixed-source crawls);
+    // default stays byte-stable for ASCII-clean corpora
+    val fp =
+      if (unicodeFold) TextAnalysis.fingerprintUnicode(col(textCol))
+      else TextAnalysis.fingerprint(col(textCol))
+    df.select(col(idCol), fp.as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
 
   /** Per-document distinct word-n-shingle table `(id, n_shingles, s)`,
     * the common input of the Jaccard/MinHash paths. The distinct-shingle

@@ -39,6 +39,9 @@ object GraftFunctions {
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => UnicodeNormalize.fromChildren(children)),
     // Spark ships BloomFilterMightContain (with doGenCode) for its
     // runtime-filter rule but does not register it as a SQL-callable
     // function; surfacing it by name lets the engine's Bloom semi-join

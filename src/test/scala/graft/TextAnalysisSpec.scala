@@ -26,6 +26,30 @@ class TextAnalysisSpec extends SparkSpec {
       fps(0) should not be fps(2)
     }
 
+    it("NFKC-folds Unicode spellings into one fingerprint where raw bytes differ") {
+      graft.plans.GraftFunctions.register(spark)
+      val df = Seq(
+        ("nfc", " caf\u00e9 m\u00fcnchen abc"),                  // precomposed + ASCII
+        ("nfd", " cafe\u0301 mu\u0308nchen \uff21\uff22\uff23"), // combining marks + full-width
+        ("other", " cafe munchen abc")).toDF("id", "text")
+      val rows = df.select($"id",
+        fingerprintUnicode($"text").as("fu"),
+        fingerprint($"text").as("fr")).collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+      rows("nfc")._1 shouldBe rows("nfd")._1     // folded: identical
+      rows("nfc")._2 should not be rows("nfd")._2 // raw bytes: distinct
+      rows("nfc")._1 should not be rows("other")._1
+      // the expression is engine-native and codegen'd, not a udf
+      val plan = df.select(unicodeNormalize($"text"))
+        .queryExecution.executedPlan.toString
+      plan should include("unicode_normalize")
+      plan should not include "ScalaUDF"
+      // and callable from SQL text once registered
+      df.createOrReplaceTempView("unorm_t")
+      spark.sql("SELECT unicode_normalize(text, 'NFKC') AS t FROM unorm_t")
+        .count() shouldBe 3
+    }
+
     it("predicts language by stopword argmax with fixed tie-break") {
       val df = Seq(
         ("the cat is on the mat and it is happy", "en"),

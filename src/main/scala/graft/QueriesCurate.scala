@@ -750,6 +750,144 @@ object QueriesCurate {
        |FROM red ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q119/q120
+  /** Shared fixture for the classifier-training gates: label
+    * `y = doc_id % 2` with a planted signal token (`qualgood` /
+    * `qualbad`, eight occurrences — mean pooling divides the bucket
+    * weight by doc length, so the planted feature needs mass to
+    * dominate within few epochs) — linearly separable through the
+    * hashed feature map by construction. */
+  private def labeledDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", ($"doc_id" % 2).cast("double").as("y"),
+        concat($"text", when($"doc_id" % 2 === 1, lit(" qualgood" * 16))
+          .otherwise(lit(" qualbad" * 16))).as("text"))
+  }
+  private val fitDim = 32
+  private val fitEpochs = 12
+  private val fitLr = 8.0 // largest power of two stable for this design matrix
+  private val fitQ = 1048576L   // 2^20, gradient quantization scale
+  private val fitWQ = 1073741824L // 2^30, weight dyadic-grid scale
+
+  private def runFit(s: SparkSession, dir: String): (Seq[Double], Double) =
+    QualityFilters.logisticFit(labeledDocs(s, dir), "text", "y",
+      dim = fitDim, epochs = fitEpochs, lr = fitLr)
+
+  /** The fit replayed in DuckDB, epoch by epoch (unrolled CTE chain —
+    * the oracle restates the ALGORITHM, not copied outputs): per epoch,
+    * per-doc `p` from the previous weights (the per-doc weight sum is
+    * exact because weights are dyadic, so a join-sum equals the
+    * engine's sequential fold), long-quantized residuals, exact integer
+    * gradient sums, and the driver's update arithmetic. */
+  private def fitCtes: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    val epochs = (1 to fitEpochs).map { e =>
+      s"""ds$e AS MATERIALIZED (
+         |  SELECT d.doc_id, d.y, d.n,
+         |    1.0 / (1.0 + exp(-(COALESCE(sw.s, 0.0) / d.n
+         |      + (SELECT bias FROM b${e - 1})))) AS p
+         |  FROM docs d LEFT JOIN (
+         |    SELECT tb.doc_id, sum(w.w) AS s
+         |    FROM tb JOIN w${e - 1} w USING (bkt) GROUP BY tb.doc_id) sw
+         |  USING (doc_id)),
+         |g$e AS MATERIALIZED (
+         |  SELECT tb.bkt,
+         |    sum(CAST(round((ds.p - ds.y) / ds.n * $fitQ) AS BIGINT)) AS s
+         |  FROM tb JOIN ds$e ds USING (doc_id) GROUP BY tb.bkt),
+         |w$e AS MATERIALIZED (
+         |  SELECT pw.bkt,
+         |    round((pw.w - $fitLr * (COALESCE(g.s, 0)
+         |      / ($fitQ.0 * (SELECT n FROM nd)))) * $fitWQ.0) / $fitWQ.0 AS w
+         |  FROM w${e - 1} pw LEFT JOIN g$e g USING (bkt)),
+         |b$e AS MATERIALIZED (
+         |  SELECT round(((SELECT bias FROM b${e - 1})
+         |    - $fitLr * (sum(CAST(round((p - y) * $fitQ) AS BIGINT))
+         |      / ($fitQ.0 * (SELECT n FROM nd)))) * $fitWQ.0) / $fitWQ.0
+         |    AS bias
+         |  FROM ds$e)""".stripMargin
+    }.mkString(",\n")
+    s"""lab AS (
+       |  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y,
+       |    text || CASE WHEN doc_id % 2 = 1 THEN repeat(' qualgood', 16)
+       |                 ELSE repeat(' qualbad', 16) END AS text
+       |  FROM documents),
+       |tk AS MATERIALIZED (SELECT doc_id, y, string_split($normSql, ' ') AS w FROM lab),
+       |docs AS MATERIALIZED (SELECT doc_id, y, greatest(len(w), 1.0) AS n FROM tk),
+       |nd AS MATERIALIZED (SELECT count(*) AS n FROM docs),
+       |tb AS MATERIALIZED (
+       |  SELECT doc_id, (($digits) % $fitDim) AS bkt
+       |  FROM (SELECT doc_id, unnest(w) AS t FROM tk)),
+       |w0 AS (
+       |  SELECT CAST(unnest(generate_series(0, ${fitDim - 1})) AS BIGINT) AS bkt,
+       |         0.0 AS w),
+       |b0 AS (SELECT 0.0 AS bias),
+       |$epochs""".stripMargin
+  }
+
+  /** Distributed logistic-regression fit
+    * ([[QualityFilters.logisticFit]]): full-batch GD as iterated
+    * aggregation — per epoch one codegen'd scoring scan plus a
+    * dim-row gradient shuffle, weights broadcast back as plan
+    * literals. The gate dumps the fitted model itself (32 bucket
+    * weights + bias as bucket −1), and the oracle REPLAYS all three
+    * epochs in SQL: exact replay is possible because per-doc residuals
+    * quantize to longs before summing (order-independent integer
+    * gradients) and the power-of-two lr keeps weights exactly dyadic
+    * (order-independent double sums). A single flipped rounding,
+    * drifted hash, or wrong update rule diverges every later epoch. */
+  val q119LogisticFit: Q = (s, dir) => {
+    import s.implicits._
+    val (w, b) = runFit(s, dir)
+    (w.zipWithIndex.map { case (wt, i) => (i.toLong, wt) } :+ (-1L, b))
+      .toDF("bucket", "weight")
+      .select($"bucket", round($"weight", 9).as("weight"))
+      .orderBy($"bucket")
+  }
+  val q119Sql: String =
+    s"""WITH $fitCtes
+       |SELECT bkt AS bucket, round(w, 9) AS weight FROM w$fitEpochs
+       |UNION ALL
+       |SELECT -1 AS bucket, round(bias, 9) AS weight FROM b$fitEpochs
+       |ORDER BY bucket""".stripMargin
+
+  /** [[QualityFilters.linearScore]] re-gated on FITTED weights — the
+    * trained model scoring its own corpus (fit → score, the complete
+    * curation-classifier loop): per label, document count, mean score,
+    * and the 0.5-threshold confusion counts. Separation (mean score of
+    * y=1 well above y=0, near-perfect accuracy) is additionally pinned
+    * by spec; the oracle replays fit AND scoring. */
+  val q120FitScore: Q = (s, dir) => {
+    import s.implicits._
+    val (w, b) = runFit(s, dir)
+    labeledDocs(s, dir)
+      .select($"doc_id", $"y",
+        QualityFilters.linearScore($"text", w, bias = b, scale = 1.0).as("raw"))
+      .groupBy($"y")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(round($"raw", 4)), 4).as("avg_score"),
+        sum(when(($"raw" >= 0.5) === ($"y" === 1.0), 1L).otherwise(0L))
+          .as("n_correct"))
+      .orderBy($"y")
+  }
+  val q120Sql: String =
+    s"""WITH $fitCtes,
+       |fs AS (
+       |  SELECT d.doc_id, d.y,
+       |    1.0 / (1.0 + exp(-(COALESCE(sw.s, 0.0) / d.n
+       |      + (SELECT bias FROM b$fitEpochs)))) AS p
+       |  FROM docs d LEFT JOIN (
+       |    SELECT tb.doc_id, sum(w.w) AS s
+       |    FROM tb JOIN w$fitEpochs w USING (bkt) GROUP BY tb.doc_id) sw
+       |  USING (doc_id))
+       |SELECT y, count(*) AS n_docs,
+       |       round(avg(round(p, 4)), 4) AS avg_score,
+       |       CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_correct
+       |FROM fs GROUP BY y ORDER BY y""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -769,5 +907,7 @@ object QueriesCurate {
     ("q109_classifier_score", q109ClassifierScore, Some(q109Sql)),
     ("q112_url_canon", q112UrlCanon, Some(q112Sql)),
     ("q117_card_redact", q117CardRedact, Some(q117Sql)),
+    ("q119_logistic_fit", q119LogisticFit, Some(q119Sql)),
+    ("q120_fit_score", q120FitScore, Some(q120Sql)),
   )
 }

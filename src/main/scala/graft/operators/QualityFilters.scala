@@ -96,4 +96,76 @@ object QualityFilters {
     val z = (s / greatest(size(toks), lit(1)).cast("double") + lit(bias)) * lit(scale)
     lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  /** Token → feature bucket, the [[linearScore]] hash: first 32 md5
+    * bits mod `dim` (engine-portable, no dictionary to ship). */
+  private[graft] def tokenBucket(t: Column, dim: Int): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim
+
+  /** DISTRIBUTED logistic-regression fit for the [[linearScore]] model —
+    * the training half of the curation loop (score half: q109). Plain
+    * full-batch gradient descent as ITERATED AGGREGATION: each epoch is
+    * one distributed pass producing a `dim+1`-value gradient, the
+    * driver applies the update, and the new weights ride the next
+    * epoch's plan as literals — the classic Spark shape for a model
+    * that fits in a closure (no MLlib, no parameter server; cf. the
+    * published L-BFGS-on-Spark designs, which iterate exactly this
+    * collect-broadcast loop). Per epoch: one codegen'd scan computes
+    * each doc's `p = σ(Σ w[h(t)]/n + b)`, then the token explode
+    * shuffles `(bucket, q)` pairs with map-side combine into `dim`
+    * partial sums — at 100 TB that is 2 scans + a dim-row shuffle per
+    * epoch, nothing driver-side but the `dim`-length gradient itself.
+    *
+    * Determinism contract (what makes the DuckDB oracle able to replay
+    * the fit EXACTLY, epoch by epoch): per-doc residual contributions
+    * are quantized to longs — `q_d = round((p−y)/n · 2²⁰)` — so
+    * gradient accumulation is exact integer arithmetic, independent of
+    * partitioning and add order; updated weights re-quantize to the
+    * 2⁻³⁰ dyadic grid, which makes every next-epoch per-doc
+    * Σ w[h(t)] an exact double sum (order-irrelevant). Every other
+    * cross-engine operation is IEEE exact-rounded on identical inputs,
+    * so the whole trajectory is reproducible arithmetic, not
+    * approximately-equal floats. The one transcendental (`exp`) sits
+    * behind the ·2²⁰ rounding, where a 1-ulp cross-engine difference
+    * cannot move the integer except on a measure-zero boundary.
+    * Quantization costs ≤ 2⁻²⁰ per-doc gradient error and ≤ 2⁻³⁰
+    * weight error — noise relative to GD's own step error. The
+    * gradient is the MEAN over docs (scale-invariant: the same lr
+    * works at sf0.001 and at 100 TB). Returns `(weights, bias)`. */
+  def logisticFit(df: DataFrame, textCol: String, labelCol: String,
+                  dim: Int, epochs: Int, lr: Double): (Seq[Double], Double) = {
+    require(dim > 0 && epochs > 0, s"need dim>0, epochs>0; got ($dim, $epochs)")
+    val quant = 1L << 20
+    val wQuant = (1L << 30).toDouble
+    // round-half-away-from-zero onto the 2^-30 grid — matches SQL round()
+    def grid(x: Double): Double =
+      math.copySign(math.floor(math.abs(x) * wQuant + 0.5), x) / wQuant
+    val base = df.select(col(labelCol).cast("double").as("y"),
+        TextAnalysis.wsTokens(col(textCol)).as("tk"))
+      .withColumn("n", greatest(size(col("tk")), lit(1)).cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = base.count().toDouble
+      var w = Vector.fill(dim)(0.0)
+      var b = 0.0
+      for (_ <- 1 to epochs) {
+        val wArr = array(w.map(lit): _*)
+        val zSum = aggregate(col("tk"), lit(0.0), (acc, t) =>
+          acc + element_at(wArr, (tokenBucket(t, dim) + 1).cast("int")))
+        val p = lit(1.0) / (lit(1.0) + exp(-(zSum / col("n") + lit(b))))
+        val scored = base.select(col("tk"), col("n"),
+          round((p - col("y")) * quant).cast("long").as("qb"),
+          round((p - col("y")) / col("n") * quant).cast("long").as("q"))
+        val gradB = scored.agg(sum(col("qb"))).head.getLong(0)
+        val gradW = scored.select(explode(col("tk")).as("t"), col("q"))
+          .groupBy(tokenBucket(col("t"), dim).as("bkt"))
+          .agg(sum(col("q")).as("s"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        w = Vector.tabulate(dim)(j =>
+          grid(w(j) - lr * (gradW.getOrElse(j, 0L).toDouble / (quant * nDocs))))
+        b = grid(b - lr * (gradB.toDouble / (quant * nDocs)))
+      }
+      (w, b)
+    } finally { base.unpersist(): Unit }
+  }
 }

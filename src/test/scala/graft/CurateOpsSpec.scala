@@ -57,6 +57,28 @@ class CurateOpsSpec extends SparkSpec {
       df.select(QualityFilters.linearScore($"text", weights, 0.0, 1.0).as("s"))
         .head().getDouble(0) shouldBe sigmoid(weights(b)) +- 1e-12
     }
+
+    it("logisticFit learns a linearly-separable corpus to full accuracy") {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", ($"doc_id" % 2).cast("double").as("y"),
+          concat($"text", when($"doc_id" % 2 === 1, lit(" qualgood" * 16))
+            .otherwise(lit(" qualbad" * 16))).as("text"))
+      val (w, b) = QualityFilters.logisticFit(docs, "text", "y",
+        dim = 32, epochs = 12, lr = 8.0)
+      // the planted tokens' buckets carry the signal, signs opposed
+      def bucket(t: String) = Seq(t).toDF("t")
+        .select((conv(substring(md5($"t"), 1, 8), 16, 10).cast("long") % 32))
+        .head().getLong(0).toInt
+      w(bucket("qualgood")) should be > 0.5
+      w(bucket("qualbad")) should be < -0.5
+      // scoring with the fitted model classifies every doc correctly
+      val scored = docs.select($"y",
+        QualityFilters.linearScore($"text", w, bias = b, scale = 1.0).as("p"))
+      scored.filter(($"p" >= 0.5) =!= ($"y" === 1.0)).count() shouldBe 0L
+      // weights sit exactly on the 2^-30 dyadic grid (the replay contract)
+      val wq = (1L << 30).toDouble
+      (w :+ b).foreach { x => (x * wq) shouldBe math.rint(x * wq) }
+    }
   }
 
   describe("Redaction") {

@@ -244,6 +244,63 @@ object QueriesScale {
       |FROM f JOIN nation ON f.nk = nation.n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // --------------------------------------------------------------- q121
+  /** Token-budget FFD bin packing ([[Packing.ffdPack]]): every document
+    * (ws-token length) packs into ≤256-token bins, first-fit-decreasing
+    * within 8 deterministic md5 hash buckets. The gate is the FULL
+    * per-doc assignment table — a single doc taking a different bin
+    * anywhere (wrong sort order, wrong first-fit scan, wrong new-bin
+    * rule) flips the hash — and the oracle restates the identical fold
+    * symbol-for-symbol as a DuckDB `list_reduce` (sorted struct list,
+    * first-bin-with-room via filtered index scan, else open a new bin).
+    * Scale shape: one shuffle to bucket, then each bucket packs in its
+    * own task as a pure Catalyst `aggregate` fold; per-bin utilization
+    * lands ~96% at sf0.001 (spec-pinned ≥90% average). */
+  val q121FfdPack: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id",
+        graft.functions.TextAnalysis.wsTokenCount($"text").as("len"))
+    Packing.ffdPack(docs, "doc_id", "len", capacity = 256L, buckets = 8)
+      .select($"bucket", $"id".as("doc_id"), $"len".as("n_toks"), $"bin")
+      .orderBy($"bucket", $"doc_id")
+  }
+  val q121Sql: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+    s"""WITH tk AS (
+       |  SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS len
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len, (($digits) % 8) AS bucket
+       |  FROM tk WHERE len > 0 AND len <= 256),
+       |g AS (
+       |  SELECT bucket,
+       |    list_sort(list({'nl': -len, 'id': doc_id, 'len': len})) AS ds
+       |  FROM f GROUP BY bucket),
+       |p AS (
+       |  SELECT bucket,
+       |    list_reduce(
+       |      list_transform(ds,
+       |        d -> [{'id': d.id, 'len': d.len, 'bin': CAST(1 AS BIGINT)}]),
+       |      (a, x) -> list_append(a, {'id': x[1].id, 'len': x[1].len,
+       |        'bin': COALESCE(
+       |          list_filter(
+       |            generate_series(1,
+       |              COALESCE(list_max(list_transform(a, s -> s.bin)), 0)),
+       |            i -> list_sum(list_transform(
+       |                   list_filter(a, s -> s.bin = i), s -> s.len))
+       |                 + x[1].len <= 256)[1],
+       |          COALESCE(list_max(list_transform(a, s -> s.bin)), 0) + 1)}))
+       |      AS packed
+       |  FROM g)
+       |SELECT bucket, a.id AS doc_id, a.len AS n_toks, a.bin AS bin
+       |FROM (SELECT bucket, unnest(packed) AS a FROM p)
+       |ORDER BY bucket, doc_id""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q44_salted_agg", q44SaltedAgg, Some(q44Sql)),
@@ -253,5 +310,6 @@ object QueriesScale {
     ("q102_chunk_text", q102ChunkText, Some(q102Sql)),
     ("q52_weighted_mix", q52WeightedMix, Some(q52Sql)),
     ("q111_mix_plan", q111MixPlan, Some(q111Sql)),
+    ("q121_ffd_pack", q121FfdPack, Some(q121Sql)),
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,80 @@ object Packing {
                                    idx: org.apache.spark.sql.Column,
                                    step: Int, size: Int) =
     t.substr((idx * step + 1L).cast("int"), lit(size))
+
+  /** Token-budget bin packing — first-fit-decreasing of variable-length
+    * documents into bins of ≤ `capacity` tokens, the training-batch
+    * assembly step after chunking: FFD's 11/9·OPT+1 bound is the
+    * standard practical answer, and the decreasing order means long
+    * docs seed bins that short docs then fill.
+    *
+    * FFD is inherently sequential, so the distributed form is
+    * PARTITION-LOCAL: docs hash into `buckets` deterministic groups
+    * ([[Sampling.hashBucket]] on the id — engine-portable md5, NOT
+    * partition-id-dependent), each bucket packs independently, and a
+    * bin is identified by `(bucket, bin)`. Packing quality is
+    * unaffected in expectation (each bucket sees an iid sample of the
+    * same length distribution); what is lost vs a global FFD is only
+    * cross-bucket consolidation of the last partially-filled bin per
+    * bucket — bounded by `buckets` bins total, negligible against
+    * `n/capacity` bins. Size `buckets` so a bucket's docs fit one
+    * task comfortably (the fold state is the bucket's assignment
+    * list).
+    *
+    * The fold itself is a Catalyst `aggregate` over the bucket's
+    * length-desc-sorted doc array: state = assignments so far; per doc,
+    * bin loads are recomputed from the state and the doc takes the
+    * FIRST bin with room, else opens a new one. O(m²·bins) per bucket
+    * — the price of keeping the fold a pure expression the oracle can
+    * restate symbol-for-symbol (`list_reduce`), and bounded by
+    * bucket sizing. Docs longer than `capacity` are dropped (chunk
+    * first — [[chunkText]] exists for exactly that); docs with
+    * len ≤ 0 are dropped as unpackable.
+    *
+    * Returns one row per doc: `(bucket, id, len, bin)` with `bin`
+    * 1-based within its bucket. */
+  def ffdPack(df: DataFrame, idCol: String, lenCol: String,
+              capacity: Long, buckets: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"), col(lenCol).cast("long").as("len"))
+      .filter(col("len") > 0 && col("len") <= capacity)
+      .withColumn("bucket", Sampling.hashBucket(col("id"), buckets))
+      .groupBy(col("bucket"))
+      // (-len, id) sorts length-descending with deterministic id ties
+      .agg(array_sort(collect_list(struct((-col("len")).as("nl"), col("id"),
+        col("len")))).as("ds"))
+    val zero = expr(
+      "cast(array() as array<struct<id:bigint,len:bigint,bin:bigint>>)")
+    val packed = aggregate(col("ds"), zero, (acc, d) => {
+      val dLen = d.getField("len")
+      val maxBin = coalesce(array_max(transform(acc, s => s.getField("bin"))), lit(0L))
+      // load of bin i = Σ len of docs already assigned to it
+      val loadOf = (i: Column) =>
+        aggregate(filter(acc, s => s.getField("bin") === i), lit(0L),
+          (su, s) => su + s.getField("len"))
+      // first bin with room; sequence() descends when start > stop, so
+      // clamp and re-filter instead of generating 1..0 (try_element_at:
+      // the filtered list is legitimately empty when no bin has room)
+      val idx = try_element_at(
+        filter(sequence(lit(1L), greatest(maxBin, lit(1L))),
+          i => i <= maxBin && loadOf(i) + dLen <= lit(capacity)), lit(1))
+      val bin = coalesce(idx, maxBin + lit(1L))
+      concat(acc, array(struct(d.getField("id").as("id"), dLen.as("len"),
+        bin.as("bin"))))
+    })
+    sorted.select(col("bucket"), explode(packed).as("a"))
+      .select(col("bucket"), col("a.id").as("id"), col("a.len").as("len"),
+        col("a.bin").as("bin"))
+  }
+
+  /** Per-bin utilization rollup over [[ffdPack]] output: `(bucket, bin,
+    * n_docs, bin_tokens, util)`. */
+  def binUtilization(packed: DataFrame, capacity: Long): DataFrame =
+    packed.groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("bin_tokens"))
+      .withColumn("util", col("bin_tokens").cast("double") / capacity)
 
   /** Deterministic per-key event-sequence assembly — the "training
     * example from an event log" shape (conversation turns, session

@@ -343,6 +343,33 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  describe("Packing.ffdPack") {
+    it("reproduces textbook FFD within one bucket") {
+      // lengths 7,5,4,3 into capacity-10 bins: 7→b1, 5→b2, 4→b2, 3→b1
+      val df = Seq((1L, 7L), (2L, 5L), (3L, 4L), (4L, 3L)).toDF("id", "len")
+      val out = Packing.ffdPack(df, "id", "len", capacity = 10L, buckets = 1)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
+      out shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    }
+
+    it("never overfills a bin, drops unpackable docs, and packs tightly") {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", graft.functions.TextAnalysis.wsTokenCount($"text").as("len"))
+      val packed = Packing.ffdPack(docs, "doc_id", "len",
+        capacity = 256L, buckets = 8)
+      val util = Packing.binUtilization(packed, 256L)
+      util.filter($"bin_tokens" > 256L).count() shouldBe 0L
+      // FFD on many small docs should pack well above the 50% NF bound
+      util.agg(avg($"util")).head().getDouble(0) should be > 0.9
+      // every packable doc is assigned exactly once
+      packed.count() shouldBe docs.filter($"len" > 0 && $"len" <= 256).count()
+      packed.select($"id").distinct().count() shouldBe packed.count()
+      // deterministic under repartitioning
+      val re = Packing.ffdPack(docs.repartition(13), "doc_id", "len", 256L, 8)
+      re.exceptAll(packed).count() shouldBe 0L
+    }
+  }
+
   describe("Packing.exclusivePrefixSum") {
     it("matches the naive global running sum for any bucket size") {
       val df = spark.range(0, 500).toDF("id")

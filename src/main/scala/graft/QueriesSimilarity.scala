@@ -360,6 +360,81 @@ object QueriesSimilarity {
        |ORDER BY a_id, b_id""".stripMargin
 
   /** Registry: name → (spark program, oracle sql). */
+  // --------------------------------------------------------------- q122
+  /** Incremental IVF maintenance
+    * ([[graft.operators.IvfIndex.appendToIndex]]): fit + save an index
+    * on the BASE corpus only (`vec_id % 10 < 9` — a scale-invariant 90%
+    * split), append the remaining 10% as a delta WITHOUT refit (delta
+    * assigned to the existing centroids, files appended into the
+    * touched cell directories), reload, and search the combined index.
+    * The oracle replays fit-on-base + assign-everything-to-base-
+    * centroids + search — exactly the documented append semantics, so
+    * any append-path defect (delta hashed to wrong cells, stale
+    * centroid read, partition mixup on the appended files) flips the
+    * hash. Work scales with the delta: the weekly-embedding-batch
+    * production shape, q107's incremental contract applied to ANN. */
+  val q122IvfAppend: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val base = e.filter($"id" % 10 < 9)
+    val delta = e.filter($"id" % 10 === 9)
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, base, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxDir = sys.props("java.io.tmpdir") +
+      "/graft_ivf_app_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      graft.operators.IvfIndex.save(cent,
+        graft.operators.IvfIndex.assign(base, cent), idxDir)
+      graft.operators.IvfIndex.appendToIndex(s, delta, idxDir)
+      val (cent2, indexed2) = graft.operators.IvfIndex.load(s, idxDir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      graft.operators.IvfIndex.search(s, queries, indexed2, cent2, k = 5, nProbe = 2)
+        .orderBy($"q_id", $"rank")
+        .localCheckpoint() // materialize before the scratch dir is deleted
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(idxDir))
+    }
+  }
+  val q122Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |base AS (SELECT * FROM e WHERE id % 10 < 9),
+       |delta AS (SELECT * FROM e WHERE id % 10 = 9),
+       |${lloydIdxSql("base", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster,
+       |         ${dotSql("delta.v", "c.centroid")} / sqrt(${norm2Sql("delta.v")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |allidx AS (SELECT * FROM idx UNION ALL SELECT * FROM didx),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.q_id, i.id AS n_id,
+       |         ${dotSql("p.qv", "i.v")} / sqrt(${norm2Sql("p.qv")} * ${norm2Sql("i.v")}) AS cos
+       |  FROM probes p JOIN allidx i USING (cluster)),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
@@ -369,5 +444,6 @@ object QueriesSimilarity {
     ("q106_ivf_persist", q106IvfPersist, Some(q106Sql)),
     ("q114_mrl_truncate", q114MrlTruncate, Some(q114Sql)),
     ("q115_sql_surface", q115SqlSurface, Some(q115Sql)),
+    ("q122_ivf_append", q122IvfAppend, Some(q122Sql)),
   )
 }

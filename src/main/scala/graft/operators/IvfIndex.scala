@@ -103,6 +103,92 @@ object IvfIndex {
     (spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/index"))
 
+  /** INCREMENTAL index maintenance: append a `delta` of `(id, v)` rows
+    * to a [[save]]d index WITHOUT refitting — assign the delta to the
+    * EXISTING centroids and append into the cluster-partitioned layout
+    * (new files land inside the touched cell directories; untouched
+    * cells are not rewritten). Work scales with the delta — the q107
+    * incremental-dedup shape applied to ANN; a weekly embedding batch
+    * costs one delta assignment, not a corpus refit.
+    *
+    * Semantics: search-after-append is EXACTLY search over
+    * assign(base ∪ delta, base centroids) — the oracle-gated
+    * equivalence. What appending does NOT do is move centroids: recall
+    * degrades only as far as the data distribution drifts from the
+    * fitted one (standard IVF practice — monitor cell sizes and refit
+    * or [[splitOversizedCells]] when skew appears). Returns the
+    * assigned delta. */
+  def appendToIndex(spark: SparkSession, delta: DataFrame, dir: String): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = assign(delta, centroids)
+    assigned.write.mode("append").partitionBy("cluster").parquet(s"$dir/index")
+    assigned
+  }
+
+  /** Split every cell larger than `maxCellSize` into two sub-cells —
+    * the local repair for append-induced skew (a hot cell makes every
+    * probe of it expensive; splitting restores bounded probe cost
+    * without a global refit). Per oversized cell: fit 2 sub-centroids
+    * on THAT CELL's vectors only (same deterministic Lloyd, partition-
+    * pruned read), reassign the cell, keep the lower sub-cell under the
+    * old cluster id and give the upper one a fresh id, rewrite just
+    * that cell's partitions (dynamic partition overwrite) and the
+    * centroid table. The driver loop runs once per oversized cell —
+    * cell COUNT is index-dimension-sized (≤ k), never corpus-sized.
+    * Returns the number of cells split. */
+  def splitOversizedCells(spark: SparkSession, dir: String, maxCellSize: Long,
+                          iterations: Int = 1,
+                          orderedMean: Boolean = true): Int = {
+    require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
+    val (cent0, indexed) = load(spark, dir)
+    val oversized = indexed.groupBy(col("cluster")).count()
+      .filter(col("count") > maxCellSize)
+      .select(col("cluster").cast("long")).collect().map(_.getLong(0)).sorted
+    if (oversized.isEmpty) return 0
+    // normalize the cluster id to long: partition-column inference and
+    // row_number-based fits disagree on int vs long otherwise
+    var centroids = cent0.withColumn("cluster", col("cluster").cast("long"))
+    var nextId = centroids.agg(max(col("cluster"))).head().getLong(0) + 1
+    // Phase 1 — plan and MATERIALIZE every split before touching any
+    // file: each sub-fit and reassignment reads the pre-split layout
+    // (localCheckpoint is eager), so no job ever reads a partition this
+    // same call already rewrote. Phase 2 is then ONE dynamic-partition
+    // overwrite covering exactly the split cells.
+    val pieces = oversized.map { c =>
+      val cell = indexed.filter(col("cluster") === c).select(col("id"), col("v"))
+      val sub = fitCentroids(spark, cell, k = 2, iterations, orderedMean)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val freshId = nextId
+      nextId += 1
+      val remap = when(col("cluster").cast("long") === 0L, lit(c))
+        .otherwise(lit(freshId))
+      val remapped = assign(cell, sub)
+        .withColumn("cluster", remap).localCheckpoint()
+      val newCents = sub.withColumn("cluster", remap).localCheckpoint()
+      sub.unpersist()
+      (remapped, newCents, c)
+    }
+    centroids = pieces.foldLeft(centroids) { case (cs, (_, nc, c)) =>
+      cs.filter(col("cluster") =!= c).unionByName(nc)
+    }.localCheckpoint() // materialize before the centroid file is replaced
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // one write; dynamic overwrite rewrites ONLY the split partitions
+      pieces.map(_._1).reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      spark.catalog.refreshByPath(s"$dir/index")
+      spark.catalog.refreshByPath(s"$dir/centroids")
+      oversized.length
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** ANN top-k search: each query probes its `nProbe` nearest cells
     * only. Same output shape as [[Similarity.bruteForceTopK]]. */
   def search(spark: SparkSession, queries: DataFrame, indexed: DataFrame,

@@ -218,6 +218,49 @@ class SimilaritySpec extends SparkSpec {
       cent.unpersist()
     }
 
+    it("appendToIndex equals assign-all-to-base-centroids; split repairs oversized cells") {
+      import graft.operators.IvfIndex
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val base = e.filter($"id" % 10 < 9)
+      val delta = e.filter($"id" % 10 === 9)
+      val cent = IvfIndex.fitCentroids(spark, base, k = 4, iterations = 1,
+        orderedMean = true).persist()
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+      IvfIndex.save(cent, IvfIndex.assign(base, cent), dir)
+      IvfIndex.appendToIndex(spark, delta, dir)
+      val (cent2, indexed2) = IvfIndex.load(spark, dir)
+      // appended index ≡ assigning the full corpus to the base centroids
+      val expect = IvfIndex.assign(e, cent)
+      indexed2.count() shouldBe expect.count()
+      indexed2.select($"id", $"cluster".cast("long"))
+        .exceptAll(expect.select($"id", $"cluster".cast("long")))
+        .count() shouldBe 0L
+      // search sees delta vectors without any refit (count captured NOW:
+      // the split below rewrites the files this plan's listing points at)
+      val queries = e.filter($"id" < 5).select($"id".as("q_id"), $"v".as("qv"))
+      val hitsCount = IvfIndex.search(spark, queries, indexed2, cent2,
+        k = 3, nProbe = 4).count()
+      hitsCount should be > 0L
+      // force a split: every cell is "oversized" at maxCellSize = 2
+      val nCells0 = spark.read.parquet(s"$dir/centroids").count()
+      val nVecs = indexed2.count() // materialize BEFORE files are rewritten
+      val split = IvfIndex.splitOversizedCells(spark, dir, maxCellSize = 2L)
+      split should be > 0
+      spark.catalog.refreshByPath(s"$dir/index")
+      val (cent3, indexed3) = IvfIndex.load(spark, dir)
+      cent3.count() shouldBe nCells0 + split
+      // no vector lost or duplicated, and no cell id is dangling
+      indexed3.count() shouldBe nVecs
+      indexed3.select($"id").distinct().count() shouldBe nVecs
+      indexed3.select($"cluster".cast("long")).distinct()
+        .exceptAll(cent3.select($"cluster".cast("long"))).count() shouldBe 0L
+      // search still returns a full result set over the split layout
+      IvfIndex.search(spark, queries, indexed3, cent3, k = 3,
+        nProbe = cent3.count().toInt).count() shouldBe hitsCount
+      cent.unpersist()
+    }
+
     it("maxBucketSize above every bucket is a result no-op on normal data") {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))

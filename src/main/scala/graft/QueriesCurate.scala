@@ -750,6 +750,79 @@ object QueriesCurate {
        |FROM red ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q123
+  /** IBAN + IPv6 redaction
+    * ([[Redaction.redactIbans]]/[[Redaction.redactIpv6]]): per
+    * `doc_id % 5` each document plants one case — a valid bare IBAN, a
+    * valid grouped-print IBAN (spaces), a checksum-INVALID IBAN of the
+    * same shape (one digit tweaked; must survive), a full-form IPv6,
+    * and a shape-matching non-IBAN invoice code next to a
+    * `::`-compressed IPv6. Only the checksum-valid IBANs may become
+    * `[IBAN]` — the ISO 13616 mod-97 check runs as a sequential
+    * Catalyst fold (incremental `mod` per character, no big integer),
+    * the same no-UDF pattern as the Luhn gate (q117) — and both IPv6
+    * surface forms become `[IPV6]`. The oracle restates pattern,
+    * rearrangement, the fold (ascii-value list, mod-97 steps), and the
+    * replacement loop. Zero shuffles: one codegen'd scan. */
+  val q123IbanRedact: Q = (s, dir) => {
+    import s.implicits._
+    val planted = expr("""CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'GB82WEST12345698765432'
+      WHEN 1 THEN 'DE89 3704 0044 0532 0130 00'
+      WHEN 2 THEN 'GB82 WEST 1234 5698 7654 31'
+      WHEN 3 THEN 'fd00:0db8:85a3:0000:0000:8a2e:0370:7334'
+      ELSE 'AB12INVOICENUMBER9876 via fe80::1' END""")
+    Tables.documents(s, dir)
+      .select($"doc_id", concat($"text", lit(" acct "), planted, lit(" end")).as("raw"))
+      .select($"doc_id",
+        graft.operators.Redaction.redactIbans(
+          graft.operators.Redaction.redactIpv6($"raw")).as("redacted"))
+      .withColumn("n_iban", graft.operators.Redaction.tokenCount(
+        $"redacted", graft.operators.Redaction.ibanToken))
+      .withColumn("n_ipv6", graft.operators.Redaction.tokenCount(
+        $"redacted", graft.operators.Redaction.ipv6Token))
+      .orderBy($"doc_id")
+  }
+  val q123Sql: String = {
+    // single line: this fragment interpolates into a stripMargin string,
+    // where a line-leading "||" would lose a pipe to margin stripping
+    val mod97 =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_filter(string_split(" +
+        "substr(upper(replace(c, ' ', '')), 5) || " +
+        "substr(upper(replace(c, ' ', '')), 1, 4), ''), ch -> ch <> ''), " +
+        "ch -> CAST(ascii(ch) AS BIGINT))), " +
+        "(a, x) -> CASE WHEN x BETWEEN 48 AND 57 " +
+        "THEN (a * 10 + (x - 48)) % 97 " +
+        "ELSE (a * 100 + (x - 55)) % 97 END)"
+    val ibanOk =
+      s"""(length(replace(c, ' ', '')) BETWEEN 15 AND 34) AND ($mod97 = 1)"""
+    val ipv6Pat =
+      """(?i)\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b|(?i)(?:[0-9a-f]{1,4}:){1,7}:(?:[0-9a-f]{1,4}(?::[0-9a-f]{1,4}){0,6})?|(?i)::(?:[0-9a-f]{1,4}(?::[0-9a-f]{1,4}){0,7})"""
+    s"""WITH r AS (
+       |  SELECT doc_id, text || ' acct ' || (CASE CAST(doc_id % 5 AS INT)
+       |    WHEN 0 THEN 'GB82WEST12345698765432'
+       |    WHEN 1 THEN 'DE89 3704 0044 0532 0130 00'
+       |    WHEN 2 THEN 'GB82 WEST 1234 5698 7654 31'
+       |    WHEN 3 THEN 'fd00:0db8:85a3:0000:0000:8a2e:0370:7334'
+       |    ELSE 'AB12INVOICENUMBER9876 via fe80::1' END) || ' end' AS raw
+       |  FROM documents),
+       |v6 AS (
+       |  SELECT doc_id, regexp_replace(raw, '$ipv6Pat', '[IPV6]', 'g') AS t1
+       |  FROM r),
+       |red AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(t1,
+       |      list_filter(regexp_extract_all(t1,
+       |        '\\b[A-Z]{2}\\d{2}(?: ?[A-Z0-9]){11,30}\\b'), c -> $ibanOk)),
+       |      (acc, c) -> replace(acc, c, '[IBAN]')) AS redacted
+       |  FROM v6)
+       |SELECT doc_id, redacted,
+       |       len(regexp_extract_all(redacted, '\\[IBAN\\]')) AS n_iban,
+       |       len(regexp_extract_all(redacted, '\\[IPV6\\]')) AS n_ipv6
+       |FROM red ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q119/q120
   /** Shared fixture for the classifier-training gates: label
     * `y = doc_id % 2` with a planted signal token (`qualgood` /
@@ -909,5 +982,6 @@ object QueriesCurate {
     ("q117_card_redact", q117CardRedact, Some(q117Sql)),
     ("q119_logistic_fit", q119LogisticFit, Some(q119Sql)),
     ("q120_fit_score", q120FitScore, Some(q120Sql)),
+    ("q123_iban_redact", q123IbanRedact, Some(q123Sql)),
   )
 }

@@ -14,6 +14,12 @@ import graft.operators.Multimodal
 object QueriesMultimodal {
   import Queries.Q
 
+  /** Extended-Hamming [8,4,4] codebook: the 16 codewords have pairwise
+    * bit distance ≥ 4, which is what makes the q103 fixture's
+    * cross-pair hashes provably un-pairable at maxHd = 2. */
+  private[graft] val hamming84: Array[Int] = Array(
+    0, 135, 153, 30, 170, 45, 51, 180, 75, 204, 210, 85, 225, 102, 120, 255)
+
   // ---------------------------------------------------------------- q40
   /** Video pipeline: ingest contract → metadata resize (pure-metadata,
     * no decode) → frame sampling (narrow explode, one row per sampled
@@ -178,26 +184,27 @@ object QueriesMultimodal {
     * luma, bit-packing, or banding bug shifts measured hashes off the
     * closed form and breaks the pair set.
     *
-    * Hash classes: group `doc_id % 32` fixes the base bytes; variant
-    * `(doc_id / 32) % 3` perturbs them — v1 flips 2 bits of row 0
-    * (near-dup of v0, hd = 2 ≤ 3), v2 flips all 8 bits of row 7
-    * (hd = 8 from v0, 10 from v1 — correctly NOT paired). The result
-    * therefore contains exact-dup pairs (hd 0) and near-dup pairs
-    * (hd 2) while proving the banding drops the far variants. */
+    * DIVERSE-hash fixture (pair output LINEAR in the corpus, so the
+    * scale factor of this query measures the operator, not fixture
+    * cardinality): docs pair up as `p = doc_id / 2`; each pair gets a
+    * UNIQUE base image — row `gy` renders nibble `gy` of `p` through a
+    * 16-entry extended-Hamming [8,4,4] codebook (min pairwise distance
+    * 4), so ANY two distinct pairs differ by ≥ 4 bits. The odd partner
+    * flips ONE bit of row 0 (hd = 1). Gating at maxHd = 2 is then
+    * margin-proof: within-pair hd 1 ≤ 2; cross-pair base–base ≥ 4,
+    * partner–partner ≥ 4 (the flips cancel), base–partner ≥ 3 > 2.
+    * Exactly n/2 pairs come out — one per pair id — at every scale. */
   val q103ImageDedup: Q = (s, dir) => {
     import s.implicits._
+    val ham = hamming84 // local copy: the task closure ships the array, not the module
     val media = Tables.documents(s, dir).select($"doc_id").as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val grp = (id % 32).toInt
-          val v = ((id / 32) % 3).toInt
+          val p = id / 2
+          val v = (id % 2).toInt
           val rows = Array.tabulate(8) { gy =>
-            val base = (grp * 37 + gy * 13) % 256
-            val flip =
-              if (v == 1 && gy == 0) 3
-              else if (v == 2 && gy == 7) 255
-              else 0
-            base ^ flip
+            val c = ham(((p >> (4 * gy)) & 15L).toInt)
+            if (v == 1 && gy == 0) c ^ 1 else c
           }
           (id, Multimodal.synthGridPng(rows))
         }
@@ -206,16 +213,15 @@ object QueriesMultimodal {
     val hashed = Multimodal.imageDHash(media)
       .filter($"sim_hi".isNotNull)
       .select($"media_id".as("id"), $"sim_hi", $"sim_lo")
-    graft.operators.TextDedup.bandedHammingPairs64(hashed, maxHd = 3)
+    graft.operators.TextDedup.bandedHammingPairs64(hashed, maxHd = 2)
       .orderBy($"a_id", $"b_id")
   }
   val q103Sql: String =
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT doc_id AS id, gy,
-      |         xor(CAST(((doc_id % 32) * 37 + gy * 13) % 256 AS BIGINT),
-      |             CASE WHEN (doc_id // 32) % 3 = 1 AND gy = 0 THEN 3
-      |                  WHEN (doc_id // 32) % 3 = 2 AND gy = 7 THEN 255
-      |                  ELSE 0 END) AS rb
+      |         xor(([${hamming84.mkString(", ")}])
+      |               [CAST(((doc_id // 2) >> (4 * gy)) & 15 AS INT) + 1],
+      |             CASE WHEN doc_id % 2 = 1 AND gy = 0 THEN 1 ELSE 0 END) AS rb
       |  FROM documents, unnest(generate_series(0, 7)) AS t(gy)),
       |h AS (
       |  SELECT id,
@@ -227,7 +233,7 @@ object QueriesMultimodal {
       |         + bit_count(xor(a.sim_hi, b.sim_hi)) AS hd
       |FROM h a JOIN h b ON a.id < b.id
       |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
-      |        + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+      |        + bit_count(xor(a.sim_hi, b.sim_hi)) <= 2
       |ORDER BY a_id, b_id""".stripMargin
 
   /** Registry: name → (spark program, oracle sql). */

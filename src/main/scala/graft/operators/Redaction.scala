@@ -95,4 +95,55 @@ object Redaction {
       cand => luhnValid(cand))
     aggregate(valid, c, (acc, cand) => call_function("replace", acc, cand, lit(cardToken)))
   }
+
+  /** IPv6 surface forms: the full 8-group form plus `::`-compressed
+    * variants. RE2-portable (no lookaround); like [[phonePattern]] it
+    * deliberately over-matches odd colon runs — the safe direction for
+    * redaction — and deployments swap a stricter pattern in the same
+    * slot. Redact BEFORE IPv4 so an IPv4-mapped tail (`::ffff:1.2.3.4`)
+    * never leaks a partial dotted quad past this pass. */
+  val ipv6Pattern: String =
+    "(?i)\\b(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\\b|" +
+      "(?i)(?:[0-9a-f]{1,4}:){1,7}:(?:[0-9a-f]{1,4}(?::[0-9a-f]{1,4}){0,6})?|" +
+      "(?i)::(?:[0-9a-f]{1,4}(?::[0-9a-f]{1,4}){0,7})"
+  val ipv6Token = "[IPV6]"
+
+  /** Replace IPv6 addresses with [[ipv6Token]]. */
+  def redactIpv6(c: Column): Column =
+    regexp_replace(c, ipv6Pattern, ipv6Token)
+
+  /** IBAN surface form: 2-letter country, 2 check digits, 11–30
+    * alphanumerics with optional single spaces (the grouped-by-4 print
+    * form). Shape only — [[ibanValid]] does the arithmetic. */
+  val ibanPattern: String = "\\b[A-Z]{2}\\d{2}(?: ?[A-Z0-9]){11,30}\\b"
+  val ibanToken = "[IBAN]"
+
+  /** ISO 13616 mod-97 IBAN check: move the first four characters to the
+    * end, map letters A→10 … Z→35, and the resulting number must be
+    * ≡ 1 (mod 97). Computed as an incremental sequential fold over the
+    * characters (`acc·10+d` per digit, `acc·100+v` per letter, mod 97
+    * each step — no big-integer needed), the same pure-Catalyst
+    * pattern as [[luhnValid]]. */
+  def ibanValid(cand: Column): Column = {
+    val up = upper(regexp_replace(cand, " ", ""))
+    val rearranged = concat(substring(up, 5, 34), substring(up, 1, 4))
+    val cs = filter(split(rearranged, ""), ch => ch =!= "")
+    val total = aggregate(cs, lit(0L), (acc, ch) => {
+      val a = ascii(ch)
+      when(a >= 48 && a <= 57, (acc * 10 + (a - 48)) % 97)
+        .otherwise((acc * 100 + (a - 55)) % 97)
+    })
+    length(up) >= 15 && length(up) <= 34 && total === 1
+  }
+
+  /** CHECKSUM-VALIDATED IBAN redaction — [[redactCards]]'s shape with
+    * the mod-97 validator: shape matches that fail the check (invoice
+    * codes, reference numbers that happen to look like `XX99…`) are
+    * left alone; a true IBAN never escapes. Pure per-row expression
+    * chain, zero shuffles. */
+  def redactIbans(c: Column): Column = {
+    val valid = filter(regexp_extract_all(c, lit(ibanPattern), lit(0)),
+      cand => ibanValid(cand))
+    aggregate(valid, c, (acc, cand) => call_function("replace", acc, cand, lit(ibanToken)))
+  }
 }

@@ -82,6 +82,34 @@ class CurateOpsSpec extends SparkSpec {
   }
 
   describe("Redaction") {
+    it("validates IBANs by mod-97 and redacts only the valid ones") {
+      val df = Seq(
+        "pay GB82WEST12345698765432 now",          // valid, bare
+        "pay DE89 3704 0044 0532 0130 00 now",     // valid, grouped print form
+        "pay FR14 2004 1010 0505 0001 3M02 606 x", // valid, letter in body
+        "pay GB82 WEST 1234 5698 7654 31 now",     // checksum fails → kept
+        "ref AB12INVOICENUMBER9876 now"            // shape match, not an IBAN
+      ).toDF("t").select(Redaction.redactIbans($"t").as("c"))
+      val out = df.collect().map(_.getString(0))
+      out(0) shouldBe "pay [IBAN] now"
+      out(1) shouldBe "pay [IBAN] now"
+      out(2) shouldBe "pay [IBAN] x"
+      out(3) should include("GB82 WEST 1234 5698 7654 31")
+      out(4) should include("AB12INVOICENUMBER9876")
+    }
+
+    it("redacts full and ::-compressed IPv6, leaving times and dates alone") {
+      val df = Seq(
+        "node 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up",
+        "link fe80::1 and ::ffff:c000:0280 ok",
+        "at 12:30:45 on 2024-01-01" // colons/dashes but no ::, no 8 groups
+      ).toDF("t").select(Redaction.redactIpv6($"t").as("c"))
+      val out = df.collect().map(_.getString(0))
+      out(0) shouldBe "node [IPV6] up"
+      out(1) shouldBe "link [IPV6] and [IPV6] ok"
+      out(2) shouldBe "at 12:30:45 on 2024-01-01"
+    }
+
     it("redacts emails, IPs, and phones in the right order") {
       val raw = "mail bob.smith+x@corp.example.org node 192.168.0.1 tel +44-20-7946-0958 done"
       val out = Seq(raw).toDF("t")

@@ -843,9 +843,17 @@ object QueriesCurate {
   private val fitQ = 1048576L   // 2^20, gradient quantization scale
   private val fitWQ = 1073741824L // 2^30, weight dyadic-grid scale
 
+  /** Memoized per sf-dir: q119 and q120 gate the SAME deterministic
+    * fit (the oracle replays it independently for each), so refitting
+    * per query would only re-run identical arithmetic — the process-
+    * local cache is the persist()-across-consumers pattern at model
+    * granularity. */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Double], Double)]()
   private def runFit(s: SparkSession, dir: String): (Seq[Double], Double) =
-    QualityFilters.logisticFit(labeledDocs(s, dir), "text", "y",
-      dim = fitDim, epochs = fitEpochs, lr = fitLr)
+    fitCache.computeIfAbsent(dir, _ =>
+      QualityFilters.logisticFit(labeledDocs(s, dir), "text", "y",
+        dim = fitDim, epochs = fitEpochs, lr = fitLr))
 
   /** The fit replayed in DuckDB, epoch by epoch (unrolled CTE chain —
     * the oracle restates the ALGORITHM, not copied outputs): per epoch,

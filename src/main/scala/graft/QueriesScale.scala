@@ -247,21 +247,29 @@ object QueriesScale {
   // --------------------------------------------------------------- q121
   /** Token-budget FFD bin packing ([[Packing.ffdPack]]): every document
     * (ws-token length) packs into ≤256-token bins, first-fit-decreasing
-    * within 8 deterministic md5 hash buckets. The gate is the FULL
+    * within deterministic md5 hash buckets. The gate is the FULL
     * per-doc assignment table — a single doc taking a different bin
     * anywhere (wrong sort order, wrong first-fit scan, wrong new-bin
     * rule) flips the hash — and the oracle restates the identical fold
     * symbol-for-symbol as a DuckDB `list_reduce` (sorted struct list,
     * first-bin-with-room via filtered index scan, else open a new bin).
+    *
     * Scale shape: one shuffle to bucket, then each bucket packs in its
-    * own task as a pure Catalyst `aggregate` fold; per-bin utilization
-    * lands ~96% at sf0.001 (spec-pinned ≥90% average). */
+    * own task as a pure Catalyst `aggregate` fold. The bucket COUNT
+    * scales with the corpus — `⌈n/128⌉`, restated by the oracle as a
+    * scalar subquery — which is what keeps the fold's O(m²·bins/m)
+    * per-bucket cost bounded and total work LINEAR in n (a fixed
+    * bucket count measured 20 s at sf0.1 and would go quadratic from
+    * there; bounded buckets run the same catalog in ~1 s). Per-bin
+    * utilization lands ~96% (spec-pinned ≥90% average). */
   val q121FfdPack: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id",
         graft.functions.TextAnalysis.wsTokenCount($"text").as("len"))
-    Packing.ffdPack(docs, "doc_id", "len", capacity = 256L, buckets = 8)
+    val eligible = docs.filter($"len" > 0 && $"len" <= 256)
+    val buckets = math.max(1L, math.ceil(eligible.count() / 128.0).toLong).toInt
+    Packing.ffdPack(docs, "doc_id", "len", capacity = 256L, buckets = buckets)
       .select($"bucket", $"id".as("doc_id"), $"len".as("n_toks"), $"bin")
       .orderBy($"bucket", $"doc_id")
   }
@@ -273,9 +281,12 @@ object QueriesScale {
     s"""WITH tk AS (
        |  SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS len
        |  FROM documents),
+       |f0 AS (SELECT doc_id, len FROM tk WHERE len > 0 AND len <= 256),
+       |nb AS (
+       |  SELECT CAST(greatest(1, ceil(count(*) / 128.0)) AS BIGINT) AS b FROM f0),
        |f AS (
-       |  SELECT doc_id, len, (($digits) % 8) AS bucket
-       |  FROM tk WHERE len > 0 AND len <= 256),
+       |  SELECT doc_id, len, (($digits) % (SELECT b FROM nb)) AS bucket
+       |  FROM f0),
        |g AS (
        |  SELECT bucket,
        |    list_sort(list({'nl': -len, 'id': doc_id, 'len': len})) AS ds

@@ -903,6 +903,59 @@ object QueriesText {
        |FROM u GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q124
+  /** BPE merge learning ([[graft.operators.BpeTrain]]) — tokenizer
+    * TRAINING on the corpus's own word-frequency table: six rounds of
+    * count-adjacent-pairs → merge-the-argmax, the published
+    * byte-pair-encoding algorithm, run as iterated aggregation (corpus
+    * scanned once; every round works on the vocabulary-sized table and
+    * moves ONE row to the driver). The gate is the merge TRAJECTORY
+    * `(step, left, right, pair_count)`: counts are exact integer sums,
+    * ties break lexicographically, and the merge fold is greedy
+    * left-to-right non-overlapping — all replayed by the oracle as six
+    * unrolled MATERIALIZED CTE rounds (the q119 pattern), where a
+    * wrong tie-break or fold in ANY round derails every later one. */
+  val q124BpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    val freqs = graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text")
+    graft.operators.BpeTrain.learnMerges(s, freqs, merges = 6)
+      .map { case (st, l, r, c) => (st.toLong, l, r, c) }
+      .toDF("step", "left", "right", "pair_count")
+      .orderBy($"step")
+  }
+  val q124Sql: String = {
+    val rounds = (1 to 6).map { e =>
+      s"""p$e AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+         |          i -> {'l': s[i], 'r': s[i + 1]})) AS pr
+         |        FROM w${e - 1}) GROUP BY pr.l, pr.r),
+         |m$e AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM p$e ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$e AS MATERIALIZED (
+         |  -- the winner rides the row via cross join: DuckDB lambdas
+         |  -- may reference row columns but not subqueries
+         |  SELECT list_reduce(list_transform(s, x -> [x]),
+         |    (acc, xl) -> CASE WHEN len(acc) > 0
+         |        AND acc[-1] = m.l AND xl[1] = m.r
+         |      THEN list_append(acc[1:len(acc) - 1], m.l || m.r)
+         |      ELSE list_append(acc, xl[1]) END) AS s, freq
+         |  FROM w${e - 1}, m$e m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |w0 AS MATERIALIZED (
+       |  SELECT list_filter(string_split(word, ''), ch -> ch <> '') AS s,
+       |         CAST(freq AS BIGINT) AS freq
+       |  FROM wf WHERE length(word) > 0),
+       |$rounds
+       |${(1 to 6).map(e =>
+            s"SELECT CAST($e AS BIGINT) AS step, l AS \"left\", r AS \"right\", cnt AS pair_count FROM m$e")
+          .mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY step""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -924,5 +977,6 @@ object QueriesText {
     ("q107_incremental_dedup", q107IncrementalDedup, Some(q107Sql)),
     ("q113_decontaminate", q113Decontaminate, Some(q113Sql)),
     ("q118_unicode_dedup", q118UnicodeDedup, Some(q118Sql)),
+    ("q124_bpe_train", q124BpeTrain, Some(q124Sql)),
   )
 }

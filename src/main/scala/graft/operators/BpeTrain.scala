@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning — tokenizer TRAINING (the published
+  * byte-pair-encoding subword algorithm: count adjacent symbol pairs
+  * over the word-frequency table, merge the most frequent pair
+  * everywhere, repeat). The engine already counts BPE-ish tokens at
+  * scan time; this is the other half a corpus owner needs — learning
+  * the merge table from their own data.
+  *
+  * Scale shape — the part that matters at 100 TB: the CORPUS is
+  * touched exactly once (one scan + one shuffle to build the
+  * word-frequency table, which is VOCABULARY-sized, ~10⁵–10⁶ rows no
+  * matter how big the corpus). Every merge round then runs on that
+  * small table: explode adjacent pairs → hash-aggregate pair counts
+  * (map-side combine; pair cardinality ≤ Σ word lengths) → ONE row to
+  * the driver (the argmax pair) → a narrow per-word fold applies the
+  * merge. k rounds = k tiny shuffles + k driver round-trips of one
+  * row — the same iterated-aggregation shape as
+  * [[QualityFilters.logisticFit]].
+  *
+  * Determinism (exact oracle replay): pair counts are integer sums of
+  * integer word frequencies (order-independent); the winning pair
+  * breaks count ties lexicographically; the merge fold is sequential
+  * left-to-right greedy non-overlapping (an "a a a" corpus under merge
+  * (a,a) becomes [aa, a], never [a, aa]) — every step is restatable in
+  * SQL, so a DuckDB oracle can replay the full merge trajectory with
+  * unrolled CTEs and any tie-break or fold divergence flips every
+  * later round.
+  */
+object BpeTrain {
+
+  /** Word-frequency table `(word, freq)` over whitespace tokens of
+    * normalized text — the one corpus-sized pass. */
+  def wordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(graft.functions.TextAnalysis.wsTokens(col(textCol)))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Left-to-right greedy non-overlapping merge of adjacent pair
+    * `(a, b)` in a symbol array, as a pure Catalyst fold. */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, expr("cast(array() as array<string>)"), (acc, x) => {
+      val canMerge = size(acc) > 0 &&
+        element_at(acc, -1) === lit(a) && x === lit(b)
+      when(canMerge,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x)))
+    })
+
+  /** Learn `merges` BPE merges from a word-frequency table. Returns the
+    * merge trajectory `(step, left, right, pair_count)` — step is
+    * 1-based; `pair_count` is the winning pair's weighted frequency at
+    * the time it won. Stops early if no adjacent pair remains. */
+  def learnMerges(spark: SparkSession, freqs: DataFrame,
+                  merges: Int): Seq[(Int, String, String, Long)] = {
+    require(merges > 0, s"merges must be positive, got $merges")
+    var words = freqs
+      .select(split(col("word"), "").as("s"), col("freq").cast("long").as("freq"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint() // the fold below rewrites `s` every round
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val pairs = words
+        // single-symbol words have no adjacent pairs — and Spark's
+        // sequence(1, 0) DESCENDS rather than yielding empty
+        .filter(size(col("s")) > 1)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("l"),
+              element_at(col("s"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (pairs.isEmpty) done = true
+      else {
+        val row = pairs(0)
+        val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        out += ((step, l, r, cnt))
+        words = words
+          .select(mergePair(col("s"), l, r).as("s"), col("freq"))
+          .localCheckpoint() // k rounds would otherwise stack k folds in one plan
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+}

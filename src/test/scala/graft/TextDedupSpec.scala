@@ -6,6 +6,28 @@ import graft.operators.TextDedup
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  describe("BpeTrain.learnMerges") {
+    it("reproduces the textbook BPE trajectory with lexicographic tie-break") {
+      // the classic low/lower/newest/widest corpus (Sennrich et al.),
+      // frequencies planted by word repetition
+      val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+        .toDF("word", "freq")
+      val out = graft.operators.BpeTrain.learnMerges(spark, words, merges = 4)
+      // es and st both count 9 → 'e'<'s' wins; then est; lo/ow tie at 7
+      out shouldBe Seq(
+        (1, "e", "s", 9L), (2, "es", "t", 9L),
+        (3, "l", "o", 7L), (4, "lo", "w", 7L))
+    }
+
+    it("merges greedily left-to-right without overlap") {
+      val words = Seq(("aaa", 1L)).toDF("word", "freq")
+      val out = graft.operators.BpeTrain.learnMerges(spark, words, merges = 2)
+      // "a a a" → merge (a,a) once (non-overlap) → [aa, a]; next best
+      // pair is then (aa, a)
+      out shouldBe Seq((1, "a", "a", 2L), (2, "aa", "a", 1L))
+    }
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog tonight"),
     (2L, "THE quick   brown fox jumps over the lazy dog tonight"), // exact dup of 1 after norm

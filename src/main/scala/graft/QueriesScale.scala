@@ -256,9 +256,8 @@ object QueriesScale {
     *
     * Scale shape: one shuffle to bucket, then each bucket packs in its
     * own task as a pure Catalyst `aggregate` fold. The bucket COUNT
-    * scales with the corpus — `⌈n/128⌉`, restated by the oracle as a
-    * scalar subquery — which is what keeps the fold's O(m²·bins/m)
-    * per-bucket cost bounded and total work LINEAR in n (a fixed
+    * scales with the corpus — `⌈n/64⌉`, restated by the oracle as a
+    * scalar subquery — which is what keeps the fold's total O(n·m²) cost bounded (m = docs per bucket) and work LINEAR in n (a fixed
     * bucket count measured 20 s at sf0.1 and would go quadratic from
     * there; bounded buckets run the same catalog in ~1 s). Per-bin
     * utilization lands ~96% (spec-pinned ≥90% average). */
@@ -268,7 +267,7 @@ object QueriesScale {
       .select($"doc_id",
         graft.functions.TextAnalysis.wsTokenCount($"text").as("len"))
     val eligible = docs.filter($"len" > 0 && $"len" <= 256)
-    val buckets = math.max(1L, math.ceil(eligible.count() / 128.0).toLong).toInt
+    val buckets = math.max(1L, math.ceil(eligible.count() / 64.0).toLong).toInt
     Packing.ffdPack(docs, "doc_id", "len", capacity = 256L, buckets = buckets)
       .select($"bucket", $"id".as("doc_id"), $"len".as("n_toks"), $"bin")
       .orderBy($"bucket", $"doc_id")
@@ -283,7 +282,7 @@ object QueriesScale {
        |  FROM documents),
        |f0 AS (SELECT doc_id, len FROM tk WHERE len > 0 AND len <= 256),
        |nb AS (
-       |  SELECT CAST(greatest(1, ceil(count(*) / 128.0)) AS BIGINT) AS b FROM f0),
+       |  SELECT CAST(greatest(1, ceil(count(*) / 64.0)) AS BIGINT) AS b FROM f0),
        |f AS (
        |  SELECT doc_id, len, (($digits) % (SELECT b FROM nb)) AS bucket
        |  FROM f0),

@@ -814,7 +814,7 @@ object QueriesCurate {
        |  SELECT doc_id,
        |    list_reduce(list_prepend(t1,
        |      list_filter(regexp_extract_all(t1,
-       |        '\\b[A-Z]{2}\\d{2}(?: ?[A-Z0-9]){11,30}\\b'), c -> $ibanOk)),
+       |        '\\b[A-Z]{2}\\d{2}(?:[A-Z0-9]{11,30}|(?: [A-Z0-9]{4}){2,7}(?: [A-Z0-9]{1,3})?)\\b'), c -> $ibanOk)),
        |      (acc, c) -> replace(acc, c, '[IBAN]')) AS redacted
        |  FROM v6)
        |SELECT doc_id, redacted,
@@ -826,7 +826,7 @@ object QueriesCurate {
   // --------------------------------------------------------------- q119/q120
   /** Shared fixture for the classifier-training gates: label
     * `y = doc_id % 2` with a planted signal token (`qualgood` /
-    * `qualbad`, eight occurrences — mean pooling divides the bucket
+    * `qualbad`, sixteen occurrences — mean pooling divides the bucket
     * weight by doc length, so the planted feature needs mass to
     * dominate within few epochs) — linearly separable through the
     * hashed feature map by construction. */

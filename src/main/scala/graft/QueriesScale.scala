@@ -263,9 +263,13 @@ object QueriesScale {
     * utilization lands ~96% (spec-pinned ≥90% average). */
   val q121FfdPack: Q = (s, dir) => {
     import s.implicits._
+    // tokenize ONCE: the eager localCheckpoint materializes the (id, len)
+    // table so the bucket-sizing count and the packing job both read it
+    // instead of re-running wsTokenCount over the corpus
     val docs = Tables.documents(s, dir)
       .select($"doc_id",
         graft.functions.TextAnalysis.wsTokenCount($"text").as("len"))
+      .localCheckpoint()
     val eligible = docs.filter($"len" > 0 && $"len" <= 256)
     val buckets = math.max(1L, math.ceil(eligible.count() / 64.0).toLong).toInt
     Packing.ffdPack(docs, "doc_id", "len", capacity = 256L, buckets = buckets)

@@ -21,6 +21,16 @@ import graft.operators.Similarity
   * rank order cannot diverge.
   */
 object QueriesSimilarity {
+
+  /** Recursive scratch-dir delete for the index-lifecycle gates
+    * (null-safe: listFiles is null on races/non-dirs). */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+    }
+    f.delete(): Unit
+  }
   import Queries.Q
 
   /** (id, v) corpus of double-cast embeddings ∪ scaled copy. */
@@ -243,13 +253,7 @@ object QueriesSimilarity {
       graft.operators.IvfIndex.search(s, queries, indexed2, cent2, k = 5, nProbe = 2)
         .orderBy($"q_id", $"rank")
         .localCheckpoint() // materialize before the scratch dir is deleted
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(idxDir))
-    }
+    } finally rmTree(new java.io.File(idxDir))
   }
   /** Same oracle as q39 — the lifecycle must be invisible in results. */
   val q106Sql: String = q39Sql
@@ -393,13 +397,7 @@ object QueriesSimilarity {
       graft.operators.IvfIndex.search(s, queries, indexed2, cent2, k = 5, nProbe = 2)
         .orderBy($"q_id", $"rank")
         .localCheckpoint() // materialize before the scratch dir is deleted
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(idxDir))
-    }
+    } finally rmTree(new java.io.File(idxDir))
   }
   val q122Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -119,12 +119,11 @@ object PublicSuffixes {
     rules.filterNot(r => r.startsWith("!") || r.startsWith("*"))
       .groupBy(labelCount).withDefaultValue(Seq.empty)
 
-  /** Host part of a URL column (lowercased, port stripped); "" for
+  /** Host part of a URL column (lowercased; the `[^/:?#]*` capture
+    * stops at the port colon, so ports never reach the host); "" for
     * scheme-less input. */
   def hostOf(url: Column): Column =
-    regexp_replace(
-      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)),
-      ":[0-9]+$", "")
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
 
   /** PSL registrable domain of a HOST column, as a pure expression.
     * Longest-rule match over the snapshot: exceptions beat wildcards
@@ -164,18 +163,36 @@ object PublicSuffixes {
     * `(suffix, labels, kind)` with kind ∈ plain|wild|exc — wildcards
     * keyed by their PARENT suffix, exceptions by their literal suffix.
     * ~10⁴ rows for the full upstream list: broadcast-sized by
-    * definition. */
+    * definition.
+    *
+    * Depth contract: the matchers evaluate plain/exception rules up to
+    * 3 labels and wildcard parents up to 2 — which covers this
+    * snapshot, but NOT every rule in the full upstream list (it has
+    * 4+-label rules like `pvt.k12.ma.us` and deeper wildcard parents
+    * like `*.compute.amazonaws.com`). A deeper rule silently falling
+    * back to the default would regroup those hosts one level too
+    * coarse — exactly the bug this module exists to fix — so
+    * out-of-depth rules are REJECTED loudly here instead of being
+    * carried and ignored; callers trim their rule file (or extend the
+    * matcher depth) deliberately. */
   def suffixDim(spark: SparkSession,
                 ruleLines: Seq[String] = rules): DataFrame = {
     import spark.implicits._
-    ruleLines
+    val parsed = ruleLines
       .filter(l => l.nonEmpty && !l.startsWith("//"))
       .map { l =>
         if (l.startsWith("!")) (l.drop(1), labelCount(l.drop(1)), "exc")
         else if (l.startsWith("*.")) (l.drop(2), labelCount(l.drop(2)), "wild")
         else (l, labelCount(l), "plain")
       }
-      .toDF("suffix", "labels", "kind")
+    val tooDeep = parsed.filter { case (_, n, kind) =>
+      if (kind == "wild") n > 2 else n > 3
+    }
+    require(tooDeep.isEmpty,
+      s"suffix rules beyond the supported match depth (plain/exc ≤ 3 labels, " +
+        s"wildcard parents ≤ 2): ${tooDeep.take(5).map(_._1).mkString(", ")}" +
+        (if (tooDeep.length > 5) s" … (${tooDeep.length} total)" else ""))
+    parsed.toDF("suffix", "labels", "kind")
   }
 
   /** Broadcast-dimension form of [[registrableDomainOfHost]]: appends

@@ -39,13 +39,31 @@ object BloomJoin {
     * so the filter stays inside WholeStageCodegen instead of breaking
     * the span at a closure udf; each task deserializes the sketch once
     * (the expression caches it lazily). A null key probes as null →
-    * filter drops it, matching an inner join's null-key semantics. */
+    * filter drops it, matching an inner join's null-key semantics.
+    *
+    * Trade-off vs a broadcast: the literal rides the task binary and is
+    * deserialized per TASK, not per executor — the same shape Spark's
+    * own runtime-filter rule produces (its bloom arrives as a scalar-
+    * subquery literal). Right for the normal few-MB sketch; for a
+    * multi-tens-of-MB sketch (10⁸+ expected items) where per-task
+    * deserialization would dominate, use [[reduceBroadcast]]. */
   def reduce(fact: DataFrame, factKey: String, filter: BloomFilter): DataFrame = {
     graft.plans.GraftFunctions.register(fact.sparkSession)
     val bos = new java.io.ByteArrayOutputStream()
     filter.writeTo(bos)
     fact.filter(call_function("might_contain",
       lit(bos.toByteArray), col(factKey).cast("long")))
+  }
+
+  /** [[reduce]] via an executor-broadcast sketch probed by a closure
+    * udf: one deserialization per executor instead of per task, at the
+    * cost of breaking the codegen span at the filter. The right variant
+    * only when the sketch itself is big enough (tens of MB) that
+    * per-task deserialization outweighs a codegen break. */
+  def reduceBroadcast(fact: DataFrame, factKey: String, filter: BloomFilter): DataFrame = {
+    val bcast = fact.sparkSession.sparkContext.broadcast(filter)
+    val might = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+    fact.filter(might(col(factKey)))
   }
 
   /** The composed shape: sketch the dimension keys, pre-filter the fact,

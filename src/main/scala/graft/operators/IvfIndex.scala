@@ -154,20 +154,31 @@ object IvfIndex {
     // (localCheckpoint is eager), so no job ever reads a partition this
     // same call already rewrote. Phase 2 is then ONE dynamic-partition
     // overwrite covering exactly the split cells.
-    val pieces = oversized.map { c =>
+    val pieces = oversized.flatMap { c =>
       val cell = indexed.filter(col("cluster") === c).select(col("id"), col("v"))
       val sub = fitCentroids(spark, cell, k = 2, iterations, orderedMean)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val freshId = nextId
-      nextId += 1
       val remap = when(col("cluster").cast("long") === 0L, lit(c))
         .otherwise(lit(freshId))
       val remapped = assign(cell, sub)
         .withColumn("cluster", remap).localCheckpoint()
       val newCents = sub.withColumn("cluster", remap).localCheckpoint()
       sub.unpersist()
-      (remapped, newCents, c)
+      // A split must actually produce BOTH sub-cells: if every vector
+      // landed on one side (degenerate geometry, duplicate-heavy cells,
+      // or Lloyd emptying a cluster), writing it would either leave the
+      // old `cluster=c` files stale on disk (dynamic overwrite only
+      // touches partitions present in the output) or be a no-op dressed
+      // up as progress. Skip the cell and don't count it.
+      val subSizes = remapped.groupBy(col("cluster")).count().count()
+      if (subSizes < 2) None
+      else {
+        nextId += 1
+        Some((remapped, newCents, c))
+      }
     }
+    if (pieces.isEmpty) return 0
     centroids = pieces.foldLeft(centroids) { case (cs, (_, nc, c)) =>
       cs.filter(col("cluster") =!= c).unionByName(nc)
     }.localCheckpoint() // materialize before the centroid file is replaced
@@ -180,7 +191,7 @@ object IvfIndex {
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
       spark.catalog.refreshByPath(s"$dir/index")
       spark.catalog.refreshByPath(s"$dir/centroids")
-      oversized.length
+      pieces.length
     } finally {
       prevMode match {
         case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)

@@ -112,10 +112,19 @@ object Redaction {
   def redactIpv6(c: Column): Column =
     regexp_replace(c, ipv6Pattern, ipv6Token)
 
-  /** IBAN surface form: 2-letter country, 2 check digits, 11–30
-    * alphanumerics with optional single spaces (the grouped-by-4 print
-    * form). Shape only — [[ibanValid]] does the arithmetic. */
-  val ibanPattern: String = "\\b[A-Z]{2}\\d{2}(?: ?[A-Z0-9]){11,30}\\b"
+  /** IBAN surface form: 2-letter country, 2 check digits, then EITHER a
+    * compact 11–30-alphanumeric run OR the grouped-by-4 print form
+    * (space-separated 4-char groups, short last group allowed). The two
+    * alternatives are deliberate: a naive `(?: ?[A-Z0-9])+` body is
+    * greedy across single spaces and absorbs a trailing uppercase token
+    * (`… 0130 00 SWIFT`), making the checksum fail on the extended
+    * candidate so the TRUE IBAN inside it escapes — the exact leak this
+    * validator exists to prevent. Irregularly spaced IBANs (`DE89
+    * 37040044 …`) do not extract; that misses redaction only for
+    * non-standard spacing, the safe direction vs swallowing neighbors.
+    * Shape only — [[ibanValid]] does the arithmetic. */
+  val ibanPattern: String =
+    "\\b[A-Z]{2}\\d{2}(?:[A-Z0-9]{11,30}|(?: [A-Z0-9]{4}){2,7}(?: [A-Z0-9]{1,3})?)\\b"
   val ibanToken = "[IBAN]"
 
   /** ISO 13616 mod-97 IBAN check: move the first four characters to the

@@ -88,7 +88,13 @@ class CurateOpsSpec extends SparkSpec {
         "pay DE89 3704 0044 0532 0130 00 now",     // valid, grouped print form
         "pay FR14 2004 1010 0505 0001 3M02 606 x", // valid, letter in body
         "pay GB82 WEST 1234 5698 7654 31 now",     // checksum fails → kept
-        "ref AB12INVOICENUMBER9876 now"            // shape match, not an IBAN
+        "ref AB12INVOICENUMBER9876 now",           // shape match, not an IBAN
+        // an UPPERCASE follower must not extend the candidate and make
+        // the checksum fail on the widened match (the true IBAN would
+        // then escape redaction) — the grouped-form alternation stops
+        // at the short tail group
+        "to DE89 3704 0044 0532 0130 00 SWIFT DEUTDEFF done",
+        "to GB82WEST12345698765432 BICX done"
       ).toDF("t").select(Redaction.redactIbans($"t").as("c"))
       val out = df.collect().map(_.getString(0))
       out(0) shouldBe "pay [IBAN] now"
@@ -96,6 +102,8 @@ class CurateOpsSpec extends SparkSpec {
       out(2) shouldBe "pay [IBAN] x"
       out(3) should include("GB82 WEST 1234 5698 7654 31")
       out(4) should include("AB12INVOICENUMBER9876")
+      out(5) shouldBe "to [IBAN] SWIFT DEUTDEFF done"
+      out(6) shouldBe "to [IBAN] BICX done"
     }
 
     it("redacts full and ::-compressed IPv6, leaving times and dates alone") {

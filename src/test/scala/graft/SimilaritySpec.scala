@@ -261,6 +261,22 @@ class SimilaritySpec extends SparkSpec {
       cent.unpersist()
     }
 
+    it("splitOversizedCells skips degenerate cells instead of faking a split") {
+      import graft.operators.IvfIndex
+      // every vector identical → the 2-means sub-fit cannot separate
+      // anything; a "split" would leave one side empty and stale files
+      val e = spark.range(0, 40)
+        .selectExpr("id", "cast(array(1.0, 2.0, 3.0, 4.0) as array<double>) as v")
+      val cent = IvfIndex.fitCentroids(spark, e, k = 1, iterations = 1,
+        orderedMean = true)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-degen").toString
+      IvfIndex.save(cent, IvfIndex.assign(e, cent), dir)
+      IvfIndex.splitOversizedCells(spark, dir, maxCellSize = 10L) shouldBe 0
+      val (cent2, indexed2) = IvfIndex.load(spark, dir)
+      cent2.count() shouldBe 1L
+      indexed2.count() shouldBe 40L // nothing lost, nothing duplicated
+    }
+
     it("maxBucketSize above every bucket is a result no-op on normal data") {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))

@@ -923,8 +923,13 @@ object QueriesText {
       .toDF("step", "left", "right", "pair_count")
       .orderBy($"step")
   }
-  val q124Sql: String = {
-    val rounds = (1 to 6).map { e =>
+  /** Shared oracle CTE chain replaying [[graft.operators.BpeTrain]]'s
+    * six learning rounds: `wf` → `w0` → per round `p$e` (pair counts),
+    * `m$e` (argmax winner), `w$e` (post-merge vocabulary). ONE text
+    * used by both BPE oracles (q124 trajectory, q125 encode) so the
+    * SQL cannot drift from the Scala semantics in just one of them. */
+  private def bpeCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { e =>
       s"""p$e AS MATERIALIZED (
          |  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
@@ -942,7 +947,7 @@ object QueriesText {
          |      ELSE list_append(acc, xl[1]) END) AS s, freq
          |  FROM w${e - 1}, m$e m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wf AS MATERIALIZED (
+    s"""wf AS MATERIALIZED (
        |  SELECT word, count(*) AS freq
        |  FROM (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
@@ -950,10 +955,65 @@ object QueriesText {
        |  SELECT list_filter(string_split(word, ''), ch -> ch <> '') AS s,
        |         CAST(freq AS BIGINT) AS freq
        |  FROM wf WHERE length(word) > 0),
-       |$rounds
+       |$rs""".stripMargin
+  }
+  val q124Sql: String =
+    s"""WITH ${bpeCtes(6)}
        |${(1 to 6).map(e =>
             s"SELECT CAST($e AS BIGINT) AS step, l AS \"left\", r AS \"right\", cnt AS pair_count FROM m$e")
           .mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY step""".stripMargin
+
+  // --------------------------------------------------------------- q125
+  /** BPE ENCODE with the learned merges
+    * ([[graft.operators.BpeTrain.encode]]) — the apply half of the
+    * tokenizer loop: train six merges on the corpus (q124's
+    * trajectory, memoized per sf), then tokenize every document by
+    * replaying the merges in learned order as chained per-row folds.
+    * One codegen'd scan, merge list as plan literals, no model join.
+    * Per source the gate reports word and subword totals — subwords <
+    * raw characters proves the merges actually compress, and a wrong
+    * merge ORDER (not just a wrong merge set) changes the fold output
+    * and flips the totals. The oracle replays training AND encoding:
+    * the same six fold CTEs applied per document token. */
+  val q125BpeEncode: Q = (s, dir) => {
+    import s.implicits._
+    val merges = bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.learnMerges(s,
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges = 6).map { case (_, l, r, _) => (l, r) })
+    graft.operators.BpeTrain.encode(
+        Tables.documents(s, dir), Seq("doc_id", "source"), "text", merges)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_subwords").as("n_subwords"))
+      .orderBy($"source")
+  }
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  val q125Sql: String = {
+    val applyRounds = (1 to 6).map { e =>
+      s"""t$e AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    list_reduce(list_transform(s, x -> [x]),
+         |      (acc, xl) -> CASE WHEN len(acc) > 0
+         |          AND acc[-1] = m.l AND xl[1] = m.r
+         |        THEN list_append(acc[1:len(acc) - 1], m.l || m.r)
+         |        ELSE list_append(acc, xl[1]) END) AS s
+         |  FROM t${e - 1}, m$e m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeCtes(6)},
+       |t0 AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split(w, ''), ch -> ch <> '') AS s
+       |  FROM (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS w
+       |        FROM documents)
+       |  WHERE w <> ''),
+       |$applyRounds
+       |SELECT source, count(DISTINCT doc_id) AS n_docs,
+       |       count(*) AS n_words,
+       |       CAST(sum(len(s)) AS BIGINT) AS n_subwords
+       |FROM t6 GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Registry: name → (spark program, oracle sql). */
@@ -978,5 +1038,6 @@ object QueriesText {
     ("q113_decontaminate", q113Decontaminate, Some(q113Sql)),
     ("q118_unicode_dedup", q118UnicodeDedup, Some(q118Sql)),
     ("q124_bpe_train", q124BpeTrain, Some(q124Sql)),
+    ("q125_bpe_encode", q125BpeEncode, Some(q125Sql)),
   )
 }

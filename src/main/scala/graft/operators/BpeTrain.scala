@@ -42,7 +42,7 @@ object BpeTrain {
 
   /** Left-to-right greedy non-overlapping merge of adjacent pair
     * `(a, b)` in a symbol array, as a pure Catalyst fold. */
-  private def mergePair(syms: Column, a: String, b: String): Column =
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
     aggregate(syms, expr("cast(array() as array<string>)"), (acc, x) => {
       val canMerge = size(acc) > 0 &&
         element_at(acc, -1) === lit(a) && x === lit(b)
@@ -50,6 +50,39 @@ object BpeTrain {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x)))
     })
+
+  /** ENCODE with a learned merge list — the apply half of the
+    * tokenizer loop (train on the corpus, then tokenize the corpus):
+    * each whitespace word splits to characters and replays the merges
+    * IN LEARNED ORDER, the same greedy left-to-right fold as training.
+    * The whole encoder is one chained per-row expression — `merges.k`
+    * nested folds inside a `transform` over the word array — so
+    * tokenizing 100 TB is a single shuffle-free scan with no model
+    * join (the merge list is vocabulary metadata riding the plan as
+    * literals, like [[QualityFilters.linearScore]]'s weights). The
+    * fold chain itself evaluates interpreted (higher-order functions
+    * are CodegenFallback in Spark), which caps per-row speed — fine
+    * for metadata-sized merge lists; a production tokenizer with 10⁴+
+    * merges would swap the chain for one native Expression doing a
+    * dictionary-driven loop, the [[graft.plans.CosineSimilarity]]
+    * escalation path.
+    *
+    * Returns `idCols ++ (n_words, n_subwords)`: the corpus-level
+    * compression ratio n_subwords/n_chars is THE quality metric a
+    * tokenizer fit is judged by. */
+  def encode(df: DataFrame, idCols: Seq[String], textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val ids = idCols.map(col)
+    val words = graft.functions.TextAnalysis.wsTokens(col(textCol))
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(filter(split(w, ""), ch => ch =!= "")) {
+        case (syms, (a, b)) => mergePair(syms, a, b)
+      }
+    df.select(ids :+ transform(words, w => size(encodeWord(w))).as("_wl"): _*)
+      .select(ids ++ Seq(
+        size(col("_wl")).as("n_words"),
+        aggregate(col("_wl"), lit(0L), (acc, x) => acc + x).as("n_subwords")): _*)
+  }
 
   /** Learn `merges` BPE merges from a word-frequency table. Returns the
     * merge trajectory `(step, left, right, pair_count)` — step is

@@ -26,6 +26,25 @@ class TextDedupSpec extends SparkSpec {
       // pair is then (aa, a)
       out shouldBe Seq((1, "a", "a", 2L), (2, "aa", "a", 1L))
     }
+
+    it("encode applies learned merges in order and compresses") {
+      val docs2 = Seq((1L, "newest widest"), (2L, "low lower"))
+        .toDF("doc_id", "text")
+      // merges in the textbook order: es, est
+      val row = graft.operators.BpeTrain
+        .encode(docs2, Seq("doc_id"), "text", Seq(("e", "s"), ("es", "t")))
+        .orderBy($"doc_id").collect()
+      // newest → n,e,w,est (4); widest → w,i,d,est (4)
+      row(0).getAs[Int]("n_words") shouldBe 2
+      row(0).getAs[Long]("n_subwords") shouldBe 8L
+      // low/lower untouched by these merges: 3 + 5 chars
+      row(1).getAs[Long]("n_subwords") shouldBe 8L
+      // merge ORDER matters: (es,t) before (e,s) can never fire "est"
+      graft.operators.BpeTrain
+        .encode(docs2, Seq("doc_id"), "text", Seq(("es", "t"), ("e", "s")))
+        .orderBy($"doc_id").collect()(0)
+        .getAs[Long]("n_subwords") shouldBe 10L // only es merges, not est
+    }
   }
 
   private val docs = Seq(

@@ -367,6 +367,12 @@ class ScaleOpsSpec extends SparkSpec {
       // deterministic under repartitioning
       val re = Packing.ffdPack(docs.repartition(13), "doc_id", "len", 256L, 8)
       re.exceptAll(packed).count() shouldBe 0L
+      // scale shape: exactly ONE shuffle (the bucket groupBy) — the
+      // fold itself is partition-local (counted as physical exchange
+      // nodes on the pre-AQE plan; the string form double-prints)
+      packed.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.length shouldBe 1
     }
   }
 

@@ -44,6 +44,12 @@ class TextDedupSpec extends SparkSpec {
         .encode(docs2, Seq("doc_id"), "text", Seq(("es", "t"), ("e", "s")))
         .orderBy($"doc_id").collect()(0)
         .getAs[Long]("n_subwords") shouldBe 10L // only es merges, not est
+      // scale shape: the encoder is a pure per-row projection chain —
+      // zero exchanges, tokenizing a corpus is exactly one scan
+      val plan = graft.operators.BpeTrain
+        .encode(docs2, Seq("doc_id"), "text", Seq(("e", "s")))
+        .queryExecution.executedPlan.toString
+      (plan should not).include("Exchange")
     }
   }
 

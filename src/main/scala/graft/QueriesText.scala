@@ -969,24 +969,30 @@ object QueriesText {
     * tokenizer loop: train six merges on the corpus (q124's
     * trajectory, memoized per sf), then tokenize every document by
     * replaying the merges in learned order as chained per-row folds.
-    * One codegen'd scan, merge list as plan literals, no model join.
-    * Per source the gate reports word and subword totals — subwords <
-    * raw characters proves the merges actually compress, and a wrong
-    * merge ORDER (not just a wrong merge set) changes the fold output
-    * and flips the totals. The oracle replays training AND encoding:
-    * the same six fold CTEs applied per document token. */
+    * Gated on the NATIVE kernel ([[graft.operators.BpeTrain.subwordCount]]
+    * → [[graft.plans.BpeSubwordCount]]): one codegen'd scan, merge
+    * list riding the plan as a reference object, no model join — the
+    * production tokenizer path; the HOF fold chain is its spec-pinned
+    * twin. Per source the gate reports word and subword totals —
+    * subwords < raw characters proves the merges actually compress,
+    * and a wrong merge ORDER (not just a wrong merge set) changes the
+    * greedy pass output and flips the totals. The oracle replays
+    * training AND encoding: the same six fold CTEs applied per
+    * document token. */
   val q125BpeEncode: Q = (s, dir) => {
     import s.implicits._
     val merges = bpeMergeCache.computeIfAbsent(dir, _ =>
       graft.operators.BpeTrain.learnMerges(s,
         graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
         merges = 6).map { case (_, l, r, _) => (l, r) })
-    graft.operators.BpeTrain.encode(
-        Tables.documents(s, dir), Seq("doc_id", "source"), "text", merges)
+    Tables.documents(s, dir)
+      .select($"source",
+        graft.functions.TextAnalysis.wsTokenCount($"text").as("w"),
+        graft.operators.BpeTrain.subwordCount($"text", merges).as("sw"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        sum($"n_words").as("n_words"),
-        sum($"n_subwords").as("n_subwords"))
+        sum($"w").as("n_words"),
+        sum($"sw").as("n_subwords"))
       .orderBy($"source")
   }
   private val bpeMergeCache =

@@ -84,6 +84,17 @@ object BpeTrain {
         aggregate(col("_wl"), lit(0L), (acc, x) => acc + x).as("n_subwords")): _*)
   }
 
+  /** [[encode]]'s production fast path: total subword count per row via
+    * the native codegen'd kernel ([[graft.plans.BpeSubwordCount]] — one
+    * tight JVM loop per row instead of one interpreted lambda frame per
+    * symbol per merge; spec-pinned equal to the fold chain). */
+  def subwordCount(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.PlanBridge.columnOf(
+      graft.plans.BpeSubwordCount(
+        org.apache.spark.sql.graft.PlanBridge.expressionOf(
+          graft.functions.TextAnalysis.normalizeText(text)),
+        merges))
+
   /** Learn `merges` BPE merges from a word-frequency table. Returns the
     * merge trajectory `(step, left, right, pair_count)` — step is
     * 1-based; `pair_count` is the winning pair's weighted frequency at

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native BPE subword counter — the production escalation of
+  * [[graft.operators.BpeTrain.encode]]'s higher-order-function chain
+  * (HOFs are CodegenFallback; a per-merge fold chain interprets one
+  * lambda call per symbol per merge). This expression applies the
+  * WHOLE learned merge list in one tight JVM loop per row: for each
+  * whitespace token, symbols start as characters and each merge runs
+  * one greedy left-to-right non-overlapping pass IN LEARNED ORDER —
+  * semantics identical to the fold (spec-pinned equal), an order of
+  * magnitude faster, and O(merges) per symbol instead of per lambda
+  * frame.
+  *
+  * Input contract: an ALREADY-normalized text column
+  * ([[graft.functions.TextAnalysis.normalizeText]] — single spaces,
+  * trimmed); the merge table is constructor metadata riding the plan
+  * (codegen embeds it via a reference object), so tokenizing 100 TB
+  * stays one scan with no model join. Returns the total subword count
+  * across the row's tokens. */
+case class BpeSubwordCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_subword_count"
+
+  @transient private lazy val mergeArr: Array[Array[String]] =
+    merges.map { case (a, b) => Array(a, b) }.toArray
+
+  override def nullSafeEval(s: Any): Any =
+    BpeSubwordCount.subwords(s.asInstanceOf[UTF8String], mergeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.BpeSubwordCount.subwords($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSubwordCount =
+    copy(child = newChild)
+}
+
+object BpeSubwordCount {
+
+  /** The kernel: per token, char symbols → each merge one greedy
+    * left-to-right pass → count. Called from both interpreted eval and
+    * generated code. */
+  def subwords(text: UTF8String, merges: Array[Array[String]]): Long = {
+    val s = text.toString
+    var total = 0L
+    var start = 0
+    val n = s.length
+    while (start <= n) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = n
+      total += tokenSubwords(s, start, end, merges)
+      start = end + 1
+      if (end == n) start = n + 1
+    }
+    total
+  }
+
+  private def tokenSubwords(s: String, from: Int, until: Int,
+                            merges: Array[Array[String]]): Int = {
+    val len = until - from
+    if (len <= 0) return 0
+    // symbols as (offset, length) pairs into a working array of strings;
+    // plain String cells keep the merge comparison simple and the array
+    // shrinks in place per pass
+    var syms = new Array[String](len)
+    var i = 0
+    while (i < len) { syms(i) = String.valueOf(s.charAt(from + i)); i += 1 }
+    var size = len
+    var m = 0
+    while (m < merges.length && size > 1) {
+      val a = merges(m)(0)
+      val b = merges(m)(1)
+      var read = 0
+      var write = 0
+      while (read < size) {
+        if (write > 0 && read < size && syms(write - 1) == a && syms(read) == b) {
+          // greedy: the merged cell stays live as the new "last", so it
+          // may merge again with the NEXT symbol — same as the fold
+          syms(write - 1) = a + b
+          read += 1
+        } else {
+          syms(write) = syms(read)
+          read += 1
+          write += 1
+        }
+      }
+      size = write
+      m += 1
+    }
+    size
+  }
+}

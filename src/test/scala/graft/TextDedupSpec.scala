@@ -51,6 +51,24 @@ class TextDedupSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       (plan should not).include("Exchange")
     }
+
+    it("native subwordCount kernel equals the fold chain on a real corpus") {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val merges = graft.operators.BpeTrain.learnMerges(spark,
+        graft.operators.BpeTrain.wordFreqs(docs, "text"), merges = 6)
+        .map { case (_, l, r, _) => (l, r) }
+      val hof = graft.operators.BpeTrain
+        .encode(docs, Seq("doc_id"), "text", merges)
+        .select($"doc_id", $"n_subwords")
+      val native = docs.select($"doc_id",
+        graft.operators.BpeTrain.subwordCount($"text", merges).as("n_subwords"))
+      native.exceptAll(hof).count() shouldBe 0L
+      hof.exceptAll(native).count() shouldBe 0L
+      // the kernel is a single codegen'd expression, no lambda frames
+      val plan = native.queryExecution.executedPlan.toString
+      plan should include("bpe_subword_count")
+      (plan should not).include("lambda")
+    }
   }
 
   private val docs = Seq(

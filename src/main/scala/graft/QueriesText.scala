@@ -987,8 +987,14 @@ object QueriesText {
         merges = 6).map { case (_, l, r, _) => (l, r) })
     Tables.documents(s, dir)
       .select($"source",
-        graft.functions.TextAnalysis.wsTokenCount($"text").as("w"),
+        // NON-EMPTY tokens only, and docs with zero of them are dropped
+        // below — the oracle's t0 filters w <> '' and takes n_docs from
+        // t6, so a blank/whitespace-only document must not count as one
+        // word here (wsTokens of "" is [""], size 1)
+        size(filter(graft.functions.TextAnalysis.wsTokens($"text"),
+          t => t =!= "")).as("w"),
         graft.operators.BpeTrain.subwordCount($"text", merges).as("sw"))
+      .filter($"w" > 0)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"w").as("n_words"),

@@ -228,10 +228,15 @@ object PublicSuffixes {
         .when(col("__p3") || (col("__w2") && n >= 3), lit(3))
         .when(col("__p2") || (col("__w1") && n >= 2), lit(2))
         .otherwise(lit(1))
+    // drop exactly the helper columns this function added — a prefix
+    // wildcard would silently eat a caller's own "__"-named columns
+    val helpers = Seq("__suf1", "__suf2", "__suf3") ++
+      Seq("e3", "e2", "p3", "w2", "p2", "w1")
+        .flatMap(f => Seq(s"__s_$f", s"__$f"))
     joined
       .withColumn(outCol,
         when(n > psLen && h =!= "",
           array_join(slice(labels, n - psLen, psLen + 1), ".")))
-      .drop(joined.columns.filter(_.startsWith("__")): _*)
+      .drop(helpers: _*)
   }
 }

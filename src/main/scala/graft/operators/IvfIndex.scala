@@ -117,7 +117,14 @@ object IvfIndex {
     * degrades only as far as the data distribution drifts from the
     * fitted one (standard IVF practice — monitor cell sizes and refit
     * or [[splitOversizedCells]] when skew appears). Returns the
-    * assigned delta. */
+    * assigned delta.
+    *
+    * Concurrency contract: maintenance ops (this and
+    * [[splitOversizedCells]]) require EXCLUSIVE access to the index
+    * directory — a reader racing the append can see a cell's files
+    * mid-write (parquet append is per-file atomic, not per-directory).
+    * Run maintenance from the single writer that owns the index, the
+    * same contract as any non-transactional parquet layout. */
   def appendToIndex(spark: SparkSession, delta: DataFrame, dir: String): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val assigned = assign(delta, centroids)
@@ -135,7 +142,19 @@ object IvfIndex {
     * that cell's partitions (dynamic partition overwrite) and the
     * centroid table. The driver loop runs once per oversized cell —
     * cell COUNT is index-dimension-sized (≤ k), never corpus-sized.
-    * Returns the number of cells split. */
+    * Returns the number of cells split.
+    *
+    * Concurrency contract: requires EXCLUSIVE access to the index
+    * directory (see [[appendToIndex]]). The index and centroid writes
+    * are two separate commits; within that contract the failure window
+    * is narrowed by swapping the centroid table via temp-write + rename
+    * (the write job runs against a scratch path; the live `centroids`
+    * directory is replaced by two metadata-only renames at the very
+    * end), so a crash mid-write leaves the OLD centroids intact rather
+    * than a half-written table. A crash between the index overwrite and
+    * the centroid swap leaves fresh sub-cells probe-invisible (no
+    * centroid row) — stale recall, not wrong results — and re-running
+    * the split repairs it. */
   def splitOversizedCells(spark: SparkSession, dir: String, maxCellSize: Long,
                           iterations: Int = 1,
                           orderedMean: Boolean = true): Int = {
@@ -188,7 +207,20 @@ object IvfIndex {
       // one write; dynamic overwrite rewrites ONLY the split partitions
       pieces.map(_._1).reduce(_ unionByName _)
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
-      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      // commit-marker pattern: build the new centroid table on a scratch
+      // path, then swap it in with renames — the slow write job never
+      // has the live directory in a half-written state
+      val tmp = s"$dir/centroids__tmp"
+      centroids.write.mode("overwrite").parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(conf)
+      val live = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/centroids__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(live, old)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+      fs.delete(old, true)
       spark.catalog.refreshByPath(s"$dir/index")
       spark.catalog.refreshByPath(s"$dir/centroids")
       pieces.length

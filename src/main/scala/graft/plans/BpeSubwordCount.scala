@@ -75,13 +75,20 @@ object BpeSubwordCount {
                             merges: Array[Array[String]]): Int = {
     val len = until - from
     if (len <= 0) return 0
-    // symbols as (offset, length) pairs into a working array of strings;
-    // plain String cells keep the merge comparison simple and the array
-    // shrinks in place per pass
-    var syms = new Array[String](len)
-    var i = 0
-    while (i < len) { syms(i) = String.valueOf(s.charAt(from + i)); i += 1 }
-    var size = len
+    // seed one symbol per CODE POINT, not per UTF-16 unit: the fold twin
+    // (split(w, "") keeps surrogate pairs whole) and the oracle's
+    // string_split both work per code point, so a supplementary-plane
+    // char must stay one mergeable symbol, not two lone surrogates
+    var syms = new Array[String](len) // code points ≤ UTF-16 units
+    var i = from
+    var size = 0
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      val cw = Character.charCount(cp)
+      syms(size) = s.substring(i, i + cw)
+      i += cw
+      size += 1
+    }
     var m = 0
     while (m < merges.length && size > 1) {
       val a = merges(m)(0)

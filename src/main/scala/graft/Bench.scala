@@ -74,6 +74,11 @@ object Bench {
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":${failed.size},"errors":$errsJson,"queries":$qs,"sf":"$sfDir"}""")
+    // the driver's capture keeps only the stdout TAIL (~2 KB), and the
+    // full JSON line above exceeds it at 125 queries — echo the headline
+    // numbers LAST so they survive truncation regardless of catalog size
+    val failedNames = failed.map(_._1).mkString(",")
+    println(f"BENCH_SUMMARY total_steady=$total%.2fs total_cold=$coldTotal%.2fs queries=${results.size} failed=${failed.size}${if (failedNames.nonEmpty) s" failed_names=$failedNames" else ""}")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

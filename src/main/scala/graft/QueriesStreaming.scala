@@ -43,9 +43,9 @@ object QueriesStreaming {
     * drops nothing on a finite replay) → read back as a batch frame.
     * Window starts surface as epoch seconds (never raw timestamps).
     *
-    * The nanosecond-timestamp repair mirrors [[Tables.events]]: the
-    * parquet has TIMESTAMP(NANOS), read as long and rebuilt with
-    * integer division (a double roundtrip corrupts ns magnitudes). */
+    * The timestamp repair is [[Tables.repairTs]] — schema-adaptive, so
+    * it survives the testdata flipping between ns-as-INT64 and native
+    * µs TIMESTAMP encodings (it did, in round 7). */
   val q45StreamWindow: Q = (s, dir) => {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -54,8 +54,7 @@ object QueriesStreaming {
     // driver-side schema peek (footer metadata only, not a data scan) —
     // a streaming source cannot infer
     val schema = s.read.parquet(file).schema
-    val stream = s.readStream.schema(schema).parquet(watch)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = Tables.repairTs(s.readStream.schema(schema).parquet(watch))
     val name = s"q45_win_${System.nanoTime()}"
     val query = EventStreams.windowedTypeCounts(stream)
       .writeStream.format("memory").queryName(name)

@@ -40,19 +40,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** The events table is written with ns-precision timestamps, which
-    * Spark's parquet reader rejects by default (PARQUET_TYPE_ILLEGAL).
-    * Read ns as long and rebuild a µs timestamp (truncation, matching
-    * Spark's own ns→µs behavior everywhere else). Queries that need
-    * exact cross-engine values use epoch *seconds* anyway (see
-    * QueriesAnalytic doc). */
+  /** Normalize the events `ts` column to a UTC instant (TimestampType)
+    * whatever physical encoding the parquet carries. The driver has
+    * shipped two encodings across rounds — ns-precision INT64 (which
+    * Spark only reads via `nanosAsLong`, arriving as LongType) and
+    * standard TIMESTAMP_MICROS with isAdjustedToUTC=false (arriving as
+    * TIMESTAMP_NTZ) — so the repair must branch on the READ schema, not
+    * assume one. Both branches yield the same instant for the same
+    * wall-clock value, and `to_utc_timestamp(ts, 'UTC')` pins the NTZ
+    * interpretation to UTC independent of `spark.sql.session.timeZone`,
+    * so epoch-based oracles (DuckDB `epoch()`) match in any session. */
+  def repairTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      // integer DIV, not `/`: a double roundtrip at ns magnitude (~1e18)
+      // exceeds the 53-bit mantissa and would corrupt the µs value
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      // NOT to_utc_timestamp / cast: both implicitly convert NTZ→TZ
+      // through the SESSION zone first (measured: a New_York session
+      // shifts every instant by 5 h). Wall-clock µs since the NTZ epoch
+      // is pure date arithmetic — no zone, no DST ambiguity.
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected physical type $other")
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when the file is already µs: the flag only changes how a
+    // ns-annotated INT64 column is surfaced
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer DIV, not `/`: a double roundtrip at ns magnitude (~1e18)
-    // exceeds the 53-bit mantissa and would corrupt the µs value
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    repairTs(table(s, d, "events"))
   }
   // documents/embeddings feed the per-row-expensive pipelines (shingle
   // explode + md5 lanes, 256-dim cosine): fan the scan out so that work

@@ -40,6 +40,17 @@ object BpeTrain {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** Seed a word's symbol array: per code point (char mode) or per
+    * UTF-8 byte as a lowercase hex pair (byte-level mode — fixed
+    * 256-symbol base alphabet, so NO character is ever out of
+    * vocabulary; the hex rendering is what a SQL oracle can restate
+    * via `hex(encode(word))` substrings). */
+  private[graft] def seedSyms(w: Column, byteLevel: Boolean): Column =
+    if (byteLevel)
+      transform(sequence(lit(1), octet_length(w)),
+        i => lower(substring(hex(encode(w, "UTF-8")), i * 2 - 1, lit(2))))
+    else filter(split(w, ""), ch => ch =!= "")
+
   /** Left-to-right greedy non-overlapping merge of adjacent pair
     * `(a, b)` in a symbol array, as a pure Catalyst fold. */
   private[graft] def mergePair(syms: Column, a: String, b: String): Column =
@@ -95,15 +106,76 @@ object BpeTrain {
           graft.functions.TextAnalysis.normalizeText(text)),
         merges))
 
+  /** Deterministic vocabulary for [[encodeIds]]: base symbols (the
+    * distinct seed symbols of the word-frequency table) sorted in
+    * UNSIGNED UTF-8 BYTE order get ids `0..B-1`; merge `k`'s product
+    * `a+b` gets id `B+k-1`, FIRST assignment winning when two merges
+    * produce the same string (("a","bc") and ("ab","c") both make
+    * "abc"). Byte order, not Java's UTF-16 `compareTo`, because that is
+    * the one total order both engines state identically (DuckDB's
+    * binary collation IS unsigned-byte order; UTF-16 order diverges for
+    * supplementary-plane vs U+E000–U+FFFF chars). The collect is
+    * vocabulary-sized (≤ alphabet + merges), driver-scale by design. */
+  def buildVocab(freqs: DataFrame, merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): Map[String, Int] = {
+    val base = freqs
+      .select(explode(seedSyms(col("word"), byteLevel)).as("sym"))
+      .distinct().collect().map(_.getString(0))
+      .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    base.zipWithIndex.foreach { case (s, i) => out(s) = i }
+    merges.zipWithIndex.foreach { case ((a, b), k) =>
+      val prod = a + b
+      if (!out.contains(prod)) out(prod) = base.length + k
+    }
+    out.toMap
+  }
+
+  /** Token-id emission against a learned vocabulary — the native
+    * kernel ([[graft.plans.BpeEncodeIds]]): one codegen'd scan, merges
+    * and vocab riding the plan as reference objects. Input text is
+    * normalized inside, mirroring [[subwordCount]]. */
+  def encodeIds(text: Column, merges: Seq[(String, String)],
+                vocab: Map[String, Int], byteLevel: Boolean = false): Column =
+    org.apache.spark.sql.graft.PlanBridge.columnOf(
+      graft.plans.BpeEncodeIds(
+        org.apache.spark.sql.graft.PlanBridge.expressionOf(
+          graft.functions.TextAnalysis.normalizeText(text)),
+        merges, vocab, byteLevel))
+
+  /** [[encodeIds]]'s spec twin as a pure Catalyst fold chain (the
+    * [[encode]] shape plus an id lookup): per word, seed symbols →
+    * replay merges in learned order → map through the vocab literal.
+    * CodegenFallback-slow; exists so the native kernel is pinned
+    * against independently-built semantics. */
+  private[graft] def encodeIdsFold(text: Column, merges: Seq[(String, String)],
+                                   vocab: Map[String, Int],
+                                   byteLevel: Boolean): Column = {
+    val vocabMap = map(vocab.toSeq.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    val words = graft.functions.TextAnalysis.wsTokens(
+      graft.functions.TextAnalysis.normalizeText(text))
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(seedSyms(w, byteLevel)) {
+        case (syms, (a, b)) => mergePair(syms, a, b)
+      }
+    transform(
+      flatten(transform(filter(words, w => w =!= ""), encodeWord)),
+      sym => coalesce(element_at(vocabMap, sym), lit(-1)))
+  }
+
   /** Learn `merges` BPE merges from a word-frequency table. Returns the
     * merge trajectory `(step, left, right, pair_count)` — step is
     * 1-based; `pair_count` is the winning pair's weighted frequency at
     * the time it won. Stops early if no adjacent pair remains. */
   def learnMerges(spark: SparkSession, freqs: DataFrame,
-                  merges: Int): Seq[(Int, String, String, Long)] = {
+                  merges: Int, byteLevel: Boolean = false): Seq[(Int, String, String, Long)] = {
     require(merges > 0, s"merges must be positive, got $merges")
     var words = freqs
-      .select(split(col("word"), "").as("s"), col("freq").cast("long").as("freq"))
+      .select(seedSyms(col("word"), byteLevel).as("s"),
+        col("freq").cast("long").as("freq"))
       .filter(size(col("s")) > 0)
       .localCheckpoint() // the fold below rewrites `s` every round
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

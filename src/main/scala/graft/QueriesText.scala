@@ -928,16 +928,37 @@ object QueriesText {
     * `m$e` (argmax winner), `w$e` (post-merge vocabulary). ONE text
     * used by both BPE oracles (q124 trajectory, q125 encode) so the
     * SQL cannot drift from the Scala semantics in just one of them. */
-  private def bpeCtes(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String =
+    bpeCtesG(rounds, "", normSql, charSeedSql)
+
+  /** Char-mode word→symbol-list seed. */
+  private val charSeedSql: String => String =
+    w => s"list_filter(string_split($w, ''), ch -> ch <> '')"
+
+  /** Byte-level seed: one symbol per UTF-8 byte as a lowercase hex pair
+    * — restates [[graft.operators.BpeTrain.seedSyms]] byte mode. */
+  private val byteSeedSql: String => String =
+    w => s"""list_transform(generate_series(1, octet_length(encode($w))),
+            |      i -> lower(substr(hex(encode($w)), 2 * i - 1, 2)))""".stripMargin
+
+  /** Generalized BPE-learning CTE chain: `prefix` namespaces the CTE
+    * names so two chains (e.g. char- and byte-mode) can coexist in one
+    * query; `txtSql` is the normalized-text expression the
+    * word-frequency table tokenizes; `seedSql` renders a word column
+    * into its symbol list. The merge rounds themselves are
+    * representation-agnostic — symbols are just strings. */
+  private def bpeCtesG(rounds: Int, prefix: String, txtSql: String,
+                       seedSql: String => String): String = {
+    val p = prefix
     val rs = (1 to rounds).map { e =>
-      s"""p$e AS MATERIALIZED (
+      s"""${p}p$e AS MATERIALIZED (
          |  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
          |          i -> {'l': s[i], 'r': s[i + 1]})) AS pr
-         |        FROM w${e - 1}) GROUP BY pr.l, pr.r),
-         |m$e AS MATERIALIZED (
-         |  SELECT l, r, cnt FROM p$e ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |w$e AS MATERIALIZED (
+         |        FROM ${p}w${e - 1}) GROUP BY pr.l, pr.r),
+         |${p}m$e AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM ${p}p$e ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |${p}w$e AS MATERIALIZED (
          |  -- the winner rides the row via cross join: DuckDB lambdas
          |  -- may reference row columns but not subqueries
          |  SELECT list_reduce(list_transform(s, x -> [x]),
@@ -945,16 +966,16 @@ object QueriesText {
          |        AND acc[-1] = m.l AND xl[1] = m.r
          |      THEN list_append(acc[1:len(acc) - 1], m.l || m.r)
          |      ELSE list_append(acc, xl[1]) END) AS s, freq
-         |  FROM w${e - 1}, m$e m)""".stripMargin
+         |  FROM ${p}w${e - 1}, ${p}m$e m)""".stripMargin
     }.mkString(",\n")
-    s"""wf AS MATERIALIZED (
+    s"""${p}wf AS MATERIALIZED (
        |  SELECT word, count(*) AS freq
-       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  FROM (SELECT unnest(string_split($txtSql, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
-       |w0 AS MATERIALIZED (
-       |  SELECT list_filter(string_split(word, ''), ch -> ch <> '') AS s,
+       |${p}w0 AS MATERIALIZED (
+       |  SELECT ${seedSql("word")} AS s,
        |         CAST(freq AS BIGINT) AS freq
-       |  FROM wf WHERE length(word) > 0),
+       |  FROM ${p}wf WHERE length(word) > 0),
        |$rs""".stripMargin
   }
   val q124Sql: String =
@@ -1028,6 +1049,190 @@ object QueriesText {
        |FROM t6 GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q126
+  /** Token-id training pipeline END-TO-END — text → BPE token-id
+    * arrays ([[graft.operators.BpeTrain.encodeIds]], the native
+    * [[graft.plans.BpeEncodeIds]] kernel: one codegen'd scan, vocab and
+    * merges riding the plan as reference objects) → token-budget FFD
+    * packing ([[graft.operators.Packing.ffdPack]], capacity 512) →
+    * per-bin training-example assembly
+    * ([[graft.operators.Packing.assembleSequences]]). The gate row is
+    * one TRAINING EXAMPLE (a packed bin): doc count, id-sequence span,
+    * total token count, and an md5 digest of the concatenated id
+    * sequences in doc order — so a single wrong token id, a doc in the
+    * wrong bin, or a wrong assembly order anywhere in the corpus flips
+    * at least one hash. The oracle replays the ENTIRE pipeline:
+    * training (six unrolled CTE rounds), the deterministic vocabulary
+    * (base symbols in binary order, merge products appended in learned
+    * order, first assignment wins), per-doc encoding (nested
+    * list_reduce per word, word order preserved), id lookup, the FFD
+    * fold, and the per-bin string_agg digest.
+    *
+    * Scale shape: encode is a shuffle-free scan; packing is the q121
+    * two-shuffle bucket fold with corpus-proportional bucket count;
+    * assembly is one hash aggregation keyed by bin. Nothing
+    * corpus-sized ever reaches the driver — the vocab collect is
+    * alphabet+merges rows. */
+  val q126TokenPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val merges = bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.learnMerges(s,
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges = 6).map { case (_, l, r, _) => (l, r) })
+    val vocab = bpeVocabCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.buildVocab(
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges))
+    // tokenize ONCE (eager checkpoint): the bucket-sizing count, the
+    // packing job and the ids_str join all read the materialized table
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id",
+        graft.operators.BpeTrain.encodeIds($"text", merges, vocab).as("ids"))
+      .select($"doc_id", array_join($"ids", ",").as("ids_str"),
+        size($"ids").cast("long").as("n_toks"))
+      .localCheckpoint()
+    val eligible = docs.filter($"n_toks" > 0 && $"n_toks" <= 512)
+    val buckets = math.max(1L, math.ceil(eligible.count() / 64.0).toLong).toInt
+    val packed = graft.operators.Packing
+      .ffdPack(docs, "doc_id", "n_toks", capacity = 512L, buckets = buckets)
+      .join(docs.select($"doc_id".as("id"), $"ids_str"), "id")
+      .withColumn("bin_key", concat_ws(":", $"bucket", $"bin"))
+    val assembled = graft.operators.Packing
+      .assembleSequences(packed, "bin_key", "id", $"ids_str")
+    val toks = packed.groupBy($"bin_key").agg(sum($"len").as("bin_tokens"))
+    assembled.join(toks, "bin_key")
+      .select($"bin_key", $"n_events".as("n_docs"),
+        $"first_ord".cast("long").as("first_doc"),
+        $"last_ord".cast("long").as("last_doc"), $"bin_tokens", $"digest")
+      .orderBy($"bin_key")
+  }
+  private val bpeVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
+  val q126Sql: String = {
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    val applyRounds = (1 to 6).map { e =>
+      s"""e$e AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(wss, s ->
+         |    list_reduce(list_transform(s, x -> [x]),
+         |      (acc, xl) -> CASE WHEN len(acc) > 0
+         |          AND acc[-1] = m.l AND xl[1] = m.r
+         |        THEN list_append(acc[1:len(acc) - 1], m.l || m.r)
+         |        ELSE list_append(acc, xl[1]) END)) AS wss
+         |  FROM e${e - 1}, m$e m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeCtes(6)},
+       |vsyms AS MATERIALIZED (SELECT DISTINCT unnest(s) AS sym FROM w0),
+       |basev AS MATERIALIZED (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+       |  FROM vsyms),
+       |mrg AS (${(1 to 6).map(e =>
+            s"SELECT $e AS step, l, r FROM m$e").mkString(" UNION ALL ")}),
+       |vocab AS MATERIALIZED (
+       |  SELECT sym, CAST(min(id) AS BIGINT) AS id FROM (
+       |    SELECT sym, id FROM basev
+       |    UNION ALL
+       |    SELECT l || r AS sym, (SELECT count(*) FROM basev) + step - 1 AS id
+       |    FROM mrg)
+       |  GROUP BY sym),
+       |e0 AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(string_split($normSql, ' '), w -> w <> ''),
+       |    w -> list_filter(string_split(w, ''), ch -> ch <> '')) AS wss
+       |  FROM documents),
+       |$applyRounds,
+       |enc AS MATERIALIZED (SELECT doc_id, flatten(wss) AS syms FROM e6),
+       |fx AS (SELECT doc_id, unnest(syms) AS sym,
+       |              unnest(generate_series(1, len(syms))) AS ord FROM enc),
+       |ids AS MATERIALIZED (
+       |  SELECT doc_id, string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY ord) AS ids_str,
+       |         CAST(count(*) AS BIGINT) AS n_toks
+       |  FROM fx JOIN vocab v ON fx.sym = v.sym GROUP BY doc_id),
+       |f0 AS (SELECT doc_id, n_toks AS len, ids_str FROM ids
+       |       WHERE n_toks > 0 AND n_toks <= 512),
+       |nb AS (
+       |  SELECT CAST(greatest(1, ceil(count(*) / 64.0)) AS BIGINT) AS b FROM f0),
+       |f AS (
+       |  SELECT doc_id, len, ids_str, (($digits) % (SELECT b FROM nb)) AS bucket
+       |  FROM f0),
+       |g AS (
+       |  SELECT bucket,
+       |    list_sort(list({'nl': -len, 'id': doc_id, 'len': len})) AS ds
+       |  FROM f GROUP BY bucket),
+       |p AS (
+       |  SELECT bucket,
+       |    list_reduce(
+       |      list_transform(ds,
+       |        d -> [{'id': d.id, 'len': d.len, 'bin': CAST(1 AS BIGINT)}]),
+       |      (a, x) -> list_append(a, {'id': x[1].id, 'len': x[1].len,
+       |        'bin': COALESCE(
+       |          list_filter(
+       |            generate_series(1,
+       |              COALESCE(list_max(list_transform(a, s -> s.bin)), 0)),
+       |            i -> list_sum(list_transform(
+       |                   list_filter(a, s -> s.bin = i), s -> s.len))
+       |                 + x[1].len <= 512)[1],
+       |          COALESCE(list_max(list_transform(a, s -> s.bin)), 0) + 1)}))
+       |      AS packed
+       |  FROM g),
+       |pk AS (SELECT bucket, a.id AS doc_id, a.len AS len, a.bin AS bin
+       |       FROM (SELECT bucket, unnest(packed) AS a FROM p))
+       |SELECT CAST(pk.bucket AS VARCHAR) || ':' || CAST(pk.bin AS VARCHAR) AS bin_key,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(min(pk.doc_id) AS BIGINT) AS first_doc,
+       |       CAST(max(pk.doc_id) AS BIGINT) AS last_doc,
+       |       CAST(sum(pk.len) AS BIGINT) AS bin_tokens,
+       |       md5(string_agg(f.ids_str, '|' ORDER BY pk.doc_id)) AS digest
+       |FROM pk JOIN f ON pk.doc_id = f.doc_id
+       |GROUP BY pk.bucket, pk.bin
+       |ORDER BY bin_key""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q127
+  /** BYTE-LEVEL BPE vs char-level BPE — production tokenizers merge
+    * UTF-8 BYTES over a fixed 256-symbol base alphabet (byte fallback:
+    * no character can ever be out-of-vocabulary), not characters. The
+    * corpus is ASCII, where the two modes coincide, so the gate derives
+    * a multi-byte fixture deterministically (`replace(text, 'e', 'é')`
+    * — é is 2 UTF-8 bytes, c3 a9) and learns six merges in BOTH modes
+    * ([[graft.operators.BpeTrain.learnMerges]] `byteLevel`): the
+    * trajectories PROVABLY diverge (byte mode merges the (c3, a9)
+    * fragment pair that char mode cannot even see), and the oracle
+    * replays both chains — char seeding by code point, byte seeding by
+    * hex pair — through the same unrolled merge rounds. Byte symbols
+    * surface as lowercase hex pairs, the cross-engine-stable rendering
+    * ([[graft.plans.BpeSubwordCount]] byte mode uses the identical
+    * form, so these merges drive the native kernel directly). */
+  val q127ByteBpe: Q = (s, dir) => {
+    import s.implicits._
+    val fixture = Tables.documents(s, dir)
+      .withColumn("text", regexp_replace($"text", "e", "é"))
+    val freqs = graft.operators.BpeTrain.wordFreqs(fixture, "text")
+      .localCheckpoint() // both modes seed from the one corpus pass
+    val ch = graft.operators.BpeTrain.learnMerges(s, freqs, merges = 6)
+    val by = graft.operators.BpeTrain
+      .learnMerges(s, freqs, merges = 6, byteLevel = true)
+    (ch.map { case (st, l, r, c) => ("char", st.toLong, l, r, c) } ++
+      by.map { case (st, l, r, c) => ("byte", st.toLong, l, r, c) })
+      .toDF("enc_mode", "step", "left", "right", "pair_count")
+      .orderBy($"enc_mode", $"step")
+  }
+  val q127Sql: String = {
+    val fixtureNorm =
+      """lower(trim(regexp_replace(replace(text, 'e', 'é'), '\s+', ' ', 'g')))"""
+    s"""WITH ${bpeCtesG(6, "c", fixtureNorm, charSeedSql)},
+       |${bpeCtesG(6, "b", fixtureNorm, byteSeedSql)}
+       |${(1 to 6).map(e =>
+            s"SELECT 'char' AS enc_mode, CAST($e AS BIGINT) AS step, l AS \"left\", r AS \"right\", cnt AS pair_count FROM cm$e")
+          .mkString("\n", "\nUNION ALL\n", "")}
+       |UNION ALL
+       |${(1 to 6).map(e =>
+            s"SELECT 'byte' AS enc_mode, CAST($e AS BIGINT) AS step, l AS \"left\", r AS \"right\", cnt AS pair_count FROM bm$e")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY enc_mode, step""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -1051,5 +1256,7 @@ object QueriesText {
     ("q118_unicode_dedup", q118UnicodeDedup, Some(q118Sql)),
     ("q124_bpe_train", q124BpeTrain, Some(q124Sql)),
     ("q125_bpe_encode", q125BpeEncode, Some(q125Sql)),
+    ("q126_token_pipeline", q126TokenPipeline, Some(q126Sql)),
+    ("q127_byte_bpe", q127ByteBpe, Some(q127Sql)),
   )
 }

@@ -47,8 +47,11 @@ object BpeTrain {
     * via `hex(encode(word))` substrings). */
   private[graft] def seedSyms(w: Column, byteLevel: Boolean): Column =
     if (byteLevel)
+      // o.a.s.sql.functions.encode, not this object's BPE encode
       transform(sequence(lit(1), octet_length(w)),
-        i => lower(substring(hex(encode(w, "UTF-8")), i * 2 - 1, lit(2))))
+        i => lower(substring(
+          hex(org.apache.spark.sql.functions.encode(w, "UTF-8")),
+          i * 2 - 1, lit(2))))
     else filter(split(w, ""), ch => ch =!= "")
 
   /** Left-to-right greedy non-overlapping merge of adjacent pair
@@ -118,12 +121,19 @@ object BpeTrain {
     * vocabulary-sized (≤ alphabet + merges), driver-scale by design. */
   def buildVocab(freqs: DataFrame, merges: Seq[(String, String)],
                  byteLevel: Boolean = false): Map[String, Int] = {
-    val base = freqs
-      .select(explode(seedSyms(col("word"), byteLevel)).as("sym"))
-      .distinct().collect().map(_.getString(0))
-      .sortWith((a, b) => java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
+    // byte mode: the FIXED 256-byte base alphabet (ids 0..255 = the byte
+    // value, since hex pairs sort numerically) — the byte-fallback
+    // guarantee production tokenizers rely on: any character of any
+    // future input decomposes into base symbols, so -1 (OOV) is
+    // impossible by construction, corpus-independent
+    val base: Array[String] =
+      if (byteLevel) Array.tabulate(256)(b => f"$b%02x")
+      else freqs
+        .select(explode(seedSyms(col("word"), byteLevel)).as("sym"))
+        .distinct().collect().map(_.getString(0))
+        .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     base.zipWithIndex.foreach { case (s, i) => out(s) = i }
     merges.zipWithIndex.foreach { case ((a, b), k) =>

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BpeTrain
+
+/** Token-id emission ([[graft.plans.BpeEncodeIds]]) and byte-level BPE:
+  * the native kernel pinned against the independently-built Catalyst
+  * fold twin, the deterministic vocab scheme, and the byte-fallback
+  * no-OOV guarantee. */
+class BpeIdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private lazy val merges: Seq[(String, String)] =
+    BpeTrain.learnMerges(spark,
+      BpeTrain.wordFreqs(corpus, "text"), merges = 6)
+      .map { case (_, l, r, _) => (l, r) }
+  private lazy val vocab: Map[String, Int] =
+    BpeTrain.buildVocab(BpeTrain.wordFreqs(corpus, "text"), merges)
+
+  describe("BpeTrain.encodeIds (native kernel)") {
+    it("equals the fold-chain twin on a real corpus") {
+      val native = corpus.select($"doc_id",
+        BpeTrain.encodeIds($"text", merges, vocab).as("ids"))
+      val fold = corpus.select($"doc_id",
+        BpeTrain.encodeIdsFold($"text", merges, vocab, byteLevel = false).as("ids"))
+      native.exceptAll(fold).count() shouldBe 0L
+      fold.exceptAll(native).count() shouldBe 0L
+      val plan = native.queryExecution.executedPlan.toString
+      plan should include("bpe_encode_ids")
+      (plan should not).include("lambda")
+    }
+
+    it("emits ids consistent with subwordCount and never -1 on the training corpus") {
+      val both = corpus.select(
+        org.apache.spark.sql.functions.size(
+          BpeTrain.encodeIds($"text", merges, vocab)).cast("long").as("n_ids"),
+        BpeTrain.subwordCount($"text", merges).as("n_sw"),
+        array_contains(BpeTrain.encodeIds($"text", merges, vocab), -1).as("oov"))
+      both.filter($"n_ids" =!= $"n_sw" || $"oov").count() shouldBe 0L
+    }
+
+    it("assigns base ids in UTF-8 byte order and merge ids in learned order") {
+      val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+        .toDF("word", "freq")
+      val m = BpeTrain.learnMerges(spark, words, merges = 2)
+        .map { case (_, l, r, _) => (l, r) }
+      m shouldBe Seq(("e", "s"), ("es", "t"))
+      val v = BpeTrain.buildVocab(words, m)
+      // base chars: d,e,i,l,n,o,r,s,t,w sorted → ids 0..9
+      v("d") shouldBe 0
+      v("w") shouldBe 9
+      v("es") shouldBe 10 // merge 1
+      v("est") shouldBe 11 // merge 2
+      val ids = Seq(Tuple1("newest")).toDF("text")
+        .select(BpeTrain.encodeIds($"text", m, v).as("ids"))
+        .head().getSeq[Int](0)
+      // n,e,w,est
+      ids shouldBe Seq(v("n"), v("e"), v("w"), v("est"))
+    }
+  }
+
+  describe("byte-level BPE") {
+    it("kernel equals the fold twin in byte mode on a multi-byte fixture") {
+      val fixture = corpus.withColumn("text", regexp_replace($"text", "e", "é"))
+      val freqs = BpeTrain.wordFreqs(fixture, "text")
+      val bm = BpeTrain.learnMerges(spark, freqs, merges = 4, byteLevel = true)
+        .map { case (_, l, r, _) => (l, r) }
+      val bv = BpeTrain.buildVocab(freqs, bm, byteLevel = true)
+      val native = fixture.select($"doc_id",
+        BpeTrain.encodeIds($"text", bm, bv, byteLevel = true).as("ids"))
+      val fold = fixture.select($"doc_id",
+        BpeTrain.encodeIdsFold($"text", bm, bv, byteLevel = true).as("ids"))
+      native.exceptAll(fold).count() shouldBe 0L
+      fold.exceptAll(native).count() shouldBe 0L
+    }
+
+    it("diverges from char mode exactly where multi-byte chars appear") {
+      val fixture = corpus.withColumn("text", regexp_replace($"text", "e", "é"))
+      val freqs = BpeTrain.wordFreqs(fixture, "text").localCheckpoint()
+      val ch = BpeTrain.learnMerges(spark, freqs, merges = 3)
+      val by = BpeTrain.learnMerges(spark, freqs, merges = 3, byteLevel = true)
+      // byte mode must first re-assemble é from its two UTF-8 bytes —
+      // a pair char mode cannot even represent
+      by.head._2 shouldBe "c3"
+      by.head._3 shouldBe "a9"
+      ch.map(t => (t._2, t._3)) should not be by.map(t => (t._2, t._3))
+    }
+
+    it("byte fallback: fixed 256-symbol base encodes unseen characters with no OOV") {
+      val freqs = Seq(("hello", 3L)).toDF("word", "freq")
+      val m = BpeTrain.learnMerges(spark, freqs, merges = 1, byteLevel = true)
+        .map { case (_, l, r, _) => (l, r) }
+      val v = BpeTrain.buildVocab(freqs, m, byteLevel = true)
+      v("00") shouldBe 0
+      v("ff") shouldBe 255
+      v.size shouldBe 257 // 256 bytes + 1 merge product
+      // '中' (e4 b8 ad) never appeared in training — bytes still encode
+      val ids = Seq(Tuple1("中 hello")).toDF("text")
+        .select(BpeTrain.encodeIds($"text", m, v, byteLevel = true).as("ids"))
+        .head().getSeq[Int](0)
+      ids.take(3) shouldBe Seq(0xe4, 0xb8, 0xad)
+      ids should not contain -1
+    }
+  }
+}

@@ -297,6 +297,123 @@ object QueriesStreaming {
        |FROM novel GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q128
+  /** Streaming NEAR-dup ingest against the persisted dedup store — the
+    * r6-verdict extension of q110 (exact-fingerprint only) and the
+    * continuous face of q107's snapshot classification
+    * ([[graft.operators.TextDedup.ingestFlags]]): documents arrive as a
+    * file stream carrying q107's planted delta — novel docs (md5
+    * buckets 8–9), exact corpus copies (`dup_exact`), PERTURBED corpus
+    * copies with a ` zz qq` suffix (NON-identical text, so only the
+    * MinHash band path can catch them → `dup_near`), and in-shard
+    * copies of novel docs (caught by neither flag — the store never saw
+    * them). Per micro-batch every doc is fingerprinted and MinHash-
+    * signed STATELESSLY ([[graft.operators.TextDedup.rowMinHashCols]] —
+    * per-row array_min lanes, provably equal to the grouped min), its
+    * band keys stream-static-join the BROADCAST store band table, lane
+    * agreement ≥ 4/8 verifies candidates, and one streaming aggregation
+    * folds band rows to per-doc verdicts. The gate groups verdicts into
+    * the four (dup_exact, dup_near) classes with id checksums; the
+    * planted near-dups populate the (false,true) class, so a broken
+    * band join, lane disagreement, or missed store hit moves whole
+    * classes. The oracle replays fingerprints, signatures, banding,
+    * agreement, and classification in SQL. */
+  val q128StreamNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/documents.parquet"
+    val watch = streamableDir(dir, "documents.parquet", "q128_docs")
+    val schema = s.read.parquet(file).schema
+    val corpus = s.read.parquet(file)
+      .filter(graft.operators.Sampling.hashBucket($"doc_id", 10) < 8)
+      .select($"doc_id", $"text")
+    val (storeFp, storeSig) = graft.operators.TextDedup
+      .buildDedupStore(corpus, "doc_id", "text", shingleN = 5, k = 8)
+    // eager-materialize the store tables: a stream-static join re-reads
+    // its static side EVERY micro-batch, and the signature build is a
+    // corpus scan + shingle explode we must not repeat per batch
+    val sFp = storeFp.localCheckpoint()
+    val sSig = storeSig.localCheckpoint()
+    def arriving = s.readStream.schema(schema).parquet(watch)
+      .withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
+    val delta = arriving.filter($"b" >= 8).select($"doc_id", $"text")
+      .unionByName(arriving.filter($"b" < 8 && $"doc_id" % 7 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+      .unionByName(arriving.filter($"b" < 8 && $"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"),
+          concat($"text", lit(" zz qq")).as("text")))
+      .unionByName(arriving.filter($"b" >= 8 && $"doc_id" % 13 === 0)
+        .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
+    val flags = graft.operators.TextDedup.ingestFlags(delta, "doc_id", "text",
+      sFp, sSig, shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+    val name = s"q128_neardup_${System.nanoTime()}"
+    val query = flags.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(name)
+      .groupBy($"dup_exact", $"dup_near")
+      .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
+      .orderBy($"dup_exact", $"dup_near")
+  }
+  val q128Sql: String = {
+    val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+    val digits = (1 to 8).map { p =>
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
+    def sigCtes(pre: String, src: String): String = {
+      val mins = (0 until 8).map { j =>
+        val m = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
+        s"min(substr($m, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+      }.mkString(",\n    ")
+      val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
+      s"""${pre}shd AS (
+         |  SELECT DISTINCT id, s FROM (
+         |    SELECT doc_id AS id, unnest(list_transform(
+         |      generate_series(1, len(string_split($normSql, ' '))-4),
+         |      i -> array_to_string(list_slice(string_split($normSql, ' '), i, i+4), ' '))) AS s
+         |    FROM $src)),
+         |${pre}mh AS (
+         |  SELECT id, $mins
+         |  FROM ${pre}shd GROUP BY id),
+         |${pre}bands AS (
+         |  SELECT id, b, h FROM (
+         |    SELECT id, unnest([0, 1, 2, 3]) AS b, unnest([$bandHashes]) AS h
+         |    FROM ${pre}mh))""".stripMargin
+    }
+    val agreeSum = (0 until 8)
+      .map(j => s"(CASE WHEN dm.h$j = sm.h$j THEN 1 ELSE 0 END)").mkString("\n    + ")
+    s"""WITH bkt AS (
+       |  SELECT doc_id, text, ($digits) % 10 AS bk
+       |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |corpus AS (SELECT doc_id, text FROM bkt WHERE bk < 8),
+       |delta AS (
+       |  SELECT doc_id, text FROM bkt WHERE bk >= 8
+       |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000 AS doc_id, text || ' zz qq' AS text
+       |    FROM corpus WHERE doc_id % 11 = 0
+       |  UNION ALL SELECT doc_id + 400000 AS doc_id, text
+       |    FROM bkt WHERE bk >= 8 AND doc_id % 13 = 0),
+       |sfp AS (SELECT DISTINCT md5($normSql) AS fp FROM corpus),
+       |${sigCtes("s_", "corpus")},
+       |${sigCtes("d_", "delta")},
+       |cand AS (
+       |  SELECT DISTINCT d.id AS d_id, s.id AS s_id
+       |  FROM d_bands d JOIN s_bands s ON d.b = s.b AND d.h = s.h),
+       |near AS (
+       |  SELECT DISTINCT c.d_id AS id
+       |  FROM cand c JOIN d_mh dm ON dm.id = c.d_id JOIN s_mh sm ON sm.id = c.s_id
+       |  WHERE $agreeSum >= 4),
+       |verdicts AS (
+       |  SELECT f.id,
+       |    sf.fp IS NOT NULL AS dup_exact,
+       |    nr.id IS NOT NULL AS dup_near
+       |  FROM (SELECT doc_id AS id, md5($normSql) AS fp FROM delta) f
+       |  LEFT JOIN sfp sf ON f.fp = sf.fp
+       |  LEFT JOIN near nr ON f.id = nr.id)
+       |SELECT dup_exact, dup_near, count(*) AS n_docs,
+       |       CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM verdicts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
@@ -306,5 +423,6 @@ object QueriesStreaming {
     ("q72_attribution_outer", q72AttributionOuter, Some(q72Sql)),
     ("q80_session_window", q80SessionWindow, Some(q80Sql)),
     ("q110_stream_ingest", q110StreamIngest, Some(q110Sql)),
+    ("q128_stream_neardup", q128StreamNearDup, Some(q128Sql)),
   )
 }

@@ -263,6 +263,81 @@ object TextDedup {
       .withColumn("keep", !col("dup_exact") && !col("dup_near") && !col("shard_dup"))
   }
 
+  /** Per-ROW MinHash signature columns — the STREAMING-SAFE face of
+    * [[minHashSignature]]: each lane is `array_min` over the row's own
+    * distinct-shingle array, which equals the grouped `min` over
+    * exploded shingle rows (min is duplicate- and order-insensitive)
+    * but needs NO aggregation state, so it composes into a Structured
+    * Streaming micro-batch as a plain stateless projection. A doc with
+    * fewer than `shingleN` words has an empty shingle array → null
+    * lanes → null band keys downstream, which match nothing — the same
+    * "no signature row" outcome the batch path produces. */
+  def rowMinHashCols(textCol: Column, shingleN: Int, k: Int): Seq[Column] = {
+    val sh = array_distinct(TextAnalysis.wordShingles(textCol, shingleN))
+    (0 until k).map { j =>
+      val block = j / 4
+      array_min(transform(sh, s => substring(
+        if (block == 0) md5(s) else md5(concat(lit(s"$block:"), s)),
+        (j % 4) * 8 + 1, 8))).as(s"mh$j")
+    }
+  }
+
+  /** STREAMING near-dup ingest classification — the continuous face of
+    * [[dedupAgainstStore]]: label every arriving document against the
+    * persisted corpus store (the [[buildDedupStore]] tables) WITHIN its
+    * micro-batch, with no corpus re-scan and no unbounded state. The
+    * whole plan is stateless per row except ONE streaming aggregation:
+    *   1. per-row fingerprint + [[rowMinHashCols]] signature lanes
+    *      (projection, no state);
+    *   2. explode the row's `k/rowsPerBand` band keys and stream-static
+    *      LEFT join the store's band table, then the store's signature
+    *      table — both BROADCAST (band keys and signatures are ~1 narrow
+    *      row per corpus doc; at a scale where the store outgrows the
+    *      driver, swap the broadcast for a bucketed static side — the
+    *      join shape is unchanged);
+    *   3. per joined row, signature-lane agreement ≥ `minAgree` marks a
+    *      verified near-hit (the [[dedupAgainstStore]] rule);
+    *   4. ONE `groupBy(id)` folds a doc's band rows back to a single
+    *      `(id, dup_exact, dup_near)` verdict.
+    * Works identically on a batch frame (the spec/oracle replay path) —
+    * same code, same plan shapes, the [[graft.streaming.EventStreams]]
+    * batch/stream contract. */
+  def ingestFlags(arriving: DataFrame, idCol: String, textCol: String,
+                  storeFp: DataFrame, storeSig: DataFrame,
+                  shingleN: Int, k: Int, rowsPerBand: Int,
+                  minAgree: Int): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    require(minAgree >= 1 && minAgree <= k, s"minAgree must be in [1, $k], got $minAgree")
+    val nBands = k / rowsPerBand
+    val base = arriving.select(
+      col(idCol).as("id") +:
+        TextAnalysis.fingerprint(col(textCol)).as("fp") +:
+        rowMinHashCols(col(textCol), shingleN, k): _*)
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"), md5(concat(
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(j => col(s"mh$j")): _*)).as("h"))
+    }: _*)
+    val storeBands = signatureBands(storeSig, k, rowsPerBand)
+      .select(col("id").as("s_id"), col("band"), col("h"))
+    val storeMh = storeSig.select(
+      col("id").as("s_id") +: (0 until k).map(j => col(s"mh$j").as(s"smh$j")): _*)
+    val agree = (0 until k)
+      .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    base
+      .withColumn("bh", explode(bandArr))
+      .withColumn("band", col("bh.band")).withColumn("h", col("bh.h"))
+      .join(broadcast(storeBands), Seq("band", "h"), "left")
+      .join(broadcast(storeMh), Seq("s_id"), "left")
+      .withColumn("near_hit",
+        coalesce(agree >= minAgree, lit(false)))
+      .join(broadcast(storeFp.withColumn("exact_hit", lit(true))), Seq("fp"), "left")
+      .groupBy(col("id"))
+      .agg(max(coalesce(col("exact_hit"), lit(false))).as("dup_exact"),
+        max(col("near_hit")).as("dup_near"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex
     * chars of md5, decoded with `conv(_, 16, 10)` (the oracle decodes
     * the same hex with digit-position arithmetic — same value, portable

@@ -258,6 +258,41 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  describe("TextDedup.ingestFlags (streaming-safe near-dup classification)") {
+    it("rowMinHashCols equals the grouped minHashSignature lanes") {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val grouped = TextDedup.minHashSignature(
+        TextDedup.shingleTable(docs, "doc_id", "text", 5), 8)
+        .drop("n_shingles")
+      val perRow = docs.select(col("doc_id").as("id") +:
+          TextDedup.rowMinHashCols(col("text"), 5, 8): _*)
+        .filter(col("mh0").isNotNull) // grouped path has no row for shingle-less docs
+      grouped.exceptAll(perRow).count() shouldBe 0L
+      perRow.exceptAll(grouped).count() shouldBe 0L
+    }
+
+    it("flags a planted NON-identical near-duplicate, batch/stream-shared plan") {
+      val storeCorpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight and tomorrow"),
+        (2L, "completely different words about spark query engines here now today")
+      ).toDF("doc_id", "text")
+      val arriving = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight and tomorrow"),
+        (11L, "the quick brown fox jumps over the lazy dog tonight and tomorrow zz qq"),
+        (12L, "fresh novel text with nothing in common with anything else whatsoever")
+      ).toDF("doc_id", "text")
+      val (fp, sig) = TextDedup.buildDedupStore(storeCorpus, "doc_id", "text",
+        shingleN = 3, k = 8)
+      val out = TextDedup.ingestFlags(arriving, "doc_id", "text", fp, sig,
+          shingleN = 3, k = 8, rowsPerBand = 2, minAgree = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getBoolean(2)))).toMap
+      out(10L) shouldBe ((true, true)) // identical: exact + signature collision
+      out(11L) shouldBe ((false, true)) // perturbed: near path only
+      out(12L) shouldBe ((false, false)) // novel
+    }
+  }
+
   describe("TextDedup.decontaminate") {
     it("flags threshold overlap, keeps disjoint and sub-shingle docs, broadcasts eval") {
       val evalSet = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text") // 6 5-shingles

@@ -433,6 +433,83 @@ object QueriesSimilarity {
        |SELECT q_id, rank, n_id, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** IVF recall@k instrumentation
+    * ([[graft.operators.IvfIndex.recallAtK]]) — the accuracy/cost dial
+    * behind every nProbe choice, gated: the same deterministic fit as
+    * q39 (k=8 cells, 1 ordered-mean Lloyd step), 10 queries, exact
+    * brute-force top-10 as ground truth, and the IVF probe evaluated at
+    * widths 1, 2, 4 and 8. One row per width: query count, EXACT
+    * total-intersection count, rounded avg/min per-query recall.
+    * Probing all 8 cells IS brute force, so the n_probe=8 row must show
+    * recall 1.0 — the gate encodes the convergence invariant, and the
+    * oracle replays fit, truth, every probe width and the intersection
+    * arithmetic. Monotonicity in nProbe is spec-pinned
+    * (`SimilaritySpec`). */
+  val q129IvfRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+      .localCheckpoint() // feeds truth + 4 probe-width searches
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.IvfIndex
+      .recallAtK(s, queries, indexed, cent, k = 10, nProbes = Seq(1, 2, 4, 8))
+      .orderBy($"n_probe")
+  }
+  val q129Sql: String = {
+    val widths = Seq(1, 2, 4, 8)
+    val perWidth = widths.map { np =>
+      s"""SELECT $np AS n_probe, count(*) AS n_queries,
+         |  CAST(sum(n_hit) AS BIGINT) AS total_hits,
+         |  round(avg(n_hit / 10.0), 4) AS avg_recall,
+         |  round(min(n_hit / 10.0), 4) AS min_recall
+         |FROM (
+         |  SELECT qs.q_id,
+         |    (SELECT count(*) FROM ivf$np i
+         |     WHERE i.q_id = qs.q_id
+         |       AND i.n_id IN (SELECT n_id FROM truth t WHERE t.q_id = qs.q_id)) AS n_hit
+         |  FROM qs)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ivfCtes = widths.map { np =>
+      s"""cand$np AS (
+         |  SELECT p.q_id, i.id AS n_id,
+         |         ${dotSql("p.qv", "i.v")} / sqrt(${norm2Sql("p.qv")} * ${norm2Sql("i.v")}) AS cos
+         |  FROM (SELECT q_id, qv, cluster FROM probes WHERE rn <= $np) p
+         |  JOIN idx i USING (cluster)),
+         |ivf$np AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+         |    FROM cand$np)
+         |  WHERE rank <= 10)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${lloydIdxSql("e", "8")},
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, i.id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${dotSql("q.qv", "i.v")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("i.v")}) DESC,
+       |             i.id ASC) AS rank
+       |    FROM qs q CROSS JOIN idx i)
+       |  WHERE rank <= 10),
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn
+       |  FROM qscored),
+       |$ivfCtes
+       |$perWidth
+       |ORDER BY n_probe""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
@@ -443,5 +520,6 @@ object QueriesSimilarity {
     ("q114_mrl_truncate", q114MrlTruncate, Some(q114Sql)),
     ("q115_sql_surface", q115SqlSurface, Some(q115Sql)),
     ("q122_ivf_append", q122IvfAppend, Some(q122Sql)),
+    ("q129_ivf_recall", q129IvfRecall, Some(q129Sql)),
   )
 }

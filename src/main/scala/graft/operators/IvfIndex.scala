@@ -259,4 +259,45 @@ object IvfIndex {
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("n_id"), round(col("col.score"), 4).as("cos"))
   }
+
+  /** Recall@k instrumentation — the accuracy/cost dial every ANN
+    * deployment must read before choosing `nProbe`: for each probe
+    * width, what fraction of the EXACT top-k
+    * ([[Similarity.bruteForceTopKAgg]] ground truth over the same
+    * indexed corpus) does the IVF probe recover? Returns one row per
+    * probe width: `(n_probe, n_queries, total_hits, avg_recall,
+    * min_recall)` — `total_hits` is the exact integer component
+    * (Σ |ivf∩truth| over queries), the recalls are its rounded
+    * per-query aggregates. Probing every cell is brute force by
+    * construction, so recall must reach 1.0 when `nProbe` = cell
+    * count, and is non-decreasing in between (more cells probed ⊇
+    * fewer — spec-pinned).
+    *
+    * Cost shape: ground truth is ONE bounded-heap brute pass
+    * (k·|queries| rows shuffled, not |corpus|·|queries|); each probe
+    * width re-runs only the pruned candidate join. The truth table is
+    * query-set-sized — eager-materialized so the per-width joins
+    * don't recompute the brute pass. */
+  def recallAtK(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
+                centroids: DataFrame, k: Int, nProbes: Seq[Int]): DataFrame = {
+    require(nProbes.nonEmpty, "recallAtK needs at least one nProbe width")
+    val truth = Similarity.bruteForceTopKAgg(spark, queries,
+        indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    nProbes.map { np =>
+      val hits = search(spark, queries, indexed, centroids, k, np)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hit")).as("total_hits"),
+          round(avg(col("n_hit").cast("double") / k), 4).as("avg_recall"),
+          round(min(col("n_hit").cast("double") / k), 4).as("min_recall"))
+        .select(lit(np).cast("int").as("n_probe"), col("n_queries"),
+          col("total_hits"), col("avg_recall"), col("min_recall"))
+    }.reduce(_ unionByName _)
+  }
 }

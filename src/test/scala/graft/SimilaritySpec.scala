@@ -94,6 +94,26 @@ class SimilaritySpec extends SparkSpec {
       // scaling preserves cosine → same cell as the original → recall 1
       hits.filter($"rank" === 1 && $"n_id" === $"q_id").count() shouldBe 20
     }
+
+    it("recallAtK is non-decreasing in nProbe and exactly 1 at full probe width") {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = graft.operators.IvfIndex
+        .fitCentroids(spark, e, k = 8, iterations = 1, orderedMean = true)
+        .localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      val rows = graft.operators.IvfIndex
+        .recallAtK(spark, queries, indexed, cent, k = 10, nProbes = Seq(1, 2, 4, 8))
+        .orderBy($"n_probe").collect()
+      val recalls = rows.map(r => r.getAs[Double]("avg_recall"))
+      recalls.sliding(2).foreach { case Array(a, b) => a should be <= b }
+      // probing every cell IS brute force — the truth set itself
+      recalls.last shouldBe 1.0
+      rows.last.getAs[Long]("total_hits") shouldBe 100L
+      // a narrow probe really prunes (otherwise the dial measures nothing)
+      rows.head.getAs[Double]("avg_recall") should be < 1.0
+    }
   }
 
   describe("annLshPairs") {

@@ -237,11 +237,59 @@ object QueriesMultimodal {
       |ORDER BY a_id, b_id""".stripMargin
 
   /** Registry: name → (spark program, oracle sql). */
+  // --------------------------------------------------------------- q130
+  /** REAL video decode round-trip (q98/q99 mechanism, extended to a
+    * CONTAINER): per doc_id synthesize an MJPEG AVI
+    * ([[Multimodal.synthAviMjpeg]]) with F = (id%3)+2 solid-gray
+    * 48×32 frames at 10 fps, frame f's level g = (id·7 + f·29) % 256,
+    * JPEG-encoded at quality 1.0 (uniform blocks quantize error-free,
+    * so each frame round-trips its level exactly — the ±0.5 rounding
+    * margin absorbs any last-ulp noise). Then run the ACTUAL decode
+    * ([[Multimodal.extractVideoFeatures]]: RIFF chunk walk + per-frame
+    * JDK JPEG decode) and gate geometry, frame count, duration and the
+    * ORDER-WEIGHTED luma checksum Σ (f+1)·round(luma_f) against pure
+    * doc_id arithmetic — a dropped, reordered or mis-decoded frame,
+    * a header mis-parse, or a chunk-padding bug each move a checksum.
+    * The oracle needs no codec: everything is closed-form in doc_id. */
+  val q130VideoDecode: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val nFrames = (id % 3).toInt + 2
+          val frames = (0 until nFrames).map { f =>
+            val g = ((id * 7 + f * 29) % 256).toInt
+            val im = new java.awt.image.BufferedImage(48, 32,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < 32) { var x = 0; while (x < 48) { im.setRGB(x, y, rgb); x += 1 }; y += 1 }
+            Multimodal.encodeJpeg(im, 1.0f)
+          }
+          (id, Multimodal.synthAviMjpeg(frames, width = 48, height = 32, fps = 10))
+        }
+      }
+      .toDF("media_id", "content")
+    Multimodal.extractVideoFeatures(media)
+      .select($"media_id", $"vid_width", $"vid_height", $"n_frames",
+        $"duration_ms", $"luma_ck")
+      .orderBy($"media_id")
+  }
+  val q130Sql: String =
+    """SELECT doc_id AS media_id, 48 AS vid_width, 32 AS vid_height,
+      |  CAST((doc_id % 3) + 2 AS BIGINT) AS n_frames,
+      |  CAST(100 * ((doc_id % 3) + 2) AS BIGINT) AS duration_ms,
+      |  CAST(list_sum(list_transform(generate_series(0, CAST(doc_id % 3 AS INT) + 1),
+      |    f -> (f + 1) * ((doc_id * 7 + f * 29) % 256))) AS BIGINT) AS luma_ck
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q40_frame_sample", q40FrameSample, Some(q40Sql)),
     ("q41_media_features", q41MediaFeatures, Some(q41Sql)),
     ("q98_audio_decode", q98AudioDecode, Some(q98Sql)),
     ("q99_image_decode", q99ImageDecode, Some(q99Sql)),
     ("q103_image_dedup", q103ImageDedup, Some(q103Sql)),
+    ("q130_video_decode", q130VideoDecode, Some(q130Sql)),
   )
 }

@@ -25,11 +25,15 @@ import org.apache.spark.sql.types._
   *    run `javax.sound.sampled` (JDK WAV/AIFF/AU PCM codecs) in the
   *    same kernel — sample rate, channels, frames, RMS loudness and
   *    zero-crossing rate per payload;
-  *  - VIDEO kernels remain STUBS (the JDK ships no video codec):
-  *    deterministic byte-derived fakes, clearly marked below, and
-  *    [[fakeDecodeFeatures]] is kept as the oracle-replayable path for
-  *    the gated queries. Swapping in a codec changes only the function
-  *    body — schema, partitioning, signatures and batch shape stay.
+  *  - VIDEO decode is REAL for MJPEG-in-AVI
+  *    ([[decodeAviMjpeg]]/[[extractVideoFeatures]]/[[videoFrameDHash]]):
+  *    AVI is a plain RIFF chunk tree (the [[decodeWavPcmFast]]
+  *    pattern) and Motion-JPEG frames are ordinary JPEGs `javax.imageio`
+  *    reads — a zero-dependency JVM can both author and decode the
+  *    container. Codecs the JDK cannot decode (H.264 etc.) keep the
+  *    declared-stub contract: [[sampleFrames]]' slice stub and
+  *    [[fakeDecodeFeatures]] remain the oracle-replayable paths for
+  *    the q40/q41 plumbing gates.
   */
 object Multimodal {
 
@@ -542,4 +546,204 @@ object Multimodal {
         expr("substring(content, CAST(frame_idx % greatest(length(content), 1) + 1 AS INT), 16)")
           .as("frame_bytes"))
   }
+
+  // ------------------------------------------------------------ video
+  // REAL video decode for MJPEG-in-AVI — the one video container a
+  // zero-dependency JVM can both author and decode: AVI is a plain
+  // RIFF chunk tree (the WAV fast-path pattern, decodeWavPcmFast) and
+  // Motion-JPEG frames are ordinary JPEGs the JDK's javax.imageio
+  // codec reads. This replaces the former stub for MJPEG/AVI payloads;
+  // other codecs (H.264 etc.) still have no JDK decoder and keep the
+  // declared-stub contract.
+
+  /** Parsed MJPEG-AVI: header geometry + per-frame JPEG payloads in
+    * stream order. */
+  private[graft] final case class AviMjpeg(width: Int, height: Int,
+      usecPerFrame: Long, frames: Vector[Array[Byte]])
+
+  /** RIFF walk over an AVI payload: verify `RIFF…AVI `, read the
+    * `avih` main header (width/height/µs-per-frame), and collect every
+    * `##dc`/`##db` movi chunk as one encoded frame, in file order.
+    * Defensive like [[decodeWavPcmFast]]: any structural violation —
+    * truncated chunk, missing header, zero frames — yields None rather
+    * than throwing, so undecodable payloads keep their row with nulls
+    * downstream. Word-aligned chunk padding is honored (RIFF sizes
+    * exclude the pad byte). */
+  private[graft] def decodeAviMjpeg(bytes: Array[Byte]): Option[AviMjpeg] = {
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var width = -1; var height = -1; var usec = -1L
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, until: Int): Boolean = {
+      var o = from
+      while (o + 8 <= until) {
+        val id = tag(o)
+        val sz = u32(o + 4)
+        val body = o + 8
+        if (sz < 0 || body + sz > until) return false
+        if (id == "LIST") {
+          if (sz < 4 || !walk(body + 4, body + sz.toInt)) return false
+        } else if (id == "avih" && sz >= 40) {
+          usec = u32(body)
+          width = u32(body + 32).toInt
+          height = u32(body + 36).toInt
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          if (sz > 0) frames += java.util.Arrays.copyOfRange(bytes, body, body + sz.toInt)
+        }
+        o = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      true
+    }
+    if (!walk(12, bytes.length)) return None
+    val fs = frames.result()
+    if (width <= 0 || height <= 0 || usec <= 0 || fs.isEmpty) None
+    else Some(AviMjpeg(width, height, usec, fs))
+  }
+
+  /** Encode one frame as baseline JPEG at explicit `quality` (1.0f for
+    * the oracle fixtures: uniform blocks then quantize error-free, so
+    * solid-gray frames round-trip their level exactly). */
+  private[graft] def encodeJpeg(im: java.awt.image.BufferedImage,
+                                quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(null, new javax.imageio.IIOImage(im, null, null), p) }
+    finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Author a minimal spec-correct MJPEG AVI from encoded JPEG frames:
+    * `RIFF(AVI  LIST(hdrl avih LIST(strl strh strf)) LIST(movi 00dc…))`
+    * — the closed-form fixture generator for the video gate (the
+    * [[synthWavSquare]] role). All fields little-endian; frame chunks
+    * word-padded. */
+  def synthAviMjpeg(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+                    fps: Int): Array[Byte] = {
+    require(jpegFrames.nonEmpty && width > 0 && height > 0 && fps > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = { var i = 0; while (i < 4) { bos.write(s.charAt(i)); i += 1 } }
+    def le32(v: Long): Unit = { bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt) }
+    val usecPerFrame = 1000000L / fps
+    val n = jpegFrames.length
+    val maxFrame = jpegFrames.map(_.length).max
+    // strl list: strh(56) + strf(40) → 4 + (8+56) + (8+40) = 116
+    // hdrl list: 4 + (8+56) avih + (8+116) strl = 192
+    val moviBody = 4 + jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffBody = 4 + (8 + 192) + (8 + moviBody)
+    ascii("RIFF"); le32(riffBody); ascii("AVI ")
+    ascii("LIST"); le32(192); ascii("hdrl")
+    ascii("avih"); le32(56)
+    le32(usecPerFrame); le32(maxFrame.toLong * fps); le32(0); le32(0x10)
+    le32(n); le32(0); le32(1); le32(maxFrame)
+    le32(width); le32(height); le32(0); le32(0); le32(0); le32(0)
+    ascii("LIST"); le32(116); ascii("strl")
+    ascii("strh"); le32(56)
+    ascii("vids"); ascii("MJPG"); le32(0); le32(0) // flags, prio+lang
+    le32(0); le32(1); le32(fps) // initialFrames, scale, rate
+    le32(0); le32(n); le32(maxFrame) // start, length, bufSize
+    le32(0xffffffffL); le32(0) // quality, sampleSize
+    le32(0); le32(0) // rcFrame (4 shorts)
+    ascii("strf"); le32(40)
+    le32(40); le32(width); le32(height); le32(1 | (24 << 16)) // planes|bitcount
+    ascii("MJPG"); le32(width.toLong * height * 3)
+    le32(0); le32(0); le32(0); le32(0)
+    ascii("LIST"); le32(moviBody); ascii("movi")
+    jpegFrames.foreach { f =>
+      ascii("00dc"); le32(f.length); bos.write(f, 0, f.length)
+      if ((f.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
+  /** Mean Rec.601 luma of a decoded frame (same integer weights as the
+    * image kernels). */
+  private def frameMeanLuma(im: java.awt.image.BufferedImage): Double = {
+    val w = im.getWidth; val h = im.getHeight
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000.0
+        x += 1
+      }
+      y += 1
+    }
+    sum / (w.toLong * h)
+  }
+
+  /** REAL video feature extraction for MJPEG-AVI payloads: RIFF walk +
+    * per-frame JDK JPEG decode, partition-local like every other decode
+    * kernel. Per payload: header geometry, frame count, duration, and
+    * an ORDER-WEIGHTED luma checksum Σ (f+1)·round(mean_luma_f) — one
+    * integer that moves if any frame is dropped, reordered, or decoded
+    * to the wrong pixels (the closed-form surface the q130 gate
+    * replays). Undecodable payloads keep their row with nulls. */
+  def extractVideoFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          decodeAviMjpeg(bytes) match {
+            case Some(avi) =>
+              val lumas = avi.frames.map { f =>
+                Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+                  .map(frameMeanLuma)
+              }
+              if (lumas.exists(_.isEmpty)) (id, None, None, None, None, None)
+              else {
+                val ck = lumas.zipWithIndex
+                  .map { case (l, f) => (f + 1).toLong * math.round(l.get) }.sum
+                (id, Some(avi.width), Some(avi.height), Some(avi.frames.size.toLong),
+                  Some(avi.usecPerFrame * avi.frames.size / 1000L), Some(ck))
+              }
+            case None => (id, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "vid_width", "vid_height", "n_frames",
+        "duration_ms", "luma_ck")
+  }
+
+  /** Per-frame perceptual hashes for MJPEG-AVI payloads: decode every
+    * frame, dHash each ([[dHash64]] applied to the decoded image), emit
+    * `(media_id, frame_idx, sim_hi, sim_lo)`. The frame rows feed the
+    * SAME 64-bit banded Hamming join as still images
+    * ([[TextDedup.bandedHammingPairs64]]) — video near-dup detection at
+    * scale is "image dedup over sampled frames", zero new join
+    * machinery. Partition-local; frames of one payload never cross a
+    * partition boundary. */
+  def videoFrameDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          decodeAviMjpeg(bytes).toSeq.flatMap { avi =>
+            avi.frames.zipWithIndex.flatMap { case (f, idx) =>
+              dHashImage(f).map { case (hi, lo) => (id, idx.toLong, hi, lo) }
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "sim_hi", "sim_lo")
+  }
+
+  /** [[dHash64]] without the Option wrapper for already-extracted frame
+    * payloads. */
+  private def dHashImage(bytes: Array[Byte]): Option[(Long, Long)] = dHash64(bytes)
 }

@@ -208,6 +208,97 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  describe("MJPEG-AVI video decode (real RIFF walk + JDK JPEG codec)") {
+    def grayFrame(g: Int, w: Int = 48, h: Int = 32): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { im.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      im
+    }
+
+    it("synthAviMjpeg round-trips through decodeAviMjpeg exactly") {
+      val jp = Seq(70, 140, 210).map(g => Multimodal.encodeJpeg(grayFrame(g), 1.0f))
+      val avi = Multimodal.synthAviMjpeg(jp, width = 48, height = 32, fps = 10)
+      val out = Multimodal.decodeAviMjpeg(avi).get
+      out.width shouldBe 48
+      out.height shouldBe 32
+      out.usecPerFrame shouldBe 100000L
+      out.frames.size shouldBe 3
+      // chunk walk must return the exact encoded payloads, in order
+      out.frames.zip(jp).foreach { case (a, b) => a should contain theSameElementsInOrderAs b.toSeq }
+    }
+
+    it("solid-gray frames at quality 1.0 decode to their level exactly") {
+      val levels = Seq(0, 1, 37, 128, 200, 255)
+      val jp = levels.map(g => Multimodal.encodeJpeg(grayFrame(g), 1.0f))
+      val avi = Multimodal.synthAviMjpeg(jp, 48, 32, fps = 5)
+      val media = Seq((1L, avi)).toDF("media_id", "content")
+      val row = Multimodal.extractVideoFeatures(media).head()
+      row.getAs[Long]("n_frames") shouldBe levels.size.toLong
+      row.getAs[Long]("duration_ms") shouldBe 200L * levels.size
+      row.getAs[Long]("luma_ck") shouldBe
+        levels.zipWithIndex.map { case (g, f) => (f + 1).toLong * g }.sum
+    }
+
+    it("keeps rows with nulls for garbage, truncated, and non-AVI payloads") {
+      val good = Multimodal.synthAviMjpeg(
+        Seq(Multimodal.encodeJpeg(grayFrame(99), 1.0f)), 48, 32, 10)
+      val media = Seq(
+        (1L, good),
+        (2L, Array.fill[Byte](64)(0x42)), // garbage
+        (3L, good.take(good.length / 2)), // truncated mid-chunk
+        (4L, Multimodal.synthWavSquare(4000, 2, 120)) // RIFF but WAVE
+      ).toDF("media_id", "content")
+      val out = Multimodal.extractVideoFeatures(media).orderBy($"media_id").collect()
+      out.map(_.isNullAt(5)) shouldBe Array(false, true, true, true)
+      out(0).getAs[Long]("luma_ck") shouldBe 99L
+    }
+
+    it("videoFrameDHash recovers planted per-frame hashes through the lossy codec") {
+      // alternating-bit rows encode as two-level (64/192) cell stripes:
+      // bit=1 ⇔ 64→192 ascent, bit=0 ⇔ 192→64 descent — a 128-level
+      // step no JPEG artifact can invert, so the hash is exact even at
+      // sub-maximal quality
+      def stripeFrame(startHigh: Boolean): java.awt.image.BufferedImage = {
+        val cell = 16
+        val im = new java.awt.image.BufferedImage(9 * cell, 8 * cell,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val high = if (startHigh) gx % 2 == 0 else gx % 2 == 1
+            val g = if (high) 192 else 64
+            val rgb = (g << 16) | (g << 8) | g
+            var y = gy * cell
+            while (y < (gy + 1) * cell) {
+              var x = gx * cell
+              while (x < (gx + 1) * cell) { im.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        im
+      }
+      // startHigh=false: cells 64,192,… → bits 10101010₂ read LSB-first
+      // from gx=0 ⇒ row byte 0x55; startHigh=true descends first ⇒ 0xAA
+      val jp = Seq(stripeFrame(false), stripeFrame(true))
+        .map(Multimodal.encodeJpeg(_, 0.9f))
+      val avi = Multimodal.synthAviMjpeg(jp, 144, 128, 10)
+      val media = Seq((7L, avi)).toDF("media_id", "content")
+      val rows = Multimodal.videoFrameDHash(media).orderBy($"frame_idx").collect()
+      rows.length shouldBe 2
+      rows(0).getAs[Long]("sim_hi") shouldBe 0x55555555L
+      rows(0).getAs[Long]("sim_lo") shouldBe 0x55555555L
+      rows(1).getAs[Long]("sim_hi") shouldBe 0xAAAAAAAAL
+      rows(1).getAs[Long]("sim_lo") shouldBe 0xAAAAAAAAL
+    }
+  }
+
   describe("imageDHash (perceptual hash over the real decode path)") {
     it("recovers the grid fixture's row bytes through encode→decode→pool") {
       val rows = Array(0x5A, 0x13, 0xFF, 0x00, 0x81, 0x42, 0x24, 0xE7)

@@ -1233,6 +1233,77 @@ object QueriesText {
        |ORDER BY enc_mode, step""".stripMargin
   }
 
+  // --------------------------------------------------------------- q131
+  /** Detokenize ROUND-TRIP — the closing identity of the tokenizer
+    * loop: for every document, in BOTH encodings,
+    * `decode(encode(text))` must reproduce the normalized text with
+    * spaces removed (word boundaries are not encoded — no space
+    * symbol; everything else must survive id-space and back exactly).
+    * Char mode re-joins symbols; byte mode re-assembles hex pairs into
+    * UTF-8 ([[graft.operators.BpeTrain.decodeIds]]). The byte fixture
+    * is q127's multi-byte derivation, so the UTF-8 re-assembly is
+    * genuinely exercised (é must come back from c3+a9, whatever merge
+    * state its bytes ended up in). Per (mode, source) the gate reports
+    * doc count, total round-tripped characters (the oracle computes
+    * the same number from the TEXT alone — no tokenizer on its side)
+    * and a mismatch count whose closed form is 0: an id collision, a
+    * wrong inverse mapping, a dropped symbol, or a broken unhex path
+    * shows up as mismatches and a shifted char total. */
+  val q131Detokenize: Q = (s, dir) => {
+    import s.implicits._
+    val merges = bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.learnMerges(s,
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges = 6).map { case (_, l, r, _) => (l, r) })
+    val vocab = bpeVocabCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.buildVocab(
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges))
+    val byteFix = Tables.documents(s, dir)
+      .withColumn("text", regexp_replace($"text", "e", "é"))
+    val byteFreqs = graft.operators.BpeTrain.wordFreqs(byteFix, "text")
+      .localCheckpoint()
+    val bMerges = graft.operators.BpeTrain
+      .learnMerges(s, byteFreqs, merges = 6, byteLevel = true)
+      .map { case (_, l, r, _) => (l, r) }
+    val bVocab = graft.operators.BpeTrain
+      .buildVocab(byteFreqs, bMerges, byteLevel = true)
+    def lane(df: org.apache.spark.sql.DataFrame, mode: String,
+             m: Seq[(String, String)], v: Map[String, Int],
+             byteLevel: Boolean) = {
+      val stripped = regexp_replace(
+        graft.functions.TextAnalysis.normalizeText($"text"), " ", "")
+      df.select($"source",
+          graft.operators.BpeTrain.decodeIds(
+            graft.operators.BpeTrain.encodeIds($"text", m, v, byteLevel),
+            v, byteLevel).as("rt"),
+          stripped.as("want"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"rt")).as("n_chars"),
+          sum(when($"rt" =!= $"want", 1L).otherwise(0L)).as("n_mismatch"))
+        .select(lit(mode).as("enc_mode"), $"source", $"n_docs", $"n_chars",
+          $"n_mismatch")
+    }
+    lane(Tables.documents(s, dir), "char", merges, vocab, byteLevel = false)
+      .unionByName(lane(byteFix, "byte", bMerges, bVocab, byteLevel = true))
+      .orderBy($"enc_mode", $"source")
+  }
+  val q131Sql: String = {
+    val fixNorm =
+      """lower(trim(regexp_replace(replace(text, 'e', 'é'), '\s+', ' ', 'g')))"""
+    s"""SELECT 'byte' AS enc_mode, source, count(*) AS n_docs,
+       |  CAST(sum(length(replace($fixNorm, ' ', ''))) AS BIGINT) AS n_chars,
+       |  CAST(0 AS BIGINT) AS n_mismatch
+       |FROM documents GROUP BY source
+       |UNION ALL
+       |SELECT 'char' AS enc_mode, source, count(*) AS n_docs,
+       |  CAST(sum(length(replace($normSql, ' ', ''))) AS BIGINT) AS n_chars,
+       |  CAST(0 AS BIGINT) AS n_mismatch
+       |FROM documents GROUP BY source
+       |ORDER BY enc_mode, source""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -1258,5 +1329,6 @@ object QueriesText {
     ("q125_bpe_encode", q125BpeEncode, Some(q125Sql)),
     ("q126_token_pipeline", q126TokenPipeline, Some(q126Sql)),
     ("q127_byte_bpe", q127ByteBpe, Some(q127Sql)),
+    ("q131_detokenize", q131Detokenize, Some(q131Sql)),
   )
 }

@@ -155,6 +155,26 @@ object BpeTrain {
           graft.functions.TextAnalysis.normalizeText(text)),
         merges, vocab, byteLevel))
 
+  /** Token-id DECODE — the inverse of [[encodeIds]], closing the
+    * tokenizer loop: map each id back through the inverted vocabulary
+    * and concatenate. Ids are assigned injectively ([[buildVocab]]
+    * skips duplicate merge products), so the inverse map is total on
+    * every id [[encodeIds]] can emit; byte mode re-assembles the hex
+    * pairs into UTF-8 bytes. Word boundaries are not encoded (no
+    * space symbol), so the round-trip identity is
+    * `decode(encode(text)) = normalized text with spaces removed` —
+    * the q131 gate. Pure per-row Catalyst (map literal rides the
+    * plan); shuffle-free like the encoder. */
+  def decodeIds(ids: Column, vocab: Map[String, Int],
+                byteLevel: Boolean = false): Column = {
+    val inv = map(vocab.toSeq.flatMap { case (s, i) =>
+      Seq(lit(i), lit(s)) }: _*)
+    val joined = array_join(transform(ids, id => element_at(inv, id)), "")
+    if (byteLevel)
+      org.apache.spark.sql.functions.decode(unhex(joined), "UTF-8")
+    else joined
+  }
+
   /** [[encodeIds]]'s spec twin as a pure Catalyst fold chain (the
     * [[encode]] shape plus an id lookup): per word, seed symbols →
     * replay merges in learned order → map through the vocab literal.

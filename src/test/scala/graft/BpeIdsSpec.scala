@@ -61,6 +61,31 @@ class BpeIdsSpec extends SparkSpec {
     }
   }
 
+  describe("BpeTrain.decodeIds (round-trip inverse)") {
+    it("decode(encode(text)) equals the space-stripped normalized text in char mode") {
+      val rt = corpus.select(
+        graft.operators.BpeTrain.decodeIds(
+          BpeTrain.encodeIds($"text", merges, vocab), vocab).as("rt"),
+        regexp_replace(graft.functions.TextAnalysis.normalizeText($"text"),
+          " ", "").as("want"))
+      rt.filter($"rt" =!= $"want").count() shouldBe 0L
+    }
+
+    it("re-assembles multi-byte characters from their UTF-8 bytes in byte mode") {
+      val freqs = Seq(("héllo", 2L), ("wörld", 1L)).toDF("word", "freq")
+      val m = BpeTrain.learnMerges(spark, freqs, merges = 3, byteLevel = true)
+        .map { case (_, l, r, _) => (l, r) }
+      val v = BpeTrain.buildVocab(freqs, m, byteLevel = true)
+      // '中' never seen in training: byte fallback must still round-trip
+      val rt = Seq(Tuple1("héllo wörld 中")).toDF("text")
+        .select(graft.operators.BpeTrain.decodeIds(
+          BpeTrain.encodeIds($"text", m, v, byteLevel = true),
+          v, byteLevel = true).as("rt"))
+        .head().getString(0)
+      rt shouldBe "héllowörld中"
+    }
+  }
+
   describe("byte-level BPE") {
     it("kernel equals the fold twin in byte mode on a multi-byte fixture") {
       val fixture = corpus.withColumn("text", regexp_replace($"text", "e", "é"))

@@ -51,6 +51,14 @@ object Bench {
       // substitutes matching canonical plans) — deliberate: a
       // long-lived job serves repeated queries from exactly those
       // caches, and cold_total carries the no-cache number.
+      // cold = full end-to-end cost: drop the session-owned model
+      // caches (BPE merges/vocab, classifier fit) first, so a query
+      // that trains pays its training here instead of inheriting a
+      // sibling query's cache hit. The warm pass keeps whatever the
+      // cold pass cached — that IS the long-lived-job semantics the
+      // steady number models (same contract as plan-level persist()).
+      QueriesText.clearSessionCaches()
+      QueriesCurate.clearSessionCaches()
       val cold = once()
       val coldErr = err.isDefined
       val warm = if (!coldErr) once() else cold

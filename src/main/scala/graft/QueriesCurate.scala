@@ -850,6 +850,10 @@ object QueriesCurate {
     * granularity. */
   private val fitCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[Double], Double)]()
+
+  /** Drop the session-owned classifier-fit cache — [[Bench]] calls this
+    * before each COLD pass so q119/q120's cold numbers carry the fit. */
+  private[graft] def clearSessionCaches(): Unit = fitCache.clear()
   private def runFit(s: SparkSession, dir: String): (Seq[Double], Double) =
     fitCache.computeIfAbsent(dir, _ =>
       QualityFilters.logisticFit(labeledDocs(s, dir), "text", "y",

@@ -1108,6 +1108,13 @@ object QueriesText {
   }
   private val bpeVocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
+
+  /** Drop the session-owned tokenizer caches (merge table + vocab) —
+    * [[Bench]] calls this before each COLD pass so cold numbers carry
+    * the full train-and-apply cost instead of a cache hit. */
+  private[graft] def clearSessionCaches(): Unit = {
+    bpeMergeCache.clear(); bpeVocabCache.clear()
+  }
   val q126Sql: String = {
     val digits = (1 to 8).map { p =>
       s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"

@@ -1083,28 +1083,48 @@ object QueriesText {
       graft.operators.BpeTrain.buildVocab(
         graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
         merges))
-    // tokenize ONCE (eager checkpoint): the bucket-sizing count, the
-    // packing job and the ids_str join all read the materialized table
-    val docs = Tables.documents(s, dir)
+    // tokenize ONCE, into SCRATCH PARQUET rather than an eager cache:
+    // the encoded-ids table is corpus-sized (one ids string per doc),
+    // and three consumers read it (bucket-sizing count, packing fold,
+    // ids_str join). A heap checkpoint of that table churns block
+    // memory at scale (measured: 100× probe runs degraded run-over-run
+    // as cached blocks accumulated); the production shape is exactly
+    // this write — tokenizer output lands in storage once, downstream
+    // stages scan it. The small final result is materialized before
+    // the scratch dir is deleted (the q106 lifecycle pattern).
+    val idsDir = sys.props("java.io.tmpdir") +
+      "/graft_tokids_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    Tables.documents(s, dir)
       .select($"doc_id",
         graft.operators.BpeTrain.encodeIds($"text", merges, vocab).as("ids"))
       .select($"doc_id", array_join($"ids", ",").as("ids_str"),
         size($"ids").cast("long").as("n_toks"))
-      .localCheckpoint()
-    val eligible = docs.filter($"n_toks" > 0 && $"n_toks" <= 512)
-    val buckets = math.max(1L, math.ceil(eligible.count() / 64.0).toLong).toInt
-    val packed = graft.operators.Packing
-      .ffdPack(docs, "doc_id", "n_toks", capacity = 512L, buckets = buckets)
-      .join(docs.select($"doc_id".as("id"), $"ids_str"), "id")
-      .withColumn("bin_key", concat_ws(":", $"bucket", $"bin"))
-    val assembled = graft.operators.Packing
-      .assembleSequences(packed, "bin_key", "id", $"ids_str")
-    val toks = packed.groupBy($"bin_key").agg(sum($"len").as("bin_tokens"))
-    assembled.join(toks, "bin_key")
-      .select($"bin_key", $"n_events".as("n_docs"),
-        $"first_ord".cast("long").as("first_doc"),
-        $"last_ord".cast("long").as("last_doc"), $"bin_tokens", $"digest")
-      .orderBy($"bin_key")
+      .write.parquet(idsDir)
+    try {
+      val docs = s.read.parquet(idsDir)
+      val eligible = docs.filter($"n_toks" > 0 && $"n_toks" <= 512)
+      val buckets = math.max(1L, math.ceil(eligible.count() / 64.0).toLong).toInt
+      val packed = graft.operators.Packing
+        .ffdPack(docs, "doc_id", "n_toks", capacity = 512L, buckets = buckets)
+        .join(docs.select($"doc_id".as("id"), $"ids_str"), "id")
+        .withColumn("bin_key", concat_ws(":", $"bucket", $"bin"))
+      val assembled = graft.operators.Packing
+        .assembleSequences(packed, "bin_key", "id", $"ids_str")
+      val toks = packed.groupBy($"bin_key").agg(sum($"len").as("bin_tokens"))
+      assembled.join(toks, "bin_key")
+        .select($"bin_key", $"n_events".as("n_docs"),
+          $"first_ord".cast("long").as("first_doc"),
+          $"last_ord".cast("long").as("last_doc"), $"bin_tokens", $"digest")
+        .orderBy($"bin_key")
+        .localCheckpoint() // bins-sized; materialize before scratch cleanup
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
+        f.delete(): Unit
+      }
+      rm(new java.io.File(idsDir))
+    }
   }
   private val bpeVocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()

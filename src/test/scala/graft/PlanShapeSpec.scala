@@ -114,4 +114,38 @@ class PlanShapeSpec extends SparkSpec {
       (plan should not).include("SortMergeJoin")
     }
   }
+
+  it("emits token ids as one codegen'd projection, no exchange, no lambda") {
+    withoutAqe {
+      // raw read, not Tables.documents: the small-file fan-out helper
+      // adds a deliberate repartition that is a no-op at scale and
+      // would mask the operator's own (exchange-free) shape
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val merges = Seq(("e", "s"), ("es", "t"))
+      val vocab = Map("e" -> 0, "s" -> 1, "t" -> 2, "es" -> 3, "est" -> 4)
+      val plan = docs.select(
+          graft.operators.BpeTrain.encodeIds($"text", merges, vocab).as("ids"))
+        .queryExecution.executedPlan.toString
+      plan should include("bpe_encode_ids")
+      (plan should not).include("Exchange")
+      (plan should not).include("lambda")
+    }
+  }
+
+  it("streams near-dup ingest through broadcast joins only") {
+    withoutAqe {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .limit(50).select($"doc_id", $"text")
+      val (fp, sig) = graft.operators.TextDedup
+        .buildDedupStore(corpus, "doc_id", "text", shingleN = 5, k = 8)
+      val plan = graft.operators.TextDedup
+        .ingestFlags(corpus, "doc_id", "text", fp, sig,
+          shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+        .queryExecution.executedPlan.toString
+      // the arriving side must NEVER shuffle for the store joins — the
+      // store tables broadcast; the only aggregation is the per-doc fold
+      plan should include("BroadcastHashJoin")
+      (plan should not).include("SortMergeJoin")
+    }
+  }
 }

@@ -96,9 +96,11 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events carries ns-precision timestamps Spark rejects by default;
-    // read ns as raw long and write it back untouched — Tables.events
-    // reconstructs the µs timestamp the same way on the scaled copy
+    // events `ts` has shipped in two physical encodings (ns-as-INT64,
+    // native µs TIMESTAMP); the flag only matters for the former (lets
+    // the read surface it as a raw long, written back untouched) and is
+    // harmless for the latter — Tables.repairTs adapts to whichever
+    // encoding the scaled copy carries
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     selected.foreach { t =>
       scaleTable(spark.read.parquet(s"$src/$t.parquet"), t, copies)

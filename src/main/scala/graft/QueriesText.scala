@@ -1095,16 +1095,23 @@ object QueriesText {
     val idsDir = sys.props("java.io.tmpdir") +
       "/graft_tokids_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + java.util.UUID.randomUUID().toString.take(8)
+    // the eligible-doc count (sizes the FFD buckets) rides the write
+    // pass as an observed metric — zero extra scans of the scratch
+    // table, vs a separate count() job re-reading it
+    val elig = org.apache.spark.sql.Observation("q126_eligible")
     Tables.documents(s, dir)
       .select($"doc_id",
         graft.operators.BpeTrain.encodeIds($"text", merges, vocab).as("ids"))
       .select($"doc_id", array_join($"ids", ",").as("ids_str"),
         size($"ids").cast("long").as("n_toks"))
+      .observe(elig, coalesce(sum(
+        when($"n_toks" > 0 && $"n_toks" <= 512, 1L).otherwise(0L)),
+        lit(0L)).as("n_eligible"))
       .write.parquet(idsDir)
     try {
       val docs = s.read.parquet(idsDir)
-      val eligible = docs.filter($"n_toks" > 0 && $"n_toks" <= 512)
-      val buckets = math.max(1L, math.ceil(eligible.count() / 64.0).toLong).toInt
+      val nEligible = elig.get("n_eligible").asInstanceOf[Long]
+      val buckets = math.max(1L, math.ceil(nEligible / 64.0).toLong).toInt
       val packed = graft.operators.Packing
         .ffdPack(docs, "doc_id", "n_toks", capacity = 512L, buckets = buckets)
         .join(docs.select($"doc_id".as("id"), $"ids_str"), "id")
@@ -1308,7 +1315,9 @@ object QueriesText {
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"rt")).as("n_chars"),
-          sum(when($"rt" =!= $"want", 1L).otherwise(0L)).as("n_mismatch"))
+          // null-safe: a broken decode path returning null must count as
+          // a mismatch, not vanish (=!= yields null when rt is null)
+          sum(when(!($"rt" <=> $"want"), 1L).otherwise(0L)).as("n_mismatch"))
         .select(lit(mode).as("enc_mode"), $"source", $"n_docs", $"n_chars",
           $"n_mismatch")
     }

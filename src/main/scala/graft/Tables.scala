@@ -47,9 +47,14 @@ object Tables {
     * standard TIMESTAMP_MICROS with isAdjustedToUTC=false (arriving as
     * TIMESTAMP_NTZ) — so the repair must branch on the READ schema, not
     * assume one. Both branches yield the same instant for the same
-    * wall-clock value, and `to_utc_timestamp(ts, 'UTC')` pins the NTZ
-    * interpretation to UTC independent of `spark.sql.session.timeZone`,
-    * so epoch-based oracles (DuckDB `epoch()`) match in any session. */
+    * wall-clock value. The NTZ branch computes wall-clock µs via
+    * `timestampdiff` from the NTZ epoch — deliberately NOT
+    * `to_utc_timestamp(ts, 'UTC')` or `cast(ts as timestamp)`, since both
+    * of those route the NTZ value through `spark.sql.session.timeZone`
+    * first (measured +5 h under an America/New_York session;
+    * `EventsEncodingSpec` pins the timezone independence). Pure date
+    * arithmetic keeps epoch-based oracles (DuckDB `epoch()`) matched in
+    * any session. */
   def repairTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {

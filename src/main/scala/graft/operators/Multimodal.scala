@@ -735,15 +735,11 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           decodeAviMjpeg(bytes).toSeq.flatMap { avi =>
             avi.frames.zipWithIndex.flatMap { case (f, idx) =>
-              dHashImage(f).map { case (hi, lo) => (id, idx.toLong, hi, lo) }
+              dHash64(f).map { case (hi, lo) => (id, idx.toLong, hi, lo) }
             }
           }
         }
       }
       .toDF("media_id", "frame_idx", "sim_hi", "sim_lo")
   }
-
-  /** [[dHash64]] without the Option wrapper for already-extracted frame
-    * payloads. */
-  private def dHashImage(bytes: Array[Byte]): Option[(Long, Long)] = dHash64(bytes)
 }

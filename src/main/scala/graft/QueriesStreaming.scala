@@ -414,6 +414,57 @@ object QueriesStreaming {
        |FROM verdicts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q132
+  /** q128's classification with the BUCKETED (non-broadcast) store —
+    * the scale variant for a corpus store that has outgrown the
+    * driver's broadcast budget
+    * ([[graft.operators.TextDedup.ingestFlagsBucketed]]): the store's
+    * fingerprint / band-key / signature tables are written ONCE as
+    * bucketed external tables hashed on their join columns
+    * ([[graft.operators.TextDedup.writeDedupStoreBucketed]]), and each
+    * arriving micro-batch stream-static-joins them with NO broadcast —
+    * the static sides read pre-partitioned (exchange-free, pinned by
+    * `PlanShapeSpec`), only the arriving rows shuffle onto the join
+    * keys. Same planted delta, same verdict classes, same oracle as
+    * q128 — the two paths must agree exactly; what changes is only the
+    * physical store transport. */
+  val q132StreamNearDupBucketed: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/documents.parquet"
+    val watch = streamableDir(dir, "documents.parquet", "q132_docs")
+    val schema = s.read.parquet(file).schema
+    val corpus = s.read.parquet(file)
+      .filter(graft.operators.Sampling.hashBucket($"doc_id", 10) < 8)
+      .select($"doc_id", $"text")
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val prefix = s"q132_store_$tag"
+    graft.operators.TextDedup.writeDedupStoreBucketed(
+      corpus, "doc_id", "text", shingleN = 5, k = 8, rowsPerBand = 2,
+      namePrefix = prefix,
+      pathPrefix = s"/root/repo/target/tmp/$prefix", buckets = 8)
+    def arriving = s.readStream.schema(schema).parquet(watch)
+      .withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
+    val delta = arriving.filter($"b" >= 8).select($"doc_id", $"text")
+      .unionByName(arriving.filter($"b" < 8 && $"doc_id" % 7 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+      .unionByName(arriving.filter($"b" < 8 && $"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"),
+          concat($"text", lit(" zz qq")).as("text")))
+      .unionByName(arriving.filter($"b" >= 8 && $"doc_id" % 13 === 0)
+        .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
+    val flags = graft.operators.TextDedup.ingestFlagsBucketed(
+      delta, "doc_id", "text", prefix,
+      shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+    val name = s"q132_neardup_${System.nanoTime()}"
+    val query = flags.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(name)
+      .groupBy($"dup_exact", $"dup_near")
+      .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
+      .orderBy($"dup_exact", $"dup_near")
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
@@ -424,5 +475,6 @@ object QueriesStreaming {
     ("q80_session_window", q80SessionWindow, Some(q80Sql)),
     ("q110_stream_ingest", q110StreamIngest, Some(q110Sql)),
     ("q128_stream_neardup", q128StreamNearDup, Some(q128Sql)),
+    ("q132_stream_neardup_bucketed", q132StreamNearDupBucketed, Some(q128Sql)),
   )
 }

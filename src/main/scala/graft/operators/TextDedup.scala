@@ -307,6 +307,33 @@ object TextDedup {
                   shingleN: Int, k: Int, rowsPerBand: Int,
                   minAgree: Int): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val storeBands = signatureBands(storeSig, k, rowsPerBand)
+      .select(bandKey(col("band"), col("h")).as("bh"), col("id").as("s_id"))
+    val storeMh = storeSig.select(
+      col("id").as("s_id") +: (0 until k).map(j => col(s"mh$j").as(s"smh$j")): _*)
+    ingestCore(arriving, idCol, textCol, storeFp, storeBands, storeMh,
+      shingleN, k, rowsPerBand, minAgree, broadcast)
+  }
+
+  /** Single-column band key `"<band>:<hash>"` — bijective with the
+    * `(band, h)` pair (the band ordinal never contains `:`), so joins
+    * on it are exactly the two-key equi-join, but the bucketed store
+    * variant can bucket on ONE physical column and still elide its
+    * exchange. Null when `h` is null (doc too short to shingle) —
+    * matches nothing, same as the null `(band, h)` pair. */
+  private def bandKey(band: Column, h: Column): Column =
+    concat(band.cast("string"), lit(":"), h)
+
+  /** Shared join/verdict core of [[ingestFlags]] (broadcast store) and
+    * [[ingestFlagsBucketed]] (bucketed store): `hint` wraps each static
+    * side — `broadcast` when the store fits the driver, identity when
+    * the bucketed layout should carry the join. */
+  private def ingestCore(arriving: DataFrame, idCol: String, textCol: String,
+                         storeFp: DataFrame, storeBands: DataFrame,
+                         storeMh: DataFrame, shingleN: Int, k: Int,
+                         rowsPerBand: Int, minAgree: Int,
+                         hint: DataFrame => DataFrame): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     require(minAgree >= 1 && minAgree <= k, s"minAgree must be in [1, $k], got $minAgree")
     val nBands = k / rowsPerBand
     val base = arriving.select(
@@ -314,28 +341,76 @@ object TextDedup {
         TextAnalysis.fingerprint(col(textCol)).as("fp") +:
         rowMinHashCols(col(textCol), shingleN, k): _*)
     val bandArr = array((0 until nBands).map { b =>
-      struct(lit(b).as("band"), md5(concat(
+      bandKey(lit(b), md5(concat(
         (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(j => col(s"mh$j")): _*)).as("h"))
+          .map(j => col(s"mh$j")): _*)))
     }: _*)
-    val storeBands = signatureBands(storeSig, k, rowsPerBand)
-      .select(col("id").as("s_id"), col("band"), col("h"))
-    val storeMh = storeSig.select(
-      col("id").as("s_id") +: (0 until k).map(j => col(s"mh$j").as(s"smh$j")): _*)
     val agree = (0 until k)
       .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
       .reduce(_ + _)
     base
       .withColumn("bh", explode(bandArr))
-      .withColumn("band", col("bh.band")).withColumn("h", col("bh.h"))
-      .join(broadcast(storeBands), Seq("band", "h"), "left")
-      .join(broadcast(storeMh), Seq("s_id"), "left")
+      .join(hint(storeBands), Seq("bh"), "left")
+      .join(hint(storeMh), Seq("s_id"), "left")
       .withColumn("near_hit",
         coalesce(agree >= minAgree, lit(false)))
-      .join(broadcast(storeFp.withColumn("exact_hit", lit(true))), Seq("fp"), "left")
+      .join(hint(storeFp.withColumn("exact_hit", lit(true))), Seq("fp"), "left")
       .groupBy(col("id"))
       .agg(max(coalesce(col("exact_hit"), lit(false))).as("dup_exact"),
         max(col("near_hit")).as("dup_near"))
+  }
+
+  /** Write the [[ingestFlagsBucketed]] store: the [[buildDedupStore]]
+    * state plus the PRE-COMPUTED band-key table, each as a BUCKETED
+    * external table hashed on its join column (`fp` / `bh` / `s_id`) —
+    * the scale path for a store that has outgrown the driver's
+    * broadcast budget. The ingest joins then find every static side
+    * pre-partitioned on its key: the store pays its exchange ONCE here
+    * at corpus-dedup time, and every later micro-batch shuffles only
+    * its own arriving rows (see the q132 gate + `PlanShapeSpec` pin).
+    * Tables land at `pathPrefix_{fp,bands,mh}` under catalog names
+    * `namePrefix_{fp,bands,mh}` (dropped and overwritten if present). */
+  def writeDedupStoreBucketed(corpus: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int, k: Int, rowsPerBand: Int,
+                              namePrefix: String, pathPrefix: String,
+                              buckets: Int): Unit = {
+    val spark = corpus.sparkSession
+    val (fp, sig) = buildDedupStore(corpus, idCol, textCol, shingleN, k)
+    // one corpus scan feeds both signature-derived tables
+    val sigC = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = signatureBands(sigC, k, rowsPerBand)
+      .select(bandKey(col("band"), col("h")).as("bh"), col("id").as("s_id"))
+    val mh = sigC.select(
+      col("id").as("s_id") +: (0 until k).map(j => col(s"mh$j").as(s"smh$j")): _*)
+    def write(df: DataFrame, suffix: String, bucketCol: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_$suffix")
+      df.write.mode("overwrite").option("path", s"${pathPrefix}_$suffix")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .format("parquet").saveAsTable(s"${namePrefix}_$suffix")
+    }
+    try {
+      write(fp, "fp", "fp")
+      write(bands, "bands", "bh")
+      write(mh, "mh", "s_id")
+    } finally sigC.unpersist()
+  }
+
+  /** [[ingestFlags]] with a BUCKETED store — the non-broadcast scale
+    * variant for a store too large to ship to every task: reads the
+    * three [[writeDedupStoreBucketed]] tables and runs the same
+    * classification with NO broadcast hint, so each store side joins
+    * from its bucketed layout exchange-free while only the arriving
+    * micro-batch shuffles onto the join keys. Identical verdicts to
+    * [[ingestFlags]] by construction (same core, same band keys). */
+  def ingestFlagsBucketed(arriving: DataFrame, idCol: String, textCol: String,
+                          namePrefix: String, shingleN: Int, k: Int,
+                          rowsPerBand: Int, minAgree: Int): DataFrame = {
+    val spark = arriving.sparkSession
+    ingestCore(arriving, idCol, textCol,
+      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_fp"),
+      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_bands"),
+      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_mh"),
+      shingleN, k, rowsPerBand, minAgree, identity)
   }
 
   /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex

@@ -148,4 +148,36 @@ class PlanShapeSpec extends SparkSpec {
       (plan should not).include("SortMergeJoin")
     }
   }
+
+  it("joins the bucketed dedup store without broadcasting it (exchange-free static sides)") {
+    withoutAqe {
+      // the inverse pin of the broadcast path above: when the store has
+      // outgrown the driver, the static sides must come from their
+      // bucketed layout with NO broadcast and NO exchange of their own —
+      // only the arriving rows shuffle onto the join keys
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val corpus = spark.read.parquet(s"$dir/documents.parquet")
+          .limit(50).select($"doc_id", $"text")
+        graft.operators.TextDedup.writeDedupStoreBucketed(
+          corpus, "doc_id", "text", shingleN = 5, k = 8, rowsPerBand = 2,
+          namePrefix = "planshape_store",
+          pathPrefix = "/root/repo/target/tmp/planshape_store", buckets = 4)
+        val flagged = graft.operators.TextDedup.ingestFlagsBucketed(
+          corpus, "doc_id", "text", "planshape_store",
+          shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+        val plan = flagged.queryExecution.executedPlan.toString
+        (plan should not).include("BroadcastHashJoin")
+        plan should include("SortMergeJoin")
+        plan should include("SelectedBucketsCount") // bucketed scans in play
+        // three store joins + the per-doc fold: the arriving side pays
+        // one hash exchange per join key (bh, s_id, fp) plus one for
+        // the final groupBy(id); the three static sides pay NONE (the
+        // test corpus's limit() adds one SinglePartition exchange below
+        // the arriving side — an input artifact, excluded here)
+        "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 4
+      } finally
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -984,6 +984,40 @@ object QueriesText {
             s"SELECT CAST($e AS BIGINT) AS step, l AS \"left\", r AS \"right\", cnt AS pair_count FROM m$e")
           .mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY step""".stripMargin
 
+  // --------------------------------------------------------------- q133
+  /** INCREMENTAL BPE vocabulary maintenance
+    * ([[graft.operators.BpeTrain.mergeFreqs]]) — the production
+    * tokenizer-refresh shape: the base corpus's word-frequency table is
+    * the PERSISTED tokenizer state (vocabulary-sized parquet, the q107
+    * store pattern); a delta shard arrives, only the DELTA is scanned
+    * ([[graft.operators.BpeTrain.wordFreqs]] over the delta docs), the
+    * two frequency tables merge additively, and the merge trajectory is
+    * re-learned from the merged table without ever re-reading the base
+    * corpus text. Because `wordFreqs` is a pure additive group-by,
+    * `train(base) + update(delta) ≡ train(base ∪ delta)` EXACTLY — so
+    * the oracle is q124's full-corpus replay (six unrolled CTE rounds
+    * over ALL documents): any drift between the incremental path and a
+    * full retrain flips the trajectory. */
+  val q133BpeIncremental: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bucket = graft.operators.Sampling.hashBucket($"doc_id", 10)
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val storeDir = s"/root/repo/target/tmp/q133_freqs_$tag"
+    // state write: what a PRIOR training run would have persisted
+    graft.operators.BpeTrain
+      .wordFreqs(docs.filter(bucket < 8), "text")
+      .write.mode("overwrite").parquet(storeDir)
+    // refresh: delta scan + vocabulary-sized merge + re-learn
+    val merged = graft.operators.BpeTrain.mergeFreqs(
+      s.read.parquet(storeDir),
+      graft.operators.BpeTrain.wordFreqs(docs.filter(bucket >= 8), "text"))
+    graft.operators.BpeTrain.learnMerges(s, merged, merges = 6)
+      .map { case (st, l, r, c) => (st.toLong, l, r, c) }
+      .toDF("step", "left", "right", "pair_count")
+      .orderBy($"step")
+  }
+
   // --------------------------------------------------------------- q125
   /** BPE ENCODE with the learned merges
     * ([[graft.operators.BpeTrain.encode]]) — the apply half of the
@@ -1366,5 +1400,6 @@ object QueriesText {
     ("q126_token_pipeline", q126TokenPipeline, Some(q126Sql)),
     ("q127_byte_bpe", q127ByteBpe, Some(q127Sql)),
     ("q131_detokenize", q131Detokenize, Some(q131Sql)),
+    ("q133_bpe_incremental", q133BpeIncremental, Some(q124Sql)),
   )
 }

@@ -40,6 +40,23 @@ object BpeTrain {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** Additive refresh of a persisted word-frequency table with a delta
+    * corpus's frequencies — INCREMENTAL tokenizer maintenance. Because
+    * [[wordFreqs]] is a pure additive group-by,
+    * `mergeFreqs(wordFreqs(A), wordFreqs(B)) = wordFreqs(A ∪ B)`
+    * EXACTLY (integer sums, order-free), so re-running [[learnMerges]]
+    * on the merged table is IDENTICAL to a full retrain on the combined
+    * corpus — the equivalence is algebraic, not approximate (gated by
+    * q133 against a full-corpus oracle replay). The scale win: the
+    * persisted table is VOCABULARY-sized (~10⁵–10⁶ rows regardless of
+    * corpus bytes), the delta pass scans only the delta shard, and the
+    * merge itself is one vocabulary-sized shuffle — a weekly crawl
+    * updates its tokenizer without ever re-reading the base corpus
+    * (the q107 store pattern applied to tokenizer state). */
+  def mergeFreqs(baseFreqs: DataFrame, deltaFreqs: DataFrame): DataFrame =
+    baseFreqs.unionByName(deltaFreqs)
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+
   /** Seed a word's symbol array: per code point (char mode) or per
     * UTF-8 byte as a lowercase hex pair (byte-level mode — fixed
     * 256-symbol base alphabet, so NO character is ever out of

@@ -129,4 +129,28 @@ class BpeIdsSpec extends SparkSpec {
       ids should not contain -1
     }
   }
+
+  describe("BpeTrain.mergeFreqs (incremental vocabulary maintenance)") {
+    it("makes train(base)+update(delta) identical to a full retrain") {
+      // delta overlaps base words AND introduces brand-new ones — both
+      // paths through the additive merge
+      val base = Seq("aa ab aa", "ab ab ba", "aa cc").toDF("text")
+      val delta = Seq("zz zz aa", "zq zq zq ab").toDF("text")
+      val full = base.unionByName(delta)
+      val incremental = BpeTrain.learnMerges(spark,
+        BpeTrain.mergeFreqs(
+          BpeTrain.wordFreqs(base, "text"),
+          BpeTrain.wordFreqs(delta, "text")),
+        merges = 4)
+      val retrained = BpeTrain.learnMerges(spark,
+        BpeTrain.wordFreqs(full, "text"), merges = 4)
+      incremental shouldBe retrained
+      // the merged table IS wordFreqs(base ∪ delta), row for row
+      val merged = BpeTrain.mergeFreqs(
+        BpeTrain.wordFreqs(base, "text"), BpeTrain.wordFreqs(delta, "text"))
+      val direct = BpeTrain.wordFreqs(full, "text")
+      merged.exceptAll(direct).count() shouldBe 0L
+      direct.exceptAll(merged).count() shouldBe 0L
+    }
+  }
 }

@@ -460,8 +460,11 @@ object QueriesSimilarity {
       .recallAtK(s, queries, indexed, cent, k = 10, nProbes = Seq(1, 2, 4, 8))
       .orderBy($"n_probe")
   }
-  val q129Sql: String = {
-    val widths = Seq(1, 2, 4, 8)
+  /** Shared oracle machinery of q129/q134: the full recall WITH-chain
+    * (fit, truth, probes, per-width IVF top-k) and the per-width recall
+    * union — ONE text for both gates so the SQL cannot drift from the
+    * Scala semantics in just one of them (the bpeCtes pattern). */
+  private def recallOracleParts(widths: Seq[Int]): (String, String) = {
     val perWidth = widths.map { np =>
       s"""SELECT $np AS n_probe, count(*) AS n_queries,
          |  CAST(sum(n_hit) AS BIGINT) AS total_hits,
@@ -487,26 +490,78 @@ object QueriesSimilarity {
          |    FROM cand$np)
          |  WHERE rank <= 10)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |${lloydIdxSql("e", "8")},
-       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
-       |truth AS (
-       |  SELECT q_id, n_id FROM (
-       |    SELECT q.q_id, i.id AS n_id,
-       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
-       |             ${dotSql("q.qv", "i.v")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("i.v")}) DESC,
-       |             i.id ASC) AS rank
-       |    FROM qs q CROSS JOIN idx i)
-       |  WHERE rank <= 10),
-       |qscored AS (
-       |  SELECT q.q_id, q.qv, c.cluster,
-       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
-       |  FROM qs q CROSS JOIN cent c),
-       |probes AS (
-       |  SELECT q_id, qv, cluster, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn
-       |  FROM qscored),
-       |$ivfCtes
+    val ctes =
+      s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${lloydIdxSql("e", "8")},
+         |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, i.id AS n_id,
+         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |             ${dotSql("q.qv", "i.v")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("i.v")}) DESC,
+         |             i.id ASC) AS rank
+         |    FROM qs q CROSS JOIN idx i)
+         |  WHERE rank <= 10),
+         |qscored AS (
+         |  SELECT q.q_id, q.qv, c.cluster,
+         |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+         |  FROM qs q CROSS JOIN cent c),
+         |probes AS (
+         |  SELECT q_id, qv, cluster, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn
+         |  FROM qscored),
+         |$ivfCtes""".stripMargin
+    (ctes, perWidth)
+  }
+
+  val q129Sql: String = {
+    val (ctes, perWidth) = recallOracleParts(Seq(1, 2, 4, 8))
+    s"""WITH $ctes
        |$perWidth
+       |ORDER BY n_probe""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q134
+  /** Recall-driven nProbe AUTO-TUNING
+    * ([[graft.operators.IvfIndex.tuneNProbe]]) — q129 measured the
+    * accuracy/cost dial; this gate turns it: the q129 index is saved to
+    * disk (the q106 persist lifecycle), a held-out query sample drives
+    * one recall pass over widths 1/2/4/8, the CHEAPEST width with avg
+    * recall ≥ 0.9 is chosen (widest as fallback) and the whole tuning
+    * table is persisted WITH the index. The gate reads the PERSISTED
+    * table back — so the store round-trip, the per-width recall
+    * arithmetic AND the argmin choice are all on the hash — and the
+    * oracle replays every width plus the choice rule over its own
+    * replayed recalls. `SimilaritySpec` pins floor/minimality semantics
+    * and the [[graft.operators.IvfIndex.loadTunedNProbe]] round-trip. */
+  val q134IvfAutotune: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val idxDir = s"/root/repo/target/tmp/q134_ivf_$tag"
+    graft.operators.IvfIndex.save(cent, indexed, idxDir)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.IvfIndex.tuneNProbe(s, idxDir, queries,
+      k = 10, nProbes = Seq(1, 2, 4, 8), recallFloor = 0.9): Unit
+    s.read.parquet(s"$idxDir/tuning")
+      .select($"n_probe", $"n_queries", $"total_hits",
+        $"avg_recall", $"min_recall", $"chosen")
+      .orderBy($"n_probe")
+  }
+  val q134Sql: String = {
+    val (ctes, perWidth) = recallOracleParts(Seq(1, 2, 4, 8))
+    s"""WITH $ctes,
+       |rec AS (
+       |$perWidth)
+       |SELECT r.n_probe, r.n_queries, r.total_hits, r.avg_recall, r.min_recall,
+       |       r.n_probe = coalesce(
+       |         (SELECT min(n_probe) FROM rec WHERE avg_recall >= 0.9),
+       |         (SELECT max(n_probe) FROM rec)) AS chosen
+       |FROM rec r
        |ORDER BY n_probe""".stripMargin
   }
 
@@ -521,5 +576,6 @@ object QueriesSimilarity {
     ("q115_sql_surface", q115SqlSurface, Some(q115Sql)),
     ("q122_ivf_append", q122IvfAppend, Some(q122Sql)),
     ("q129_ivf_recall", q129IvfRecall, Some(q129Sql)),
+    ("q134_ivf_autotune", q134IvfAutotune, Some(q134Sql)),
   )
 }

@@ -278,6 +278,43 @@ object IvfIndex {
     * width re-runs only the pruned candidate join. The truth table is
     * query-set-sized — eager-materialized so the per-width joins
     * don't recompute the brute pass. */
+  /** Recall-driven `nProbe` AUTO-TUNING — closes the loop [[recallAtK]]
+    * only instruments: measure sample recall at each candidate width
+    * over a HELD-OUT query sample, choose the CHEAPEST width whose
+    * avg recall meets `recallFloor` (fall back to the widest candidate
+    * when none does — never silently under-deliver), and persist the
+    * whole tuning table WITH the index (`dir/tuning`: one row per
+    * width + the chosen flag, floor and k as provenance) so a later
+    * session reads the operating point instead of re-measuring
+    * ([[loadTunedNProbe]]). The choice reads the ROUNDED avg recall the
+    * table stores — the same value the q134 oracle replays, so the
+    * argmin is gateable cross-engine. Cost: one [[recallAtK]] pass
+    * (sample-sized brute truth + one pruned join per width); the
+    * persisted table is |nProbes| rows. Returns the chosen width. */
+  def tuneNProbe(spark: SparkSession, dir: String, sampleQueries: DataFrame,
+                 k: Int, nProbes: Seq[Int], recallFloor: Double): Int = {
+    require(recallFloor > 0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    val (centroids, indexed) = load(spark, dir)
+    val rec = recallAtK(spark, sampleQueries, indexed, centroids, k, nProbes)
+      .localCheckpoint() // |nProbes| rows; feeds the choice AND the write
+    val byWidth = rec.select(col("n_probe"), col("avg_recall")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val chosen = byWidth.collectFirst { case (np, ar) if ar >= recallFloor => np }
+      .getOrElse(byWidth.last._1)
+    rec.withColumn("chosen", col("n_probe") === lit(chosen))
+      .withColumn("recall_floor", lit(recallFloor))
+      .withColumn("at_k", lit(k))
+      .write.mode("overwrite").parquet(s"$dir/tuning")
+    chosen
+  }
+
+  /** The persisted operating point of [[tuneNProbe]]: the chosen probe
+    * width, read back from the index directory. */
+  def loadTunedNProbe(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/tuning")
+      .filter(col("chosen")).select(col("n_probe")).head().getInt(0)
+
   def recallAtK(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
                 centroids: DataFrame, k: Int, nProbes: Seq[Int]): DataFrame = {
     require(nProbes.nonEmpty, "recallAtK needs at least one nProbe width")

@@ -23,7 +23,7 @@ object QueriesStreaming {
     * round-5 10× probe — q45/q68/q110 "ran" in 0.2 s because they
     * processed an empty stream; round 4's sf1.0 streaming numbers had
     * the same flaw). */
-  private def streamableDir(dir: String, name: String, tag: String): String = {
+  private[graft] def streamableDir(dir: String, name: String, tag: String): String = {
     val target = java.nio.file.Paths.get(s"$dir/$name")
     if (java.nio.file.Files.isDirectory(target)) target.toString
     else {

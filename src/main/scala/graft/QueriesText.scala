@@ -1145,18 +1145,7 @@ object QueriesText {
     try {
       val docs = s.read.parquet(idsDir)
       val nEligible = elig.get("n_eligible").asInstanceOf[Long]
-      val buckets = math.max(1L, math.ceil(nEligible / 64.0).toLong).toInt
-      val packed = graft.operators.Packing
-        .ffdPack(docs, "doc_id", "n_toks", capacity = 512L, buckets = buckets)
-        .join(docs.select($"doc_id".as("id"), $"ids_str"), "id")
-        .withColumn("bin_key", concat_ws(":", $"bucket", $"bin"))
-      val assembled = graft.operators.Packing
-        .assembleSequences(packed, "bin_key", "id", $"ids_str")
-      val toks = packed.groupBy($"bin_key").agg(sum($"len").as("bin_tokens"))
-      assembled.join(toks, "bin_key")
-        .select($"bin_key", $"n_events".as("n_docs"),
-          $"first_ord".cast("long").as("first_doc"),
-          $"last_ord".cast("long").as("last_doc"), $"bin_tokens", $"digest")
+      packTokenShards(docs, nEligible)
         .orderBy($"bin_key")
         .localCheckpoint() // bins-sized; materialize before scratch cleanup
     } finally {
@@ -1169,6 +1158,100 @@ object QueriesText {
   }
   private val bpeVocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
+
+  /** Shared pack-and-assemble tail of q126 (whole corpus) and q135 (per
+    * micro-batch): FFD-pack the encoded docs into 512-token bins
+    * (bucket count scaled to `nEligible`), join the id sequences back,
+    * and assemble one digest row per bin. Input: `(doc_id, ids_str,
+    * n_toks)`. Output: the q126 gate shape `(bin_key, n_docs,
+    * first_doc, last_doc, bin_tokens, digest)`, unordered. */
+  private[graft] def packTokenShards(docs: org.apache.spark.sql.DataFrame,
+                              nEligible: Long): org.apache.spark.sql.DataFrame = {
+    val buckets = math.max(1L, math.ceil(nEligible / 64.0).toLong).toInt
+    val packed = graft.operators.Packing
+      .ffdPack(docs, "doc_id", "n_toks", capacity = 512L, buckets = buckets)
+      .join(docs.select(col("doc_id").as("id"), col("ids_str")), "id")
+      .withColumn("bin_key", concat_ws(":", col("bucket"), col("bin")))
+    val assembled = graft.operators.Packing
+      .assembleSequences(packed, "bin_key", "id", col("ids_str"))
+    val toks = packed.groupBy(col("bin_key")).agg(sum(col("len")).as("bin_tokens"))
+    assembled.join(toks, "bin_key")
+      .select(col("bin_key"), col("n_events").as("n_docs"),
+        col("first_ord").cast("long").as("first_doc"),
+        col("last_ord").cast("long").as("last_doc"),
+        col("bin_tokens"), col("digest"))
+  }
+
+  // --------------------------------------------------------------- q135
+  /** STREAMING token pipeline — the production shape of a training-data
+    * tokenizer stage (streaming ingest → tokenized shards), composing
+    * r8's two halves: documents arrive as a FILE STREAM, token-id
+    * emission runs as a STATELESS per-row projection (the codegen'd
+    * [[graft.plans.BpeEncodeIds]] kernel — no state store, no shuffle
+    * in the stream plan), and each micro-batch FFD-packs its own docs
+    * into 512-token training shards via `foreachBatch` + the IDEMPOTENT
+    * batch-partitioned parquet sink
+    * ([[graft.streaming.EventStreams.writeBatchIdempotent]] — a
+    * replayed batch overwrites its own `batch_id` partition, so the
+    * shard store is exactly-once-effective under foreachBatch's
+    * at-least-once contract). The gate reads the persisted shard store
+    * back and must CHECKSUM-MATCH the batch q126 pipeline on the same
+    * corpus (same oracle): the test corpus arrives in one micro-batch,
+    * so per-batch packing ≡ whole-corpus packing — any drift in the
+    * streaming projection, the per-batch bucket sizing, the sink
+    * layout, or the read-back flips a digest. Multi-batch packing
+    * independence is pinned separately in `StreamingSpec`. */
+  val q135StreamTokenPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val merges = bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.learnMerges(s,
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges = 6).map { case (_, l, r, _) => (l, r) })
+    val vocab = bpeVocabCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.buildVocab(
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges))
+    val file = s"$dir/documents.parquet"
+    val watch = QueriesStreaming.streamableDir(dir, "documents.parquet", "q135_docs")
+    val schema = s.read.parquet(file).schema
+    val encoded = s.readStream.schema(schema).parquet(watch)
+      .select($"doc_id",
+        graft.operators.BpeTrain.encodeIds($"text", merges, vocab).as("ids"))
+      .select($"doc_id", array_join($"ids", ",").as("ids_str"),
+        size($"ids").cast("long").as("n_toks"))
+    // run-unique shard store: the sink is idempotent WITHIN a run
+    // (batch_id partitions); a previous run's shards must not leak in
+    val outDir = sys.props("java.io.tmpdir") +
+      "/graft_tokshards_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val query = encoded.writeStream
+      .option("checkpointLocation", s"${outDir}_ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          // batch-sized; feeds the eligible count AND the pack/join
+          val docs = batch.toDF().localCheckpoint()
+          val n = docs.filter($"n_toks" > 0 && $"n_toks" <= 512).count()
+          graft.streaming.EventStreams.writeBatchIdempotent(
+            packTokenShards(docs, n), batchId, outDir)
+      }
+      .start()
+    try {
+      try query.processAllAvailable() finally query.stop()
+      s.read.parquet(outDir)
+        .select($"bin_key", $"n_docs", $"first_doc", $"last_doc",
+          $"bin_tokens", $"digest")
+        .orderBy($"bin_key")
+        .localCheckpoint() // bins-sized; materialize before scratch cleanup
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
+        f.delete(): Unit
+      }
+      rm(new java.io.File(outDir))
+      rm(new java.io.File(s"${outDir}_ckpt"))
+    }
+  }
 
   /** Drop the session-owned tokenizer caches (merge table + vocab) —
     * [[Bench]] calls this before each COLD pass so cold numbers carry
@@ -1401,5 +1484,6 @@ object QueriesText {
     ("q127_byte_bpe", q127ByteBpe, Some(q127Sql)),
     ("q131_detokenize", q131Detokenize, Some(q131Sql)),
     ("q133_bpe_incremental", q133BpeIncremental, Some(q124Sql)),
+    ("q135_stream_token_pipeline", q135StreamTokenPipeline, Some(q126Sql)),
   )
 }

@@ -64,6 +64,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("streaming token shards (q135 multi-batch shape)") {
+    it("packs each micro-batch independently with no doc lost or duplicated") {
+      // two files → maxFilesPerTrigger=1 → two micro-batches, each
+      // FFD-packed on its own (the q135 foreachBatch path); the gate
+      // query's single-batch case is oracle-gated, this pins the
+      // multi-batch contract: every doc in exactly one shard of its own
+      // batch partition, every bin within capacity
+      val src = java.nio.file.Files.createTempDirectory("tokshard_src").toString
+      val out = java.nio.file.Files.createTempDirectory("tokshard_out").toString
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", $"text")
+      docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$src/f0")
+      docs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$src/f1")
+      val merges = Seq(("e", "s"), ("es", "t"))
+      val vocab = Map("e" -> 0, "s" -> 1, "t" -> 2, "es" -> 3, "est" -> 4)
+      val schema = docs.schema
+      val encoded = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+        .select($"doc_id",
+          graft.operators.BpeTrain.encodeIds($"text", merges, vocab).as("ids"))
+        .select($"doc_id", org.apache.spark.sql.functions.array_join($"ids", ",").as("ids_str"),
+          org.apache.spark.sql.functions.size($"ids").cast("long").as("n_toks"))
+      val query = encoded.writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val b = batch.toDF().localCheckpoint()
+            val n = b.filter($"n_toks" > 0 && $"n_toks" <= 512).count()
+            EventStreams.writeBatchIdempotent(
+              QueriesText.packTokenShards(b, n), batchId, s"$out/shards")
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val shards = spark.read.parquet(s"$out/shards")
+      shards.select($"batch_id".cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet shouldBe Set(0L, 1L)
+      // capacity respected in every bin of every batch
+      shards.filter($"bin_tokens" > 512).count() shouldBe 0L
+      // conservation: every eligible doc lands in exactly one shard of
+      // its own batch (n_docs sums to the eligible count)
+      val eligible = docs
+        .select(org.apache.spark.sql.functions.size(
+          graft.operators.BpeTrain.encodeIds($"text", merges, vocab))
+          .cast("long").as("n_toks"))
+        .filter($"n_toks" > 0 && $"n_toks" <= 512).count()
+      shards.agg(sum($"n_docs")).head().getLong(0) shouldBe eligible
+    }
+  }
+
   describe("sessionize (batch mode)") {
     it("splits a user's events into gap-separated sessions") {
       val events = Seq(

@@ -453,7 +453,7 @@ object QueriesStreaming {
       .unionByName(arriving.filter($"b" >= 8 && $"doc_id" % 13 === 0)
         .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
     val flags = graft.operators.TextDedup.ingestFlagsBucketed(
-      delta, "doc_id", "text", prefix,
+      delta, "doc_id", "text", prefix, s"/root/repo/target/tmp/$prefix",
       shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
     val name = s"q132_neardup_${System.nanoTime()}"
     val query = flags.writeStream.format("memory").queryName(name)

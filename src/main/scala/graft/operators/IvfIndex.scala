@@ -98,10 +98,36 @@ object IvfIndex {
 
   /** Reload a [[save]]d index: `(centroids, indexed)`. The partition
     * column comes back from directory names; everything else is the
-    * written schema. */
-  def load(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    * written schema. Repairs an interrupted
+    * [[splitOversizedCells]] centroid swap first, so a crash in the
+    * rename window still yields a loadable index
+    * ([[recoverCentroidSwap]]). */
+  def load(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    recoverCentroidSwap(spark, dir)
     (spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/index"))
+  }
+
+  /** Crash recovery for the [[splitOversizedCells]] centroid swap. The
+    * swap sequence is: write `centroids__tmp` (complete) → rename live
+    * → `__old` → rename `__tmp` → live → delete `__old`. The only state
+    * where the live table is missing is mid-swap, and there `__tmp` is
+    * COMPLETE by construction — so roll the commit FORWARD (rename tmp
+    * to live); if tmp is somehow gone too, roll BACK from `__old`.
+    * With live present this is a no-op (a leftover tmp/old from a crash
+    * before the swap is inert — the next split overwrites/deletes it).
+    * Idempotent; called from [[load]]. */
+  private[graft] def recoverCentroidSwap(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = live.getFileSystem(conf)
+    if (!fs.exists(live)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/centroids__tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/centroids__old")
+      if (fs.exists(tmp)) { fs.rename(tmp, live); fs.delete(old, true): Unit }
+      else if (fs.exists(old)) fs.rename(old, live): Unit
+    }
+  }
 
   /** INCREMENTAL index maintenance: append a `delta` of `(id, v)` rows
     * to a [[save]]d index WITHOUT refitting — assign the delta to the
@@ -207,11 +233,14 @@ object IvfIndex {
       // one write; dynamic overwrite rewrites ONLY the split partitions
       pieces.map(_._1).reduce(_ unionByName _)
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
+      Failpoints.hit("ivfsplit:after-index-overwrite")
       // commit-marker pattern: build the new centroid table on a scratch
       // path, then swap it in with renames — the slow write job never
-      // has the live directory in a half-written state
+      // has the live directory in a half-written state; a crash inside
+      // the rename window is repaired by [[recoverCentroidSwap]]
       val tmp = s"$dir/centroids__tmp"
       centroids.write.mode("overwrite").parquet(tmp)
+      Failpoints.hit("ivfsplit:after-centroid-tmp")
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(conf)
@@ -219,6 +248,7 @@ object IvfIndex {
       val old = new org.apache.hadoop.fs.Path(s"$dir/centroids__old")
       if (fs.exists(old)) fs.delete(old, true)
       fs.rename(live, old)
+      Failpoints.hit("ivfsplit:mid-swap")
       fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
       fs.delete(old, true)
       spark.catalog.refreshByPath(s"$dir/index")

@@ -368,13 +368,28 @@ object TextDedup {
     * pre-partitioned on its key: the store pays its exchange ONCE here
     * at corpus-dedup time, and every later micro-batch shuffles only
     * its own arriving rows (see the q132 gate + `PlanShapeSpec` pin).
-    * Tables land at `pathPrefix_{fp,bands,mh}` under catalog names
-    * `namePrefix_{fp,bands,mh}` (dropped and overwritten if present). */
+    *
+    * Crash safety: the three tables are one logical store, so they
+    * commit as a GENERATION — tables land gen-suffixed
+    * (`namePrefix_g<n>_{fp,bands,mh}` at `pathPrefix_g<n>_*`), and a
+    * tiny manifest file (`pathPrefix_manifest`, swapped by rename) is
+    * the single commit point naming the current generation. A crash
+    * between table writes leaves the manifest on the OLD complete
+    * generation (readers never see a half-written or mixed-generation
+    * store); a first-build crash leaves no manifest (readers fail with
+    * a clear absent-store error, not torn reads). Superseded
+    * generations are dropped best-effort after the swap
+    * (`StoreLifecycleSpec` injects crashes at each gap). */
   def writeDedupStoreBucketed(corpus: DataFrame, idCol: String, textCol: String,
                               shingleN: Int, k: Int, rowsPerBand: Int,
                               namePrefix: String, pathPrefix: String,
                               buckets: Int): Unit = {
     val spark = corpus.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = new org.apache.hadoop.fs.Path(s"${pathPrefix}_manifest")
+    val fs = manifest.getFileSystem(conf)
+    val prevGen = currentStoreGen(fs, manifest)
+    val gen = prevGen.getOrElse(0L) + 1L
     val (fp, sig) = buildDedupStore(corpus, idCol, textCol, shingleN, k)
     // one corpus scan feeds both signature-derived tables
     val sigC = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -383,33 +398,69 @@ object TextDedup {
     val mh = sigC.select(
       col("id").as("s_id") +: (0 until k).map(j => col(s"mh$j").as(s"smh$j")): _*)
     def write(df: DataFrame, suffix: String, bucketCol: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_$suffix")
-      df.write.mode("overwrite").option("path", s"${pathPrefix}_$suffix")
+      spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_g${gen}_$suffix")
+      df.write.mode("overwrite")
+        .option("path", s"${pathPrefix}_g${gen}_$suffix")
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .format("parquet").saveAsTable(s"${namePrefix}_$suffix")
+        .format("parquet").saveAsTable(s"${namePrefix}_g${gen}_$suffix")
     }
     try {
       write(fp, "fp", "fp")
+      Failpoints.hit("dedupstore:after-fp")
       write(bands, "bands", "bh")
+      Failpoints.hit("dedupstore:after-bands")
       write(mh, "mh", "s_id")
+      // COMMIT: swap the manifest to the new generation via tmp+rename
+      val tmp = new org.apache.hadoop.fs.Path(s"${pathPrefix}_manifest__tmp")
+      val out = fs.create(tmp, true)
+      try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(manifest)) fs.delete(manifest, false)
+      fs.rename(tmp, manifest): Unit
+      // best-effort cleanup of the superseded generation
+      prevGen.foreach { g =>
+        Seq("fp", "bands", "mh").foreach { sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_g${g}_$sfx")
+          fs.delete(new org.apache.hadoop.fs.Path(s"${pathPrefix}_g${g}_$sfx"), true)
+        }
+      }
     } finally sigC.unpersist()
   }
 
+  /** Current committed store generation, if any. The manifest is bytes
+    * of one long; absent file = no committed store. */
+  private def currentStoreGen(fs: org.apache.hadoop.fs.FileSystem,
+                              manifest: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(manifest)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
+      val in = fs.open(manifest)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    }
+
   /** [[ingestFlags]] with a BUCKETED store — the non-broadcast scale
-    * variant for a store too large to ship to every task: reads the
-    * three [[writeDedupStoreBucketed]] tables and runs the same
+    * variant for a store too large to ship to every task: resolves the
+    * committed generation from the store manifest, reads its three
+    * [[writeDedupStoreBucketed]] tables and runs the same
     * classification with NO broadcast hint, so each store side joins
     * from its bucketed layout exchange-free while only the arriving
     * micro-batch shuffles onto the join keys. Identical verdicts to
     * [[ingestFlags]] by construction (same core, same band keys). */
   def ingestFlagsBucketed(arriving: DataFrame, idCol: String, textCol: String,
-                          namePrefix: String, shingleN: Int, k: Int,
+                          namePrefix: String, pathPrefix: String,
+                          shingleN: Int, k: Int,
                           rowsPerBand: Int, minAgree: Int): DataFrame = {
     val spark = arriving.sparkSession
+    val manifest = new org.apache.hadoop.fs.Path(s"${pathPrefix}_manifest")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = currentStoreGen(fs, manifest).getOrElse(throw new IllegalStateException(
+      s"no committed dedup store at ${pathPrefix}_manifest — " +
+        "run writeDedupStoreBucketed first"))
     ingestCore(arriving, idCol, textCol,
-      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_fp"),
-      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_bands"),
-      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_mh"),
+      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_fp"),
+      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_bands"),
+      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_mh"),
       shingleN, k, rowsPerBand, minAgree, identity)
   }
 

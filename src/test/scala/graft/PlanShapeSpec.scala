@@ -165,6 +165,7 @@ class PlanShapeSpec extends SparkSpec {
           pathPrefix = "/root/repo/target/tmp/planshape_store", buckets = 4)
         val flagged = graft.operators.TextDedup.ingestFlagsBucketed(
           corpus, "doc_id", "text", "planshape_store",
+          "/root/repo/target/tmp/planshape_store",
           shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
         val plan = flagged.queryExecution.executedPlan.toString
         (plan should not).include("BroadcastHashJoin")

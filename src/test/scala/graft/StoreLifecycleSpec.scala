@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Failpoints, IvfIndex, TextDedup}
+
+/** Failure injection for the multi-table store writers — a long-running
+  * deployment WILL eventually die between two of a store's commits, and
+  * the contract under test is: the store a reader then sees is either
+  * the previous COMPLETE generation or CLEANLY ABSENT, never torn.
+  * [[graft.operators.Failpoints]] simulates the crash by throwing at
+  * named points between commits. */
+class StoreLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boom = new RuntimeException("injected crash")
+  private def crashAt(point: String): String => Unit =
+    p => if (p == point) throw boom
+
+  private def corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    .limit(60).select($"doc_id", $"text")
+
+  private def buildStore(name: String, path: String): Unit =
+    TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
+      shingleN = 5, k = 8, rowsPerBand = 2,
+      namePrefix = name, pathPrefix = path, buckets = 4)
+
+  private def verdicts(name: String, path: String) =
+    TextDedup.ingestFlagsBucketed(corpus, "doc_id", "text", name, path,
+      shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+      .orderBy($"id").collect().toSeq
+
+  describe("writeDedupStoreBucketed generations") {
+    it("a crashed refresh leaves readers on the old complete generation") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-crash").toString + "/store"
+      buildStore("slc_refresh", path)
+      val before = verdicts("slc_refresh", path)
+      for (point <- Seq("dedupstore:after-fp", "dedupstore:after-bands")) {
+        intercept[RuntimeException] {
+          Failpoints.withHook(crashAt(point)) {
+            buildStore("slc_refresh", path)
+          }
+        } shouldBe boom
+        // reader still resolves generation 1 — identical verdicts, no
+        // mixed-generation reads possible (gen-suffixed table names)
+        verdicts("slc_refresh", path) shouldBe before
+      }
+      // a retry after the crash commits cleanly over the torn leftovers
+      buildStore("slc_refresh", path)
+      verdicts("slc_refresh", path) shouldBe before
+    }
+
+    it("a crashed first build leaves the store cleanly absent") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-first").toString + "/store"
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("dedupstore:after-fp")) {
+          buildStore("slc_first", path)
+        }
+      } shouldBe boom
+      val e = intercept[IllegalStateException] {
+        verdicts("slc_first", path)
+      }
+      e.getMessage should include("no committed dedup store")
+      // and a clean retry makes the store readable
+      buildStore("slc_first", path)
+      verdicts("slc_first", path).size shouldBe 60
+    }
+  }
+
+  describe("splitOversizedCells crash windows") {
+    def freshIndex(): String = {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+      IvfIndex.save(cent, IvfIndex.assign(e, cent), dir)
+      dir
+    }
+
+    it("crash between index overwrite and centroid swap: loadable, nothing lost") {
+      val dir = freshIndex()
+      val n = spark.read.parquet(s"$dir/index").count()
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("ivfsplit:after-index-overwrite")) {
+          IvfIndex.splitOversizedCells(spark, dir, maxCellSize = n / 4)
+        }
+      } shouldBe boom
+      spark.catalog.refreshByPath(s"$dir/index")
+      val (cent, indexed) = IvfIndex.load(spark, dir)
+      // the documented state: fresh sub-cells probe-invisible (old
+      // centroids), but every vector still present exactly once
+      indexed.count() shouldBe n
+      cent.count() shouldBe 2L
+      // and a re-run completes the split from that state
+      IvfIndex.splitOversizedCells(spark, dir, maxCellSize = n / 4) should be >= 1
+    }
+
+    it("crash mid-centroid-swap: load rolls the commit forward") {
+      for (point <- Seq("ivfsplit:after-centroid-tmp", "ivfsplit:mid-swap")) {
+        val dir = freshIndex()
+        val n = spark.read.parquet(s"$dir/index").count()
+        intercept[RuntimeException] {
+          Failpoints.withHook(crashAt(point)) {
+            IvfIndex.splitOversizedCells(spark, dir, maxCellSize = n / 4)
+          }
+        } shouldBe boom
+        spark.catalog.refreshByPath(s"$dir/index")
+        spark.catalog.refreshByPath(s"$dir/centroids")
+        val (cent, indexed) = IvfIndex.load(spark, dir)
+        indexed.count() shouldBe n // no vector lost or duplicated
+        // mid-swap: live was missing; recovery committed the complete
+        // tmp table (roll-forward) — centroid count must be a coherent
+        // table either way (2 pre-split or 2 + splits post-split)
+        cent.count() should be >= 2L
+        // every cluster present in the index is probe-visible after
+        // recovery OR the documented stale-recall state (old centroids)
+        val idxClusters = indexed.select($"cluster".cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val centClusters = cent.select($"cluster".cast("long"))
+          .collect().map(_.getLong(0)).toSet
+        if (point == "ivfsplit:mid-swap")
+          // roll-forward: the new centroid table matches the new index
+          centClusters shouldBe idxClusters
+        else
+          centClusters.subsetOf(idxClusters) shouldBe true
+      }
+    }
+  }
+}

@@ -1457,6 +1457,99 @@ object QueriesText {
        |ORDER BY enc_mode, source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q136
+  /** Pure-SQL curation surface — the engine driven end-to-end by SQL
+    * TEXT alone (q115 proved the session-registry path for
+    * `cosine_similarity`; this gate does it for the tokenizer kernels):
+    * [[graft.plans.GraftFunctions]] registers `bpe_subword_count` /
+    * `bpe_encode_ids`, the trained model rides the query string as
+    * escaped literals ([[graft.plans.GraftFunctions.mergesToSpec]] /
+    * `vocabToSpec` — a BPE model is metadata-sized), and the query is
+    * ONE `spark.sql(...)` call: exact dedup (keep the smallest doc per
+    * content fingerprint) → per-source doc/subword totals via the
+    * codegen'd subword kernel → a token-id checksum via the codegen'd
+    * id-emission kernel folded with a SQL lambda. A user without any
+    * Scala can run the curation pipeline; the oracle replays training,
+    * vocabulary, dedup, encoding and the id sum. */
+  val q136SqlCuration: Q = (s, dir) => {
+    graft.plans.GraftFunctions.register(s)
+    val merges = bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.learnMerges(s,
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges = 6).map { case (_, l, r, _) => (l, r) })
+    val vocab = bpeVocabCache.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.buildVocab(
+        graft.operators.BpeTrain.wordFreqs(Tables.documents(s, dir), "text"),
+        merges))
+    def sqlLit(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val mspec = sqlLit(graft.plans.GraftFunctions.mergesToSpec(merges))
+    val vspec = sqlLit(graft.plans.GraftFunctions.vocabToSpec(vocab))
+    Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+    s.sql(s"""
+      |WITH kept AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT doc_id, source, text,
+      |           row_number() OVER (
+      |             PARTITION BY md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))
+      |             ORDER BY doc_id) AS rn
+      |    FROM graft_docs) WHERE rn = 1)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(bpe_subword_count(text, '$mspec')) AS BIGINT) AS n_subwords,
+      |       CAST(sum(aggregate(bpe_encode_ids(text, '$mspec', '$vspec'),
+      |                          CAST(0 AS BIGINT), (a, x) -> a + x))
+      |            AS BIGINT) AS id_sum
+      |FROM kept
+      |WHERE size(filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '),
+      |                  t -> t != '')) > 0
+      |GROUP BY source ORDER BY source""".stripMargin)
+  }
+  val q136Sql: String = {
+    val applyRounds = (1 to 6).map { e =>
+      s"""s$e AS MATERIALIZED (
+         |  SELECT doc_id, source, list_transform(wss, s ->
+         |    list_reduce(list_transform(s, x -> [x]),
+         |      (acc, xl) -> CASE WHEN len(acc) > 0
+         |          AND acc[-1] = m.l AND xl[1] = m.r
+         |        THEN list_append(acc[1:len(acc) - 1], m.l || m.r)
+         |        ELSE list_append(acc, xl[1]) END)) AS wss
+         |  FROM s${e - 1}, m$e m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeCtes(6)},
+       |vsyms AS MATERIALIZED (SELECT DISTINCT unnest(s) AS sym FROM w0),
+       |basev AS MATERIALIZED (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+       |  FROM vsyms),
+       |mrg AS (${(1 to 6).map(e =>
+            s"SELECT $e AS step, l, r FROM m$e").mkString(" UNION ALL ")}),
+       |vocab AS MATERIALIZED (
+       |  SELECT sym, CAST(min(id) AS BIGINT) AS id FROM (
+       |    SELECT sym, id FROM basev
+       |    UNION ALL
+       |    SELECT l || r AS sym, (SELECT count(*) FROM basev) + step - 1 AS id
+       |    FROM mrg)
+       |  GROUP BY sym),
+       |kept AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |           row_number() OVER (PARTITION BY md5($normSql)
+       |                              ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT doc_id, source, list_transform(
+       |    list_filter(string_split($normSql, ' '), w -> w <> ''),
+       |    w -> list_filter(string_split(w, ''), ch -> ch <> '')) AS wss
+       |  FROM kept),
+       |$applyRounds,
+       |fx AS (SELECT doc_id, source, unnest(flatten(wss)) AS sym FROM s6),
+       |perdoc AS MATERIALIZED (
+       |  SELECT doc_id, source, count(*) AS n_sub, sum(v.id) AS ids
+       |  FROM fx JOIN vocab v ON fx.sym = v.sym GROUP BY doc_id, source)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |       CAST(sum(ids) AS BIGINT) AS id_sum
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -1485,5 +1578,6 @@ object QueriesText {
     ("q131_detokenize", q131Detokenize, Some(q131Sql)),
     ("q133_bpe_incremental", q133BpeIncremental, Some(q124Sql)),
     ("q135_stream_token_pipeline", q135StreamTokenPipeline, Some(q126Sql)),
+    ("q136_sql_curation", q136SqlCuration, Some(q136Sql)),
   )
 }

@@ -130,6 +130,38 @@ class BpeIdsSpec extends SparkSpec {
     }
   }
 
+  describe("SQL-text tokenizer surface (GraftFunctions)") {
+    import graft.plans.GraftFunctions
+
+    it("round-trips merge and vocab specs, including quote/backslash symbols") {
+      val m = Seq(("a", "b"), ("'", "\\"), ("ab", "c:d,e"))
+      GraftFunctions.mergesFromSpec(GraftFunctions.mergesToSpec(m)) shouldBe m
+      val v = Map("a" -> 0, "'" -> 1, "\\" -> 2, "a'b" -> 3)
+      GraftFunctions.vocabFromSpec(GraftFunctions.vocabToSpec(v)) shouldBe v
+      GraftFunctions.mergesFromSpec("") shouldBe Seq.empty
+      intercept[IllegalArgumentException] {
+        GraftFunctions.mergesToSpec(Seq(("a", "b")))
+      }
+    }
+
+    it("bpe_subword_count and bpe_encode_ids called from SQL equal the Scala surface") {
+      GraftFunctions.register(spark)
+      def sqlLit(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+      val mspec = sqlLit(GraftFunctions.mergesToSpec(merges))
+      val vspec = sqlLit(GraftFunctions.vocabToSpec(vocab))
+      corpus.createOrReplaceTempView("bpe_sql_docs")
+      val viaSql = spark.sql(
+        s"""SELECT doc_id, bpe_subword_count(text, '$mspec') AS n,
+           |       bpe_encode_ids(text, '$mspec', '$vspec') AS ids
+           |FROM bpe_sql_docs""".stripMargin)
+      val viaScala = corpus.select($"doc_id",
+        BpeTrain.subwordCount($"text", merges).as("n"),
+        BpeTrain.encodeIds($"text", merges, vocab).as("ids"))
+      viaSql.exceptAll(viaScala).count() shouldBe 0L
+      viaScala.exceptAll(viaSql).count() shouldBe 0L
+    }
+  }
+
   describe("BpeTrain.mergeFreqs (incremental vocabulary maintenance)") {
     it("makes train(base)+update(delta) identical to a full retrain") {
       // delta overlaps base words AND introduces brand-new ones — both

@@ -81,6 +81,8 @@ object Tables {
     // harmless when the file is already µs: the flag only changes how a
     // ns-annotated INT64 column is surfaced
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every consumer gets ts-predicate pushdown through the repair
+    graft.plans.RepairTsPushdown.install(s)
     repairTs(table(s, d, "events"))
   }
   // documents/embeddings feed the per-row-expensive pipelines (shingle

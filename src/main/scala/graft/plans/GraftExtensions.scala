@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => CombineTopK)
     // rewrite rules over built-in expressions
     ext.injectOptimizerRule(_ => BoundLevenshtein)
+    ext.injectOptimizerRule(_ => RepairTsPushdown)
   }
 }
 

@@ -149,6 +149,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  it("pushes ts-range predicates through the events NTZ repair to the parquet scan") {
+    withoutAqe {
+      // RepairTsPushdown: cmp(repaired(ts), TIMESTAMP lit) must reach
+      // the scan as a plain ts bound (row-group pruning at scale), not
+      // an opaque expression filter
+      val df = Tables.events(spark, dir)
+        .filter($"ts" >= lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select($"event_id", $"ts")
+      val pushed = scanOf(df).metadata("PushedFilters")
+      pushed should include("GreaterThanOrEqual(ts,")
+      // and the rewrite is value-exact: plan-filtered rows == rows whose
+      // repaired value satisfies the predicate when evaluated directly
+      val cutoff = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val got = df.select($"event_id").collect().map(_.getLong(0)).toSet
+      val want = Tables.events(spark, dir).select($"event_id", $"ts").collect()
+        .filter(r => !r.getTimestamp(1).before(cutoff)).map(_.getLong(0)).toSet
+      got shouldBe want
+    }
+  }
+
   it("joins the bucketed dedup store without broadcasting it (exchange-free static sides)") {
     withoutAqe {
       // the inverse pin of the broadcast path above: when the store has

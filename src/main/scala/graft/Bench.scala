@@ -59,6 +59,7 @@ object Bench {
       // steady number models (same contract as plan-level persist()).
       QueriesText.clearSessionCaches()
       QueriesCurate.clearSessionCaches()
+      QueriesStreaming.clearSessionCaches()
       val cold = once()
       val coldErr = err.isDefined
       val warm = if (!coldErr) once() else cold

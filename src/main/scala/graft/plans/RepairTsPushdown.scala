@@ -31,10 +31,15 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   * the pruning without opting in; `PlanShapeSpec` pins the resulting
   * `PushedFilters` entry, `EventsEncodingSpec` the unchanged results.
   *
-  * The ns-as-INT64 branch (`timestamp_micros(ts DIV 1000)`) is not
-  * rewritten: the floor division makes bound adjustment direction-
-  * dependent, and no current fixture ships that encoding — documented
-  * rather than speculatively implemented. */
+  * The ns-as-INT64 branch (`timestamp_micros(ts DIV 1000)`) is also
+  * rewritten, with exact truncating-division bound arithmetic: for a
+  * literal `c` µs, `ts DIV 1000 ≥ c ⟺ ts ≥ c·1000` when `c > 0` and
+  * `ts ≥ c·1000 − 999` otherwise (`DIV` truncates toward zero, so the
+  * negative side shifts); `≤` mirrors, strict forms shift the literal
+  * by one first, and equality becomes the two-sided range. Bounds are
+  * computed at rewrite time on the driver and guarded against µs→ns
+  * overflow (any in-range ns-representable literal is safe — INT64 ns
+  * itself only reaches year 2262). */
 object RepairTsPushdown extends Rule[LogicalPlan] {
 
   /** The NTZ repair shape → the raw NTZ column underneath. The analyzer
@@ -70,13 +75,74 @@ object RepairTsPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** The ns-as-INT64 repair shape (`timestamp_micros(ts DIV 1000)`) →
+    * the raw LongType nanosecond column. */
+  private object RepairedNs {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    private def is1000(e: Expression): Boolean = e match {
+      case Literal(1000L, LongType) => true
+      case Literal(1000, IntegerType) => true
+      case org.apache.spark.sql.catalyst.expressions.Cast(
+        Literal(1000, IntegerType), LongType, _, _) => true
+      case _ => false
+    }
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(IntegralDivide(ts, d, _))
+        if is1000(d) && ts.dataType == LongType => Some(ts)
+      case _ => None
+    }
+  }
+
+  // exact inverse images of {ts DIV 1000 cmp c} under truncating
+  // division; c is the literal micros, the result a nanosecond bound
+  private val MaxSafeMicros = Long.MaxValue / 1000 - 1
+  private def nsGe(c: Long): Long = if (c > 0) c * 1000 else c * 1000 - 999
+  private def nsLe(c: Long): Long = if (c < 0) c * 1000 else c * 1000 + 999
+
+  private def rewriteNs(cmp: BinaryComparison, ts: Expression, c: Long,
+                        litLeft: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.types.LongType
+    def lit(v: Long) = Literal(v, LongType)
+    // normalize literal-left comparisons to column-op-literal form
+    val op = (cmp, litLeft) match {
+      case (_: GreaterThan, true) => classOf[LessThan]
+      case (_: GreaterThanOrEqual, true) => classOf[LessThanOrEqual]
+      case (_: LessThan, true) => classOf[GreaterThan]
+      case (_: LessThanOrEqual, true) => classOf[GreaterThanOrEqual]
+      case _ => cmp.getClass
+    }
+    op match {
+      case x if x == classOf[GreaterThanOrEqual] => GreaterThanOrEqual(ts, lit(nsGe(c)))
+      case x if x == classOf[GreaterThan] => GreaterThanOrEqual(ts, lit(nsGe(c + 1)))
+      case x if x == classOf[LessThanOrEqual] => LessThanOrEqual(ts, lit(nsLe(c)))
+      case x if x == classOf[LessThan] => LessThanOrEqual(ts, lit(nsLe(c - 1)))
+      case _ => // EqualTo: the two-sided range (null semantics preserved:
+                // a null ts nulls both sides, And(null, null) = null)
+        And(GreaterThanOrEqual(ts, lit(nsGe(c))), LessThanOrEqual(ts, lit(nsLe(c))))
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case cmp: BinaryComparison =>
+      import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+      def supportedNs = cmp.isInstanceOf[GreaterThan] ||
+        cmp.isInstanceOf[GreaterThanOrEqual] || cmp.isInstanceOf[LessThan] ||
+        cmp.isInstanceOf[LessThanOrEqual] || cmp.isInstanceOf[EqualTo]
       (cmp.left, cmp.right) match {
         case (RepairedNtz(ts), TsLit(v)) =>
           cmp.withNewChildren(Seq(ts, Literal(v, TimestampNTZType)))
         case (TsLit(v), RepairedNtz(ts)) =>
           cmp.withNewChildren(Seq(Literal(v, TimestampNTZType), ts))
+        case (RepairedNs(ts), TsLit(v))
+          if supportedNs && !cmp.isInstanceOf[EqualNullSafe] &&
+            math.abs(v) < MaxSafeMicros =>
+          rewriteNs(cmp, ts, v, litLeft = false)
+        case (TsLit(v), RepairedNs(ts))
+          if supportedNs && !cmp.isInstanceOf[EqualNullSafe] &&
+            math.abs(v) < MaxSafeMicros =>
+          rewriteNs(cmp, ts, v, litLeft = true)
         case _ => cmp
       }
   }

@@ -169,6 +169,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  it("pushes ts bounds through the ns-as-INT64 repair with exact DIV bound arithmetic") {
+    withoutAqe {
+      graft.plans.RepairTsPushdown.install(spark)
+      // the round-7 era encoding: raw INT64 nanoseconds
+      val epochMicros = (0 until 24).map(h => 1700000000000000L + h * 3600L * 1000000L)
+      val tmp = java.nio.file.Files.createTempDirectory("ns-push").toString
+      epochMicros.toDF("us").select(($"us" * 1000L).as("ts"), $"us".as("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val repaired = Tables.repairTs(spark.read.parquet(tmp))
+      // range bound with a sub-millisecond offset (exercises the ±999
+      // truncating-division adjustment, not just the multiple-of-1000 case)
+      val cutoff = epochMicros(12) + 123
+      val range = repaired
+        .filter($"ts" >= timestamp_micros(lit(cutoff))).select($"event_id")
+      scanOf(range).metadata("PushedFilters") should include("GreaterThanOrEqual(ts,")
+      range.collect().map(_.getLong(0)).toSet shouldBe
+        epochMicros.filter(_ > cutoff).toSet // hourly grid: > cutoff = >= next hour
+      // equality becomes the exact two-sided ns range
+      val eq = repaired
+        .filter($"ts" === timestamp_micros(lit(epochMicros(5)))).select($"event_id")
+      val pushedEq = scanOf(eq).metadata("PushedFilters")
+      pushedEq should include("GreaterThanOrEqual(ts,")
+      pushedEq should include("LessThanOrEqual(ts,")
+      eq.collect().map(_.getLong(0)).toSeq shouldBe Seq(epochMicros(5))
+      // strict upper bound, literal-left form
+      val lt = repaired
+        .filter(timestamp_micros(lit(epochMicros(3))) > $"ts").select($"event_id")
+      scanOf(lt).metadata("PushedFilters") should include("LessThanOrEqual(ts,")
+      lt.collect().map(_.getLong(0)).toSet shouldBe epochMicros.take(3).toSet
+    }
+  }
+
   it("joins the bucketed dedup store without broadcasting it (exchange-free static sides)") {
     withoutAqe {
       // the inverse pin of the broadcast path above: when the store has

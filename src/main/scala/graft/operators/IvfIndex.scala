@@ -345,6 +345,15 @@ object IvfIndex {
     spark.read.parquet(s"$dir/tuning")
       .filter(col("chosen")).select(col("n_probe")).head().getInt(0)
 
+  /** [[search]] at the index's persisted operating point — the serving
+    * call a deployment makes: load the index and the tuned width, probe
+    * accordingly. One metadata-sized read on top of the search itself. */
+  def searchTuned(spark: SparkSession, queries: DataFrame, dir: String,
+                  k: Int): DataFrame = {
+    val (centroids, indexed) = load(spark, dir)
+    search(spark, queries, indexed, centroids, k, loadTunedNProbe(spark, dir))
+  }
+
   def recallAtK(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
                 centroids: DataFrame, k: Int, nProbes: Seq[Int]): DataFrame = {
     require(nProbes.nonEmpty, "recallAtK needs at least one nProbe width")

@@ -142,6 +142,15 @@ class SimilaritySpec extends SparkSpec {
       tuning.filter(_.getAs[Boolean]("chosen")).map(
         _.getAs[Int]("n_probe")).toSeq shouldBe Seq(chosen)
       IvfIndex.loadTunedNProbe(spark, dir) shouldBe chosen
+      // the serving call: search at the persisted operating point must
+      // equal an explicit search at the chosen width
+      val served = IvfIndex.searchTuned(spark, queries, dir, k = 10)
+      val explicit = {
+        val (c2, i2) = IvfIndex.load(spark, dir)
+        IvfIndex.search(spark, queries, i2, c2, k = 10, nProbe = chosen)
+      }
+      served.exceptAll(explicit).count() shouldBe 0L
+      explicit.exceptAll(served).count() shouldBe 0L
       // an unreachable floor falls back to the widest candidate rather
       // than silently under-delivering — and 1.0 recall still "misses"
       // a floor of 1.0 only when pruning loses truth, so force it with

@@ -565,6 +565,86 @@ object QueriesSimilarity {
        |ORDER BY n_probe""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q137
+  /** IVF + SQ8 two-tier ANN ([[graft.operators.Quantize]] +
+    * [[graft.operators.IvfIndex.searchSq8]]): per-dimension global
+    * bounds fitted in one pass, the corpus quantized to 0..255 code
+    * arrays (the ~8× smaller fast tier), queries probe 2 of 8 IVF
+    * cells AGAINST THE CODES (cosine on the reconstruction), the top
+    * 10 approximate candidates per query are reranked exactly against
+    * the full-precision tier, and the final top-5 carries both scores.
+    * The oracle replays the min/max fit, the encode/decode affine maps,
+    * the Lloyd fit, both scoring stages and both rankings — all
+    * fixed-order double arithmetic, so codes and cosines are
+    * bit-identical cross-engine. */
+  val q137Sq8Ann: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val mm = graft.operators.Quantize.fitMinMax(e).localCheckpoint()
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codesIdx = indexed.crossJoin(broadcast(mm))
+      .select($"cluster", $"id",
+        graft.operators.Quantize.encodeSq8($"v", $"lo", $"hi").as("codes"))
+    val fullIdx = indexed.select($"cluster", $"id", $"v")
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.IvfIndex.searchSq8(s, queries, codesIdx, fullIdx,
+        cent, mm, k = 5, rerank = 10, nProbe = 2)
+      .orderBy($"q_id", $"rank")
+  }
+  val q137Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |mm AS (
+       |  SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi
+       |  FROM (SELECT dim, min(x) AS lo, max(x) AS hi
+       |        FROM (SELECT unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM e)
+       |        GROUP BY dim)),
+       |${lloydIdxSql("e", "8")},
+       |codes AS (
+       |  SELECT i.cluster, i.id,
+       |         list_transform(generate_series(1, len(i.v)), j ->
+       |           CASE WHEN m.hi[j] > m.lo[j]
+       |                THEN CAST(least(255, greatest(0,
+       |                       floor((i.v[j] - m.lo[j]) / (m.hi[j] - m.lo[j]) * 255.0 + 0.5))) AS BIGINT)
+       |                ELSE 0 END) AS codes
+       |  FROM idx i CROSS JOIN mm m),
+       |dec AS (
+       |  SELECT c.cluster, c.id,
+       |         list_transform(generate_series(1, len(c.codes)), j ->
+       |           m.lo[j] + c.codes[j] / 255.0 * (m.hi[j] - m.lo[j])) AS dv
+       |  FROM codes c CROSS JOIN mm m),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |acand AS (
+       |  SELECT p.q_id, d.id,
+       |         ${dotSql("p.qv", "d.dv")} / sqrt(${norm2Sql("p.qv")} * ${norm2Sql("d.dv")}) AS acos
+       |  FROM probes p JOIN dec d USING (cluster)),
+       |atop AS (
+       |  SELECT q_id, id, acos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, id ASC) AS rn FROM acand)
+       |  WHERE rn <= 10),
+       |rcand AS (
+       |  SELECT a.q_id, a.id AS n_id, a.acos,
+       |         ${dotSql("q.qv", "i.v")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("i.v")}) AS cos
+       |  FROM atop a JOIN qs q ON q.q_id = a.q_id JOIN idx i ON i.id = a.id),
+       |ranked AS (
+       |  SELECT q_id, n_id, acos, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM rcand)
+       |SELECT q_id, rank, n_id, round(acos, 4) AS acos, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
@@ -577,5 +657,6 @@ object QueriesSimilarity {
     ("q122_ivf_append", q122IvfAppend, Some(q122Sql)),
     ("q129_ivf_recall", q129IvfRecall, Some(q129Sql)),
     ("q134_ivf_autotune", q134IvfAutotune, Some(q134Sql)),
+    ("q137_sq8_ann", q137Sq8Ann, Some(q137Sql)),
   )
 }

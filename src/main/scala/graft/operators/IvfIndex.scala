@@ -354,6 +354,71 @@ object IvfIndex {
     search(spark, queries, indexed, centroids, k, loadTunedNProbe(spark, dir))
   }
 
+  /** IVF probe over the SQ8-COMPRESSED tier with an exact rerank over
+    * the full-precision tier — the FAISS-style IVF+SQ serving shape
+    * for a corpus whose embeddings no longer fit the fast tier:
+    *
+    *  1. probe selection as in [[search]] (nProbe argmax-cosine cells
+    *     per query, centroids broadcast);
+    *  2. approximate stage: candidates read from `codesIdx`
+    *     `(cluster, id, codes)` — the ~8× smaller SQ8 tier
+    *     ([[Quantize]]) — scored by cosine against the RECONSTRUCTED
+    *     vector, trimmed to `rerank` ids per query by the bounded-heap
+    *     [[graft.functions.TopKAgg]] (map-side trim: the shuffle
+    *     carries rerank·|queries| rows, not the candidate set);
+    *  3. exact stage: only those `rerank·|queries|` survivors are
+    *     re-scored against `fullIdx` `(cluster, id, v)` — the cold
+    *     full-precision tier. The rerank read is bounded by the SAME
+    *     probed cells (the broadcast probe join prunes `fullIdx` to
+    *     nProbe cell directories when it is cluster-partitioned
+    *     parquet, exactly like the approximate stage), the survivor
+    *     join is a broadcast hash filter on (q_id, id), and the final
+    *     ranking window shuffles only the bounded survivor set.
+    *     Output carries BOTH scores (`acos` approximate, `cos` exact)
+    *     so the quantization error is observable per neighbor.
+    *
+    * Both tiers stay where they are: nothing corpus-sized ever moves.
+    * `rerank ≥ k` (the exact stage can only reorder/trim what the
+    * approximate stage surfaced). All arithmetic is fixed-order
+    * doubles, so the full two-stage pipeline is oracle-replayable. */
+  def searchSq8(spark: SparkSession, queries: DataFrame, codesIdx: DataFrame,
+                fullIdx: DataFrame, centroids: DataFrame, minMax: DataFrame,
+                k: Int, rerank: Int, nProbe: Int): DataFrame = {
+    require(k > 0, s"IvfIndex.searchSq8 needs k > 0 neighbors, got $k")
+    require(rerank >= k, s"rerank width $rerank must be >= k = $k")
+    require(nProbe > 0, s"IvfIndex.searchSq8 needs nProbe > 0 cells, got $nProbe")
+    GraftFunctions.register(spark)
+    val qScored = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("centroid")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cluster"))
+    val approx = codesIdx.join(broadcast(probes), Seq("cluster"))
+      .crossJoin(broadcast(minMax))
+      .withColumn("acos",
+        Similarity.cosine(col("qv"),
+          Quantize.decodeSq8(col("codes"), col("lo"), col("hi"))))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(rerank, col("acos"), col("id")).as("topk"))
+      .select(col("q_id"), explode(col("topk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("id"), col("c.score").as("acos"))
+    val fullCand = fullIdx.join(broadcast(probes), Seq("cluster"))
+    // survivors are rerank·|queries| rows — already bounded, so a
+    // ranking window here shuffles only that bounded set (no TopKAgg
+    // needed; its map-side trim buys nothing on pre-trimmed input)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("id").asc)
+    fullCand.join(broadcast(approx), Seq("q_id", "id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("id").as("n_id"), round(col("acos"), 4).as("acos"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   def recallAtK(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
                 centroids: DataFrame, k: Int, nProbes: Seq[Int]): DataFrame = {
     require(nProbes.nonEmpty, "recallAtK needs at least one nProbe width")

@@ -1551,6 +1551,40 @@ object QueriesText {
   }
 
   /** Registry: name → (spark program, oracle sql). */
+  // ---------------------------------------------------------------- q138
+  /** Sketch-verified exact heavy hitters
+    * ([[graft.operators.HeavyHitters]]): token-initial frequencies
+    * over the documents corpus, keys with frequency > 5% — candidates
+    * from a single-scan Misra-Gries summary (capacity ⌈1/ε⌉ = 20,
+    * partial-aggregated map-side so the shuffle carries partition
+    * summaries, never the key space), then an exact verify pass over
+    * the ≤ 20 candidates only. The OUTPUT is exact regardless of which
+    * extra candidates the sketch surfaces, so the oracle is the plain
+    * exact GROUP BY + HAVING — the gate certifies the two-pass path
+    * loses nothing. `HeavyHittersSpec` pins the sketch's superset
+    * guarantee under eviction and cross-partitioning determinism. */
+  val q138HeavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower($"text"),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .select(substring($"w", 1, 1).as("ch"))
+    graft.operators.HeavyHitters.heavyHitters(toks, $"ch", eps = 0.05)
+      .withColumnRenamed("key", "ch")
+      .orderBy($"ch")
+  }
+  val q138Sql: String =
+    """WITH toks AS (
+      |  SELECT substr(w, 1, 1) AS ch FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |    FROM documents)),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT ch, count(*) AS cnt,
+      |       round(count(*) / (SELECT n * 1.0 FROM tot), 4) AS freq
+      |FROM toks GROUP BY ch
+      |HAVING count(*) > 0.05 * (SELECT n FROM tot)
+      |ORDER BY ch""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
     ("q25_quality_by_lang", q25QualityByLang, Some(q25Sql)),
@@ -1579,5 +1613,6 @@ object QueriesText {
     ("q133_bpe_incremental", q133BpeIncremental, Some(q124Sql)),
     ("q135_stream_token_pipeline", q135StreamTokenPipeline, Some(q126Sql)),
     ("q136_sql_curation", q136SqlCuration, Some(q136Sql)),
+    ("q138_heavy_hitters", q138HeavyHitters, Some(q138Sql)),
   )
 }

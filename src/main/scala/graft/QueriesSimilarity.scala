@@ -645,6 +645,89 @@ object QueriesSimilarity {
        |SELECT q_id, rank, n_id, round(acos, 4) AS acos, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** DuckDB fragment: squared L2 of `$a` vs `$b` as the same
+    * 0.0-seeded sequential fold as [[graft.operators.PqIndex.l2Sq]]. */
+  private def l2SqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))," +
+      " (x, y) -> x + y)"
+
+  /** Product quantization + ADC search ([[graft.operators.PqIndex]]):
+    * 4 subspaces × 16 codewords fitted in one keyed Lloyd pass
+    * (L2 metric, ordered means, dense renumber), the corpus encoded
+    * to 4 codeword ids per vector (~4 bytes against 512 full
+    * precision — the tier past q137's SQ8), 10 queries score the
+    * whole corpus via per-query distance-table lookups and keep the
+    * ascending top-5. The oracle replays subvector split, seeding,
+    * both assignments, ordered means, dense renumbering, distance
+    * tables and the lookup fold — fixed-order doubles throughout. */
+  val q139PqAdc: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cb = graft.operators.PqIndex.fitCodebooks(s, e, m = 4, ks = 16,
+      iterations = 1)
+    val codes = graft.operators.PqIndex.encode(e, cb, m = 4, subDim = 16)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.PqIndex.adcSearch(s, queries, codes, cb,
+        m = 4, subDim = 16, k = 5)
+      .orderBy($"q_id", $"rank")
+  }
+  val q139Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |subv AS (
+       |  SELECT e.id, s.sub, list_slice(e.v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+       |  FROM e CROSS JOIN subs s),
+       |seeds AS (
+       |  SELECT sub, rn - 1 AS code, sv AS centroid FROM (
+       |    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM subv)
+       |  WHERE rn <= 16),
+       |s0 AS (
+       |  SELECT t.id, t.sub, t.sv, sd.code, ${l2SqSql("t.sv", "sd.centroid")} AS d2
+       |  FROM subv t JOIN seeds sd USING (sub)),
+       |a0 AS (
+       |  SELECT id, sub, sv, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |upd AS (
+       |  SELECT sub, code, dim,
+       |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
+       |           / count(*) AS mv
+       |  FROM (SELECT id, sub, code, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x FROM a0)
+       |  GROUP BY sub, code, dim),
+       |cb0 AS (SELECT sub, code, list(mv ORDER BY dim) AS centroid FROM upd GROUP BY sub, code),
+       |cb AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY code) - 1 AS code, centroid FROM cb0),
+       |s1 AS (
+       |  SELECT t.id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
+       |  FROM subv t JOIN cb c USING (sub)),
+       |asg AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM s1)
+       |  WHERE rn = 1),
+       |codes AS (SELECT id, list(code ORDER BY sub) AS codes FROM asg GROUP BY id),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |qsub AS (
+       |  SELECT q.q_id, s.sub, list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+       |  FROM qs q CROSS JOIN subs s),
+       |dt AS (
+       |  SELECT t.q_id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
+       |  FROM qsub t JOIN cb c USING (sub)),
+       |drows AS (SELECT q_id, sub, list(d2 ORDER BY code) AS drow FROM dt GROUP BY q_id, sub),
+       |dtab AS (SELECT q_id, list(drow ORDER BY sub) AS dtab FROM drows GROUP BY q_id),
+       |cand AS (
+       |  SELECT d.q_id, c.id AS n_id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
+       |           (a, b) -> a + b) AS ad2
+       |  FROM codes c CROSS JOIN dtab d),
+       |ranked AS (
+       |  SELECT q_id, n_id, ad2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, n_id ASC) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
@@ -658,5 +741,6 @@ object QueriesSimilarity {
     ("q129_ivf_recall", q129IvfRecall, Some(q129Sql)),
     ("q134_ivf_autotune", q134IvfAutotune, Some(q134Sql)),
     ("q137_sq8_ann", q137Sq8Ann, Some(q137Sql)),
+    ("q139_pq_adc", q139PqAdc, Some(q139Sql)),
   )
 }

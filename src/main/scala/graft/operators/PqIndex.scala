@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., PAMI 2011) — the
+  * bytes-per-vector ANN tier: the embedding is split into `m`
+  * subvectors, each subspace gets its own `ks`-codeword codebook
+  * (deterministic Lloyd, L2 metric), and a vector stores only its `m`
+  * codeword ids. At d=64 doubles, m=4 codes ≈ 4 bytes against 512 —
+  * two orders of magnitude past [[Quantize]]'s SQ8, the tier that
+  * keeps a 10¹⁰-vector index in cluster memory. Search is
+  * asymmetric-distance computation (ADC): the query stays
+  * full-precision, one `m × ks` distance table per query is built
+  * against the codebooks (metadata-sized, broadcast), and a
+  * candidate's approximate distance is `m` table lookups summed — no
+  * per-candidate arithmetic beyond the lookup fold, and the corpus
+  * never moves.
+  *
+  * Determinism (the oracle replays every stage): seeds are the first
+  * `ks` subvectors in id order per subspace, assignment ties break
+  * toward the lower codeword id, means are strict id-ordered folds,
+  * fitted codebooks are re-numbered DENSELY per subspace (empty
+  * codewords vanish identically on both engines, so positional
+  * distance-table lookups stay aligned), and all distances are
+  * fixed-order double folds.
+  */
+object PqIndex {
+
+  /** Squared L2 as a strict sequential fold — the PQ metric, engine-
+    * replayable like [[Similarity.cosineFold]]. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Explode `(idCol, vCol)` into `(idCol, sub, sv)` — one row per
+    * subspace. Pure projection+generate: no shuffle. */
+  private def subVectors(df: DataFrame, idCol: String, vCol: String,
+                         m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), posexplode(array((0 until m).map(j =>
+        slice(col(vCol), j * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+
+  /** Argmin-L2 codeword per `(id, sub)` against broadcast codebooks;
+    * ties toward the lower code. Same map-side-collapse shape as
+    * [[IvfIndex.assign]]: the shuffle moves one row per (id, sub). */
+  private def assign(subv: DataFrame, codebooks: DataFrame): DataFrame =
+    subv.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2Sq(col("sv"), col("centroid")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(struct(col("code"), col("sv")),
+        struct(col("d2"), col("code"))).as("best"))
+      .select(col("id"), col("sub"), col("best.sv").as("sv"),
+        col("best.code").as("code"))
+
+  /** Fit per-subspace codebooks over `(id, v: array<double>)` →
+    * `(sub, code, centroid)`, `code` dense 0..|codebook(sub)|−1.
+    * All `m` subspaces train in ONE keyed dataflow (the subspace id
+    * rides the rows) — not m sequential fits. */
+  def fitCodebooks(spark: SparkSession, corpus: DataFrame, m: Int, ks: Int,
+                   iterations: Int): DataFrame = {
+    require(m > 0 && ks > 0 && iterations >= 0, s"bad PQ params m=$m ks=$ks")
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val subv = corpus.select(col("id"), col("v"))
+      .transform(subVectors(_, "id", "v", m, subDim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ws = Window.partitionBy(col("sub")).orderBy(col("id"))
+    var cb = subv.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= ks)
+      .select(col("sub"), (col("rn") - 1).as("code"), col("sv").as("centroid"))
+    (1 to iterations).foreach { _ =>
+      cb = assign(subv, cb)
+        .select(col("sub"), col("code"), col("id"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("id"), col("x")))),
+            p => p.getField("x")),
+          lit(0d), (acc, x) => acc + x) / count(lit(1))).as("mv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("pairs"))
+        .select(col("sub"), col("code"),
+          expr("transform(pairs, p -> p.mv)").as("centroid"))
+    }
+    // dense renumber per subspace: an empty codeword drops out of the
+    // grouped update on every engine identically; dense ids keep the
+    // positional ADC table lookups aligned with the codebook
+    val wd = Window.partitionBy(col("sub")).orderBy(col("code"))
+    val dense = cb.withColumn("code", (row_number().over(wd) - 1).cast("int"))
+    // materialize the (m·ks)-row codebook, then release the exploded
+    // corpus cache — callers re-derive subvectors per use
+    val out = dense.localCheckpoint()
+    subv.unpersist()
+    out
+  }
+
+  /** PQ-encode the corpus: `(id, codes: array<int>)`, `codes(j)` = the
+    * dense codeword id of subspace j. One scan + one (id, sub)-keyed
+    * collapse; the output is the m-byte-per-vector fast tier. */
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+             subDim: Int): DataFrame =
+    assign(subVectors(corpus, "id", "v", m, subDim), codebooks)
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("p"))
+      .select(col("id"), expr("transform(p, x -> x.code)").as("codes"))
+
+  /** ADC top-k: queries `(q_id, qv)` against the encoded corpus
+    * `(id, codes)`. Builds the per-query `m × ks` distance table
+    * (metadata-sized: |queries|·m·ks rows collapse to one row per
+    * query, broadcast), then scores every candidate with an m-lookup
+    * fold and trims to k per query with the bounded-heap
+    * [[graft.functions.TopKAgg]] (shuffle carries k·|queries| rows).
+    * Output `(q_id, rank, n_id, ad2)`, ad2 ascending. */
+  def adcSearch(spark: SparkSession, queries: DataFrame, codes: DataFrame,
+                codebooks: DataFrame, m: Int, subDim: Int, k: Int): DataFrame = {
+    require(k > 0, s"adcSearch needs k > 0, got $k")
+    val qsub = subVectors(queries, "q_id", "qv", m, subDim)
+    val dtab = qsub.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2Sq(col("sv"), col("centroid")))
+      .groupBy(col("q_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("code"), col("d2")))).as("p"))
+      .select(col("q_id"), col("sub"), expr("transform(p, x -> x.d2)").as("drow"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("drow")))).as("p"))
+      .select(col("q_id"), expr("transform(p, x -> x.drow)").as("dtab"))
+    val scored = codes.crossJoin(broadcast(dtab))
+      .withColumn("ad2", aggregate(
+        zip_with(col("codes"), col("dtab"), (c, row) => get(row, c)),
+        lit(0.0), (acc, x) => acc + x))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(k, -col("ad2"), col("id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("n_id"),
+        (round(-col("col.score"), 4) + 0.0).as("ad2"))
+  }
+}

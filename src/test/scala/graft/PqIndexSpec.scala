@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PqIndex
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+
+  describe("PqIndex") {
+    it("fitCodebooks yields dense contiguous codes per subspace") {
+      val cb = PqIndex.fitCodebooks(spark, corpus, m = 4, ks = 8, iterations = 1)
+      val bySub = cb.groupBy($"sub")
+        .agg(collect_list($"code").as("codes"), count(lit(1)).as("n"))
+        .collect()
+      bySub.length shouldBe 4
+      bySub.foreach { r =>
+        val codes = r.getSeq[Int](1).sorted
+        codes shouldBe (0 until r.getLong(2).toInt)
+      }
+    }
+
+    it("encode is partitioning-independent") {
+      val cb = PqIndex.fitCodebooks(spark, corpus, m = 4, ks = 8, iterations = 1)
+      val a = PqIndex.encode(corpus.repartition(1), cb, m = 4, subDim = 16)
+        .orderBy($"id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+      val b = PqIndex.encode(corpus.repartition(13), cb, m = 4, subDim = 16)
+        .orderBy($"id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+      a shouldBe b
+    }
+
+    it("ADC distance equals the distance to the PQ reconstruction") {
+      val cb = PqIndex.fitCodebooks(spark, corpus, m = 4, ks = 8, iterations = 1)
+        .localCheckpoint()
+      val codes = PqIndex.encode(corpus, cb, m = 4, subDim = 16)
+      val queries = corpus.filter($"id" < 3).select($"id".as("q_id"), $"v".as("qv"))
+      val adc = PqIndex.adcSearch(spark, queries, codes, cb,
+        m = 4, subDim = 16, k = 500)
+      // reconstruction: concat the per-subspace codewords in sub order
+      val recon = codes.select($"id", posexplode($"codes").as(Seq("sub", "code")))
+        .join(cb, Seq("sub", "code"))
+        .groupBy($"id")
+        .agg(array_sort(collect_list(struct($"sub", $"centroid"))).as("p"))
+        .select($"id".as("n_id"), flatten(expr("transform(p, x -> x.centroid)")).as("rv"))
+      val direct = queries.crossJoin(recon)
+        .select($"q_id", $"n_id",
+          (round(PqIndex.l2Sq($"qv", $"rv"), 4) + 0.0).as("want"))
+      val joined = adc.join(direct, Seq("q_id", "n_id"))
+      joined.count() shouldBe adc.count()
+      joined.filter(abs($"ad2" - $"want") > 1e-6).count() shouldBe 0
+    }
+
+    it("a corpus lying exactly on its codewords self-retrieves at distance 0") {
+      // 8 distinct prototype vectors replicated — quantization is lossless
+      val protos = (0 until 8).map(p =>
+        (p.toLong, (0 until 32).map(d => (p * 31 + d * 7 % 13).toDouble)))
+      val df = (0 until 32).map(i => (i.toLong, protos(i % 8)._2)).toDF("id", "v")
+      val cb = PqIndex.fitCodebooks(spark, df, m = 2, ks = 8, iterations = 2)
+      val codes = PqIndex.encode(df, cb, m = 2, subDim = 16)
+      val queries = df.filter($"id" < 8).select($"id".as("q_id"), $"v".as("qv"))
+      val top1 = PqIndex.adcSearch(spark, queries, codes, cb,
+          m = 2, subDim = 16, k = 1)
+      top1.filter($"ad2" =!= 0.0).count() shouldBe 0
+    }
+
+    it("rejects dimensions not divisible by m") {
+      val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+      an[IllegalArgumentException] should be thrownBy
+        PqIndex.fitCodebooks(spark, df, m = 2, ks = 2, iterations = 0)
+    }
+  }
+}

@@ -1585,6 +1585,54 @@ object QueriesText {
       |HAVING count(*) > 0.05 * (SELECT n FROM tot)
       |ORDER BY ch""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** Duplicated-span removal
+    * ([[graft.operators.TextDedup.removeDuplicatedSpans]], the
+    * ExactSubstr shape of Lee et al. 2022): every 8-token gram
+    * occurring ≥ 2 times anywhere in the corpus marks its span,
+    * overlapping spans merge per document (gaps-and-islands over the
+    * duplicated positions only), and the merged spans are cut out —
+    * boilerplate removed, unique prose kept. The oracle replays
+    * tokenization, gram fingerprints, the global count, the island
+    * merge and the indexed rewrite. */
+  val q140SpanDedup: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.TextDedup.removeDuplicatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", n = 8, minCount = 2)
+      .orderBy($"doc_id")
+  }
+  val q140Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks FROM t),
+       |fp AS (SELECT doc_id, pos,
+       |         md5(list_aggregate(list_slice(toks, pos, pos + 7), 'string_agg', ' ')) AS h
+       |       FROM g),
+       |cnt AS (SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
+       |dup AS (SELECT f.doc_id, f.pos FROM fp f JOIN cnt USING (h)),
+       |flagged AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos >= coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+       |  FROM dup),
+       |isl AS (SELECT doc_id, pos,
+       |          sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM flagged),
+       |ivs AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY doc_id, island),
+       |perdoc AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs,
+       |                  sum(e - s) AS n_removed
+       |           FROM ivs GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CASE WHEN p.ivs IS NULL THEN list_aggregate(t.toks, 'string_agg', ' ')
+       |  ELSE coalesce(list_aggregate(
+       |    list_transform(
+       |      list_filter(generate_series(1, len(t.toks)),
+       |        i -> len(list_filter(p.ivs, iv -> i >= iv.s AND i < iv.e)) = 0),
+       |      i -> t.toks[i]), 'string_agg', ' '), '') END AS clean_text,
+       |  CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed
+       |FROM t LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
     ("q25_quality_by_lang", q25QualityByLang, Some(q25Sql)),
@@ -1614,5 +1662,6 @@ object QueriesText {
     ("q135_stream_token_pipeline", q135StreamTokenPipeline, Some(q126Sql)),
     ("q136_sql_curation", q136SqlCuration, Some(q136Sql)),
     ("q138_heavy_hitters", q138HeavyHitters, Some(q138Sql)),
+    ("q140_span_dedup", q140SpanDedup, Some(q140Sql)),
   )
 }

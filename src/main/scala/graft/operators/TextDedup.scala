@@ -721,4 +721,81 @@ object TextDedup {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("keep", col("n_overlap") < minOverlap)
   }
+
+  /** Duplicated-span REMOVAL (the token-level form of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — ExactSubstr): any `n`-token gram occurring at
+    * least `minCount` times ANYWHERE in the corpus (across documents
+    * or within one) marks its token span; overlapping marked spans
+    * merge; the merged spans are cut out of the document, leaving the
+    * deduplicated remainder. Unlike document-level dedup (drop whole
+    * near-dup docs) or [[passageDupPairs]] (detect shared fixed-size
+    * chunks), this rewrites each document to remove just the verbatim
+    * boilerplate — licenses, templates, quoted passages — while
+    * keeping the unique prose around it.
+    *
+    * Scale shape (no suffix array needed at this granularity):
+    *  1. gram fingerprints are a per-row projection over the token
+    *     array (md5 of the n-token window; one corpus scan, explode
+    *     carries (doc, pos, fp));
+    *  2. the global occurrence count is one fp-keyed aggregation, and
+    *     duplicated positions come back via an fp equi-join — the
+    *     inverted-index shape again, shuffles carry gram keys, never
+    *     doc pairs;
+    *  3. span merging is gaps-and-islands per document over the
+    *     DUPLICATED positions only (a window over the dup subset —
+    *     corpus-proportional only in the duplication rate);
+    *  4. the rewrite is a per-row indexed filter against the doc's own
+    *     merged-interval list (doc-count-sized join, interval lists
+    *     ride as small arrays).
+    *
+    * Returns `(doc_id, clean_text, n_removed)` — `clean_text` is the
+    * normalized text with removed spans cut (single-space rejoined),
+    * `n_removed` the count of removed tokens. Documents shorter than
+    * `n` tokens pass through untouched. Determinism: md5 grams, exact
+    * counts, fixed interval arithmetic — the DuckDB oracle replays the
+    * whole pipeline. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, minCount: Int = 2): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    val grams = base
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= n,
+            sequence(lit(0), size(col("toks")) - n))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))).as("fp"))
+    val dupFps = grams.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("fp"))
+    val dupPos = grams.join(dupFps, Seq("fp")).select(col("doc_id"), col("pos"))
+    // gaps-and-islands: a position starts a new span iff it clears the
+    // running end of everything before it (grams are fixed length n)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ivs = dupPos
+      .withColumn("new_island",
+        (col("pos") >= coalesce(max(col("pos") + n).over(wPrev), lit(-1)))
+          .cast("long"))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+    val perDoc = ivs.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s")).as("n_removed"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ivs").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("toks"), (_, i) =>
+              size(filter(col("ivs"), iv =>
+                i >= iv.getField("s") && i < iv.getField("e"))) === 0)))
+          .as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

@@ -322,6 +322,49 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  describe("TextDedup.removeDuplicatedSpans") {
+    val unique = Map(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      2L -> "kilo lima mike november oscar papa quebec romeo sierra tango",
+      3L -> "uniform victor whiskey xray yankee zulu one two three four")
+    val licence = "this work is licensed under the creative commons attribution licence"
+
+    it("cuts corpus-duplicated grams and keeps unique prose") {
+      val docs = unique.toSeq.map { case (id, u) => (id, s"$u $licence") }
+        .toDF("doc_id", "text")
+      val out = TextDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+        .orderBy($"doc_id").collect()
+      out.foreach { r =>
+        val clean = r.getString(1)
+        // the shared licence block is cut exactly; unique prose survives
+        clean shouldBe unique(r.getLong(0))
+        clean should not include "licensed"
+        r.getLong(2) should be >= licence.split(' ').length.toLong
+      }
+    }
+
+    it("merges overlapping spans and counts within-document repetition") {
+      val rep = "one two three four five six seven eight"
+      val docs = Seq((1L, s"$rep $rep unique closing words here and now"))
+        .toDF("doc_id", "text")
+      val out = TextDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+        .head()
+      out.getString(1) shouldBe "unique closing words here and now"
+      out.getLong(2) shouldBe 16L
+    }
+
+    it("passes short and unique documents through normalized") {
+      val docs = Seq((1L, "  Too   Short "), (2L, unique(1L)))
+        .toDF("doc_id", "text")
+      val out = TextDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+        .orderBy($"doc_id").collect()
+      out(0).getString(1) shouldBe "too short"
+      out(0).getLong(2) shouldBe 0L
+      out(1).getString(1) shouldBe unique(1L)
+      out(1).getLong(2) shouldBe 0L
+    }
+  }
+
   describe("contamination") {
     it("scores full, partial, and zero overlap against the train split") {
       val base = "a b c d e f g h i j" // 6 distinct 5-shingles

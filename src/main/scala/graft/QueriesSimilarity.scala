@@ -652,6 +652,56 @@ object QueriesSimilarity {
     s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))," +
       " (x, y) -> x + y)"
 
+  /** Shared CTE chain replaying [[graft.operators.PqIndex]]'s
+    * deterministic fit + encode over source relation `$src` (m=4
+    * subspaces × ks=16 codewords, 1 Lloyd iteration, L2 metric,
+    * id-ordered means, lower-code tie-breaks, dense renumber):
+    * `subs → pq_subv → pq_seeds → pq_s0 → pq_a0 → pq_upd → pq_cb0 →
+    * pq_cb(sub, code, centroid) → pq_s1 → pq_asg →
+    * pq_codes(id, codes)`. `pq_`-prefixed so it composes with
+    * [[lloydIdxSql]] in one query (q141). ONE text for q139/q141 so
+    * the SQL cannot drift from the Scala semantics in just one. */
+  private def pqFitSql(src: String): String =
+    s"""subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |pq_subv AS (
+       |  SELECT $src.id, s.sub, list_slice($src.v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+       |  FROM $src CROSS JOIN subs s),
+       |pq_seeds AS (
+       |  SELECT sub, rn - 1 AS code, sv AS centroid FROM (
+       |    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM pq_subv)
+       |  WHERE rn <= 16),
+       |pq_s0 AS (
+       |  SELECT t.id, t.sub, t.sv, sd.code, ${l2SqSql("t.sv", "sd.centroid")} AS d2
+       |  FROM pq_subv t JOIN pq_seeds sd USING (sub)),
+       |pq_a0 AS (
+       |  SELECT id, sub, sv, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM pq_s0)
+       |  WHERE rn = 1),
+       |pq_upd AS (
+       |  SELECT sub, code, dim,
+       |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
+       |           / count(*) AS mv
+       |  FROM (SELECT id, sub, code, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x FROM pq_a0)
+       |  GROUP BY sub, code, dim),
+       |pq_cb0 AS (SELECT sub, code, list(mv ORDER BY dim) AS centroid FROM pq_upd GROUP BY sub, code),
+       |pq_cb AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY code) - 1 AS code, centroid FROM pq_cb0),
+       |pq_s1 AS (
+       |  SELECT t.id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
+       |  FROM pq_subv t JOIN pq_cb c USING (sub)),
+       |pq_asg AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM pq_s1)
+       |  WHERE rn = 1),
+       |pq_codes AS (SELECT id, list(code ORDER BY sub) AS codes FROM pq_asg GROUP BY id),
+       |pq_qsub AS (
+       |  SELECT q.q_id, s.sub, list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+       |  FROM qs q CROSS JOIN subs s),
+       |pq_dt AS (
+       |  SELECT t.q_id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
+       |  FROM pq_qsub t JOIN pq_cb c USING (sub)),
+       |pq_drows AS (SELECT q_id, sub, list(d2 ORDER BY code) AS drow FROM pq_dt GROUP BY q_id, sub),
+       |pq_dtab AS (SELECT q_id, list(drow ORDER BY sub) AS dtab FROM pq_drows GROUP BY q_id)""".stripMargin
+
   /** Product quantization + ADC search ([[graft.operators.PqIndex]]):
     * 4 subspaces × 16 codewords fitted in one keyed Lloyd pass
     * (L2 metric, ordered means, dense renumber), the corpus encoded
@@ -675,57 +725,86 @@ object QueriesSimilarity {
   }
   val q139Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-       |subv AS (
-       |  SELECT e.id, s.sub, list_slice(e.v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
-       |  FROM e CROSS JOIN subs s),
-       |seeds AS (
-       |  SELECT sub, rn - 1 AS code, sv AS centroid FROM (
-       |    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM subv)
-       |  WHERE rn <= 16),
-       |s0 AS (
-       |  SELECT t.id, t.sub, t.sv, sd.code, ${l2SqSql("t.sv", "sd.centroid")} AS d2
-       |  FROM subv t JOIN seeds sd USING (sub)),
-       |a0 AS (
-       |  SELECT id, sub, sv, code FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM s0)
-       |  WHERE rn = 1),
-       |upd AS (
-       |  SELECT sub, code, dim,
-       |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
-       |           / count(*) AS mv
-       |  FROM (SELECT id, sub, code, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x FROM a0)
-       |  GROUP BY sub, code, dim),
-       |cb0 AS (SELECT sub, code, list(mv ORDER BY dim) AS centroid FROM upd GROUP BY sub, code),
-       |cb AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY code) - 1 AS code, centroid FROM cb0),
-       |s1 AS (
-       |  SELECT t.id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
-       |  FROM subv t JOIN cb c USING (sub)),
-       |asg AS (
-       |  SELECT id, sub, code FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM s1)
-       |  WHERE rn = 1),
-       |codes AS (SELECT id, list(code ORDER BY sub) AS codes FROM asg GROUP BY id),
        |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
-       |qsub AS (
-       |  SELECT q.q_id, s.sub, list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
-       |  FROM qs q CROSS JOIN subs s),
-       |dt AS (
-       |  SELECT t.q_id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
-       |  FROM qsub t JOIN cb c USING (sub)),
-       |drows AS (SELECT q_id, sub, list(d2 ORDER BY code) AS drow FROM dt GROUP BY q_id, sub),
-       |dtab AS (SELECT q_id, list(drow ORDER BY sub) AS dtab FROM drows GROUP BY q_id),
+       |${pqFitSql("e")},
        |cand AS (
        |  SELECT d.q_id, c.id AS n_id,
        |         list_reduce(list_prepend(0.0,
        |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
        |           (a, b) -> a + b) AS ad2
-       |  FROM codes c CROSS JOIN dtab d),
+       |  FROM pq_codes c CROSS JOIN pq_dtab d),
        |ranked AS (
        |  SELECT q_id, n_id, ad2,
        |         row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, n_id ASC) AS rank
        |  FROM cand)
        |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+  /** IVF + PQ + ADC + exact rerank
+    * ([[graft.operators.PqIndex.ivfAdcSearch]]) — the full production
+    * ANN composition (FAISS IVFADC shape): coarse probe picks 2 of 8
+    * IVF cells per query, ADC scores only the PQ codes of vectors in
+    * the probed cells (4 table lookups per candidate against the
+    * broadcast per-query distance tables), the top 10 approximate
+    * candidates rerank exactly against the full-precision tier, final
+    * top-5 carries both distances. The oracle composes the q39 Lloyd
+    * replay with the q139 PQ replay (shared CTE texts — neither can
+    * drift alone) plus the probe/ADC/rerank stages. */
+  val q141IvfPqAdc: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = graft.operators.PqIndex.fitCodebooks(s, e, m = 4, ks = 16,
+      iterations = 1)
+    val codesIdx = graft.operators.PqIndex.encode(e, cb, m = 4, subDim = 16)
+      .join(indexed.select($"id", $"cluster"), Seq("id"))
+      .select($"cluster", $"id", $"codes")
+    val fullIdx = indexed.select($"cluster", $"id", $"v")
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.PqIndex.ivfAdcSearch(s, queries, codesIdx, fullIdx,
+        cent, cb, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
+      .orderBy($"q_id", $"rank")
+  }
+  val q141Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${pqFitSql("e")},
+       |${lloydIdxSql("e", "8")},
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |acand AS (
+       |  SELECT p.q_id, i.id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
+       |           (a, b) -> a + b) AS ad2
+       |  FROM probes p
+       |  JOIN idx i USING (cluster)
+       |  JOIN pq_codes c ON c.id = i.id
+       |  JOIN pq_dtab d ON d.q_id = p.q_id),
+       |atop AS (
+       |  SELECT q_id, id, ad2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, id ASC) AS rn FROM acand)
+       |  WHERE rn <= 10),
+       |rcand AS (
+       |  SELECT a.q_id, a.id AS n_id, a.ad2, ${l2SqSql("q.qv", "i.v")} AS d2
+       |  FROM atop a JOIN qs q ON q.q_id = a.q_id JOIN idx i ON i.id = a.id),
+       |ranked AS (
+       |  SELECT q_id, n_id, ad2, d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rank
+       |  FROM rcand)
+       |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
@@ -742,5 +821,6 @@ object QueriesSimilarity {
     ("q134_ivf_autotune", q134IvfAutotune, Some(q134Sql)),
     ("q137_sq8_ann", q137Sq8Ann, Some(q137Sql)),
     ("q139_pq_adc", q139PqAdc, Some(q139Sql)),
+    ("q141_ivf_pq_adc", q141IvfPqAdc, Some(q141Sql)),
   )
 }

@@ -106,6 +106,68 @@ object PqIndex {
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("p"))
       .select(col("id"), expr("transform(p, x -> x.code)").as("codes"))
 
+  /** IVF + PQ + ADC — the FAISS-IVFADC serving composition, the full
+    * ANN ladder in one call: queries pick their `nProbe` nearest
+    * coarse cells ([[IvfIndex]] centroids, broadcast), ADC scores ONLY
+    * the codes of vectors in the probed cells (`codesIdx`:
+    * `(cluster, id, codes)` — cluster-partitioned on disk, the probe
+    * join prunes to nProbe directories), the best `rerank` candidates
+    * per query are re-scored exactly against the full-precision cold
+    * tier (`fullIdx`, same pruned read), and the final top-k is exact
+    * within the surfaced candidates. Memory at scale: the hot tier is
+    * m bytes/vector + the m×ks codebooks; the cold tier is touched for
+    * rerank·|queries| rows only. Ranking is ascending approximate L2
+    * (ADC), then ascending exact L2 on rerank; output carries both
+    * distances. PQ codebooks here are fitted on RAW vectors (not
+    * residuals against the coarse centroid — the FAISS-style
+    * refinement documented as the next step; raw-vector PQ keeps every
+    * stage engine-replayable with the same codebooks serving any cell
+    * layout). */
+  def ivfAdcSearch(spark: SparkSession, queries: DataFrame, codesIdx: DataFrame,
+                   fullIdx: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                   m: Int, subDim: Int, k: Int, rerank: Int,
+                   nProbe: Int): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    graft.plans.GraftFunctions.register(spark)
+    val qScored = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("centroid")))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cluster").asc)
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cluster"))
+    val qsub = subVectors(queries, "q_id", "qv", m, subDim)
+    val dtab = qsub.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2Sq(col("sv"), col("centroid")))
+      .groupBy(col("q_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("code"), col("d2")))).as("p"))
+      .select(col("q_id"), col("sub"), expr("transform(p, x -> x.d2)").as("drow"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("drow")))).as("p"))
+      .select(col("q_id"), expr("transform(p, x -> x.drow)").as("dtab"))
+    val approx = codesIdx
+      .join(broadcast(probes.select(col("q_id"), col("cluster"))), Seq("cluster"))
+      .join(broadcast(dtab), Seq("q_id"))
+      .withColumn("ad2", aggregate(
+        zip_with(col("codes"), col("dtab"), (c, row) => get(row, c)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(rerank, -col("ad2"), col("id")).as("topk"))
+      .select(col("q_id"), explode(col("topk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("id"), (-col("c.score")).as("ad2"))
+    val fullCand = fullIdx.join(broadcast(probes), Seq("cluster"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("id").asc)
+    fullCand.join(broadcast(approx), Seq("q_id", "id"))
+      .withColumn("d2", l2Sq(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("id").as("n_id"), (round(col("ad2"), 4) + 0.0).as("ad2"),
+        (round(col("d2"), 4) + 0.0).as("d2"))
+  }
+
   /** ADC top-k: queries `(q_id, qv)` against the encoded corpus
     * `(id, codes)`. Builds the per-query `m × ks` distance table
     * (metadata-sized: |queries|·m·ks rows collapse to one row per

@@ -65,6 +65,32 @@ class PqIndexSpec extends SparkSpec {
       top1.filter($"ad2" =!= 0.0).count() shouldBe 0
     }
 
+    it("ivfAdcSearch with full probe width and corpus-wide rerank equals exact L2 top-k") {
+      val e = corpus.localCheckpoint()
+      val n = e.count().toInt
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, e, k = 4,
+        iterations = 1, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 8, iterations = 1)
+      val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val fullIdx = indexed.select($"cluster", $"id", $"v")
+      val queries = e.filter($"id" < 5).select($"id".as("q_id"), $"v".as("qv"))
+      val got = PqIndex.ivfAdcSearch(spark, queries, codesIdx, fullIdx, cent,
+          cb, m = 4, subDim = 16, k = 5, rerank = n, nProbe = 4)
+        .select($"q_id", $"rank", $"n_id")
+      // exact L2 truth via a ranking window over all pairs
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"d2".asc, $"n_id".asc)
+      val truth = queries.crossJoin(e.select($"id".as("n_id"), $"v".as("cv")))
+        .select($"q_id", $"n_id", PqIndex.l2Sq($"qv", $"cv").as("d2"))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"q_id", $"rank", $"n_id")
+      got.exceptAll(truth).count() shouldBe 0
+      truth.exceptAll(got).count() shouldBe 0
+    }
+
     it("rejects dimensions not divisible by m") {
       val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
       an[IllegalArgumentException] should be thrownBy

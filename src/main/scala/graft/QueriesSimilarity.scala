@@ -807,6 +807,50 @@ object QueriesSimilarity {
        |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Two-tier index LIFECYCLE: the q141 fit saved to parquet
+    * ([[graft.operators.PqIndex.saveTwoTier]] — centroids + codebooks
+    * + BOTH tiers cluster-partitioned), reloaded, and searched. The
+    * oracle is exactly q141's in-memory replay: parquet round-trips
+    * doubles and int codes binary-exact, so the persisted-index search
+    * must equal the in-memory search bit-for-bit — any loss in the
+    * save/load path (schema drift, partition-column typing, code
+    * array encoding) breaks the hash. The cluster-partitioned layout
+    * on BOTH tiers is the serving story: a probe reads nProbe cell
+    * directories of the m-byte hot tier, rerank reads the same cells
+    * of the cold tier. */
+  val q142TwoTierPersist: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = graft.operators.PqIndex.fitCodebooks(s, e, m = 4, ks = 16,
+      iterations = 1)
+    val codesIdx = graft.operators.PqIndex.encode(e, cb, m = 4, subDim = 16)
+      .join(indexed.select($"id", $"cluster"), Seq("id"))
+      .select($"cluster", $"id", $"codes")
+    val fullIdx = indexed.select($"cluster", $"id", $"v")
+    val idxDir = sys.props("java.io.tmpdir") +
+      "/graft_pq_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      graft.operators.PqIndex.saveTwoTier(cent, cb, codesIdx, fullIdx, idxDir)
+      val (cent2, cb2, codes2, full2) =
+        graft.operators.PqIndex.loadTwoTier(s, idxDir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      graft.operators.PqIndex.ivfAdcSearch(s, queries, codes2, full2,
+          cent2, cb2, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
+        .orderBy($"q_id", $"rank")
+        .localCheckpoint() // materialize before the scratch dir is deleted
+    } finally rmTree(new java.io.File(idxDir))
+  }
+  /** Same oracle as q141 — the lifecycle must be invisible. */
+  val q142Sql: String = q141Sql
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
@@ -822,5 +866,6 @@ object QueriesSimilarity {
     ("q137_sq8_ann", q137Sq8Ann, Some(q137Sql)),
     ("q139_pq_adc", q139PqAdc, Some(q139Sql)),
     ("q141_ivf_pq_adc", q141IvfPqAdc, Some(q141Sql)),
+    ("q142_two_tier_persist", q142TwoTierPersist, Some(q142Sql)),
   )
 }

@@ -41,7 +41,6 @@ object HeavyHitters {
     if (cands.isEmpty || n == 0L)
       return keyed.sparkSession.emptyDataFrame
         .select(lit("").as("key"), lit(0L).as("cnt"), lit(0.0).as("freq"))
-        .limit(0)
     keyed.filter(col("key").isin(cands: _*))
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(eps) * n)

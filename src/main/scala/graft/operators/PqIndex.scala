@@ -106,6 +106,32 @@ object PqIndex {
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("p"))
       .select(col("id"), expr("transform(p, x -> x.code)").as("codes"))
 
+  /** Persist a fitted two-tier index: coarse centroids and PQ
+    * codebooks (metadata-sized) plus BOTH tiers cluster-partitioned —
+    * `dir/codes` (the m-byte hot tier a probe reads) and `dir/full`
+    * (the cold rerank tier). One directory per cell per tier, so
+    * [[ivfAdcSearch]]'s probe joins prune both reads to the nProbe
+    * probed cells (dynamic partition pruning), exactly the
+    * [[IvfIndex.save]] layout doubled. Doubles/ints round-trip
+    * parquet binary-exact, so search-after-reload ≡ in-memory search
+    * bit-for-bit (q142 gates it on q141's oracle). */
+  def saveTwoTier(centroids: DataFrame, codebooks: DataFrame,
+                  codesIdx: DataFrame, fullIdx: DataFrame, dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codesIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/codes")
+    fullIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/full")
+  }
+
+  /** Reload a [[saveTwoTier]]d index:
+    * `(centroids, codebooks, codesIdx, fullIdx)`. */
+  def loadTwoTier(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/full"))
+
   /** IVF + PQ + ADC — the FAISS-IVFADC serving composition, the full
     * ANN ladder in one call: queries pick their `nProbe` nearest
     * coarse cells ([[IvfIndex]] centroids, broadcast), ADC scores ONLY

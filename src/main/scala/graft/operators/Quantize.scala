@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.plans.GraftFunctions
 
 /** Scalar quantization (SQ8) for embedding columns — the memory /
   * storage tier a 100 TB vector corpus needs: each dimension is
@@ -77,12 +76,4 @@ object Quantize {
   def encodeCorpus(corpus: DataFrame, minMax: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(minMax))
       .select(col("id"), encodeSq8(col("v"), col("lo"), col("hi")).as("codes"))
-
-  /** Approximate cosine of a full-precision query against a stored
-    * code array: decode then the engine's sequential-fold cosine. */
-  def approxCosine(spark: SparkSession, qv: Column, codes: Column,
-                   lo: Column, hi: Column): Column = {
-    GraftFunctions.register(spark)
-    Similarity.cosine(qv, decodeSq8(codes, lo, hi))
-  }
 }

@@ -750,8 +750,21 @@ object QueriesSimilarity {
     * candidates rerank exactly against the full-precision tier, final
     * top-5 carries both distances. The oracle composes the q39 Lloyd
     * replay with the q139 PQ replay (shared CTE texts — neither can
-    * drift alone) plus the probe/ADC/rerank stages. */
-  val q141IvfPqAdc: Q = (s, dir) => {
+    * drift alone) plus the probe/ADC/rerank stages.
+    *
+    * Shuffle shape of the codes⋈cluster construction: `encode` ends in
+    * a groupBy(id), so its output is already id-hash-partitioned and
+    * the join back to `indexed` reuses it (AQE); the side that DOES
+    * shuffle carries only narrow `(id, cluster)` pairs, never vectors
+    * or codes. */
+  /** ONE Scala fit for q141/q142 (the Scala mirror of the shared
+    * oracle CTE texts — neither gate's fit can drift alone):
+    * `(centroids, codebooks, codesIdx, fullIdx, queries)` over the
+    * embeddings at `dir`, with the q39 coarse parameters (k=8, 1
+    * ordered-mean Lloyd step) and the q139 PQ parameters (m=4,
+    * ks=16, 1 iteration). */
+  private def twoTierFit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
@@ -767,6 +780,12 @@ object QueriesSimilarity {
       .select($"cluster", $"id", $"codes")
     val fullIdx = indexed.select($"cluster", $"id", $"v")
     val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    (cent, cb, codesIdx, fullIdx, queries)
+  }
+
+  val q141IvfPqAdc: Q = (s, dir) => {
+    import s.implicits._
+    val (cent, cb, codesIdx, fullIdx, queries) = twoTierFit(s, dir)
     graft.operators.PqIndex.ivfAdcSearch(s, queries, codesIdx, fullIdx,
         cent, cb, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
       .orderBy($"q_id", $"rank")
@@ -821,19 +840,7 @@ object QueriesSimilarity {
     * of the cold tier. */
   val q142TwoTierPersist: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
-    val cent = graft.operators.IvfIndex
-      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val indexed = graft.operators.IvfIndex.assign(e, cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = graft.operators.PqIndex.fitCodebooks(s, e, m = 4, ks = 16,
-      iterations = 1)
-    val codesIdx = graft.operators.PqIndex.encode(e, cb, m = 4, subDim = 16)
-      .join(indexed.select($"id", $"cluster"), Seq("id"))
-      .select($"cluster", $"id", $"codes")
-    val fullIdx = indexed.select($"cluster", $"id", $"v")
+    val (cent, cb, codesIdx, fullIdx, queries) = twoTierFit(s, dir)
     val idxDir = sys.props("java.io.tmpdir") +
       "/graft_pq_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + java.util.UUID.randomUUID().toString.take(8)
@@ -841,7 +848,6 @@ object QueriesSimilarity {
       graft.operators.PqIndex.saveTwoTier(cent, cb, codesIdx, fullIdx, idxDir)
       val (cent2, cb2, codes2, full2) =
         graft.operators.PqIndex.loadTwoTier(s, idxDir)
-      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
       graft.operators.PqIndex.ivfAdcSearch(s, queries, codes2, full2,
           cent2, cb2, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
         .orderBy($"q_id", $"rank")

@@ -1550,7 +1550,6 @@ object QueriesText {
        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
   }
 
-  /** Registry: name → (spark program, oracle sql). */
   // ---------------------------------------------------------------- q138
   /** Sketch-verified exact heavy hitters
     * ([[graft.operators.HeavyHitters]]): token-initial frequencies
@@ -1633,6 +1632,7 @@ object QueriesText {
        |FROM t LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
     ("q25_quality_by_lang", q25QualityByLang, Some(q25Sql)),

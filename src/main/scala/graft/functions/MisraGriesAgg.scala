@@ -35,6 +35,7 @@ class MisraGriesAgg(k: Int)
   override def zero: Buf = Buf(Seq.empty)
 
   override def reduce(buf: Buf, key: String): Buf = {
+    if (key == null) return buf // nulls have no frequency semantics
     val idx = buf.items.indexWhere(_.key == key)
     if (idx >= 0)
       Buf(buf.items.updated(idx, Entry(key, buf.items(idx).n + 1)))
@@ -64,7 +65,8 @@ object MisraGriesAgg {
   case class Entry(key: String, n: Long)
   case class Buf(items: Seq[Entry])
 
-  /** Column form: `{items: [{key, n}…]}`, count-desc/key-asc order. */
+  /** Column form: `{items: [{key, n}…]}`, count-desc/key-asc order.
+    * Null keys are ignored, like every SQL aggregate. */
   def apply(k: Int, key: Column): Column =
     udaf(new MisraGriesAgg(k), Encoders.STRING).apply(key)
 }

@@ -264,18 +264,29 @@ object IvfIndex {
 
   /** ANN top-k search: each query probes its `nProbe` nearest cells
     * only. Same output shape as [[Similarity.bruteForceTopK]]. */
-  def search(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
-             centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    require(k > 0, s"IvfIndex.search needs k > 0 neighbors, got $k")
-    require(nProbe > 0, s"IvfIndex.search needs nProbe > 0 cells, got $nProbe")
+  /** The `nProbe` argmax-cosine cells per query: `(q_id, qv, cluster)`
+    * — centroids broadcast, ties toward the lower cluster id. ONE
+    * implementation for every probing consumer ([[search]],
+    * [[searchSq8]], [[PqIndex.ivfAdcSearch]]) so the probe ordering
+    * cannot drift between them. */
+  private[operators] def probeCells(spark: SparkSession, queries: DataFrame,
+                                    centroids: DataFrame,
+                                    nProbe: Int): DataFrame = {
+    require(nProbe > 0, s"probeCells needs nProbe > 0 cells, got $nProbe")
     GraftFunctions.register(spark)
     val qScored = queries.crossJoin(broadcast(centroids))
       .withColumn("sim", Similarity.cosine(col("qv"), col("centroid")))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wq))
+    qScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("qv"), col("cluster"))
+  }
+
+  def search(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
+             centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(k > 0, s"IvfIndex.search needs k > 0 neighbors, got $k")
+    val probes = probeCells(spark, queries, centroids, nProbe)
     // probes is |queries|·nProbe rows (dimension-sized, same contract
     // as the brute-force query side) — broadcast it so the indexed
     // corpus never shuffles for the candidate join
@@ -386,15 +397,8 @@ object IvfIndex {
                 k: Int, rerank: Int, nProbe: Int): DataFrame = {
     require(k > 0, s"IvfIndex.searchSq8 needs k > 0 neighbors, got $k")
     require(rerank >= k, s"rerank width $rerank must be >= k = $k")
-    require(nProbe > 0, s"IvfIndex.searchSq8 needs nProbe > 0 cells, got $nProbe")
     GraftFunctions.register(spark)
-    val qScored = queries.crossJoin(broadcast(centroids))
-      .withColumn("sim", Similarity.cosine(col("qv"), col("centroid")))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cluster"))
+    val probes = probeCells(spark, queries, centroids, nProbe)
     val approx = codesIdx.join(broadcast(probes), Seq("cluster"))
       .crossJoin(broadcast(minMax))
       .withColumn("acos",

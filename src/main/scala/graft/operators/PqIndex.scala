@@ -53,6 +53,49 @@ object PqIndex {
       .select(col("id"), col("sub"), col("best.sv").as("sv"),
         col("best.code").as("code"))
 
+  /** Fail fast when the caller's `(m, subDim)` disagree with the shape
+    * of the fitted codebooks — a mismatch otherwise produces NULL
+    * distances (zip_with pads the shorter side) and silently garbage
+    * assignments. One aggregate over the metadata-sized codebook
+    * frame. */
+  private def requireCodebookShape(codebooks: DataFrame, m: Int,
+                                   subDim: Int): Unit = {
+    val r = codebooks.agg(
+      countDistinct(col("sub")).as("m"),
+      min(size(col("centroid"))).as("dmin"),
+      max(size(col("centroid"))).as("dmax")).head()
+    require(r.getLong(0) == m,
+      s"codebooks cover ${r.getLong(0)} subspaces, caller said m=$m")
+    require(r.getInt(1) == subDim && r.getInt(2) == subDim,
+      s"codebook centroids span ${r.getInt(1)}..${r.getInt(2)} dims, " +
+        s"caller said subDim=$subDim")
+  }
+
+  /** Per-query `m × ks` ADC distance tables: `(q_id, dtab)` where
+    * `dtab(sub)(code)` = ‖q_sub − codeword‖². |queries|·m·ks rows
+    * collapse to one row per query — metadata-sized, built once and
+    * broadcast by every consumer. ONE implementation for
+    * [[adcSearch]]/[[ivfAdcSearch]] so fold order and sort keys cannot
+    * drift between them. */
+  private def distanceTables(queries: DataFrame, codebooks: DataFrame,
+                             m: Int, subDim: Int): DataFrame =
+    subVectors(queries, "q_id", "qv", m, subDim)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2Sq(col("sv"), col("centroid")))
+      .groupBy(col("q_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("code"), col("d2")))).as("p"))
+      .select(col("q_id"), col("sub"), expr("transform(p, x -> x.d2)").as("drow"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("drow")))).as("p"))
+      .select(col("q_id"), expr("transform(p, x -> x.drow)").as("dtab"))
+
+  /** A candidate's approximate squared distance: m dense-code lookups
+    * into the query's distance table, summed by the usual 0.0-seeded
+    * fold. */
+  private def adcDistance(codes: Column, dtab: Column): Column =
+    aggregate(zip_with(codes, dtab, (c, row) => get(row, c)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Fit per-subspace codebooks over `(id, v: array<double>)` →
     * `(sub, code, centroid)`, `code` dense 0..|codebook(sub)|−1.
     * All `m` subspaces train in ONE keyed dataflow (the subspace id
@@ -100,11 +143,13 @@ object PqIndex {
     * dense codeword id of subspace j. One scan + one (id, sub)-keyed
     * collapse; the output is the m-byte-per-vector fast tier. */
   def encode(corpus: DataFrame, codebooks: DataFrame, m: Int,
-             subDim: Int): DataFrame =
+             subDim: Int): DataFrame = {
+    requireCodebookShape(codebooks, m, subDim)
     assign(subVectors(corpus, "id", "v", m, subDim), codebooks)
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("p"))
       .select(col("id"), expr("transform(p, x -> x.code)").as("codes"))
+  }
 
   /** Persist a fitted two-tier index: coarse centroids and PQ
     * codebooks (metadata-sized) plus BOTH tiers cluster-partitioned —
@@ -154,30 +199,13 @@ object PqIndex {
                    m: Int, subDim: Int, k: Int, rerank: Int,
                    nProbe: Int): DataFrame = {
     require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
-    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
-    graft.plans.GraftFunctions.register(spark)
-    val qScored = queries.crossJoin(broadcast(centroids))
-      .withColumn("sim", Similarity.cosine(col("qv"), col("centroid")))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("cluster").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cluster"))
-    val qsub = subVectors(queries, "q_id", "qv", m, subDim)
-    val dtab = qsub.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("d2", l2Sq(col("sv"), col("centroid")))
-      .groupBy(col("q_id"), col("sub"))
-      .agg(array_sort(collect_list(struct(col("code"), col("d2")))).as("p"))
-      .select(col("q_id"), col("sub"), expr("transform(p, x -> x.d2)").as("drow"))
-      .groupBy(col("q_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("drow")))).as("p"))
-      .select(col("q_id"), expr("transform(p, x -> x.drow)").as("dtab"))
+    requireCodebookShape(codebooks, m, subDim)
+    val probes = IvfIndex.probeCells(spark, queries, centroids, nProbe)
+    val dtab = distanceTables(queries, codebooks, m, subDim)
     val approx = codesIdx
       .join(broadcast(probes.select(col("q_id"), col("cluster"))), Seq("cluster"))
       .join(broadcast(dtab), Seq("q_id"))
-      .withColumn("ad2", aggregate(
-        zip_with(col("codes"), col("dtab"), (c, row) => get(row, c)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("ad2", adcDistance(col("codes"), col("dtab")))
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg(rerank, -col("ad2"), col("id")).as("topk"))
       .select(col("q_id"), explode(col("topk.items")).as("c"))
@@ -204,19 +232,10 @@ object PqIndex {
   def adcSearch(spark: SparkSession, queries: DataFrame, codes: DataFrame,
                 codebooks: DataFrame, m: Int, subDim: Int, k: Int): DataFrame = {
     require(k > 0, s"adcSearch needs k > 0, got $k")
-    val qsub = subVectors(queries, "q_id", "qv", m, subDim)
-    val dtab = qsub.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("d2", l2Sq(col("sv"), col("centroid")))
-      .groupBy(col("q_id"), col("sub"))
-      .agg(array_sort(collect_list(struct(col("code"), col("d2")))).as("p"))
-      .select(col("q_id"), col("sub"), expr("transform(p, x -> x.d2)").as("drow"))
-      .groupBy(col("q_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("drow")))).as("p"))
-      .select(col("q_id"), expr("transform(p, x -> x.drow)").as("dtab"))
+    requireCodebookShape(codebooks, m, subDim)
+    val dtab = distanceTables(queries, codebooks, m, subDim)
     val scored = codes.crossJoin(broadcast(dtab))
-      .withColumn("ad2", aggregate(
-        zip_with(col("codes"), col("dtab"), (c, row) => get(row, c)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("ad2", adcDistance(col("codes"), col("dtab")))
     scored.groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg(k, -col("ad2"), col("id")).as("topk"))
       .select(col("q_id"), posexplode(col("topk.items")))

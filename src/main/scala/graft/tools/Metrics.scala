@@ -33,14 +33,19 @@ object Metrics {
         f"spill=$spillBytes, nodes=${byNode.size})"
   }
 
-  /** All physical nodes reachable from `p`, expanding AQE wrappers and
-    * query stages; reused exchanges are NOT expanded (their metrics
-    * belong to the original exchange, which the walk reaches anyway). */
+  /** All physical nodes reachable from `p`, expanding AQE wrappers,
+    * query stages AND expression-embedded subquery plans (a scalar/IN
+    * subquery or a DPP filter does real IO that must land in the
+    * report); reused exchanges/subqueries are NOT expanded (their
+    * metrics belong to the original node, which the walk reaches
+    * anyway). */
   private def expand(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
     case s: QueryStageExec => s +: expand(s.plan)
     case r: ReusedExchangeExec => Seq(r)
-    case _ => p +: p.children.flatMap(expand)
+    case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Seq(r)
+    case _ =>
+      p +: (p.children ++ p.subqueries).flatMap(expand)
   }
 
   /** Execute `df` (count-like action — nothing corpus-sized reaches

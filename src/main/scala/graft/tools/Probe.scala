@@ -1,42 +1,138 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft._
+import graft.operators._
 
-/** Per-query timing probe — the dev-loop companion to [[graft.Bench]]:
-  * times a SUBSET of the catalog at an arbitrary data directory
-  * (typically a [[ScaleUp]]-built 10×/100× corpus) without paying for
-  * the full 130+-query run.
-  *
-  * Usage: `runMain graft.tools.Probe <sfDir> <q1,q2,…> [reps]` —
-  * prints per-query cold and steady (min of `reps` post-cold runs,
-  * default 2) seconds through the same noop-sink path as Bench, so
-  * numbers are comparable with bench artifacts.
-  */
+/** Dev-only micro-profiler: times individual pipeline stages so operator
+  * costs are attributable (the bench times whole queries only). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, names) = args.take(2)
-    val reps = if (args.length > 2) args(2).toInt else 2
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    names.split(",").foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      graft.QueriesText.clearSessionCaches()
-      graft.QueriesCurate.clearSessionCaches()
-      graft.QueriesStreaming.clearSessionCaches()
-      val cold = once()
-      val steady = (1 to reps).map(_ => once()).min
-      println(f"[probe] $name dir=$sfDir cold=$cold%.2fs steady=$steady%.2fs")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = docs.unionByName(
+      docs.select(($"doc_id" + 100000L).as("doc_id"), concat($"text", lit(" zz qq")).as("text")))
+
+    time("corpus count")(corpus.count())
+    time("normalize+tokens") {
+      corpus.select(graft.functions.TextAnalysis.wsTokens($"text").as("w")).count()
+    }
+    time("shingles explode") {
+      TextDedup.shingleTable(corpus, "doc_id", "text", 5).count()
+    }
+    val sh = TextDedup.shingleTable(corpus, "doc_id", "text", 5)
+    time("shingle self-join agg") {
+      val a = sh.select($"id".as("a_id"), $"n_shingles".as("na"), $"s")
+      val b = sh.select($"id".as("b_id"), $"n_shingles".as("nb"), $"s")
+      a.join(b, Seq("s")).filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("i")).count()
+    }
+    time("jaccard full")(TextDedup.jaccardPairs(sh, 0.3).count())
+    time("minhash signature")(TextDedup.minHashSignature(sh, 8).count())
+    time("lsh candidates") {
+      TextDedup.lshCandidatePairs(TextDedup.minHashSignature(sh, 8), 8, 2).count()
+    }
+    time("minhash lsh full")(TextDedup.minHashLshPairs(sh, 8, 2, 0.3).count())
+    spark.stop()
+  }
+}
+
+/** Repeat one catalog query N times in a single session — separates
+  * within-JVM stability from environment noise. */
+object Repeat {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q30_minhash_lsh")
+    val n = if (args.length > 1) args(1).toInt else 3
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
+      // noop sink, matching Bench: count() would let Catalyst prune
+      // all columns of projection-only queries
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      // process-CPU seconds ride along: the host has heavy external CPU
+      // interference, so wall time alone cannot A/B two implementations —
+      // CPU time measures the actual work done
+      println(f"[repeat] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+        f"(cpu ${(osBean.getProcessCpuTime - c0) / 1e9}%.1f s)")
+    }
+    spark.stop()
+  }
+}
+
+/** Dev-only breakdown of q58's phases: edge-building LSH chain vs the
+  * label-propagation loop vs the final corpus join. */
+object ProbeComponents {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft._
+    import graft.operators._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe58] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = docs.unionByName(
+      docs.select(($"doc_id" + 100000L).as("doc_id"),
+        concat($"text", lit(" zz qq")).as("text")))
+    val sh = TextDedup.shingleTable(corpus, "doc_id", "text", 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = time("edges (lsh chain)") {
+      val p = TextDedup.minHashLshPairs(sh, 8, 2, 0.3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe58]   n_edges = ${p.count()}")
+      p
+    }
+    val comps = time("connectedComponents") {
+      val c = Components.connectedComponents(pairs, "a_id", "b_id")
+      c.count()
+      c
+    }
+    time("final corpus join") {
+      corpus.select($"doc_id")
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"comp", $"doc_id").as("comp"))
+        .orderBy($"doc_id")
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

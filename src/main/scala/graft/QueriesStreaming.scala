@@ -481,6 +481,81 @@ object QueriesStreaming {
   private[graft] def clearSessionCaches(): Unit = dedupStoreCache.clear()
 
   /** Registry: name → (spark program, oracle sql). */
+  // ---------------------------------------------------------------- q143
+  /** STREAMING heavy hitters — continuous frequency monitoring over a
+    * document stream: each micro-batch aggregates its own Misra-Gries
+    * summary + row count (one k-entry row to the driver per batch),
+    * and the driver folds batches with the SAME
+    * [[graft.functions.MisraGriesAgg.mergeItems]] rule the batch
+    * aggregator uses — the mergeable-summaries property (Agarwal et
+    * al.) makes the fold over ANY batching a valid MG(k) of the whole
+    * stream, so the accumulated summary is a guaranteed superset of
+    * the ε-heavy keys seen so far. An on-demand EXACT verify pass
+    * ([[graft.operators.HeavyHitters.verifyCandidates]], reading only
+    * candidate rows) turns the running superset into the exact
+    * answer — here issued once at end-of-stream, where it must equal
+    * the batch q138 result on the same corpus (same oracle). State:
+    * k entries + one counter, constant in stream length. */
+  val q143StreamHeavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/documents.parquet"
+    val k = 20
+    def initials(df: DataFrame): DataFrame = df
+      .select(explode(regexp_extract_all(lower($"text"),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .select(substring($"w", 1, 1).as("key"))
+    // stage a 4-file copy and trigger per file, so the gate exercises
+    // the MULTI-batch driver fold, not a degenerate single summary
+    // (the shipped table is one parquet file = one micro-batch)
+    val watch = sys.props("java.io.tmpdir") +
+      "/graft_q143_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      s.read.parquet(file).repartition(4).write.parquet(watch)
+      val schema = s.read.parquet(watch).schema
+      val stream = initials(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch))
+      val acc = new java.util.concurrent.atomic.AtomicReference[
+        (Seq[graft.functions.MisraGriesAgg.Entry], Long)]((Seq.empty, 0L))
+      val query = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val r = batch.toDF()
+              .agg(graft.functions.MisraGriesAgg(k, $"key").as("mg"),
+                count(lit(1)).as("n")).head()
+            val items = r.getStruct(0).getSeq[org.apache.spark.sql.Row](0)
+              .map(x => graft.functions.MisraGriesAgg.Entry(
+                x.getString(0), x.getLong(1)))
+            val n = r.getLong(1)
+            acc.updateAndGet { case (cur, cn) =>
+              (graft.functions.MisraGriesAgg.mergeItems(k, cur, items), cn + n)
+            }: Unit
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val (summary, n) = acc.get()
+      graft.operators.HeavyHitters
+        .verifyCandidates(initials(s.read.parquet(file)),
+          summary.map(_.key), n, eps = 0.05)
+        .withColumnRenamed("key", "ch")
+        .orderBy($"ch")
+        .localCheckpoint() // materialize before the scratch dir is deleted
+    } finally rmTree(new java.io.File(watch))
+  }
+
+  /** Recursive scratch-dir delete (null-safe listFiles). */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+    }
+    f.delete(): Unit
+  }
+  /** Same oracle as q138 — end-of-stream state must equal the batch
+    * computation on the same corpus. */
+  val q143Sql: String = QueriesText.q138Sql
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
@@ -491,5 +566,6 @@ object QueriesStreaming {
     ("q110_stream_ingest", q110StreamIngest, Some(q110Sql)),
     ("q128_stream_neardup", q128StreamNearDup, Some(q128Sql)),
     ("q132_stream_neardup_bucketed", q132StreamNearDupBucketed, Some(q128Sql)),
+    ("q143_stream_heavy_hitters", q143StreamHeavyHitters, Some(q143Sql)),
   )
 }

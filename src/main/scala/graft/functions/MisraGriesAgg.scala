@@ -29,9 +29,6 @@ class MisraGriesAgg(k: Int)
   require(k > 0, "capacity must be positive")
   import MisraGriesAgg.{Buf, Entry}
 
-  private def canon(xs: Seq[Entry]): Seq[Entry] =
-    xs.sortBy(e => (-e.n, e.key))
-
   override def zero: Buf = Buf(Seq.empty)
 
   override def reduce(buf: Buf, key: String): Buf = {
@@ -45,17 +42,10 @@ class MisraGriesAgg(k: Int)
       Buf(buf.items.map(e => Entry(e.key, e.n - 1)).filter(_.n > 0))
   }
 
-  override def merge(x: Buf, y: Buf): Buf = {
-    val summed = (x.items ++ y.items).groupBy(_.key)
-      .map { case (key, es) => Entry(key, es.map(_.n).sum) }.toSeq
-    if (summed.length <= k) Buf(canon(summed))
-    else {
-      val cut = summed.map(_.n).sorted(Ordering[Long].reverse)(k)
-      Buf(canon(summed.map(e => Entry(e.key, e.n - cut)).filter(_.n > 0)))
-    }
-  }
+  override def merge(x: Buf, y: Buf): Buf =
+    Buf(MisraGriesAgg.mergeItems(k, x.items, y.items))
 
-  override def finish(buf: Buf): Buf = Buf(canon(buf.items))
+  override def finish(buf: Buf): Buf = Buf(MisraGriesAgg.canon(buf.items))
 
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
   override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
@@ -64,6 +54,25 @@ class MisraGriesAgg(k: Int)
 object MisraGriesAgg {
   case class Entry(key: String, n: Long)
   case class Buf(items: Seq[Entry])
+
+  private[functions] def canon(xs: Seq[Entry]): Seq[Entry] =
+    xs.sortBy(e => (-e.n, e.key))
+
+  /** The Agarwal et al. summary merge — pointwise-sum, subtract the
+    * (k+1)-th largest count, drop non-positives. ONE implementation
+    * shared by the Aggregator's partial-merge and by streaming
+    * consumers that fold per-batch summaries driver-side
+    * (q143): the mergeable-summaries property makes the fold over any
+    * batching equal a valid MG(k) of the whole stream. */
+  def mergeItems(k: Int, x: Seq[Entry], y: Seq[Entry]): Seq[Entry] = {
+    val summed = (x ++ y).groupBy(_.key)
+      .map { case (key, es) => Entry(key, es.map(_.n).sum) }.toSeq
+    if (summed.length <= k) canon(summed)
+    else {
+      val cut = summed.map(_.n).sorted(Ordering[Long].reverse)(k)
+      canon(summed.map(e => Entry(e.key, e.n - cut)).filter(_.n > 0))
+    }
+  }
 
   /** Column form: `{items: [{key, n}…]}`, count-desc/key-asc order.
     * Null keys are ignored, like every SQL aggregate. */

@@ -38,6 +38,17 @@ object HeavyHitters {
     val n = probe.getLong(1)
     val cands: Seq[String] = probe.getStruct(0).getSeq[org.apache.spark.sql.Row](0)
       .map(_.getString(0))
+    verifyCandidates(keyed, cands, n, eps)
+  }
+
+  /** The exact verify pass over a candidate superset: exact counts of
+    * the candidate keys only, thresholded at `eps`·`n`. Shared by
+    * [[heavyHitters]] and the streaming path (q143), whose candidates
+    * come from a driver-folded per-batch summary — the output is exact
+    * for ANY candidate superset, which is what makes the sketch's
+    * nondeterminism invisible. */
+  def verifyCandidates(keyed: DataFrame, cands: Seq[String], n: Long,
+                       eps: Double): DataFrame = {
     if (cands.isEmpty || n == 0L)
       return keyed.sparkSession.emptyDataFrame
         .select(lit("").as("key"), lit(0L).as("cnt"), lit(0.0).as("freq"))

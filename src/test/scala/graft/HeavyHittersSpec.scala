@@ -29,6 +29,28 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  describe("MisraGriesAgg.mergeItems (the q143 driver fold)") {
+    it("folding per-batch summaries preserves the superset guarantee") {
+      val k = 20
+      val n = skewed.count()
+      // 5 "micro-batches": per-chunk summaries folded driver-side with
+      // the same merge rule the Aggregator uses internally
+      val chunks = skewed.withColumn("b", abs(hash($"key")) % 5)
+      val folded = (0 until 5).map { b =>
+        val r = chunks.filter($"b" === b)
+          .agg(MisraGriesAgg(k, $"key").as("mg")).head()
+        r.getStruct(0).getSeq[org.apache.spark.sql.Row](0)
+          .map(x => MisraGriesAgg.Entry(x.getString(0), x.getLong(1)))
+      }.foldLeft(Seq.empty[MisraGriesAgg.Entry])(
+        (acc, b) => MisraGriesAgg.mergeItems(k, acc, b))
+      val truth = skewed.groupBy($"key").count()
+        .filter($"count" > n / (k + 1)).select($"key").as[String].collect()
+      truth should not be empty
+      truth.foreach(h => folded.map(_.key) should contain(h))
+      folded.size should be <= k
+    }
+  }
+
   describe("HeavyHitters.heavyHitters") {
     it("returns exactly the keys above the epsilon threshold, with exact counts") {
       val out = HeavyHitters.heavyHitters(skewed, $"key", eps = 0.05)

@@ -661,7 +661,7 @@ object QueriesSimilarity {
     * pq_codes(id, codes)`. `pq_`-prefixed so it composes with
     * [[lloydIdxSql]] in one query (q141). ONE text for q139/q141 so
     * the SQL cannot drift from the Scala semantics in just one. */
-  private def pqFitSql(src: String): String =
+  private def pqCodebookSql(src: String): String =
     s"""subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
        |pq_subv AS (
        |  SELECT $src.id, s.sub, list_slice($src.v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
@@ -692,8 +692,13 @@ object QueriesSimilarity {
        |  SELECT id, sub, code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM pq_s1)
        |  WHERE rn = 1),
-       |pq_codes AS (SELECT id, list(code ORDER BY sub) AS codes FROM pq_asg GROUP BY id),
-       |pq_qsub AS (
+       |pq_codes AS (SELECT id, list(code ORDER BY sub) AS codes FROM pq_asg GROUP BY id)""".stripMargin
+
+  /** The raw-vector query-side distance tables (`pq_dtab(q_id, dtab)`
+    * against `pq_cb`, from the `qs` CTE); q144's residual variant has
+    * its own per-(q_id, cluster) tables in its query text. */
+  private val pqDtabSql: String =
+    s"""pq_qsub AS (
        |  SELECT q.q_id, s.sub, list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
        |  FROM qs q CROSS JOIN subs s),
        |pq_dt AS (
@@ -701,6 +706,9 @@ object QueriesSimilarity {
        |  FROM pq_qsub t JOIN pq_cb c USING (sub)),
        |pq_drows AS (SELECT q_id, sub, list(d2 ORDER BY code) AS drow FROM pq_dt GROUP BY q_id, sub),
        |pq_dtab AS (SELECT q_id, list(drow ORDER BY sub) AS dtab FROM pq_drows GROUP BY q_id)""".stripMargin
+
+  private def pqFitSql(src: String): String =
+    pqCodebookSql(src) + ",\n" + pqDtabSql
 
   /** Product quantization + ADC search ([[graft.operators.PqIndex]]):
     * 4 subspaces × 16 codewords fitted in one keyed Lloyd pass
@@ -857,6 +865,93 @@ object QueriesSimilarity {
   /** Same oracle as q141 — the lifecycle must be invisible. */
   val q142Sql: String = q141Sql
 
+  // ---------------------------------------------------------------- q144
+  /** RESIDUAL IVFADC ([[graft.operators.PqIndex.ivfAdcSearch]] with
+    * `residual = true`) — the canonical FAISS form: PQ codebooks are
+    * fitted on `v − centroid(cluster)` ([[graft.operators.PqIndex
+    * .residuals]]; the code budget encodes only within-cell variance —
+    * the standard recall win on clustered corpora, though this
+    * near-uniform synthetic corpus cannot show it),
+    * the index stores residual codes, and the query side subtracts
+    * each PROBED cell's centroid before building its distance tables —
+    * one table per (query, probed cell), still metadata-sized and
+    * broadcast. Same exact-rerank tail as q141. The oracle reuses the
+    * q39 Lloyd text and the q139 codebook text (fed the residual
+    * relation) plus the per-cell query tables. */
+  val q144IvfPqResidual: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resid = graft.operators.PqIndex.residuals(indexed, cent)
+    val cb = graft.operators.PqIndex.fitCodebooks(s,
+      resid.select($"id", $"v"), m = 4, ks = 16, iterations = 1)
+    val codesIdx = graft.operators.PqIndex
+      .encode(resid.select($"id", $"v"), cb, m = 4, subDim = 16)
+      .join(indexed.select($"id", $"cluster"), Seq("id"))
+      .select($"cluster", $"id", $"codes")
+    val fullIdx = indexed.select($"cluster", $"id", $"v")
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.PqIndex.ivfAdcSearch(s, queries, codesIdx, fullIdx,
+        cent, cb, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2,
+        residual = true)
+      .orderBy($"q_id", $"rank")
+  }
+  val q144Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("e", "8")},
+       |resid AS (
+       |  SELECT i.id, list_transform(generate_series(1, len(i.v)), j -> i.v[j] - c.centroid[j]) AS v
+       |  FROM idx i JOIN cent c USING (cluster)),
+       |${pqCodebookSql("resid")},
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |rq AS (
+       |  SELECT p.q_id, p.cluster,
+       |         list_transform(generate_series(1, len(p.qv)), j -> p.qv[j] - c.centroid[j]) AS qv
+       |  FROM probes p JOIN cent c USING (cluster)),
+       |rqsub AS (
+       |  SELECT q_id, cluster, s.sub, list_slice(qv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+       |  FROM rq CROSS JOIN subs s),
+       |rdt AS (
+       |  SELECT t.q_id, t.cluster, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
+       |  FROM rqsub t JOIN pq_cb c USING (sub)),
+       |rdrows AS (SELECT q_id, cluster, sub, list(d2 ORDER BY code) AS drow FROM rdt GROUP BY q_id, cluster, sub),
+       |rdtab AS (SELECT q_id, cluster, list(drow ORDER BY sub) AS dtab FROM rdrows GROUP BY q_id, cluster),
+       |acand AS (
+       |  SELECT p.q_id, i.id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
+       |           (a, b) -> a + b) AS ad2
+       |  FROM probes p
+       |  JOIN idx i USING (cluster)
+       |  JOIN pq_codes c ON c.id = i.id
+       |  JOIN rdtab d ON d.q_id = p.q_id AND d.cluster = p.cluster),
+       |atop AS (
+       |  SELECT q_id, id, ad2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, id ASC) AS rn FROM acand)
+       |  WHERE rn <= 10),
+       |rcand AS (
+       |  SELECT a.q_id, a.id AS n_id, a.ad2, ${l2SqSql("q.qv", "i.v")} AS d2
+       |  FROM atop a JOIN qs q ON q.q_id = a.q_id JOIN idx i ON i.id = a.id),
+       |ranked AS (
+       |  SELECT q_id, n_id, ad2, d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rank
+       |  FROM rcand)
+       |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
@@ -873,5 +968,6 @@ object QueriesSimilarity {
     ("q139_pq_adc", q139PqAdc, Some(q139Sql)),
     ("q141_ivf_pq_adc", q141IvfPqAdc, Some(q141Sql)),
     ("q142_two_tier_persist", q142TwoTierPersist, Some(q142Sql)),
+    ("q144_ivf_pq_residual", q144IvfPqResidual, Some(q144Sql)),
   )
 }

@@ -34,12 +34,12 @@ object PqIndex {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Explode `(idCol, vCol)` into `(idCol, sub, sv)` — one row per
+  /** Explode `(carry…, vCol)` into `(carry…, sub, sv)` — one row per
     * subspace. Pure projection+generate: no shuffle. */
-  private def subVectors(df: DataFrame, idCol: String, vCol: String,
+  private def subVectors(df: DataFrame, carry: Seq[String], vCol: String,
                          m: Int, subDim: Int): DataFrame =
-    df.select(col(idCol), posexplode(array((0 until m).map(j =>
-        slice(col(vCol), j * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+    df.select(carry.map(col) :+ posexplode(array((0 until m).map(j =>
+        slice(col(vCol), j * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")): _*)
 
   /** Argmin-L2 codeword per `(id, sub)` against broadcast codebooks;
     * ties toward the lower code. Same map-side-collapse shape as
@@ -71,23 +71,27 @@ object PqIndex {
         s"caller said subDim=$subDim")
   }
 
-  /** Per-query `m × ks` ADC distance tables: `(q_id, dtab)` where
-    * `dtab(sub)(code)` = ‖q_sub − codeword‖². |queries|·m·ks rows
-    * collapse to one row per query — metadata-sized, built once and
+  /** Per-key `m × ks` ADC distance tables: `(keys…, dtab)` where
+    * `dtab(sub)(code)` = ‖q_sub − codeword‖². `keys` is `q_id` for
+    * raw-vector ADC and `(q_id, cluster)` for residual ADC (one table
+    * per probed cell — the query residual differs per cell). Rows
+    * collapse to one per key tuple — metadata-sized, built once and
     * broadcast by every consumer. ONE implementation for
     * [[adcSearch]]/[[ivfAdcSearch]] so fold order and sort keys cannot
     * drift between them. */
   private def distanceTables(queries: DataFrame, codebooks: DataFrame,
-                             m: Int, subDim: Int): DataFrame =
-    subVectors(queries, "q_id", "qv", m, subDim)
+                             m: Int, subDim: Int,
+                             keys: Seq[String] = Seq("q_id")): DataFrame =
+    subVectors(queries, keys, "qv", m, subDim)
       .join(broadcast(codebooks), Seq("sub"))
       .withColumn("d2", l2Sq(col("sv"), col("centroid")))
-      .groupBy(col("q_id"), col("sub"))
+      .groupBy((keys :+ "sub").map(col): _*)
       .agg(array_sort(collect_list(struct(col("code"), col("d2")))).as("p"))
-      .select(col("q_id"), col("sub"), expr("transform(p, x -> x.d2)").as("drow"))
-      .groupBy(col("q_id"))
+      .select(keys.map(col) :+ col("sub") :+
+        expr("transform(p, x -> x.d2)").as("drow"): _*)
+      .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(col("sub"), col("drow")))).as("p"))
-      .select(col("q_id"), expr("transform(p, x -> x.drow)").as("dtab"))
+      .select(keys.map(col) :+ expr("transform(p, x -> x.drow)").as("dtab"): _*)
 
   /** A candidate's approximate squared distance: m dense-code lookups
     * into the query's distance table, summed by the usual 0.0-seeded
@@ -107,7 +111,7 @@ object PqIndex {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val subv = corpus.select(col("id"), col("v"))
-      .transform(subVectors(_, "id", "v", m, subDim))
+      .transform(subVectors(_, Seq("id"), "v", m, subDim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ws = Window.partitionBy(col("sub")).orderBy(col("id"))
     var cb = subv.withColumn("rn", row_number().over(ws))
@@ -145,11 +149,27 @@ object PqIndex {
   def encode(corpus: DataFrame, codebooks: DataFrame, m: Int,
              subDim: Int): DataFrame = {
     requireCodebookShape(codebooks, m, subDim)
-    assign(subVectors(corpus, "id", "v", m, subDim), codebooks)
+    assign(subVectors(corpus, Seq("id"), "v", m, subDim), codebooks)
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("p"))
       .select(col("id"), expr("transform(p, x -> x.code)").as("codes"))
   }
+
+  /** Coarse residuals: `(id, v − centroid(cluster), cluster)` — the
+    * input the canonical FAISS IVFADC fits its codebooks on. The code
+    * budget then encodes only the within-cell variance, which is below
+    * raw variance in proportion to what the coarse quantizer explains
+    * — a large win on clustered real corpora. (On the near-uniform
+    * synthetic gate corpus the cells explain little and the measured
+    * ADC error is comparable to raw-vector PQ: mean |ad2−d2| 0.59 vs
+    * 0.55 at sf0.01 — the gate certifies the mechanics, not a recall
+    * advantage the data cannot show.) Pure broadcast join + per-row
+    * zip_with: one scan, no shuffle. */
+  def residuals(indexed: DataFrame, centroids: DataFrame): DataFrame =
+    indexed.join(broadcast(centroids), Seq("cluster"))
+      .select(col("id"),
+        zip_with(col("v"), col("centroid"), (x, c) => x - c).as("v"),
+        col("cluster"))
 
   /** Persist a fitted two-tier index: coarse centroids and PQ
     * codebooks (metadata-sized) plus BOTH tiers cluster-partitioned —
@@ -189,22 +209,35 @@ object PqIndex {
     * m bytes/vector + the m×ks codebooks; the cold tier is touched for
     * rerank·|queries| rows only. Ranking is ascending approximate L2
     * (ADC), then ascending exact L2 on rerank; output carries both
-    * distances. PQ codebooks here are fitted on RAW vectors (not
-    * residuals against the coarse centroid — the FAISS-style
-    * refinement documented as the next step; raw-vector PQ keeps every
-    * stage engine-replayable with the same codebooks serving any cell
-    * layout). */
+    * distances.
+    *
+    * Two codebook regimes, chosen by `residual`:
+    *  - `false`: codebooks fitted on RAW vectors — one distance table
+    *    per query, the same codebooks serve any cell layout;
+    *  - `true` (canonical FAISS IVFADC): codebooks fitted on
+    *    [[residuals]] and `codesIdx` carries residual codes — the
+    *    query side subtracts each PROBED cell's centroid first, so the
+    *    distance tables are keyed `(q_id, cluster)` (nProbe tables per
+    *    query — still metadata-sized, still broadcast). Same code
+    *    budget, much tighter reconstruction. */
   def ivfAdcSearch(spark: SparkSession, queries: DataFrame, codesIdx: DataFrame,
                    fullIdx: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                    m: Int, subDim: Int, k: Int, rerank: Int,
-                   nProbe: Int): DataFrame = {
+                   nProbe: Int, residual: Boolean = false): DataFrame = {
     require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
     requireCodebookShape(codebooks, m, subDim)
     val probes = IvfIndex.probeCells(spark, queries, centroids, nProbe)
-    val dtab = distanceTables(queries, codebooks, m, subDim)
+    val dtabKeys = if (residual) Seq("q_id", "cluster") else Seq("q_id")
+    val dtab =
+      if (residual) {
+        val rq = probes.join(broadcast(centroids), Seq("cluster"))
+          .select(col("q_id"), col("cluster"),
+            zip_with(col("qv"), col("centroid"), (x, c) => x - c).as("qv"))
+        distanceTables(rq, codebooks, m, subDim, dtabKeys)
+      } else distanceTables(queries, codebooks, m, subDim, dtabKeys)
     val approx = codesIdx
       .join(broadcast(probes.select(col("q_id"), col("cluster"))), Seq("cluster"))
-      .join(broadcast(dtab), Seq("q_id"))
+      .join(broadcast(dtab), dtabKeys)
       .withColumn("ad2", adcDistance(col("codes"), col("dtab")))
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg(rerank, -col("ad2"), col("id")).as("topk"))

@@ -91,6 +91,66 @@ class PqIndexSpec extends SparkSpec {
       truth.exceptAll(got).count() shouldBe 0
     }
 
+    it("residual ivfAdcSearch with full probe width and corpus-wide rerank equals exact L2 top-k") {
+      val e = corpus.localCheckpoint()
+      val n = e.count().toInt
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, e, k = 4,
+        iterations = 1, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val resid = PqIndex.residuals(indexed, cent)
+      val cb = PqIndex.fitCodebooks(spark, resid.select($"id", $"v"),
+        m = 4, ks = 8, iterations = 1)
+      val codesIdx = PqIndex.encode(resid.select($"id", $"v"), cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val fullIdx = indexed.select($"cluster", $"id", $"v")
+      val queries = e.filter($"id" < 5).select($"id".as("q_id"), $"v".as("qv"))
+      val got = PqIndex.ivfAdcSearch(spark, queries, codesIdx, fullIdx, cent,
+          cb, m = 4, subDim = 16, k = 5, rerank = n, nProbe = 4, residual = true)
+        .select($"q_id", $"rank", $"n_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"d2".asc, $"n_id".asc)
+      val truth = queries.crossJoin(e.select($"id".as("n_id"), $"v".as("cv")))
+        .select($"q_id", $"n_id", PqIndex.l2Sq($"qv", $"cv").as("d2"))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"q_id", $"rank", $"n_id")
+      got.exceptAll(truth).count() shouldBe 0
+      truth.exceptAll(got).count() shouldBe 0
+    }
+
+    it("residual coding beats raw-vector coding on a clustered corpus") {
+      // 4 tight clusters: vectors = big prototype + small offset, ids
+      // arranged so the first 4 (the coarse seeds) cover all protos
+      val dim = 32
+      val df = (0 until 64).map { i =>
+        val proto = i % 4
+        val v = (0 until dim).map(d =>
+          proto * 50.0 * math.sin(d + proto) + ((i / 4 + d) % 7) * 0.5)
+        (i.toLong, v)
+      }.toDF("id", "v").localCheckpoint()
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, df, k = 4,
+        iterations = 2, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(df, cent).localCheckpoint()
+      val queries = df.filter($"id" < 8).select($"id".as("q_id"), $"v".as("qv"))
+      val fullIdx = indexed.select($"cluster", $"id", $"v")
+      def meanErr(residual: Boolean): Double = {
+        val src = if (residual) PqIndex.residuals(indexed, cent)
+          .select($"id", $"v") else df
+        val cb = PqIndex.fitCodebooks(spark, src, m = 2, ks = 4, iterations = 1)
+        val codesIdx = PqIndex.encode(src, cb, m = 2, subDim = 16)
+          .join(indexed.select($"id", $"cluster"), Seq("id"))
+          .select($"cluster", $"id", $"codes")
+        PqIndex.ivfAdcSearch(spark, queries, codesIdx, fullIdx, cent, cb,
+            m = 2, subDim = 16, k = 8, rerank = 64, nProbe = 4,
+            residual = residual)
+          .select(avg(abs($"ad2" - $"d2"))).head().getDouble(0)
+      }
+      val (rawErr, resErr) = (meanErr(residual = false), meanErr(residual = true))
+      withClue(s"raw=$rawErr residual=$resErr: ") {
+        resErr should be < rawErr * 0.5
+      }
+    }
+
     it("rejects dimensions not divisible by m") {
       val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
       an[IllegalArgumentException] should be thrownBy

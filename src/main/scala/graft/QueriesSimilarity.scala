@@ -952,6 +952,55 @@ object QueriesSimilarity {
        |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+  /** Johnson–Lindenstrauss dimensionality reduction
+    * ([[graft.operators.Similarity.projectJL]]): the corpus projected
+    * 64 → 16 dims through the deterministic ±1 Rademacher matrix
+    * (md5-derived, seed-free — the q35 hyperplane machinery reused as
+    * a projection), then exact cosine top-5 IN THE PROJECTED SPACE —
+    * the 4× cheaper serving index JL's distance-preservation bound
+    * licenses. The projection is a pure per-row scan (reducing a
+    * 100 TB store is one pass); the oracle replays the matrix as
+    * literals and both folds. Output cosines are −0.0-normalized
+    * (near-orthogonal projected pairs round to ±0.0000). */
+  val q145JlProject: Q = (s, dir) => {
+    import s.implicits._
+    val planes = Similarity.hyperplanes(nPlanes = 16, dim = 64)
+    val e = Tables.embeddings(s, dir).select($"vec_id",
+      Similarity.projectJL($"embedding".cast("array<double>"), planes).as("pv"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"pv".as("qv"))
+    val corpus = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("n_id"), $"pv".as("cv"))
+    Similarity.bruteForceTopKAgg(s, queries, corpus, 5)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("pcos"))
+      .orderBy($"q_id", $"rank")
+  }
+  val q145Sql: String = {
+    val planes = Similarity.hyperplanes(nPlanes = 16, dim = 64)
+    val planeLits = planes.zipWithIndex.map { case (p, j) =>
+      s"[${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}] AS p$j"
+    }.mkString(",\n         ")
+    val projExpr = planes.indices.map(j =>
+      s"${dotSql("v", s"pl.p$j")} / sqrt(16.0)")
+      .mkString("[", ",\n           ", "]")
+    s"""WITH pl AS (SELECT $planeLits),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (SELECT vec_id, $projExpr AS pv FROM e CROSS JOIN pl),
+       |q AS (SELECT vec_id AS q_id, pv AS qv FROM proj WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, pv AS cv FROM proj WHERE vec_id >= 10),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |         ${dotSql("qv", "cv")} / sqrt(${norm2Sql("qv")} * ${norm2Sql("cv")}) AS cos
+       |  FROM c CROSS JOIN q),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, round(cos, 4) + 0.0 AS pcos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
@@ -969,5 +1018,6 @@ object QueriesSimilarity {
     ("q141_ivf_pq_adc", q141IvfPqAdc, Some(q141Sql)),
     ("q142_two_tier_persist", q142TwoTierPersist, Some(q142Sql)),
     ("q144_ivf_pq_residual", q144IvfPqResidual, Some(q144Sql)),
+    ("q145_jl_project", q145JlProject, Some(q145Sql)),
   )
 }

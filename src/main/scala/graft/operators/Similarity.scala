@@ -113,6 +113,26 @@ object Similarity {
     }
   }
 
+  /** Johnson–Lindenstrauss random projection to `planes.size` dims:
+    * `y_j = ⟨v, plane_j⟩ / √k` over the deterministic ±1 matrix of
+    * [[hyperplanes]] (a Rademacher projection — Achlioptas 2003 shows
+    * ±1 entries carry the JL distance-preservation guarantee). The
+    * serving trade [[truncateDims]] makes for MRL-trained embeddings,
+    * available for ANY embedding: distances survive to within
+    * 1±ε at k = O(log n / ε²) target dims, at k/d of the storage and
+    * scoring cost. Pure per-row projection — reducing a 100 TB
+    * embedding store is one scan, no shuffle; the matrix rides the
+    * plan as literals (seed-free, engine-replayable). */
+  def projectJL(v: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty, "projectJL needs at least one plane")
+    val scale = math.sqrt(planes.size.toDouble)
+    array(planes.map { p =>
+      val planeCol = array(p.map(lit).toIndexedSeq: _*)
+      aggregate(zip_with(v, planeCol, (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x) / scale
+    }: _*)
+  }
+
   /** LSH bucket id: one sign bit per hyperplane, packed into a long.
     * The per-plane dot uses the same sequential-fold numerics as
     * everything else (sign decisions must agree with the oracle). */

@@ -359,4 +359,36 @@ class SimilaritySpec extends SparkSpec {
       capped shouldBe plain
     }
   }
+
+  describe("Similarity.projectJL") {
+    it("projects to the target dimension, deterministically") {
+      val planes = Similarity.hyperplanes(nPlanes = 16, dim = 64)
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val p1 = e.select($"vec_id",
+          Similarity.projectJL($"v", planes).as("pv"))
+        .orderBy($"vec_id").collect().map(_.getSeq[Double](1))
+      p1.foreach(_.length shouldBe 16)
+      val p2 = e.repartition(7).select($"vec_id",
+          Similarity.projectJL($"v", planes).as("pv"))
+        .orderBy($"vec_id").collect().map(_.getSeq[Double](1))
+      p1 shouldBe p2
+    }
+
+    it("preserves pairwise squared distances in expectation (JL/Rademacher)") {
+      val planes = Similarity.hyperplanes(nPlanes = 16, dim = 64)
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("pv", Similarity.projectJL($"v", planes))
+        .localCheckpoint()
+      val ratios = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select((graft.operators.PqIndex.l2Sq(col("a.pv"), col("b.pv")) /
+          graft.operators.PqIndex.l2Sq(col("a.v"), col("b.v"))).as("r"))
+      // E[ratio] = 1 for a Rademacher projection; the mean over ALL
+      // ~125k pairs of the fixture must sit near it (per-pair std
+      // ≈ √(2/k) ≈ 0.35 — a small correlated sample would not settle)
+      val mean = ratios.agg(avg($"r")).head().getDouble(0)
+      mean shouldBe 1.0 +- 0.1
+    }
+  }
 }

@@ -661,7 +661,8 @@ object QueriesSimilarity {
     * pq_codes(id, codes)`. `pq_`-prefixed so it composes with
     * [[lloydIdxSql]] in one query (q141). ONE text for q139/q141 so
     * the SQL cannot drift from the Scala semantics in just one. */
-  private def pqCodebookSql(src: String): String =
+  private def pqCodebookSql(src: String, encodeSrc: String = ""): String = {
+    val enc = if (encodeSrc.isEmpty) src else encodeSrc
     s"""subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
        |pq_subv AS (
        |  SELECT $src.id, s.sub, list_slice($src.v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
@@ -685,14 +686,18 @@ object QueriesSimilarity {
        |  GROUP BY sub, code, dim),
        |pq_cb0 AS (SELECT sub, code, list(mv ORDER BY dim) AS centroid FROM pq_upd GROUP BY sub, code),
        |pq_cb AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY code) - 1 AS code, centroid FROM pq_cb0),
+       |pq_encsubv AS (
+       |  SELECT $enc.id, s.sub, list_slice($enc.v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+       |  FROM $enc CROSS JOIN subs s),
        |pq_s1 AS (
        |  SELECT t.id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
-       |  FROM pq_subv t JOIN pq_cb c USING (sub)),
+       |  FROM pq_encsubv t JOIN pq_cb c USING (sub)),
        |pq_asg AS (
        |  SELECT id, sub, code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM pq_s1)
        |  WHERE rn = 1),
        |pq_codes AS (SELECT id, list(code ORDER BY sub) AS codes FROM pq_asg GROUP BY id)""".stripMargin
+  }
 
   /** The raw-vector query-side distance tables (`pq_dtab(q_id, dtab)`
     * against `pq_cb`, from the `qs` CTE); q144's residual variant has
@@ -1001,6 +1006,98 @@ object QueriesSimilarity {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q146
+  /** Two-tier index APPEND
+    * ([[graft.operators.PqIndex.appendToTwoTier]]): the q141 fit built
+    * on 90% of the corpus and persisted, the remaining 10% appended
+    * WITHOUT refit (assigned to the persisted centroids, encoded with
+    * the persisted codebooks, both tiers' cluster partitions
+    * appended), then searched through the reloaded index. With models
+    * fixed, append ≡ full rebuild with the same models exactly — the
+    * oracle fits on the base relation and encodes/probes the FULL
+    * corpus (the [[pqCodebookSql]] encode-source parameter), so a
+    * wrong append path (refit, missed partition, residual/raw mix-up)
+    * breaks the hash. */
+  val q146TwoTierAppend: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val base = e.filter($"id" % 10 < 9)
+    val delta = e.filter($"id" % 10 === 9)
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, base, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(base, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = graft.operators.PqIndex.fitCodebooks(s, base, m = 4, ks = 16,
+      iterations = 1)
+    val codesIdx = graft.operators.PqIndex.encode(base, cb, m = 4, subDim = 16)
+      .join(indexed.select($"id", $"cluster"), Seq("id"))
+      .select($"cluster", $"id", $"codes")
+    val fullIdx = indexed.select($"cluster", $"id", $"v")
+    val idxDir = sys.props("java.io.tmpdir") +
+      "/graft_pq_app_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      graft.operators.PqIndex.saveTwoTier(cent, cb, codesIdx, fullIdx, idxDir)
+      graft.operators.PqIndex.appendToTwoTier(s, delta, idxDir,
+        m = 4, subDim = 16)
+      val (cent2, cb2, codes2, full2) =
+        graft.operators.PqIndex.loadTwoTier(s, idxDir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      graft.operators.PqIndex.ivfAdcSearch(s, queries, codes2, full2,
+          cent2, cb2, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
+        .orderBy($"q_id", $"rank")
+        .localCheckpoint() // materialize before the scratch dir is deleted
+    } finally rmTree(new java.io.File(idxDir))
+  }
+  val q146Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |base AS (SELECT * FROM e WHERE id % 10 < 9),
+       |delta AS (SELECT * FROM e WHERE id % 10 = 9),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("base", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster,
+       |         ${dotSql("delta.v", "c.centroid")} / sqrt(${norm2Sql("delta.v")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |allidx AS (SELECT * FROM idx UNION ALL SELECT * FROM didx),
+       |${pqCodebookSql("base", "allidx")},
+       |${pqDtabSql},
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |acand AS (
+       |  SELECT p.q_id, i.id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
+       |           (a, b) -> a + b) AS ad2
+       |  FROM probes p
+       |  JOIN allidx i USING (cluster)
+       |  JOIN pq_codes c ON c.id = i.id
+       |  JOIN pq_dtab d ON d.q_id = p.q_id),
+       |atop AS (
+       |  SELECT q_id, id, ad2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, id ASC) AS rn FROM acand)
+       |  WHERE rn <= 10),
+       |rcand AS (
+       |  SELECT a.q_id, a.id AS n_id, a.ad2, ${l2SqSql("q.qv", "i.v")} AS d2
+       |  FROM atop a JOIN qs q ON q.q_id = a.q_id JOIN allidx i ON i.id = a.id),
+       |ranked AS (
+       |  SELECT q_id, n_id, ad2, d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rank
+       |  FROM rcand)
+       |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q33_knn_brute", q33KnnBrute, Some(q33Sql)),
     ("q34_embed_neardup", q34EmbedNearDup, Some(q34Sql)),
@@ -1019,5 +1116,6 @@ object QueriesSimilarity {
     ("q142_two_tier_persist", q142TwoTierPersist, Some(q142Sql)),
     ("q144_ivf_pq_residual", q144IvfPqResidual, Some(q144Sql)),
     ("q145_jl_project", q145JlProject, Some(q145Sql)),
+    ("q146_two_tier_append", q146TwoTierAppend, Some(q146Sql)),
   )
 }

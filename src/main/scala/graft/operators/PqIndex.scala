@@ -188,6 +188,35 @@ object PqIndex {
     fullIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/full")
   }
 
+  /** INCREMENTAL two-tier maintenance: append a `delta` of `(id, v)`
+    * rows to a [[saveTwoTier]]d index WITHOUT refitting — assign the
+    * delta to the persisted coarse centroids, encode it with the
+    * persisted codebooks (`residual` must match the regime the index
+    * was built with), and append both tiers' cluster partitions. With
+    * centroids and codebooks FIXED, append ≡ full rebuild with the
+    * same models EXACTLY (q146 gates it); drift accumulates only in
+    * how well the old models fit the new data — re-tune with
+    * [[IvfIndex.tuneNProbe]]-style recall checks, refit when recall
+    * decays. Same exclusive-access contract as
+    * [[IvfIndex.appendToIndex]]. Returns the delta's assignments. */
+  def appendToTwoTier(spark: SparkSession, delta: DataFrame, dir: String,
+                      m: Int, subDim: Int,
+                      residual: Boolean = false): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val assigned = IvfIndex.assign(delta, cent).localCheckpoint()
+    val encSrc =
+      if (residual) residuals(assigned, cent).select(col("id"), col("v"))
+      else assigned.select(col("id"), col("v"))
+    encode(encSrc, cb, m, subDim)
+      .join(assigned.select(col("id"), col("cluster")), Seq("id"))
+      .select(col("cluster"), col("id"), col("codes"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/codes")
+    assigned.select(col("cluster"), col("id"), col("v"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/full")
+    assigned
+  }
+
   /** Reload a [[saveTwoTier]]d index:
     * `(centroids, codebooks, codesIdx, fullIdx)`. */
   def loadTwoTier(spark: SparkSession, dir: String)

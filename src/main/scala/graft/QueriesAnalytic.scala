@@ -650,6 +650,50 @@ object QueriesAnalytic {
       |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Registry: name → (spark program, oracle sql). */
+  // ---------------------------------------------------------------- q147
+  /** Time-grid gap-fill ([[graft.operators.Resample.resampleFill]]):
+    * per-user hourly resampling of the events value series — every
+    * hour between a user's first and last observation materialized,
+    * gaps forward-filled with the last observed hourly mean. The gate
+    * aggregates the grid per user (slot/observed/filled counts + the
+    * rounded sum of the filled series) so a wrong grid extent, a
+    * missed gap, or a broken fill moves the hash; the oracle replays
+    * slotting (pure epoch arithmetic — no timezone semantics),
+    * per-slot means, `generate_series` grids and the
+    * IGNORE-NULLS-window fill. */
+  val q147GapFill: Q = (s, dir) => {
+    import s.implicits._
+    val grid = graft.operators.Resample.resampleFill(
+      Tables.events(s, dir), "user_id", "ts", "value", slotSeconds = 3600L)
+    // the fill series is 4-decimal by construction, so the checksum
+    // sums EXACT integers (×10⁴) — a float sum of ~700 such values
+    // lands on half-cent rounding boundaries often enough that
+    // cross-engine low-bit order differences would flip the hash
+    grid.groupBy($"key".as("user_id"))
+      .agg(count(lit(1)).as("n_slots"),
+        count($"v_obs").as("n_obs"),
+        sum($"filled".cast("long")).as("n_filled"),
+        sum(round($"v_fill" * 10000).cast("long")).as("v_sum_e4"))
+      .orderBy($"user_id")
+  }
+  val q147Sql: String =
+    """WITH sl AS (
+      |  SELECT user_id AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot, value AS v
+      |  FROM events),
+      |obs AS (SELECT key, slot, round(avg(v), 4) AS v_obs FROM sl GROUP BY key, slot),
+      |bounds AS (SELECT key, min(slot) AS lo, max(slot) AS hi FROM sl GROUP BY key),
+      |grid AS (SELECT key, unnest(generate_series(lo, hi)) AS slot FROM bounds),
+      |j AS (
+      |  SELECT g.key, g.slot, o.v_obs,
+      |         last_value(o.v_obs IGNORE NULLS) OVER (
+      |           PARTITION BY g.key ORDER BY g.slot
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+      |  FROM grid g LEFT JOIN obs o USING (key, slot))
+      |SELECT key AS user_id, count(*) AS n_slots, count(v_obs) AS n_obs,
+      |       count(*) - count(v_obs) AS n_filled,
+      |       CAST(sum(CAST(round(v_fill * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4
+      |FROM j GROUP BY key ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -674,5 +718,6 @@ object QueriesAnalytic {
     ("q93_event_funnel", q93EventFunnel, Some(q93Sql)),
     ("q94_range_frame", q94RangeFrame, Some(q94Sql)),
     ("q116_assemble_seq", q116AssembleSeq, Some(q116Sql)),
+    ("q147_gap_fill", q147GapFill, Some(q147Sql)),
   )
 }

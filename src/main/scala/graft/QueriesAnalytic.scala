@@ -694,6 +694,55 @@ object QueriesAnalytic {
       |       CAST(sum(CAST(round(v_fill * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4
       |FROM j GROUP BY key ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Fixed-point PageRank
+    * ([[graft.operators.PageRank.pageRankFixedPoint]]) over the
+    * customer↔supplier trade graph (distinct pairs via
+    * lineitem⋈orders, symmetric edges so no node dangles): 3
+    * iterations, 0.85 damping, ranks as EXACT 10⁻⁹-scaled integers —
+    * float PageRank sums contributions in partition order and flips
+    * near-tied ranks across engines; the fixed-point form replays in
+    * SQL verbatim. Gate: top-20 nodes by rank (integer ties broken by
+    * node id). */
+  val q148PageRank: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("cust"),
+        concat(lit("s"), $"l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
+      .unionByName(pairs.select($"supp".as("src"), $"cust".as("dst")))
+    graft.operators.PageRank.pageRankFixedPoint(edges, iterations = 3)
+      .orderBy($"rank".desc, $"node").limit(20)
+  }
+  val q148Sql: String = {
+    def iter(prev: String, cN: String, rN: String): String =
+      s"""$cN AS (
+         |  SELECT e.dst, sum(r.rank // d.outdeg) AS in_mass
+         |  FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |$rN AS (
+         |  SELECT n.node,
+         |         CAST(150000000 + (85 * coalesce(c.in_mass, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN $cN c ON c.dst = n.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+       |${iter("r0", "c1", "r1")},
+       |${iter("r1", "c2", "r2")},
+       |${iter("r2", "c3", "r3")}
+       |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -719,5 +768,6 @@ object QueriesAnalytic {
     ("q94_range_frame", q94RangeFrame, Some(q94Sql)),
     ("q116_assemble_seq", q116AssembleSeq, Some(q116Sql)),
     ("q147_gap_fill", q147GapFill, Some(q147Sql)),
+    ("q148_pagerank", q148PageRank, Some(q148Sql)),
   )
 }

@@ -1632,6 +1632,28 @@ object QueriesText {
        |FROM t LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Dataset card ([[graft.operators.Profile.datasetCard]]): per-column
+    * row/null/distinct counts and numeric min/max over the documents
+    * corpus — the profile a curation pipeline publishes with every
+    * snapshot, computed in ONE aggregation pass (multi-distinct planned
+    * as a single expand+scan). Non-numeric columns carry null min/max
+    * via try_cast. */
+  val q149DatasetCard: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Profile.datasetCard(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy($"column")
+  }
+  val q149Sql: String =
+    Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+         |  round(min(TRY_CAST($c AS DOUBLE)), 4) AS min_num,
+         |  round(max(TRY_CAST($c AS DOUBLE)), 4) AS max_num
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q24_token_stats", q24TokenStats, Some(q24Sql)),
@@ -1663,5 +1685,6 @@ object QueriesText {
     ("q136_sql_curation", q136SqlCuration, Some(q136Sql)),
     ("q138_heavy_hitters", q138HeavyHitters, Some(q138Sql)),
     ("q140_span_dedup", q140SpanDedup, Some(q140Sql)),
+    ("q149_dataset_card", q149DatasetCard, Some(q149Sql)),
   )
 }

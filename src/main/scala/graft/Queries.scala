@@ -296,6 +296,46 @@ object Queries {
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
   /** Registry: name → (spark program, oracle sql). */
+  // ---------------------------------------------------------------- q150
+  /** Local-supplier volume — the TPC-H Q5 shape, the canonical
+    * join-order workout: 6 tables (customer ⋈ orders ⋈ lineitem ⋈
+    * supplier ⋈ nation ⋈ region), the region/nation dims broadcast,
+    * the selective same-nation predicate (`c_nationkey = s_nationkey`)
+    * riding the supplier join, the date range pushed to the orders
+    * scan. Catalyst + AQE pick the fact-join order; the declared plan
+    * stays three shuffles (customer⋈orders, ⋈lineitem, ⋈supplier) no
+    * matter the SF. */
+  val q150LocalVolume: Q = (s, dir) => {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(s, dir),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA" &&
+        $"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"n_name")
+  }
+  val q150Sql: String =
+    """SELECT n_name, count(*) AS n_lines,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q01_pricing_summary", q01Pricing, Some(q01Sql)),
     ("q02_filter_project", q02FilterProject, Some(q02Sql)),
@@ -309,5 +349,6 @@ object Queries {
     ("q10_semi_join", q10SemiJoin, Some(q10Sql)),
     ("q11_anti_join", q11AntiJoin, Some(q11Sql)),
     ("q12_right_cohort", q12RightCohort, Some(q12Sql)),
+    ("q150_local_volume", q150LocalVolume, Some(q150Sql)),
   )
 }

@@ -743,6 +743,56 @@ object QueriesAnalytic {
        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q151
+  /** SCD type-2 dimension history ([[graft.operators.Scd2.buildHistory]]):
+    * the per-user event_type stream collapsed into versioned validity
+    * ranges — one row per run of consecutive equal values, half-open
+    * `[valid_from, valid_to)`, open-ended current version, ties on ts
+    * broken by event_id. The gate aggregates per user (version count,
+    * open-version count, first/last version starts as epoch-µs, and an
+    * md5 of the attribute sequence in version order) so a missed run
+    * boundary, a wrong version number, or an unclosed range anywhere
+    * flips the hash. The oracle replays the gaps-and-islands build:
+    * lag run-start marks → filtered row_number versioning → lead range
+    * close, all in one window partitioning.
+    *
+    * Scale shape (see the operator doc): ONE exchange on user_id shared
+    * by all three window functions, then the gate's hash aggregation
+    * reuses the same partitioning — a two-exchange plan end to end. */
+  val q151Scd2: Q = (s, dir) => {
+    import s.implicits._
+    val hist = Scd2.buildHistory(
+      Tables.events(s, dir), "user_id", "event_type", "ts", "event_id")
+    hist.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when($"valid_to".isNull, 1L).otherwise(0L)).as("n_open"),
+        min(unix_micros($"valid_from")).as("first_from_us"),
+        max(unix_micros($"valid_from")).as("last_from_us"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"version", $"event_type"))),
+            x => x.getField("event_type")), "|")).as("hist_md5"))
+      .orderBy($"user_id")
+  }
+  val q151Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS attr, epoch_us(ts) AS tus, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT *, lag(attr) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |chg AS (SELECT user_id, attr, tus, event_id FROM m
+      |        WHERE prev IS NULL OR prev <> attr),
+      |v AS (
+      |  SELECT user_id, attr, tus AS vf,
+      |         lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS vt,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS version
+      |  FROM chg)
+      |SELECT user_id, count(*) AS n_versions,
+      |       CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |       min(vf) AS first_from_us, max(vf) AS last_from_us,
+      |       md5(string_agg(attr, '|' ORDER BY version)) AS hist_md5
+      |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -769,5 +819,6 @@ object QueriesAnalytic {
     ("q116_assemble_seq", q116AssembleSeq, Some(q116Sql)),
     ("q147_gap_fill", q147GapFill, Some(q147Sql)),
     ("q148_pagerank", q148PageRank, Some(q148Sql)),
+    ("q151_scd2", q151Scd2, Some(q151Sql)),
   )
 }

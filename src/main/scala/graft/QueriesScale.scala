@@ -315,6 +315,82 @@ object QueriesScale {
        |ORDER BY bucket, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q153
+  /** Persisted-and-merged t-digest quantiles
+    * ([[graft.functions.TDigest]]): per-source digests of the document
+    * length distribution are built (map-side ≤ ~δ/2 centroids per
+    * partition into the exchange — the k₁ bound), PERSISTED as parquet
+    * rows, reloaded,
+    * and re-merged — per source and across sources to a global `*`
+    * digest — exercising the full sketch lifecycle that
+    * `percentile_approx` cannot express (its sketch never surfaces).
+    * Estimates are read off the reloaded digests driver-side
+    * (dimension-sized collect: one digest per source).
+    *
+    * Gate = the bounded-error pattern (HLL precedent): a digest's exact
+    * centroid set depends on Spark's nondeterministic partial-merge
+    * order, so the gate hashes rank-error FLAGS — empirical rank of
+    * each estimate within ±0.05 of its target quantile, ~10× the
+    * structural q(1-q)/δ bound at δ=200 — alongside two fully exact
+    * columns (group count, interpolated exact median ≡ DuckDB
+    * `quantile_cont`). At 100 TB the exact-median column is the
+    * test-scale verifier the digest replaces; the digest path itself
+    * never sorts and never moves raw rows. `TDigestSpec` pins the
+    * error bound across merge orderings. */
+  val q153Tdigest: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TDigest
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"n_chars".cast("double").as("x"))
+    val shardDir = sys.props("java.io.tmpdir") +
+      "/graft_tdigest_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    docs.groupBy($"source").agg(TDigest.digestAgg($"x").as("digest"))
+      .write.parquet(shardDir)
+    try {
+      val shards = s.read.parquet(shardDir)
+      val global = shards
+        .agg(TDigest.digestMergeAgg($"digest").as("digest"))
+        .select(lit("*").as("source"), $"digest")
+      val ests = shards.unionByName(global)
+        .as[(String, TDigest.Digest)].collect().toSeq
+        .map { case (src, d) =>
+          (src, TDigest.quantile(d, 0.5), TDigest.quantile(d, 0.95),
+            TDigest.quantile(d, 0.99))
+        }
+      val estDf = broadcast(ests.toDF("source", "e50", "e95", "e99"))
+      val expanded = docs.unionByName(docs.withColumn("source", lit("*")))
+      def okFlag(est: org.apache.spark.sql.Column,
+                 q: Double): org.apache.spark.sql.Column =
+        abs(sum(when($"x" <= est, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)) - q) <= 0.05
+      expanded.join(estDf, Seq("source"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(x, 0.5D)"), 1).as("p50_exact"),
+          okFlag($"e50", 0.5).as("ok_p50"),
+          okFlag($"e95", 0.95).as("ok_p95"),
+          okFlag($"e99", 0.99).as("ok_p99"))
+        .orderBy($"source")
+        .localCheckpoint() // dimension-sized; materialize before cleanup
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
+        f.delete(): Unit
+      }
+      rm(new java.io.File(shardDir))
+    }
+  }
+  val q153Sql: String =
+    """WITH u AS (
+      |  SELECT source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT '*' AS source, n_chars FROM documents)
+      |SELECT source, count(*) AS n,
+      |       round(quantile_cont(n_chars, 0.5), 1) AS p50_exact,
+      |       true AS ok_p50, true AS ok_p95, true AS ok_p99
+      |FROM u GROUP BY source ORDER BY source""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q44_salted_agg", q44SaltedAgg, Some(q44Sql)),
@@ -325,5 +401,6 @@ object QueriesScale {
     ("q52_weighted_mix", q52WeightedMix, Some(q52Sql)),
     ("q111_mix_plan", q111MixPlan, Some(q111Sql)),
     ("q121_ffd_pack", q121FfdPack, Some(q121Sql)),
+    ("q153_tdigest", q153Tdigest, Some(q153Sql)),
   )
 }

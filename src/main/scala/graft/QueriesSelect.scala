@@ -344,6 +344,32 @@ object QueriesSelect {
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w
       |FROM e ORDER BY user_id, ms""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  /** Deterministic per-group uniform sample
+    * ([[graft.operators.Sampling.bottomKByHash]]): for every language,
+    * the 8 documents with the smallest 48-bit md5-prefix of their id —
+    * the order-independent replacement for reservoir sampling (a
+    * reservoir's pick depends on encounter/merge order; bottom-k-by-hash
+    * is a pure function of the id set, so reruns, repartitions, and the
+    * oracle all agree). The Spark side selects via the map-side-trimming
+    * [[graft.functions.TopKAgg]] — each partition ships at most k rows
+    * into the exchange — while the oracle replays the same pick with the
+    * window spelling (`row_number() ≤ k` over hash-prefix, id order)
+    * that an engine without mergeable top-k would use. */
+  val q152BottomkSample: Q = (s, dir) => {
+    import s.implicits._
+    Sampling.bottomKByHash(Tables.documents(s, dir), "lang", "doc_id", k = 8)
+      .orderBy($"lang", $"rank")
+  }
+  val q152Sql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rank
+      |  FROM documents)
+      |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
+      |FROM h WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
@@ -358,5 +384,6 @@ object QueriesSelect {
     ("q67_range_join", q67RangeJoin, Some(q67Sql)),
     ("q70_winsorize", q70Winsorize, Some(q70Sql)),
     ("q71_moving_avg", q71MovingAvg, Some(q71Sql)),
+    ("q152_bottomk_sample", q152BottomkSample, Some(q152Sql)),
   )
 }

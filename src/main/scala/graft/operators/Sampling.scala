@@ -80,6 +80,39 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Deterministic per-group uniform sample of exactly k ids: the k
+    * smallest values of a 48-bit md5 prefix of the id, ties broken by
+    * id. This is the order-independent replacement for reservoir
+    * sampling — a classic reservoir depends on encounter/merge order,
+    * so two runs (or two partitionings) of the same data disagree;
+    * bottom-k-by-hash is a pure function of the id SET, rerun-stable
+    * and engine-reproducible, yet still uniform (md5 is
+    * permutation-uniform over ids).
+    *
+    * Scale shape: the selection is a true AGGREGATION via
+    * [[graft.functions.TopKAgg]] (score = negated hash ⇒ its
+    * score-desc order is hash-asc), so partial aggregation trims every
+    * map partition's contribution to k rows BEFORE the shuffle — the
+    * exchange carries ≤ k·partitions rows, not the corpus. The
+    * window-function spelling (`row_number() ≤ k`) the oracle replays
+    * would shuffle every row to its group's reducer first; at 100 TB
+    * that difference is the whole game. 48 hash bits (not all 128):
+    * exact in a Double mantissa, so the score survives the Aggregator's
+    * Double lane bit-for-bit; prefix collisions fall to the id
+    * tie-break, which the oracle orders identically. */
+  def bottomKByHash(df: DataFrame, groupCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg(k, -h48.cast("double"), col(idCol))
+        .as("picks"))
+      .select(col(groupCol), posexplode(col("picks.items")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol))
+  }
+
   /** Source-mix sampling plan: given per-source availability
     * (`tokensCol`) and target mix weights (`weightCol`), the keep rate
     * per source that fills a `budget` of tokens at the target

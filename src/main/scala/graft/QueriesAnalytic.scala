@@ -793,6 +793,49 @@ object QueriesAnalytic {
       |       md5(string_agg(attr, '|' ORDER BY version)) AS hist_md5
       |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+  /** Interval union / coverage ([[graft.operators.Intervals.coverage]]):
+    * each event spans `[ts, ts + value·1000 ms)`; per user the spans
+    * merge into maximal disjoint islands (running-max island scan —
+    * one exchange, one sort, windows + island aggregation sharing the
+    * partitioning) and the gate reports island count, total covered
+    * milliseconds, and the longest island — all exact integer
+    * arithmetic, so the hash has no float surface. The oracle replays
+    * the same scan: preceding-rows running max → new-island flag →
+    * running-sum island id → per-island extent. */
+  val q156IntervalCoverage: Q = (s, dir) => {
+    import s.implicits._
+    val iv = Tables.events(s, dir)
+      .select($"user_id", unix_millis($"ts").as("start"),
+        (unix_millis($"ts") + round($"value" * 1000).cast("long")).as("end"))
+    Intervals.coverage(iv, "user_id", "start", "end")
+      .orderBy($"user_id")
+  }
+  val q156Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ms(ts) AS s,
+      |         epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv),
+      |f AS (SELECT user_id, s, e,
+      |        CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf
+      |      FROM m),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |         sum(nf) OVER (PARTITION BY user_id ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f),
+      |g AS (SELECT user_id, island, min(s) AS st, max(e) AS en
+      |      FROM isl GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |       CAST(sum(en - st) AS BIGINT) AS covered,
+      |       max(en - st) AS longest
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -820,5 +863,6 @@ object QueriesAnalytic {
     ("q147_gap_fill", q147GapFill, Some(q147Sql)),
     ("q148_pagerank", q148PageRank, Some(q148Sql)),
     ("q151_scd2", q151Scd2, Some(q151Sql)),
+    ("q156_interval_coverage", q156IntervalCoverage, Some(q156Sql)),
   )
 }

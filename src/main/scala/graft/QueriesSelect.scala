@@ -370,6 +370,46 @@ object QueriesSelect {
       |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
       |FROM h WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** Robust (median/MAD) outlier scoring
+    * ([[graft.operators.Normalize.robustZOutliers]]): per event_type,
+    * the resistant score `0.6745·(x−med)/MAD` and the |rz| > 3.5 flag —
+    * the outlier detector whose location/scale estimates don't move
+    * with the outliers they're hunting (50% breakdown, vs 0% for the
+    * q61 mean/stddev z-score). Gate aggregates per group: count, the
+    * two robust statistics (exact interpolated percentiles ≡ DuckDB
+    * `quantile_cont`), outlier count, and the max |rz| — identical
+    * float expression trees both sides, rounded. Zero-MAD groups score
+    * null/false rather than ±∞ in both replays. */
+  val q155MadOutliers: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Normalize.robustZOutliers(
+      Tables.events(s, dir).select($"event_type", $"value"),
+      "event_type", "value")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first($"med"), 4).as("med"),
+        round(first($"mad"), 4).as("mad"),
+        sum($"is_outlier".cast("long")).as("n_outliers"),
+        round(max(abs($"rz")), 4).as("max_rz"))
+      .orderBy($"event_type")
+  }
+  val q155Sql: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |           FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, e.value, m.med
+      |      FROM events e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      |       FROM d GROUP BY 1),
+      |sc AS (SELECT d.event_type, d.value, d.med, md.mad,
+      |         CASE WHEN md.mad > 0 THEN 0.6745 * (d.value - d.med) / md.mad END AS rz
+      |       FROM d JOIN md USING (event_type))
+      |SELECT event_type, count(*) AS n, round(any_value(med), 4) AS med,
+      |       round(any_value(mad), 4) AS mad,
+      |       CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       round(max(abs(rz)), 4) AS max_rz
+      |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
@@ -385,5 +425,6 @@ object QueriesSelect {
     ("q70_winsorize", q70Winsorize, Some(q70Sql)),
     ("q71_moving_avg", q71MovingAvg, Some(q71Sql)),
     ("q152_bottomk_sample", q152BottomkSample, Some(q152Sql)),
+    ("q155_mad_outliers", q155MadOutliers, Some(q155Sql)),
   )
 }

@@ -556,6 +556,35 @@ object QueriesStreaming {
     * computation on the same corpus. */
   val q143Sql: String = QueriesText.q138Sql
 
+  // ---------------------------------------------------------------- q154
+  /** Streaming SCD type-2 maintenance ([[EventStreams.scd2Updates]],
+    * `flatMapGroupsWithState`) run in batch mode, q46-style: per-user
+    * keyed state holds only the OPEN dimension version; each arriving
+    * attribute change closes the previous version as an immutable
+    * append. The gate aggregates the emitted history with the SAME
+    * per-user digest as q151 and replays the SAME oracle — the
+    * stateful incremental build and the batch gaps-and-islands window
+    * build ([[graft.operators.Scd2.buildHistory]]) are two engines for
+    * one relational truth, which is exactly what makes the stateful
+    * path trustworthy as the production CDC shape (state = one tiny
+    * case class per live key; closed versions never revisited). */
+  val q154StreamScd2: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("attr"))
+      .as[EventStreams.AttrEvent]
+    EventStreams.scd2Updates(ev).toDF()
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when($"valid_to_us".isNull, 1L).otherwise(0L)).as("n_open"),
+        min($"valid_from_us").as("first_from_us"),
+        max($"valid_from_us").as("last_from_us"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"version", $"attr"))),
+            x => x.getField("attr")), "|")).as("hist_md5"))
+      .orderBy($"user_id")
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
@@ -567,5 +596,8 @@ object QueriesStreaming {
     ("q128_stream_neardup", q128StreamNearDup, Some(q128Sql)),
     ("q132_stream_neardup_bucketed", q132StreamNearDupBucketed, Some(q128Sql)),
     ("q143_stream_heavy_hitters", q143StreamHeavyHitters, Some(q143Sql)),
+    // two implementations, one oracle: the stateful incremental build
+    // must agree with the batch window build's relational replay
+    ("q154_stream_scd2", q154StreamScd2, Some(QueriesAnalytic.q151Sql)),
   )
 }

@@ -67,4 +67,35 @@ object Normalize {
         coalesce(col(valueCol).cast("double"), col("_grp_mean")))
       .drop("_grp_mean")
   }
+
+  /** Robust (median/MAD) outlier scoring per group — the resistant
+    * alternative to z-scores when the tail itself is what's being
+    * hunted: mean and stddev move with every outlier they're supposed
+    * to flag, while median and MAD (median absolute deviation) have a
+    * 50% breakdown point. Appends the group's `med`, `mad`, the robust
+    * score `rz = 0.6745·(x − med)/MAD` (0.6745 = Φ⁻¹(0.75) rescales
+    * MAD to σ under normality), and `is_outlier` = |rz| > cut (the
+    * conventional 3.5). A zero MAD (more than half the group identical)
+    * yields rz null / is_outlier false rather than ±∞.
+    *
+    * Scale shape: two grouped percentile aggregations (med, then MAD
+    * over the residuals) with dimension-sized results broadcast back;
+    * the scoring itself is a narrow projection. The exact `percentile`
+    * buffers each group's values — at 100 TB swap `percentile_approx`
+    * exactly as [[winsorizeApprox]] does, same call shape. */
+  def robustZOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                      cut: Double = 3.5): DataFrame = {
+    require(cut > 0, s"cut must be positive, got $cut")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5D)").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("rz",
+        when(col("mad") > 0,
+          lit(0.6745) * (col(valueCol) - col("med")) / col("mad")))
+      .withColumn("is_outlier",
+        coalesce(abs(col("rz")) > cut, lit(false)))
+  }
 }

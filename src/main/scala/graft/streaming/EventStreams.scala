@@ -100,6 +100,71 @@ object EventStreams {
       }
   }
 
+  case class AttrEvent(user_id: Long, ts: Timestamp, event_id: Long, attr: String)
+  case class Scd2State(attr: String, fromUs: Long, version: Int)
+  case class Scd2Version(user_id: Long, attr: String, valid_from_us: Long,
+                         valid_to_us: Option[Long], version: Int)
+
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Streaming SCD type-2 maintenance — the incremental sibling of the
+    * batch [[graft.operators.Scd2.buildHistory]] window build: per-key
+    * state holds only the OPEN version (attr, valid_from, version
+    * counter); each arriving change CLOSES the previous version (one
+    * appended output row, immutable thereafter) and opens the next.
+    * That is exactly the CDC→dimension-table production shape: the
+    * closed-version stream appends to the history table; the open
+    * versions live in the state store. Ties on ts break by event_id,
+    * matching the batch build's determinism contract.
+    *
+    * Batch mode (same code path, `isStreaming=false`) processes each
+    * key's full group in one call and also emits the trailing open
+    * version (valid_to null) — giving the complete history, which q154
+    * gates against the SAME oracle as the batch window build: two
+    * implementations, one relational truth. In streaming mode the open
+    * version stays in state; state size is one tiny case class per
+    * live key, no timeout needed (a dimension's current version never
+    * expires).
+    *
+    * Scale: one hash exchange on the key; per-key work is a sort of
+    * that micro-batch's rows for the key. 10⁹ keys ⇒ 10⁹ small state
+    * entries sharded across executors — the state store's intended
+    * load, vs the batch build's full-history shuffle every run. */
+  def scd2Updates(events: Dataset[AttrEvent]): Dataset[Scd2Version] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var closed = List.empty[Scd2Version]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(s) if s.attr == e.attr => // same run — extend silently
+              case Some(s) =>
+                closed ::= Scd2Version(uid, s.attr, s.fromUs, Some(t), s.version)
+                cur = Some(Scd2State(e.attr, t, s.version + 1))
+              case None =>
+                cur = Some(Scd2State(e.attr, t, 1))
+            }
+          }
+          if (streaming) {
+            cur.foreach(state.update)
+            closed.reverse.iterator
+          } else {
+            state.remove()
+            (closed.reverse ++ cur.map(s =>
+              Scd2Version(uid, s.attr, s.fromUs, None, s.version))).iterator
+          }
+      }
+  }
+
   /** Stream-stream event-time join: attribute each purchase to every
     * prior click by the same user within `horizon` (one output row per
     * qualifying click–purchase pair; a most-recent-only policy is a

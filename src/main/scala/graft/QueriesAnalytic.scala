@@ -836,6 +836,93 @@ object QueriesAnalytic {
       |       max(en - st) AS longest
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** Incremental SCD2 maintenance ([[graft.operators.Scd2.applyDelta]]):
+    * history built from the first half-month of events, then the second
+    * half folded in as a CDC delta — closed versions pass through
+    * untouched, only each key's open version re-enters the run fold and
+    * version numbers shift by the already-assigned count. The gate is
+    * the q146-append invariant applied to dimensions:
+    * `applyDelta(build(base), delta) ≡ build(base ∪ delta)` EXACTLY, so
+    * the oracle is q151's full-range replay, unchanged — a wrong
+    * carry-in, a re-numbered closed version, or a missed new-key path
+    * flips the hash. The split point is an epoch-µs literal (no
+    * timezone surface). Scale: a day's increment costs O(live keys +
+    * delta), never O(history). */
+  val q157Scd2Apply: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    // 2024-01-16T00:00:00Z
+    val cut = timestamp_micros(lit(1705363200000000L))
+    val base = Scd2.buildHistory(ev.filter($"ts" < cut),
+      "user_id", "event_type", "ts", "event_id")
+    val hist = Scd2.applyDelta(base, ev.filter($"ts" >= cut),
+      "user_id", "event_type", "ts", "event_id")
+    hist.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when($"valid_to".isNull, 1L).otherwise(0L)).as("n_open"),
+        min(unix_micros($"valid_from")).as("first_from_us"),
+        max(unix_micros($"valid_from")).as("last_from_us"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"version", $"event_type"))),
+            x => x.getField("event_type")), "|")).as("hist_md5"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- q158
+  /** Point-in-time dimensional enrichment: every event joined to the
+    * SCD2 version valid AT its event time — the feature-store
+    * correctness join (no future leakage, half-open boundaries: an
+    * event at a change instant sees the NEW version). The Spark side
+    * composes the two custom operators: [[graft.operators.Scd2]]
+    * history → [[graft.operators.AsOfJoin.asOf]] backward join
+    * (union + running-window carry — one exchange, NO candidate-pair
+    * explosion), with `version` as the tie-break so simultaneous
+    * zero-length versions resolve to the covering one. The oracle
+    * replays the lookup as the naive inequality join + per-event
+    * `max(version)` — O(L·R) per key, exactly the plan the as-of
+    * operator exists to avoid; the gate aggregates per user (event
+    * count, version sum, max version) so one wrong boundary pick
+    * anywhere moves the sum. */
+  val q158PitEnrich: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id")
+    val hist = Scd2.buildHistory(
+      Tables.events(s, dir).select($"user_id", $"event_type", $"ts", $"event_id"),
+      "user_id", "event_type", "ts", "event_id")
+      .select($"user_id", $"valid_from", $"version")
+    AsOfJoin.asOf(ev, hist, on = Seq("user_id"),
+      leftTime = "ts", rightTime = "valid_from", tieBreak = "version")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"right_version".cast("long")).as("version_sum"),
+        max($"right_version").as("max_version"))
+      .orderBy($"user_id")
+  }
+  val q158Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS attr, epoch_us(ts) AS tus, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT *, lag(attr) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |chg AS (SELECT user_id, attr, tus, event_id FROM m
+      |        WHERE prev IS NULL OR prev <> attr),
+      |v AS (
+      |  SELECT user_id, tus AS vf,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS version
+      |  FROM chg),
+      |pit AS (
+      |  SELECT e.user_id, e.tus, e.event_id, max(v.version) AS version
+      |  FROM e JOIN v ON v.user_id = e.user_id AND v.vf <= e.tus
+      |  GROUP BY e.user_id, e.tus, e.event_id)
+      |SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(version) AS BIGINT) AS version_sum,
+      |       CAST(max(version) AS INTEGER) AS max_version
+      |FROM pit GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -864,5 +951,8 @@ object QueriesAnalytic {
     ("q148_pagerank", q148PageRank, Some(q148Sql)),
     ("q151_scd2", q151Scd2, Some(q151Sql)),
     ("q156_interval_coverage", q156IntervalCoverage, Some(q156Sql)),
+    // incremental apply must reproduce the full build: same oracle as q151
+    ("q157_scd2_apply", q157Scd2Apply, Some(q151Sql)),
+    ("q158_pit_enrich", q158PitEnrich, Some(q158Sql)),
   )
 }

@@ -55,6 +55,40 @@ object Scd2 {
         col("valid_to"), col("version"))
   }
 
+  /** Incremental maintenance: fold a delta of NEW events (all at or
+    * after each key's open-version start — the CDC contract) into an
+    * existing history. Closed versions are immutable and pass through
+    * untouched; each key's OPEN version re-enters the run fold as a
+    * synthetic event (tie = Long.MinValue so it orders before any real
+    * event at the same instant), the open+delta slice is rebuilt with
+    * [[buildHistory]], and rebuilt version numbers shift by the key's
+    * already-assigned count. `applyDelta(build(base), delta)` ≡
+    * `build(base ∪ delta)` exactly — the invariant q157 gates.
+    *
+    * Scale shape: the closed history is never re-shuffled or re-sorted
+    * — only the open-version slice (one row per live key) plus the
+    * delta flows through the window build. A day's increment costs
+    * O(live keys + delta), not O(all history); the version-offset join
+    * is dimension-sized (open versions) and broadcastable. */
+  def applyDelta(history: DataFrame, delta: DataFrame, keyCol: String,
+                 attrCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val closed = history.filter(col("valid_to").isNotNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        col("valid_to"), col("version"))
+    val open = history.filter(col("valid_to").isNull)
+    val openAsEvents = open.select(col(keyCol), col(attrCol),
+      col("valid_from").as(tsCol), lit(Long.MinValue).as(tieCol))
+    val slice = openAsEvents.unionByName(
+      delta.select(col(keyCol), col(attrCol), col(tsCol),
+        col(tieCol).cast("long")))
+    val rebuilt = buildHistory(slice, keyCol, attrCol, tsCol, tieCol)
+    val offsets = open.select(col(keyCol), (col("version") - 1).as("_voff"))
+    rebuilt.join(broadcast(offsets), Seq(keyCol), "left")
+      .withColumn("version", (col("version") + coalesce(col("_voff"), lit(0))).cast("int"))
+      .drop("_voff")
+      .unionByName(closed)
+  }
+
   /** Point-in-time lookup against a built history: the version whose
     * `[valid_from, valid_to)` range covers `at`. Broadcast-friendly when
     * the history is dimension-sized.

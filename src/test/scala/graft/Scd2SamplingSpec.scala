@@ -61,6 +61,31 @@ class Scd2SamplingSpec extends SparkSpec {
     }
   }
 
+  describe("Scd2.applyDelta") {
+    it("apply(build(base), delta) equals build(base ∪ delta) across edge paths") {
+      // key 1: open version continues, then changes in the delta
+      // key 2: base-only, untouched by the delta (history passes through)
+      // key 3: delta-only (new key, no carry-in)
+      // key 4: delta's first event equals the open version's attr (run extends)
+      val base = Seq(
+        (1L, ts(10), "a", 1L), (1L, ts(20), "b", 2L),
+        (2L, ts(10), "x", 3L),
+        (4L, ts(10), "p", 4L))
+      val delta = Seq(
+        (1L, ts(30), "c", 5L), (1L, ts(40), "c", 6L),
+        (3L, ts(35), "z", 7L),
+        (4L, ts(50), "p", 8L), (4L, ts(60), "q", 9L))
+      def df(xs: Seq[(Long, java.sql.Timestamp, String, Long)]) =
+        xs.toDF("k", "ts", "attr", "ev")
+      val applied = Scd2.applyDelta(
+        Scd2.buildHistory(df(base), "k", "attr", "ts", "ev"),
+        df(delta), "k", "attr", "ts", "ev")
+      val full = Scd2.buildHistory(df(base ++ delta), "k", "attr", "ts", "ev")
+      rowsOf(applied.select($"k", $"attr", $"valid_from", $"valid_to", $"version")) shouldBe
+        rowsOf(full.select($"k", $"attr", $"valid_from", $"valid_to", $"version"))
+    }
+  }
+
   describe("Sampling.bottomKByHash") {
     it("matches the window-function spelling exactly") {
       val df = (1L to 500L).map(i => (s"g${i % 3}", i)).toDF("g", "id")

@@ -973,6 +973,43 @@ object QueriesCurate {
        |         AS BIGINT) AS n_correct
        |FROM fs GROUP BY y ORDER BY y""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+  /** Blocked sorted-neighborhood candidate generation
+    * ([[graft.operators.Linkage.sortedNeighborhoodPairs]]): customers
+    * blocked by nation, sorted by (name, key), each paired with its 2
+    * successors — the fuzzy-key blocking pass that complements q82's
+    * equi-blocking and q92's similarity scoring. The Spark side is one
+    * keyed window with `w` leads (one exchange, candidate volume w·n by
+    * construction); the oracle replays the relational spelling — a
+    * row_number self-join on rank distance ∈ [1, w] — that shuffles
+    * twice and joins for the identical pair set. Gate aggregates per
+    * nation: pair count, key-sum checksum over both sides, and the
+    * distance histogram folded in (sum of dist), so one wrong
+    * neighbor anywhere moves a sum. */
+  val q160SortedNeighborhood: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_nationkey", $"c_name", $"c_custkey")
+    Linkage.sortedNeighborhoodPairs(cust, "c_nationkey",
+      Seq("c_name"), "c_custkey", w = 2)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"id_a" + $"id_b").as("key_sum"),
+        sum($"dist".cast("long")).as("dist_sum"))
+      .orderBy($"c_nationkey")
+  }
+  val q160Sql: String =
+    """WITH o AS (
+      |  SELECT c_nationkey AS nat, c_custkey AS id,
+      |         row_number() OVER (PARTITION BY c_nationkey
+      |           ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer)
+      |SELECT a.nat AS c_nationkey, count(*) AS n_pairs,
+      |       CAST(sum(a.id + b.id) AS BIGINT) AS key_sum,
+      |       CAST(sum(b.rn - a.rn) AS BIGINT) AS dist_sum
+      |FROM o a JOIN o b ON a.nat = b.nat AND b.rn - a.rn BETWEEN 1 AND 2
+      |GROUP BY a.nat ORDER BY a.nat""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -995,5 +1032,6 @@ object QueriesCurate {
     ("q119_logistic_fit", q119LogisticFit, Some(q119Sql)),
     ("q120_fit_score", q120FitScore, Some(q120Sql)),
     ("q123_iban_redact", q123IbanRedact, Some(q123Sql)),
+    ("q160_sorted_neighborhood", q160SortedNeighborhood, Some(q160Sql)),
   )
 }

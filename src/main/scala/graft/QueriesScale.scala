@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Packing, Sampling, SkewJoin}
+import graft.operators.{Packing, Reports, Sampling, SkewJoin}
 
 /** Scale-operator gate queries: shapes whose *point* is cluster-scale
   * behavior — skew mitigation, shuffle-free deterministic sampling, the
@@ -391,6 +391,57 @@ object QueriesScale {
       |       true AS ok_p50, true AS ok_p95, true AS ok_p99
       |FROM u GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** Persisted-and-unioned HLL distinct sketches
+    * ([[graft.operators.Reports.distinctSketches]], DataSketches HLL):
+    * per-event-type sketches of the distinct user set are built,
+    * PERSISTED as parquet binary rows, reloaded, and set-UNIONED to a
+    * global `*` sketch — the property that matters is that union ≠
+    * sum: users active in several event types count once, which only a
+    * mergeable sketch VALUE (not `approx_count_distinct`'s sealed
+    * state) can deliver incrementally. Completes the persisted-sketch
+    * trilogy: Misra-Gries frequencies (q143), t-digest quantiles
+    * (q153), HLL cardinalities (this). Gate = bounded-error flags
+    * (±5%, ~3× the lgK=12 RSE) beside the exact distinct counts the
+    * oracle replays; at gate scale the sketch is in sparse mode and
+    * near-exact, the margin covers dense-mode scale-ups. */
+  val q159HllRollup: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"user_id")
+    val skDir = sys.props("java.io.tmpdir") +
+      "/graft_hll_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    Reports.distinctSketches(ev, "event_type", "user_id")
+      .write.parquet(skDir)
+    try {
+      val re = s.read.parquet(skDir)
+      val global = re.agg(hll_union_agg($"sk").as("sk"))
+        .select(lit("*").as("event_type"), $"sk")
+      val est = re.unionByName(global)
+        .select($"event_type", hll_sketch_estimate($"sk").as("est"))
+      val exact = ev.unionByName(ev.withColumn("event_type", lit("*")))
+        .groupBy($"event_type").agg(countDistinct($"user_id").as("n_exact"))
+      exact.join(broadcast(est), Seq("event_type"))
+        .select($"event_type", $"n_exact",
+          (abs($"est" - $"n_exact") <= $"n_exact" * 0.05).as("ok_est"))
+        .orderBy($"event_type")
+        .localCheckpoint() // group-cardinality-sized; materialize pre-cleanup
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
+        f.delete(): Unit
+      }
+      rm(new java.io.File(skDir))
+    }
+  }
+  val q159Sql: String =
+    """WITH u AS (
+      |  SELECT event_type, user_id FROM events
+      |  UNION ALL
+      |  SELECT '*' AS event_type, user_id FROM events)
+      |SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS ok_est
+      |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q44_salted_agg", q44SaltedAgg, Some(q44Sql)),
@@ -402,5 +453,6 @@ object QueriesScale {
     ("q111_mix_plan", q111MixPlan, Some(q111Sql)),
     ("q121_ffd_pack", q121FfdPack, Some(q121Sql)),
     ("q153_tdigest", q153Tdigest, Some(q153Sql)),
+    ("q159_hll_rollup", q159HllRollup, Some(q159Sql)),
   )
 }

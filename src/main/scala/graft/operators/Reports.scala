@@ -74,6 +74,25 @@ object Reports {
       percentile_approx(value, lit(0.5), lit(acc)).as("p50"),
       percentile_approx(value, lit(0.75), lit(acc)).as("p75"))
 
+  /** Per-group distinct-count SKETCHES as persistable values (Apache
+    * DataSketches HLL via `hll_sketch_agg`): unlike
+    * `approx_count_distinct`, whose HLL++ state never surfaces, the
+    * sketch lands as a binary column — write it as ordinary rows,
+    * reload tomorrow, [[mergeDistinctSketches]] across groups/days, and
+    * only then estimate. Same persist→merge lifecycle as the t-digest
+    * (TDigest) and the Misra-Gries summaries (HeavyHitters), applied
+    * to COUNT(DISTINCT): the three sketch families a 100 TB pipeline
+    * maintains incrementally instead of rescanning history. */
+  def distinctSketches(df: DataFrame, groupCol: String,
+                       entityCol: String): DataFrame =
+    df.groupBy(col(groupCol)).agg(hll_sketch_agg(col(entityCol)).as("sk"))
+
+  /** Union previously-stored sketches (set union, not sum — overlapping
+    * groups count each entity once) and estimate. */
+  def mergeDistinctSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_union_agg(col("sk")).as("sk"))
+      .select(hll_sketch_estimate(col("sk")).as("est"))
+
   /** Sketch-based heavy hitters for the 100 TB path: a Count-Min sketch
     * of `keyCol` (one distributed merge pass, fixed `eps`/`confidence`-
     * sized state) estimates each candidate's frequency; candidates are

@@ -360,10 +360,15 @@ object QueriesScale {
         }
       val estDf = broadcast(ests.toDF("source", "e50", "e95", "e99"))
       val expanded = docs.unionByName(docs.withColumn("source", lit("*")))
+      // margin in ELEMENTS: 5% of the group with a 2-element floor —
+      // at tiny n (sf0.001: 25 docs/source) a rank quantum is 1/n and
+      // value ties snap the empirical rank in whole-element jumps, so
+      // a pure fractional margin is brittle exactly where the sketch
+      // is actually near-exact
       def okFlag(est: org.apache.spark.sql.Column,
                  q: Double): org.apache.spark.sql.Column =
-        abs(sum(when($"x" <= est, 1L).otherwise(0L)).cast("double") /
-          count(lit(1)) - q) <= 0.05
+        abs(sum(when($"x" <= est, 1L).otherwise(0L)).cast("double") -
+          count(lit(1)) * q) <= greatest(count(lit(1)) * 0.05, lit(2.0))
       expanded.join(estDf, Seq("source"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n"),

@@ -923,6 +923,130 @@ object QueriesAnalytic {
       |       CAST(max(version) AS INTEGER) AS max_version
       |FROM pit GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+  /** First-order Markov transition matrix over per-user event
+    * sequences: `lead` pairs each event with its successor (ts order,
+    * event_id tie-break — the q151 determinism contract), pairs count
+    * into a 5×5 matrix, and row-normalized probabilities come from a
+    * broadcast join of the per-source totals. The sequence-analytics
+    * primitive behind next-action prediction and session modeling.
+    * Scale: ONE keyed window exchange for the pairing; the count
+    * aggregation is matrix-sized (|types|²) and its totals broadcast —
+    * nothing user-cardinality-sized moves after the window. Counts are
+    * exact integers; probabilities are exact-integer ratios rounded. */
+  val q161Transitions: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+    val counts = tr
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"from_type").agg(sum($"n").as("tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n", round($"n" / $"tot", 4).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+  val q161Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, round(c.n / t.tot, 4) AS p
+      |FROM c JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  /** Seasonal-baseline anomaly screen: per (event_type, hour-of-day)
+    * means form the seasonal profile (dimension-sized → broadcast
+    * back), residuals score against a per-type 3σ_pop band, and the
+    * gate reports per type the anomaly count plus rounded residual
+    * statistics — the monitoring query that separates "3 am is always
+    * quiet" from "this 3 am is wrong". Two broadcast-back aggregations
+    * + narrow scoring, the q155 shape with a seasonal key. Float
+    * boundary (|resid| vs 3σ) follows the q61/q87 precedent: both
+    * engines build the identical expression tree over the same doubles.
+    * At 100 TB the profile table is |types|·24 rows whatever the fact
+    * size. */
+  val q162SeasonalAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", hour($"ts").as("hod"), $"value")
+    val prof = e.groupBy($"event_type", $"hod").agg(avg($"value").as("mu"))
+    val j = e.join(broadcast(prof), Seq("event_type", "hod"))
+      .withColumn("resid", $"value" - $"mu")
+    val sig = j.groupBy($"event_type").agg(stddev_pop($"resid").as("sig"))
+    j.join(broadcast(sig), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs($"resid") > lit(3.0) * $"sig", 1L).otherwise(0L)).as("n_anom"),
+        round(avg(abs($"resid")), 4).as("mean_abs_resid"),
+        round(first($"sig"), 4).as("sig"))
+      .orderBy($"event_type")
+  }
+  val q162Sql: String =
+    """WITH e AS (SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hod, value
+      |           FROM events),
+      |p AS (SELECT event_type, hod, avg(value) AS mu FROM e GROUP BY 1, 2),
+      |j AS (SELECT e.event_type, e.value - p.mu AS resid
+      |      FROM e JOIN p USING (event_type, hod)),
+      |s AS (SELECT event_type, stddev_pop(resid) AS sig FROM j GROUP BY 1)
+      |SELECT j.event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN abs(resid) > 3.0 * sig THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+      |       round(avg(abs(resid)), 4) AS mean_abs_resid,
+      |       round(any_value(sig), 4) AS sig
+      |FROM j JOIN s USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  /** CUSUM changepoint scan per event type: the running sum of
+    * mean-centred values S_i = Σ(x_j − x̄) swings furthest at a level
+    * shift; the gate reports each type's max |S| (rounded) and the
+    * epoch-µs WHERE it peaks (earliest on rounded-value ties — an
+    * exact integer tie-break, so the position is hash-stable even
+    * where the float curve is flat). One window pass over (type; ts,
+    * event_id) for the running sum + a max_by aggregation; the
+    * centring mean broadcasts back. The sequential-control-chart
+    * primitive behind drift monitors. */
+  val q163Cusum: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", $"ts", $"event_id", $"value")
+    val mu = e.groupBy($"event_type").agg(avg($"value").as("mu"))
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = e.join(broadcast(mu), Seq("event_type"))
+      .withColumn("s_i", sum($"value" - $"mu").over(w))
+      .select($"event_type", unix_micros($"ts").as("tus"),
+        round(abs($"s_i"), 4).as("dev"))
+    val peaks = cum.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"dev").as("max_dev"))
+    cum.join(broadcast(peaks), Seq("event_type"))
+      .where($"dev" === $"max_dev") // equality of ROUNDED values — stable
+      .groupBy($"event_type", $"n", $"max_dev")
+      .agg(min($"tus").as("peak_tus"))
+      .select($"event_type", $"n", $"max_dev", $"peak_tus")
+      .orderBy($"event_type")
+  }
+  val q163Sql: String =
+    """WITH m AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT e.event_type, epoch_us(ts) AS tus,
+      |         round(abs(sum(e.value - m.mu) OVER (
+      |           PARTITION BY e.event_type ORDER BY epoch_us(ts), event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS dev
+      |  FROM events e JOIN m USING (event_type)),
+      |p AS (SELECT event_type, count(*) AS n, max(dev) AS max_dev
+      |      FROM c GROUP BY 1)
+      |SELECT c.event_type, any_value(p.n) AS n, any_value(p.max_dev) AS max_dev,
+      |       min(c.tus) AS peak_tus
+      |FROM c JOIN p ON c.event_type = p.event_type AND c.dev = p.max_dev
+      |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -954,5 +1078,8 @@ object QueriesAnalytic {
     // incremental apply must reproduce the full build: same oracle as q151
     ("q157_scd2_apply", q157Scd2Apply, Some(q151Sql)),
     ("q158_pit_enrich", q158PitEnrich, Some(q158Sql)),
+    ("q161_transitions", q161Transitions, Some(q161Sql)),
+    ("q162_seasonal_anomaly", q162SeasonalAnomaly, Some(q162Sql)),
+    ("q163_cusum", q163Cusum, Some(q163Sql)),
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{IncrementalAgg, Linkage, NgramLm, Normalize, QualityFilters, Redaction, SnapshotDiff, TermScoring}
+import graft.operators.{IncrementalAgg, Linkage, NgramLm, Normalize, QualityFilters, Redaction, SnapshotDiff, TermScoring, Validation}
 
 /** Corpus-compliance / lifecycle extension catalog: repetition quality
   * filters, PII redaction, snapshot reconciliation, cube grouping sets,
@@ -1010,6 +1010,57 @@ object QueriesCurate {
       |FROM o a JOIN o b ON a.nat = b.nat AND b.rn - a.rn BETWEEN 1 AND 2
       |GROUP BY a.nat ORDER BY a.nat""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+  /** Declarative data-quality contract
+    * ([[graft.operators.Validation.expectationReport]]): five
+    * expectations over orders — positive totals, non-null dates,
+    * status domain, referential integrity to customer (a broadcast
+    * left join whose unmatched right side IS the violation predicate),
+    * and a priority-format check — evaluated in ONE aggregation pass
+    * (N rules, one scan) and unpivoted to the tall
+    * (rule, n_violations, n_rows, viol_rate) report a pipeline
+    * publishes with every snapshot. The oracle replays each rule as a
+    * CASE sum and unpivots by UNION ALL. */
+  val q164DqReport: Q = (s, dir) => {
+    import s.implicits._
+    val custKeys = Tables.customer(s, dir).select($"c_custkey")
+    val facts = Tables.orders(s, dir)
+      .join(broadcast(custKeys), $"o_custkey" === $"c_custkey", "left")
+    Validation.expectationReport(facts, Seq(
+      "positive_total" -> ($"o_totalprice" <= 0),
+      "date_not_null" -> $"o_orderdate".isNull,
+      "status_domain" -> !$"o_orderstatus".isin("O", "F", "P"),
+      "custkey_resolves" -> $"c_custkey".isNull,
+      "priority_format" -> !$"o_orderpriority".rlike("^[1-5]-")))
+      .orderBy($"rule")
+  }
+  val q164Sql: String = {
+    val rules = Seq(
+      "positive_total" -> "o_totalprice <= 0",
+      "date_not_null" -> "o_orderdate IS NULL",
+      "status_domain" -> "o_orderstatus NOT IN ('O', 'F', 'P')",
+      "custkey_resolves" -> "c_custkey IS NULL",
+      "priority_format" -> "NOT regexp_matches(o_orderpriority, '^[1-5]-')")
+    val sums = rules.map { case (n, p) =>
+      s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS $n"
+    }.mkString(",\n      |    ")
+    val arms = rules.map { case (n, _) =>
+      s"SELECT '$n' AS rule, $n AS n_violations, n_rows FROM a"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH f AS (
+       |  SELECT o.*, c.c_custkey FROM orders o
+       |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+       |a AS (
+       |  SELECT count(*) AS n_rows,
+       |    $sums
+       |  FROM f),
+       |t AS (
+       |  $arms)
+       |SELECT rule, n_violations, n_rows,
+       |       round(n_violations / n_rows, 6) AS viol_rate
+       |FROM t ORDER BY rule""".stripMargin
+  }
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q73_repetition", q73Repetition, Some(q73Sql)),
@@ -1033,5 +1084,6 @@ object QueriesCurate {
     ("q120_fit_score", q120FitScore, Some(q120Sql)),
     ("q123_iban_redact", q123IbanRedact, Some(q123Sql)),
     ("q160_sorted_neighborhood", q160SortedNeighborhood, Some(q160Sql)),
+    ("q164_dq_report", q164DqReport, Some(q164Sql)),
   )
 }

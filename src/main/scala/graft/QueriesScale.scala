@@ -447,6 +447,59 @@ object QueriesScale {
       |SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS ok_est
       |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  /** EXACT mergeable distinct-count state via Spark's bitmap aggregate
+    * family: user ids map to (bucket, bit position), per-(type, bucket)
+    * bitmaps build with `bitmap_construct_agg`, PERSIST as parquet
+    * binary rows, reload, and roll up two ways — per type by summing
+    * bucket bit-counts, and across types by OR-ing bitmaps per bucket
+    * first (set union: a user active in several types counts ONCE).
+    * The exact sibling of the q159 HLL rollup: same
+    * persist→merge→count lifecycle, zero error — so the gate needs no
+    * flags, the oracle is plain `count(DISTINCT)`. State is
+    * O(id-range/8) bytes sharded by bucket — the dense-id regime where
+    * bitmaps beat sketches; arbitrary ids hash into the q159 HLL path
+    * instead. Bucket partitioning keeps every OR local to its bucket:
+    * the rollup shuffles bitmap rows, never raw ids. */
+  val q165BitmapDistinct: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"user_id")
+    val bmDir = sys.props("java.io.tmpdir") +
+      "/graft_bitmap_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    ev.select($"event_type",
+      expr("bitmap_bucket_number(user_id)").as("bkt"),
+      expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy($"event_type", $"bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .write.parquet(bmDir)
+    try {
+      val re = s.read.parquet(bmDir)
+      val perType = re.groupBy($"event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      val global = re.groupBy($"bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .select(lit("*").as("event_type"), $"n_users")
+      perType.unionByName(global)
+        .orderBy($"event_type")
+        .localCheckpoint() // type-cardinality-sized; materialize pre-cleanup
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
+        f.delete(): Unit
+      }
+      rm(new java.io.File(bmDir))
+    }
+  }
+  val q165Sql: String =
+    """WITH u AS (
+      |  SELECT event_type, user_id FROM events
+      |  UNION ALL
+      |  SELECT '*' AS event_type, user_id FROM events)
+      |SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q44_salted_agg", q44SaltedAgg, Some(q44Sql)),
@@ -459,5 +512,6 @@ object QueriesScale {
     ("q121_ffd_pack", q121FfdPack, Some(q121Sql)),
     ("q153_tdigest", q153Tdigest, Some(q153Sql)),
     ("q159_hll_rollup", q159HllRollup, Some(q159Sql)),
+    ("q165_bitmap_distinct", q165BitmapDistinct, Some(q165Sql)),
   )
 }

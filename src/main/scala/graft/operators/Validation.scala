@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks — the engine's version of the reference's
@@ -29,6 +29,31 @@ object Validation {
       count(lit(1)).as("n_rows"),
       countDistinct(col(key)).as("n_distinct"),
       count(when(col(key).isNull, 1)).as("n_null"))
+
+  /** Declarative expectation suite in ONE pass: each rule is
+    * (name, violation predicate); all rules fold into a single
+    * aggregation over one scan — `sum(when(violation, 1))` per rule
+    * beside the row count — then unpivot to the tall report
+    * (rule, n_violations, n_rows, viol_rate). The
+    * great-expectations-style contract check a pipeline runs on every
+    * snapshot: N rules cost ONE scan regardless of N, vs the naive
+    * one-filter-per-rule N scans. Cross-table rules (referential
+    * integrity) enter as predicates over a pre-joined frame — a
+    * broadcast left join whose null right side IS the violation
+    * column (see q164). Rule names must be plain identifiers (they
+    * ride through a `stack` literal). */
+  def expectationReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectationReport needs at least one rule")
+    require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+      s"rule names must be [A-Za-z0-9_]+: ${rules.map(_._1)}")
+    val agg = df.agg(count(lit(1)).as("__n_rows"),
+      rules.map { case (n, v) => sum(when(v, 1L).otherwise(0L)).as(n) }: _*)
+    val stackExpr = s"stack(${rules.size}, " +
+      rules.map { case (n, _) => s"'$n', `$n`" }.mkString(", ") +
+      ") as (rule, n_violations)"
+    agg.select(expr(stackExpr), col("__n_rows").as("n_rows"))
+      .withColumn("viol_rate", round(col("n_violations") / col("n_rows"), 6))
+  }
 
   /** Attach a key-quality observation to `df`: row count and null count
     * for `key` are collected AS A SIDE EFFECT of whatever action the

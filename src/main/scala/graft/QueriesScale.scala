@@ -349,35 +349,7 @@ object QueriesScale {
       .write.parquet(shardDir)
     try {
       val shards = s.read.parquet(shardDir)
-      val global = shards
-        .agg(TDigest.digestMergeAgg($"digest").as("digest"))
-        .select(lit("*").as("source"), $"digest")
-      val ests = shards.unionByName(global)
-        .as[(String, TDigest.Digest)].collect().toSeq
-        .map { case (src, d) =>
-          (src, TDigest.quantile(d, 0.5), TDigest.quantile(d, 0.95),
-            TDigest.quantile(d, 0.99))
-        }
-      val estDf = broadcast(ests.toDF("source", "e50", "e95", "e99"))
-      val expanded = docs.unionByName(docs.withColumn("source", lit("*")))
-      // margin in ELEMENTS: 5% of the group with a 2-element floor —
-      // at tiny n (sf0.001: 25 docs/source) a rank quantum is 1/n and
-      // value ties snap the empirical rank in whole-element jumps, so
-      // a pure fractional margin is brittle exactly where the sketch
-      // is actually near-exact
-      def okFlag(est: org.apache.spark.sql.Column,
-                 q: Double): org.apache.spark.sql.Column =
-        abs(sum(when($"x" <= est, 1L).otherwise(0L)).cast("double") -
-          count(lit(1)) * q) <= greatest(count(lit(1)) * 0.05, lit(2.0))
-      expanded.join(estDf, Seq("source"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n"),
-          round(expr("percentile(x, 0.5D)"), 1).as("p50_exact"),
-          okFlag($"e50", 0.5).as("ok_p50"),
-          okFlag($"e95", 0.95).as("ok_p95"),
-          okFlag($"e99", 0.99).as("ok_p99"))
-        .orderBy($"source")
-        .localCheckpoint() // dimension-sized; materialize before cleanup
+      digestFlagReport(s, docs, shards)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
@@ -386,6 +358,48 @@ object QueriesScale {
       rm(new java.io.File(shardDir))
     }
   }
+  /** Shared verification tail of q153 (batch-built digests) and q166
+    * (stream-built digests): merge the (source, digest) shard rows —
+    * per source and globally to `*` — read the quantile estimates off
+    * the merged digests (dimension-sized collect), and emit the
+    * bounded-rank-error flag report beside the exact columns computed
+    * from `docs` (source, x). Margin in ELEMENTS: 5% of the group with
+    * a 2-element floor — at tiny n (sf0.001: 25 docs/source) a rank
+    * quantum is 1/n and value ties snap the empirical rank in
+    * whole-element jumps, so a pure fractional margin is brittle
+    * exactly where the sketch is actually near-exact. */
+  private[graft] def digestFlagReport(s: SparkSession, docs: DataFrame,
+                                      shards: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.TDigest
+    val perSrc = shards.groupBy($"source")
+      .agg(TDigest.digestMergeAgg($"digest").as("digest"))
+    val global = shards
+      .agg(TDigest.digestMergeAgg($"digest").as("digest"))
+      .select(lit("*").as("source"), $"digest")
+    val ests = perSrc.unionByName(global)
+      .as[(String, TDigest.Digest)].collect().toSeq
+      .map { case (src, d) =>
+        (src, TDigest.quantile(d, 0.5), TDigest.quantile(d, 0.95),
+          TDigest.quantile(d, 0.99))
+      }
+    val estDf = broadcast(ests.toDF("source", "e50", "e95", "e99"))
+    val expanded = docs.unionByName(docs.withColumn("source", lit("*")))
+    def okFlag(est: org.apache.spark.sql.Column,
+               q: Double): org.apache.spark.sql.Column =
+      abs(sum(when($"x" <= est, 1L).otherwise(0L)).cast("double") -
+        count(lit(1)) * q) <= greatest(count(lit(1)) * 0.05, lit(2.0))
+    expanded.join(estDf, Seq("source"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(x, 0.5D)"), 1).as("p50_exact"),
+        okFlag($"e50", 0.5).as("ok_p50"),
+        okFlag($"e95", 0.95).as("ok_p95"),
+        okFlag($"e99", 0.99).as("ok_p99"))
+      .orderBy($"source")
+      .localCheckpoint() // dimension-sized; materialize before cleanup
+  }
+
   val q153Sql: String =
     """WITH u AS (
       |  SELECT source, n_chars FROM documents

@@ -585,6 +585,54 @@ object QueriesStreaming {
       .orderBy($"user_id")
   }
 
+  // ---------------------------------------------------------------- q166
+  /** Streaming sketch maintenance: the q153 t-digest lifecycle driven
+    * by a real file stream — documents staged as 4 files, one
+    * micro-batch each (`maxFilesPerTrigger=1`, the q143 multi-batch
+    * contract), each batch's per-source digests appended to a
+    * partitioned store through the IDEMPOTENT batch sink
+    * ([[EventStreams.writeBatchIdempotent]]: a replayed batch
+    * overwrites its own `batch_id` partition, so the store is
+    * exactly-once-effective). The verification tail is byte-identical
+    * to q153 ([[QueriesScale.digestFlagReport]]) and so is the oracle:
+    * digests built incrementally across micro-batches must verify
+    * exactly like the one-shot batch build — the mergeability of the
+    * sketch IS the streaming story, nothing else changes. */
+  val q166StreamDigest: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TDigest
+    val file = s"$dir/documents.parquet"
+    val base = sys.props("java.io.tmpdir") +
+      "/graft_q166_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val watch = base + "/watch"
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    try {
+      s.read.parquet(file).repartition(4).write.parquet(watch)
+      val schema = s.read.parquet(watch).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .select($"source", $"n_chars".cast("double").as("x"))
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            EventStreams.writeBatchIdempotent(
+              batch.toDF().groupBy(col("source"))
+                .agg(TDigest.digestAgg(col("x")).as("digest")),
+              batchId, store)
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val docs = s.read.parquet(file)
+        .select($"source", $"n_chars".cast("double").as("x"))
+      QueriesScale.digestFlagReport(s,
+        docs, s.read.parquet(store).select($"source", $"digest"))
+    } finally rmTree(new java.io.File(base))
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
@@ -599,5 +647,7 @@ object QueriesStreaming {
     // two implementations, one oracle: the stateful incremental build
     // must agree with the batch window build's relational replay
     ("q154_stream_scd2", q154StreamScd2, Some(QueriesAnalytic.q151Sql)),
+    // incrementally-built digests must verify exactly like q153's
+    ("q166_stream_digest", q166StreamDigest, Some(QueriesScale.q153Sql)),
   )
 }

@@ -763,16 +763,29 @@ object QueriesAnalytic {
     import s.implicits._
     val hist = Scd2.buildHistory(
       Tables.events(s, dir), "user_id", "event_type", "ts", "event_id")
-    hist.groupBy($"user_id")
-      .agg(count(lit(1)).as("n_versions"),
-        sum(when($"valid_to".isNull, 1L).otherwise(0L)).as("n_open"),
-        min(unix_micros($"valid_from")).as("first_from_us"),
-        max(unix_micros($"valid_from")).as("last_from_us"),
-        md5(array_join(
-          transform(array_sort(collect_list(struct($"version", $"event_type"))),
-            x => x.getField("event_type")), "|")).as("hist_md5"))
-      .orderBy($"user_id")
+    scd2Gate(hist, "event_type", unix_micros($"valid_from"), $"valid_to".isNull)
   }
+
+  /** Shared per-user digest of an SCD2 history — the ONE gate shape all
+    * three SCD2 builds (q151 batch window, q157 incremental apply, q154
+    * streaming state) aggregate through, so their shared-oracle
+    * contract (all registered against q151Sql) is enforced by
+    * construction rather than by keeping three copy-pasted blocks in
+    * sync. `fromUs`/`openPred` abstract the physical shape: the batch
+    * builds carry timestamps, the streaming build carries epoch-µs. */
+  private[graft] def scd2Gate(hist: org.apache.spark.sql.DataFrame,
+                              attrCol: String,
+                              fromUs: org.apache.spark.sql.Column,
+                              openPred: org.apache.spark.sql.Column): DataFrame =
+    hist.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(openPred, 1L).otherwise(0L)).as("n_open"),
+        min(fromUs).as("first_from_us"),
+        max(fromUs).as("last_from_us"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("version"), col(attrCol)))),
+            x => x.getField(attrCol)), "|")).as("hist_md5"))
+      .orderBy(col("user_id"))
   val q151Sql: String =
     """WITH e AS (
       |  SELECT user_id, event_type AS attr, epoch_us(ts) AS tus, event_id
@@ -859,15 +872,7 @@ object QueriesAnalytic {
       "user_id", "event_type", "ts", "event_id")
     val hist = Scd2.applyDelta(base, ev.filter($"ts" >= cut),
       "user_id", "event_type", "ts", "event_id")
-    hist.groupBy($"user_id")
-      .agg(count(lit(1)).as("n_versions"),
-        sum(when($"valid_to".isNull, 1L).otherwise(0L)).as("n_open"),
-        min(unix_micros($"valid_from")).as("first_from_us"),
-        max(unix_micros($"valid_from")).as("last_from_us"),
-        md5(array_join(
-          transform(array_sort(collect_list(struct($"version", $"event_type"))),
-            x => x.getField("event_type")), "|")).as("hist_md5"))
-      .orderBy($"user_id")
+    scd2Gate(hist, "event_type", unix_micros($"valid_from"), $"valid_to".isNull)
   }
 
   // ---------------------------------------------------------------- q158
@@ -1023,13 +1028,17 @@ object QueriesAnalytic {
       .withColumn("s_i", sum($"value" - $"mu").over(w))
       .select($"event_type", unix_micros($"ts").as("tus"),
         round(abs($"s_i"), 4).as("dev"))
-    val peaks = cum.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), max($"dev").as("max_dev"))
-    cum.join(broadcast(peaks), Seq("event_type"))
-      .where($"dev" === $"max_dev") // equality of ROUNDED values — stable
-      .groupBy($"event_type", $"n", $"max_dev")
-      .agg(min($"tus").as("peak_tus"))
-      .select($"event_type", $"n", $"max_dev", $"peak_tus")
+    // ONE aggregation pass: lexicographic max over (dev, −tus) is the
+    // argmax with earliest-tus tie-break — no self-join, and crucially
+    // no float-equality filter between two recomputations of the same
+    // nondeterministically-partial-merged mean (the original two-pass
+    // form could round the peak differently per branch and drop a
+    // group from the output entirely)
+    cum.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max(struct($"dev", (-$"tus").as("ntus"))).as("m"))
+      .select($"event_type", $"n", $"m.dev".as("max_dev"),
+        (-$"m.ntus").as("peak_tus"))
       .orderBy($"event_type")
   }
   val q163Sql: String =
@@ -1040,12 +1049,11 @@ object QueriesAnalytic {
       |           PARTITION BY e.event_type ORDER BY epoch_us(ts), event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS dev
       |  FROM events e JOIN m USING (event_type)),
-      |p AS (SELECT event_type, count(*) AS n, max(dev) AS max_dev
+      |g AS (SELECT event_type, count(*) AS n,
+      |        max(struct_pack(d := dev, nt := -tus)) AS m
       |      FROM c GROUP BY 1)
-      |SELECT c.event_type, any_value(p.n) AS n, any_value(p.max_dev) AS max_dev,
-      |       min(c.tus) AS peak_tus
-      |FROM c JOIN p ON c.event_type = p.event_type AND c.dev = p.max_dev
-      |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
+      |SELECT event_type, n, m.d AS max_dev, -m.nt AS peak_tus
+      |FROM g ORDER BY event_type""".stripMargin
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),

@@ -351,11 +351,7 @@ object QueriesScale {
       val shards = s.read.parquet(shardDir)
       digestFlagReport(s, docs, shards)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
-        f.delete(): Unit
-      }
-      rm(new java.io.File(shardDir))
+      rmTree(new java.io.File(shardDir))
     }
   }
   /** Shared verification tail of q153 (batch-built digests) and q166
@@ -446,11 +442,7 @@ object QueriesScale {
         .orderBy($"event_type")
         .localCheckpoint() // group-cardinality-sized; materialize pre-cleanup
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
-        f.delete(): Unit
-      }
-      rm(new java.io.File(skDir))
+      rmTree(new java.io.File(skDir))
     }
   }
   val q159Sql: String =
@@ -499,11 +491,7 @@ object QueriesScale {
         .orderBy($"event_type")
         .localCheckpoint() // type-cardinality-sized; materialize pre-cleanup
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
-        f.delete(): Unit
-      }
-      rm(new java.io.File(bmDir))
+      rmTree(new java.io.File(bmDir))
     }
   }
   val q165Sql: String =
@@ -513,6 +501,14 @@ object QueriesScale {
       |  SELECT '*' AS event_type, user_id FROM events)
       |SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+    }
+    f.delete(): Unit
+  }
 
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(

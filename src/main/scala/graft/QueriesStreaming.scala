@@ -573,16 +573,8 @@ object QueriesStreaming {
     val ev = Tables.events(s, dir)
       .select($"user_id", $"ts", $"event_id", $"event_type".as("attr"))
       .as[EventStreams.AttrEvent]
-    EventStreams.scd2Updates(ev).toDF()
-      .groupBy($"user_id")
-      .agg(count(lit(1)).as("n_versions"),
-        sum(when($"valid_to_us".isNull, 1L).otherwise(0L)).as("n_open"),
-        min($"valid_from_us").as("first_from_us"),
-        max($"valid_from_us").as("last_from_us"),
-        md5(array_join(
-          transform(array_sort(collect_list(struct($"version", $"attr"))),
-            x => x.getField("attr")), "|")).as("hist_md5"))
-      .orderBy($"user_id")
+    QueriesAnalytic.scd2Gate(EventStreams.scd2Updates(ev).toDF(),
+      "attr", $"valid_from_us", $"valid_to_us".isNull)
   }
 
   // ---------------------------------------------------------------- q166

@@ -102,7 +102,11 @@ object TDigest {
     require(compression >= 20, s"compression too low: $compression")
     override def zero: Digest = empty
     override def reduce(b: Digest, x: Double): Digest = {
-      val appended = Digest(b.n + 1, b.centroids :+ Cent(x, 1.0))
+      // PREPEND: centroids is a List in the hot path (zero = Seq.empty,
+      // buffers stay deserialized within a partition), so +: is O(1)
+      // where :+ would copy the whole buffer per row; compress sorts,
+      // so order is irrelevant
+      val appended = Digest(b.n + 1, Cent(x, 1.0) +: b.centroids)
       if (appended.centroids.length > 8 * compression)
         compress(appended.centroids, compression)
       else appended

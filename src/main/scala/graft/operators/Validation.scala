@@ -46,6 +46,10 @@ object Validation {
     require(rules.nonEmpty, "expectationReport needs at least one rule")
     require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
       s"rule names must be [A-Za-z0-9_]+: ${rules.map(_._1)}")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"rule names must be unique: ${rules.map(_._1)}")
+    require(!rules.exists(_._1 == "__n_rows"),
+      "rule name __n_rows is reserved")
     val agg = df.agg(count(lit(1)).as("__n_rows"),
       rules.map { case (n, v) => sum(when(v, 1L).otherwise(0L)).as(n) }: _*)
     val stackExpr = s"stack(${rules.size}, " +

@@ -336,6 +336,101 @@ object Queries {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** Two-nation trade volume — the TPC-H Q7 shape: lineitem ⋈ orders ⋈
+    * supplier ⋈ customer with BOTH trade directions admitted through a
+    * disjunctive predicate over two broadcast copies of nation, split
+    * by shipping year. The workout Q5 doesn't give the planner: the
+    * nation pair filter can't collapse to one dim equi-join, so the
+    * disjunction must ride the joined frame while the two nation dims
+    * broadcast independently. Date range pushes to the lineitem scan —
+    * the biggest table prunes FIRST. */
+  val q167TradeVolume: Q = (s, dir) => {
+    import s.implicits._
+    val n1 = Tables.nation(s, dir)
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select($"n_nationkey".as("c_nkey"), $"n_name".as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1998-01-01")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nkey")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nkey")
+      .filter(($"supp_nation" === "NATION_0" && $"cust_nation" === "NATION_1") ||
+        ($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_0"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("volume"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+  val q167Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+      |  count(*) AS n_lines,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+      |    OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  /** National market share — the TPC-H Q8 shape: the PROMO-part order
+    * volume per year, with NATION_0's share of it — a ratio of two
+    * conditional aggregates over one joined frame (`sum(when)` /
+    * `sum`), the pattern that needs no second pass or self-join. Six
+    * tables; part is filtered BEFORE its join (partkey pruning), dims
+    * broadcast. Share is an exact-ordering-hazard float ratio →
+    * rounded like every float aggregate. */
+  val q168MarketShare: Q = (s, dir) => {
+    import s.implicits._
+    val promo = Tables.part(s, dir).filter($"p_type" === "PROMO")
+      .select($"p_partkey")
+    val supN = Tables.nation(s, dir)
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1998-01-01")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(supN), $"s_nationkey" === $"s_nkey")
+      .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"volume"), 2).as("total_volume"),
+        round(sum(when($"supp_nation" === "NATION_0", $"volume")
+          .otherwise(lit(0.0))) / sum($"volume"), 6).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+  val q168Sql: String =
+    """SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |  count(*) AS n_lines,
+      |  round(sum(volume), 2) AS total_volume,
+      |  round(sum(CASE WHEN supp_nation = 'NATION_0' THEN volume ELSE 0.0 END)
+      |    / sum(volume), 6) AS mkt_share
+      |FROM (
+      |  SELECT o_orderdate, n_name AS supp_nation,
+      |         l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01') t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q01_pricing_summary", q01Pricing, Some(q01Sql)),
     ("q02_filter_project", q02FilterProject, Some(q02Sql)),
@@ -350,5 +445,7 @@ object Queries {
     ("q11_anti_join", q11AntiJoin, Some(q11Sql)),
     ("q12_right_cohort", q12RightCohort, Some(q12Sql)),
     ("q150_local_volume", q150LocalVolume, Some(q150Sql)),
+    ("q167_trade_volume", q167TradeVolume, Some(q167Sql)),
+    ("q168_market_share", q168MarketShare, Some(q168Sql)),
   )
 }

@@ -1055,6 +1055,50 @@ object QueriesAnalytic {
       |SELECT event_type, n, m.d AS max_dev, -m.nt AS peak_tus
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q169
+  /** Scalable CUSUM ([[graft.operators.Cusum.peakByKey]]): q163's
+    * change-detection statistic decomposed into a two-level prefix
+    * scan over (type, HOUR) partitions — the naive per-type window
+    * collapses to |types| sequential tasks (measured ×17 at the ×100
+    * probe), this form parallelizes as types×hours. Exact fixed-point
+    * arithmetic (cents; S′ = n-scaled mean-centred prefix in
+    * decimal(38,0)) makes the decomposition gateable: two-level ≡
+    * single-level bit-for-bit, and the oracle replays the SINGLE-level
+    * integer form — a wrong carry, a bucket seam, or a tie mis-pick
+    * anywhere breaks the hash. */
+  val q169CusumScalable: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", unix_micros($"ts").as("tus"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+    Cusum.peakByKey(e, "event_type", "tus", "event_id", "cents",
+      bucketUs = 3600L * 1000000L)
+      .orderBy($"event_type")
+  }
+  val q169Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |t AS (SELECT event_type, CAST(sum(cents) AS HUGEINT) AS total,
+      |        CAST(count(*) AS HUGEINT) AS n FROM e GROUP BY 1),
+      |c AS (
+      |  SELECT e.event_type, tus,
+      |         CAST(sum(cents) OVER w AS HUGEINT) AS pre,
+      |         CAST(row_number() OVER w2 AS HUGEINT) AS i, t.n, t.total
+      |  FROM e JOIN t USING (event_type)
+      |  WINDOW w AS (PARTITION BY e.event_type ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w2 AS (PARTITION BY e.event_type ORDER BY tus, event_id)),
+      |s AS (SELECT event_type, tus, abs(n * pre - i * total) AS dev, n
+      |      FROM c),
+      |g AS (SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+      |        max(struct_pack(d := dev, nt := -tus)) AS m
+      |      FROM s GROUP BY 1)
+      |SELECT event_type, n, CAST(m.d AS BIGINT) AS peak_dev,
+      |       CAST(-m.nt AS BIGINT) AS peak_tus
+      |FROM g ORDER BY event_type""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -1089,5 +1133,6 @@ object QueriesAnalytic {
     ("q161_transitions", q161Transitions, Some(q161Sql)),
     ("q162_seasonal_anomaly", q162SeasonalAnomaly, Some(q162Sql)),
     ("q163_cusum", q163Cusum, Some(q163Sql)),
+    ("q169_cusum_scalable", q169CusumScalable, Some(q169Sql)),
   )
 }

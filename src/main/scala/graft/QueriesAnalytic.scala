@@ -1099,6 +1099,67 @@ object QueriesAnalytic {
       |       CAST(-m.nt AS BIGINT) AS peak_tus
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** Exact distributed median by range bracketing
+    * ([[graft.operators.ExactQuantile.atQuantile]]): the k-th order
+    * statistic of the cent-scaled value per event type found in
+    * O(log_B(range)) COUNT passes — no sort, no per-group value
+    * buffer, (keys×B) state per pass — where exact `percentile`
+    * buffers whole groups and the t-digest (q153) trades exactness
+    * away. The oracle replays selection literally: the row_number =
+    * ceil(q·n) row per type. Exact integers end to end, so the gate
+    * needs no flags or rounding. */
+  val q170ExactMedian: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("cents"))
+    graft.operators.ExactQuantile
+      .atQuantile(s, e, "event_type", "cents", q = 0.5)
+      .orderBy($"event_type")
+  }
+  val q170Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, cents,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e)
+      |SELECT event_type, n, CAST(ceil(0.5 * n) AS BIGINT) AS kth,
+      |       cents AS value
+      |FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  /** Grouped mode with deterministic ties: the most frequent rounded
+    * value per event type, ties resolved to the SMALLEST value via one
+    * lexicographic struct-max over the (count, −value) pairs — two
+    * hash aggregations, no window, no sort. The argmax-by-count
+    * primitive behind "most common category" profiling. */
+  val q171Mode: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", round($"value").cast("long").as("v"))
+      .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(max(struct($"c", (-$"v").as("nv"))).as("m"),
+        sum($"c").as("n"))
+      .select($"event_type", $"n", $"m.c".as("mode_count"),
+        (-$"m.nv").as("mode_value"))
+      .orderBy($"event_type")
+  }
+  val q171Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value) AS BIGINT) AS v, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+      |         max(struct_pack(c := c, nv := -v)) AS m
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n, m.c AS mode_count, -m.nv AS mode_value
+      |FROM g ORDER BY event_type""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -1134,5 +1195,7 @@ object QueriesAnalytic {
     ("q162_seasonal_anomaly", q162SeasonalAnomaly, Some(q162Sql)),
     ("q163_cusum", q163Cusum, Some(q163Sql)),
     ("q169_cusum_scalable", q169CusumScalable, Some(q169Sql)),
+    ("q170_exact_median", q170ExactMedian, Some(q170Sql)),
+    ("q171_mode", q171Mode, Some(q171Sql)),
   )
 }

@@ -149,6 +149,63 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  it("plans the SCD2 build + gate in ONE keyed exchange (windows share the sort)") {
+    withoutAqe {
+      val hist = graft.operators.Scd2.buildHistory(
+        Tables.events(spark, dir), "user_id", "event_type", "ts", "event_id")
+      val gated = QueriesAnalytic.scd2Gate(hist, "event_type",
+        unix_micros($"valid_from"), $"valid_to".isNull)
+      val plan = gated.queryExecution.executedPlan.toString
+      // exchanges: ONE hash partitioning on user_id feeding lag +
+      // row_number + lead AND the gate aggregation; the only other
+      // exchange is the final presentation orderBy (range partitioning)
+      val hashExchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      hashExchanges shouldBe 1
+      "Window".r.findAllIn(plan).length should be >= 2 // lag, then rn+lead
+    }
+  }
+
+  it("plans interval coverage with a single data exchange (windows + both aggs co-partitioned)") {
+    withoutAqe {
+      val iv = Tables.events(spark, dir)
+        .select($"user_id", unix_millis($"ts").as("start"),
+          (unix_millis($"ts") + round($"value" * 1000).cast("long")).as("end"))
+      val plan = graft.operators.Intervals.coverage(iv, "user_id", "start", "end")
+        .queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+    }
+  }
+
+  it("trims bottom-k-by-hash map-side: partial aggregate BEFORE the group exchange") {
+    withoutAqe {
+      val df = graft.operators.Sampling.bottomKByHash(
+        Tables.documents(spark, dir), "lang", "doc_id", k = 3)
+      val plan = df.queryExecution.executedPlan.toString
+      // partial ObjectHashAggregate below the lang exchange = each map
+      // partition ships at most k rows, the operator's whole point
+      val idxAgg = plan.indexOf("ObjectHashAggregate")
+      val idxEx = plan.indexOf("Exchange hashpartitioning(lang")
+      idxAgg should be >= 0
+      idxEx should be >= 0
+      // plan prints top-down: final agg, exchange, partial agg — so a
+      // SECOND ObjectHashAggregate must appear after the exchange
+      plan.indexOf("ObjectHashAggregate", idxEx) should be > idxEx
+    }
+  }
+
+  it("pushes the TPC-H Q7 ship-date range to the lineitem scan and broadcasts all dims") {
+    withoutAqe {
+      val df = Queries.q167TradeVolume(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val li = scans.find(_.metadata("Location").contains("lineitem"))
+        .getOrElse(fail("no lineitem scan"))
+      li.metadata("PushedFilters") should include("GreaterThanOrEqual(l_shipdate")
+      (plan.toString should not).include("CartesianProduct")
+    }
+  }
+
   it("pushes ts-range predicates through the events NTZ repair to the parquet scan") {
     withoutAqe {
       // RepairTsPushdown: cmp(repaired(ts), TIMESTAMP lit) must reach

@@ -480,20 +480,32 @@ object QueriesScale {
       .agg(expr("bitmap_construct_agg(pos)").as("bm"))
       .write.parquet(bmDir)
     try {
-      val re = s.read.parquet(bmDir)
-      val perType = re.groupBy($"event_type")
-        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
-      val global = re.groupBy($"bkt")
-        .agg(expr("bitmap_or_agg(bm)").as("bm"))
-        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
-        .select(lit("*").as("event_type"), $"n_users")
-      perType.unionByName(global)
-        .orderBy($"event_type")
-        .localCheckpoint() // type-cardinality-sized; materialize pre-cleanup
+      bitmapDistinctReport(s, s.read.parquet(bmDir))
     } finally {
       rmTree(new java.io.File(bmDir))
     }
   }
+  /** Shared rollup tail of q165 (batch-built bitmaps) and q172
+    * (stream-built, multiple rows per (type, bucket) across batches):
+    * OR-merge to per-(type, bucket) bitmaps, then per-type bit-count
+    * sums and the cross-type `*` union. OR is idempotent, so replayed
+    * or split shard rows merge to the identical exact answer. */
+  private[graft] def bitmapDistinctReport(s: SparkSession,
+                                          shards: DataFrame): DataFrame = {
+    import s.implicits._
+    val merged = shards.groupBy($"event_type", $"bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+    val perType = merged.groupBy($"event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+    val global = merged.groupBy($"bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .select(lit("*").as("event_type"), $"n_users")
+    perType.unionByName(global)
+      .orderBy($"event_type")
+      .localCheckpoint() // type-cardinality-sized; materialize pre-cleanup
+  }
+
   val q165Sql: String =
     """WITH u AS (
       |  SELECT event_type, user_id FROM events

@@ -625,6 +625,53 @@ object QueriesStreaming {
     } finally rmTree(new java.io.File(base))
   }
 
+  // ---------------------------------------------------------------- q172
+  /** Streaming EXACT distinct maintenance: the q165 bitmap lifecycle
+    * driven by a file stream — events staged as 4 files, one
+    * micro-batch each, every batch's per-(type, bucket) bitmaps
+    * appended through the idempotent sink. The read side OR-merges
+    * across batch partitions before counting; OR is idempotent, so
+    * replayed batches and split batches both converge to the one
+    * exact answer — the property that lets an EXACT distinct count be
+    * maintained incrementally at all (a count or a sum could not be).
+    * Same oracle as q165: plain `count(DISTINCT)`, no error bound. */
+  val q172StreamBitmap: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/events.parquet"
+    val base = sys.props("java.io.tmpdir") +
+      "/graft_q172_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val watch = base + "/watch"
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(file).select($"event_type", $"user_id")
+        .repartition(4).write.parquet(watch)
+      val schema = s.read.parquet(watch).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            EventStreams.writeBatchIdempotent(
+              batch.toDF()
+                .select(col("event_type"),
+                  expr("bitmap_bucket_number(user_id)").as("bkt"),
+                  expr("bitmap_bit_position(user_id)").as("pos"))
+                .groupBy(col("event_type"), col("bkt"))
+                .agg(expr("bitmap_construct_agg(pos)").as("bm")),
+              batchId, store)
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      QueriesScale.bitmapDistinctReport(s,
+        s.read.parquet(store).select($"event_type", $"bkt", $"bm"))
+    } finally rmTree(new java.io.File(base))
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
@@ -641,5 +688,7 @@ object QueriesStreaming {
     ("q154_stream_scd2", q154StreamScd2, Some(QueriesAnalytic.q151Sql)),
     // incrementally-built digests must verify exactly like q153's
     ("q166_stream_digest", q166StreamDigest, Some(QueriesScale.q153Sql)),
+    // incrementally-built bitmaps must count exactly like q165's
+    ("q172_stream_bitmap", q172StreamBitmap, Some(QueriesScale.q165Sql)),
   )
 }

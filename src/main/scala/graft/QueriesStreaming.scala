@@ -672,6 +672,51 @@ object QueriesStreaming {
     } finally rmTree(new java.io.File(base))
   }
 
+  // ---------------------------------------------------------------- q173
+  /** Streaming materialized view
+    * ([[EventStreams.materializedAggStore]]): per-user event count +
+    * value sum maintained as a DURABLE generational parquet store
+    * across 4 micro-batches — each batch folds its partial into the
+    * previous generation and writes a complete new snapshot under its
+    * own `batch_id` partition (dynamic overwrite ⇒ replay-idempotent;
+    * every generation is a queryable point-in-time state any engine
+    * can read, unlike state-store-resident totals). The gate reads the
+    * final generation and must equal the plain batch GROUP BY — count
+    * exact, float sum rounded (q45 precedent). */
+  val q173MaterializedView: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/events.parquet"
+    val base = sys.props("java.io.tmpdir") +
+      "/graft_q173_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val watch = base + "/watch"
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(file).select($"user_id", $"value")
+        .repartition(4).write.parquet(watch)
+      val schema = s.read.parquet(watch).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+      val query = EventStreams.materializedAggStore(stream,
+        keyCols = Seq("user_id"),
+        batchAggs = Seq(count(lit(1)).as("n"), sum($"value").as("v")),
+        mergeAggs = Seq(sum($"n").as("n"), sum($"v").as("v")),
+        store = store, checkpoint = ckpt)
+      try query.processAllAvailable() finally query.stop()
+      EventStreams.latestGeneration(s, store)
+        .getOrElse(sys.error("q173: empty store"))
+        .select($"user_id", $"n".as("n_events"),
+          round($"v", 2).as("value_sum"))
+        .orderBy($"user_id")
+        .localCheckpoint() // user-cardinality-sized; pre-cleanup
+    } finally rmTree(new java.io.File(base))
+  }
+  val q173Sql: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS value_sum
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
@@ -690,5 +735,6 @@ object QueriesStreaming {
     ("q166_stream_digest", q166StreamDigest, Some(QueriesScale.q153Sql)),
     // incrementally-built bitmaps must count exactly like q165's
     ("q172_stream_bitmap", q172StreamBitmap, Some(QueriesScale.q165Sql)),
+    ("q173_materialized_view", q173MaterializedView, Some(q173Sql)),
   )
 }

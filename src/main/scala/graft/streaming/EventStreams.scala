@@ -347,6 +347,58 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
     events.join(broadcast(dim), on, "left")
 
+  /** Streaming MATERIALIZED VIEW: maintain a keyed aggregate as a
+    * durable parquet store across micro-batches — the
+    * read-merge-write generational upsert. Each batch folds its own
+    * partial aggregate into the previous generation's full state and
+    * writes the merged state as a NEW generation (a `batch_id`
+    * partition via dynamic overwrite), so a replayed batch rewrites
+    * its own generation from the same predecessor — idempotent, and
+    * the store is a complete queryable snapshot at every generation
+    * (read the max `batch_id`). This is the durable complement of
+    * `transformWithState` running totals: state lives in an ordinary
+    * table any engine can read, not in the state store.
+    *
+    * `mergeAggs` must re-aggregate the UNION of previous state and the
+    * batch partial (algebraic aggregates: sums/counts/min/max — the
+    * [[graft.operators.IncrementalAgg]] contract). Scale: each
+    * generation write is state-sized (distinct keys), not
+    * stream-sized; the batch partial is the only stream-sized scan. */
+  def materializedAggStore(stream: DataFrame, keyCols: Seq[String],
+                           batchAggs: Seq[org.apache.spark.sql.Column],
+                           mergeAggs: Seq[org.apache.spark.sql.Column],
+                           store: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val partial = batch.toDF()
+          .groupBy(keyCols.map(col): _*).agg(batchAggs.head, batchAggs.tail: _*)
+        val prev = latestGeneration(spark, store, before = batchId)
+        val merged = prev match {
+          case Some(p) => p.unionByName(partial)
+            .groupBy(keyCols.map(col): _*).agg(mergeAggs.head, mergeAggs.tail: _*)
+          case None => partial
+        }
+        writeBatchIdempotent(merged, batchId, store)
+      }
+      .start()
+  }
+
+  /** The newest complete generation of a [[materializedAggStore]] store
+    * (strictly before `before`, for the replay path); None if absent. */
+  def latestGeneration(spark: SparkSession, store: String,
+                       before: Long = Long.MaxValue): Option[DataFrame] = {
+    val dir = new java.io.File(store)
+    if (!dir.isDirectory) return None
+    val gens = dir.listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).filter(_ < before)
+    if (gens.isEmpty) None
+    else Some(spark.read.parquet(s"$store/batch_id=${gens.max}"))
+  }
+
   /** Windowed counts as a memory-sink streaming query (test/demo
     * harness): returns the query so callers can processAllAvailable()
     * then read table `name`. */

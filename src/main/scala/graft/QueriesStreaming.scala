@@ -504,17 +504,9 @@ object QueriesStreaming {
       .select(explode(regexp_extract_all(lower($"text"),
         lit("[a-z]+"), lit(0))).as("w"))
       .select(substring($"w", 1, 1).as("key"))
-    // stage a 4-file copy and trigger per file, so the gate exercises
-    // the MULTI-batch driver fold, not a degenerate single summary
-    // (the shipped table is one parquet file = one micro-batch)
-    val watch = sys.props("java.io.tmpdir") +
-      "/graft_q143_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val (base, staged) = stagedMultiBatchStream(s, file, "q143", dir, identity)
     try {
-      s.read.parquet(file).repartition(4).write.parquet(watch)
-      val schema = s.read.parquet(watch).schema
-      val stream = initials(s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch))
+      val stream = initials(staged)
       val acc = new java.util.concurrent.atomic.AtomicReference[
         (Seq[graft.functions.MisraGriesAgg.Entry], Long)]((Seq.empty, 0L))
       val query = stream.writeStream
@@ -541,7 +533,30 @@ object QueriesStreaming {
         .withColumnRenamed("key", "ch")
         .orderBy($"ch")
         .localCheckpoint() // materialize before the scratch dir is deleted
-    } finally rmTree(new java.io.File(watch))
+    } finally rmTree(new java.io.File(base))
+  }
+
+  /** Shared multi-batch staging harness of q143/q166/q172/q173: copy
+    * the (projected) source table as a 4-FILE corpus under a
+    * run-unique base dir and open it with one file per micro-batch
+    * (`maxFilesPerTrigger=1`), so gates exercise the real cross-batch
+    * fold rather than a degenerate single batch (the shipped fixture
+    * is one parquet file = one micro-batch). Returns (base, stream);
+    * callers own `base/store`, `base/ckpt`, and the final
+    * `rmTree(base)`. */
+  private def stagedMultiBatchStream(s: SparkSession, srcFile: String,
+                                     tag: String, dir: String,
+                                     project: DataFrame => DataFrame)
+      : (String, DataFrame) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val watch = base + "/watch"
+    project(s.read.parquet(srcFile)).repartition(4).write.parquet(watch)
+    val schema = s.read.parquet(watch).schema
+    (base, s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watch))
   }
 
   /** Recursive scratch-dir delete (null-safe listFiles). */
@@ -594,18 +609,11 @@ object QueriesStreaming {
     import s.implicits._
     import graft.functions.TDigest
     val file = s"$dir/documents.parquet"
-    val base = sys.props("java.io.tmpdir") +
-      "/graft_q166_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + java.util.UUID.randomUUID().toString.take(8)
-    val watch = base + "/watch"
+    val (base, stream) = stagedMultiBatchStream(s, file, "q166", dir,
+      _.select($"source", $"n_chars".cast("double").as("x")))
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      s.read.parquet(file).repartition(4).write.parquet(watch)
-      val schema = s.read.parquet(watch).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch)
-        .select($"source", $"n_chars".cast("double").as("x"))
       val query = stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {
@@ -638,19 +646,11 @@ object QueriesStreaming {
   val q172StreamBitmap: Q = (s, dir) => {
     import s.implicits._
     val file = s"$dir/events.parquet"
-    val base = sys.props("java.io.tmpdir") +
-      "/graft_q172_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + java.util.UUID.randomUUID().toString.take(8)
-    val watch = base + "/watch"
+    val (base, stream) = stagedMultiBatchStream(s, file, "q172", dir,
+      _.select($"event_type", $"user_id"))
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(file).select($"event_type", $"user_id")
-        .repartition(4).write.parquet(watch)
-      val schema = s.read.parquet(watch).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch)
       val query = stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {
@@ -686,19 +686,11 @@ object QueriesStreaming {
   val q173MaterializedView: Q = (s, dir) => {
     import s.implicits._
     val file = s"$dir/events.parquet"
-    val base = sys.props("java.io.tmpdir") +
-      "/graft_q173_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + java.util.UUID.randomUUID().toString.take(8)
-    val watch = base + "/watch"
+    val (base, stream) = stagedMultiBatchStream(s, file, "q173", dir,
+      _.select($"user_id", $"value"))
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(file).select($"user_id", $"value")
-        .repartition(4).write.parquet(watch)
-      val schema = s.read.parquet(watch).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch)
       val query = EventStreams.materializedAggStore(stream,
         keyCols = Seq("user_id"),
         batchAggs = Seq(count(lit(1)).as("n"), sum($"value").as("v")),

@@ -52,19 +52,26 @@ object Cusum {
       .rowsBetween(Window.unboundedPreceding, 0)
     val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = b.groupBy(col(keyCol), col("__b"))
-      .agg(sum(col(centsCol)).cast(dec).as("__bsum"),
+    // cast BEFORE summing: a long-typed sum would wrap (or throw under
+    // ANSI) once a key's Σcents passes 2^63 — exactly the regime the
+    // decimal lane exists for. The (keys×buckets) bucket aggregate is
+    // materialized once (localCheckpoint: it is dimension-sized) and
+    // feeds BOTH the carry window and the per-key totals, so the fact
+    // table is scanned once for it, not twice.
+    val bucketAgg = b.groupBy(col(keyCol), col("__b"))
+      .agg(sum(col(centsCol).cast(dec)).as("__bsum"),
         count(lit(1)).cast(dec).as("__bn"))
+      .localCheckpoint()
+    val carries = bucketAgg
       .withColumn("__csum",
         coalesce(sum(col("__bsum")).over(wCarry), lit(0).cast(dec)))
       .withColumn("__cn",
         coalesce(sum(col("__bn")).over(wCarry), lit(0).cast(dec)))
       .select(col(keyCol), col("__b"), col("__csum"), col("__cn"))
-    val totals = df.groupBy(col(keyCol))
-      .agg(sum(col(centsCol)).cast(dec).as("__total"),
-        count(lit(1)).cast(dec).as("__n"))
+    val totals = bucketAgg.groupBy(col(keyCol))
+      .agg(sum(col("__bsum")).as("__total"), sum(col("__bn")).as("__n"))
     val s = b
-      .withColumn("__lrun", sum(col(centsCol)).over(wLoc).cast(dec))
+      .withColumn("__lrun", sum(col(centsCol).cast(dec)).over(wLoc))
       .withColumn("__lrn", count(lit(1)).over(wLoc).cast(dec))
       .join(broadcast(carries), Seq(keyCol, "__b"))
       .join(broadcast(totals), Seq(keyCol))

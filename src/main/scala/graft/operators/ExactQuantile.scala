@@ -30,8 +30,12 @@ object ExactQuantile {
     require(buckets >= 2, s"buckets must be ≥ 2, got $buckets")
     import spark.implicits._
 
+    // nulls are excluded from ranks (standard quantile semantics) —
+    // counting them in n while bracketing skipped them would send the
+    // driver loop hunting for mass that never lands in any bucket
     val base = df.select(col(keyCol).cast("string").as("k"),
       col(valCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
     // pass 0: per-key extent and target rank
     var state: Map[String, (Long, Long, Long, Long)] = // k -> (lo, hi, kth, n)
       base.groupBy($"k")

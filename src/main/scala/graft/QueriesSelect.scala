@@ -410,6 +410,38 @@ object QueriesSelect {
       |       round(max(abs(rz)), 4) AS max_rz
       |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  /** Window-top-k auto-rewrite ([[graft.plans.WindowTopKRewrite]]): the
+    * query is written in the NAIVE textbook spelling — `row_number()
+    * OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)` filtered
+    * to ≤ 5 with the rank dropped — and the optimizer rule rewrites it
+    * to the bounded-heap [[graft.plans.TopKPerKey]] plan (map-side
+    * trim, O(keys·k) exchange, no sort). The oracle replays the same
+    * naive spelling in SQL, so the gate proves the rewrite is
+    * SEMANTICS-PRESERVING on real data; `PlanShapeSpec` separately
+    * pins that the rewritten plan actually contains the heap operator
+    * and no Window node. */
+  val q174WindowTopkRewrite: Q = (s, dir) => {
+    import s.implicits._
+    graft.plans.TopKPerKey.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id", $"n_chars")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 5)
+      .drop("rn") // pruned rank — the rewrite precondition
+      .orderBy($"lang", $"n_chars".desc, $"doc_id")
+  }
+  val q174Sql: String =
+    """WITH r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+      |ORDER BY lang, n_chars DESC, doc_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
@@ -426,5 +458,6 @@ object QueriesSelect {
     ("q71_moving_avg", q71MovingAvg, Some(q71Sql)),
     ("q152_bottomk_sample", q152BottomkSample, Some(q152Sql)),
     ("q155_mad_outliers", q155MadOutliers, Some(q155Sql)),
+    ("q174_window_topk_rewrite", q174WindowTopkRewrite, Some(q174Sql)),
   )
 }

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // + two-phase physical planning
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => CombineTopK)
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
     // rewrite rules over built-in expressions
     ext.injectOptimizerRule(_ => BoundLevenshtein)
     ext.injectOptimizerRule(_ => RepairTsPushdown)

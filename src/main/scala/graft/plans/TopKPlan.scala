@@ -74,6 +74,73 @@ object TopKPerKey {
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
     if (!exp.extraOptimizations.contains(CombineTopK))
       exp.extraOptimizations = exp.extraOptimizations :+ CombineTopK
+    if (!exp.extraOptimizations.contains(WindowTopKRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ WindowTopKRewrite
+  }
+}
+
+/** Optimizer rule: the NAIVE window spelling of per-key top-k —
+  * `row_number() OVER (PARTITION BY … ORDER BY …)` filtered to `≤ k`
+  * with the rank column then pruned away — rewrites to [[TopKPerKey]],
+  * so a user who writes the textbook form gets the bounded-heap plan
+  * (map-side trim, O(keys·k) exchange, no sort) instead of
+  * shuffle-everything-sort-filter. Preconditions, all checked:
+  * exactly one window expression and it is `row_number` over the
+  * standard running row frame; the filter compares that rank to an
+  * integer literal (≤ / < and their flipped forms); and the project
+  * above DROPS the rank, so the operator's child-only output is
+  * sufficient. Keep-the-rank queries are left alone — they need the
+  * rank values the operator doesn't produce. Semantics under non-total
+  * orderings are unchanged: both forms pick an arbitrary
+  * representative among order-ties, deterministic forms stay
+  * deterministic. */
+object WindowTopKRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.types.IntegerType
+
+  private def rankOf(w: Window): Option[Alias] = w.windowExpressions match {
+    case Seq(a @ Alias(WindowExpression(_: RowNumber,
+        WindowSpecDefinition(_, order,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
+        if order.nonEmpty => Some(a)
+    case _ => None
+  }
+
+  /** `cond` as "rank ≤ k" with k an int literal, any comparison spelling. */
+  private def boundOf(cond: Expression, rank: Alias): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+        if a.exprId == rank.exprId => Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+        if a.exprId == rank.exprId => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
+        if a.exprId == rank.exprId => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)
+        if a.exprId == rank.exprId => Some(k - 1)
+    case _ => None
+  }
+
+  /** Spark's own rank-limit pushdown (`InferWindowGroupLimit`) may
+    * have already slid a sort-based WindowGroupLimit under the Window;
+    * the heap subsumes it, so strip it — otherwise the rewritten plan
+    * would trim twice (once by sorting every map partition, once by
+    * heap). */
+  private def stripNativeLimit(child: LogicalPlan): LogicalPlan = child match {
+    case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+      wgl.child
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList, Filter(cond, w: Window)) =>
+      (for {
+        rank <- rankOf(w)
+        k <- boundOf(cond, rank) if k > 0
+        // the project must drop the rank and need only child columns
+        if projList.forall(_.references.subsetOf(w.child.outputSet))
+      } yield Project(projList,
+        TopKPerKey(w.partitionSpec, w.orderSpec, k, stripNativeLimit(w.child)))
+      ).getOrElse(p)
   }
 }
 

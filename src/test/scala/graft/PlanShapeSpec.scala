@@ -206,6 +206,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  it("rewrites the naive row_number≤k window spelling to the bounded-heap TopK plan") {
+    withoutAqe {
+      graft.plans.TopKPerKey.register(spark)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+      val df = Tables.documents(spark, dir)
+        .select($"lang", $"doc_id", $"n_chars")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 5)
+        .drop("rn")
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("TopK")
+      (plan should not).include("Window")          // native window gone
+      (plan should not).include("WindowGroupLimit") // Spark's sort-based trim subsumed
+
+      // keep-the-rank spelling must be LEFT ALONE (operator can't emit ranks)
+      val kept = Tables.documents(spark, dir)
+        .select($"lang", $"doc_id", $"n_chars")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 5)
+      kept.queryExecution.executedPlan.toString should include("Window")
+    }
+  }
+
   it("pushes ts-range predicates through the events NTZ repair to the parquet scan") {
     withoutAqe {
       // RepairTsPushdown: cmp(repaired(ts), TIMESTAMP lit) must reach

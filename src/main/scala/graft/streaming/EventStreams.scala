@@ -382,19 +382,30 @@ object EventStreams {
           case None => partial
         }
         writeBatchIdempotent(merged, batchId, store)
+        // COMMIT MARKER, written after the data: a crash mid-write
+        // leaves a torn partition dir that readers must never select
+        // (the root _SUCCESS is rewritten per batch and does not name
+        // a generation). Replays recreate the marker harmlessly.
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+        new java.io.File(store, s".gen_${batchId}_committed")
+          .createNewFile(): Unit
       }
       .start()
   }
 
-  /** The newest complete generation of a [[materializedAggStore]] store
-    * (strictly before `before`, for the replay path); None if absent. */
+  /** The newest COMMITTED generation of a [[materializedAggStore]]
+    * store (strictly before `before`, for the replay path); None if
+    * absent. Only marker-committed generations are visible — a torn
+    * partition dir from a crash between data write and marker is
+    * skipped until its batch replays. */
   def latestGeneration(spark: SparkSession, store: String,
                        before: Long = Long.MaxValue): Option[DataFrame] = {
     val dir = new java.io.File(store)
     if (!dir.isDirectory) return None
-    val gens = dir.listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong).filter(_ < before)
+    val marker = "\\.gen_(\\d+)_committed".r
+    val gens = dir.listFiles().toSeq.map(_.getName).collect {
+      case marker(id) if id.toLong < before => id.toLong
+    }
     if (gens.isEmpty) None
     else Some(spark.read.parquet(s"$store/batch_id=${gens.max}"))
   }

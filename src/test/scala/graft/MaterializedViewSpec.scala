@@ -56,5 +56,15 @@ class MaterializedViewSpec extends SparkSpec {
     EventStreams.writeBatchIdempotent(merged, 1L, store)
     readGen(store, 1) shouldBe
       Set(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 7.0))
+
+    // a TORN generation (data dir present, crash before the commit
+    // marker) must be invisible to readers until its batch replays
+    Seq(("zz", 99L, 0.0)).toDF("k", "n", "v")
+      .write.parquet(s"$store/batch_id=7")
+    EventStreams.latestGeneration(spark, store).get
+      .agg(sum($"n")).as[Long].head() shouldBe 5L // still generation 1
+    new java.io.File(store, ".gen_7_committed").createNewFile()
+    EventStreams.latestGeneration(spark, store).get
+      .agg(sum($"n")).as[Long].head() shouldBe 99L // now visible
   }
 }

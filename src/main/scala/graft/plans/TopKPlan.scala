@@ -93,7 +93,9 @@ object TopKPerKey {
   * rank values the operator doesn't produce. Semantics under non-total
   * orderings are unchanged: both forms pick an arbitrary
   * representative among order-ties, deterministic forms stay
-  * deterministic. */
+  * deterministic. `rank()`/`dense_rank()` spellings are deliberately
+  * NOT rewritten: their ≤ k filters keep every boundary tie — a
+  * variable row count the fixed-k heap cannot reproduce. */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}

@@ -522,6 +522,66 @@ object QueriesScale {
     f.delete(): Unit
   }
 
+  // ---------------------------------------------------------------- q175
+  /** WEIGHTED t-digest quantiles
+    * ([[graft.functions.TDigest.digestAggWeighted]]): every document
+    * weighs its char count, so the median answers "the length below
+    * which half the CORPUS MASS sits" — the question a token-budgeted
+    * training pipeline actually asks — not "half the documents". The
+    * exact column is the integer-arithmetic weighted median (running
+    * char-mass, `2·cum ≥ tot` — no float boundary cross-engine), and
+    * the flag checks the digest estimate's mass-rank within
+    * max(5% of mass, 2 max-doc-weights) — the element-floor lesson of
+    * q153 restated in mass units (one document's mass is the snap
+    * quantum). Global `*` row via digest merge, q153-style. */
+  val q175WeightedDigest: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TDigest
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars".cast("double").as("x"),
+        $"n_chars".cast("long").as("w"))
+    val expanded = docs.unionByName(docs.withColumn("source", lit("*")))
+    val perSrc = docs.groupBy($"source")
+      .agg(TDigest.digestAggWeighted($"x", $"x").as("digest"))
+    val global = perSrc.agg(TDigest.digestMergeAgg($"digest").as("digest"))
+      .select(lit("*").as("source"), $"digest")
+    val ests = perSrc.unionByName(global)
+      .as[(String, TDigest.Digest)].collect().toSeq
+      .map { case (src, d) => (src, TDigest.quantile(d, 0.5)) }
+    val estDf = broadcast(ests.toDF("source", "e50"))
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"x", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exact = expanded
+      .withColumn("cum", sum($"w").over(wWin))
+      .withColumn("tot", sum($"w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .where(lit(2) * $"cum" >= $"tot")
+      .groupBy($"source")
+      .agg(first($"tot").as("total_w"), min($"x").cast("long").as("wmed_exact"))
+    val flags = expanded.join(estDf, Seq("source"))
+      .groupBy($"source")
+      .agg((abs(lit(2) * sum(when($"x" <= $"e50", $"w").otherwise(0L)) -
+        sum($"w")) <= greatest(sum($"w") * 0.1, max($"w") * 4)).as("ok_p50"))
+    exact.join(flags, Seq("source"))
+      .select($"source", $"total_w", $"wmed_exact", $"ok_p50")
+      .orderBy($"source")
+  }
+  val q175Sql: String =
+    """WITH u AS (
+      |  SELECT source, doc_id, n_chars AS x, n_chars AS w FROM documents
+      |  UNION ALL
+      |  SELECT '*' AS source, doc_id, n_chars AS x, n_chars AS w FROM documents),
+      |c AS (
+      |  SELECT source, x, w,
+      |         sum(w) OVER (PARTITION BY source ORDER BY x, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(w) OVER (PARTITION BY source) AS tot
+      |  FROM u)
+      |SELECT source, CAST(any_value(tot) AS BIGINT) AS total_w,
+      |       CAST(min(x) AS BIGINT) AS wmed_exact, true AS ok_p50
+      |FROM c WHERE 2 * cum >= tot GROUP BY source ORDER BY source""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q44_salted_agg", q44SaltedAgg, Some(q44Sql)),
@@ -535,5 +595,6 @@ object QueriesScale {
     ("q153_tdigest", q153Tdigest, Some(q153Sql)),
     ("q159_hll_rollup", q159HllRollup, Some(q159Sql)),
     ("q165_bitmap_distinct", q165BitmapDistinct, Some(q165Sql)),
+    ("q175_weighted_digest", q175WeightedDigest, Some(q175Sql)),
   )
 }

@@ -119,6 +119,39 @@ object TDigest {
     override def outputEncoder: Encoder[Digest] = Encoders.product[Digest]
   }
 
+  /** WEIGHTED digest — each observation carries a mass (tokens per
+    * document, duration per session): the quantile surface then answers
+    * "the length such that half the TOKENS sit in shorter documents",
+    * not "half the documents are shorter". [[compress]] is already
+    * weight-general; this Aggregator just feeds (value, weight) pairs
+    * in. Zero/negative weights are dropped (compress filters them) —
+    * a weightless observation carries no rank mass by definition. */
+  class WeightedAgg(compression: Double)
+      extends Aggregator[(Double, Double), Digest, Digest] {
+    require(compression >= 20, s"compression too low: $compression")
+    override def zero: Digest = empty
+    override def reduce(b: Digest, xw: (Double, Double)): Digest = {
+      val appended = Digest(b.n + math.max(0.0, xw._2),
+        Cent(xw._1, xw._2) +: b.centroids)
+      if (appended.centroids.length > 8 * compression)
+        compress(appended.centroids, compression)
+      else appended
+    }
+    override def merge(x: Digest, y: Digest): Digest =
+      compress(x.centroids ++ y.centroids, compression)
+    override def finish(b: Digest): Digest =
+      compress(b.centroids, compression)
+    override def bufferEncoder: Encoder[Digest] = Encoders.product[Digest]
+    override def outputEncoder: Encoder[Digest] = Encoders.product[Digest]
+  }
+
+  /** Column form: weight-mass digest of (value, weight) columns. */
+  def digestAggWeighted(x: Column, w: Column,
+                        compression: Double = 200.0): Column =
+    udaf(new WeightedAgg(compression),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      .apply(x, w)
+
   /** Re-merge of FINISHED digests — the incremental/persisted path:
     * group previously-stored shard digests into coarser rollups
     * (per-day → global) without the raw data. */

@@ -76,6 +76,34 @@ class TDigestSpec extends SparkSpec {
     }
   }
 
+  describe("weighted digest") {
+    it("answers mass quantiles, not row quantiles") {
+      // values 1..100, weight = value: half the MASS sits above ~70.7
+      // (Σ1..k ≥ Σ1..100/2 ⇒ k ≈ 71), far from the row median 50
+      val cents = (1 to 100).map(i => TDigest.Cent(i.toDouble, i.toDouble))
+      val d = TDigest.compress(cents, 200.0)
+      val est = TDigest.quantile(d, 0.5)
+      est should be > 65.0
+      est should be < 76.0
+      // and the plain unweighted digest of the same values says ~50
+      val u = TDigest.compress((1 to 100).map(i => TDigest.Cent(i.toDouble, 1.0)), 200.0)
+      TDigest.quantile(u, 0.5) shouldBe 50.0 +- 2.0
+    }
+
+    it("digestAggWeighted matches driver-side weighted compress within bound") {
+      val df = (1 to 2000).map(i => (i.toDouble, (i % 13 + 1).toDouble))
+        .toDF("x", "w")
+      val viaAgg = df.agg(TDigest.digestAggWeighted($"x", $"w").as("d"))
+        .select($"d.*").as[TDigest.Digest].head()
+      val mass = (1 to 2000).map(i => (i % 13 + 1).toDouble).sum
+      viaAgg.n shouldBe mass +- 1e-9
+      val est = TDigest.quantile(viaAgg, 0.5)
+      // empirical mass rank of the estimate within 2%
+      val below = (1 to 2000).filter(_ <= est).map(i => (i % 13 + 1).toDouble).sum
+      math.abs(below / mass - 0.5) should be < 0.02
+    }
+  }
+
   describe("TDigest as Spark aggregation") {
     it("digestAgg → persist → digestMergeAgg round-trips within bound") {
       val xs = pseudo(8000, "spark")

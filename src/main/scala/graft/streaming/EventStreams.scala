@@ -410,6 +410,45 @@ object EventStreams {
     else Some(spark.read.parquet(s"$store/batch_id=${gens.max}"))
   }
 
+  /** Retention for a [[materializedAggStore]] store: drop all but the
+    * newest `keepLast` COMMITTED generations (markers + data dirs), and
+    * sweep torn data dirs older than the newest committed generation —
+    * those can only be crash debris (an in-flight write is always ≥ the
+    * checkpointed batch id, which is ≥ the newest committed). Never
+    * touches unmarked dirs at or above the newest committed id. */
+  def vacuumGenerations(store: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be ≥ 1, got $keepLast")
+    val dir = new java.io.File(store)
+    if (!dir.isDirectory) return
+    val marker = "\\.gen_(\\d+)_committed".r
+    val committed = dir.listFiles().toSeq.map(_.getName).collect {
+      case marker(id) => id.toLong
+    }.sorted
+    if (committed.isEmpty) return
+    val newest = committed.last
+    val keep = committed.takeRight(keepLast).toSet
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      }
+      f.delete(): Unit
+    }
+    committed.filterNot(keep).foreach { id =>
+      // marker FIRST: a crash mid-vacuum leaves an unmarked (invisible)
+      // dir for the debris sweep, never a marked dir with missing data
+      new java.io.File(dir, s".gen_${id}_committed").delete(): Unit
+      rm(new java.io.File(dir, s"batch_id=$id"))
+    }
+    val dataDir = "batch_id=(\\d+)".r
+    dir.listFiles().toSeq.foreach { f =>
+      f.getName match {
+        case dataDir(id) if id.toLong < newest && !keep.contains(id.toLong) =>
+          rm(f) // torn debris below the committed watermark
+        case _ =>
+      }
+    }
+  }
+
   /** Windowed counts as a memory-sink streaming query (test/demo
     * harness): returns the query so callers can processAllAvailable()
     * then read table `name`. */

@@ -66,5 +66,18 @@ class MaterializedViewSpec extends SparkSpec {
     new java.io.File(store, ".gen_7_committed").createNewFile()
     EventStreams.latestGeneration(spark, store).get
       .agg(sum($"n")).as[Long].head() shouldBe 99L // now visible
+
+    // retention: keep the newest committed generation only; the older
+    // committed ones AND sub-watermark torn debris are swept, and the
+    // survivor still reads
+    Seq(("torn", 1L, 0.0)).toDF("k", "n", "v")
+      .write.parquet(s"$store/batch_id=3") // unmarked crash debris
+    EventStreams.vacuumGenerations(store, keepLast = 1)
+    new java.io.File(store, "batch_id=0").exists() shouldBe false
+    new java.io.File(store, "batch_id=1").exists() shouldBe false
+    new java.io.File(store, "batch_id=3").exists() shouldBe false
+    EventStreams.latestGeneration(spark, store).get
+      .agg(sum($"n")).as[Long].head() shouldBe 99L
+    EventStreams.latestGeneration(spark, store, before = 7L) shouldBe None
   }
 }

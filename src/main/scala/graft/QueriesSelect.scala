@@ -442,6 +442,41 @@ object QueriesSelect {
       |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
       |ORDER BY lang, n_chars DESC, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** WITH-TIES top-k via the `rank()` auto-rewrite: documents ranked
+    * per language by a COARSE length bucket (n_chars div 100,
+    * descending — coarse on purpose, so boundary ties are real and
+    * plentiful), filtered to rank ≤ 3 with the rank column dropped.
+    * [[graft.plans.WindowTopKRewrite]] rewrites this spelling to the
+    * tie-aware bounded heap (`TopKPerKey(withTies = true)`): every row
+    * sharing the 3rd row's bucket survives, reproducing rank's
+    * variable row count without a window, a sort, or an unbounded
+    * shuffle. The output SET is deterministic even though the bucket
+    * ordering alone is non-total — rank ≤ 3 membership depends only on
+    * each row's bucket vs the per-language cutoff bucket. Oracle
+    * replays the naive rank() spelling. */
+  val q176RankTies: Q = (s, dir) => {
+    import s.implicits._
+    graft.plans.TopKPerKey.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"bucket".desc)
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id", expr("n_chars div 100").as("bucket"))
+      .withColumn("rk", rank().over(w))
+      .where($"rk" <= 3)
+      .drop("rk")
+      .orderBy($"lang", $"bucket".desc, $"doc_id")
+  }
+  val q176Sql: String =
+    """WITH b AS (
+      |  SELECT lang, doc_id, n_chars // 100 AS bucket FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, bucket,
+      |         rank() OVER (PARTITION BY lang ORDER BY bucket DESC) AS rk
+      |  FROM b)
+      |SELECT lang, doc_id, bucket FROM r WHERE rk <= 3
+      |ORDER BY lang, bucket DESC, doc_id""".stripMargin
+
   /** Registry: name → (spark program, oracle sql). */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q59_tfidf", q59Tfidf, Some(q59Sql)),
@@ -459,5 +494,6 @@ object QueriesSelect {
     ("q152_bottomk_sample", q152BottomkSample, Some(q152Sql)),
     ("q155_mad_outliers", q155MadOutliers, Some(q155Sql)),
     ("q174_window_topk_rewrite", q174WindowTopkRewrite, Some(q174Sql)),
+    ("q176_rank_ties", q176RankTies, Some(q176Sql)),
   )
 }

@@ -31,14 +31,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * window form instead; the operator is the fast path, not a universal
   * replacement.
   */
+/** `withTies = false` is `row_number() ≤ k`: exactly k rows. `withTies
+  * = true` is SQL's FETCH FIRST k WITH TIES / `rank() ≤ k`: every row
+  * whose order-tuple equals the k-th row's tuple also survives —
+  * variable row count, but still bounded map-side state of k rows plus
+  * the boundary tie group (an all-equal-keys input degenerates exactly
+  * as rank() itself does). */
 case class TopKPerKey(
     grouping: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
+    withTies: Boolean,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
-  override def maxRows: Option[Long] = child.maxRows
+  override def maxRows: Option[Long] = if (withTies) None else child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
@@ -50,7 +57,7 @@ object TopKPerKey {
     * the order total for deterministic results). Registers the planner
     * pieces on `df`'s session idempotently. */
   def of(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
-         k: Int): DataFrame = {
+         k: Int, withTies: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     register(spark)
     val plan = df.queryExecution.analyzed
@@ -61,7 +68,7 @@ object TopKPerKey {
       orderBy.map { case (n, desc) =>
         SortOrder(attr(n), if (desc) Descending else Ascending)
       },
-      k, plan)
+      k, withTies, plan)
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark, node)
   }
 
@@ -93,21 +100,32 @@ object TopKPerKey {
   * rank values the operator doesn't produce. Semantics under non-total
   * orderings are unchanged: both forms pick an arbitrary
   * representative among order-ties, deterministic forms stay
-  * deterministic. `rank()`/`dense_rank()` spellings are deliberately
-  * NOT rewritten: their ≤ k filters keep every boundary tie — a
-  * variable row count the fixed-k heap cannot reproduce. */
+  * deterministic. `rank() ≤ k` rewrites to the WITH-TIES heap (every
+  * boundary tie survives, matching rank's variable row count);
+  * `dense_rank()` stays unrewritten — its ≤ k bounds distinct VALUES,
+  * which neither heap form reproduces. */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
   import org.apache.spark.sql.types.IntegerType
 
-  private def rankOf(w: Window): Option[Alias] = w.windowExpressions match {
-    case Seq(a @ Alias(WindowExpression(_: RowNumber,
-        WindowSpecDefinition(_, order,
-          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
-        if order.nonEmpty => Some(a)
-    case _ => None
-  }
+  /** The single rank-like window expression, plus whether its ≤ k
+    * filter keeps boundary ties: `row_number` → exact k; `rank` → WITH
+    * TIES (its ≤ k filter retains every row tied with the k-th, which
+    * the tie-aware heap reproduces). `dense_rank` is NOT matched — its
+    * ≤ k keeps the top k distinct VALUES, a different bound. */
+  private def rankOf(w: Window): Option[(Alias, Boolean)] =
+    w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(f,
+          WindowSpecDefinition(_, order,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
+          if order.nonEmpty => f match {
+        case _: RowNumber => Some((a, false))
+        case _: Rank => Some((a, true))
+        case _ => None
+      }
+      case _ => None
+    }
 
   /** `cond` as "rank ≤ k" with k an int literal, any comparison spelling. */
   private def boundOf(cond: Expression, rank: Alias): Option[Int] = cond match {
@@ -136,12 +154,13 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projList, Filter(cond, w: Window)) =>
       (for {
-        rank <- rankOf(w)
+        (rank, ties) <- rankOf(w)
         k <- boundOf(cond, rank) if k > 0
         // the project must drop the rank and need only child columns
         if projList.forall(_.references.subsetOf(w.child.outputSet))
       } yield Project(projList,
-        TopKPerKey(w.partitionSpec, w.orderSpec, k, stripNativeLimit(w.child)))
+        TopKPerKey(w.partitionSpec, w.orderSpec, k, ties,
+          stripNativeLimit(w.child)))
       ).getOrElse(p)
   }
 }
@@ -151,10 +170,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   * gets one operator). */
 object CombineTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case TopKPerKey(g1, o1, k1, TopKPerKey(g2, o2, k2, child))
-        if g1.map(_.canonicalized) == g2.map(_.canonicalized) &&
+    case TopKPerKey(g1, o1, k1, t1, TopKPerKey(g2, o2, k2, t2, child))
+        if t1 == t2 &&
+          g1.map(_.canonicalized) == g2.map(_.canonicalized) &&
           o1.map(_.canonicalized) == o2.map(_.canonicalized) =>
-      TopKPerKey(g1, o1, math.min(k1, k2), child)
+      TopKPerKey(g1, o1, math.min(k1, k2), t1, child)
   }
 }
 
@@ -163,9 +183,9 @@ object CombineTopK extends Rule[LogicalPlan] {
   * required distribution) → final heap. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(g, o, k, child) =>
-      TopKExec(g, o, k, partial = false,
-        TopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKey(g, o, k, ties, child) =>
+      TopKExec(g, o, k, ties, partial = false,
+        TopKExec(g, o, k, ties, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -179,6 +199,7 @@ case class TopKExec(
     grouping: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
+    withTies: Boolean,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -207,8 +228,15 @@ case class TopKExec(
       // the child schema: rows compare "better" when ordered first
       val ord = GenerateOrdering.generate(sortOrders, childOutput)
       // max-heap on the sort order: peek() is the WORST kept row, so a
-      // candidate enters iff it beats the worst once the heap is full
+      // candidate enters iff it beats the worst once the heap is full.
+      // withTies adds a side buffer of rows EQUAL to the current heap
+      // max: such rows share the k-th rank (strictly-better count
+      // ≤ k−1) and must survive; the buffer clears whenever the heap
+      // max strictly improves, because the old boundary value then has
+      // ≥ k strictly-better rows and falls out of rank ≤ k.
+      val keepTies = withTies
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val tieBufs = new java.util.HashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
       while (iter.hasNext) {
         val row = toUnsafe(iter.next())
         val key = keyProj.apply(row)
@@ -216,21 +244,41 @@ case class TopKExec(
         if (heap == null) {
           heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, ord.reversed())
           heaps.put(key.copy(), heap)
+          if (keepTies) tieBufs.put(key.copy(), new java.util.ArrayList[UnsafeRow]())
         }
         if (heap.size < limit) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        else {
+          val cmp = ord.compare(row, heap.peek())
+          if (cmp < 0) {
+            val ejected = heap.poll()
+            heap.add(row.copy())
+            if (keepTies) {
+              val ties = tieBufs.get(key)
+              if (ord.compare(ejected, heap.peek()) == 0) {
+                // boundary value unchanged (duplicates remain in heap):
+                // the ejected copy still shares the k-th rank
+                ties.add(ejected)
+              } else {
+                // boundary strictly improved → old boundary's rank > k
+                ties.clear()
+              }
+            }
+          } else if (keepTies && cmp == 0) {
+            tieBufs.get(key).add(row.copy())
+          }
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
+      heaps.entrySet().iterator().asScala.flatMap { e =>
+        val heap = e.getValue
         // drain to sorted order (worst-first heap → reverse) so each
         // key's rows emit best-first; k is small by contract
         val buf = new Array[UnsafeRow](heap.size)
         var i = heap.size - 1
         while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
-        buf.iterator
+        val ties =
+          if (keepTies) tieBufs.get(e.getKey).iterator().asScala else Iterator.empty
+        buf.iterator ++ ties
       }
     }, preservesPartitioning = true)
   }

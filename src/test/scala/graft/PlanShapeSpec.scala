@@ -227,6 +227,16 @@ class PlanShapeSpec extends SparkSpec {
         .withColumn("rn", row_number().over(w))
         .where($"rn" <= 5)
       kept.queryExecution.executedPlan.toString should include("Window")
+
+      // rank() rewrites to the WITH-TIES heap; dense_rank() stays a window
+      def spelled(f: org.apache.spark.sql.Column) = Tables.documents(spark, dir)
+        .select($"lang", $"doc_id", $"n_chars")
+        .withColumn("rk", f.over(w)).where($"rk" <= 5).drop("rk")
+      val ranked = spelled(rank()).queryExecution.executedPlan
+      ranked.collect { case t: graft.plans.TopKExec => t }
+        .map(_.withTies).toSet shouldBe Set(true)
+      spelled(dense_rank()).queryExecution.executedPlan.toString should
+        include("Window")
     }
   }
 

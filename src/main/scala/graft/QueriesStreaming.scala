@@ -709,6 +709,53 @@ object QueriesStreaming {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS value_sum
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+  /** Streaming EXACT order statistics: for a bounded integer domain
+    * (cent-scaled values), the mergeable exact-quantile state is simply
+    * the per-(key, value) FREQUENCY TABLE — counts add across batches,
+    * so the [[EventStreams.materializedAggStore]] generational store
+    * maintains it incrementally, and any quantile reads off a
+    * cumulative walk of the (keys × distinct-values)-sized final state.
+    * This is the streaming complement of q170's batch bracketing
+    * selection: same exact answer, same oracle (q170's literal
+    * row_number replay), but the heavy input is only ever scanned
+    * batch-by-batch as it arrives. Domain boundedness is the real
+    * contract — unbounded-domain streams take the t-digest lane (q166)
+    * instead. */
+  val q177StreamExactMedian: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/events.parquet"
+    val (base, stream) = stagedMultiBatchStream(s, file, "q177", dir,
+      _.select($"event_type",
+        round($"value" * 100).cast("long").as("cents")))
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    try {
+      val query = EventStreams.materializedAggStore(stream,
+        keyCols = Seq("event_type", "cents"),
+        batchAggs = Seq(count(lit(1)).as("cnt")),
+        mergeAggs = Seq(sum($"cnt").as("cnt")),
+        store = store, checkpoint = ckpt)
+      try query.processAllAvailable() finally query.stop()
+      val freq = EventStreams.latestGeneration(s, store)
+        .getOrElse(sys.error("q177: empty store"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      freq
+        .withColumn("cum", sum($"cnt").over(w))
+        .withColumn("n", sum($"cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+        .withColumn("kth", ceil($"n" * 0.5).cast("long"))
+        .where($"cum" >= $"kth")
+        .groupBy($"event_type")
+        .agg(first($"n").as("n"), first($"kth").as("kth"),
+          min($"cents").as("value"))
+        .orderBy($"event_type")
+        .localCheckpoint() // type-cardinality-sized; pre-cleanup
+    } finally rmTree(new java.io.File(base))
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
@@ -728,5 +775,9 @@ object QueriesStreaming {
     // incrementally-built bitmaps must count exactly like q165's
     ("q172_stream_bitmap", q172StreamBitmap, Some(QueriesScale.q165Sql)),
     ("q173_materialized_view", q173MaterializedView, Some(q173Sql)),
+    // stream-maintained frequency state must select the SAME exact
+    // median as q170's batch bracketing: one oracle, two engines
+    ("q177_stream_exact_median", q177StreamExactMedian,
+      Some(QueriesAnalytic.q170Sql)),
   )
 }

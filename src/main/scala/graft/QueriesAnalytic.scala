@@ -1160,6 +1160,57 @@ object QueriesAnalytic {
       |SELECT event_type, n, m.c AS mode_count, -m.nv AS mode_value
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** CUSUM drift alarms ([[graft.operators.Cusum.upwardAlarms]]): the
+    * decision layer over q163/q169's statistic — upward drift as
+    * "distance above the running minimum" (the identity that converts
+    * the textbook non-associative `max(0, S⁺+x−μ)` recursion into two
+    * window functions), alarmed against an exact cross-multiplied
+    * integer threshold (2‰ of n·|total| in the same scaled units; no σ
+    * estimate, no division, no float anywhere). Gate: per type the
+    * exceedance count and earliest alarm instant; oracle replays the
+    * identity with the same integer arithmetic. Scale: the naive
+    * per-type windows here sequentialize like q163 — the q169
+    * two-level decomposition applies verbatim to BOTH the running sum
+    * and the running min when it matters. */
+  val q178CusumAlarms: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", unix_micros($"ts").as("tus"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+    Cusum.upwardAlarms(e, "event_type", "tus", "event_id", "cents",
+      hPermille = 2)
+      .orderBy($"event_type")
+  }
+  val q178Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |t AS (SELECT event_type, CAST(sum(cents) AS HUGEINT) AS total,
+      |        CAST(count(*) AS HUGEINT) AS n FROM e GROUP BY 1),
+      |c AS (
+      |  SELECT e.event_type, tus, event_id, t.n, t.total,
+      |         t.n * CAST(sum(cents) OVER w AS HUGEINT)
+      |           - CAST(row_number() OVER w2 AS HUGEINT) * t.total AS r
+      |  FROM e JOIN t USING (event_type)
+      |  WINDOW w AS (PARTITION BY e.event_type ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w2 AS (PARTITION BY e.event_type ORDER BY tus, event_id)),
+      |sp AS (
+      |  SELECT event_type, tus, n, total,
+      |         r - least(min(r) OVER (PARTITION BY event_type
+      |           ORDER BY tus, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |           CAST(0 AS HUGEINT)) AS splus
+      |  FROM c)
+      |SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN 1000 * splus > n * abs(total) * 2
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+      |       min(CASE WHEN 1000 * splus > n * abs(total) * 2
+      |         THEN tus END) AS first_alarm_tus
+      |FROM sp GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -1197,5 +1248,6 @@ object QueriesAnalytic {
     ("q169_cusum_scalable", q169CusumScalable, Some(q169Sql)),
     ("q170_exact_median", q170ExactMedian, Some(q170Sql)),
     ("q171_mode", q171Mode, Some(q171Sql)),
+    ("q178_cusum_alarms", q178CusumAlarms, Some(q178Sql)),
   )
 }

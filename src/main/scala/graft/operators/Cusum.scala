@@ -38,6 +38,47 @@ import org.apache.spark.sql.functions._
   */
 object Cusum {
 
+  /** One-sided CUSUM drift ALARMS — the decision layer over the
+    * statistic: upward drift is `S⁺_i = R_i − min_{j≤i} R_j` where
+    * `R_i = n·cumsum(cents) − i·total` (the n-scaled mean-centred
+    * prefix), because the textbook recursive `max(0, S⁺+x−μ)` form is
+    * exactly "distance above the running minimum" — an identity that
+    * turns the non-associative recursion into two window functions
+    * (running sum + running min), both decomposable by the
+    * [[peakByKey]] two-level trick when key cardinality is low. Alarm
+    * when S⁺ exceeds `h` = `hPermille`·n·|total|/1000 — an exact
+    * integer threshold in the same scaled units, no σ estimate and no
+    * float surface. Emits per key: n, alarm count (no reset — the pure
+    * exceedance count), and the earliest alarm time (null when the
+    * series never drifts). */
+  def upwardAlarms(df: DataFrame, keyCol: String, tusCol: String,
+                   tieCol: String, centsCol: String,
+                   hPermille: Int): DataFrame = {
+    require(hPermille > 0, s"hPermille must be positive, got $hPermille")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tusCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = df.groupBy(col(keyCol))
+      .agg(sum(col(centsCol).cast(dec)).as("__total"),
+        count(lit(1)).cast(dec).as("__n"))
+    val scored = df.join(broadcast(totals), Seq(keyCol))
+      .withColumn("__r",
+        col("__n") * sum(col(centsCol).cast(dec)).over(w) -
+          count(lit(1)).over(w).cast(dec) * col("__total"))
+      // the recursion starts at S⁺₀ = 0, i.e. the running min includes
+      // the EMPTY prefix R₀ = 0 — hence least(·, 0)
+      .withColumn("__rmin", least(min(col("__r")).over(w), lit(0).cast(dec)))
+      .withColumn("__splus", col("__r") - col("__rmin"))
+      // compare 1000·S⁺ > n·|total|·hPermille — cross-multiplied so the
+      // threshold stays an exact integer product, never a division
+      .withColumn("__alarm",
+        lit(1000) * col("__splus") > col("__n") * abs(col("__total")) * hPermille)
+    scored.groupBy(col(keyCol))
+      .agg(first(col("__n").cast("long")).as("n"),
+        sum(when(col("__alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__alarm"), col(tusCol))).as("first_alarm_tus"))
+  }
+
   /** Peak |S| per key: (key, n, peak_dev: decimal(38,0) = n-scaled
     * |S| at the peak, peak_tus = earliest time achieving it).
     * `centsCol` must be an exact integer (fixed-point) value column;

@@ -38,6 +38,41 @@ class CusumSpec extends SparkSpec {
       rowsOf(naive(df))
   }
 
+  describe("Cusum.upwardAlarms") {
+    it("matches the textbook recursion max(0, S+x−μ) via the running-min identity") {
+      // deterministic series with a genuine upward level shift
+      val rows = (0L until 300L).map { i =>
+        val v = if (i < 200) (i % 9) - 4 else (i % 9) + 6
+        ("k", i, i, v * 10)
+      }
+      val df = rows.toDF("k", "tus", "tie", "cents")
+      val got = Cusum.upwardAlarms(df, "k", "tus", "tie", "cents", hPermille = 2)
+        .collect().head
+      // direct recursion in exact BigInt arithmetic
+      val cents = rows.map(_._4.toLong)
+      val n = BigInt(cents.size); val total = BigInt(cents.sum)
+      val h = n * total.abs * 2
+      var s = BigInt(0); var alarms = 0L; var first: Option[Long] = None
+      cents.zipWithIndex.foreach { case (c, i) =>
+        s = (s + n * c - total).max(0)
+        if (1000 * s > h) { alarms += 1; if (first.isEmpty) first = Some(i.toLong) }
+      }
+      got.getLong(2) shouldBe alarms
+      alarms should be > 0L // the fixture must actually drift
+      got.getLong(3) shouldBe first.get
+    }
+
+    it("a drift-free series raises no alarms and a null first instant") {
+      // positive mean (|total| > 0) so the threshold is non-degenerate
+      val df = (0L until 100L).map(i => ("k", i, i, (i % 5) + 1))
+        .toDF("k", "tus", "tie", "cents")
+      val r = Cusum.upwardAlarms(df, "k", "tus", "tie", "cents", hPermille = 500)
+        .collect().head
+      r.getLong(2) shouldBe 0L
+      r.isNullAt(3) shouldBe true
+    }
+  }
+
   describe("Cusum.peakByKey") {
     it("matches the naive form across bucket seams and sign swings") {
       val rows = (0L until 200L).map { i =>

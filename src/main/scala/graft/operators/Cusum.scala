@@ -50,7 +50,10 @@ object Cusum {
     * integer threshold in the same scaled units, no σ estimate and no
     * float surface. Emits per key: n, alarm count (no reset — the pure
     * exceedance count), and the earliest alarm time (null when the
-    * series never drifts). */
+    * series never drifts). Degenerate edge: a series summing to
+    * exactly zero has h = 0, so every positive S⁺ alarms — a zero-mean
+    * signal needs an absolute threshold, not a mean-relative one; pick
+    * the reference level upstream. */
   def upwardAlarms(df: DataFrame, keyCol: String, tusCol: String,
                    tieCol: String, centsCol: String,
                    hPermille: Int): DataFrame = {

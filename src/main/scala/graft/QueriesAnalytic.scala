@@ -1211,6 +1211,26 @@ object QueriesAnalytic {
       |         THEN tus END) AS first_alarm_tus
       |FROM sp GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** Scalable CUSUM alarms
+    * ([[graft.operators.Cusum.upwardAlarmsScalable]]): q178's two
+    * stacked per-type windows decomposed over (type, hour) — carry-in
+    * prefixes for the running sum AND a bucket-min rollup for the
+    * running minimum, one fact exchange, keys×buckets parallelism
+    * (q178 measured 26.5 s at the ×100 probe on its 5 sequential
+    * tasks). Exact integers make the decomposition bit-identical, so
+    * the gate replays q178's oracle unchanged: one relational truth,
+    * naive and decomposed engines. */
+  val q179CusumAlarmsScalable: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", unix_micros($"ts").as("tus"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+    Cusum.upwardAlarmsScalable(e, "event_type", "tus", "event_id", "cents",
+      hPermille = 2, bucketUs = 3600L * 1000000L)
+      .orderBy($"event_type")
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -1249,5 +1269,7 @@ object QueriesAnalytic {
     ("q170_exact_median", q170ExactMedian, Some(q170Sql)),
     ("q171_mode", q171Mode, Some(q171Sql)),
     ("q178_cusum_alarms", q178CusumAlarms, Some(q178Sql)),
+    // two-level decomposition must alarm identically: same oracle
+    ("q179_cusum_alarms_scalable", q179CusumAlarmsScalable, Some(q178Sql)),
   )
 }

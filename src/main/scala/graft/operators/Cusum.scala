@@ -82,6 +82,69 @@ object Cusum {
         min(when(col("__alarm"), col(tusCol))).as("first_alarm_tus"))
   }
 
+  /** [[upwardAlarms]] decomposed two-level, the [[peakByKey]] recipe
+    * applied to BOTH running statistics: R decomposes as carry + local
+    * prefix; the running min of R at row i is
+    * `least(min over PREVIOUS buckets of that bucket's min R,
+    * current bucket's local running min of R, 0)` — bucket-level mins
+    * aggregate without an extra exchange (the rows are already
+    * (key, bucket)-clustered for the local windows), roll through one
+    * dimension-sized window, and broadcast back. One fact exchange
+    * total; parallelism keys×buckets. Alarm semantics and output are
+    * IDENTICAL to [[upwardAlarms]] (exact integers — q179 gates both
+    * against one oracle). */
+  def upwardAlarmsScalable(df: DataFrame, keyCol: String, tusCol: String,
+                           tieCol: String, centsCol: String,
+                           hPermille: Int, bucketUs: Long): DataFrame = {
+    require(hPermille > 0, s"hPermille must be positive, got $hPermille")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val dec = "decimal(38,0)"
+    val b = df.withColumn("__b", expr(s"$tusCol div $bucketUs"))
+    val wLoc = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col(tusCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketAgg = b.groupBy(col(keyCol), col("__b"))
+      .agg(sum(col(centsCol).cast(dec)).as("__bsum"),
+        count(lit(1)).cast(dec).as("__bn"))
+      .localCheckpoint()
+    val carries = bucketAgg
+      .withColumn("__csum",
+        coalesce(sum(col("__bsum")).over(wCarry), lit(0).cast(dec)))
+      .withColumn("__cn",
+        coalesce(sum(col("__bn")).over(wCarry), lit(0).cast(dec)))
+      .select(col(keyCol), col("__b"), col("__csum"), col("__cn"))
+    val totals = bucketAgg.groupBy(col(keyCol))
+      .agg(sum(col("__bsum")).as("__total"), sum(col("__bn")).as("__n"))
+    val withR = b
+      .withColumn("__lrun", sum(col(centsCol).cast(dec)).over(wLoc))
+      .withColumn("__lrn", count(lit(1)).over(wLoc).cast(dec))
+      .join(broadcast(carries), Seq(keyCol, "__b"))
+      .join(broadcast(totals), Seq(keyCol))
+      .withColumn("__r",
+        col("__n") * (col("__csum") + col("__lrun")) -
+          (col("__cn") + col("__lrn")) * col("__total"))
+      .withColumn("__lminr", min(col("__r")).over(wLoc))
+    // bucket-level R minima: aggregation over the ALREADY-clustered
+    // rows (no exchange), then one dimension-sized running window
+    val bmins = withR.groupBy(col(keyCol), col("__b"))
+      .agg(min(col("__r")).as("__bminr"))
+      .withColumn("__prevmin", min(col("__bminr")).over(wCarry))
+      .select(col(keyCol), col("__b"), col("__prevmin"))
+    withR.join(broadcast(bmins), Seq(keyCol, "__b"))
+      .withColumn("__rmin",
+        least(coalesce(col("__prevmin"), col("__r")), col("__lminr"),
+          lit(0).cast(dec)))
+      .withColumn("__alarm",
+        lit(1000) * (col("__r") - col("__rmin")) >
+          col("__n") * abs(col("__total")) * hPermille)
+      .groupBy(col(keyCol))
+      .agg(first(col("__n").cast("long")).as("n"),
+        sum(when(col("__alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__alarm"), col(tusCol))).as("first_alarm_tus"))
+  }
+
   /** Peak |S| per key: (key, n, peak_dev: decimal(38,0) = n-scaled
     * |S| at the peak, peak_tus = earliest time achieving it).
     * `centsCol` must be an exact integer (fixed-point) value column;

@@ -62,6 +62,18 @@ class CusumSpec extends SparkSpec {
       got.getLong(3) shouldBe first.get
     }
 
+    it("the two-level decomposition alarms bit-identically across bucket seams") {
+      val rows = (0L until 400L).map { i =>
+        val v = if (i < 250) (i % 11) - 5 else (i % 11) + 4
+        ("a", 997L * i, i, v * 10)
+      } ++ (0L until 60L).map(i => ("b", 37L * i, i, (i % 3) + 1))
+      val df = rows.toDF("k", "tus", "tie", "cents")
+      rowsOf(Cusum.upwardAlarmsScalable(df, "k", "tus", "tie", "cents",
+        hPermille = 2, bucketUs = 5000L)) shouldBe
+        rowsOf(Cusum.upwardAlarms(df, "k", "tus", "tie", "cents",
+          hPermille = 2))
+    }
+
     it("a drift-free series raises no alarms and a null first instant") {
       // positive mean (|total| > 0) so the threshold is non-degenerate
       val df = (0L until 100L).map(i => ("k", i, i, (i % 5) + 1))

@@ -1231,6 +1231,55 @@ object QueriesAnalytic {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- q180
+  /** As-of join WITH TOLERANCE ([[graft.operators.AsOfJoin.asOf]]'s
+    * third contract surface, previously spec-only): every click joined
+    * to the user's most recent prior purchase, but matches older than
+    * one hour NULL OUT — the "recent context only" enrichment
+    * (stale features are worse than none). Same-instant purchase ties
+    * resolve to the greatest value (the operator's tie-break), which
+    * the oracle replays as max(value) at the argmax instant.
+    * Timestamps ms-truncated first so the tolerance boundary is
+    * engine-exact (the q47 lesson). Gate aggregates per user: clicks,
+    * attributed clicks, attributed value sum. */
+  val q180AsofTolerance: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"value")
+    AsOfJoin.asOf(clicks, purchases, on = Seq("user_id"),
+      leftTime = "ts", rightTime = "pts", tieBreak = "value",
+      tolerance = Some("INTERVAL 1 HOUR"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        count($"right_value").as("n_attr"),
+        (round(sum($"right_value"), 2) + 0.0).as("attr_value"))
+      .orderBy($"user_id")
+  }
+  val q180Sql: String =
+    """WITH c AS (SELECT user_id, epoch_ms(ts) AS cms, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ms(ts) AS pms, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT c.user_id, c.cms, c.event_id, max(p.pms) AS best_pms
+      |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.pms <= c.cms
+      |  GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT m.user_id,
+      |         CASE WHEN m.best_pms IS NOT NULL
+      |                AND m.best_pms >= m.cms - 3600000
+      |              THEN (SELECT max(p2.value) FROM p p2
+      |                    WHERE p2.user_id = m.user_id
+      |                      AND p2.pms = m.best_pms) END AS pv
+      |  FROM m)
+      |SELECT user_id, count(*) AS n_clicks, count(pv) AS n_attr,
+      |       round(sum(pv), 2) + 0.0 AS attr_value
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -1271,5 +1320,6 @@ object QueriesAnalytic {
     ("q178_cusum_alarms", q178CusumAlarms, Some(q178Sql)),
     // two-level decomposition must alarm identically: same oracle
     ("q179_cusum_alarms_scalable", q179CusumAlarmsScalable, Some(q178Sql)),
+    ("q180_asof_tolerance", q180AsofTolerance, Some(q180Sql)),
   )
 }

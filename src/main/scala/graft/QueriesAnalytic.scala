@@ -815,19 +815,25 @@ object QueriesAnalytic {
     * milliseconds, and the longest island — all exact integer
     * arithmetic, so the hash has no float surface. The oracle replays
     * the same scan: preceding-rows running max → new-island flag →
-    * running-sum island id → per-island extent. */
+    * running-sum island id → per-island extent. The span is clamped to
+    * `≥ 0` (`greatest(0, round(value·1000))`) — a negative `value`
+    * would otherwise build an inverted interval, which [[Intervals
+    * .mergeIntervals]] now rejects with raise_error rather than
+    * corrupting the scan; a non-positive reading means a zero-length
+    * span here, not time travel. */
   val q156IntervalCoverage: Q = (s, dir) => {
     import s.implicits._
     val iv = Tables.events(s, dir)
       .select($"user_id", unix_millis($"ts").as("start"),
-        (unix_millis($"ts") + round($"value" * 1000).cast("long")).as("end"))
+        (unix_millis($"ts") +
+          greatest(lit(0L), round($"value" * 1000).cast("long"))).as("end"))
     Intervals.coverage(iv, "user_id", "start", "end")
       .orderBy($"user_id")
   }
   val q156Sql: String =
     """WITH iv AS (
       |  SELECT user_id, epoch_ms(ts) AS s,
-      |         epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e
+      |         epoch_ms(ts) + greatest(0, CAST(round(value * 1000) AS BIGINT)) AS e
       |  FROM events),
       |m AS (
       |  SELECT user_id, s, e,

@@ -33,6 +33,18 @@ object TDigest {
 
   val empty: Digest = Digest(0.0, Seq.empty)
 
+  /** Aggregation BUFFER for the point-feeding aggregators: a digest
+    * plus the current centroid-list length. `len` exists because the
+    * lazy-compress threshold check must be O(1) — the buffer list is a
+    * List in the hot path and `.length` would be an O(pending)
+    * traversal per input row (up to 8δ = 1600 cells at the default
+    * δ=200), exactly the overhead the O(1) prepend is there to avoid.
+    * Buffer-only: finish() still emits the plain [[Digest]], so
+    * persisted digest schemas are unchanged. */
+  case class Buf(n: Double, len: Int, centroids: Seq[Cent])
+  private val emptyBuf: Buf = Buf(0.0, 0, Seq.empty)
+  private def bufOf(d: Digest): Buf = Buf(d.n, d.centroids.length, d.centroids)
+
   /** Merge-compress a centroid soup to the δ bound with the k₁ scale
     * function `k(q) = δ/2π · asin(2q−1)`: sort by mean, walk left to
     * right, absorbing neighbours while the combined centroid spans at
@@ -98,24 +110,24 @@ object TDigest {
     * most ~δ/2 centroids per map partition into the exchange (the k₁
     * bound), never raw rows. */
   class Agg(compression: Double)
-      extends Aggregator[Double, Digest, Digest] {
+      extends Aggregator[Double, Buf, Digest] {
     require(compression >= 20, s"compression too low: $compression")
-    override def zero: Digest = empty
-    override def reduce(b: Digest, x: Double): Digest = {
+    override def zero: Buf = emptyBuf
+    override def reduce(b: Buf, x: Double): Buf = {
       // PREPEND: centroids is a List in the hot path (zero = Seq.empty,
       // buffers stay deserialized within a partition), so +: is O(1)
       // where :+ would copy the whole buffer per row; compress sorts,
-      // so order is irrelevant
-      val appended = Digest(b.n + 1, Cent(x, 1.0) +: b.centroids)
-      if (appended.centroids.length > 8 * compression)
-        compress(appended.centroids, compression)
-      else appended
+      // so order is irrelevant. The b.len counter keeps the threshold
+      // check O(1) per row (no list traversal).
+      val cents = Cent(x, 1.0) +: b.centroids
+      if (b.len + 1 > 8 * compression) bufOf(compress(cents, compression))
+      else Buf(b.n + 1, b.len + 1, cents)
     }
-    override def merge(x: Digest, y: Digest): Digest =
-      compress(x.centroids ++ y.centroids, compression)
-    override def finish(b: Digest): Digest =
+    override def merge(x: Buf, y: Buf): Buf =
+      bufOf(compress(x.centroids ++ y.centroids, compression))
+    override def finish(b: Buf): Digest =
       compress(b.centroids, compression)
-    override def bufferEncoder: Encoder[Digest] = Encoders.product[Digest]
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Digest] = Encoders.product[Digest]
   }
 
@@ -127,21 +139,19 @@ object TDigest {
     * in. Zero/negative weights are dropped (compress filters them) —
     * a weightless observation carries no rank mass by definition. */
   class WeightedAgg(compression: Double)
-      extends Aggregator[(Double, Double), Digest, Digest] {
+      extends Aggregator[(Double, Double), Buf, Digest] {
     require(compression >= 20, s"compression too low: $compression")
-    override def zero: Digest = empty
-    override def reduce(b: Digest, xw: (Double, Double)): Digest = {
-      val appended = Digest(b.n + math.max(0.0, xw._2),
-        Cent(xw._1, xw._2) +: b.centroids)
-      if (appended.centroids.length > 8 * compression)
-        compress(appended.centroids, compression)
-      else appended
+    override def zero: Buf = emptyBuf
+    override def reduce(b: Buf, xw: (Double, Double)): Buf = {
+      val cents = Cent(xw._1, xw._2) +: b.centroids
+      if (b.len + 1 > 8 * compression) bufOf(compress(cents, compression))
+      else Buf(b.n + math.max(0.0, xw._2), b.len + 1, cents)
     }
-    override def merge(x: Digest, y: Digest): Digest =
-      compress(x.centroids ++ y.centroids, compression)
-    override def finish(b: Digest): Digest =
+    override def merge(x: Buf, y: Buf): Buf =
+      bufOf(compress(x.centroids ++ y.centroids, compression))
+    override def finish(b: Buf): Digest =
       compress(b.centroids, compression)
-    override def bufferEncoder: Encoder[Digest] = Encoders.product[Digest]
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Digest] = Encoders.product[Digest]
   }
 

@@ -24,12 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
-  /** Merge to islands: (key, island, start, end, n_merged). */
+  /** Merge to islands: (key, island, start, end, n_merged).
+    *
+    * Precondition, ENFORCED: `start ≤ end` per row. A negative-length
+    * interval silently corrupts the running-max scan (islands split on
+    * garbage boundaries, coverage can go negative), so rather than
+    * documenting a silent precondition the end column is routed
+    * through a `when(end ≥ start, end).otherwise(raise_error(…))`
+    * guard — load-bearing in every downstream use, so column pruning
+    * cannot elide it, codegen'd, one comparison per row. Callers with
+    * possibly-inverted spans must clamp before calling (see q156). */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
                      endCol: String): DataFrame = {
+    val endChecked = when(col(endCol) >= col(startCol), col(endCol))
+      .otherwise(raise_error(concat(
+        lit(s"Intervals.mergeIntervals: end < start ($endCol < $startCol) at key "),
+        col(keyCol).cast("string"))))
+    val src = df.withColumn(endCol, endChecked)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    df
+    src
       .withColumn("_new_island",
         when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
       .withColumn("island",

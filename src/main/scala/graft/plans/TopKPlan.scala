@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -103,7 +103,11 @@ object TopKPerKey {
   * deterministic. `rank() ≤ k` rewrites to the WITH-TIES heap (every
   * boundary tie survives, matching rank's variable row count);
   * `dense_rank()` stays unrewritten — its ≤ k bounds distinct VALUES,
-  * which neither heap form reproduces. */
+  * which neither heap form reproduces. An EMPTY partition spec (global
+  * `row_number() OVER (ORDER BY …) ≤ k`) rewrites too: the operator's
+  * empty-grouping form demands AllTuples, giving map-side trim + one
+  * single-partition final heap instead of Spark's
+  * single-partition-window-over-everything plan. */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
@@ -207,6 +211,13 @@ case class TopKExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // empty grouping = GLOBAL top-k: the final heap must see every
+    // partial survivor, and ClusteredDistribution(Nil) is rejected by
+    // Spark's own require (single-partition demands are spelled
+    // AllTuples). The resulting plan — map-side trim to k rows per
+    // partition, one k·partitions-row exchange, single final heap — is
+    // the global-selection analogue of the per-key shape.
+    else if (grouping.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(grouping) :: Nil
 
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =

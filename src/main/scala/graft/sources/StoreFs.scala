@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem access for generational stores, resolved through the
+  * Hadoop [[FileSystem]] API from the STORE PATH — never `java.io.File`.
+  *
+  * Why this exists: the generational stores ([[graft.streaming
+  * .EventStreams.materializedAggStore]], the IVF/two-tier ANN stores,
+  * the dedup signature stores) write their parquet data through Spark's
+  * Hadoop FS but originally tracked commit markers with `java.io.File`.
+  * On any non-local store (HDFS, S3A) that split is silently wrong: the
+  * data lands on the cluster store while the marker lands on the
+  * driver's local disk, so generation listing returns nothing and every
+  * batch quietly degrades to its own partial state. Routing ALL marker
+  * and listing traffic through the scheme-resolved FileSystem makes the
+  * store location-transparent — `file:`, `hdfs:` and `s3a:` paths all
+  * behave identically.
+  *
+  * The Hadoop conf comes from the active Spark session when one exists
+  * (so `fs.*` overrides like S3 credentials apply) and falls back to a
+  * bare [[Configuration]] for session-less callers (vacuum jobs). */
+object StoreFs {
+
+  /** The (filesystem, path) pair governing `store`, scheme-resolved. */
+  def of(store: String): (FileSystem, Path) = {
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+    val p = new Path(store)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Create (or replay-recreate) a zero-byte marker file under `store`. */
+  def touchMarker(store: String, name: String): Unit = {
+    val (fs, p) = of(store)
+    fs.mkdirs(p)
+    // overwrite=true: marker recreation on batch replay is harmless by
+    // contract, and create-then-close is atomic-enough for a 0-byte file
+    fs.create(new Path(p, name), true).close()
+  }
+
+  /** Names of the direct children of `store`; empty if it is absent. */
+  def childNames(store: String): Seq[String] = {
+    val (fs, p) = of(store)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Delete a direct child of `store` (file or dir), recursively. */
+  def deleteChild(store: String, name: String): Unit = {
+    val (fs, p) = of(store)
+    fs.delete(new Path(p, name), true): Unit
+  }
+}

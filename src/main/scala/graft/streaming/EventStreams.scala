@@ -385,10 +385,11 @@ object EventStreams {
         // COMMIT MARKER, written after the data: a crash mid-write
         // leaves a torn partition dir that readers must never select
         // (the root _SUCCESS is rewritten per batch and does not name
-        // a generation). Replays recreate the marker harmlessly.
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
-        new java.io.File(store, s".gen_${batchId}_committed")
-          .createNewFile(): Unit
+        // a generation). Replays recreate the marker harmlessly. Marker
+        // IO goes through the Hadoop FS resolved from the store path
+        // ([[graft.sources.StoreFs]]) so a non-local store (HDFS/S3)
+        // keeps data and markers on the SAME filesystem.
+        graft.sources.StoreFs.touchMarker(store, s".gen_${batchId}_committed")
       }
       .start()
   }
@@ -400,10 +401,8 @@ object EventStreams {
     * skipped until its batch replays. */
   def latestGeneration(spark: SparkSession, store: String,
                        before: Long = Long.MaxValue): Option[DataFrame] = {
-    val dir = new java.io.File(store)
-    if (!dir.isDirectory) return None
     val marker = "\\.gen_(\\d+)_committed".r
-    val gens = dir.listFiles().toSeq.map(_.getName).collect {
+    val gens = graft.sources.StoreFs.childNames(store).collect {
       case marker(id) if id.toLong < before => id.toLong
     }
     if (gens.isEmpty) None
@@ -418,32 +417,23 @@ object EventStreams {
     * touches unmarked dirs at or above the newest committed id. */
   def vacuumGenerations(store: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast must be ≥ 1, got $keepLast")
-    val dir = new java.io.File(store)
-    if (!dir.isDirectory) return
+    val names = graft.sources.StoreFs.childNames(store)
     val marker = "\\.gen_(\\d+)_committed".r
-    val committed = dir.listFiles().toSeq.map(_.getName).collect {
-      case marker(id) => id.toLong
-    }.sorted
+    val committed = names.collect { case marker(id) => id.toLong }.sorted
     if (committed.isEmpty) return
     val newest = committed.last
     val keep = committed.takeRight(keepLast).toSet
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      }
-      f.delete(): Unit
-    }
     committed.filterNot(keep).foreach { id =>
       // marker FIRST: a crash mid-vacuum leaves an unmarked (invisible)
       // dir for the debris sweep, never a marked dir with missing data
-      new java.io.File(dir, s".gen_${id}_committed").delete(): Unit
-      rm(new java.io.File(dir, s"batch_id=$id"))
+      graft.sources.StoreFs.deleteChild(store, s".gen_${id}_committed")
+      graft.sources.StoreFs.deleteChild(store, s"batch_id=$id")
     }
     val dataDir = "batch_id=(\\d+)".r
-    dir.listFiles().toSeq.foreach { f =>
-      f.getName match {
+    names.foreach { name =>
+      name match {
         case dataDir(id) if id.toLong < newest && !keep.contains(id.toLong) =>
-          rm(f) // torn debris below the committed watermark
+          graft.sources.StoreFs.deleteChild(store, name) // torn debris below the committed watermark
         case _ =>
       }
     }

@@ -40,6 +40,21 @@ class IntervalsRobustSpec extends SparkSpec {
       cov.getLong(1) shouldBe 1L   // n_islands
       cov.getLong(2) shouldBe 100L // covered
     }
+
+    it("rejects negative-length intervals instead of corrupting the scan") {
+      // r9 ADVICE: end < start previously flowed straight into the
+      // running-max scan (negative coverage, garbage islands) — the
+      // operator must fail loudly, not silently
+      val df = Seq(("u", 0L, 10L), ("u", 50L, 40L)).toDF("k", "s", "e")
+      val ex = intercept[Exception] {
+        Intervals.coverage(df, "k", "s", "e").collect()
+      }
+      ex.getMessage should include("end < start")
+      // zero-length (empty half-open) intervals remain legal
+      val ok = Intervals.coverage(
+        Seq(("u", 5L, 5L)).toDF("k", "s", "e"), "k", "s", "e").collect().head
+      ok.getLong(2) shouldBe 0L
+    }
   }
 
   describe("Normalize.robustZOutliers") {

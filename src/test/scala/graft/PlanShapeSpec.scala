@@ -240,6 +240,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  it("rewrites the GLOBAL (no PARTITION BY) row_number≤k spelling without crashing planning") {
+    withoutAqe {
+      // the r9 ADVICE crash: empty partitionSpec → TopKPerKey(Nil,…) →
+      // ClusteredDistribution(Nil), which Spark's require rejects. The
+      // empty grouping must plan as AllTuples (single final partition).
+      graft.plans.TopKPerKey.register(spark)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"n_chars".desc, $"doc_id")
+      val base = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+      val df = base
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 7)
+        .drop("rn")
+      val plan = df.queryExecution.executedPlan
+      plan.toString should include("TopK")
+      (plan.toString should not).include("Window")
+      // correctness vs the obvious orderBy+limit plan
+      val want = base.orderBy($"n_chars".desc, $"doc_id").limit(7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = df.orderBy($"n_chars".desc, $"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      got shouldBe want
+    }
+  }
+
   it("pushes ts-range predicates through the events NTZ repair to the parquet scan") {
     withoutAqe {
       // RepairTsPushdown: cmp(repaired(ts), TIMESTAMP lit) must reach

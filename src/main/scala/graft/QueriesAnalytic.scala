@@ -1286,6 +1286,57 @@ object QueriesAnalytic {
       |       round(sum(pv), 2) + 0.0 AS attr_value
       |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** PageRank over a graph WITH SINKS
+    * ([[graft.operators.PageRank.pageRankFixedPoint]]'s dangling-mass
+    * correction, previously a documented precondition): the trade graph
+    * kept DIRECTED — customers point at the suppliers they bought from,
+    * suppliers have no out-edges, so every supplier is a dangling node.
+    * Each iteration the sink mass folds back in as a one-row broadcast
+    * (`sinkMass div N` added to every node's incoming mass before
+    * damping, exact integers), so supplier rank reflects customer
+    * in-links instead of draining to the teleport floor. The oracle
+    * replays the recursion verbatim, sink CTE included. Gate: top-20
+    * nodes (integer ties broken by node id). */
+  val q181PagerankDangling: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val edges = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+    graft.operators.PageRank.pageRankFixedPoint(edges, iterations = 3)
+      .orderBy($"rank".desc, $"node").limit(20)
+  }
+  val q181Sql: String = {
+    def iter(prev: String, i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS in_mass
+         |  FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |s$i AS (
+         |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS sm
+         |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM deg)),
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000000 + (85 * (coalesce(c.in_mass, 0) + s.sm // x.n)) // 100
+         |              AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node
+         |  CROSS JOIN s$i s CROSS JOIN nc x)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |nc AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+       |${iter("r0", 1)},
+       |${iter("r1", 2)},
+       |${iter("r2", 3)}
+       |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q13_union_all", q13Union, Some(q13Sql)),
     ("q14_freq_rate", q14FreqRate, Some(q14Sql)),
@@ -1327,5 +1378,6 @@ object QueriesAnalytic {
     // two-level decomposition must alarm identically: same oracle
     ("q179_cusum_alarms_scalable", q179CusumAlarmsScalable, Some(q178Sql)),
     ("q180_asof_tolerance", q180AsofTolerance, Some(q180Sql)),
+    ("q181_pagerank_dangling", q181PagerankDangling, Some(q181Sql)),
   )
 }

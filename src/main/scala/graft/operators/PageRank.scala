@@ -22,17 +22,25 @@ import org.apache.spark.sql.functions._
   * standard dataflow PageRank — contributions shuffle on dst, the
   * rank table is node-sized), ranks re-derived against the NODE set
   * each round so isolated-source nodes keep receiving the teleport
-  * mass. Iteration plans are cut with `localCheckpoint` (the
-  * [[Components]] loop pattern) so lineage stays bounded. */
+  * mass. DANGLING nodes (out-degree 0 — real web/host graphs always
+  * have sinks) don't leak their mass: each iteration folds the sink
+  * ranks into a one-row aggregate and redistributes `sinkMass div N`
+  * to every node's incoming mass before damping — the standard
+  * dangling-mass correction, kept exact-integer (the `div N` truncates
+  * < N·10⁻⁹ of total mass per iteration, the same systematic
+  * truncation the per-edge `div outdeg` already accepts). The sink
+  * aggregate reaches the update as `crossJoin(broadcast(1-row))` — no
+  * driver round-trip, no extra exchange on the node table. Iteration
+  * plans are cut with `localCheckpoint` (the [[Components]] loop
+  * pattern) so lineage stays bounded. */
 object PageRank {
 
   private val Scale = 1000000000L
 
-  /** `edges(src, dst)` — deduplicated directed edges. Every node must
-    * have out-degree ≥ 1 (feed symmetric edges for undirected graphs;
-    * dangling-node redistribution is deliberately out of scope).
-    * Returns `(node, rank)`, rank 10⁻⁹-scaled (initial mass `Scale`
-    * per node). */
+  /** `edges(src, dst)` — deduplicated directed edges. Nodes appearing
+    * only as `dst` are sinks; their mass redistributes uniformly (see
+    * object doc). Returns `(node, rank)`, rank 10⁻⁹-scaled (initial
+    * mass `Scale` per node). */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
                          dampingPct: Int = 85): DataFrame = {
     require(iterations >= 0, s"negative iterations: $iterations")
@@ -42,6 +50,10 @@ object PageRank {
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val srcNodes = deg.select(col("src").as("node"))
+    // node count: one scalar, fixed across iterations (nodes is
+    // checkpointed, so this is a cheap count over materialized rows)
+    val n = nodes.count()
     val teleport = (100L - dampingPct) * Scale / 100L
     var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
     (1 to iterations).foreach { _ =>
@@ -49,11 +61,16 @@ object PageRank {
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      // total rank sitting on out-degree-0 nodes this iteration (0 when
+      // the graph has no sinks — the correction is then the identity)
+      val sinkMass = ranks.join(srcNodes, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("sink_mass"))
       ranks = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(sinkMass))
         .select(col("node"),
           (lit(teleport) +
-            expr(s"($dampingPct * coalesce(in_mass, 0L)) div 100").as("d"))
+            expr(s"($dampingPct * (coalesce(in_mass, 0L) + sink_mass div $n)) div 100"))
             .as("rank"))
         .localCheckpoint()
     }

@@ -38,6 +38,29 @@ class PageRankSpec extends SparkSpec {
       a shouldBe b
     }
 
+    it("redistributes dangling-node mass exactly (hand-computed a→b)") {
+      // N=2, sink b. Iter 1: contrib(b)=1e9; sinkMass=rank(b)=1e9,
+      // share = 1e9 div 2 = 5e8.
+      // a: 150e6 + (85·(0+5e8)) div 100      = 575_000_000
+      // b: 150e6 + (85·(1e9+5e8)) div 100    = 1_425_000_000
+      // total stays exactly 2e9 — no mass leaks through the sink
+      val out = PageRank.pageRankFixedPoint(
+        Seq(("a", "b")).toDF("src", "dst"), iterations = 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out("a") shouldBe 575000000L
+      out("b") shouldBe 1425000000L
+    }
+
+    it("conserves total mass within truncation on a sink-heavy star") {
+      // 50 pure sinks fed by one hub: without redistribution 50/51 of
+      // the mass would drain to teleport-only within a few iterations
+      val edges = (1 to 50).map(i => ("hub", s"s$i")).toDF("src", "dst")
+      val total = PageRank.pageRankFixedPoint(edges, iterations = 5)
+        .agg(sum($"rank")).head().getLong(0)
+      // per-iteration truncation loss < E + N + 99·N units of 10⁻⁹
+      math.abs(total - 51L * 1000000000L) should be < 1000000L
+    }
+
     it("rejects bad parameters") {
       val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
       an[IllegalArgumentException] should be thrownBy

@@ -218,6 +218,51 @@ object QueriesCurate {
        |       round(min(avg_logp), 3) AS worst_logp
        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** CROSS-CORPUS LM scoring with Laplace smoothing
+    * ([[NgramLm.scoreSmoothed]]): trigram model fit on the ENGLISH
+    * documents only, then every document — foreign languages included —
+    * scored against it. Unsmoothed scoring silently drops unseen grams
+    * at the join, which flatters exactly the out-of-domain documents
+    * the filter exists to catch; the smoothed form charges them
+    * `ln(1/(total+V))` each, so non-English languages separate cleanly
+    * below the English band. Same plan shape as q77 plus one 1-row
+    * broadcast (model `(V, total)`); oracle replays the Laplace
+    * arithmetic with a LEFT join. */
+  val q182LmSmoothed: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val model = NgramLm.fit(docs.filter($"lang" === "en"), "text", n = 3)
+    NgramLm.scoreSmoothed(docs, Seq("doc_id", "lang"), "text", model, n = 3)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"avg_logp"), 3).as("mean_logp"),
+        round(min($"avg_logp"), 3).as("worst_logp"))
+      .orderBy($"lang")
+  }
+  val q182Sql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, lang, $normSql AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, lang, unnest(list_transform(
+       |    generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS g
+       |  FROM norm WHERE length(t) >= 3),
+       |fit AS (SELECT g, count(*) AS c FROM tri WHERE lang = 'en' GROUP BY g),
+       |tot AS (SELECT count(*) AS n FROM tri WHERE lang = 'en'),
+       |voc AS (SELECT count(*) AS v FROM fit),
+       |doc_tri AS (SELECT doc_id, lang, g, count(*) AS dc FROM tri GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |         sum(d.dc * ln((coalesce(f.c, 0) + 1) * 1.0 / (tot.n + voc.v)))
+       |           / sum(d.dc) AS avg_logp
+       |  FROM doc_tri d LEFT JOIN fit f ON d.g = f.g
+       |  CROSS JOIN tot CROSS JOIN voc
+       |  GROUP BY 1, 2)
+       |SELECT lang, count(*) AS n_docs,
+       |       round(avg(avg_logp), 3) AS mean_logp,
+       |       round(min(avg_logp), 3) AS worst_logp
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q79
   /** Explicit GROUPING SETS (the general form behind q36's ROLLUP and
     * q76's CUBE): exactly the per-priority, per-status, and grand-total
@@ -1085,5 +1130,6 @@ object QueriesCurate {
     ("q123_iban_redact", q123IbanRedact, Some(q123Sql)),
     ("q160_sorted_neighborhood", q160SortedNeighborhood, Some(q160Sql)),
     ("q164_dq_report", q164DqReport, Some(q164Sql)),
+    ("q182_lm_smoothed", q182LmSmoothed, Some(q182Sql)),
   )
 }

@@ -54,8 +54,8 @@ object NgramLm {
   /** Score documents against a fitted model: mean `ln P(gram)` over each
     * document's n-grams (grams absent from the model are impossible by
     * construction when the model was fit on the same corpus; against a
-    * foreign model, join misses drop the gram — document that or refit
-    * with smoothing). Returns `idCols ++ (n_grams, avg_logp)`. */
+    * FOREIGN model use [[scoreSmoothed]] — here join misses silently
+    * drop the gram). Returns `idCols ++ (n_grams, avg_logp)`. */
   def score(df: DataFrame, idCols: Seq[String], textCol: String,
             model: DataFrame, n: Int): DataFrame = {
     val ids = idCols.map(col)
@@ -68,6 +68,37 @@ object NgramLm {
       .groupBy(ids: _*)
       .agg(sum(col("dc")).as("n_grams"),
         (sum(col("dc") * log(col("c").cast("double") / col("total")))
+          / sum(col("dc"))).as("avg_logp"))
+  }
+
+  /** Score against a FOREIGN model (fit on a different corpus) with
+    * add-one / Laplace smoothing: `P(g) = (c_g + 1) / (total + V)` with
+    * `c_g = 0` for grams the model never saw and `V` the model's
+    * vocabulary size — unseen grams contribute a finite penalty instead
+    * of silently dropping out of the mean (which flattered exactly the
+    * out-of-domain documents a cross-corpus quality filter exists to
+    * catch). Plan shape is [[score]] plus one more 1-row broadcast (the
+    * model's `(V, total)` aggregate) and a LEFT join in place of the
+    * inner one; the corpus side still shuffles only for the per-doc
+    * aggregation. Returns `idCols ++ (n_grams, avg_logp)`. */
+  def scoreSmoothed(df: DataFrame, idCols: Seq[String], textCol: String,
+                    model: DataFrame, n: Int): DataFrame = {
+    val ids = idCols.map(col)
+    // max(): `total` is stamped constant on every model row, and max is
+    // deterministic where first() is not
+    val stats = model.agg(count(lit(1)).as("v"), max(col("total")).as("mtotal"))
+    val docGrams = df
+      .select(ids :+ explode(charNgrams(col(textCol), n)).as("gram"): _*)
+      .groupBy(ids :+ col("gram"): _*)
+      .agg(count(lit(1)).as("dc"))
+    docGrams
+      .join(broadcast(model.select(col("gram"), col("c"))), Seq("gram"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(ids: _*)
+      .agg(sum(col("dc")).as("n_grams"),
+        (sum(col("dc") *
+          log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
+            / (col("mtotal") + col("v"))))
           / sum(col("dc"))).as("avg_logp"))
   }
 }

@@ -154,6 +154,32 @@ object QueriesSources {
       |WHERE user_id BETWEEN 25 AND 75 AND value >= 50.0 AND value < 200.0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q183
+  /** Hilbert layout round-trip
+    * ([[graft.sources.Layout.writeHilbertOrdered]], [[graft.plans
+    * .HilbertIndex2D]]): q69's gate with the Morton curve swapped for
+    * the continuous Hilbert curve — events rewritten into 16
+    * Hilbert-clustered files on (user_id, value), read back through the
+    * same 2-D range predicate, aggregated; the oracle applies the
+    * predicate to the ORIGINAL table, so the gate proves the curve
+    * rewrite is content-neutral. `LayoutSpec` separately proves the
+    * curve's point: per-file bounding boxes at most Z-order's on the
+    * same data (no inter-quadrant seams), the quantity min/max
+    * row-group skipping feeds on. */
+  val q183HilbertRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val out = scratch("q183_hilbert", dir)
+    graft.sources.Layout.writeHilbertOrdered(
+      Tables.events(s, dir).select($"event_id", $"user_id", $"event_type", $"value"),
+      out, Seq("user_id", "value"), nFiles = 16)
+    s.read.parquet(out)
+      .filter($"user_id".between(25, 75) && $"value" >= 50.0 && $"value" < 200.0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"),
+        round(sum($"value"), 2).as("value_sum"))
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------------- q78
   /** Hive-partitioned layout round-trip
     * ([[graft.sources.Layout.writeHivePartitioned]]): documents rewritten
@@ -262,6 +288,8 @@ object QueriesSources {
     ("q54_orc_roundtrip", q54OrcRoundtrip, Some(q54Sql)),
     ("q69_zorder_roundtrip", q69ZOrderRoundtrip, Some(q69Sql)),
     ("q78_partition_prune", q78PartitionPrune, Some(q78Sql)),
+    // same predicate and oracle as q69: layout must be content-neutral
+    ("q183_hilbert_roundtrip", q183HilbertRoundtrip, Some(q69Sql)),
     ("q83_schema_evolution", q83SchemaEvolution, Some(q83Sql)),
     ("q85_bucketed_join", q85BucketedJoin, Some(q85Sql)),
   )

@@ -57,6 +57,49 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert index of exactly TWO columns, min-max quantized to
+    * `bitsPerCol` bits each ([[graft.plans.HilbertIndex2D]] — a
+    * codegen'd per-row expression, no window, no shuffle). Same calling
+    * contract as [[zValue]]; prefer it for 2-D range-scan layouts: the
+    * Hilbert curve has no inter-quadrant seams, so contiguous curve
+    * segments (= files) get tighter bounding boxes than Z-order, the
+    * quantity row-group min/max skipping feeds on. For > 2 dims use
+    * [[zValue]] (the d-dimensional Hilbert transform buys little over
+    * Z once the per-dim bit budget shrinks). */
+  def hilbertValue(cols: Seq[(Column, Double, Double)], bitsPerCol: Int): Column = {
+    require(cols.size == 2, s"hilbertValue is 2-D, got ${cols.size} columns")
+    require(bitsPerCol > 0 && bitsPerCol <= 31, s"bad bitsPerCol $bitsPerCol")
+    val maxQ = (1L << bitsPerCol) - 1
+    val Seq(qx, qy) = cols.map { case (c, lo, hi) =>
+      val unit = (c - lit(lo)) / lit(math.max(hi - lo, Double.MinPositiveValue))
+      least(greatest(round(unit * maxQ).cast("long"), lit(0L)), lit(maxQ))
+    }
+    org.apache.spark.sql.graft.PlanBridge.columnOf(
+      graft.plans.HilbertIndex2D(
+        org.apache.spark.sql.graft.PlanBridge.expressionOf(qx),
+        org.apache.spark.sql.graft.PlanBridge.expressionOf(qy),
+        bitsPerCol))
+  }
+
+  /** Rewrite `df` into `nFiles` Hilbert-ordered parquet files at
+    * `path` — [[writeZOrdered]] with the curve swapped. */
+  def writeHilbertOrdered(df: DataFrame, path: String, curveCols: Seq[String],
+                          nFiles: Int, bitsPerCol: Int = 16): Unit = {
+    val bounds = df.agg(
+      curveCols.map(c => min(col(c)).cast("double")).head,
+      (curveCols.map(c => min(col(c)).cast("double")).tail ++
+        curveCols.map(c => max(col(c)).cast("double"))): _*).head()
+    val n = curveCols.size
+    val specs = curveCols.zipWithIndex.map { case (c, i) =>
+      (col(c).cast("double"), bounds.getDouble(i), bounds.getDouble(n + i))
+    }
+    df.withColumn("__h", hilbertValue(specs, bitsPerCol))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Hive-style partitioned parquet write: one directory per distinct
     * value combination of `partCols` (`col=value/...` paths). The scan
     * side then prunes whole directories from a predicate on the

@@ -32,6 +32,49 @@ class LayoutSpec extends SparkSpec {
       df.agg(count(lit(1)), round(sum($"value"), 2)).head
   }
 
+  it("hilbert index is the continuous curve: exact small grid, bijective, adjacent") {
+    import graft.plans.HilbertIndex2D.xy2d
+    // 2×2 grid — the canonical U shape
+    xy2d(1, 0, 0) shouldBe 0L
+    xy2d(1, 0, 1) shouldBe 1L
+    xy2d(1, 1, 1) shouldBe 2L
+    xy2d(1, 1, 0) shouldBe 3L
+    // 16×16: a bijection, and consecutive indices are ALWAYS
+    // grid-adjacent — the continuity property Z-order lacks (and the
+    // reason Hilbert segments have tighter bounding boxes)
+    val pts = for { x <- 0 until 16; y <- 0 until 16 }
+      yield (xy2d(4, x.toLong, y.toLong), (x, y))
+    pts.map(_._1).sorted shouldBe (0 until 256).map(_.toLong)
+    pts.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Seq((x1, y1), (x2, y2)) =>
+        (math.abs(x1 - x2) + math.abs(y1 - y2)) shouldBe 1
+      case _ =>
+    }
+  }
+
+  it("hilbert files bound at most z-order's boxes on the same data (the skip metric)") {
+    val df = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"user_id".cast("double").as("u"), $"value")
+    val zOut = java.nio.file.Files.createTempDirectory("cmp_z").toString
+    val hOut = java.nio.file.Files.createTempDirectory("cmp_h").toString
+    Layout.writeZOrdered(df, zOut, Seq("u", "value"), nFiles = 16)
+    Layout.writeHilbertOrdered(df, hOut, Seq("u", "value"), nFiles = 16)
+    // per-file bounding-box AREA (span product, normalized): what a 2-D
+    // range predicate's row-group overlap is proportional to
+    def avgArea(p: String): Double = {
+      val back = spark.read.parquet(p).withColumn("f", input_file_name())
+      val spans = back.groupBy($"f").agg(
+        (max($"u") - min($"u")).as("su"), (max($"value") - min($"value")).as("sv"))
+      val g = df.agg(max($"u") - min($"u"), max($"value") - min($"value")).head
+      spans.agg(avg($"su" * $"sv")).head.getDouble(0) / (g.getDouble(0) * g.getDouble(1))
+    }
+    val (za, ha) = (avgArea(zOut), avgArea(hOut))
+    withClue(s"hilbert avg box $ha vs z-order $za: ") { ha should be <= za }
+    // content-neutral
+    spark.read.parquet(hOut).agg(count(lit(1)), round(sum($"value"), 2)).head shouldBe
+      df.agg(count(lit(1)), round(sum($"value"), 2)).head
+  }
+
   it("hive-partitioned write prunes non-matching directories at scan time") {
     val out = java.nio.file.Files.createTempDirectory("hivepart").toString
     val df = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -60,6 +60,7 @@ object Bench {
       QueriesText.clearSessionCaches()
       QueriesCurate.clearSessionCaches()
       QueriesStreaming.clearSessionCaches()
+      QueriesSimilarity.clearSessionCaches()
       val cold = once()
       val coldErr = err.isDefined
       val warm = if (!coldErr) once() else cold

@@ -38,6 +38,7 @@ object QueryTimer {
       graft.QueriesText.clearSessionCaches()
       graft.QueriesCurate.clearSessionCaches()
       graft.QueriesStreaming.clearSessionCaches()
+      graft.QueriesSimilarity.clearSessionCaches()
       val cold = once()
       val steady = (1 to reps).map(_ => once()).min
       println(f"[probe] $name dir=$sfDir cold=$cold%.2fs steady=$steady%.2fs")

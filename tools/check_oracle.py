@@ -10,6 +10,7 @@ values exactly. Mirrors what the driver does so mismatches surface before
 a round ends.
 """
 import json
+import os
 import sys
 import glob
 
@@ -31,8 +32,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; ScaleUp-built corpora
+        # (target/sf1.0 etc.) are Spark-written DIRECTORIES of parts
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     failures = 0

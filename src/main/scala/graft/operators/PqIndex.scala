@@ -173,20 +173,70 @@ object PqIndex {
 
   /** Persist a fitted two-tier index: coarse centroids and PQ
     * codebooks (metadata-sized) plus BOTH tiers cluster-partitioned —
-    * `dir/codes` (the m-byte hot tier a probe reads) and `dir/full`
-    * (the cold rerank tier). One directory per cell per tier, so
+    * `codes` (the m-byte hot tier a probe reads) and `full` (the cold
+    * rerank tier). One directory per cell per tier, so
     * [[ivfAdcSearch]]'s probe joins prune both reads to the nProbe
     * probed cells (dynamic partition pruning), exactly the
     * [[IvfIndex.save]] layout doubled. Doubles/ints round-trip
     * parquet binary-exact, so search-after-reload ≡ in-memory search
-    * bit-for-bit (q142 gates it on q141's oracle). */
+    * bit-for-bit (q142 gates it on q141's oracle).
+    *
+    * GENERATIONAL since round 10: the four tables land under
+    * `dir/g<n>/` and a one-long manifest (`dir/manifest`,
+    * tmp+rename-swapped — [[graft.sources.StoreFs]]) is the single
+    * commit point, the [[graft.operators.TextDedup
+    * .writeDedupStoreBucketed]] pattern. A crash between table writes
+    * leaves readers on the previous COMPLETE generation (the old
+    * overwrite-in-place layout corrupted the live store instead);
+    * `retainGenerations` keeps that many newest committed generations
+    * after the swap (1 = current only — superseded data is dropped,
+    * the old behavior), so a refresh can leave history for readers
+    * pinned to an older generation and [[vacuumTwoTier]] reclaims it
+    * later. */
   def saveTwoTier(centroids: DataFrame, codebooks: DataFrame,
-                  codesIdx: DataFrame, fullIdx: DataFrame, dir: String): Unit = {
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
-    codesIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/codes")
-    fullIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/full")
+                  codesIdx: DataFrame, fullIdx: DataFrame, dir: String,
+                  retainGenerations: Int = 1): Unit = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
+    val gen = graft.sources.StoreFs.readManifest(s"$dir/manifest")
+      .getOrElse(0L) + 1L
+    val g = s"$dir/g$gen"
+    centroids.write.mode("overwrite").parquet(s"$g/centroids")
+    Failpoints.hit("twotier:after-centroids")
+    codebooks.write.mode("overwrite").parquet(s"$g/codebooks")
+    codesIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")
+    Failpoints.hit("twotier:after-codes")
+    fullIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$g/full")
+    graft.sources.StoreFs.commitManifest(s"$dir/manifest", gen)
+    vacuumTwoTier(dir, keepLast = retainGenerations)
   }
+
+  /** Retention for a generational two-tier store: drop all but the
+    * newest `keepLast` COMMITTED generations. Generations above the
+    * manifest (an in-flight writer's) are never touched; a store with
+    * no manifest (never committed, or legacy flat layout) is left
+    * alone. Safe beside readers pinned to any RETAINED generation —
+    * a reader's resolved `g<n>` paths stay valid until a vacuum with
+    * a smaller `keepLast` reclaims them. */
+  def vacuumTwoTier(dir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val current = graft.sources.StoreFs.readManifest(s"$dir/manifest")
+      .getOrElse(return)
+    val genRe = "g(\\d+)".r
+    val committed = graft.sources.StoreFs.childNames(dir)
+      .collect { case genRe(g) if g.toLong <= current => g.toLong }.sorted
+    committed.dropRight(keepLast)
+      .foreach(g => graft.sources.StoreFs.deleteChild(dir, s"g$g"))
+  }
+
+  /** The current committed generation's root — or the legacy flat
+    * layout (`dir/centroids` etc.) for stores written before the
+    * generational format. */
+  private def twoTierRoot(dir: String): String =
+    graft.sources.StoreFs.readManifest(s"$dir/manifest") match {
+      case Some(g) => s"$dir/g$g"
+      case None => dir
+    }
 
   /** INCREMENTAL two-tier maintenance: append a `delta` of `(id, v)`
     * rows to a [[saveTwoTier]]d index WITHOUT refitting — assign the
@@ -202,8 +252,9 @@ object PqIndex {
   def appendToTwoTier(spark: SparkSession, delta: DataFrame, dir: String,
                       m: Int, subDim: Int,
                       residual: Boolean = false): DataFrame = {
-    val cent = spark.read.parquet(s"$dir/centroids")
-    val cb = spark.read.parquet(s"$dir/codebooks")
+    val root = twoTierRoot(dir)
+    val cent = spark.read.parquet(s"$root/centroids")
+    val cb = spark.read.parquet(s"$root/codebooks")
     val assigned = IvfIndex.assign(delta, cent).localCheckpoint()
     val encSrc =
       if (residual) residuals(assigned, cent).select(col("id"), col("v"))
@@ -211,20 +262,22 @@ object PqIndex {
     encode(encSrc, cb, m, subDim)
       .join(assigned.select(col("id"), col("cluster")), Seq("id"))
       .select(col("cluster"), col("id"), col("codes"))
-      .write.mode("append").partitionBy("cluster").parquet(s"$dir/codes")
+      .write.mode("append").partitionBy("cluster").parquet(s"$root/codes")
     assigned.select(col("cluster"), col("id"), col("v"))
-      .write.mode("append").partitionBy("cluster").parquet(s"$dir/full")
+      .write.mode("append").partitionBy("cluster").parquet(s"$root/full")
     assigned
   }
 
-  /** Reload a [[saveTwoTier]]d index:
-    * `(centroids, codebooks, codesIdx, fullIdx)`. */
+  /** Reload a [[saveTwoTier]]d index (its current committed
+    * generation): `(centroids, codebooks, codesIdx, fullIdx)`. */
   def loadTwoTier(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"),
-      spark.read.parquet(s"$dir/full"))
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val root = twoTierRoot(dir)
+    (spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/codebooks"),
+      spark.read.parquet(s"$root/codes"),
+      spark.read.parquet(s"$root/full"))
+  }
 
   /** IVF + PQ + ADC — the FAISS-IVFADC serving composition, the full
     * ANN ladder in one call: queries pick their `nProbe` nearest

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -377,18 +377,20 @@ object TextDedup {
     * between table writes leaves the manifest on the OLD complete
     * generation (readers never see a half-written or mixed-generation
     * store); a first-build crash leaves no manifest (readers fail with
-    * a clear absent-store error, not torn reads). Superseded
-    * generations are dropped best-effort after the swap
-    * (`StoreLifecycleSpec` injects crashes at each gap). */
+    * a clear absent-store error, not torn reads). After the swap, all
+    * but the newest `retainGenerations` committed generations are
+    * dropped best-effort (1 = current only, the default; a larger
+    * value leaves history for readers still pinned to an older
+    * generation — [[vacuumDedupStore]] reclaims it later).
+    * (`StoreLifecycleSpec` injects crashes at each gap.) */
   def writeDedupStoreBucketed(corpus: DataFrame, idCol: String, textCol: String,
                               shingleN: Int, k: Int, rowsPerBand: Int,
                               namePrefix: String, pathPrefix: String,
-                              buckets: Int): Unit = {
+                              buckets: Int, retainGenerations: Int = 1): Unit = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
     val spark = corpus.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val manifest = new org.apache.hadoop.fs.Path(s"${pathPrefix}_manifest")
-    val fs = manifest.getFileSystem(conf)
-    val prevGen = currentStoreGen(fs, manifest)
+    val prevGen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
     val gen = prevGen.getOrElse(0L) + 1L
     val (fp, sig) = buildDedupStore(corpus, idCol, textCol, shingleN, k)
     // one corpus scan feeds both signature-derived tables
@@ -410,34 +412,40 @@ object TextDedup {
       write(bands, "bands", "bh")
       Failpoints.hit("dedupstore:after-bands")
       write(mh, "mh", "s_id")
-      // COMMIT: swap the manifest to the new generation via tmp+rename
-      val tmp = new org.apache.hadoop.fs.Path(s"${pathPrefix}_manifest__tmp")
-      val out = fs.create(tmp, true)
-      try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.exists(manifest)) fs.delete(manifest, false)
-      fs.rename(tmp, manifest): Unit
-      // best-effort cleanup of the superseded generation
-      prevGen.foreach { g =>
-        Seq("fp", "bands", "mh").foreach { sfx =>
-          spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_g${g}_$sfx")
-          fs.delete(new org.apache.hadoop.fs.Path(s"${pathPrefix}_g${g}_$sfx"), true)
-        }
-      }
+      // COMMIT: swap the manifest to the new generation ([[StoreFs]]
+      // tmp+rename), then apply the retention policy
+      graft.sources.StoreFs.commitManifest(s"${pathPrefix}_manifest", gen)
+      vacuumDedupStore(spark, namePrefix, pathPrefix,
+        keepLast = retainGenerations)
     } finally sigC.unpersist()
   }
 
-  /** Current committed store generation, if any. The manifest is bytes
-    * of one long; absent file = no committed store. */
-  private def currentStoreGen(fs: org.apache.hadoop.fs.FileSystem,
-                              manifest: org.apache.hadoop.fs.Path): Option[Long] =
-    if (!fs.exists(manifest)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
-      val in = fs.open(manifest)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  /** Retention for a [[writeDedupStoreBucketed]] store: drop all but
+    * the newest `keepLast` COMMITTED generations (catalog tables AND
+    * data paths, all three tables per generation). Generations above
+    * the manifest — an in-flight writer's — are never touched; no
+    * manifest means nothing is committed and nothing is dropped. Safe
+    * beside readers pinned to any RETAINED generation: their resolved
+    * `_g<n>_*` tables stay valid until a smaller `keepLast` reclaims
+    * them. */
+  def vacuumDedupStore(spark: SparkSession, namePrefix: String,
+                       pathPrefix: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val current = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+      .getOrElse(return)
+    val fpPath = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_fp")
+    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genRe = ".*_g(\\d+)_fp".r
+    val committed = Option(fs.globStatus(fpPath)).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath.getName)
+      .collect { case genRe(g) if g.toLong <= current => g.toLong }.sorted
+    committed.dropRight(keepLast).foreach { g =>
+      Seq("fp", "bands", "mh").foreach { sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_g${g}_$sfx")
+        fs.delete(new org.apache.hadoop.fs.Path(s"${pathPrefix}_g${g}_$sfx"), true)
+      }
     }
+  }
 
   /** [[ingestFlags]] with a BUCKETED store — the non-broadcast scale
     * variant for a store too large to ship to every task: resolves the
@@ -452,11 +460,10 @@ object TextDedup {
                           shingleN: Int, k: Int,
                           rowsPerBand: Int, minAgree: Int): DataFrame = {
     val spark = arriving.sparkSession
-    val manifest = new org.apache.hadoop.fs.Path(s"${pathPrefix}_manifest")
-    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen = currentStoreGen(fs, manifest).getOrElse(throw new IllegalStateException(
-      s"no committed dedup store at ${pathPrefix}_manifest — " +
-        "run writeDedupStoreBucketed first"))
+    val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed dedup store at ${pathPrefix}_manifest — " +
+          "run writeDedupStoreBucketed first"))
     ingestCore(arriving, idCol, textCol,
       graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_fp"),
       graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_bands"),

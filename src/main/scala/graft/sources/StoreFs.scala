@@ -55,4 +55,33 @@ object StoreFs {
     val (fs, p) = of(store)
     fs.delete(new Path(p, name), true): Unit
   }
+
+  /** Read a generation manifest: the file at `path` holding one long
+    * (UTF-8 digits). Absent file = no committed generation. Shared by
+    * the generational stores (dedup signature store, two-tier ANN
+    * store) as their single commit point. */
+  def readManifest(path: String): Option[Long] = {
+    val (fs, p) = of(path)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    }
+  }
+
+  /** COMMIT a generation: write `gen` to `path__tmp`, then swap it in
+    * by delete + rename — the manifest flips atomically from the old
+    * complete generation to the new one, so readers racing a refresh
+    * resolve one or the other, never a torn store. */
+  def commitManifest(path: String, gen: Long): Unit = {
+    val (fs, p) = of(path)
+    val tmp = new Path(path + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p): Unit
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Failpoints, IvfIndex, TextDedup}
+import graft.operators.{Failpoints, IvfIndex, PqIndex, TextDedup}
 
 /** Failure injection for the multi-table store writers — a long-running
   * deployment WILL eventually die between two of a store's commits, and
@@ -65,6 +65,86 @@ class StoreLifecycleSpec extends SparkSpec {
       // and a clean retry makes the store readable
       buildStore("slc_first", path)
       verdicts("slc_first", path).size shouldBe 60
+    }
+  }
+
+  describe("dedup store retention + vacuum") {
+    it("vacuums under a concurrent reader pinned to a retained generation") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-vac").toString + "/store"
+      buildStore("slc_vac", path)                       // g1
+      // reader PINNED to g1: the DataFrame resolved its gen-suffixed
+      // tables at construction and must stay valid while g1 is retained
+      val pinned = TextDedup.ingestFlagsBucketed(corpus, "doc_id", "text",
+        "slc_vac", path, shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+        .orderBy($"id")
+      val before = pinned.collect().toSeq
+      // refresh WITH history: g2 commits, g1 retained for the reader
+      TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2, namePrefix = "slc_vac",
+        pathPrefix = path, buckets = 4, retainGenerations = 2)
+      pinned.collect().toSeq shouldBe before            // g1 still serves
+      new java.io.File(s"${path}_g1_fp").exists() shouldBe true
+      // vacuum reclaims g1; new readers resolve g2 and verdicts agree
+      TextDedup.vacuumDedupStore(spark, "slc_vac", path, keepLast = 1)
+      new java.io.File(s"${path}_g1_fp").exists() shouldBe false
+      new java.io.File(s"${path}_g2_fp").exists() shouldBe true
+      verdicts("slc_vac", path) shouldBe before
+    }
+  }
+
+  describe("saveTwoTier generations") {
+    def fitSmall() = {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(e, cent)
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 16, iterations = 1)
+      val codes = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      (cent, cb, codes, indexed.select($"cluster", $"id", $"v"))
+    }
+    def centSum(dir: String): (Long, Long, Long) = {
+      val (c, _, codes, full) = PqIndex.loadTwoTier(spark, dir)
+      (c.count(), codes.count(), full.count())
+    }
+
+    it("a crashed refresh leaves readers on the previous complete generation") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tt-crash").toString
+      val (cent, cb, codes, full) = fitSmall()
+      PqIndex.saveTwoTier(cent, cb, codes, full, dir)   // g1
+      val before = centSum(dir)
+      for (point <- Seq("twotier:after-centroids", "twotier:after-codes")) {
+        intercept[RuntimeException] {
+          Failpoints.withHook(crashAt(point)) {
+            PqIndex.saveTwoTier(cent, cb, codes, full, dir)
+          }
+        } shouldBe boom
+        // the manifest still names g1 — readers see the complete store
+        centSum(dir) shouldBe before
+      }
+      // a retry commits cleanly over the torn leftovers
+      PqIndex.saveTwoTier(cent, cb, codes, full, dir)
+      centSum(dir) shouldBe before
+    }
+
+    it("retention keeps history for pinned readers until vacuum reclaims it") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tt-vac").toString
+      val (cent, cb, codes, full) = fitSmall()
+      PqIndex.saveTwoTier(cent, cb, codes, full, dir)   // g1
+      val pinned = PqIndex.loadTwoTier(spark, dir)      // paths bound to g1
+      val pinnedCents = pinned._1.orderBy($"cluster").collect().toSeq
+      PqIndex.saveTwoTier(cent, cb, codes, full, dir,
+        retainGenerations = 2)                          // g2, g1 retained
+      new java.io.File(s"$dir/g1").exists() shouldBe true
+      // the pinned reader's g1 paths still serve, bit-identically
+      pinned._1.orderBy($"cluster").collect().toSeq shouldBe pinnedCents
+      PqIndex.vacuumTwoTier(dir, keepLast = 1)          // reclaim g1
+      new java.io.File(s"$dir/g1").exists() shouldBe false
+      new java.io.File(s"$dir/g2").exists() shouldBe true
+      centSum(dir)._1 shouldBe 2L                       // g2 resolves
     }
   }
 

@@ -347,9 +347,11 @@ object QueriesSimilarity {
     Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
       .createOrReplaceTempView("emb")
+    // + 0.0 folds the cross-engine -0.0 (exact-zero cosines exist in
+    // the sign-flip-decorrelated sf1.0 corpus; the q61/q87 lesson)
     s.sql("""
       SELECT a.id AS a_id, b.id AS b_id,
-             round(cosine_similarity(a.v, b.v), 4) AS cos
+             round(cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
       FROM emb a JOIN emb b ON a.id < b.id
       WHERE a.id % 50 = 0 AND b.id % 50 = 0
       ORDER BY a_id, b_id""")
@@ -359,7 +361,7 @@ object QueriesSimilarity {
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings WHERE vec_id % 50 = 0)
        |SELECT a.id AS a_id, b.id AS b_id,
-       |       round(${dotSql("a.v", "b.v")} / sqrt(${norm2Sql("a.v")} * ${norm2Sql("b.v")}), 4) AS cos
+       |       round(${dotSql("a.v", "b.v")} / sqrt(${norm2Sql("a.v")} * ${norm2Sql("b.v")}), 4) + 0.0 AS cos
        |FROM emb a JOIN emb b ON a.id < b.id
        |ORDER BY a_id, b_id""".stripMargin
 
@@ -1111,6 +1113,95 @@ object QueriesSimilarity {
        |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** Partitioned-NSW graph search ([[graft.operators.NswIndex]]) — the
+    * graph tier closing the ANN ladder: per-cell neighbor graphs
+    * (degree 4) built once over the q39 coarse cells, one entry point
+    * per cell (argmax cosine to centroid), and a batched greedy beam
+    * walk (nProbe 2, ef 8, 2 rounds) whose per-round work is
+    * query-bounded (frontier ⋈ graph ⋈ vectors, beam re-trimmed by the
+    * bounded heap) instead of cell-sized. Every trim breaks ties
+    * (score desc, id asc) and the scoring is fixed-order doubles, so
+    * the ENTIRE walk — fit, graph, entries, probes, both expansion
+    * rounds, final top-5 — replays verbatim in the oracle's CTE chain.
+    * `NswSpec` separately pins recall ≥ the IVF+PQ-ADC tier at the
+    * same probe budget. */
+  val q184NswSearch: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+    val graph = graft.operators.NswIndex.fitGraph(indexed, degree = 4)
+      .localCheckpoint()
+    val entries = graft.operators.NswIndex.entryPoints(indexed, cent)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.NswIndex.search(s, queries, graph, indexed, cent, entries,
+        k = 5, nProbe = 2, ef = 8, rounds = 2)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+  val q184Sql: String = {
+    val cos = (a: String, b: String) =>
+      s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
+    def round(i: Int, prevV: String, prevF: String): String =
+      s"""nx$i AS (
+         |  SELECT DISTINCT f.q_id, g.cluster, g.dst AS id
+         |  FROM $prevF f JOIN graph g ON g.cluster = f.cluster AND g.src = f.id),
+         |ns$i AS (
+         |  SELECT x.q_id, x.cluster, x.id, ${cos("q.qv", "i.v")} AS cos
+         |  FROM nx$i x JOIN qs q USING (q_id)
+         |  JOIN idx i ON i.cluster = x.cluster AND i.id = x.id),
+         |nv$i AS (
+         |  SELECT q_id, cluster, id, max(cos) AS cos
+         |  FROM (SELECT * FROM $prevV UNION ALL SELECT * FROM ns$i)
+         |  GROUP BY 1, 2, 3),
+         |nf$i AS (
+         |  SELECT v.* FROM nv$i v JOIN (
+         |    SELECT q_id, id FROM (
+         |      SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, id ASC) AS rn FROM nv$i)
+         |    WHERE rn <= 8) t USING (q_id, id))""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("e", "8")},
+       |pairs AS (
+       |  SELECT a.cluster, a.id AS src, b.id AS dst, ${cos("a.v", "b.v")} AS cos
+       |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.id <> b.id),
+       |graph AS (
+       |  SELECT cluster, src, dst FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cluster, src
+       |      ORDER BY cos DESC, dst ASC) AS rn FROM pairs)
+       |  WHERE rn <= 4),
+       |entries AS (
+       |  SELECT cluster, id AS entry FROM (
+       |    SELECT i.cluster, i.id, row_number() OVER (PARTITION BY i.cluster
+       |      ORDER BY ${cos("i.v", "c.centroid")} DESC, i.id ASC) AS rn
+       |    FROM idx i JOIN cent c USING (cluster))
+       |  WHERE rn = 1),
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster, ${cos("q.qv", "c.centroid")} AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |v0 AS (
+       |  SELECT p.q_id, en.cluster, en.entry AS id, ${cos("q.qv", "i.v")} AS cos
+       |  FROM probes p JOIN entries en USING (cluster)
+       |  JOIN idx i ON i.cluster = en.cluster AND i.id = en.entry
+       |  JOIN qs q ON q.q_id = p.q_id),
+       |${round(1, "v0", "v0")},
+       |${round(2, "nv1", "nf1")}
+       |SELECT q_id, rank, id AS n_id, round(cos, 4) + 0.0 AS cos FROM (
+       |  SELECT q_id, id, cos, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, id ASC) AS INT) AS rank FROM nv2)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1150,5 +1241,6 @@ object QueriesSimilarity {
     ("q144_ivf_pq_residual", q144IvfPqResidual, Some(q144Sql)),
     ("q145_jl_project", q145JlProject, Some(q145Sql)),
     ("q146_two_tier_append", q146TwoTierAppend, Some(q146Sql)),
+    ("q184_nsw_search", q184NswSearch, Some(q184Sql)),
   )
 }

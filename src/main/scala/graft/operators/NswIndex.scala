@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned NSW ("HNSW-lite") — the graph tier of the ANN ladder
+  * (brute → LSH → IVF → IVF+SQ8 → IVF+PQ-ADC → this): within each IVF
+  * cell a navigable-small-world neighbor graph is built ONCE (every
+  * node links to its `degree` cosine-nearest cell-mates), and a query
+  * greedily walks the graphs of its probed cells from a per-cell entry
+  * point, expanding a bounded beam instead of scoring whole cells.
+  *
+  * Why this shape on Spark: the textbook HNSW walk is a sequential
+  * per-query loop — hostile to dataflow. Batched over ALL queries it
+  * becomes `rounds` rounds of (frontier ⋈ graph → explode neighbors →
+  * score → keep top-`ef`), each round a pair of joins keyed on
+  * `(cluster, id)` with the per-query beam trimmed by the bounded-heap
+  * [[graft.functions.TopKAgg]] — the frontier never exceeds
+  * `|queries| · ef` rows, so every round's shuffle is query-bounded,
+  * not corpus-bounded. The hierarchy layer of full HNSW is dropped:
+  * the IVF coarse quantizer already provides the "zoom-in" (probe
+  * selection), which is exactly the cell-partitioned compromise that
+  * keeps construction distributed (per-cell graphs build independently
+  * — an all-corpus graph would serialize through one machine).
+  *
+  * Construction cost: Σ|cell|² pairs — bounded by the cell-size cap
+  * ([[IvfIndex.splitOversizedCells]] keeps cells sane); the graph is
+  * `|corpus| · degree` edges, cluster-partitioned like both ANN tiers.
+  * Search cost per query: `nProbe + rounds · ef · degree` scored
+  * vectors — independent of cell size, the property the flat IVF probe
+  * (|cell|·nProbe) lacks.
+  *
+  * Determinism: cosine scoring is fixed-order arithmetic, every
+  * trim/tie breaks (score desc, id asc) — the whole walk replays in
+  * SQL (q184's oracle), and recall ≥ the ADC tier at equal probe
+  * budget is pinned by `NswSpec` on the q129 instrumentation. */
+object NswIndex {
+
+  /** Per-cell NSW graph over `indexed` `(cluster, id, v)`: one row per
+    * node, `nbrs` = its `degree` cosine-nearest neighbors within the
+    * cell (score desc, id asc ties — [[graft.functions.TopKAgg]], so
+    * the per-cell pair explosion is trimmed map-side). Cells build
+    * independently and in parallel; nothing crosses cells. */
+  def fitGraph(indexed: DataFrame, degree: Int): DataFrame = {
+    require(degree > 0, s"NswIndex.fitGraph needs degree > 0, got $degree")
+    graft.plans.GraftFunctions.register(indexed.sparkSession)
+    val a = indexed.select(col("cluster"), col("id").as("a_id"), col("v").as("av"))
+    val b = indexed.select(col("cluster"), col("id").as("b_id"), col("v").as("bv"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
+      .groupBy(col("cluster"), col("a_id"))
+      .agg(graft.functions.TopKAgg(degree, col("cos"), col("b_id")).as("topk"))
+      .select(col("cluster"), col("a_id").as("id"),
+        expr("transform(topk.items, x -> x.id)").as("nbrs"))
+  }
+
+  /** One entry point per cell: the node most cosine-similar to its
+    * centroid (ties toward the lower id) — the "closest to the center,
+    * start here" seed of the greedy walk. Metadata-sized (k rows). */
+  def entryPoints(indexed: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(indexed.sparkSession)
+    indexed.join(broadcast(centroids), Seq("cluster"))
+      .withColumn("cos", Similarity.cosine(col("v"), col("centroid")))
+      .groupBy(col("cluster"))
+      .agg(max_by(col("id"), struct(col("cos"), (-col("id")).as("tb")))
+        .as("entry"))
+  }
+
+  /** Batched greedy beam search: `queries` `(q_id, qv)` against a
+    * [[fitGraph]] graph + the full-precision `indexed` tier.
+    * Each query probes its `nProbe` argmax-cosine cells, seeds the
+    * beam with their entry points, then `rounds` times expands every
+    * beam member's neighbors, scores them exactly, and re-trims to the
+    * best `ef` visited nodes per query. Returns the final top-`k`
+    * visited: `(q_id, rank, n_id, cos)`.
+    *
+    * Scale: queries are dimension-sized by the house contract, so the
+    * per-round joins broadcast the frontier against the
+    * cluster-partitioned graph and vector tables — the corpus never
+    * shuffles; `localCheckpoint` cuts each round's lineage (the
+    * [[Components]] loop pattern). */
+  def search(spark: SparkSession, queries: DataFrame, graph: DataFrame,
+             indexed: DataFrame, centroids: DataFrame, entries: DataFrame,
+             k: Int, nProbe: Int, ef: Int, rounds: Int): DataFrame = {
+    require(k > 0 && ef >= k, s"need ef >= k > 0, got k=$k ef=$ef")
+    require(rounds >= 0, s"negative rounds: $rounds")
+    val probes = IvfIndex.probeCells(spark, queries, centroids, nProbe)
+    val qv = queries.select(col("q_id"), col("qv"))
+    // seed: each probed cell's entry point, scored exactly
+    var visited = probes
+      .join(broadcast(entries), Seq("cluster"))
+      .select(col("q_id"), col("qv"), col("cluster"), col("entry").as("id"))
+      .join(indexed, Seq("cluster", "id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .select(col("q_id"), col("cluster"), col("id"), col("cos"))
+      .localCheckpoint()
+    var frontier = visited
+    (1 to rounds).foreach { _ =>
+      val expanded = frontier
+        .join(graph, Seq("cluster", "id"))
+        .select(col("q_id"), col("cluster"), explode(col("nbrs")).as("id"))
+        .distinct()
+        .join(indexed, Seq("cluster", "id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+        .select(col("q_id"), col("cluster"), col("id"), col("cos"))
+      // visited set: union + per-(q, node) dedup (scores are equal by
+      // determinism; max is the formal dedup)
+      visited = visited.unionByName(expanded)
+        .groupBy(col("q_id"), col("cluster"), col("id"))
+        .agg(max(col("cos")).as("cos"))
+        .localCheckpoint()
+      // beam: best ef visited per query (map-side trimmed)
+      frontier = visited
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKAgg(ef, col("cos"), col("id")).as("topk"))
+        .select(col("q_id"), explode(col("topk.items")).as("e"))
+        .select(col("q_id"), col("e.id").as("id"))
+        .join(visited.select(col("q_id"), col("cluster"), col("id"), col("cos")),
+          Seq("q_id", "id"))
+    }
+    visited
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(k, col("cos"), col("id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
+        col("e.id").as("n_id"), round(col("e.score"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, NswIndex, PqIndex, Similarity}
+
+/** Partitioned-NSW graph tier: exact small-case graph construction,
+  * walk-order invariants, and the ladder-closing claim — recall at
+  * least the IVF+PQ-ADC tier's at the same probe budget, measured on
+  * the q129 instrumentation (cosine brute-force ground truth). */
+class NswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+
+  describe("NswIndex.fitGraph") {
+    it("links each node to its exact in-cell nearest neighbors, ties by id") {
+      // two tight pairs on orthogonal axes: hand-computable cosines
+      val vs = Seq(
+        (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),
+        (2L, Array(0.0, 1.0)), (3L, Array(0.1, 0.9)))
+        .toDF("id", "v").withColumn("cluster", lit(0))
+      val g = NswIndex.fitGraph(vs, degree = 2)
+        .collect().map(r => r.getLong(1) -> r.getSeq[Long](2).toSeq).toMap
+      g(0L) shouldBe Seq(1L, 3L) // cos(0,1)=.9938 > cos(0,3)=.1104 > cos(0,2)=0
+      g(1L) shouldBe Seq(0L, 3L)
+      g(2L) shouldBe Seq(3L, 1L)
+      g(3L) shouldBe Seq(2L, 1L)
+    }
+
+    it("never crosses cells") {
+      val vs = Seq(
+        (0L, Array(1.0, 0.0), 0), (1L, Array(0.9, 0.1), 1),
+        (2L, Array(1.0, 0.1), 0), (3L, Array(0.95, 0.05), 1))
+        .toDF("id", "v", "cluster")
+      val g = NswIndex.fitGraph(vs, degree = 3)
+        .collect().map(r => r.getLong(1) -> r.getSeq[Long](2).toSeq).toMap
+      g(0L) shouldBe Seq(2L) // only its cell-mate, despite closer ids in cell 1
+      g(1L) shouldBe Seq(3L)
+    }
+  }
+
+  describe("NswIndex.search") {
+    def fitted() = {
+      val e = corpus
+      val cent = IvfIndex.fitCentroids(spark, e, k = 8, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      (e, cent, indexed, queries)
+    }
+
+    it("returns correctly ranked, correctly scored neighbors") {
+      val (e, cent, indexed, queries) = fitted()
+      val graph = NswIndex.fitGraph(indexed, degree = 4).localCheckpoint()
+      val entries = NswIndex.entryPoints(indexed, cent)
+      val out = NswIndex.search(spark, queries, graph, indexed, cent, entries,
+        k = 5, nProbe = 2, ef = 16, rounds = 3).localCheckpoint()
+      out.groupBy($"q_id").count().collect().foreach(_.getLong(1) shouldBe 5L)
+      // ranks are 1..5 in descending cos, ties impossible at 4 decimals here
+      val byQ = out.orderBy($"q_id", $"rank")
+        .collect().groupBy(_.getLong(0))
+      byQ.values.foreach { rows =>
+        rows.map(_.getInt(1)).toSeq shouldBe (1 to 5)
+        val scores = rows.map(_.getDouble(3)).toSeq
+        scores.sliding(2).foreach { case Seq(a, b) => a should be >= b case _ => }
+      }
+      // every reported cos is the true cosine of that (query, neighbor)
+      val check = out.join(queries, Seq("q_id"))
+        .join(e.select($"id".as("n_id"), $"v"), Seq("n_id"))
+        .withColumn("true_cos", round(Similarity.cosine($"qv", $"v"), 4))
+      check.filter($"cos" =!= $"true_cos").count() shouldBe 0L
+    }
+
+    it("recall >= the IVF+PQ-ADC tier at equal probe budget") {
+      val (e, cent, indexed, queries) = fitted()
+      val truth = Similarity.bruteForceTopKAgg(spark, queries,
+          e.select($"id".as("n_id"), $"v".as("cv")), 10)
+        .select($"q_id", $"n_id").localCheckpoint()
+      def recall(result: org.apache.spark.sql.DataFrame): Double = {
+        val hits = result.select($"q_id", $"n_id")
+          .join(truth, Seq("q_id", "n_id"), "left_semi").count()
+        hits.toDouble / truth.count()
+      }
+      val graph = NswIndex.fitGraph(indexed, degree = 8).localCheckpoint()
+      val entries = NswIndex.entryPoints(indexed, cent)
+      val nsw = NswIndex.search(spark, queries, graph, indexed, cent, entries,
+        k = 10, nProbe = 2, ef = 32, rounds = 3)
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 16, iterations = 1)
+      val codes = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val adc = PqIndex.ivfAdcSearch(spark, queries, codes,
+        indexed.select($"cluster", $"id", $"v"), cent, cb,
+        m = 4, subDim = 16, k = 10, rerank = 10, nProbe = 2)
+      val (rNsw, rAdc) = (recall(nsw), recall(adc))
+      withClue(s"nsw recall $rNsw vs adc recall $rAdc: ") {
+        rNsw should be >= rAdc
+      }
+      info(f"recall@10 nProbe=2: nsw=$rNsw%.3f adc=$rAdc%.3f")
+    }
+  }
+}

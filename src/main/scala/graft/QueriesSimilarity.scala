@@ -1202,6 +1202,36 @@ object QueriesSimilarity {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q185
+  /** NSW tier persist lifecycle ([[graft.operators.NswIndex.saveNsw]]/
+    * [[graft.operators.NswIndex.loadNsw]]): the q184 graph + entry
+    * points saved generationally (cluster-partitioned graph, shared
+    * manifest commit), reloaded, and searched. Longs and arrays
+    * round-trip parquet exactly, so the persisted-graph walk must equal
+    * the in-memory walk bit-for-bit — same oracle as q184 (the
+    * lifecycle must be invisible), the q142 contract applied to the
+    * graph tier. */
+  val q185NswPersist: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+    val idxDir = "/root/repo/target/tmp/graft_nsw_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.NswIndex.saveNsw(
+      graft.operators.NswIndex.fitGraph(indexed, degree = 4),
+      graft.operators.NswIndex.entryPoints(indexed, cent), idxDir)
+    val (graph, entries) = graft.operators.NswIndex.loadNsw(s, idxDir)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.NswIndex.search(s, queries, graph, indexed, cent, entries,
+        k = 5, nProbe = 2, ef = 8, rounds = 2)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1242,5 +1272,7 @@ object QueriesSimilarity {
     ("q145_jl_project", q145JlProject, Some(q145Sql)),
     ("q146_two_tier_append", q146TwoTierAppend, Some(q146Sql)),
     ("q184_nsw_search", q184NswSearch, Some(q184Sql)),
+    // persisted-graph walk must equal the in-memory walk: q184's oracle
+    ("q185_nsw_persist", q185NswPersist, Some(q184Sql)),
   )
 }

@@ -67,6 +67,51 @@ object NswIndex {
         .as("entry"))
   }
 
+  /** Persist a fitted NSW tier beside the flat index: the graph
+    * cluster-partitioned (a probe reads only its cells' adjacency,
+    * like both ANN data tiers) and the entry points metadata-sized —
+    * GENERATIONAL behind the shared one-long manifest
+    * ([[graft.sources.StoreFs]], the [[PqIndex.saveTwoTier]] commit
+    * pattern), so a crashed refresh leaves readers on the previous
+    * complete generation and `retainGenerations` keeps history for
+    * pinned readers until [[vacuumNsw]] reclaims it. */
+  def saveNsw(graph: DataFrame, entries: DataFrame, dir: String,
+              retainGenerations: Int = 1): Unit = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
+    val gen = graft.sources.StoreFs.readManifest(s"$dir/manifest")
+      .getOrElse(0L) + 1L
+    val g = s"$dir/g$gen"
+    graph.write.mode("overwrite").partitionBy("cluster").parquet(s"$g/graph")
+    Failpoints.hit("nsw:after-graph")
+    entries.write.mode("overwrite").parquet(s"$g/entries")
+    graft.sources.StoreFs.commitManifest(s"$dir/manifest", gen)
+    vacuumNsw(dir, keepLast = retainGenerations)
+  }
+
+  /** Reload a [[saveNsw]]d tier (current committed generation):
+    * `(graph, entries)`. */
+  def loadNsw(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val root = graft.sources.StoreFs.readManifest(s"$dir/manifest") match {
+      case Some(g) => s"$dir/g$g"
+      case None => dir
+    }
+    (spark.read.parquet(s"$root/graph"), spark.read.parquet(s"$root/entries"))
+  }
+
+  /** Retention for a [[saveNsw]] store — the uniform keep-newest-N
+    * policy ([[PqIndex.vacuumTwoTier]] semantics). */
+  def vacuumNsw(dir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val current = graft.sources.StoreFs.readManifest(s"$dir/manifest")
+      .getOrElse(return)
+    val genRe = "g(\\d+)".r
+    graft.sources.StoreFs.childNames(dir)
+      .collect { case genRe(g) if g.toLong <= current => g.toLong }.sorted
+      .dropRight(keepLast)
+      .foreach(g => graft.sources.StoreFs.deleteChild(dir, s"g$g"))
+  }
+
   /** Batched greedy beam search: `queries` `(q_id, qv)` against a
     * [[fitGraph]] graph + the full-precision `indexed` tier.
     * Each query probes its `nProbe` argmax-cosine cells, seeds the

@@ -148,6 +148,33 @@ class StoreLifecycleSpec extends SparkSpec {
     }
   }
 
+  describe("saveNsw generations") {
+    it("crashed refresh stays on the old generation; vacuum applies the uniform policy") {
+      import graft.operators.NswIndex
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val graph = NswIndex.fitGraph(indexed, degree = 3)
+      val entries = NswIndex.entryPoints(indexed, cent)
+      val dir = java.nio.file.Files.createTempDirectory("graft-nsw-crash").toString
+      NswIndex.saveNsw(graph, entries, dir)                   // g1
+      val before = NswIndex.loadNsw(spark, dir)._1.count()
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("nsw:after-graph")) {
+          NswIndex.saveNsw(graph, entries, dir)
+        }
+      } shouldBe boom
+      NswIndex.loadNsw(spark, dir)._1.count() shouldBe before // still g1
+      NswIndex.saveNsw(graph, entries, dir, retainGenerations = 2) // g3, g1 kept
+      new java.io.File(s"$dir/g1").exists() shouldBe true
+      NswIndex.vacuumNsw(dir, keepLast = 1)
+      new java.io.File(s"$dir/g1").exists() shouldBe false
+      NswIndex.loadNsw(spark, dir)._1.count() shouldBe before
+    }
+  }
+
   describe("splitOversizedCells crash windows") {
     def freshIndex(): String = {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -83,12 +83,12 @@ object QueriesSimilarity {
        |           / count(*) AS m
        |  FROM (SELECT cluster, id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM a0)
        |  GROUP BY cluster, dim),
-       |cent AS (SELECT cluster, list(m ORDER BY dim) AS centroid FROM upd GROUP BY cluster),
+       |cent AS MATERIALIZED (SELECT cluster, list(m ORDER BY dim) AS centroid FROM upd GROUP BY cluster),
        |s1 AS (
        |  SELECT $src.id, $src.v, c.cluster,
        |         ${dotSql(s"$src.v", "c.centroid")} / sqrt(${norm2Sql(s"$src.v")} * ${norm2Sql("c.centroid")}) AS cos
        |  FROM $src CROSS JOIN cent c),
-       |idx AS (
+       |idx AS MATERIALIZED (
        |  SELECT id, v, cluster FROM (
        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s1)
        |  WHERE rn = 1)""".stripMargin
@@ -479,13 +479,18 @@ object QueriesSimilarity {
          |       AND i.n_id IN (SELECT n_id FROM truth t WHERE t.q_id = qs.q_id)) AS n_hit
          |  FROM qs)""".stripMargin
     }.mkString("\nUNION ALL\n")
+    // MATERIALIZED on every multiply-referenced heavy CTE: DuckDB
+    // inlines plain CTEs per reference, so the Lloyd chain and the
+    // per-width candidate sets would otherwise re-execute once per
+    // consumer — at the sf1.0 corpus that blowup OOMs the oracle
+    // (semantics unchanged; the hint only forces single execution)
     val ivfCtes = widths.map { np =>
-      s"""cand$np AS (
+      s"""cand$np AS MATERIALIZED (
          |  SELECT p.q_id, i.id AS n_id,
          |         ${dotSql("p.qv", "i.v")} / sqrt(${norm2Sql("p.qv")} * ${norm2Sql("i.v")}) AS cos
          |  FROM (SELECT q_id, qv, cluster FROM probes WHERE rn <= $np) p
          |  JOIN idx i USING (cluster)),
-         |ivf$np AS (
+         |ivf$np AS MATERIALIZED (
          |  SELECT q_id, n_id FROM (
          |    SELECT q_id, n_id,
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
@@ -495,8 +500,8 @@ object QueriesSimilarity {
     val ctes =
       s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${lloydIdxSql("e", "8")},
-         |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
-         |truth AS (
+         |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+         |truth AS MATERIALIZED (
          |  SELECT q_id, n_id FROM (
          |    SELECT q.q_id, i.id AS n_id,
          |           row_number() OVER (PARTITION BY q.q_id ORDER BY
@@ -508,7 +513,7 @@ object QueriesSimilarity {
          |  SELECT q.q_id, q.qv, c.cluster,
          |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
          |  FROM qs q CROSS JOIN cent c),
-         |probes AS (
+         |probes AS MATERIALIZED (
          |  SELECT q_id, qv, cluster, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn
          |  FROM qscored),
          |$ivfCtes""".stripMargin
@@ -557,7 +562,7 @@ object QueriesSimilarity {
   val q134Sql: String = {
     val (ctes, perWidth) = recallOracleParts(Seq(1, 2, 4, 8))
     s"""WITH $ctes,
-       |rec AS (
+       |rec AS MATERIALIZED (
        |$perWidth)
        |SELECT r.n_probe, r.n_queries, r.total_hits, r.avg_recall, r.min_recall,
        |       r.n_probe = coalesce(

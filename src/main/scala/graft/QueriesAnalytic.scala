@@ -1310,26 +1310,31 @@ object QueriesAnalytic {
       .orderBy($"rank".desc, $"node").limit(20)
   }
   val q181Sql: String = {
+    // MATERIALIZED throughout: each round's rank table is referenced
+    // by BOTH the contribution and the sink CTE of the next round (and
+    // edges/nodes/deg by every round) — DuckDB's per-reference CTE
+    // inlining makes the recursion re-execute exponentially otherwise
+    // (the q134 sf1.0 lesson; here it spilled >79 GB before failing)
     def iter(prev: String, i: Int): String =
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS in_mass
          |  FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
          |  GROUP BY e.dst),
-         |s$i AS (
+         |s$i AS MATERIALIZED (
          |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS sm
          |  FROM $prev r WHERE r.node NOT IN (SELECT src FROM deg)),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT n.node,
          |         CAST(150000000 + (85 * (coalesce(c.in_mass, 0) + s.sm // x.n)) // 100
          |              AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node
          |  CROSS JOIN s$i s CROSS JOIN nc x)""".stripMargin
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-       |nc AS (SELECT count(*) AS n FROM nodes),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
        |${iter("r0", 1)},
        |${iter("r1", 2)},

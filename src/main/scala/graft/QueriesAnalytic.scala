@@ -272,22 +272,29 @@ object QueriesAnalytic {
   /** ROLLUP grouping sets (hierarchy totals in one pass — Spark expands
     * to a single Expand + hash agg, no second scan). Rollup nulls are
     * labeled 'ALL' on both sides so cross-engine null-ordering rules
-    * can't touch the sort. */
+    * can't touch the sort. Revenue is an EXACT integer-cent sum
+    * (prices are 2-decimal money, so `round(p·100)` is the exact cent
+    * count and the long sum is order-independent) — the grand-total
+    * float sum needs ~13 stable significant digits at the 10× corpus
+    * and summation-order noise flips its 2-decimal rounding there
+    * (the q147 lesson, caught by the r10 sf1.0 certification). */
   val q36Rollup: Q = (s, dir) => {
     import s.implicits._
     Tables.orders(s, dir)
       .rollup($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("revenue_c"))
       .select(
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
-        $"n", $"revenue")
+        $"n", $"revenue_c")
       .orderBy($"status", $"priority")
   }
   val q36Sql: String =
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
       |       coalesce(o_orderpriority, 'ALL') AS priority,
-      |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
@@ -452,7 +459,10 @@ object QueriesAnalytic {
   /** Bivariate aggregate family (extending A8/A9's univariate moments):
     * Pearson correlation, both covariance flavors, and the regression
     * slope of value on user id per event type. Co-moment accumulation
-    * order differs per engine — rounded like every float aggregate. */
+    * order differs per engine — rounded like every float aggregate;
+    * the covariances round at 2 decimals (not 4): their ~1e2 magnitude
+    * over millions of rows leaves ~1e-4 of summation-order noise, and
+    * the sf1.0 certification caught a 4th-decimal boundary flip. */
   val q87CorrCovar: Q = (s, dir) => {
     import s.implicits._
     Tables.events(s, dir)
@@ -462,16 +472,16 @@ object QueriesAnalytic {
       // −0.0 in DuckDB, +0.0 in Spark — the q61 lesson)
       .agg(count(lit(1)).as("n"),
         (round(corr($"value", $"u"), 4) + 0.0).as("corr_vu"),
-        (round(covar_samp($"value", $"u"), 4) + 0.0).as("cov_s"),
-        (round(covar_pop($"value", $"u"), 4) + 0.0).as("cov_p"),
+        (round(covar_samp($"value", $"u"), 2) + 0.0).as("cov_s"),
+        (round(covar_pop($"value", $"u"), 2) + 0.0).as("cov_p"),
         (round(regr_slope($"value", $"u"), 6) + 0.0).as("slope"))
       .orderBy($"event_type")
   }
   val q87Sql: String =
     """SELECT event_type, count(*) AS n,
       |  round(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS corr_vu,
-      |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS cov_s,
-      |  round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS cov_p,
+      |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 2) + 0.0 AS cov_s,
+      |  round(covar_pop(value, CAST(user_id AS DOUBLE)), 2) + 0.0 AS cov_p,
       |  round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) + 0.0 AS slope
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 

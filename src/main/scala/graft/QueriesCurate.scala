@@ -164,12 +164,15 @@ object QueriesCurate {
       .cube($"o_orderpriority", $"o_orderstatus")
       // grouping_id() is only resolvable inside the cube's aggregate
       // list; with two cube columns it equals grouping(a)·2+grouping(b)
+      // exact integer-cent total: the grand-total float sum flips its
+      // 2-decimal rounding at the 10× corpus (see q36)
       .agg(grouping_id().cast("int").as("gid"),
-        count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("total_c"))
       .select(
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
-        $"gid", $"n", $"total")
+        $"gid", $"n", $"total_c")
       .orderBy($"gid", $"priority", $"status")
   }
   val q76Sql: String =
@@ -177,7 +180,8 @@ object QueriesCurate {
       |       coalesce(o_orderstatus, 'ALL') AS status,
       |       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
       |         AS gid,
-      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
       |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
       |ORDER BY gid, priority, status""".stripMargin
 
@@ -275,12 +279,14 @@ object QueriesCurate {
       .groupingSets(
         Seq(Seq($"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
         $"o_orderpriority", $"o_orderstatus")
+      // exact integer-cent total (see q36)
       .agg(grouping_id().cast("int").as("gid"),
-        count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("total_c"))
       .select(
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
-        $"gid", $"n", $"total")
+        $"gid", $"n", $"total_c")
       .orderBy($"gid", $"priority", $"status")
   }
   val q79Sql: String =
@@ -288,7 +294,8 @@ object QueriesCurate {
       |       coalesce(o_orderstatus, 'ALL') AS status,
       |       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
       |         AS gid,
-      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY gid, priority, status""".stripMargin

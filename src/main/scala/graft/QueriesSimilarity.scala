@@ -1148,7 +1148,13 @@ object QueriesSimilarity {
       .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
       .orderBy($"q_id", $"rank")
   }
-  val q184Sql: String = {
+  /** Shared NSW-walk oracle tail over an index relation `idxRel`
+    * `(id, v, cluster)` — ONE text for q184/q185/q186 (the bpeCtes
+    * pattern: the gates' walk semantics cannot drift apart). Emits the
+    * graph build, entries, probes, seed, both beam rounds and the
+    * final top-5. Multiply-referenced CTEs MATERIALIZED (the q134
+    * lesson). */
+  private def nswWalkSql(idxRel: String): String = {
     val cos = (a: String, b: String) =>
       s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
     def round(i: Int, prevV: String, prevF: String): String =
@@ -1158,8 +1164,8 @@ object QueriesSimilarity {
          |ns$i AS (
          |  SELECT x.q_id, x.cluster, x.id, ${cos("q.qv", "i.v")} AS cos
          |  FROM nx$i x JOIN qs q USING (q_id)
-         |  JOIN idx i ON i.cluster = x.cluster AND i.id = x.id),
-         |nv$i AS (
+         |  JOIN $idxRel i ON i.cluster = x.cluster AND i.id = x.id),
+         |nv$i AS MATERIALIZED (
          |  SELECT q_id, cluster, id, max(cos) AS cos
          |  FROM (SELECT * FROM $prevV UNION ALL SELECT * FROM ns$i)
          |  GROUP BY 1, 2, 3),
@@ -1169,13 +1175,10 @@ object QueriesSimilarity {
          |      SELECT q_id, id, row_number() OVER (PARTITION BY q_id
          |        ORDER BY cos DESC, id ASC) AS rn FROM nv$i)
          |    WHERE rn <= 8) t USING (q_id, id))""".stripMargin
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
-       |${lloydIdxSql("e", "8")},
-       |pairs AS (
+    s"""pairs AS (
        |  SELECT a.cluster, a.id AS src, b.id AS dst, ${cos("a.v", "b.v")} AS cos
-       |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.id <> b.id),
-       |graph AS (
+       |  FROM $idxRel a JOIN $idxRel b ON a.cluster = b.cluster AND a.id <> b.id),
+       |graph AS MATERIALIZED (
        |  SELECT cluster, src, dst FROM (
        |    SELECT *, row_number() OVER (PARTITION BY cluster, src
        |      ORDER BY cos DESC, dst ASC) AS rn FROM pairs)
@@ -1184,7 +1187,7 @@ object QueriesSimilarity {
        |  SELECT cluster, id AS entry FROM (
        |    SELECT i.cluster, i.id, row_number() OVER (PARTITION BY i.cluster
        |      ORDER BY ${cos("i.v", "c.centroid")} DESC, i.id ASC) AS rn
-       |    FROM idx i JOIN cent c USING (cluster))
+       |    FROM $idxRel i JOIN cent c USING (cluster))
        |  WHERE rn = 1),
        |qscored AS (
        |  SELECT q.q_id, q.qv, c.cluster, ${cos("q.qv", "c.centroid")} AS cos
@@ -1194,10 +1197,10 @@ object QueriesSimilarity {
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
        |  WHERE rn <= 2),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT p.q_id, en.cluster, en.entry AS id, ${cos("q.qv", "i.v")} AS cos
        |  FROM probes p JOIN entries en USING (cluster)
-       |  JOIN idx i ON i.cluster = en.cluster AND i.id = en.entry
+       |  JOIN $idxRel i ON i.cluster = en.cluster AND i.id = en.entry
        |  JOIN qs q ON q.q_id = p.q_id),
        |${round(1, "v0", "v0")},
        |${round(2, "nv1", "nf1")}
@@ -1206,6 +1209,12 @@ object QueriesSimilarity {
        |    ORDER BY cos DESC, id ASC) AS INT) AS rank FROM nv2)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
+
+  val q184Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("e", "8")},
+       |${nswWalkSql("idx")}""".stripMargin
 
   // ---------------------------------------------------------------- q185
   /** NSW tier persist lifecycle ([[graft.operators.NswIndex.saveNsw]]/
@@ -1236,6 +1245,61 @@ object QueriesSimilarity {
       .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
       .orderBy($"q_id", $"rank")
   }
+
+  // ---------------------------------------------------------------- q186
+  /** NSW graph APPEND ([[graft.operators.NswIndex.appendToNsw]]): the
+    * graph tier's q146 — base fit + save, the remaining 10% folded in
+    * WITHOUT refit. The merge is EXACT, not approximate: an existing
+    * node's new top-degree list is the trimmed merge of its stored
+    * score-carrying list with its scored delta cell-mates (top-k of a
+    * union = trimmed merge of per-part top-ks), new nodes compute
+    * directly, entry points merge by stored `escore` — so
+    * `append(store(base), delta) ≡ fitGraph(base ∪ delta)`
+    * bit-for-bit, and the oracle replays the walk over the FULL
+    * corpus assigned to base-fitted centroids. Pair work is
+    * delta-bounded (|delta|·|cell| per touched cell, not |cell|²). */
+  val q186NswAppend: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val base = e.filter($"id" % 10 < 9)
+    val delta = e.filter($"id" % 10 === 9)
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, base, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxBase = graft.operators.IvfIndex.assign(base, cent).localCheckpoint()
+    val idxDelta = graft.operators.IvfIndex.assign(delta, cent).localCheckpoint()
+    val idxDir = "/root/repo/target/tmp/graft_nsw_app_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.operators.NswIndex.saveNsw(
+      graft.operators.NswIndex.fitGraph(idxBase, degree = 4),
+      graft.operators.NswIndex.entryPoints(idxBase, cent), idxDir)
+    graft.operators.NswIndex.appendToNsw(s, idxDir, idxBase, idxDelta, cent,
+      degree = 4)
+    val (graph, entries) = graft.operators.NswIndex.loadNsw(s, idxDir)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.NswIndex.search(s, queries, graph,
+        idxBase.unionByName(idxDelta), cent, entries,
+        k = 5, nProbe = 2, ef = 8, rounds = 2)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+  val q186Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |base AS (SELECT * FROM e WHERE id % 10 < 9),
+       |delta AS (SELECT * FROM e WHERE id % 10 = 9),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("base", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster,
+       |         ${dotSql("delta.v", "c.centroid")} / sqrt(${norm2Sql("delta.v")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |allidx AS MATERIALIZED (SELECT * FROM idx UNION ALL SELECT * FROM didx),
+       |${nswWalkSql("allidx")}""".stripMargin
 
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
@@ -1279,5 +1343,6 @@ object QueriesSimilarity {
     ("q184_nsw_search", q184NswSearch, Some(q184Sql)),
     // persisted-graph walk must equal the in-memory walk: q184's oracle
     ("q185_nsw_persist", q185NswPersist, Some(q184Sql)),
+    ("q186_nsw_append", q186NswAppend, Some(q186Sql)),
   )
 }

@@ -39,8 +39,12 @@ object NswIndex {
   /** Per-cell NSW graph over `indexed` `(cluster, id, v)`: one row per
     * node, `nbrs` = its `degree` cosine-nearest neighbors within the
     * cell (score desc, id asc ties — [[graft.functions.TopKAgg]], so
-    * the per-cell pair explosion is trimmed map-side). Cells build
-    * independently and in parallel; nothing crosses cells. */
+    * the per-cell pair explosion is trimmed map-side) and `nscores`
+    * their matching cosines — kept so [[appendToNsw]] can MERGE a
+    * stored list with delta candidates exactly (top-k of a union is
+    * the trimmed merge of per-part top-ks only when the scores
+    * travel with the ids). Cells build independently and in parallel;
+    * nothing crosses cells. */
   def fitGraph(indexed: DataFrame, degree: Int): DataFrame = {
     require(degree > 0, s"NswIndex.fitGraph needs degree > 0, got $degree")
     graft.plans.GraftFunctions.register(indexed.sparkSession)
@@ -52,19 +56,84 @@ object NswIndex {
       .groupBy(col("cluster"), col("a_id"))
       .agg(graft.functions.TopKAgg(degree, col("cos"), col("b_id")).as("topk"))
       .select(col("cluster"), col("a_id").as("id"),
-        expr("transform(topk.items, x -> x.id)").as("nbrs"))
+        expr("transform(topk.items, x -> x.id)").as("nbrs"),
+        expr("transform(topk.items, x -> x.score)").as("nscores"))
   }
 
   /** One entry point per cell: the node most cosine-similar to its
-    * centroid (ties toward the lower id) — the "closest to the center,
-    * start here" seed of the greedy walk. Metadata-sized (k rows). */
+    * centroid (ties toward the lower id), with its score (`escore`) so
+    * [[appendToNsw]] can merge entry points without rescanning the
+    * base corpus. Metadata-sized (k rows). */
   def entryPoints(indexed: DataFrame, centroids: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(indexed.sparkSession)
     indexed.join(broadcast(centroids), Seq("cluster"))
       .withColumn("cos", Similarity.cosine(col("v"), col("centroid")))
       .groupBy(col("cluster"))
-      .agg(max_by(col("id"), struct(col("cos"), (-col("id")).as("tb")))
-        .as("entry"))
+      .agg(max_by(struct(col("id").as("entry"), col("cos").as("escore")),
+        struct(col("cos"), (-col("id")).as("tb"))).as("e"))
+      .select(col("cluster"), col("e.entry").as("entry"),
+        col("e.escore").as("escore"))
+  }
+
+  /** INCREMENTAL graph maintenance: fold `indexedDelta` (already
+    * assigned to the SAME centroids the base was) into a [[saveNsw]]d
+    * store WITHOUT refitting — and EXACTLY: for an existing node, its
+    * true top-`degree` over base ∪ delta is the trimmed merge of its
+    * stored exact top-`degree` over the base (scores travel in
+    * `nscores`) with its scored delta cell-mates; for a new node the
+    * list is computed directly against all cell-mates. So
+    * `append(store(base), delta) ≡ fitGraph(base ∪ delta)` bit-for-bit
+    * (q186 gates it on the full-corpus oracle), the q146 invariant
+    * applied to the graph tier. Pair work is DELTA-bounded —
+    * |delta|·|cell| per touched cell instead of |cell|² — and the
+    * entry merge is cells-sized (stored `escore` vs the delta's
+    * argmax; no base rescan). The refreshed graph commits as a new
+    * generation (old-node rows change, so in-place file append — the
+    * flat tiers' trick — would be wrong here). */
+  def appendToNsw(spark: SparkSession, dir: String, indexedBase: DataFrame,
+                  indexedDelta: DataFrame, centroids: DataFrame, degree: Int,
+                  retainGenerations: Int = 1): Unit = {
+    require(degree > 0, s"appendToNsw needs degree > 0, got $degree")
+    graft.plans.GraftFunctions.register(spark)
+    val (graph, entries) = loadNsw(spark, dir)
+    val deltaB = indexedDelta.select(col("cluster"), col("id").as("b_id"),
+      col("v").as("bv"))
+    val all = indexedBase.unionByName(indexedDelta)
+    // new nodes: exact top-degree among ALL cell-mates (base and delta)
+    val newRows = indexedDelta
+      .select(col("cluster"), col("id").as("a_id"), col("v").as("av"))
+      .join(all.select(col("cluster"), col("id").as("b_id"), col("v").as("bv")),
+        Seq("cluster"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
+      .select(col("cluster"), col("a_id"), col("b_id"), col("cos"))
+    // existing nodes: stored exact lists (score-carrying) + scored
+    // delta candidates, re-trimmed; ids are disjoint so the union is
+    // duplicate-free and the trim reproduces the rebuild exactly
+    val storedRows = graph
+      .select(col("cluster"), col("id").as("a_id"),
+        explode(arrays_zip(col("nbrs"), col("nscores"))).as("z"))
+      .select(col("cluster"), col("a_id"),
+        col("z.nbrs").as("b_id"), col("z.nscores").as("cos"))
+    val deltaRows = indexedBase
+      .select(col("cluster"), col("id").as("a_id"), col("v").as("av"))
+      .join(deltaB, Seq("cluster"))
+      .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
+      .select(col("cluster"), col("a_id"), col("b_id"), col("cos"))
+    val merged = storedRows.unionByName(deltaRows).unionByName(newRows)
+      .groupBy(col("cluster"), col("a_id"))
+      .agg(graft.functions.TopKAgg(degree, col("cos"), col("b_id")).as("topk"))
+      .select(col("cluster"), col("a_id").as("id"),
+        expr("transform(topk.items, x -> x.id)").as("nbrs"),
+        expr("transform(topk.items, x -> x.score)").as("nscores"))
+    val mergedEntries = entries
+      .unionByName(entryPoints(indexedDelta, centroids))
+      .groupBy(col("cluster"))
+      .agg(max_by(struct(col("entry"), col("escore")),
+        struct(col("escore"), (-col("entry")).as("tb"))).as("e"))
+      .select(col("cluster"), col("e.entry").as("entry"),
+        col("e.escore").as("escore"))
+    saveNsw(merged, mergedEntries, dir, retainGenerations)
   }
 
   /** Persist a fitted NSW tier beside the flat index: the graph

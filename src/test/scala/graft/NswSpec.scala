@@ -72,6 +72,32 @@ class NswSpec extends SparkSpec {
       check.filter($"cos" =!= $"true_cos").count() shouldBe 0L
     }
 
+    it("appendToNsw reproduces the full rebuild bit-for-bit") {
+      val e = corpus
+      val base = e.filter($"id" % 10 < 9)
+      val delta = e.filter($"id" % 10 === 9)
+      val cent = IvfIndex.fitCentroids(spark, base, k = 4, iterations = 1,
+        orderedMean = true)
+      val idxBase = IvfIndex.assign(base, cent).localCheckpoint()
+      val idxDelta = IvfIndex.assign(delta, cent).localCheckpoint()
+      val dir = java.nio.file.Files.createTempDirectory("graft-nsw-app").toString
+      NswIndex.saveNsw(NswIndex.fitGraph(idxBase, degree = 5),
+        NswIndex.entryPoints(idxBase, cent), dir)
+      NswIndex.appendToNsw(spark, dir, idxBase, idxDelta, cent, degree = 5)
+      val (appended, appEntries) = NswIndex.loadNsw(spark, dir)
+      val all = idxBase.unionByName(idxDelta)
+      def canonG(g: org.apache.spark.sql.DataFrame) =
+        g.select($"cluster".cast("long").as("c"), $"id", $"nbrs", $"nscores")
+          .orderBy($"c", $"id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq,
+            r.getSeq[Double](3).toSeq)).toSeq
+      canonG(appended) shouldBe canonG(NswIndex.fitGraph(all, degree = 5))
+      def canonE(g: org.apache.spark.sql.DataFrame) =
+        g.select($"cluster".cast("long").as("c"), $"entry")
+          .orderBy($"c").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      canonE(appEntries) shouldBe canonE(NswIndex.entryPoints(all, cent))
+    }
+
     it("recall >= the IVF+PQ-ADC tier at equal probe budget") {
       val (e, cent, indexed, queries) = fitted()
       val truth = Similarity.bruteForceTopKAgg(spark, queries,

@@ -756,6 +756,74 @@ object QueriesStreaming {
     } finally rmTree(new java.io.File(base))
   }
 
+  // ---------------------------------------------------------------- q187
+  /** STREAMING NSW ingest — the graph tier's streaming maintenance
+    * story, closing the symmetry with q128/q132 (near-dup stores) and
+    * q166/q172 (sketch/bitmap stores): the 10% delta arrives as a real
+    * file stream in 4 micro-batches (`maxFilesPerTrigger=1`), and each
+    * batch is folded into BOTH persisted tiers — the flat IVF index
+    * (vectors appended into their cluster partitions) and the NSW
+    * graph ([[graft.operators.NswIndex.appendToNsw]], committed as a
+    * new generation per batch). Because each append is EXACTLY
+    * equivalent to a rebuild over everything-so-far (the q186
+    * invariant), the composition is batch-split-invariant by
+    * induction: the end-of-stream graph equals the one-shot build over
+    * base ∪ delta regardless of how the stream chopped the delta — so
+    * the oracle is q186's verbatim. The previous index snapshot is
+    * localCheckpoint-pinned BEFORE the batch's files append, so the
+    * merge never reads its own writes. */
+  val q187StreamNswIngest: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{IvfIndex, NswIndex}
+    val file = s"$dir/embeddings.parquet"
+    val (base, stream) = stagedMultiBatchStream(s, file, "q187", dir,
+      _.filter(col("vec_id") % 10 === 9))
+    val nswDir = base + "/nsw"
+    val flatDir = base + "/flat"
+    val ckpt = base + "/ckpt"
+    try {
+      val e = s.read.parquet(file)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val baseRel = e.filter($"id" % 10 < 9)
+      val cent = IvfIndex
+        .fitCentroids(s, baseRel, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val idxBase = IvfIndex.assign(baseRel, cent).localCheckpoint()
+      IvfIndex.save(cent, idxBase, flatDir)
+      NswIndex.saveNsw(NswIndex.fitGraph(idxBase, degree = 4),
+        NswIndex.entryPoints(idxBase, cent), nswDir)
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val delta = batch.toDF().select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("v"))
+            if (!delta.isEmpty) {
+              val (cent2, prevRaw) = IvfIndex.load(s, flatDir)
+              // pin the pre-batch snapshot before this batch appends
+              val prev = prevRaw.select(col("id"), col("v"), col("cluster"))
+                .localCheckpoint()
+              val idxDelta = IvfIndex.assign(delta, cent2).localCheckpoint()
+              NswIndex.appendToNsw(s, nswDir, prev, idxDelta, cent2, degree = 4)
+              idxDelta.write.mode("append").partitionBy("cluster")
+                .parquet(s"$flatDir/index")
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val (graph, entries) = NswIndex.loadNsw(s, nswDir)
+      val (centF, idxAll) = IvfIndex.load(s, flatDir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      NswIndex.search(s, queries, graph,
+          idxAll.select(col("id"), col("v"), col("cluster")), centF, entries,
+          k = 5, nProbe = 2, ef = 8, rounds = 2)
+        .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+        .orderBy($"q_id", $"rank")
+        .localCheckpoint() // materialize before the scratch dir dies
+    } finally rmTree(new java.io.File(base))
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q45_stream_window", q45StreamWindow, Some(q45Sql)),
     ("q46_sessionize", q46Sessionize, Some(q46Sql)),
@@ -779,5 +847,8 @@ object QueriesStreaming {
     // median as q170's batch bracketing: one oracle, two engines
     ("q177_stream_exact_median", q177StreamExactMedian,
       Some(QueriesAnalytic.q170Sql)),
+    // per-batch exact appends compose to the one-shot build: q186's oracle
+    ("q187_stream_nsw_ingest", q187StreamNswIngest,
+      Some(QueriesSimilarity.q186Sql)),
   )
 }

@@ -474,11 +474,22 @@ object QueriesStreaming {
 
   private val dedupStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** q187's stream-built two-tier stores, one scratch base per data
+    * dir — the q142 serving contract: steady passes load+search the
+    * stream-maintained store, cold passes re-run the whole 4-batch
+    * ingest after the clear. */
+  private val nswIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Drop the session-owned bucketed-store marker — [[Bench]] calls
-    * this before each COLD pass so cold numbers carry the store build
+  /** Drop the session-owned store markers — [[Bench]] calls this
+    * before each COLD pass so cold numbers carry the store builds
     * (the [[QueriesText.clearSessionCaches]] contract). */
-  private[graft] def clearSessionCaches(): Unit = dedupStoreCache.clear()
+  private[graft] def clearSessionCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    nswIngestCache.values.asScala.foreach(p => rmTree(new java.io.File(p)))
+    dedupStoreCache.clear()
+    nswIngestCache.clear()
+  }
 
   /** Registry: name → (spark program, oracle sql). */
   // ---------------------------------------------------------------- q143
@@ -776,24 +787,27 @@ object QueriesStreaming {
     import s.implicits._
     import graft.operators.{IvfIndex, NswIndex}
     val file = s"$dir/embeddings.parquet"
-    val (base, stream) = stagedMultiBatchStream(s, file, "q187", dir,
-      _.filter(col("vec_id") % 10 === 9))
-    val nswDir = base + "/nsw"
-    val flatDir = base + "/flat"
-    val ckpt = base + "/ckpt"
-    try {
-      val e = s.read.parquet(file)
-        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val e = s.read.parquet(file)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    // session-owned stream-built store (the q142 serving contract):
+    // the 4-batch ingest runs once per session; steady bench passes
+    // load+search the maintained store, cold passes re-ingest after
+    // clearSessionCaches
+    val base = nswIngestCache.computeIfAbsent(dir, _ => {
+      val (b, stream) = stagedMultiBatchStream(s, file, "q187", dir,
+        _.filter(col("vec_id") % 10 === 9))
+      val nswDir = b + "/nsw"
+      val flatDir = b + "/flat"
       val baseRel = e.filter($"id" % 10 < 9)
       val cent = IvfIndex
         .fitCentroids(s, baseRel, k = 8, iterations = 1, orderedMean = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val idxBase = IvfIndex.assign(baseRel, cent).localCheckpoint()
       IvfIndex.save(cent, idxBase, flatDir)
       NswIndex.saveNsw(NswIndex.fitGraph(idxBase, degree = 4),
         NswIndex.entryPoints(idxBase, cent), nswDir)
       val query = stream.writeStream
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", b + "/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            batchId: Long) =>
@@ -812,16 +826,16 @@ object QueriesStreaming {
         }
         .start()
       try query.processAllAvailable() finally query.stop()
-      val (graph, entries) = NswIndex.loadNsw(s, nswDir)
-      val (centF, idxAll) = IvfIndex.load(s, flatDir)
-      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
-      NswIndex.search(s, queries, graph,
-          idxAll.select(col("id"), col("v"), col("cluster")), centF, entries,
-          k = 5, nProbe = 2, ef = 8, rounds = 2)
-        .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
-        .orderBy($"q_id", $"rank")
-        .localCheckpoint() // materialize before the scratch dir dies
-    } finally rmTree(new java.io.File(base))
+      b
+    })
+    val (graph, entries) = NswIndex.loadNsw(s, base + "/nsw")
+    val (centF, idxAll) = IvfIndex.load(s, base + "/flat")
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    NswIndex.search(s, queries, graph,
+        idxAll.select(col("id"), col("v"), col("cluster")), centF, entries,
+        k = 5, nProbe = 2, ef = 8, rounds = 2)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(

@@ -811,17 +811,39 @@ object QueriesStreaming {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            batchId: Long) =>
+            // REPLAY GUARD: foreachBatch is at-least-once, and this
+            // body is NOT naturally idempotent (a replayed append would
+            // duplicate delta vectors in the flat store and violate
+            // appendToNsw's disjoint-id precondition). Two layers, the
+            // EventStreams generational-sink pattern adapted:
+            //  1. a per-batch marker touched AFTER both appends — the
+            //     fast path skipping fully-applied replays outright;
+            //  2. for a crash INSIDE the body, a presence check of the
+            //     delta ids against the pinned pre-batch flat snapshot.
+            //     The NSW append runs FIRST and is content-idempotent
+            //     on identical (prev, delta) — append ≡ rebuild, so a
+            //     re-run just commits an equal generation — while the
+            //     flat append runs LAST; hence delta-ids-in-flat ⟺
+            //     both appends landed, and the check is authoritative
+            //     for every crash point.
+            val marker = s".nsw_batch_${batchId}_applied"
+            val applied = graft.sources.StoreFs.childNames(b).contains(marker)
             val delta = batch.toDF().select(col("vec_id").as("id"),
               col("embedding").cast("array<double>").as("v"))
-            if (!delta.isEmpty) {
+            if (!applied && !delta.isEmpty) {
               val (cent2, prevRaw) = IvfIndex.load(s, flatDir)
               // pin the pre-batch snapshot before this batch appends
               val prev = prevRaw.select(col("id"), col("v"), col("cluster"))
                 .localCheckpoint()
-              val idxDelta = IvfIndex.assign(delta, cent2).localCheckpoint()
-              NswIndex.appendToNsw(s, nswDir, prev, idxDelta, cent2, degree = 4)
-              idxDelta.write.mode("append").partitionBy("cluster")
-                .parquet(s"$flatDir/index")
+              val landed = !delta.select(col("id"))
+                .join(prev, Seq("id"), "left_semi").isEmpty
+              if (!landed) {
+                val idxDelta = IvfIndex.assign(delta, cent2).localCheckpoint()
+                NswIndex.appendToNsw(s, nswDir, prev, idxDelta, cent2, degree = 4)
+                idxDelta.write.mode("append").partitionBy("cluster")
+                  .parquet(s"$flatDir/index")
+              }
+              graft.sources.StoreFs.touchMarker(b, marker)
             }
         }
         .start()

@@ -30,7 +30,18 @@ object Tables {
     * itself and the data is therefore tiny. */
   def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // partition count from the PHYSICAL PLAN, not df.rdd: df.rdd builds
+    // the extra InternalRow→Row conversion lineage just to read a
+    // number the planned scan already knows. outputPartitioning carries
+    // it for exchanges/bucketed scans; a plain file scan reports
+    // UnknownPartitioning(0), so fall back to the plan's own RDD
+    // (cached in the plan, no job, no conversion stage).
+    val plan = df.queryExecution.executedPlan
+    val planned = plan.outputPartitioning.numPartitions match {
+      case n if n > 0 => n
+      case _ => plan.execute().getNumPartitions
+    }
+    if (planned < target) df.repartition(target) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")

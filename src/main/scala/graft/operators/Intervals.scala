@@ -33,10 +33,16 @@ object Intervals {
     * through a `when(end ≥ start, end).otherwise(raise_error(…))`
     * guard — load-bearing in every downstream use, so column pruning
     * cannot elide it, codegen'd, one comparison per row. Callers with
-    * possibly-inverted spans must clamp before calling (see q156). */
+    * possibly-inverted spans must clamp before calling (see q156).
+    * NULL-bounded rows (null start or end) pass through unchecked —
+    * they carried no ordering information before the guard existed and
+    * still don't; the running-max scan treats them as open rows the
+    * same way it always did. */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
                      endCol: String): DataFrame = {
-    val endChecked = when(col(endCol) >= col(startCol), col(endCol))
+    val endChecked = when(
+      col(endCol).isNull || col(startCol).isNull || col(endCol) >= col(startCol),
+      col(endCol))
       .otherwise(raise_error(concat(
         lit(s"Intervals.mergeIntervals: end < start ($endCol < $startCol) at key "),
         col(keyCol).cast("string"))))

@@ -433,12 +433,19 @@ object TextDedup {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val current = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(return)
-    val fpPath = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_fp")
-    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val genRe = ".*_g(\\d+)_fp".r
-    val committed = Option(fs.globStatus(fpPath)).map(_.toSeq).getOrElse(Seq.empty)
-      .map(_.getPath.getName)
-      .collect { case genRe(g) if g.toLong <= current => g.toLong }.sorted
+    // Discover generations from the UNION of all three suffix globs,
+    // not just `_fp`: a vacuum that crashed after deleting a
+    // generation's fp dir but before its bands/mh dirs would otherwise
+    // hide those orphans from every later vacuum, leaking them forever.
+    val probe = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_fp")
+    val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genRe = ".*_g(\\d+)_(?:fp|bands|mh)".r
+    val committed = Seq("fp", "bands", "mh").flatMap { sfx =>
+      val glob = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_$sfx")
+      Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+        .map(_.getPath.getName)
+        .collect { case genRe(g) if g.toLong <= current => g.toLong }
+    }.distinct.sorted
     committed.dropRight(keepLast).foreach { g =>
       Seq("fp", "bands", "mh").foreach { sfx =>
         spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_g${g}_$sfx")

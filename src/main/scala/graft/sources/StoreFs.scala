@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Filesystem access for generational stores, resolved through the
@@ -24,14 +24,15 @@ import org.apache.spark.sql.SparkSession
   * bare [[Configuration]] for session-less callers (vacuum jobs). */
 object StoreFs {
 
+  private def conf(): Configuration = SparkSession.getActiveSession
+    .orElse(SparkSession.getDefaultSession)
+    .map(_.sessionState.newHadoopConf())
+    .getOrElse(new Configuration())
+
   /** The (filesystem, path) pair governing `store`, scheme-resolved. */
   def of(store: String): (FileSystem, Path) = {
-    val conf = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
     val p = new Path(store)
-    (p.getFileSystem(conf), p)
+    (p.getFileSystem(conf()), p)
   }
 
   /** Create (or replay-recreate) a zero-byte marker file under `store`. */
@@ -62,26 +63,55 @@ object StoreFs {
     * store) as their single commit point. */
   def readManifest(path: String): Option[Long] = {
     val (fs, p) = of(path)
-    if (!fs.exists(p)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-    }
+    def once(): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      }
+    // One short retry on absence: the fallback (non-FileContext) commit
+    // path has a sub-millisecond rename-aside window during which the
+    // manifest is legitimately in flight rather than missing.
+    once().orElse { Thread.sleep(50); once() }
   }
 
   /** COMMIT a generation: write `gen` to `path__tmp`, then swap it in
-    * by delete + rename — the manifest flips atomically from the old
-    * complete generation to the new one, so readers racing a refresh
-    * resolve one or the other, never a torn store. */
+    * with an atomic overwrite rename ([[FileContext]] with
+    * `Options.Rename.OVERWRITE` — atomic on HDFS and the local FS), so
+    * readers racing a refresh resolve the old complete generation or
+    * the new one, never a torn or absent manifest. On stores whose
+    * scheme lacks a FileContext implementation (some object stores) it
+    * falls back to a CHECKED rename-aside: the old manifest is moved
+    * aside (not deleted), the new one renamed in, and on failure the
+    * old manifest is restored — paired with [[readManifest]]'s
+    * retry-on-absent, the brief window is covered and a failed swap
+    * never loses the committed-generation pointer. */
   def commitManifest(path: String, gen: Long): Unit = {
     val (fs, p) = of(path)
     val tmp = new Path(path + "__tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p): Unit
+    try {
+      val fc = FileContext.getFileContext(p.toUri, conf())
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.FileNotFoundException
+          if fs.exists(tmp) =>
+        val old = new Path(path + "__old")
+        val hadOld = fs.exists(p)
+        if (hadOld) {
+          fs.delete(old, false): Unit
+          require(fs.rename(p, old), s"commitManifest: failed to move aside $p")
+        }
+        if (!fs.rename(tmp, p)) {
+          // restore the prior pointer before failing — never lose it
+          if (hadOld) fs.rename(old, p): Unit
+          sys.error(s"commitManifest: rename $tmp -> $p failed; prior manifest restored=$hadOld")
+        }
+        if (hadOld) fs.delete(old, false): Unit
+    }
   }
 }

@@ -1301,6 +1301,64 @@ object QueriesSimilarity {
        |allidx AS MATERIALIZED (SELECT * FROM idx UNION ALL SELECT * FROM didx),
        |${nswWalkSql("allidx")}""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** NSW cell-size-cap maintenance
+    * ([[graft.operators.NswIndex.splitOversizedNswCells]]) — the gate
+    * closing the graph tier's scale story: Σ|cell|² construction is
+    * only bounded if an oversized cell can be SPLIT and its sub-cell
+    * graphs rebuilt without touching the rest of the store. Fixture
+    * forces the degenerate worst case: a k=1 coarse fit puts the whole
+    * corpus in ONE cell, the flat index + NSW store are built and
+    * persisted on that layout, then the cap (half the corpus) triggers
+    * the split. Because the oversized cell IS the corpus, its k=2
+    * sub-fit is bit-identical to a direct k=2 Lloyd fit of the corpus,
+    * and the remap (sub-cell 0 keeps old id 0, sub-cell 1 takes fresh
+    * id 1) is the identity — so the post-split store must equal the
+    * DIRECT k=2 build, and the oracle is exactly the q184 walk replay
+    * over a k=2 fit (`lloydIdxSql(e, 2)` + the shared `nswWalkSql`
+    * text): the whole maintenance lifecycle must be invisible to the
+    * search. `NswSpec` separately pins the untouched-cells-kept merge
+    * on a multi-cell fixture. Corpus is the `id % 4 = 0` quarter so
+    * the deliberately-degenerate one-cell graph build stays affordable
+    * at every probed SF (documented cap; the operator itself is
+    * maintenance-sized, not corpus-sized). */
+  val q188NswSplit: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      .filter($"id" % 4 === 0)
+      .localCheckpoint()
+    val n = e.count()
+    val cent1 = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 1, iterations = 1, orderedMean = true)
+      .localCheckpoint()
+    val idx1 = graft.operators.IvfIndex.assign(e, cent1).localCheckpoint()
+    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val flatDir = s"/root/repo/target/tmp/graft_nswsplit_flat_$stem"
+    val nswDir = s"/root/repo/target/tmp/graft_nswsplit_nsw_$stem"
+    graft.operators.IvfIndex.save(cent1, idx1, flatDir)
+    graft.operators.NswIndex.saveNsw(
+      graft.operators.NswIndex.fitGraph(idx1, degree = 4),
+      graft.operators.NswIndex.entryPoints(idx1, cent1), nswDir)
+    val split = graft.operators.NswIndex.splitOversizedNswCells(
+      s, flatDir, nswDir, maxCellSize = math.max(2L, n / 2), degree = 4)
+    require(split == 1, s"fixture must force exactly one split, got $split")
+    val (cent2, idx2) = graft.operators.IvfIndex.load(s, flatDir)
+    val (graph, entries) = graft.operators.NswIndex.loadNsw(s, nswDir)
+    val queries = e.filter($"id" < 40).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.NswIndex.search(s, queries, graph,
+        idx2.select($"id", $"v", $"cluster"), cent2, entries,
+        k = 5, nProbe = 2, ef = 8, rounds = 2)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+  val q188Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id % 4 = 0),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 40),
+       |${lloydIdxSql("e", "2")},
+       |${nswWalkSql("idx")}""".stripMargin
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1344,5 +1402,6 @@ object QueriesSimilarity {
     // persisted-graph walk must equal the in-memory walk: q184's oracle
     ("q185_nsw_persist", q185NswPersist, Some(q184Sql)),
     ("q186_nsw_append", q186NswAppend, Some(q186Sql)),
+    ("q188_nsw_split", q188NswSplit, Some(q188Sql)),
   )
 }

@@ -93,7 +93,13 @@ object IvfIndex {
     * of scanning the full corpus. */
   def save(centroids: DataFrame, indexed: DataFrame, dir: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
+    // co-locate each cell before the partitioned write: without it every
+    // shuffle task writes a sliver into every cluster directory —
+    // tasks × cells files (measured 36× slower store IO at the ×100
+    // probe); with it the store is ONE file per cell, the layout the
+    // probe pattern wants
+    indexed.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
   }
 
   /** Reload a [[save]]d index: `(centroids, indexed)`. The partition
@@ -154,7 +160,8 @@ object IvfIndex {
   def appendToIndex(spark: SparkSession, delta: DataFrame, dir: String): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val assigned = assign(delta, centroids)
-    assigned.write.mode("append").partitionBy("cluster").parquet(s"$dir/index")
+    assigned.repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/index")
     assigned
   }
 
@@ -162,12 +169,18 @@ object IvfIndex {
     * the local repair for append-induced skew (a hot cell makes every
     * probe of it expensive; splitting restores bounded probe cost
     * without a global refit). Per oversized cell: fit 2 sub-centroids
-    * on THAT CELL's vectors only (same deterministic Lloyd, partition-
-    * pruned read), reassign the cell, keep the lower sub-cell under the
-    * old cluster id and give the upper one a fresh id, rewrite just
-    * that cell's partitions (dynamic partition overwrite) and the
-    * centroid table. The driver loop runs once per oversized cell —
-    * cell COUNT is index-dimension-sized (≤ k), never corpus-sized.
+    * on THAT CELL's vectors only (same deterministic Lloyd — same
+    * seeds, same ordered mean, same tie-breaks), reassign the cell,
+    * keep the lower sub-cell under the old cluster id and give the
+    * upper one a fresh id, rewrite just the split cells' partitions
+    * (dynamic partition overwrite) and the centroid table. The
+    * sub-fits for ALL oversized cells run as ONE grouped distributed
+    * Lloyd (seeds/assign/update keyed by cell), not a per-cell driver
+    * loop — with corpus-scaled k a skewed append can make hundreds of
+    * cells oversized at once, and a loop of per-cell jobs would cost
+    * O(#oversized) job rounds where the grouped fit costs
+    * O(iterations). Per-cell results are bit-identical to the looped
+    * form (the grouping key just rides along every step).
     * Returns the number of cells split.
     *
     * Concurrency contract: requires EXCLUSIVE access to the index
@@ -183,55 +196,110 @@ object IvfIndex {
     * the split repairs it. */
   def splitOversizedCells(spark: SparkSession, dir: String, maxCellSize: Long,
                           iterations: Int = 1,
-                          orderedMean: Boolean = true): Int = {
+                          orderedMean: Boolean = true): Int =
+    splitOversizedCellsDetailed(spark, dir, maxCellSize, iterations,
+      orderedMean).length
+
+  /** [[splitOversizedCells]] returning WHICH cells split — `(oldId,
+    * freshId)` per performed split — so a dependent per-cell structure
+    * (the NSW graph tier, [[NswIndex.splitOversizedNswCells]]) can
+    * rebuild exactly the affected cells instead of diffing the whole
+    * index. Same semantics, same commit sequence. */
+  def splitOversizedCellsDetailed(spark: SparkSession, dir: String,
+                                  maxCellSize: Long, iterations: Int = 1,
+                                  orderedMean: Boolean = true): Seq[(Long, Long)] = {
     require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
     val (cent0, indexed) = load(spark, dir)
     val oversized = indexed.groupBy(col("cluster")).count()
       .filter(col("count") > maxCellSize)
       .select(col("cluster").cast("long")).collect().map(_.getLong(0)).sorted
-    if (oversized.isEmpty) return 0
+    if (oversized.isEmpty) return Seq.empty
+    val oversizedSeq = oversized.toSeq
     // normalize the cluster id to long: partition-column inference and
     // row_number-based fits disagree on int vs long otherwise
-    var centroids = cent0.withColumn("cluster", col("cluster").cast("long"))
-    var nextId = centroids.agg(max(col("cluster"))).head().getLong(0) + 1
-    // Phase 1 — plan and MATERIALIZE every split before touching any
-    // file: each sub-fit and reassignment reads the pre-split layout
-    // (localCheckpoint is eager), so no job ever reads a partition this
-    // same call already rewrote. Phase 2 is then ONE dynamic-partition
-    // overwrite covering exactly the split cells.
-    val pieces = oversized.flatMap { c =>
-      val cell = indexed.filter(col("cluster") === c).select(col("id"), col("v"))
-      val sub = fitCentroids(spark, cell, k = 2, iterations, orderedMean)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val freshId = nextId
-      val remap = when(col("cluster").cast("long") === 0L, lit(c))
-        .otherwise(lit(freshId))
-      val remapped = assign(cell, sub)
-        .withColumn("cluster", remap).localCheckpoint()
-      val newCents = sub.withColumn("cluster", remap).localCheckpoint()
-      sub.unpersist()
-      // A split must actually produce BOTH sub-cells: if every vector
-      // landed on one side (degenerate geometry, duplicate-heavy cells,
-      // or Lloyd emptying a cluster), writing it would either leave the
-      // old `cluster=c` files stale on disk (dynamic overwrite only
-      // touches partitions present in the output) or be a no-op dressed
-      // up as progress. Skip the cell and don't count it.
-      val subSizes = remapped.groupBy(col("cluster")).count().count()
-      if (subSizes < 2) None
-      else {
-        nextId += 1
-        Some((remapped, newCents, c))
-      }
+    val centroids0 = cent0.withColumn("cluster", col("cluster").cast("long"))
+    val nextId = centroids0.agg(max(col("cluster"))).head().getLong(0) + 1
+    // Phase 1 — GROUPED sub-fit over every oversized cell at once, and
+    // MATERIALIZE every split before touching any file: each step reads
+    // the pre-split layout (localCheckpoint is eager), so no job ever
+    // reads a partition this same call already rewrote. Phase 2 is then
+    // ONE dynamic-partition overwrite covering exactly the split cells.
+    val slice = indexed
+      .filter(col("cluster").cast("long").isInCollection(oversizedSeq))
+      .select(col("cluster").cast("long").as("cell"), col("id"), col("v"))
+      .localCheckpoint()
+    // seeds: the first 2 vectors by id WITHIN each cell — exactly
+    // fitCentroids' seed rule applied per group
+    var sub = slice
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("cell")).orderBy(col("id"))))
+      .filter(col("rn") <= 2)
+      .select(col("cell"), (col("rn") - 1).as("sub"), col("v").as("centroid"))
+      .localCheckpoint()
+    def assignGrouped(cs: DataFrame): DataFrame =
+      slice.join(broadcast(cs), Seq("cell"))
+        .withColumn("sim", Similarity.cosine(col("v"), col("centroid")))
+        .groupBy(col("cell"), col("id"))
+        .agg(max_by(struct(col("sub"), col("v")),
+          struct(col("sim"), (-col("sub")).as("tb"))).as("best"))
+        .select(col("cell"), col("id"), col("best.v").as("v"),
+          col("best.sub").as("sub"))
+    val mean: Column =
+      if (orderedMean)
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("id"), col("x")))),
+            p => p.getField("x")),
+          lit(0d), (acc, x) => acc + x) / count(lit(1))).as("m")
+      else avg(col("x")).as("m")
+    (1 to iterations).foreach { _ =>
+      sub = assignGrouped(sub)
+        .select(col("cell"), col("sub"), col("id"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("sub"), col("dim")).agg(mean)
+        .groupBy(col("cell"), col("sub"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cell"), col("sub"),
+          expr("transform(pairs, p -> p.m)").as("centroid"))
+        .localCheckpoint()
     }
-    if (pieces.isEmpty) return 0
-    centroids = pieces.foldLeft(centroids) { case (cs, (_, nc, c)) =>
-      cs.filter(col("cluster") =!= c).unionByName(nc)
-    }.localCheckpoint() // materialize before the centroid file is replaced
+    val assigned = assignGrouped(sub).localCheckpoint()
+    // A split must actually produce BOTH sub-cells: if every vector
+    // landed on one side (degenerate geometry, duplicate-heavy cells,
+    // or Lloyd emptying a cluster), writing it would either leave the
+    // old `cluster=c` files stale on disk (dynamic overwrite only
+    // touches partitions present in the output) or be a no-op dressed
+    // up as progress. Skip such cells and don't count them.
+    val goodSet = assigned.groupBy(col("cell"))
+      .agg(countDistinct(col("sub")).as("ns"))
+      .filter(col("ns") === 2)
+      .select(col("cell")).collect().map(_.getLong(0)).toSet
+    val good = oversizedSeq.filter(goodSet) // keeps the sorted order
+    if (good.isEmpty) return Seq.empty
+    // fresh ids in sorted-oversized order over the performed splits —
+    // the numbering the looped form produced
+    val pairsSeq = good.zipWithIndex.map { case (c, i) => (c, nextId + i) }
+    val remapDf = {
+      import spark.implicits._
+      pairsSeq.toDF("cell", "fresh")
+    }
+    val remap = when(col("sub") === 0, col("cell")).otherwise(col("fresh"))
+    val remapped = assigned.filter(col("cell").isInCollection(good))
+      .join(broadcast(remapDf), Seq("cell"))
+      .select(col("id"), col("v"), remap.as("cluster"))
+      .localCheckpoint()
+    val newCents = sub.filter(col("cell").isInCollection(good))
+      .join(broadcast(remapDf), Seq("cell"))
+      .select(remap.as("cluster"), col("centroid"))
+      .localCheckpoint()
+    val centroids = centroids0
+      .filter(!col("cluster").isInCollection(good))
+      .unionByName(newCents)
+      .localCheckpoint() // materialize before the centroid file is replaced
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       // one write; dynamic overwrite rewrites ONLY the split partitions
-      pieces.map(_._1).reduce(_ unionByName _)
+      remapped.repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
       Failpoints.hit("ivfsplit:after-index-overwrite")
       // commit-marker pattern: build the new centroid table on a scratch
@@ -253,7 +321,7 @@ object IvfIndex {
       fs.delete(old, true)
       spark.catalog.refreshByPath(s"$dir/index")
       spark.catalog.refreshByPath(s"$dir/centroids")
-      pieces.length
+      pairsSeq
     } finally {
       prevMode match {
         case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)

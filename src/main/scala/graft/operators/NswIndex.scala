@@ -136,6 +136,55 @@ object NswIndex {
     saveNsw(merged, mergedEntries, dir, retainGenerations)
   }
 
+  /** Cell-size-cap MAINTENANCE for a flat-index + NSW-store pair — the
+    * composition that keeps the graph tier's Σ|cell|² construction
+    * bounded at any corpus size: run
+    * [[IvfIndex.splitOversizedCellsDetailed]] on the flat store (every
+    * cell over `maxCellSize` splits into two sub-cells, sub-centroids
+    * fitted on that cell only), then rebuild the NSW rows of EXACTLY
+    * the affected cells — each old id and its fresh sub-cell id — from
+    * the post-split assignment ([[fitGraph]]/[[entryPoints]] on the
+    * affected slice), keep every untouched cell's stored rows
+    * verbatim, and commit the merged graph + entries as a new store
+    * generation. Untouched-cell membership is unchanged by a split, so
+    * the result is EXACTLY `fitGraph(post-split index)` ∪-wide — the
+    * q188 gate replays that equivalence end-to-end against the
+    * direct-build oracle.
+    *
+    * Scale: split work is oversized-cells-only (each sub-fit reads one
+    * cell, partition-pruned); graph rebuild work is Σ|affected cell|²
+    * with |affected cell| ≤ ~maxCellSize/2 post-split — the whole call
+    * is maintenance-sized, never corpus-sized. One split round per
+    * call ([[IvfIndex.splitOversizedCells]] semantics); callers loop
+    * while the return is > 0 to drive every cell under the cap.
+    * Returns the number of cells split. Same exclusive-access contract
+    * as every flat-index maintenance op. */
+  def splitOversizedNswCells(spark: SparkSession, flatDir: String,
+                             nswDir: String, maxCellSize: Long, degree: Int,
+                             iterations: Int = 1, orderedMean: Boolean = true,
+                             retainGenerations: Int = 1): Int = {
+    val pairs = IvfIndex.splitOversizedCellsDetailed(spark, flatDir,
+      maxCellSize, iterations, orderedMean)
+    if (pairs.isEmpty) return 0
+    val affected = pairs.flatMap { case (oldId, freshId) => Seq(oldId, freshId) }
+    val (cent, indexed) = IvfIndex.load(spark, flatDir)
+    def hit(c: org.apache.spark.sql.Column) =
+      c.cast("long").isin(affected: _*)
+    val slice = indexed.filter(hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+    val centSlice = cent.filter(hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+    val (graph, entries) = loadNsw(spark, nswDir)
+    val mergedGraph = graph.filter(!hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+      .unionByName(fitGraph(slice, degree))
+    val mergedEntries = entries.filter(!hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+      .unionByName(entryPoints(slice, centSlice))
+    saveNsw(mergedGraph, mergedEntries, nswDir, retainGenerations)
+    pairs.length
+  }
+
   /** Persist a fitted NSW tier beside the flat index: the graph
     * cluster-partitioned (a probe reads only its cells' adjacency,
     * like both ANN data tiers) and the entry points metadata-sized —
@@ -151,7 +200,9 @@ object NswIndex {
     val gen = graft.sources.StoreFs.readManifest(s"$dir/manifest")
       .getOrElse(0L) + 1L
     val g = s"$dir/g$gen"
-    graph.write.mode("overwrite").partitionBy("cluster").parquet(s"$g/graph")
+    // one file per cell, not one per (task, cell) — see IvfIndex.save
+    graph.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/graph")
     Failpoints.hit("nsw:after-graph")
     entries.write.mode("overwrite").parquet(s"$g/entries")
     graft.sources.StoreFs.commitManifest(s"$dir/manifest", gen)

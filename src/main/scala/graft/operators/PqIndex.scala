@@ -204,9 +204,12 @@ object PqIndex {
     centroids.write.mode("overwrite").parquet(s"$g/centroids")
     Failpoints.hit("twotier:after-centroids")
     codebooks.write.mode("overwrite").parquet(s"$g/codebooks")
-    codesIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")
+    // one file per cell, not one per (task, cell) — see IvfIndex.save
+    codesIdx.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")
     Failpoints.hit("twotier:after-codes")
-    fullIdx.write.mode("overwrite").partitionBy("cluster").parquet(s"$g/full")
+    fullIdx.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/full")
     graft.sources.StoreFs.commitManifest(s"$dir/manifest", gen)
     vacuumTwoTier(dir, keepLast = retainGenerations)
   }

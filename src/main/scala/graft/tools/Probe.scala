@@ -86,6 +86,82 @@ object Repeat {
   }
 }
 
+/** Dev-only NSW graph-tier scale probe with CORPUS-SCALED k — the
+  * honest ×10/×100 shape: the gates pin k=8 for oracle replay, but the
+  * documented 100 TB story holds cell size ~constant by scaling the
+  * cell count with the corpus (and splitting when appends skew it), so
+  * the probe fits k ≈ n/250 cells and times each lifecycle stage —
+  * fit, assign, graph build, store save, 10% append, search, and a
+  * forced worst-case split round (cap = avg/2 ⇒ every cell splits).
+  *
+  * Usage: `runMain graft.tools.ProbeNsw <dir> [k]` over
+  * `/root/testdata/sf0.1`, `target/sf1.0`, `target/sf10`. */
+object ProbeNsw {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[nsw] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      .localCheckpoint()
+    val n = e.count()
+    val k = if (args.length > 1) args(1).toInt
+            else math.max(8L, n / 250).toInt
+    println(s"[nsw] corpus=$n k=$k (~${n / k}/cell) dir=$dir")
+    val base = e.filter($"id" % 10 < 9)
+    val delta = e.filter($"id" % 10 === 9)
+    val cent = time(s"fit centroids k=$k") {
+      IvfIndex.fitCentroids(spark, base, k, iterations = 1).localCheckpoint()
+    }
+    val idxBase = time("assign base (90%)") {
+      val i = IvfIndex.assign(base, cent).localCheckpoint(); i.count(); i
+    }
+    val graph = time("fit graph d=4") {
+      val g = NswIndex.fitGraph(idxBase, degree = 4).localCheckpoint()
+      g.count(); g
+    }
+    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val flat = s"/root/repo/target/tmp/probe_nsw_flat_$stem"
+    val nsw = s"/root/repo/target/tmp/probe_nsw_g_$stem"
+    time("save flat + nsw stores") {
+      IvfIndex.save(cent, idxBase, flat)
+      NswIndex.saveNsw(graph, NswIndex.entryPoints(idxBase, cent), nsw)
+    }
+    time("append 10% delta (exact)") {
+      val idxDelta = IvfIndex.assign(delta, cent).localCheckpoint()
+      NswIndex.appendToNsw(spark, nsw, idxBase, idxDelta, cent, degree = 4)
+      idxDelta.write.mode("append").partitionBy("cluster").parquet(s"$flat/index")
+    }
+    time("search 100 queries") {
+      val (g2, en2) = NswIndex.loadNsw(spark, nsw)
+      val (c2, i2) = IvfIndex.load(spark, flat)
+      val qs = e.filter($"id" < 100).select($"id".as("q_id"), $"v".as("qv"))
+      NswIndex.search(spark, qs, g2, i2.select($"id", $"v", $"cluster"),
+        c2, en2, k = 10, nProbe = 2, ef = 16, rounds = 2).count()
+    }
+    val cap = math.max(2L, (n / k) / 2)
+    val split = time(s"split round (cap=$cap, worst case)") {
+      NswIndex.splitOversizedNswCells(spark, flat, nsw, cap, degree = 4)
+    }
+    println(s"[nsw] cells split: $split")
+    spark.stop()
+  }
+}
+
 /** Dev-only breakdown of q58's phases: edge-building LSH chain vs the
   * label-propagation loop vs the final corpus join. */
 object ProbeComponents {

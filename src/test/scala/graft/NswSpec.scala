@@ -98,6 +98,63 @@ class NswSpec extends SparkSpec {
       canonE(appEntries) shouldBe canonE(NswIndex.entryPoints(all, cent))
     }
 
+    it("splitOversizedNswCells rebuilds split cells and keeps the rest verbatim") {
+      // k=4 fit; force ONLY the largest cell over the cap, so the gate's
+      // degenerate whole-corpus case (q188) is complemented by the merge
+      // path: untouched cells' stored rows must survive BYTE-identical
+      // while the split cell's sub-cells are rebuilt from the new layout
+      val e = corpus
+      val cent = IvfIndex.fitCentroids(spark, e, k = 4, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val sizes = indexed.groupBy($"cluster").count()
+        .collect().map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
+      val cap = sizes.values.toSeq.sorted.takeRight(2) match {
+        case Seq(second, biggest) =>
+          biggest should be > second; (biggest + second) / 2
+        case _ => fail("need >= 2 cells")
+      }
+      val flat = java.nio.file.Files.createTempDirectory("graft-nswsp-f").toString
+      val nsw = java.nio.file.Files.createTempDirectory("graft-nswsp-g").toString
+      IvfIndex.save(cent, indexed, flat)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 3),
+        NswIndex.entryPoints(indexed, cent), nsw)
+      NswIndex.splitOversizedNswCells(spark, flat, nsw,
+        maxCellSize = cap, degree = 3) shouldBe 1
+      val (cent2, idx2) = IvfIndex.load(spark, flat)
+      val (graph2, entries2) = NswIndex.loadNsw(spark, nsw)
+      val idx2n = idx2.select($"id", $"v", $"cluster".cast("long").as("cluster"))
+      def canonG(g: org.apache.spark.sql.DataFrame) =
+        g.select($"cluster".cast("long").as("c"), $"id", $"nbrs", $"nscores")
+          .orderBy($"c", $"id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq,
+            r.getSeq[Double](3).toSeq)).toSeq
+      canonG(graph2) shouldBe canonG(NswIndex.fitGraph(idx2n, degree = 3))
+      def canonE(g: org.apache.spark.sql.DataFrame) =
+        g.select($"cluster".cast("long").as("c"), $"entry")
+          .orderBy($"c").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      canonE(entries2) shouldBe canonE(NswIndex.entryPoints(idx2n,
+        cent2.select($"cluster".cast("long").as("cluster"), $"centroid")))
+      // the post-split layout really has one more cell than the fit
+      idx2.select($"cluster").distinct().count() shouldBe 5L
+    }
+
+    it("splitOversizedNswCells is a no-op when no cell exceeds the cap") {
+      val e = corpus.filter($"id" < 60)
+      val cent = IvfIndex.fitCentroids(spark, e, k = 4, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val flat = java.nio.file.Files.createTempDirectory("graft-nswnop-f").toString
+      val nsw = java.nio.file.Files.createTempDirectory("graft-nswnop-g").toString
+      IvfIndex.save(cent, indexed, flat)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 3),
+        NswIndex.entryPoints(indexed, cent), nsw)
+      val genBefore = graft.sources.StoreFs.readManifest(s"$nsw/manifest")
+      NswIndex.splitOversizedNswCells(spark, flat, nsw,
+        maxCellSize = 1000L, degree = 3) shouldBe 0
+      graft.sources.StoreFs.readManifest(s"$nsw/manifest") shouldBe genBefore
+    }
+
     it("recall >= the IVF+PQ-ADC tier at equal probe budget") {
       val (e, cent, indexed, queries) = fitted()
       val truth = Similarity.bruteForceTopKAgg(spark, queries,

@@ -810,12 +810,12 @@ object QueriesSimilarity {
         cent, cb, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
       .orderBy($"q_id", $"rank")
   }
-  val q141Sql: String =
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
-       |${pqFitSql("e")},
-       |${lloydIdxSql("e", "8")},
-       |qscored AS (
+  /** Shared IVF+PQ+ADC+rerank oracle tail over an index relation
+    * `idxRel` `(id, v, cluster)` — ONE text for q141/q142/q190 (the
+    * nswWalkSql pattern: the gates' serving semantics cannot drift
+    * apart). Expects `qs`, `cent`, `pq_codes`, `pq_dtab` CTEs. */
+  private def ivfAdcSql(idxRel: String): String =
+    s"""qscored AS (
        |  SELECT q.q_id, q.qv, c.cluster,
        |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
        |  FROM qs q CROSS JOIN cent c),
@@ -829,7 +829,7 @@ object QueriesSimilarity {
        |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
        |           (a, b) -> a + b) AS ad2
        |  FROM probes p
-       |  JOIN idx i USING (cluster)
+       |  JOIN $idxRel i USING (cluster)
        |  JOIN pq_codes c ON c.id = i.id
        |  JOIN pq_dtab d ON d.q_id = p.q_id),
        |atop AS (
@@ -838,13 +838,20 @@ object QueriesSimilarity {
        |  WHERE rn <= 10),
        |rcand AS (
        |  SELECT a.q_id, a.id AS n_id, a.ad2, ${l2SqSql("q.qv", "i.v")} AS d2
-       |  FROM atop a JOIN qs q ON q.q_id = a.q_id JOIN idx i ON i.id = a.id),
+       |  FROM atop a JOIN qs q ON q.q_id = a.q_id JOIN $idxRel i ON i.id = a.id),
        |ranked AS (
        |  SELECT q_id, n_id, ad2, d2,
        |         row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rank
        |  FROM rcand)
        |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val q141Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${pqFitSql("e")},
+       |${lloydIdxSql("e", "8")},
+       |${ivfAdcSql("idx")}""".stripMargin
 
   // ---------------------------------------------------------------- q142
   /** Two-tier index LIFECYCLE: the q141 fit saved to parquet
@@ -1359,6 +1366,93 @@ object QueriesSimilarity {
        |${lloydIdxSql("e", "2")},
        |${nswWalkSql("idx")}""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** Two-tier store DELETE
+    * ([[graft.operators.PqIndex.deleteFromTwoTier]]) — the removal
+    * verb (takedown / retraction / right-to-be-forgotten) on the
+    * IVFADC store: the q142 store is built and persisted, every
+    * `id % 10 = 3` document is tombstoned (an O(|ids|) append, no
+    * store rewrite), and the reloaded search must equal an index
+    * REBUILT WITHOUT those documents — same centroids and codebooks
+    * (fit parameters don't change when documents are removed), the
+    * oracle replaying the full fit on the corpus and serving from the
+    * filtered index relation. Also exercises [[graft.operators
+    * .PqIndex.compactTwoTier]]: after folding the tombstones into a
+    * rewritten generation the same search must still hash-match. */
+  val q190TwoTierDelete: Q = (s, dir) => {
+    import s.implicits._
+    val (cent, cb, codesIdx, fullIdx, queries) = twoTierFit(s, dir)
+    val idxDir = "/root/repo/target/tmp/graft_pq_del_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    rmTree(new java.io.File(idxDir))
+    graft.operators.PqIndex.saveTwoTier(cent, cb, codesIdx, fullIdx, idxDir)
+    val deleted = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id")).filter($"id" % 10 === 3)
+    graft.operators.PqIndex.deleteFromTwoTier(s, idxDir, deleted)
+    // fold the tombstones in, then serve from the compacted generation:
+    // the gate covers BOTH read paths (compaction must be invisible)
+    graft.operators.PqIndex.compactTwoTier(s, idxDir)
+    val (cent2, cb2, codes2, full2) =
+      graft.operators.PqIndex.loadTwoTier(s, idxDir)
+    graft.operators.PqIndex.ivfAdcSearch(s, queries, codes2, full2,
+        cent2, cb2, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
+      .orderBy($"q_id", $"rank")
+  }
+  val q190Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${pqFitSql("e")},
+       |${lloydIdxSql("e", "8")},
+       |idxd AS MATERIALIZED (SELECT * FROM idx WHERE id % 10 <> 3),
+       |${ivfAdcSql("idxd")}""".stripMargin
+
+  // ---------------------------------------------------------------- q191
+  /** NSW store DELETE ([[graft.operators.NswIndex.deleteFromNsw]]) —
+    * the removal verb on the graph tier, where lazy tombstones CANNOT
+    * work (a survivor's neighbor list may cite a deleted id and its
+    * replacement lies beyond the stored top-degree): the q184
+    * flat+graph stores are built and persisted, every `id % 10 = 3`
+    * vector is deleted via the cell-local rebuild (affected cells'
+    * partitions rewritten, their graph rows and entry points
+    * recomputed, untouched cells kept verbatim, new generation
+    * committed), and the persisted walk must equal a graph built
+    * DIRECTLY on the corpus minus the deleted ids under the same
+    * centroids — the oracle replays exactly that. */
+  val q191NswDelete: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val flatDir = s"/root/repo/target/tmp/graft_nswdel_flat_$stem"
+    val nswDir = s"/root/repo/target/tmp/graft_nswdel_nsw_$stem"
+    rmTree(new java.io.File(flatDir)); rmTree(new java.io.File(nswDir))
+    graft.operators.IvfIndex.save(cent, indexed, flatDir)
+    graft.operators.NswIndex.saveNsw(
+      graft.operators.NswIndex.fitGraph(indexed, degree = 4),
+      graft.operators.NswIndex.entryPoints(indexed, cent), nswDir)
+    val rebuilt = graft.operators.NswIndex.deleteFromNsw(s, flatDir, nswDir,
+      e.filter($"id" % 10 === 3).select($"id"), degree = 4)
+    require(rebuilt >= 1, s"fixture must touch at least one cell, got $rebuilt")
+    val (cent2, idx2) = graft.operators.IvfIndex.load(s, flatDir)
+    val (graph, entries) = graft.operators.NswIndex.loadNsw(s, nswDir)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.NswIndex.search(s, queries, graph,
+        idx2.select($"id", $"v", $"cluster"), cent2, entries,
+        k = 5, nProbe = 2, ef = 8, rounds = 2)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+  val q191Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("e", "8")},
+       |idxd AS MATERIALIZED (SELECT * FROM idx WHERE id % 10 <> 3),
+       |${nswWalkSql("idxd")}""".stripMargin
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1403,5 +1497,7 @@ object QueriesSimilarity {
     ("q185_nsw_persist", q185NswPersist, Some(q184Sql)),
     ("q186_nsw_append", q186NswAppend, Some(q186Sql)),
     ("q188_nsw_split", q188NswSplit, Some(q188Sql)),
+    ("q190_twotier_delete", q190TwoTierDelete, Some(q190Sql)),
+    ("q191_nsw_delete", q191NswDelete, Some(q191Sql)),
   )
 }

@@ -354,7 +354,14 @@ object QueriesStreaming {
       .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
       .orderBy($"dup_exact", $"dup_near")
   }
-  val q128Sql: String = {
+  val q128Sql: String = nearDupIngestSql("TRUE")
+  /** ONE oracle text for q128/q132/q189 — near-dup ingest
+    * classification against the corpus store, with the store built
+    * from the corpus docs satisfying `liveWhere` (q189 deletes the
+    * complement; q128/q132 keep everything). The PLANTED DELTA is
+    * always built from the FULL corpus — deleted docs' copies still
+    * arrive and must classify against the shrunken store. */
+  private def nearDupIngestSql(liveWhere: String): String = {
     val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
     val digits = (1 to 8).map { p =>
       s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
@@ -385,6 +392,7 @@ object QueriesStreaming {
        |  SELECT doc_id, text, ($digits) % 10 AS bk
        |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
        |corpus AS (SELECT doc_id, text FROM bkt WHERE bk < 8),
+       |live AS (SELECT doc_id, text FROM corpus WHERE $liveWhere),
        |delta AS (
        |  SELECT doc_id, text FROM bkt WHERE bk >= 8
        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
@@ -392,8 +400,8 @@ object QueriesStreaming {
        |    FROM corpus WHERE doc_id % 11 = 0
        |  UNION ALL SELECT doc_id + 400000 AS doc_id, text
        |    FROM bkt WHERE bk >= 8 AND doc_id % 13 = 0),
-       |sfp AS (SELECT DISTINCT md5($normSql) AS fp FROM corpus),
-       |${sigCtes("s_", "corpus")},
+       |sfp AS (SELECT DISTINCT md5($normSql) AS fp FROM live),
+       |${sigCtes("s_", "live")},
        |${sigCtes("d_", "delta")},
        |cand AS (
        |  SELECT DISTINCT d.id AS d_id, s.id AS s_id
@@ -471,6 +479,65 @@ object QueriesStreaming {
       .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
       .orderBy($"dup_exact", $"dup_near")
   }
+
+  // ---------------------------------------------------------------- q189
+  /** Dedup store DELETE
+    * ([[graft.operators.TextDedup.deleteFromDedupStore]]) — the
+    * removal verb on the near-dup corpus store: the q132 bucketed
+    * store is built, every `doc_id % 5 = 1` corpus document is
+    * tombstoned (O(|ids|) append; all three tables are per-document
+    * rows, so read-time anti-joins are exactly a rebuild without the
+    * ids), and the q128 planted delta — built from the FULL corpus, so
+    * deleted docs' exact and perturbed copies still arrive — must
+    * classify against the SHRUNKEN store: copies of deleted docs lose
+    * their dup_exact/dup_near flags, everything else keeps its
+    * verdict. The oracle is the shared q128 text with the store built
+    * from the live (non-deleted) corpus. The gate then compacts the
+    * store ([[graft.operators.TextDedup.compactDedupStore]] — the
+    * tombstones folded into a rewritten generation) and requires the
+    * SAME verdicts from the compacted store: compaction must be
+    * invisible to ingest. Batch-frame ingest (the ingestCore
+    * batch/stream contract); q128/q132 cover the streaming transports. */
+  val q189DedupDelete: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/documents.parquet"
+    val corpus = s.read.parquet(file)
+      .filter(graft.operators.Sampling.hashBucket($"doc_id", 10) < 8)
+      .select($"doc_id", $"text")
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val p = s"q189_store_$tag"
+    val path = s"/root/repo/target/tmp/$p"
+    // fresh tombstones per invocation: the store rebuild resets state
+    rmTree(new java.io.File(s"${path}_tombstones"))
+    graft.operators.TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
+      shingleN = 5, k = 8, rowsPerBand = 2,
+      namePrefix = p, pathPrefix = path, buckets = 8)
+    graft.operators.TextDedup.deleteFromDedupStore(s, path,
+      corpus.filter($"doc_id" % 5 === 1).select($"doc_id"))
+    val base = s.read.parquet(file)
+      .withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
+    val delta = base.filter($"b" >= 8).select($"doc_id", $"text")
+      .unionByName(base.filter($"b" < 8 && $"doc_id" % 7 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+      .unionByName(base.filter($"b" < 8 && $"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"),
+          concat($"text", lit(" zz qq")).as("text")))
+      .unionByName(base.filter($"b" >= 8 && $"doc_id" % 13 === 0)
+        .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
+    def flags() = graft.operators.TextDedup.ingestFlagsBucketed(
+        delta, "doc_id", "text", p, path,
+        shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+      .groupBy($"dup_exact", $"dup_near")
+      .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
+      .orderBy($"dup_exact", $"dup_near")
+    val tombstoned = flags().collect().toSeq
+    graft.operators.TextDedup.compactDedupStore(s, p, path, buckets = 8)
+    val out = flags()
+    require(out.collect().toSeq == tombstoned,
+      "compaction changed ingest verdicts")
+    out
+  }
+  val q189Sql: String = nearDupIngestSql("doc_id % 5 <> 1")
 
   private val dedupStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -886,5 +953,6 @@ object QueriesStreaming {
     // per-batch exact appends compose to the one-shot build: q186's oracle
     ("q187_stream_nsw_ingest", q187StreamNswIngest,
       Some(QueriesSimilarity.q186Sql)),
+    ("q189_dedup_delete", q189DedupDelete, Some(q189Sql)),
   )
 }

@@ -185,6 +185,72 @@ object NswIndex {
     pairs.length
   }
 
+  /** DELETE documents from a flat-index + NSW-store pair — the third
+    * lifecycle verb (build / append / REMOVE). Unlike the flat tiers,
+    * NSW rows carry CROSS-ROW state: a surviving node's neighbor list
+    * may cite a deleted id, and the replacement neighbor is beyond the
+    * stored top-`degree` — so lazy tombstoning at read time cannot
+    * reproduce a rebuild. Instead the delete is an eager CELL-LOCAL
+    * rebuild: deleted ids only ever appear in their own cells'
+    * lists (nothing crosses cells), so the affected cells' flat
+    * partitions are rewritten without the ids (dynamic partition
+    * overwrite; a fully-emptied cell's directory is dropped), those
+    * cells' graph rows and entry points are recomputed from the
+    * filtered slice, every untouched cell keeps its stored rows
+    * verbatim, and the merged graph commits as a new generation.
+    * `delete(store, ids) ≡ build(corpus ∖ ids, same centroids)`
+    * EXACTLY (q191 gates it on the direct-build oracle). Work is
+    * Σ|affected cell|² for the rebuild + |affected| partition
+    * rewrites — delta-bounded, never corpus-sized. Same
+    * exclusive-access contract as every flat-index maintenance op.
+    * Returns the number of cells rebuilt. */
+  def deleteFromNsw(spark: SparkSession, flatDir: String, nswDir: String,
+                    ids: DataFrame, degree: Int,
+                    retainGenerations: Int = 1): Int = {
+    val (cent, indexed) = IvfIndex.load(spark, flatDir)
+    val del = ids.select(col("id").cast("long").as("_del_id")).localCheckpoint()
+    val idxN = indexed.select(col("id"), col("v"),
+      col("cluster").cast("long").as("cluster"))
+    val affected = idxN
+      .join(del, col("id") === col("_del_id"), "left_semi")
+      .select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (affected.isEmpty) return 0
+    // materialize the survivors BEFORE their partitions are overwritten
+    val remaining = idxN.filter(col("cluster").isInCollection(affected))
+      .join(del, col("id") === col("_del_id"), "left_anti")
+      .localCheckpoint()
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try remaining.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$flatDir/index")
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // dynamic overwrite only touches partitions PRESENT in the output:
+    // a cell emptied by the delete must be dropped explicitly
+    val nonEmpty = remaining.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    affected.filterNot(nonEmpty).foreach { c =>
+      graft.sources.StoreFs.deleteChild(s"$flatDir/index", s"cluster=$c")
+    }
+    spark.catalog.refreshByPath(s"$flatDir/index")
+    val (graph, entries) = loadNsw(spark, nswDir)
+    def hit(c: org.apache.spark.sql.Column) =
+      c.cast("long").isInCollection(affected)
+    val centSlice = cent.filter(hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+    val mergedGraph = graph.filter(!hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+      .unionByName(fitGraph(remaining, degree))
+    val mergedEntries = entries.filter(!hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+      .unionByName(entryPoints(remaining, centSlice))
+    saveNsw(mergedGraph, mergedEntries, nswDir, retainGenerations)
+    affected.length
+  }
+
   /** Persist a fitted NSW tier beside the flat index: the graph
     * cluster-partitioned (a probe reads only its cells' adjacency,
     * like both ANN data tiers) and the entry points metadata-sized —

@@ -271,15 +271,61 @@ object PqIndex {
     assigned
   }
 
+  /** DELETE documents from a [[saveTwoTier]]d store — the third
+    * lifecycle verb (build / append / REMOVE: takedown, retraction,
+    * right-to-be-forgotten). Both tiers are strictly per-document rows
+    * (no cross-row state — unlike the NSW graph's neighbor lists), so
+    * filtering them at read time is EXACTLY a rebuild without the ids;
+    * the delete itself is therefore a TOMBSTONE append — O(|ids|), no
+    * store rewrite, applied to every generation by [[loadTwoTier]]'s
+    * anti-join (tombstoned rows never reach a search; q190 gates the
+    * ≡-rebuild equivalence). [[compactTwoTier]] folds tombstones into
+    * a rewritten generation when the dead weight warrants it.
+    *
+    * Caveat (documented, not checked — the check would cost a join per
+    * append): tombstones are store-wide, so RE-ingesting a previously
+    * deleted id via [[appendToTwoTier]] requires [[compactTwoTier]]
+    * first, or the anti-join hides the re-added rows. */
+  def deleteFromTwoTier(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("id").cast("long").as("id")).coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The store's tombstone ids, if any were ever written. */
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (graft.sources.StoreFs.childNames(dir).contains("tombstones"))
+      Some(spark.read.parquet(s"$dir/tombstones"))
+    else None
+
+  /** Fold the tombstones into the store: rewrite the current
+    * generation WITHOUT the tombstoned rows (centroids/codebooks are
+    * fit parameters, unchanged by document removal), commit it, then
+    * drop the tombstone table. Crash between commit and drop is
+    * harmless — the anti-join of already-absent ids is a no-op. */
+  def compactTwoTier(spark: SparkSession, dir: String,
+                     retainGenerations: Int = 1): Unit = {
+    if (tombstones(spark, dir).isEmpty) return
+    val (cent, cb, codes, full) = loadTwoTier(spark, dir) // already filtered
+    saveTwoTier(cent, cb, codes, full, dir, retainGenerations)
+    graft.sources.StoreFs.deleteChild(dir, "tombstones")
+  }
+
   /** Reload a [[saveTwoTier]]d index (its current committed
-    * generation): `(centroids, codebooks, codesIdx, fullIdx)`. */
+    * generation): `(centroids, codebooks, codesIdx, fullIdx)`, with
+    * any [[deleteFromTwoTier]] tombstones applied to both tiers
+    * (broadcast anti-join — the static sides keep their partitioning,
+    * no exchange is added when the store has no tombstones). */
   def loadTwoTier(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val root = twoTierRoot(dir)
+    val drop = tombstones(spark, dir)
+    def live(df: DataFrame): DataFrame = drop match {
+      case Some(t) => df.join(broadcast(t), Seq("id"), "left_anti")
+      case None => df
+    }
     (spark.read.parquet(s"$root/centroids"),
       spark.read.parquet(s"$root/codebooks"),
-      spark.read.parquet(s"$root/codes"),
-      spark.read.parquet(s"$root/full"))
+      live(spark.read.parquet(s"$root/codes")),
+      live(spark.read.parquet(s"$root/full")))
   }
 
   /** IVF + PQ + ADC — the FAISS-IVFADC serving composition, the full

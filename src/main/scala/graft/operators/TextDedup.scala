@@ -390,15 +390,38 @@ object TextDedup {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
     val spark = corpus.sparkSession
-    val prevGen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
-    val gen = prevGen.getOrElse(0L) + 1L
-    val (fp, sig) = buildDedupStore(corpus, idCol, textCol, shingleN, k)
+    // fp is stored PER DOCUMENT (`(fp, s_id)`, not the distinct-fp set
+    // the broadcast path uses): document removal
+    // ([[deleteFromDedupStore]]) must be able to tell whether a
+    // fingerprint is still held by any LIVE document — with fps alone,
+    // deleting a doc whose text a surviving doc shares would break
+    // exact-dup detection for the survivor. The ingest reader projects
+    // back to fps after applying tombstones; the extra rows only
+    // multiply arriving band rows that the final per-doc max() fold
+    // collapses anyway.
+    val fp = corpus.select(col(idCol).cast("long").as("s_id"),
+      graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val sig = minHashSignature(shingleTable(corpus, idCol, textCol, shingleN), k)
     // one corpus scan feeds both signature-derived tables
     val sigC = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = signatureBands(sigC, k, rowsPerBand)
       .select(bandKey(col("band"), col("h")).as("bh"), col("id").as("s_id"))
     val mh = sigC.select(
       col("id").as("s_id") +: (0 until k).map(j => col(s"mh$j").as(s"smh$j")): _*)
+    try writeStoreTables(spark, fp, bands, mh, namePrefix, pathPrefix,
+      buckets, retainGenerations)
+    finally sigC.unpersist()
+  }
+
+  /** Commit `(fp, bands, mh)` as the next generation of a bucketed
+    * dedup store — the write half of [[writeDedupStoreBucketed]],
+    * shared with [[compactDedupStore]]. */
+  private def writeStoreTables(spark: SparkSession, fp: DataFrame,
+                               bands: DataFrame, mh: DataFrame,
+                               namePrefix: String, pathPrefix: String,
+                               buckets: Int, retainGenerations: Int): Unit = {
+    val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+      .getOrElse(0L) + 1L
     def write(df: DataFrame, suffix: String, bucketCol: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_g${gen}_$suffix")
       df.write.mode("overwrite")
@@ -406,18 +429,62 @@ object TextDedup {
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .format("parquet").saveAsTable(s"${namePrefix}_g${gen}_$suffix")
     }
-    try {
-      write(fp, "fp", "fp")
-      Failpoints.hit("dedupstore:after-fp")
-      write(bands, "bands", "bh")
-      Failpoints.hit("dedupstore:after-bands")
-      write(mh, "mh", "s_id")
-      // COMMIT: swap the manifest to the new generation ([[StoreFs]]
-      // tmp+rename), then apply the retention policy
-      graft.sources.StoreFs.commitManifest(s"${pathPrefix}_manifest", gen)
-      vacuumDedupStore(spark, namePrefix, pathPrefix,
-        keepLast = retainGenerations)
-    } finally sigC.unpersist()
+    write(fp, "fp", "fp")
+    Failpoints.hit("dedupstore:after-fp")
+    write(bands, "bands", "bh")
+    Failpoints.hit("dedupstore:after-bands")
+    write(mh, "mh", "s_id")
+    // COMMIT: swap the manifest to the new generation ([[StoreFs]]
+    // tmp+rename), then apply the retention policy
+    graft.sources.StoreFs.commitManifest(s"${pathPrefix}_manifest", gen)
+    vacuumDedupStore(spark, namePrefix, pathPrefix, keepLast = retainGenerations)
+  }
+
+  /** DELETE documents from a bucketed dedup store — the third
+    * lifecycle verb (build / append / REMOVE: takedown, retraction,
+    * right-to-be-forgotten). All three tables are strictly
+    * per-document rows, so filtering them at read time is EXACTLY a
+    * store rebuilt without the ids; the delete is therefore a
+    * TOMBSTONE append — O(|ids|), no store rewrite —
+    * applied by [[ingestFlagsBucketed]]'s broadcast anti-joins
+    * (q189 gates the ≡-rebuild equivalence). [[compactDedupStore]]
+    * folds tombstones into a rewritten generation. Re-ingesting a
+    * previously deleted id requires compaction first (the
+    * [[PqIndex.deleteFromTwoTier]] caveat). */
+  def deleteFromDedupStore(spark: SparkSession, pathPrefix: String,
+                           ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("s_id")).coalesce(1)
+      .write.mode("append").parquet(s"${pathPrefix}_tombstones")
+
+  /** The store's tombstoned doc ids, if any. */
+  private def dedupTombstones(spark: SparkSession,
+                              pathPrefix: String): Option[DataFrame] = {
+    val (fs, p) = graft.sources.StoreFs.of(s"${pathPrefix}_tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Fold the tombstones into the store: rewrite the current
+    * generation's three tables WITHOUT the tombstoned docs as a new
+    * committed generation, then drop the tombstone table. Crash
+    * between commit and drop is harmless — anti-joining already-absent
+    * ids is a no-op. */
+  def compactDedupStore(spark: SparkSession, namePrefix: String,
+                        pathPrefix: String, buckets: Int,
+                        retainGenerations: Int = 1): Unit = {
+    val tomb = dedupTombstones(spark, pathPrefix).getOrElse(return)
+    val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed dedup store at ${pathPrefix}_manifest"))
+    def live(suffix: String): DataFrame =
+      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_$suffix")
+        .join(broadcast(tomb), Seq("s_id"), "left_anti")
+    // materialize before the write path can vacuum the source tables
+    val (fp, bands, mh) = (live("fp").localCheckpoint(),
+      live("bands").localCheckpoint(), live("mh").localCheckpoint())
+    writeStoreTables(spark, fp, bands, mh, namePrefix, pathPrefix,
+      buckets, retainGenerations)
+    graft.sources.StoreFs.of(s"${pathPrefix}_tombstones")
+      match { case (fs, p) => fs.delete(p, true): Unit }
   }
 
   /** Retention for a [[writeDedupStoreBucketed]] store: drop all but
@@ -471,10 +538,21 @@ object TextDedup {
       .getOrElse(throw new IllegalStateException(
         s"no committed dedup store at ${pathPrefix}_manifest — " +
           "run writeDedupStoreBucketed first"))
+    // apply any deleteFromDedupStore tombstones: broadcast anti-joins
+    // keep every static side's bucketed partitioning (no exchange is
+    // added; with no tombstones the plans are untouched — the
+    // PlanShapeSpec exchange-free pin). The per-doc fp table projects
+    // back to fps AFTER the anti-join.
+    val drop = dedupTombstones(spark, pathPrefix)
+    def live(df: DataFrame): DataFrame = drop match {
+      case Some(t) => df.join(broadcast(t), Seq("s_id"), "left_anti")
+      case None => df
+    }
     ingestCore(arriving, idCol, textCol,
-      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_fp"),
-      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_bands"),
-      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_mh"),
+      live(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_fp"))
+        .select(col("fp")),
+      live(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_bands")),
+      live(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_mh")),
       shingleN, k, rowsPerBand, minAgree, identity)
   }
 

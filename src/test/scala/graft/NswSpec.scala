@@ -139,6 +139,39 @@ class NswSpec extends SparkSpec {
       idx2.select($"cluster").distinct().count() shouldBe 5L
     }
 
+    it("deleteFromNsw reproduces the rebuild-without-ids bit-for-bit") {
+      val e = corpus
+      val cent = IvfIndex.fitCentroids(spark, e, k = 4, iterations = 1,
+        orderedMean = true).localCheckpoint()
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val flat = java.nio.file.Files.createTempDirectory("graft-nswdel-f").toString
+      val nsw = java.nio.file.Files.createTempDirectory("graft-nswdel-g").toString
+      IvfIndex.save(cent, indexed, flat)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 3),
+        NswIndex.entryPoints(indexed, cent), nsw)
+      NswIndex.deleteFromNsw(spark, flat, nsw,
+        e.filter($"id" % 3 === 1).select($"id"), degree = 3) should be >= 1
+      val survivors = indexed.filter($"id" % 3 =!= 1)
+        .select($"id", $"v", $"cluster".cast("long").as("cluster"))
+      // the flat store lost exactly the deleted rows
+      val (_, idx2) = IvfIndex.load(spark, flat)
+      idx2.select($"id").orderBy($"id").collect().map(_.getLong(0)).toSeq shouldBe
+        survivors.select($"id").orderBy($"id").collect().map(_.getLong(0)).toSeq
+      // graph and entries equal the direct build over the survivors
+      val (graph2, entries2) = NswIndex.loadNsw(spark, nsw)
+      def canonG(g: org.apache.spark.sql.DataFrame) =
+        g.select($"cluster".cast("long").as("c"), $"id", $"nbrs", $"nscores")
+          .orderBy($"c", $"id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq,
+            r.getSeq[Double](3).toSeq)).toSeq
+      canonG(graph2) shouldBe canonG(NswIndex.fitGraph(survivors, degree = 3))
+      def canonE(g: org.apache.spark.sql.DataFrame) =
+        g.select($"cluster".cast("long").as("c"), $"entry")
+          .orderBy($"c").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      canonE(entries2) shouldBe canonE(NswIndex.entryPoints(survivors,
+        cent.select($"cluster".cast("long").as("cluster"), $"centroid")))
+    }
+
     it("splitOversizedNswCells is a no-op when no cell exceeds the cap") {
       val e = corpus.filter($"id" < 60)
       val cent = IvfIndex.fitCentroids(spark, e, k = 4, iterations = 1,

@@ -91,6 +91,42 @@ class PqIndexSpec extends SparkSpec {
       truth.exceptAll(got).count() shouldBe 0
     }
 
+    it("deleteFromTwoTier tombstones equal a rebuild without the ids; compaction is invisible") {
+      val e = corpus.localCheckpoint()
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, e, k = 4,
+        iterations = 1, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 8, iterations = 1)
+      val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val fullIdx = indexed.select($"cluster", $"id", $"v")
+      val queries = e.filter($"id" < 5).select($"id".as("q_id"), $"v".as("qv"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-del").toString
+      PqIndex.saveTwoTier(cent, cb, codesIdx, fullIdx, dir)
+      PqIndex.deleteFromTwoTier(spark, dir,
+        e.filter($"id" % 3 === 1).select($"id"))
+      def run(codes: org.apache.spark.sql.DataFrame,
+              full: org.apache.spark.sql.DataFrame,
+              c: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame) =
+        PqIndex.ivfAdcSearch(spark, queries, codes, full, c, b,
+            m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
+          .orderBy($"q_id", $"rank").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      // rebuild-without-ids ground truth: same fit params, filtered tiers
+      val want = run(codesIdx.filter($"id" % 3 =!= 1),
+        fullIdx.filter($"id" % 3 =!= 1), cent, cb)
+      // tombstone read path (pre-compaction)
+      val (c1, b1, k1, f1) = PqIndex.loadTwoTier(spark, dir)
+      run(k1, f1, c1, b1) shouldBe want
+      // compaction folds the tombstones in and must be invisible
+      PqIndex.compactTwoTier(spark, dir)
+      graft.sources.StoreFs.childNames(dir) should not contain "tombstones"
+      val (c2, b2, k2, f2) = PqIndex.loadTwoTier(spark, dir)
+      run(k2, f2, c2, b2) shouldBe want
+    }
+
     it("residual ivfAdcSearch with full probe width and corpus-wide rerank equals exact L2 top-k") {
       val e = corpus.localCheckpoint()
       val n = e.count().toInt

@@ -1161,7 +1161,17 @@ object QueriesSimilarity {
     * graph build, entries, probes, seed, both beam rounds and the
     * final top-5. Multiply-referenced CTEs MATERIALIZED (the q134
     * lesson). */
-  private def nswWalkSql(idxRel: String): String = {
+  private def nswWalkSql(idxRel: String): String =
+    s"""${nswWalkCtes(idxRel)}
+       |SELECT q_id, rank, id AS n_id, round(cos, 4) + 0.0 AS cos FROM (
+       |  SELECT q_id, id, cos, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, id ASC) AS INT) AS rank FROM nv2)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** The walk's CTE chain alone (through the final visited set `nv2`)
+    * — q193 appends a predicate-restricted trim instead of the plain
+    * one. */
+  private def nswWalkCtes(idxRel: String): String = {
     val cos = (a: String, b: String) =>
       s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
     def round(i: Int, prevV: String, prevF: String): String =
@@ -1210,11 +1220,7 @@ object QueriesSimilarity {
        |  JOIN $idxRel i ON i.cluster = en.cluster AND i.id = en.entry
        |  JOIN qs q ON q.q_id = p.q_id),
        |${round(1, "v0", "v0")},
-       |${round(2, "nv1", "nf1")}
-       |SELECT q_id, rank, id AS n_id, round(cos, 4) + 0.0 AS cos FROM (
-       |  SELECT q_id, id, cos, CAST(row_number() OVER (PARTITION BY q_id
-       |    ORDER BY cos DESC, id ASC) AS INT) AS rank FROM nv2)
-       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+       |${round(2, "nv1", "nf1")}""".stripMargin
   }
 
   val q184Sql: String =
@@ -1453,6 +1459,105 @@ object QueriesSimilarity {
        |idxd AS MATERIALIZED (SELECT * FROM idx WHERE id % 10 <> 3),
        |${nswWalkSql("idxd")}""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+  /** FILTERED flat-tier ANN search
+    * ([[graft.operators.IvfIndex.searchFiltered]]) — the standard
+    * production serving shape, attribute predicate ∧ vector top-k
+    * (`WHERE label < 3 ORDER BY cosine LIMIT 5`): the label attribute
+    * rides beside the vectors in the index relation, the predicate
+    * applies INSIDE the probed cells BEFORE the trim, and the answer
+    * is the exact top-5 of the matching members of the 2 probed cells
+    * — a selective predicate can never starve the top-k the way
+    * post-filtering a plain top-k does (with ~30% selectivity, plain
+    * top-5-then-filter would average < 2 survivors). Oracle = the q39
+    * probe replay with the filter on the candidate set. */
+  val q192IvfFiltered: Q = (s, dir) => {
+    import s.implicits._
+    val raw = Tables.embeddings(s, dir)
+    val e = raw.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // attributes-beside-vectors: the serving layout carries the
+    // filterable columns in the cell-partitioned relation itself
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+      .join(raw.select($"vec_id".as("id"), $"label"), Seq("id"))
+      .localCheckpoint()
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.IvfIndex.searchFiltered(s, queries, indexed, cent,
+        k = 5, nProbe = 2, pred = $"label" < 3)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+  val q192Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |lab AS (SELECT vec_id AS id, label FROM embeddings),
+       |${lloydIdxSql("e", "8")},
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.q_id, i.id AS n_id,
+       |         ${dotSql("p.qv", "i.v")} / sqrt(${norm2Sql("p.qv")} * ${norm2Sql("i.v")}) AS cos
+       |  FROM probes p JOIN idx i USING (cluster)
+       |  JOIN lab ON lab.id = i.id
+       |  WHERE lab.label < 3),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, n_id, round(cos, 4) + 0.0 AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q193
+  /** FILTERED NSW graph search
+    * ([[graft.operators.NswIndex.searchFiltered]]) — the predicate on
+    * the graph tier: the WALK stays unfiltered (beam connectivity must
+    * not depend on the predicate — filtering the traversal disconnects
+    * it exactly when the filter is selective), and the predicate
+    * restricts the RESULT trim, so no non-matching row occupies a
+    * result slot. The walk is deterministic, so the oracle replays the
+    * full q184 CTE chain and applies the label filter to the final
+    * visited set. */
+  val q193NswFiltered: Q = (s, dir) => {
+    import s.implicits._
+    val raw = Tables.embeddings(s, dir)
+    val e = raw.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent)
+      .join(raw.select($"vec_id".as("id"), $"label"), Seq("id"))
+      .localCheckpoint()
+    val graph = graft.operators.NswIndex.fitGraph(indexed, degree = 4)
+      .localCheckpoint()
+    val entries = graft.operators.NswIndex.entryPoints(indexed, cent)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.NswIndex.searchFiltered(s, queries, graph, indexed, cent,
+        entries, k = 5, nProbe = 2, ef = 8, rounds = 2, pred = $"label" < 3)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+  val q193Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |lab AS (SELECT vec_id AS id, label FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("e", "8")},
+       |${nswWalkCtes("idx")}
+       |SELECT q_id, rank, id AS n_id, round(cos, 4) + 0.0 AS cos FROM (
+       |  SELECT v.q_id, v.id, v.cos, CAST(row_number() OVER (PARTITION BY v.q_id
+       |    ORDER BY v.cos DESC, v.id ASC) AS INT) AS rank
+       |  FROM nv2 v JOIN lab ON lab.id = v.id WHERE lab.label < 3)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1499,5 +1604,7 @@ object QueriesSimilarity {
     ("q188_nsw_split", q188NswSplit, Some(q188Sql)),
     ("q190_twotier_delete", q190TwoTierDelete, Some(q190Sql)),
     ("q191_nsw_delete", q191NswDelete, Some(q191Sql)),
+    ("q192_ivf_filtered", q192IvfFiltered, Some(q192Sql)),
+    ("q193_nsw_filtered", q193NswFiltered, Some(q193Sql)),
   )
 }

@@ -369,6 +369,26 @@ object IvfIndex {
         col("col.id").as("n_id"), round(col("col.score"), 4).as("cos"))
   }
 
+  /** PREDICATE-AWARE flat-tier search — the production serving shape
+    * (`WHERE attribute-predicate ORDER BY cosine LIMIT k`) with the
+    * filter applied INSIDE the probed cells BEFORE the trim, so the
+    * result is the EXACT top-k of the predicate-matching members of
+    * the probed cells: min(k, |matching ∩ probed|) rows, no
+    * starvation — post-filtering a plain top-k instead lets
+    * non-matching rows occupy the k slots and a selective predicate
+    * empties the answer (q192 gates the semantics against the
+    * filtered-probe replay). Plan shape: the predicate composes into
+    * the cell scan next to the probe's partition pruning (Catalyst
+    * pushdown — filtered columns never leave the scan), then the same
+    * broadcast-probe join and bounded-heap trim as [[search]]. `pred`
+    * ranges over the columns of `indexed` — join attributes onto the
+    * index relation (the attributes-beside-vectors cell layout) to
+    * filter on them. */
+  def searchFiltered(spark: SparkSession, queries: DataFrame,
+                     indexed: DataFrame, centroids: DataFrame, k: Int,
+                     nProbe: Int, pred: Column): DataFrame =
+    search(spark, queries, indexed.filter(pred), centroids, k, nProbe)
+
   /** Recall@k instrumentation — the accuracy/cost dial every ANN
     * deployment must read before choosing `nProbe`: for each probe
     * width, what fraction of the EXACT top-k

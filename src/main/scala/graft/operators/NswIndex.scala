@@ -315,6 +315,54 @@ object NswIndex {
              indexed: DataFrame, centroids: DataFrame, entries: DataFrame,
              k: Int, nProbe: Int, ef: Int, rounds: Int): DataFrame = {
     require(k > 0 && ef >= k, s"need ef >= k > 0, got k=$k ef=$ef")
+    val visited = walkVisited(spark, queries, graph, indexed, centroids,
+      entries, nProbe, ef, rounds)
+    trimTopK(visited, k)
+  }
+
+  /** PREDICATE-AWARE graph search — the production serving shape
+    * (`WHERE attribute-predicate ORDER BY cosine LIMIT k`): the WALK is
+    * unfiltered — beam connectivity must not depend on the predicate,
+    * or a selective filter disconnects the traversal exactly when it
+    * matters — and the predicate applies to the RESULT trim only (the
+    * visited set semi-joined to the rows of `indexed` satisfying
+    * `pred`, then top-k), so no non-matching row can ever occupy a
+    * result slot. Post-filtering a plain top-k does the opposite:
+    * matching rows lose slots to filtered-out ones and a selective
+    * predicate starves the answer. The walk is deterministic, so the
+    * filtered trim replays in SQL (q193's oracle). Like unfiltered NSW
+    * search this is recall-typed: visited∩pred can hold fewer than k
+    * rows under a very selective predicate — raise ef/rounds/nProbe,
+    * or fall back to the flat tier's [[IvfIndex.searchFiltered]],
+    * which guarantees the exact top-k of the filtered probed cells.
+    * `pred` ranges over the columns of `indexed` (join attributes onto
+    * the index relation — the attributes-beside-vectors cell layout). */
+  def searchFiltered(spark: SparkSession, queries: DataFrame, graph: DataFrame,
+                     indexed: DataFrame, centroids: DataFrame,
+                     entries: DataFrame, k: Int, nProbe: Int, ef: Int,
+                     rounds: Int, pred: org.apache.spark.sql.Column): DataFrame = {
+    require(k > 0 && ef >= k, s"need ef >= k > 0, got k=$k ef=$ef")
+    val visited = walkVisited(spark, queries, graph, indexed, centroids,
+      entries, nProbe, ef, rounds)
+    val allowed = indexed.filter(pred).select(col("cluster"), col("id"))
+    trimTopK(visited.join(allowed, Seq("cluster", "id"), "left_semi"), k)
+  }
+
+  /** Final per-query trim shared by the search faces: best `k` of the
+    * (possibly predicate-restricted) visited set, map-side bounded
+    * heap, `(q_id, rank, n_id, cos)`. */
+  private def trimTopK(visited: DataFrame, k: Int): DataFrame =
+    visited
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(k, col("cos"), col("id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
+        col("e.id").as("n_id"), round(col("e.score"), 4).as("cos"))
+
+  private def walkVisited(spark: SparkSession, queries: DataFrame,
+                          graph: DataFrame, indexed: DataFrame,
+                          centroids: DataFrame, entries: DataFrame,
+                          nProbe: Int, ef: Int, rounds: Int): DataFrame = {
     require(rounds >= 0, s"negative rounds: $rounds")
     val probes = IvfIndex.probeCells(spark, queries, centroids, nProbe)
     val qv = queries.select(col("q_id"), col("qv"))
@@ -352,10 +400,5 @@ object NswIndex {
           Seq("q_id", "id"))
     }
     visited
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg(k, col("cos"), col("id")).as("topk"))
-      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "e")))
-      .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
-        col("e.id").as("n_id"), round(col("e.score"), 4).as("cos"))
   }
 }

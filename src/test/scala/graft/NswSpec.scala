@@ -139,6 +139,30 @@ class NswSpec extends SparkSpec {
       idx2.select($"cluster").distinct().count() shouldBe 5L
     }
 
+    it("filtered search: flat face is the exact filtered top-k; graph face never seats a non-matching row") {
+      val (e, cent, indexed, queries) = fitted()
+      val idxAttr = indexed.withColumn("even", $"id" % 2 === 0).localCheckpoint()
+      // flat face, full probe width: must equal brute force over the
+      // filtered corpus — the no-starvation contract made total
+      val got = IvfIndex.searchFiltered(spark, queries, idxAttr, cent,
+          k = 5, nProbe = 8, pred = $"even")
+        .select($"q_id", $"rank", $"n_id").orderBy($"q_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val truth = Similarity.bruteForceTopKAgg(spark, queries,
+          e.filter($"id" % 2 === 0).select($"id".as("n_id"), $"v".as("cv")), 5)
+        .select($"q_id", $"rank", $"n_id").orderBy($"q_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      got shouldBe truth
+      // graph face: every returned row satisfies the predicate
+      val graph = NswIndex.fitGraph(idxAttr, degree = 4).localCheckpoint()
+      val entries = NswIndex.entryPoints(idxAttr, cent)
+      val filtered = NswIndex.searchFiltered(spark, queries, graph, idxAttr,
+        cent, entries, k = 5, nProbe = 2, ef = 16, rounds = 3, pred = $"even")
+      filtered.filter($"n_id" % 2 =!= 0).count() shouldBe 0L
+      filtered.groupBy($"q_id").count().collect()
+        .foreach(_.getLong(1) should be <= 5L)
+    }
+
     it("deleteFromNsw reproduces the rebuild-without-ids bit-for-bit") {
       val e = corpus
       val cent = IvfIndex.fitCentroids(spark, e, k = 4, iterations = 1,

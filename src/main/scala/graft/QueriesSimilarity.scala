@@ -1171,29 +1171,42 @@ object QueriesSimilarity {
   /** The walk's CTE chain alone (through the final visited set `nv2`)
     * — q193 appends a predicate-restricted trim instead of the plain
     * one. */
-  private def nswWalkCtes(idxRel: String): String = {
-    val cos = (a: String, b: String) =>
-      s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
-    def round(i: Int, prevV: String, prevF: String): String =
-      s"""nx$i AS (
-         |  SELECT DISTINCT f.q_id, g.cluster, g.dst AS id
-         |  FROM $prevF f JOIN graph g ON g.cluster = f.cluster AND g.src = f.id),
-         |ns$i AS (
-         |  SELECT x.q_id, x.cluster, x.id, ${cos("q.qv", "i.v")} AS cos
-         |  FROM nx$i x JOIN qs q USING (q_id)
-         |  JOIN $idxRel i ON i.cluster = x.cluster AND i.id = x.id),
-         |nv$i AS MATERIALIZED (
-         |  SELECT q_id, cluster, id, max(cos) AS cos
-         |  FROM (SELECT * FROM $prevV UNION ALL SELECT * FROM ns$i)
-         |  GROUP BY 1, 2, 3),
-         |nf$i AS (
-         |  SELECT v.* FROM nv$i v JOIN (
-         |    SELECT q_id, id FROM (
-         |      SELECT q_id, id, row_number() OVER (PARTITION BY q_id
-         |        ORDER BY cos DESC, id ASC) AS rn FROM nv$i)
-         |    WHERE rn <= 8) t USING (q_id, id))""".stripMargin
+  private def nswWalkCtes(idxRel: String): String =
+    s"""${nswWalkBaseCtes(idxRel)},
+       |${nswRoundCtes(idxRel, 1, "v0", "v0", 8, "")},
+       |${nswRoundCtes(idxRel, 2, "nv1", "nf1", 8, "")}""".stripMargin
+
+  private def nswCos(a: String, b: String): String =
+    s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
+
+  /** One beam round of the walk replay, CTE names prefixed with `p` so
+    * q194 can instantiate several (ef, rounds) settings over the SAME
+    * graph/probes/v0 base in one query. */
+  private def nswRoundCtes(idxRel: String, i: Int, prevV: String,
+                           prevF: String, ef: Int, p: String): String =
+    s"""${p}nx$i AS (
+       |  SELECT DISTINCT f.q_id, g.cluster, g.dst AS id
+       |  FROM $prevF f JOIN graph g ON g.cluster = f.cluster AND g.src = f.id),
+       |${p}ns$i AS (
+       |  SELECT x.q_id, x.cluster, x.id, ${nswCos("q.qv", "i.v")} AS cos
+       |  FROM ${p}nx$i x JOIN qs q USING (q_id)
+       |  JOIN $idxRel i ON i.cluster = x.cluster AND i.id = x.id),
+       |${p}nv$i AS MATERIALIZED (
+       |  SELECT q_id, cluster, id, max(cos) AS cos
+       |  FROM (SELECT * FROM $prevV UNION ALL SELECT * FROM ${p}ns$i)
+       |  GROUP BY 1, 2, 3),
+       |${p}nf$i AS (
+       |  SELECT v.* FROM ${p}nv$i v JOIN (
+       |    SELECT q_id, id FROM (
+       |      SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, id ASC) AS rn FROM ${p}nv$i)
+       |    WHERE rn <= $ef) t USING (q_id, id))""".stripMargin
+
+  /** The walk's setting-independent base: graph build, entries, probes
+    * and the seeded visited set `v0`. */
+  private def nswWalkBaseCtes(idxRel: String): String =
     s"""pairs AS (
-       |  SELECT a.cluster, a.id AS src, b.id AS dst, ${cos("a.v", "b.v")} AS cos
+       |  SELECT a.cluster, a.id AS src, b.id AS dst, ${nswCos("a.v", "b.v")} AS cos
        |  FROM $idxRel a JOIN $idxRel b ON a.cluster = b.cluster AND a.id <> b.id),
        |graph AS MATERIALIZED (
        |  SELECT cluster, src, dst FROM (
@@ -1203,11 +1216,11 @@ object QueriesSimilarity {
        |entries AS (
        |  SELECT cluster, id AS entry FROM (
        |    SELECT i.cluster, i.id, row_number() OVER (PARTITION BY i.cluster
-       |      ORDER BY ${cos("i.v", "c.centroid")} DESC, i.id ASC) AS rn
+       |      ORDER BY ${nswCos("i.v", "c.centroid")} DESC, i.id ASC) AS rn
        |    FROM $idxRel i JOIN cent c USING (cluster))
        |  WHERE rn = 1),
        |qscored AS (
-       |  SELECT q.q_id, q.qv, c.cluster, ${cos("q.qv", "c.centroid")} AS cos
+       |  SELECT q.q_id, q.qv, c.cluster, ${nswCos("q.qv", "c.centroid")} AS cos
        |  FROM qs q CROSS JOIN cent c),
        |probes AS (
        |  SELECT q_id, cluster FROM (
@@ -1215,13 +1228,10 @@ object QueriesSimilarity {
        |      ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
        |  WHERE rn <= 2),
        |v0 AS MATERIALIZED (
-       |  SELECT p.q_id, en.cluster, en.entry AS id, ${cos("q.qv", "i.v")} AS cos
+       |  SELECT p.q_id, en.cluster, en.entry AS id, ${nswCos("q.qv", "i.v")} AS cos
        |  FROM probes p JOIN entries en USING (cluster)
        |  JOIN $idxRel i ON i.cluster = en.cluster AND i.id = en.entry
-       |  JOIN qs q ON q.q_id = p.q_id),
-       |${round(1, "v0", "v0")},
-       |${round(2, "nv1", "nf1")}""".stripMargin
-  }
+       |  JOIN qs q ON q.q_id = p.q_id)""".stripMargin
 
   val q184Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1558,6 +1568,102 @@ object QueriesSimilarity {
        |  FROM nv2 v JOIN lab ON lab.id = v.id WHERE lab.label < 3)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** NSW serving AUTO-TUNE ([[graft.operators.NswIndex.tuneWalk]]) —
+    * the q134 pattern applied to the graph walk's two serving dials:
+    * the q184 flat + graph stores are persisted, a held-out query
+    * sample drives one recall@10 pass per candidate `(ef, rounds)`
+    * setting (one shared brute-force truth), the CHEAPEST setting
+    * (cost = ef·rounds, the walk's scored-vector budget) with avg
+    * recall ≥ 0.6 is chosen — highest-recall fallback when none meets
+    * the floor — and the whole tuning table persists WITH the graph
+    * store. The gate reads the PERSISTED table back, so the store
+    * round-trip, every walk's recall arithmetic AND the choice rule
+    * are all on the hash; the oracle replays all four walks over the
+    * shared base CTEs plus the choice. */
+  val q194NswAutotune: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val flatDir = s"/root/repo/target/tmp/q194_flat_$tag"
+    val nswDir = s"/root/repo/target/tmp/q194_nsw_$tag"
+    graft.operators.IvfIndex.save(cent, indexed, flatDir)
+    graft.operators.NswIndex.saveNsw(
+      graft.operators.NswIndex.fitGraph(indexed, degree = 4),
+      graft.operators.NswIndex.entryPoints(indexed, cent), nswDir)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    graft.operators.NswIndex.tuneWalk(s, flatDir, nswDir, queries,
+      k = 10, nProbe = 2,
+      settings = Seq((10, 1), (10, 2), (16, 2), (16, 3)),
+      recallFloor = 0.6): Unit
+    s.read.parquet(s"$nswDir/tuning")
+      .select($"ef", $"rounds", $"cost", $"n_queries", $"total_hits",
+        $"avg_recall", $"min_recall", $"chosen")
+      .orderBy($"ef", $"rounds")
+  }
+  val q194Sql: String = {
+    val settings = Seq((10, 1), (10, 2), (16, 2), (16, 3))
+    val chains = settings.zipWithIndex.map { case ((ef, ro), n) =>
+      val p = s"t${n}_"
+      val rounds = (1 to ro).map { i =>
+        val (pv, pf) = if (i == 1) ("v0", "v0") else (s"${p}nv${i - 1}", s"${p}nf${i - 1}")
+        nswRoundCtes("idx", i, pv, pf, ef, p)
+      }.mkString(",\n")
+      val recRow =
+        s"""${p}top AS (
+           |  SELECT q_id, id FROM (
+           |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, id ASC) AS rn FROM ${p}nv$ro)
+           |  WHERE rn <= 10),
+           |${p}hit AS (
+           |  SELECT q.q_id, count(t.id) AS n_hit
+           |  FROM qs q LEFT JOIN (
+           |    SELECT tt.q_id, tt.id FROM ${p}top tt
+           |    JOIN truth tr ON tr.q_id = tt.q_id AND tr.n_id = tt.id) t
+           |    ON t.q_id = q.q_id
+           |  GROUP BY q.q_id)""".stripMargin
+      val row =
+        s"""SELECT CAST($ef AS INT) AS ef, CAST($ro AS INT) AS rounds,
+           |       CAST(${ef.toLong * ro} AS BIGINT) AS cost,
+           |       count(*) AS n_queries, CAST(sum(n_hit) AS BIGINT) AS total_hits,
+           |       round(avg(n_hit / 10.0), 4) AS avg_recall,
+           |       round(min(n_hit / 10.0), 4) AS min_recall
+           |FROM ${p}hit""".stripMargin
+      (s"$rounds,\n$recRow", row)
+    }
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("e", "8")},
+       |${nswWalkBaseCtes("idx")},
+       |truth AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, i.id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${nswCos("q.qv", "i.v")} DESC, i.id ASC) AS rank
+       |    FROM qs q CROSS JOIN idx i)
+       |  WHERE rank <= 10),
+       |${chains.map(_._1).mkString(",\n")},
+       |rec AS MATERIALIZED (
+       |${chains.map(_._2).mkString("\nUNION ALL\n")}),
+       |pick AS (
+       |  SELECT ef, rounds FROM rec
+       |  ORDER BY (CASE WHEN avg_recall >= 0.6 THEN 0 ELSE 1 END),
+       |           (CASE WHEN avg_recall >= 0.6 THEN CAST(cost AS DOUBLE)
+       |                 ELSE -avg_recall END),
+       |           cost, ef, rounds
+       |  LIMIT 1)
+       |SELECT r.ef, r.rounds, r.cost, r.n_queries, r.total_hits,
+       |       r.avg_recall, r.min_recall,
+       |       (r.ef = p.ef AND r.rounds = p.rounds) AS chosen
+       |FROM rec r CROSS JOIN pick p
+       |ORDER BY r.ef, r.rounds""".stripMargin
+  }
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1606,5 +1712,6 @@ object QueriesSimilarity {
     ("q191_nsw_delete", q191NswDelete, Some(q191Sql)),
     ("q192_ivf_filtered", q192IvfFiltered, Some(q192Sql)),
     ("q193_nsw_filtered", q193NswFiltered, Some(q193Sql)),
+    ("q194_nsw_autotune", q194NswAutotune, Some(q194Sql)),
   )
 }

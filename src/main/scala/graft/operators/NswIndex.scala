@@ -348,6 +348,79 @@ object NswIndex {
     trimTopK(visited.join(allowed, Seq("cluster", "id"), "left_semi"), k)
   }
 
+  /** Recall-driven (ef, rounds) AUTO-TUNING for the graph tier — the
+    * [[IvfIndex.tuneNProbe]] pattern applied to the walk's two serving
+    * dials: measure sample recall@k for every candidate `(ef, rounds)`
+    * setting over a HELD-OUT query sample (ONE brute-force truth pass,
+    * then one query-bounded walk per setting), choose the CHEAPEST
+    * setting whose avg recall meets `recallFloor` — cost ordered by
+    * `ef · rounds`, the walk's per-query scored-vector budget
+    * (`rounds · ef · degree` + probes) with degree fixed — and fall
+    * back to the HIGHEST-recall setting when none does (never silently
+    * under-deliver). The whole tuning table persists WITH the graph
+    * store (`nswDir/tuning`: one row per setting + the chosen flag,
+    * floor and k as provenance) so a later session reads the operating
+    * point ([[loadTunedWalk]]) instead of re-measuring. The choice
+    * reads the ROUNDED avg recall the table stores — the q194 oracle
+    * replays every walk, every recall and the choice rule. Returns the
+    * chosen `(ef, rounds)`. */
+  def tuneWalk(spark: SparkSession, flatDir: String, nswDir: String,
+               sampleQueries: DataFrame, k: Int, nProbe: Int,
+               settings: Seq[(Int, Int)], recallFloor: Double): (Int, Int) = {
+    require(recallFloor > 0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    require(settings.nonEmpty, "tuneWalk needs at least one (ef, rounds)")
+    settings.foreach { case (ef, r) =>
+      require(ef >= k && r >= 0, s"need ef >= k and rounds >= 0, got ($ef, $r)") }
+    val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
+    val indexed = idxRaw.select(col("id"), col("v"), col("cluster"))
+    val (graph, entries) = loadNsw(spark, nswDir)
+    val queries = sampleQueries.localCheckpoint()
+    val truth = Similarity.bruteForceTopKAgg(spark, queries,
+        indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val rec = settings.map { case (ef, rounds) =>
+      val hits = search(spark, queries, graph, indexed, cent, entries,
+          k, nProbe, ef, rounds)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hit")).as("total_hits"),
+          round(avg(col("n_hit").cast("double") / k), 4).as("avg_recall"),
+          round(min(col("n_hit").cast("double") / k), 4).as("min_recall"))
+        .select(lit(ef).cast("int").as("ef"),
+          lit(rounds).cast("int").as("rounds"),
+          lit(ef.toLong * rounds).as("cost"),
+          col("n_queries"), col("total_hits"),
+          col("avg_recall"), col("min_recall"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val rows = rec.select(col("ef"), col("rounds"), col("cost"),
+        col("avg_recall")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val meeting = rows.filter(_._4 >= recallFloor)
+      .sortBy(t => (t._3, t._1, t._2))
+    val chosen = meeting.headOption
+      .orElse(rows.sortBy(t => (-t._4, t._3, t._1, t._2)).headOption)
+      .map(t => (t._1, t._2)).get
+    rec.withColumn("chosen",
+        col("ef") === chosen._1 && col("rounds") === chosen._2)
+      .withColumn("recall_floor", lit(recallFloor))
+      .withColumn("at_k", lit(k))
+      .write.mode("overwrite").parquet(s"$nswDir/tuning")
+    chosen
+  }
+
+  /** The persisted operating point of [[tuneWalk]], read back from the
+    * graph store. */
+  def loadTunedWalk(spark: SparkSession, nswDir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$nswDir/tuning")
+      .filter(col("chosen")).select(col("ef"), col("rounds")).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
   /** Final per-query trim shared by the search faces: best `k` of the
     * (possibly predicate-restricted) visited set, map-side bounded
     * heap, `(q_id, rank, n_id, cos)`. */

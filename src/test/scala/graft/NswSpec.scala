@@ -212,6 +212,37 @@ class NswSpec extends SparkSpec {
       graft.sources.StoreFs.readManifest(s"$nsw/manifest") shouldBe genBefore
     }
 
+    it("tuneWalk chooses the cheapest setting meeting the floor and round-trips") {
+      val (e, cent, indexed, _) = fitted()
+      val flat = java.nio.file.Files.createTempDirectory("graft-nswtune-f").toString
+      val nsw = java.nio.file.Files.createTempDirectory("graft-nswtune-g").toString
+      IvfIndex.save(cent, indexed, flat)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 4),
+        NswIndex.entryPoints(indexed, cent), nsw)
+      val sample = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      val settings = Seq((10, 1), (10, 2), (16, 2), (16, 3))
+      // floor -> 0+: every setting qualifies, so the cheapest must win
+      NswIndex.tuneWalk(spark, flat, nsw, sample, k = 10, nProbe = 2,
+        settings, recallFloor = 1e-9) shouldBe ((10, 1))
+      // floor 1.0 is unreachable at nProbe=2 here: the fallback must be
+      // the highest-recall setting, and the persisted table round-trips
+      val chosen = NswIndex.tuneWalk(spark, flat, nsw, sample, k = 10,
+        nProbe = 2, settings, recallFloor = 1.0)
+      val table = spark.read.parquet(s"$nsw/tuning")
+      table.count() shouldBe 4L
+      val best = table.orderBy($"avg_recall".desc, $"cost", $"ef", $"rounds")
+        .select($"ef", $"rounds").head()
+      chosen shouldBe ((best.getInt(0), best.getInt(1)))
+      NswIndex.loadTunedWalk(spark, nsw) shouldBe chosen
+      // recall is monotone in the beam budget on this fixture
+      val byCost = table.orderBy($"cost").select($"avg_recall")
+        .collect().map(_.getDouble(0)).toSeq
+      byCost.sliding(2).foreach {
+        case Seq(a, b) => b should be >= a
+        case _ =>
+      }
+    }
+
     it("recall >= the IVF+PQ-ADC tier at equal probe budget") {
       val (e, cent, indexed, queries) = fitted()
       val truth = Similarity.bruteForceTopKAgg(spark, queries,

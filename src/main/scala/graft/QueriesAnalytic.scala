@@ -727,17 +727,23 @@ object QueriesAnalytic {
     graft.operators.PageRank.pageRankFixedPoint(edges, iterations = 3)
       .orderBy($"rank".desc, $"node").limit(20)
   }
-  val q148Sql: String = {
-    def iter(prev: String, cN: String, rN: String): String =
-      s"""$cN AS (
-         |  SELECT e.dst, sum(r.rank // d.outdeg) AS in_mass
-         |  FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
-         |  GROUP BY e.dst),
-         |$rN AS (
-         |  SELECT n.node,
-         |         CAST(150000000 + (85 * coalesce(c.in_mass, 0)) // 100 AS BIGINT) AS rank
-         |  FROM nodes n LEFT JOIN $cN c ON c.dst = n.node)""".stripMargin
-    s"""WITH pairs AS (
+  /** One oracle iteration of the q148 fixed-point update — shared by
+    * q148 (3 fixed iterations) and q195 (unrolled convergence cap) so
+    * the replayed arithmetic cannot drift between the two gates. */
+  private def prIterSql(prev: String, cN: String, rN: String): String =
+    s"""$cN AS (
+       |  SELECT e.dst, sum(r.rank // d.outdeg) AS in_mass
+       |  FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
+       |  GROUP BY e.dst),
+       |$rN AS MATERIALIZED (
+       |  SELECT n.node,
+       |         CAST(150000000 + (85 * coalesce(c.in_mass, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN $cN c ON c.dst = n.node)""".stripMargin
+
+  /** The trade-graph CTEs (pairs/edges/nodes/deg/r0) shared by the two
+    * PageRank oracles. */
+  private val prGraphSql: String =
+    s"""pairs AS (
        |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |edges AS (
@@ -746,11 +752,67 @@ object QueriesAnalytic {
        |  SELECT supp AS src, cust AS dst FROM pairs),
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
-       |${iter("r0", "c1", "r1")},
-       |${iter("r1", "c2", "r2")},
-       |${iter("r2", "c3", "r3")}
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+
+  val q148Sql: String =
+    s"""WITH $prGraphSql,
+       |${prIterSql("r0", "c1", "r1")},
+       |${prIterSql("r1", "c2", "r2")},
+       |${prIterSql("r2", "c3", "r3")}
        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q195
+  /** CONVERGENCE-DRIVEN PageRank
+    * ([[graft.operators.PageRank.pageRankConverged]]) — the
+    * fixed-iteration q148 replaced by a measured stop: iterate until
+    * the exact-integer L1 movement `Σ|rankᵢ − rankᵢ₋₁|` falls to a
+    * per-node tolerance (840·10⁶ scaled units — the trade graph's
+    * movement decays by exactly the 0.85 damping factor per iteration
+    * and is per-node scale-invariant, so this stops at iteration 5
+    * at every SF with ~8% margin to both neighbors), capped at 8.
+    * The movement total is integer arithmetic over integer ranks —
+    * partition-order-proof — so the oracle unrolls the cap, computes
+    * every movement, and picks the SAME first-below-ε iteration; the
+    * gate emits the top-20 ranks at the stop plus the stop iteration
+    * itself. Spark runs exactly `stop` iterations (5, not the cap) —
+    * the point of the measured rule: q148's 3 hard-coded iterations
+    * under-mix, a safe fixed cap over-pays. */
+  val q195PagerankConverged: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("cust"),
+        concat(lit("s"), $"l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
+      .unionByName(pairs.select($"supp".as("src"), $"cust".as("dst")))
+    val (ranks, iters) = graft.operators.PageRank.pageRankConverged(edges,
+      epsPerNode = 840000000L, maxIterations = 8)
+    ranks.orderBy($"rank".desc, $"node").limit(20)
+      .withColumn("iters", lit(iters).cast("int"))
+  }
+  val q195Sql: String = {
+    val cap = 8
+    val iters = (1 to cap)
+      .map(i => prIterSql(s"r${i - 1}", s"c$i", s"r$i")).mkString(",\n")
+    val dts = (1 to cap).map(i =>
+      s"SELECT $i AS i, (SELECT sum(abs(a.rank - b.rank)) FROM r$i a JOIN r${i - 1} b ON a.node = b.node) AS d")
+      .mkString("\n  UNION ALL ")
+    val sel = (1 to cap).map(i =>
+      s"SELECT node, rank FROM r$i WHERE (SELECT stop FROM pick) = $i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $prGraphSql,
+       |$iters,
+       |dts AS (
+       |  $dts),
+       |pick AS (
+       |  SELECT CAST(coalesce(min(i), $cap) AS INT) AS stop FROM dts
+       |  WHERE d <= 840000000 * (SELECT count(*) FROM nodes)),
+       |sel AS (
+       |  $sel)
+       |SELECT node, rank, (SELECT stop FROM pick) AS iters
+       |FROM sel ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
   // ---------------------------------------------------------------- q151
@@ -1394,5 +1456,6 @@ object QueriesAnalytic {
     ("q179_cusum_alarms_scalable", q179CusumAlarmsScalable, Some(q178Sql)),
     ("q180_asof_tolerance", q180AsofTolerance, Some(q180Sql)),
     ("q181_pagerank_dangling", q181PagerankDangling, Some(q181Sql)),
+    ("q195_pagerank_converged", q195PagerankConverged, Some(q195Sql)),
   )
 }

@@ -513,6 +513,57 @@ object QueriesCurate {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+  /** Jaro–Winkler fuzzy-linkage calibration
+    * ([[graft.plans.JaroWinkler]], the native codegen'd Catalyst
+    * expression) — q92's blocking with the classic Fellegi–Sunter name
+    * comparator instead of edit distance, and called BY NAME from SQL
+    * text (`jaro_winkler(...)` via the q115 registry surface, so the
+    * function-registry binding is on the hash too). Pairs at
+    * similarity ≥ 0.94 bucket into a (rounded similarity, is-true)
+    * calibration table — the weight-of-evidence table a linkage
+    * pipeline reads before scoring; ID-like names with long shared
+    * prefixes land many false pairs in the high buckets, which is
+    * exactly what the table exposes. The expression's byte-level
+    * kernel is bit-identical to DuckDB's `jaro_winkler_similarity`
+    * (the `JaroWinklerSpec` contract), so raw thresholds and rounded
+    * buckets replay exactly. */
+  val q196JwLinkage: Q = (s, dir) => {
+    import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    val cust = Tables.fanOut(s, Tables.customer(s, dir))
+    val damaged = cust.select(
+      $"c_custkey",
+      when($"c_custkey" % 4 === 0, concat($"c_name", lit("x")))
+        .when($"c_custkey" % 4 === 1,
+          substring($"c_name", 1, 17)) // names are 18 chars: drop the last
+        .otherwise($"c_name").as("c_name"),
+      $"c_nationkey", $"c_mktsegment")
+    Linkage.candidatePairs(cust, damaged, Seq("c_nationkey", "c_mktsegment"))
+      .withColumn("jw", expr("jaro_winkler(a_c_name, b_c_name)"))
+      .filter($"jw" >= 0.94)
+      .groupBy((round($"jw", 2) + 0.0).as("jw_bucket"),
+        when($"a_c_custkey" === $"b_c_custkey", 1).otherwise(0).as("is_true"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"jw_bucket", $"is_true")
+  }
+  val q196Sql: String =
+    """WITH b AS (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 4 = 0 THEN c_name || 'x'
+      |             WHEN c_custkey % 4 = 1 THEN substr(c_name, 1, 17)
+      |             ELSE c_name END AS c_name,
+      |        c_nationkey, c_mktsegment FROM customer),
+      |pairs AS (
+      |  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |         jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+      |  FROM customer a JOIN b ON a.c_nationkey = b.c_nationkey
+      |                        AND a.c_mktsegment = b.c_mktsegment)
+      |SELECT round(jw, 2) + 0.0 AS jw_bucket,
+      |       CASE WHEN a_key = b_key THEN 1 ELSE 0 END AS is_true,
+      |       count(*) AS n
+      |FROM pairs WHERE jw >= 0.94
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- q105
   /** HTML boilerplate stripping ahead of the quality gate
     * ([[graft.functions.TextAnalysis.stripMarkup]] /
@@ -1127,6 +1178,7 @@ object QueriesCurate {
     ("q90_oov_rate", q90OovRate, Some(q90Sql)),
     ("q91_merge_apply", q91MergeApply, Some(q91Sql)),
     ("q92_fuzzy_linkage", q92FuzzyLinkage, Some(q92Sql)),
+    ("q196_jw_linkage", q196JwLinkage, Some(q196Sql)),
     ("q105_html_strip", q105HtmlStrip, Some(q105Sql)),
     ("q108_domain_cap", q108DomainCap, Some(q108Sql)),
     ("q109_classifier_score", q109ClassifierScore, Some(q109Sql)),

@@ -33,22 +33,40 @@ object QueriesSimilarity {
   }
   import Queries.Q
 
-  /** (id, v) corpus of double-cast embeddings ∪ scaled copy. */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** (id, v) corpus of double-cast embeddings ∪ scaled copy.
+    * `capped = true` is q34's DECLARED bench cap (the no-silent-caps
+    * rule): the brute all-pairs oracle twin is quadratic BY
+    * DECLARATION — its gated sublinear twin q35 carries the scale
+    * story — so above bench scale its fixture keeps only the first two
+    * ScaleUp replicas (`vec_id < 2·10⁹`; replica keys shift by 10⁹ per
+    * copy). At the three gate SFs every vec_id is < 2000, so the cap
+    * is a no-op and gate hashes are unchanged; at sf1.0/sf10 it bounds
+    * the fixture at 4000 source vectors (4× the sf0.1 pair work)
+    * instead of letting the declared-quadratic twin dominate the
+    * full-catalog bench (28.1 s at sf1.0 uncapped). */
+  private def nearDupCorpus(s: SparkSession, dir: String,
+                            capped: Boolean = false): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    val e0 = Tables.embeddings(s, dir)
+    val src = if (capped) e0.filter($"vec_id" < 2000000000L) else e0
+    val e = src
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
     e.unionByName(e.select(($"id" + 100000L).as("id"),
       transform($"v", x => x * lit(1.01)).as("v")))
   }
 
-  private val nearDupCorpusSql =
-    """corpus AS (
-      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 100000 AS id,
-      |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01) AS v
-      |  FROM embeddings)""".stripMargin
+  private def nearDupCorpusText(where: String) =
+    s"""corpus AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings $where
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS id,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01) AS v
+       |  FROM embeddings $where)""".stripMargin
+
+  private val nearDupCorpusSql = nearDupCorpusText("")
+  /** q34's capped fixture — see [[nearDupCorpus]]. */
+  private val nearDupCorpusCappedSql =
+    nearDupCorpusText("WHERE vec_id < 2000000000")
 
   /** DuckDB fragment: sequential-fold dot of `$a` · `$b`. */
   private def dotSql(a: String, b: String): String =
@@ -128,11 +146,11 @@ object QueriesSimilarity {
     * (vector, scaled copy) pair scores ≈ 1; nothing else crosses 0.99. */
   val q34EmbedNearDup: Q = (s, dir) => {
     import s.implicits._
-    Similarity.bruteForcePairs(s, nearDupCorpus(s, dir), 0.99)
+    Similarity.bruteForcePairs(s, nearDupCorpus(s, dir, capped = true), 0.99)
       .orderBy($"a_id", $"b_id")
   }
   val q34Sql: String =
-    s"""WITH $nearDupCorpusSql,
+    s"""WITH $nearDupCorpusCappedSql,
        |pairs AS (
        |  SELECT a.id AS a_id, b.id AS b_id,
        |         ${dotSql("a.v", "b.v")} / sqrt(${norm2Sql("a.v")} * ${norm2Sql("b.v")}) AS cos

@@ -44,19 +44,64 @@ object PageRank {
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
                          dampingPct: Int = 85): DataFrame = {
     require(iterations >= 0, s"negative iterations: $iterations")
+    val g = Graph(edges, dampingPct)
+    var ranks = g.initial
+    (1 to iterations).foreach(_ => ranks = g.step(ranks))
+    ranks
+  }
+
+  /** CONVERGENCE-DRIVEN fixed point — the serving mode for graphs
+    * whose mixing time is unknown: iterate until the EXACT-INTEGER L1
+    * movement `Σ|rankᵢ − rankᵢ₋₁|` falls to `epsPerNode · |nodes|`
+    * (per-node tolerance, so the stop iteration is roughly
+    * scale-invariant), capped at `maxIterations`. The movement is an
+    * integer total of integer ranks — partition-order-proof like the
+    * ranks themselves, so the stop decision replays in SQL verbatim
+    * (q195's oracle unrolls the cap, computes every movement, and
+    * picks the same first-below-ε iteration). Per iteration this adds
+    * one node-sized join + one scalar aggregate to the fixed-point
+    * step; the scalar is the only driver round-trip. Returns
+    * `(ranks, iterationsRun)`. */
+  def pageRankConverged(edges: DataFrame, epsPerNode: Long,
+                        maxIterations: Int,
+                        dampingPct: Int = 85): (DataFrame, Int) = {
+    require(maxIterations >= 1, s"need maxIterations >= 1, got $maxIterations")
+    require(epsPerNode >= 0, s"negative epsPerNode: $epsPerNode")
+    val g = Graph(edges, dampingPct)
+    val epsTotal = epsPerNode * g.n
+    var ranks = g.initial.localCheckpoint()
+    var iters = 0
+    var moved = Long.MaxValue
+    while (moved > epsTotal && iters < maxIterations) {
+      val next = g.step(ranks)
+      moved = next.join(ranks.withColumnRenamed("rank", "prev"), Seq("node"))
+        .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+        .head().getLong(0)
+      ranks = next
+      iters += 1
+    }
+    (ranks, iters)
+  }
+
+  /** The shared per-iteration machinery: ONE implementation of the
+    * damped, dangling-corrected update for both the fixed-iteration
+    * and the convergence-driven faces — their arithmetic cannot
+    * drift. */
+  private case class Graph(edges: DataFrame, dampingPct: Int) {
     require(dampingPct > 0 && dampingPct < 100, s"bad damping $dampingPct")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    private val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    private val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val srcNodes = deg.select(col("src").as("node"))
+    private val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    private val srcNodes = deg.select(col("src").as("node"))
     // node count: one scalar, fixed across iterations (nodes is
     // checkpointed, so this is a cheap count over materialized rows)
-    val n = nodes.count()
-    val teleport = (100L - dampingPct) * Scale / 100L
-    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
-    (1 to iterations).foreach { _ =>
+    val n: Long = nodes.count()
+    private val teleport = (100L - dampingPct) * Scale / 100L
+    def initial: DataFrame = nodes.select(col("node"), lit(Scale).as("rank"))
+    def step(ranks: DataFrame): DataFrame = {
       val contrib = e.join(deg, Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -65,7 +110,7 @@ object PageRank {
       // the graph has no sinks — the correction is then the identity)
       val sinkMass = ranks.join(srcNodes, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("sink_mass"))
-      ranks = nodes
+      nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(sinkMass))
         .select(col("node"),
@@ -74,6 +119,5 @@ object PageRank {
             .as("rank"))
         .localCheckpoint()
     }
-    ranks
   }
 }

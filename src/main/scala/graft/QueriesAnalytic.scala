@@ -743,16 +743,16 @@ object QueriesAnalytic {
   /** The trade-graph CTEs (pairs/edges/nodes/deg/r0) shared by the two
     * PageRank oracles. */
   private val prGraphSql: String =
-    s"""pairs AS (
+    s"""pairs AS MATERIALIZED (
        |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT cust AS src, supp AS dst FROM pairs
        |  UNION ALL
        |  SELECT supp AS src, cust AS dst FROM pairs),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
 
   val q148Sql: String =
     s"""WITH $prGraphSql,

@@ -1682,6 +1682,38 @@ object QueriesSimilarity {
        |ORDER BY r.ef, r.rounds""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q197
+  /** FILTERED IVFADC serving
+    * ([[graft.operators.PqIndex.ivfAdcSearchFiltered]]) — the
+    * predicate on the full production composition, completing the
+    * filtered ladder (q192 flat, q193 graph, this tier): the label
+    * predicate restricts the ADC candidates inside the probed cells
+    * BEFORE the approximate trim, so matching rows own every ADC and
+    * rerank slot. Oracle = the shared q141 tail over the filtered
+    * index relation (candidates and rerank both filter — the exact
+    * q190 idxd pattern with an attribute join instead of an id set). */
+  val q197AdcFiltered: Q = (s, dir) => {
+    import s.implicits._
+    val (cent, cb, codesIdx, fullIdx, queries) = twoTierFit(s, dir)
+    val labels = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"label")
+    val fullAttr = fullIdx.join(labels, Seq("id"))
+      .select($"cluster", $"id", $"v", $"label")
+    graft.operators.PqIndex.ivfAdcSearchFiltered(s, queries, codesIdx,
+        fullAttr, cent, cb, m = 4, subDim = 16, k = 5, rerank = 10,
+        nProbe = 2, pred = $"label" < 3)
+      .orderBy($"q_id", $"rank")
+  }
+  val q197Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |lab AS (SELECT vec_id AS id, label FROM embeddings),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${pqFitSql("e")},
+       |${lloydIdxSql("e", "8")},
+       |idxf AS MATERIALIZED (
+       |  SELECT i.* FROM idx i JOIN lab ON lab.id = i.id WHERE lab.label < 3),
+       |${ivfAdcSql("idxf")}""".stripMargin
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1731,5 +1763,6 @@ object QueriesSimilarity {
     ("q192_ivf_filtered", q192IvfFiltered, Some(q192Sql)),
     ("q193_nsw_filtered", q193NswFiltered, Some(q193Sql)),
     ("q194_nsw_autotune", q194NswAutotune, Some(q194Sql)),
+    ("q197_adc_filtered", q197AdcFiltered, Some(q197Sql)),
   )
 }

@@ -351,6 +351,30 @@ object PqIndex {
     *    distance tables are keyed `(q_id, cluster)` (nProbe tables per
     *    query — still metadata-sized, still broadcast). Same code
     *    budget, much tighter reconstruction. */
+  /** PREDICATE-AWARE IVFADC serving — the filtered-search face of the
+    * full composition ([[IvfIndex.searchFiltered]]'s contract applied
+    * to the two-tier path): the predicate restricts the ADC candidate
+    * set INSIDE the probed cells BEFORE the approximate trim, so no
+    * non-matching row can occupy an ADC slot or a rerank slot, and a
+    * selective predicate cannot starve the answer the way
+    * post-filtering a plain top-k does — the result is the composition
+    * applied to exactly the matching members of the probed cells (q197
+    * gates it against the filtered oracle replay). `pred` ranges over
+    * the columns of `fullIdx` (attributes beside the cold tier);
+    * implementation is a semi-join restriction of the hot tier, the
+    * rerank stage then only ever sees allowed survivors. */
+  def ivfAdcSearchFiltered(spark: SparkSession, queries: DataFrame,
+                           codesIdx: DataFrame, fullIdx: DataFrame,
+                           centroids: DataFrame, codebooks: DataFrame,
+                           m: Int, subDim: Int, k: Int, rerank: Int,
+                           nProbe: Int, pred: org.apache.spark.sql.Column,
+                           residual: Boolean = false): DataFrame = {
+    val allowed = fullIdx.filter(pred).select(col("cluster"), col("id"))
+    ivfAdcSearch(spark, queries,
+      codesIdx.join(allowed, Seq("cluster", "id"), "left_semi"),
+      fullIdx, centroids, codebooks, m, subDim, k, rerank, nProbe, residual)
+  }
+
   def ivfAdcSearch(spark: SparkSession, queries: DataFrame, codesIdx: DataFrame,
                    fullIdx: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                    m: Int, subDim: Int, k: Int, rerank: Int,

@@ -539,6 +539,58 @@ object QueriesStreaming {
   }
   val q189Sql: String = nearDupIngestSql("doc_id % 5 <> 1")
 
+  // ---------------------------------------------------------------- q198
+  /** STREAMING ingest against a TOMBSTONED dedup store — q132's
+    * bucketed stream-static transport composed with
+    * [[graft.operators.TextDedup.deleteFromDedupStore]]: the corpus
+    * store is built, every `doc_id % 5 = 1` document tombstoned, and
+    * the q128 planted delta then arrives as a real file stream (the
+    * q132 transport) — every micro-batch's static-side reads must apply the
+    * tombstone anti-joins (still exchange-free on the bucketed
+    * layout), so copies of deleted docs lose their flags exactly as in
+    * the batch-frame gate. Oracle = q189's (the shared q128 text with
+    * the live-store filter); q189 covers the batch frame + compaction,
+    * this covers the streaming transport. */
+  val q198StreamDedupDelete: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/documents.parquet"
+    val watch = streamableDir(dir, "documents.parquet", "q198_docs")
+    val schema = s.read.parquet(file).schema
+    val corpus = s.read.parquet(file)
+      .filter(graft.operators.Sampling.hashBucket($"doc_id", 10) < 8)
+      .select($"doc_id", $"text")
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val p = s"q198_store_$tag"
+    val path = s"/root/repo/target/tmp/$p"
+    rmTree(new java.io.File(s"${path}_tombstones"))
+    graft.operators.TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
+      shingleN = 5, k = 8, rowsPerBand = 2,
+      namePrefix = p, pathPrefix = path, buckets = 8)
+    graft.operators.TextDedup.deleteFromDedupStore(s, path,
+      corpus.filter($"doc_id" % 5 === 1).select($"doc_id"))
+    def arriving = s.readStream.schema(schema).parquet(watch)
+      .withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
+    val delta = arriving.filter($"b" >= 8).select($"doc_id", $"text")
+      .unionByName(arriving.filter($"b" < 8 && $"doc_id" % 7 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+      .unionByName(arriving.filter($"b" < 8 && $"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"),
+          concat($"text", lit(" zz qq")).as("text")))
+      .unionByName(arriving.filter($"b" >= 8 && $"doc_id" % 13 === 0)
+        .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
+    val flags = graft.operators.TextDedup.ingestFlagsBucketed(
+      delta, "doc_id", "text", p, path,
+      shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+    val name = s"q198_deldup_${System.nanoTime()}"
+    val query = flags.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(name)
+      .groupBy($"dup_exact", $"dup_near")
+      .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
+      .orderBy($"dup_exact", $"dup_near")
+  }
+
   private val dedupStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** q187's stream-built two-tier stores, one scratch base per data
@@ -954,5 +1006,7 @@ object QueriesStreaming {
     ("q187_stream_nsw_ingest", q187StreamNswIngest,
       Some(QueriesSimilarity.q186Sql)),
     ("q189_dedup_delete", q189DedupDelete, Some(q189Sql)),
+    // batch-frame q189 and the streaming transport must agree: one oracle
+    ("q198_stream_dedup_delete", q198StreamDedupDelete, Some(q189Sql)),
   )
 }

@@ -942,9 +942,14 @@ object QueriesStreaming {
             //     The NSW append runs FIRST and is content-idempotent
             //     on identical (prev, delta) — append ≡ rebuild, so a
             //     re-run just commits an equal generation — while the
-            //     flat append runs LAST; hence delta-ids-in-flat ⟺
-            //     both appends landed, and the check is authoritative
-            //     for every crash point.
+            //     flat append runs LAST. ALL delta ids present in the
+            //     flat snapshot ⟺ both appends landed fully; a
+            //     PARTIAL presence means the flat parquet append's job
+            //     commit was torn mid-crash — and since the flat
+            //     append only starts after appendToNsw's generation
+            //     committed, the repair is to append ONLY the missing
+            //     rows (rows are per-id, so this completes the delta
+            //     exactly, no duplicates) and skip the NSW re-append.
             val marker = s".nsw_batch_${batchId}_applied"
             val applied = graft.sources.StoreFs.childNames(b).contains(marker)
             val delta = batch.toDF().select(col("vec_id").as("id"),
@@ -954,12 +959,19 @@ object QueriesStreaming {
               // pin the pre-batch snapshot before this batch appends
               val prev = prevRaw.select(col("id"), col("v"), col("cluster"))
                 .localCheckpoint()
-              val landed = !delta.select(col("id"))
-                .join(prev, Seq("id"), "left_semi").isEmpty
-              if (!landed) {
-                val idxDelta = IvfIndex.assign(delta, cent2).localCheckpoint()
-                NswIndex.appendToNsw(s, nswDir, prev, idxDelta, cent2, degree = 4)
-                idxDelta.write.mode("append").partitionBy("cluster")
+              val missing = delta
+                .join(prev.select(col("id")), Seq("id"), "left_anti")
+                .localCheckpoint()
+              if (!missing.isEmpty) {
+                val anyPresent = !delta.select(col("id"))
+                  .join(prev, Seq("id"), "left_semi").isEmpty
+                val idxMissing = IvfIndex.assign(missing, cent2).localCheckpoint()
+                // clean replay (no delta rows landed): run both appends;
+                // torn flat append (some landed): NSW already committed
+                // this delta — only complete the flat side
+                if (!anyPresent)
+                  NswIndex.appendToNsw(s, nswDir, prev, idxMissing, cent2, degree = 4)
+                idxMissing.write.mode("append").partitionBy("cluster")
                   .parquet(s"$flatDir/index")
               }
               graft.sources.StoreFs.touchMarker(b, marker)

@@ -42,8 +42,15 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val overBuckets = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // The cross-bucket offset scan is a GLOBAL window by design: it runs
+    // over one row per bucket (n / bucketSize = n/2^20 rows by default —
+    // 10^5 rows for 10^11 input rows), so the single partition Spark
+    // warns about is bounded metadata, not data. The explicit coalesce(1)
+    // acknowledges that shape instead of leaving it to the window's
+    // implicit repartition-to-1.
     val offsets = bucketed.groupBy(col("__b"))
       .agg(sum(col(valueCol)).as("__btotal"))
+      .coalesce(1)
       .withColumn("__offset",
         coalesce(sum(col("__btotal")).over(overBuckets), lit(0L)))
       .select(col("__b"), col("__offset"))

@@ -463,6 +463,24 @@ object TextDedup {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
+  /** Format-version guard for tombstone application: the fp table was
+    * originally written as DISTINCT fingerprints (no `s_id`), which
+    * cannot be tombstoned — with fps alone there is no way to tell
+    * whether a fingerprint is still held by a live document. Stores in
+    * the legacy layout must be rebuilt ([[writeDedupStoreBucketed]])
+    * before any [[deleteFromDedupStore]] tombstone can be honored;
+    * failing eagerly with the remedy beats the raw AnalysisException
+    * the anti-join would otherwise throw. */
+  private def requireTombstonableFp(fp: DataFrame, pathPrefix: String): DataFrame = {
+    if (!fp.columns.contains("s_id"))
+      throw new IllegalStateException(
+        s"dedup store at $pathPrefix has tombstones but its fp table is in " +
+          "the legacy distinct-fingerprint layout (no s_id column), which " +
+          "cannot be tombstoned — rebuild the store with " +
+          "writeDedupStoreBucketed before deleting documents")
+    fp
+  }
+
   /** Fold the tombstones into the store: rewrite the current
     * generation's three tables WITHOUT the tombstoned docs as a new
     * committed generation, then drop the tombstone table. Crash
@@ -475,9 +493,11 @@ object TextDedup {
     val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(throw new IllegalStateException(
         s"no committed dedup store at ${pathPrefix}_manifest"))
-    def live(suffix: String): DataFrame =
-      graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_$suffix")
-        .join(broadcast(tomb), Seq("s_id"), "left_anti")
+    def live(suffix: String): DataFrame = {
+      val t = graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_$suffix")
+      val checked = if (suffix == "fp") requireTombstonableFp(t, pathPrefix) else t
+      checked.join(broadcast(tomb), Seq("s_id"), "left_anti")
+    }
     // materialize before the write path can vacuum the source tables
     val (fp, bands, mh) = (live("fp").localCheckpoint(),
       live("bands").localCheckpoint(), live("mh").localCheckpoint())
@@ -548,8 +568,12 @@ object TextDedup {
       case Some(t) => df.join(broadcast(t), Seq("s_id"), "left_anti")
       case None => df
     }
+    def liveFp(df: DataFrame): DataFrame = drop match {
+      case Some(_) => live(requireTombstonableFp(df, pathPrefix))
+      case None => df
+    }
     ingestCore(arriving, idCol, textCol,
-      live(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_fp"))
+      liveFp(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_fp"))
         .select(col("fp")),
       live(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_bands")),
       live(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_mh")),

@@ -71,10 +71,17 @@ object StoreFs {
         try in.readFully(0, buf) finally in.close()
         Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
       }
-    // One short retry on absence: the fallback (non-FileContext) commit
-    // path has a sub-millisecond rename-aside window during which the
-    // manifest is legitimately in flight rather than missing.
-    once().orElse { Thread.sleep(50); once() }
+    // One short retry on absence, but ONLY when the fallback
+    // (non-FileContext) commit path's rename-aside window is plausibly
+    // open — i.e. a `__tmp` or `__old` sibling exists. A legitimately
+    // absent manifest (first build, vacuum early-return, tombstone
+    // probe) returns None immediately instead of paying a 50 ms sleep.
+    once().orElse {
+      val inFlight =
+        try fs.exists(new Path(path + "__tmp")) || fs.exists(new Path(path + "__old"))
+        catch { case _: java.io.IOException => false }
+      if (inFlight) { Thread.sleep(50); once() } else None
+    }
   }
 
   /** COMMIT a generation: write `gen` to `path__tmp`, then swap it in
@@ -98,7 +105,13 @@ object StoreFs {
       val fc = FileContext.getFileContext(p.toUri, conf())
       fc.rename(tmp, p, Options.Rename.OVERWRITE)
     } catch {
-      case _: UnsupportedOperationException | _: java.io.FileNotFoundException
+      // UnsupportedFileSystemException: a scheme with no AbstractFileSystem
+      // makes FileContext.getFileContext itself throw (it is an IOException
+      // subclass, NOT an UnsupportedOperationException) — object stores
+      // like s3a land here, which is exactly the case the fallback exists
+      // for.
+      case _: UnsupportedOperationException | _: java.io.FileNotFoundException |
+          _: org.apache.hadoop.fs.UnsupportedFileSystemException
           if fs.exists(tmp) =>
         val old = new Path(path + "__old")
         val hadOld = fs.exists(p)

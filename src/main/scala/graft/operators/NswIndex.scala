@@ -163,10 +163,30 @@ object NswIndex {
                              nswDir: String, maxCellSize: Long, degree: Int,
                              iterations: Int = 1, orderedMean: Boolean = true,
                              retainGenerations: Int = 1): Int = {
+    // resume any interrupted maintenance before starting new work: a
+    // prior crash between the flat rewrite and the NSW commit would
+    // otherwise be invisible here (the flat store is already updated,
+    // so oversized/affected recomputes as empty) — silent recall loss
+    repairNsw(spark, flatDir, nswDir, degree, retainGenerations): Unit
+    // PENDING-MAINTENANCE MARKER, written before the flat store is
+    // touched: the oversized cells that are about to split. If the
+    // split itself crashes mid-rewrite, [[repairNsw]] rebuilds these
+    // cells plus any flat-present-but-graph-absent fresh cells.
+    val (_, indexed0) = IvfIndex.load(spark, flatDir)
+    val oversized = indexed0.groupBy(col("cluster")).count()
+      .filter(col("count") > maxCellSize)
+      .select(col("cluster").cast("long")).collect().map(_.getLong(0)).sorted
+    if (oversized.isEmpty) return 0
+    writePendingCells(nswDir, oversized.toSeq)
+    Failpoints.hit("nswmaint:after-pending")
     val pairs = IvfIndex.splitOversizedCellsDetailed(spark, flatDir,
       maxCellSize, iterations, orderedMean)
-    if (pairs.isEmpty) return 0
+    if (pairs.isEmpty) { clearPendingCells(nswDir); return 0 }
     val affected = pairs.flatMap { case (oldId, freshId) => Seq(oldId, freshId) }
+    // widen the marker to the realized affected set (old ∪ fresh ids)
+    // now that the fresh ids exist
+    writePendingCells(nswDir, affected)
+    Failpoints.hit("nswmaint:after-split")
     val (cent, indexed) = IvfIndex.load(spark, flatDir)
     def hit(c: org.apache.spark.sql.Column) =
       c.cast("long").isin(affected: _*)
@@ -182,7 +202,70 @@ object NswIndex {
       .withColumn("cluster", col("cluster").cast("long"))
       .unionByName(entryPoints(slice, centSlice))
     saveNsw(mergedGraph, mergedEntries, nswDir, retainGenerations)
+    clearPendingCells(nswDir)
     pairs.length
+  }
+
+  /** The pending-maintenance marker: the cells whose NSW rows a
+    * maintenance verb ([[deleteFromNsw]], [[splitOversizedNswCells]])
+    * is about to invalidate by rewriting their FLAT partitions. Written
+    * atomically BEFORE the flat rewrite, cleared after the NSW
+    * generation commits — so the marker's presence means exactly "the
+    * flat store may be ahead of the graph for these cells". */
+  private def pendingPath(nswDir: String): String = s"$nswDir/pending_cells"
+
+  private def writePendingCells(nswDir: String, cells: Seq[Long]): Unit =
+    graft.sources.StoreFs.writeFileAtomic(pendingPath(nswDir),
+      cells.sorted.mkString(","))
+
+  private def clearPendingCells(nswDir: String): Unit =
+    graft.sources.StoreFs.deleteFile(pendingPath(nswDir))
+
+  /** The marked pending cells, if a maintenance crash left any. */
+  def readPendingCells(nswDir: String): Option[Seq[Long]] =
+    graft.sources.StoreFs.readSmallFile(pendingPath(nswDir))
+      .map(_.trim).map(s =>
+        if (s.isEmpty) Seq.empty[Long] else s.split(",").map(_.toLong).toSeq)
+
+  /** REPAIR an interrupted NSW maintenance op: if a pending-cells
+    * marker exists, the flat store is authoritative and the graph may
+    * cite deleted/moved ids in those cells — rebuild the NSW rows of
+    * (marker cells ∪ cells present in the flat store but absent from
+    * the graph) from the current flat partitions, commit, and clear
+    * the marker. The flat∖graph diff covers a crash INSIDE
+    * [[IvfIndex.splitOversizedCellsDetailed]], where fresh sub-cells
+    * exist on disk before the marker could be widened to name them.
+    * Idempotent (rebuild-from-flat is a pure function of the flat
+    * state); returns the number of cells rebuilt, 0 when no marker is
+    * pending. Called automatically at the top of both maintenance
+    * verbs; exposed for explicit ops-side repair. */
+  def repairNsw(spark: SparkSession, flatDir: String, nswDir: String,
+                degree: Int, retainGenerations: Int = 1): Int = {
+    val marked = readPendingCells(nswDir).getOrElse(return 0)
+    val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
+    val indexed = idxRaw.select(col("id"), col("v"),
+      col("cluster").cast("long").as("cluster"))
+    val (graph, entries) = loadNsw(spark, nswDir)
+    val flatCells = indexed.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val graphCells = graph.select(col("cluster").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val affected = (marked.toSet ++ (flatCells -- graphCells)).toSeq.sorted
+    if (affected.isEmpty) { clearPendingCells(nswDir); return 0 }
+    def hit(c: org.apache.spark.sql.Column) =
+      c.cast("long").isInCollection(affected)
+    val slice = indexed.filter(hit(col("cluster"))).localCheckpoint()
+    val centSlice = cent.filter(hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+    val mergedGraph = graph.filter(!hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+      .unionByName(fitGraph(slice, degree))
+    val mergedEntries = entries.filter(!hit(col("cluster")))
+      .withColumn("cluster", col("cluster").cast("long"))
+      .unionByName(entryPoints(slice, centSlice))
+    saveNsw(mergedGraph, mergedEntries, nswDir, retainGenerations)
+    clearPendingCells(nswDir)
+    affected.length
   }
 
   /** DELETE documents from a flat-index + NSW-store pair — the third
@@ -207,6 +290,12 @@ object NswIndex {
   def deleteFromNsw(spark: SparkSession, flatDir: String, nswDir: String,
                     ids: DataFrame, degree: Int,
                     retainGenerations: Int = 1): Int = {
+    // resume any interrupted maintenance first — a crash between the
+    // flat rewrite and the NSW commit makes this call's `affected`
+    // recompute as empty (the ids are already gone from the flat
+    // store), so without the replay the graph would keep citing
+    // deleted ids forever
+    repairNsw(spark, flatDir, nswDir, degree, retainGenerations): Unit
     val (cent, indexed) = IvfIndex.load(spark, flatDir)
     val del = ids.select(col("id").cast("long").as("_del_id")).localCheckpoint()
     val idxN = indexed.select(col("id"), col("v"),
@@ -220,6 +309,11 @@ object NswIndex {
     val remaining = idxN.filter(col("cluster").isInCollection(affected))
       .join(del, col("id") === col("_del_id"), "left_anti")
       .localCheckpoint()
+    // PENDING-MAINTENANCE MARKER before the flat rewrite: its presence
+    // means "the flat store may be ahead of the graph for these cells"
+    // and [[repairNsw]] replays the rebuild from the flat state
+    writePendingCells(nswDir, affected)
+    Failpoints.hit("nswmaint:after-pending")
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try remaining.repartition(col("cluster"))
@@ -236,6 +330,7 @@ object NswIndex {
       graft.sources.StoreFs.deleteChild(s"$flatDir/index", s"cluster=$c")
     }
     spark.catalog.refreshByPath(s"$flatDir/index")
+    Failpoints.hit("nswmaint:after-flat-rewrite")
     val (graph, entries) = loadNsw(spark, nswDir)
     def hit(c: org.apache.spark.sql.Column) =
       c.cast("long").isInCollection(affected)
@@ -248,6 +343,7 @@ object NswIndex {
       .withColumn("cluster", col("cluster").cast("long"))
       .unionByName(entryPoints(remaining, centSlice))
     saveNsw(mergedGraph, mergedEntries, nswDir, retainGenerations)
+    clearPendingCells(nswDir)
     affected.length
   }
 

@@ -84,6 +84,27 @@ object StoreFs {
     }
   }
 
+  /** Read a small UTF-8 file at `path`; None when absent. The
+    * string-typed sibling of [[readManifest]] for marker files whose
+    * content is richer than one long (e.g. the NSW pending-maintenance
+    * cell list). */
+  def readSmallFile(path: String): Option[String] = {
+    val (fs, p) = of(path)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Delete the file at `path` (non-recursive); absent is fine. */
+  def deleteFile(path: String): Unit = {
+    val (fs, p) = of(path)
+    fs.delete(p, false): Unit
+  }
+
   /** COMMIT a generation: write `gen` to `path__tmp`, then swap it in
     * with an atomic overwrite rename ([[FileContext]] with
     * `Options.Rename.OVERWRITE` — atomic on HDFS and the local FS), so
@@ -95,11 +116,19 @@ object StoreFs {
     * old manifest is restored — paired with [[readManifest]]'s
     * retry-on-absent, the brief window is covered and a failed swap
     * never loses the committed-generation pointer. */
-  def commitManifest(path: String, gen: Long): Unit = {
+  def commitManifest(path: String, gen: Long): Unit =
+    writeFileAtomic(path, gen.toString)
+
+  /** Atomically replace the file at `path` with `content` — the
+    * [[commitManifest]] swap generalized to arbitrary small UTF-8
+    * content (tmp write + atomic overwrite rename, checked
+    * rename-aside fallback). Readers racing the swap see the old
+    * complete content or the new, never a torn file. */
+  def writeFileAtomic(path: String, content: String): Unit = {
     val (fs, p) = of(path)
     val tmp = new Path(path + "__tmp")
     val out = fs.create(tmp, true)
-    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     try {
       val fc = FileContext.getFileContext(p.toUri, conf())

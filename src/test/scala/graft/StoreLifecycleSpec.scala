@@ -235,4 +235,104 @@ class StoreLifecycleSpec extends SparkSpec {
       }
     }
   }
+
+  describe("NSW maintenance crash-resume (pending-cells marker)") {
+    import graft.operators.NswIndex
+
+    /** flat index + NSW store over the sf0.001 embeddings; returns
+      * (flatDir, nswDir). */
+    def freshPair(k: Int = 2): (String, String) = {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex.fitCentroids(spark, e, k = k, iterations = 1,
+        orderedMean = true).localCheckpoint()
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val root = java.nio.file.Files.createTempDirectory("graft-nswm").toString
+      val flatDir = s"$root/flat"; val nswDir = s"$root/nsw"
+      IvfIndex.save(cent, indexed, flatDir)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 3),
+        NswIndex.entryPoints(indexed, cent), nswDir)
+      (flatDir, nswDir)
+    }
+
+    /** graph content as comparable rows (cluster, id, nbrs). */
+    def graphRows(nswDir: String): Seq[(Long, Long, Seq[Long])] =
+      NswIndex.loadNsw(spark, nswDir)._1
+        .select($"cluster".cast("long"), $"id".cast("long"), $"nbrs")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toSeq)).toSeq.sortBy(t => (t._1, t._2))
+
+    it("delete crash after the flat rewrite is repaired on the next call") {
+      val (flatDir, nswDir) = freshPair()
+      val delIds = spark.range(0, 20).select($"id")
+      // twin store: the clean end state a successful delete produces
+      val (flatDir2, nswDir2) = freshPair()
+      NswIndex.deleteFromNsw(spark, flatDir2, nswDir2, delIds,
+        degree = 3) should be >= 1
+      val want = graphRows(nswDir2)
+      // crash between the flat rewrite and the NSW commit — the
+      // ADVICE window: flat already lacks the ids, graph still cites
+      // them, and affected recomputes as empty on a naive re-run
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("nswmaint:after-flat-rewrite")) {
+          NswIndex.deleteFromNsw(spark, flatDir, nswDir, delIds, degree = 3)
+        }
+      } shouldBe boom
+      spark.catalog.refreshByPath(s"$flatDir/index")
+      NswIndex.readPendingCells(nswDir).isDefined shouldBe true
+      // the stale graph really does cite deleted ids (the silent-loss
+      // state the marker exists to catch)
+      graphRows(nswDir).exists(_._3.exists(_ < 20)) shouldBe true
+      // the next maintenance call resumes from the marker: affected is
+      // empty (ids already gone from flat) but the repair still runs
+      NswIndex.deleteFromNsw(spark, flatDir, nswDir, delIds, degree = 3)
+      NswIndex.readPendingCells(nswDir) shouldBe None
+      graphRows(nswDir) shouldBe want
+    }
+
+    it("delete crash before the flat rewrite repairs to the original content") {
+      val (flatDir, nswDir) = freshPair()
+      val before = graphRows(nswDir)
+      val delIds = spark.range(0, 20).select($"id")
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("nswmaint:after-pending")) {
+          NswIndex.deleteFromNsw(spark, flatDir, nswDir, delIds, degree = 3)
+        }
+      } shouldBe boom
+      // marker present, flat untouched: repair rebuilds to equal content
+      NswIndex.repairNsw(spark, flatDir, nswDir, degree = 3) should be >= 1
+      NswIndex.readPendingCells(nswDir) shouldBe None
+      graphRows(nswDir) shouldBe before
+      // and the delete itself still works afterwards
+      NswIndex.deleteFromNsw(spark, flatDir, nswDir, delIds,
+        degree = 3) should be >= 1
+      graphRows(nswDir).exists(_._3.exists(_ < 20)) shouldBe false
+    }
+
+    it("split crash after the flat split is repaired, fresh cells included") {
+      val (flatDir, nswDir) = freshPair()
+      val n = spark.read.parquet(s"$flatDir/index").count()
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("nswmaint:after-split")) {
+          NswIndex.splitOversizedNswCells(spark, flatDir, nswDir,
+            maxCellSize = n / 4, degree = 3)
+        }
+      } shouldBe boom
+      spark.catalog.refreshByPath(s"$flatDir/index")
+      spark.catalog.refreshByPath(s"$flatDir/centroids")
+      NswIndex.readPendingCells(nswDir).isDefined shouldBe true
+      // repair rebuilds the marked + fresh cells from the post-split
+      // flat store; the result equals a direct fitGraph over it
+      NswIndex.repairNsw(spark, flatDir, nswDir, degree = 3) should be >= 2
+      NswIndex.readPendingCells(nswDir) shouldBe None
+      val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
+      val indexed = idxRaw.select($"id", $"v",
+        $"cluster".cast("long").as("cluster")).localCheckpoint()
+      val want = NswIndex.fitGraph(indexed, degree = 3)
+        .select($"cluster".cast("long"), $"id".cast("long"), $"nbrs")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toSeq)).toSeq.sortBy(t => (t._1, t._2))
+      graphRows(nswDir) shouldBe want
+    }
+  }
 }

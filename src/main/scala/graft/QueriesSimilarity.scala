@@ -1201,13 +1201,15 @@ object QueriesSimilarity {
     * q194 can instantiate several (ef, rounds) settings over the SAME
     * graph/probes/v0 base in one query. */
   private def nswRoundCtes(idxRel: String, i: Int, prevV: String,
-                           prevF: String, ef: Int, p: String): String =
+                           prevF: String, ef: Int, p: String,
+                           graphRel: String = "graph",
+                           qsRel: String = "qs"): String =
     s"""${p}nx$i AS (
        |  SELECT DISTINCT f.q_id, g.cluster, g.dst AS id
-       |  FROM $prevF f JOIN graph g ON g.cluster = f.cluster AND g.src = f.id),
+       |  FROM $prevF f JOIN $graphRel g ON g.cluster = f.cluster AND g.src = f.id),
        |${p}ns$i AS (
        |  SELECT x.q_id, x.cluster, x.id, ${nswCos("q.qv", "i.v")} AS cos
-       |  FROM ${p}nx$i x JOIN qs q USING (q_id)
+       |  FROM ${p}nx$i x JOIN $qsRel q USING (q_id)
        |  JOIN $idxRel i ON i.cluster = x.cluster AND i.id = x.id),
        |${p}nv$i AS MATERIALIZED (
        |  SELECT q_id, cluster, id, max(cos) AS cos
@@ -1221,35 +1223,40 @@ object QueriesSimilarity {
        |    WHERE rn <= $ef) t USING (q_id, id))""".stripMargin
 
   /** The walk's setting-independent base: graph build, entries, probes
-    * and the seeded visited set `v0`. */
-  private def nswWalkBaseCtes(idxRel: String): String =
-    s"""pairs AS (
+    * and the seeded visited set `v0`. `p` prefixes every CTE name so
+    * q199 can instantiate the chain for TWO corpus states (base and
+    * post-append) in one query; `qsRel`/`centRel` name the query
+    * sample and centroid relations the instance reads. */
+  private def nswWalkBaseCtes(idxRel: String, p: String = "",
+                              qsRel: String = "qs",
+                              centRel: String = "cent"): String =
+    s"""${p}pairs AS (
        |  SELECT a.cluster, a.id AS src, b.id AS dst, ${nswCos("a.v", "b.v")} AS cos
        |  FROM $idxRel a JOIN $idxRel b ON a.cluster = b.cluster AND a.id <> b.id),
-       |graph AS MATERIALIZED (
+       |${p}graph AS MATERIALIZED (
        |  SELECT cluster, src, dst FROM (
        |    SELECT *, row_number() OVER (PARTITION BY cluster, src
-       |      ORDER BY cos DESC, dst ASC) AS rn FROM pairs)
+       |      ORDER BY cos DESC, dst ASC) AS rn FROM ${p}pairs)
        |  WHERE rn <= 4),
-       |entries AS (
+       |${p}entries AS (
        |  SELECT cluster, id AS entry FROM (
        |    SELECT i.cluster, i.id, row_number() OVER (PARTITION BY i.cluster
        |      ORDER BY ${nswCos("i.v", "c.centroid")} DESC, i.id ASC) AS rn
-       |    FROM $idxRel i JOIN cent c USING (cluster))
+       |    FROM $idxRel i JOIN $centRel c USING (cluster))
        |  WHERE rn = 1),
-       |qscored AS (
+       |${p}qscored AS (
        |  SELECT q.q_id, q.qv, c.cluster, ${nswCos("q.qv", "c.centroid")} AS cos
-       |  FROM qs q CROSS JOIN cent c),
-       |probes AS (
+       |  FROM $qsRel q CROSS JOIN $centRel c),
+       |${p}probes AS (
        |  SELECT q_id, cluster FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |      ORDER BY cos DESC, cluster ASC) AS rn FROM ${p}qscored)
        |  WHERE rn <= 2),
-       |v0 AS MATERIALIZED (
+       |${p}v0 AS MATERIALIZED (
        |  SELECT p.q_id, en.cluster, en.entry AS id, ${nswCos("q.qv", "i.v")} AS cos
-       |  FROM probes p JOIN entries en USING (cluster)
+       |  FROM ${p}probes p JOIN ${p}entries en USING (cluster)
        |  JOIN $idxRel i ON i.cluster = en.cluster AND i.id = en.entry
-       |  JOIN qs q ON q.q_id = p.q_id)""".stripMargin
+       |  JOIN $qsRel q ON q.q_id = p.q_id)""".stripMargin
 
   val q184Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1714,6 +1721,183 @@ object QueriesSimilarity {
        |  SELECT i.* FROM idx i JOIN lab ON lab.id = i.id WHERE lab.label < 3),
        |${ivfAdcSql("idxf")}""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  /** Operating-point STALENESS REFRESH
+    * ([[graft.operators.NswIndex.refreshWalkTuning]]) — closing the
+    * q194 loop: a tuned `(ef, rounds)` point is only valid for the
+    * corpus it was measured on, and lifecycle verbs silently
+    * invalidate it. The gate: tune on the base corpus (floor-meeting
+    * cheapest point chosen), append a DRIFTING delta (every vector
+    * re-appears under a new id with +0.1 added to every component — a
+    * shifted distribution that doubles cell density), then refresh
+    * against the drifted workload (the shifted twins of the original
+    * sample): the stored point's recall@10 is re-measured, found
+    * below the floor, logged to the `tuning_check` audit table, and
+    * the full settings grid re-measured and re-chosen. Output =
+    * base tuning ∪ check row ∪ refreshed tuning, so the store
+    * round-trips, every walk's recall arithmetic, the staleness rule
+    * AND both choice rules are all on the hash; the oracle replays
+    * all of it (two corpus states × the settings grid, the q186
+    * append ≡ rebuild invariant collapsing the append to a direct
+    * graph build over the union). */
+  val q199NswRetune: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{IvfIndex, NswIndex}
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val flatDir = s"/root/repo/target/tmp/graft_retune_flat_$stem"
+    val nswDir = s"/root/repo/target/tmp/graft_retune_nsw_$stem"
+    rmTree(new java.io.File(flatDir)); rmTree(new java.io.File(nswDir))
+    IvfIndex.save(cent, indexed, flatDir)
+    NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 4),
+      NswIndex.entryPoints(indexed, cent), nswDir)
+    val baseQ = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    val settings = Seq((8, 1), (16, 2), (24, 3))
+    NswIndex.tuneWalk(s, flatDir, nswDir, baseQ, k = 5, nProbe = 2,
+      settings, recallFloor = 0.65): Unit
+    def phaseRows(df: DataFrame, phase: String, flag: org.apache.spark.sql.Column) =
+      df.select(lit(phase).as("phase"), $"ef", $"rounds", $"cost",
+        $"avg_recall", $"min_recall", flag.as("flag"))
+    val base = phaseRows(s.read.parquet(s"$nswDir/tuning"), "base", $"chosen")
+      .localCheckpoint()
+    // the drifting delta: the shifted twin of every base vector
+    val delta = e.select(($"id" + 100000).as("id"),
+      transform($"v", x => x + lit(0.1)).as("v"))
+    val idxDelta = IvfIndex.assign(delta, cent).localCheckpoint()
+    idxDelta.write.mode("append").partitionBy("cluster")
+      .parquet(s"$flatDir/index")
+    s.catalog.refreshByPath(s"$flatDir/index")
+    NswIndex.appendToNsw(s, nswDir, indexed, idxDelta, cent, degree = 4)
+    // the workload drifts WITH the corpus: the shifted twins of the
+    // original held-out sample drive the staleness check
+    val driftQ = delta.filter($"id" < 100010)
+      .select($"id".as("q_id"), $"v".as("qv"))
+    NswIndex.refreshWalkTuning(s, flatDir, nswDir, Some(driftQ)): Unit
+    val check = phaseRows(s.read.parquet(s"$nswDir/tuning_check"),
+      "check", $"stale")
+    val fin = phaseRows(s.read.parquet(s"$nswDir/tuning"), "final", $"chosen")
+    base.unionByName(check).unionByName(fin)
+      .orderBy($"phase", $"ef", $"rounds")
+  }
+
+  /** q199 oracle: the q194 replay machinery instantiated TWICE — the
+    * base corpus (prefix-free CTEs) and the post-append corpus
+    * (`d`-prefixed, with the appended graph collapsed to a direct
+    * build over `idx2` by the q186 append ≡ rebuild invariant) — plus
+    * the staleness rule (the stored point's drifted recall vs the
+    * floor) and the conditional final table (refreshed when stale,
+    * untouched otherwise). */
+  val q199Sql: String = {
+    val settings = Seq((8, 1), (16, 2), (24, 3))
+    val floor = "0.65"
+    def chains(sp: String, idxRel: String, qsRel: String, truthRel: String,
+               v0Rel: String, graphRel: String): (String, String) = {
+      val parts = settings.zipWithIndex.map { case ((ef, ro), n) =>
+        val p = s"${sp}t${n}_"
+        val rounds = (1 to ro).map { i =>
+          val (pv, pf) =
+            if (i == 1) (v0Rel, v0Rel)
+            else (s"${p}nv${i - 1}", s"${p}nf${i - 1}")
+          nswRoundCtes(idxRel, i, pv, pf, ef, p, graphRel, qsRel)
+        }.mkString(",\n")
+        val recRow =
+          s"""${p}top AS (
+             |  SELECT q_id, id FROM (
+             |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos DESC, id ASC) AS rn FROM ${p}nv$ro)
+             |  WHERE rn <= 5),
+             |${p}hit AS (
+             |  SELECT q.q_id, count(t.id) AS n_hit
+             |  FROM $qsRel q LEFT JOIN (
+             |    SELECT tt.q_id, tt.id FROM ${p}top tt
+             |    JOIN $truthRel tr ON tr.q_id = tt.q_id AND tr.n_id = tt.id) t
+             |    ON t.q_id = q.q_id
+             |  GROUP BY q.q_id)""".stripMargin
+        val row =
+          s"""SELECT CAST($ef AS INT) AS ef, CAST($ro AS INT) AS rounds,
+             |       CAST(${ef.toLong * ro} AS BIGINT) AS cost,
+             |       round(avg(n_hit / 5.0), 4) AS avg_recall,
+             |       round(min(n_hit / 5.0), 4) AS min_recall
+             |FROM ${p}hit""".stripMargin
+        (s"$rounds,\n$recRow", row)
+      }
+      (parts.map(_._1).mkString(",\n"),
+        parts.map(_._2).mkString("\nUNION ALL\n"))
+    }
+    def pickSql(rec: String): String =
+      s"""SELECT ef, rounds FROM $rec
+         |ORDER BY (CASE WHEN avg_recall >= $floor THEN 0 ELSE 1 END),
+         |         (CASE WHEN avg_recall >= $floor THEN CAST(cost AS DOUBLE)
+         |               ELSE -avg_recall END),
+         |         cost, ef, rounds
+         |LIMIT 1""".stripMargin
+    val (bChains, bRows) = chains("b", "idx", "qs", "truth", "v0", "graph")
+    val (dChains, dRows) = chains("d", "idx2", "qs2", "dtruth", "dv0", "dgraph")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("e", "8")},
+       |${nswWalkBaseCtes("idx")},
+       |truth AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, i.id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${nswCos("q.qv", "i.v")} DESC, i.id ASC) AS rank
+       |    FROM qs q CROSS JOIN idx i)
+       |  WHERE rank <= 5),
+       |$bChains,
+       |brec AS MATERIALIZED (
+       |$bRows),
+       |bpick AS (${pickSql("brec")}),
+       |delta AS (SELECT id + 100000 AS id, list_transform(v, x -> x + 0.1) AS v FROM e),
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster, ${nswCos("delta.v", "c.centroid")} AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |idx2 AS MATERIALIZED (
+       |  SELECT id, v, cluster FROM idx UNION ALL SELECT id, v, cluster FROM didx),
+       |qs2 AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM delta WHERE id < 100010),
+       |${nswWalkBaseCtes("idx2", "d", "qs2", "cent")},
+       |dtruth AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, i.id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${nswCos("q.qv", "i.v")} DESC, i.id ASC) AS rank
+       |    FROM qs2 q CROSS JOIN idx2 i)
+       |  WHERE rank <= 5),
+       |$dChains,
+       |drec AS MATERIALIZED (
+       |$dRows),
+       |dpick AS (${pickSql("drec")}),
+       |stale AS (
+       |  SELECT (d.avg_recall < $floor) AS st
+       |  FROM drec d JOIN bpick p ON d.ef = p.ef AND d.rounds = p.rounds)
+       |SELECT phase, ef, rounds, cost, avg_recall, min_recall, flag FROM (
+       |  SELECT 'base' AS phase, r.ef, r.rounds, r.cost, r.avg_recall, r.min_recall,
+       |         (r.ef = p.ef AND r.rounds = p.rounds) AS flag
+       |  FROM brec r CROSS JOIN bpick p
+       |  UNION ALL
+       |  SELECT 'check', d.ef, d.rounds, d.cost, d.avg_recall, d.min_recall, s.st
+       |  FROM drec d JOIN bpick p ON d.ef = p.ef AND d.rounds = p.rounds
+       |  CROSS JOIN stale s
+       |  UNION ALL
+       |  SELECT 'final', r.ef, r.rounds, r.cost, r.avg_recall, r.min_recall,
+       |         (r.ef = p.ef AND r.rounds = p.rounds)
+       |  FROM drec r CROSS JOIN dpick p CROSS JOIN stale s WHERE s.st
+       |  UNION ALL
+       |  SELECT 'final', r.ef, r.rounds, r.cost, r.avg_recall, r.min_recall,
+       |         (r.ef = p.ef AND r.rounds = p.rounds)
+       |  FROM brec r CROSS JOIN bpick p CROSS JOIN stale s WHERE NOT s.st)
+       |ORDER BY phase, ef, rounds""".stripMargin
+  }
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1764,5 +1948,6 @@ object QueriesSimilarity {
     ("q193_nsw_filtered", q193NswFiltered, Some(q193Sql)),
     ("q194_nsw_autotune", q194NswAutotune, Some(q194Sql)),
     ("q197_adc_filtered", q197AdcFiltered, Some(q197Sql)),
+    ("q199_nsw_retune", q199NswRetune, Some(q199Sql)),
   )
 }

@@ -435,7 +435,47 @@ object IvfIndex {
       .withColumn("recall_floor", lit(recallFloor))
       .withColumn("at_k", lit(k))
       .write.mode("overwrite").parquet(s"$dir/tuning")
+    // persist the held-out sample WITH the operating point so the
+    // staleness check ([[refreshNProbeTuning]]) can re-measure after
+    // lifecycle verbs without the caller re-supplying it
+    sampleQueries.select(col("q_id"), col("qv")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tuning_sample")
     chosen
+  }
+
+  /** STALENESS REFRESH for the persisted probe width — the
+    * [[graft.operators.NswIndex.refreshWalkTuning]] pattern on the
+    * flat tier: [[tuneNProbe]]'s width was measured at build time and
+    * append/delete drift silently invalidates it. Re-measures recall
+    * at the PERSISTED width over the persisted held-out sample (or
+    * `sampleQueries`), appends the measurement to the `tuning_check`
+    * audit table, and re-tunes over the persisted widths grid only
+    * when the rounded avg recall fell below the persisted floor.
+    * Returns `(nProbe, refreshed)`. */
+  def refreshNProbeTuning(spark: SparkSession, dir: String,
+                          sampleQueries: Option[DataFrame] = None
+                         ): (Int, Boolean) = {
+    val tuning = spark.read.parquet(s"$dir/tuning")
+    val prov = tuning.select(col("recall_floor"), col("at_k")).head()
+    val (floor, k) = (prov.getDouble(0), prov.getInt(1))
+    val widths = tuning.select(col("n_probe"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val width = loadTunedNProbe(spark, dir)
+    val queries = sampleQueries
+      .getOrElse(spark.read.parquet(s"$dir/tuning_sample"))
+      .localCheckpoint()
+    val (centroids, indexed) = load(spark, dir)
+    val check = recallAtK(spark, queries, indexed, centroids, k, Seq(width))
+      .localCheckpoint()
+    val avg = check.select(col("avg_recall")).head().getDouble(0)
+    val stale = avg < floor
+    check.withColumn("recall_floor", lit(floor))
+      .withColumn("at_k", lit(k))
+      .withColumn("stale", lit(stale))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tuning_check")
+    if (!stale) (width, false)
+    else (tuneNProbe(spark, dir, queries, k, widths, floor), true)
   }
 
   /** The persisted operating point of [[tuneNProbe]]: the chosen probe

@@ -90,6 +90,22 @@ object NswIndex {
     * argmax; no base rescan). The refreshed graph commits as a new
     * generation (old-node rows change, so in-place file append — the
     * flat tiers' trick — would be wrong here). */
+  /** [[appendToNsw]] + the staleness loop: after the generation
+    * commits, re-check the persisted operating point against the
+    * appended corpus and re-tune if its recall fell below the floor
+    * ([[refreshWalkTuning]]). `flatDir` names the flat tier the tuning
+    * measures against; a store with no tuning table appends without a
+    * check. */
+  def appendToNswRefreshing(spark: SparkSession, flatDir: String, dir: String,
+                            indexedBase: DataFrame, indexedDelta: DataFrame,
+                            centroids: DataFrame, degree: Int,
+                            retainGenerations: Int = 1): Unit = {
+    appendToNsw(spark, dir, indexedBase, indexedDelta, centroids, degree,
+      retainGenerations)
+    val (fs, p) = graft.sources.StoreFs.of(s"$dir/tuning")
+    if (fs.exists(p)) refreshWalkTuning(spark, flatDir, dir): Unit
+  }
+
   def appendToNsw(spark: SparkSession, dir: String, indexedBase: DataFrame,
                   indexedDelta: DataFrame, centroids: DataFrame, degree: Int,
                   retainGenerations: Int = 1): Unit = {
@@ -468,14 +484,42 @@ object NswIndex {
     require(settings.nonEmpty, "tuneWalk needs at least one (ef, rounds)")
     settings.foreach { case (ef, r) =>
       require(ef >= k && r >= 0, s"need ef >= k and rounds >= 0, got ($ef, $r)") }
+    val queries = sampleQueries.localCheckpoint()
+    val rec = measureWalkRecall(spark, flatDir, nswDir, queries, k, nProbe,
+      settings).localCheckpoint()
+    val chosen = chooseWalkSetting(rec, recallFloor)
+    rec.withColumn("chosen",
+        col("ef") === chosen._1 && col("rounds") === chosen._2)
+      .withColumn("recall_floor", lit(recallFloor))
+      .withColumn("at_k", lit(k))
+      .withColumn("n_probe", lit(nProbe))
+      .write.mode("overwrite").parquet(s"$nswDir/tuning")
+    // persist the held-out sample WITH the operating point: the
+    // staleness check ([[refreshWalkTuning]]) re-measures after
+    // lifecycle verbs without the caller having to re-supply it
+    queries.select(col("q_id"), col("qv")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$nswDir/tuning_sample")
+    chosen
+  }
+
+  /** The measurement core shared by [[tuneWalk]] and
+    * [[refreshWalkTuning]]: one brute-force truth pass over the
+    * held-out `queries`, then one query-bounded walk per `(ef,
+    * rounds)` setting, returning one row per setting — `(ef, rounds,
+    * cost, n_queries, total_hits, avg_recall, min_recall)` with the
+    * recalls ROUNDED (the cross-engine-gateable values the choice rule
+    * reads). */
+  private def measureWalkRecall(spark: SparkSession, flatDir: String,
+                                nswDir: String, queries: DataFrame, k: Int,
+                                nProbe: Int,
+                                settings: Seq[(Int, Int)]): DataFrame = {
     val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
     val indexed = idxRaw.select(col("id"), col("v"), col("cluster"))
     val (graph, entries) = loadNsw(spark, nswDir)
-    val queries = sampleQueries.localCheckpoint()
     val truth = Similarity.bruteForceTopKAgg(spark, queries,
         indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
       .select(col("q_id"), col("n_id")).localCheckpoint()
-    val rec = settings.map { case (ef, rounds) =>
+    settings.map { case (ef, rounds) =>
       val hits = search(spark, queries, graph, indexed, cent, entries,
           k, nProbe, ef, rounds)
         .select(col("q_id"), col("n_id"))
@@ -492,21 +536,68 @@ object NswIndex {
           lit(ef.toLong * rounds).as("cost"),
           col("n_queries"), col("total_hits"),
           col("avg_recall"), col("min_recall"))
-    }.reduce(_ unionByName _).localCheckpoint()
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[tuneWalk]]'s choice rule over a measured settings table: the
+    * CHEAPEST (cost, ef, rounds) setting whose rounded avg recall
+    * meets `recallFloor`; highest-recall fallback when none does. */
+  private def chooseWalkSetting(rec: DataFrame,
+                                recallFloor: Double): (Int, Int) = {
     val rows = rec.select(col("ef"), col("rounds"), col("cost"),
         col("avg_recall")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    val meeting = rows.filter(_._4 >= recallFloor)
-      .sortBy(t => (t._3, t._1, t._2))
-    val chosen = meeting.headOption
+    rows.filter(_._4 >= recallFloor).sortBy(t => (t._3, t._1, t._2)).headOption
       .orElse(rows.sortBy(t => (-t._4, t._3, t._1, t._2)).headOption)
       .map(t => (t._1, t._2)).get
-    rec.withColumn("chosen",
-        col("ef") === chosen._1 && col("rounds") === chosen._2)
-      .withColumn("recall_floor", lit(recallFloor))
+  }
+
+  /** STALENESS REFRESH for the persisted walk operating point — the
+    * closing of the tune-once loop: [[tuneWalk]]'s `(ef, rounds)` was
+    * measured against the corpus at build time, and nothing about
+    * [[appendToNsw]]/[[deleteFromNsw]] keeps it valid as the corpus
+    * drifts away from the fitted centroids (appended mass concentrates
+    * in few cells; a fixed walk budget covers a shrinking fraction of
+    * them — recall decays SILENTLY while the store keeps serving).
+    * After a lifecycle verb commits, call this: it re-measures recall
+    * at the PERSISTED operating point over the persisted held-out
+    * sample (or `sampleQueries` when the workload itself drifted),
+    * appends the measurement to the `tuning_check` audit table, and —
+    * only when the rounded avg recall fell below the persisted floor —
+    * re-measures the full persisted settings grid and commits a
+    * refreshed tuning table under the same choice rule. Cost: one walk
+    * when healthy; one [[tuneWalk]]-equivalent pass when stale.
+    * Returns `(ef, rounds, refreshed)`; q199 gates check + refresh
+    * against a drifting-delta fixture with the oracle replaying every
+    * walk, every recall and both rules. */
+  def refreshWalkTuning(spark: SparkSession, flatDir: String, nswDir: String,
+                        sampleQueries: Option[DataFrame] = None
+                       ): (Int, Int, Boolean) = {
+    val tuning = spark.read.parquet(s"$nswDir/tuning")
+    val prov = tuning.select(col("recall_floor"), col("at_k"), col("n_probe"))
+      .head()
+    val (floor, k, nProbe) = (prov.getDouble(0), prov.getInt(1), prov.getInt(2))
+    val settings = tuning.select(col("ef"), col("rounds"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    val point = loadTunedWalk(spark, nswDir)
+    val queries = sampleQueries
+      .getOrElse(spark.read.parquet(s"$nswDir/tuning_sample"))
+      .localCheckpoint()
+    val check = measureWalkRecall(spark, flatDir, nswDir, queries, k, nProbe,
+      Seq(point)).localCheckpoint()
+    val avg = check.select(col("avg_recall")).head().getDouble(0)
+    val stale = avg < floor
+    check.withColumn("recall_floor", lit(floor))
       .withColumn("at_k", lit(k))
-      .write.mode("overwrite").parquet(s"$nswDir/tuning")
-    chosen
+      .withColumn("stale", lit(stale))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$nswDir/tuning_check")
+    if (!stale) (point._1, point._2, false)
+    else {
+      val (ef, rounds) = tuneWalk(spark, flatDir, nswDir, queries, k, nProbe,
+        settings, floor)
+      (ef, rounds, true)
+    }
   }
 
   /** The persisted operating point of [[tuneWalk]], read back from the

@@ -243,6 +243,65 @@ class NswSpec extends SparkSpec {
       }
     }
 
+    it("refreshWalkTuning keeps a healthy point and re-tunes a stale one") {
+      val (e, cent, indexed, _) = fitted()
+      val flat = java.nio.file.Files.createTempDirectory("graft-nswref-f").toString
+      val nsw = java.nio.file.Files.createTempDirectory("graft-nswref-g").toString
+      IvfIndex.save(cent, indexed, flat)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 4),
+        NswIndex.entryPoints(indexed, cent), nsw)
+      val sample = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      val settings = Seq((10, 1), (16, 3))
+      // floor -> 0+: the cheap point wins AND can never go stale
+      NswIndex.tuneWalk(spark, flat, nsw, sample, k = 10, nProbe = 2,
+        settings, recallFloor = 1e-9) shouldBe ((10, 1))
+      // healthy: same corpus, persisted sample — nothing to refresh
+      val (ef1, r1, refreshed1) = NswIndex.refreshWalkTuning(spark, flat, nsw)
+      (ef1, r1, refreshed1) shouldBe ((10, 1, false))
+      NswIndex.loadTunedWalk(spark, nsw) shouldBe ((10, 1))
+      // the check audit row landed, marked not-stale
+      val audit = spark.read.parquet(s"$nsw/tuning_check")
+      audit.count() shouldBe 1L
+      audit.select($"stale").head().getBoolean(0) shouldBe false
+      // force staleness: re-tune at an unreachable floor tracked by the
+      // persisted table (1.0), so the refresh must find the stored
+      // point below it and re-choose (fallback = highest recall)
+      NswIndex.tuneWalk(spark, flat, nsw, sample, k = 10, nProbe = 2,
+        settings, recallFloor = 1.0): Unit
+      val (_, _, refreshed2) = NswIndex.refreshWalkTuning(spark, flat, nsw)
+      refreshed2 shouldBe true
+      spark.read.parquet(s"$nsw/tuning_check").count() shouldBe 2L
+      // the refreshed table is a full re-measure of the same grid
+      spark.read.parquet(s"$nsw/tuning").count() shouldBe 2L
+    }
+
+    it("appendToNswRefreshing re-checks the operating point after the append") {
+      val (e, cent, _, _) = fitted()
+      val base = e.filter($"id" % 10 < 9)
+      val delta = e.filter($"id" % 10 === 9)
+      val idxBase = IvfIndex.assign(base, cent).localCheckpoint()
+      val idxDelta = IvfIndex.assign(delta, cent).localCheckpoint()
+      val flat = java.nio.file.Files.createTempDirectory("graft-nswar-f").toString
+      val nsw = java.nio.file.Files.createTempDirectory("graft-nswar-g").toString
+      IvfIndex.save(cent, idxBase, flat)
+      NswIndex.saveNsw(NswIndex.fitGraph(idxBase, degree = 4),
+        NswIndex.entryPoints(idxBase, cent), nsw)
+      val sample = base.filter($"id" < 10)
+        .select($"id".as("q_id"), $"v".as("qv"))
+      NswIndex.tuneWalk(spark, flat, nsw, sample, k = 10, nProbe = 2,
+        Seq((10, 1), (16, 3)), recallFloor = 1e-9): Unit
+      // append with the refreshing face: flat tier first (the tuning
+      // measures against it), then the graph append + staleness check
+      IvfIndex.assign(delta, cent).write.mode("append")
+        .partitionBy("cluster").parquet(s"$flat/index")
+      spark.catalog.refreshByPath(s"$flat/index")
+      NswIndex.appendToNswRefreshing(spark, flat, nsw, idxBase, idxDelta,
+        cent, degree = 4)
+      // the lifecycle verb left a check-audit row behind
+      spark.read.parquet(s"$nsw/tuning_check").count() shouldBe 1L
+      NswIndex.loadTunedWalk(spark, nsw)._1 should be >= 10
+    }
+
     it("recall >= the IVF+PQ-ADC tier at equal probe budget") {
       val (e, cent, indexed, queries) = fitted()
       val truth = Similarity.bruteForceTopKAgg(spark, queries,

@@ -164,6 +164,55 @@ class SimilaritySpec extends SparkSpec {
       if (narrowRecalls.forall(_._2 < 1.0)) narrow shouldBe 2
       else narrowRecalls.filter(_._2 >= 1.0).map(_._1).min shouldBe narrow
     }
+
+    it("refreshNProbeTuning keeps a healthy width and re-tunes a stale one") {
+      import graft.operators.IvfIndex
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex
+        .fitCentroids(spark, e, k = 8, iterations = 1, orderedMean = true)
+        .localCheckpoint()
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ref").toString
+      IvfIndex.save(cent, indexed, dir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      // floor -> 0+: width 1 wins and cannot go stale on the same corpus
+      IvfIndex.tuneNProbe(spark, dir, queries,
+        k = 10, nProbes = Seq(1, 2, 4, 8), recallFloor = 1e-9) shouldBe 1
+      val (w1, refreshed1) = IvfIndex.refreshNProbeTuning(spark, dir)
+      (w1, refreshed1) shouldBe ((1, false))
+      val audit = spark.read.parquet(s"$dir/tuning_check")
+      audit.count() shouldBe 1L
+      audit.select($"stale").head().getBoolean(0) shouldBe false
+      // drift: re-tune with the floor pinned to width 1's OWN measured
+      // recall (so the stored point exactly meets it on the base
+      // corpus), append shifted twins of the whole corpus, and refresh
+      // against the drifted workload — the doubled cells and moved
+      // mass push the narrow width below its own old recall
+      val r1 = spark.read.parquet(s"$dir/tuning")
+        .filter($"n_probe" === 1).select($"avg_recall").head().getDouble(0)
+      IvfIndex.tuneNProbe(spark, dir, queries,
+        k = 10, nProbes = Seq(1, 2, 4, 8), recallFloor = r1) shouldBe 1
+      val delta = e.select(($"id" + 100000).as("id"),
+        transform($"v", x => x + lit(0.1)).as("v"))
+      IvfIndex.appendToIndex(spark, delta, dir): Unit
+      val driftQ = delta.filter($"id" < 100010)
+        .select($"id".as("q_id"), $"v".as("qv"))
+      val (w2, refreshed2) = IvfIndex.refreshNProbeTuning(spark, dir,
+        Some(driftQ))
+      val auditRows = spark.read.parquet(s"$dir/tuning_check")
+        .orderBy($"stale").collect()
+      auditRows.length shouldBe 2
+      // the audit row's verdict and the refresh decision agree, and
+      // a refresh rewrote the table under the recorded floor's rule
+      val lastStale = auditRows.map(
+        _.getAs[Boolean]("stale")).contains(true)
+      refreshed2 shouldBe lastStale
+      if (refreshed2) {
+        IvfIndex.loadTunedNProbe(spark, dir) shouldBe w2
+        w2 should be > 1
+      }
+    }
   }
 
   describe("annLshPairs") {

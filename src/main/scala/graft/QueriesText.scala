@@ -984,6 +984,121 @@ object QueriesText {
             s"SELECT CAST($e AS BIGINT) AS step, l AS \"left\", r AS \"right\", cnt AS pair_count FROM m$e")
           .mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY step""".stripMargin
 
+  // --------------------------------------------------------------- q200
+  /** BATCHED BPE merge learning
+    * ([[graft.operators.BpeTrain.learnMergesBatched]]) — the
+    * production-vocab-scale trainer: top-`batch` mutually
+    * non-conflicting merges per count-scan, cutting heavy job count to
+    * ~vocab/batch. Three sections on one hash:
+    *
+    *  - `seq_fixture` / `batched_fixture`: the EQUIVALENCE proof. The
+    *    corpus's top-6 word frequencies are re-labeled onto disjoint
+    *    two-letter words (one adjacent pair each, own alphabet), so
+    *    merges can neither create nor destroy each other's occurrences
+    *    and batched(2) ≡ sequential PROVABLY — both trajectories must
+    *    equal the closed-form (cnt desc, l, r) rank the oracle states.
+    *  - `batched_corpus`: the batched rule on the REAL word-frequency
+    *    table, oracle-replayed in full generality — per round one pair
+    *    count, argmax accept, the conflict-filtered second accept
+    *    (blocked = {l, r, l||r} of the first), and the two-merge fold
+    *    feeding the next round. */
+  val q200BpeBatched: Q = (s, dir) => {
+    import s.implicits._
+    val wf = graft.operators.BpeTrain
+      .wordFreqs(Tables.documents(s, dir), "text")
+      .localCheckpoint() // feeds three trainings
+    val fix = wf
+      .select($"freq", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy($"freq".desc, $"word".asc)).as("rk"))
+      .filter($"rk" <= 6)
+      .select(expr("concat(char(95 + 2 * rk), char(96 + 2 * rk))").as("word"),
+        $"freq")
+      .localCheckpoint()
+    val seqT = graft.operators.BpeTrain.learnMerges(s, fix, merges = 6)
+    val batT = graft.operators.BpeTrain
+      .learnMergesBatched(s, fix, merges = 6, batch = 2)
+    val corT = graft.operators.BpeTrain
+      .learnMergesBatched(s, wf, merges = 6, batch = 2)
+    (seqT.map(("seq_fixture", _)) ++ batT.map(("batched_fixture", _)) ++
+        corT.map(("batched_corpus", _)))
+      .map { case (v, (st, l, r, c)) => (v, st.toLong, l, r, c) }
+      .toDF("variant", "step", "left", "right", "pair_count")
+      .orderBy($"variant", $"step")
+  }
+  val q200Sql: String = {
+    def bround(e: Int, emitFold: Boolean): String = {
+      val prev = if (e == 1) "w0" else s"bw${e - 1}"
+      val sel =
+        s"""b${e}p AS MATERIALIZED (
+           |  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+           |          i -> {'l': s[i], 'r': s[i + 1]})) AS pr
+           |        FROM $prev) GROUP BY pr.l, pr.r),
+           |b${e}a1 AS MATERIALIZED (
+           |  SELECT l, r, cnt FROM b${e}p ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |b${e}a2 AS MATERIALIZED (
+           |  SELECT p.l, p.r, p.cnt FROM b${e}p p, b${e}a1 m
+           |  WHERE p.l NOT IN (m.l, m.r, m.l || m.r)
+           |    AND p.r NOT IN (m.l, m.r, m.l || m.r)
+           |    AND p.l || p.r NOT IN (m.l, m.r, m.l || m.r)
+           |  ORDER BY p.cnt DESC, p.l ASC, p.r ASC LIMIT 1)""".stripMargin
+      if (!emitFold) sel
+      else sel + ",\n" +
+        s"""bw$e AS MATERIALIZED (
+           |  SELECT list_reduce(list_transform(
+           |           list_reduce(list_transform(s, x -> [x]),
+           |             (acc, xl) -> CASE WHEN len(acc) > 0
+           |                 AND acc[-1] = m1.l AND xl[1] = m1.r
+           |               THEN list_append(acc[1:len(acc) - 1], m1.l || m1.r)
+           |               ELSE list_append(acc, xl[1]) END),
+           |           x -> [x]),
+           |         (acc, xl) -> CASE WHEN len(acc) > 0
+           |             AND acc[-1] = m2.l AND xl[1] = m2.r
+           |           THEN list_append(acc[1:len(acc) - 1], m2.l || m2.r)
+           |           ELSE list_append(acc, xl[1]) END) AS s, freq
+           |  FROM $prev, b${e}a1 m1, b${e}a2 m2)""".stripMargin
+    }
+    val corpusRows = (1 to 3).flatMap { e =>
+      Seq(
+        s"""SELECT 'batched_corpus' AS variant, CAST(${2 * e - 1} AS BIGINT) AS step,
+           |       l AS "left", r AS "right", cnt AS pair_count FROM b${e}a1""".stripMargin,
+        s"""SELECT 'batched_corpus', CAST(${2 * e} AS BIGINT), l, r, cnt FROM b${e}a2""")
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |top6 AS (
+       |  SELECT freq, rk FROM (
+       |    SELECT freq, row_number() OVER (ORDER BY freq DESC, word ASC) AS rk
+       |    FROM wf)
+       |  WHERE rk <= 6),
+       |fixm AS (
+       |  SELECT chr(CAST(95 + 2 * rk AS INTEGER)) AS l,
+       |         chr(CAST(96 + 2 * rk AS INTEGER)) AS r,
+       |         CAST(freq AS BIGINT) AS cnt
+       |  FROM top6),
+       |fixtraj AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS BIGINT) AS step,
+       |         l, r, cnt
+       |  FROM fixm),
+       |w0 AS MATERIALIZED (
+       |  SELECT ${charSeedSql("word")} AS s,
+       |         CAST(freq AS BIGINT) AS freq
+       |  FROM wf WHERE length(word) > 0),
+       |${bround(1, emitFold = true)},
+       |${bround(2, emitFold = true)},
+       |${bround(3, emitFold = false)}
+       |SELECT variant, step, "left", "right", pair_count FROM (
+       |  SELECT 'seq_fixture' AS variant, step, l AS "left", r AS "right",
+       |         cnt AS pair_count FROM fixtraj
+       |  UNION ALL
+       |  SELECT 'batched_fixture', step, l, r, cnt FROM fixtraj
+       |  UNION ALL
+       |$corpusRows)
+       |ORDER BY variant, step""".stripMargin
+  }
+
   // --------------------------------------------------------------- q133
   /** INCREMENTAL BPE vocabulary maintenance
     * ([[graft.operators.BpeTrain.mergeFreqs]]) — the production
@@ -1686,5 +1801,6 @@ object QueriesText {
     ("q138_heavy_hitters", q138HeavyHitters, Some(q138Sql)),
     ("q140_span_dedup", q140SpanDedup, Some(q140Sql)),
     ("q149_dataset_card", q149DatasetCard, Some(q149Sql)),
+    ("q200_bpe_batched", q200BpeBatched, Some(q200Sql)),
   )
 }

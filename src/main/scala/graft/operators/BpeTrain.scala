@@ -216,10 +216,47 @@ object BpeTrain {
   /** Learn `merges` BPE merges from a word-frequency table. Returns the
     * merge trajectory `(step, left, right, pair_count)` — step is
     * 1-based; `pair_count` is the winning pair's weighted frequency at
-    * the time it won. Stops early if no adjacent pair remains. */
+    * the time it won. Stops early if no adjacent pair remains.
+    * Delegates to [[learnMergesBatched]] at batch = 1, which is
+    * EXACTLY the textbook one-merge-per-scan loop (same count, same
+    * (cnt desc, l, r) winner rule, same greedy fold — q124/q125/q133's
+    * trajectories are unchanged by the delegation). */
   def learnMerges(spark: SparkSession, freqs: DataFrame,
-                  merges: Int, byteLevel: Boolean = false): Seq[(Int, String, String, Long)] = {
+                  merges: Int, byteLevel: Boolean = false): Seq[(Int, String, String, Long)] =
+    learnMergesBatched(spark, freqs, merges, batch = 1, byteLevel)
+
+  /** BATCHED merge learning — the production-vocab-scale variant: at a
+    * 50k-symbol vocabulary, one count-scan per merge is 50k Spark jobs;
+    * applying the top-`batch` mutually NON-CONFLICTING merges per scan
+    * cuts the heavy job count to ~vocab/batch. Per round:
+    *
+    *  1. ONE pair-count aggregation over the (vocabulary-sized) words
+    *     table, materialized;
+    *  2. a greedy deterministic selection over that table: walk pairs
+    *     in (cnt desc, l, r) order, accept a pair iff none of its
+    *     symbols NOR its product string touches any previously
+    *     accepted pair's {left, right, product} — the commutation
+    *     guard: disjoint merges can neither destroy nor create each
+    *     other's occurrences, so applying the accepted batch in rank
+    *     order inside one fold chain equals applying them as `batch`
+    *     separate rounds over unchanged counts. Each selection step is
+    *     a filter + limit(1) over the MATERIALIZED count table — a
+    *     metadata-sized job, not a corpus or words rescan;
+    *  3. one chained fold applies the whole batch, one checkpoint.
+    *
+    * `batch = 1` reduces exactly to the sequential algorithm. With
+    * `batch > 1` the trajectory is its own deterministic, replayable
+    * rule (the per-round merge lists are emitted in acceptance order);
+    * it coincides with the sequential trajectory precisely when each
+    * round's sequential argmaxes are pairwise disjoint and no pair
+    * created by an earlier merge of the round would have outranked a
+    * later one — the q200 fixture pins that equivalence, and
+    * `BpeIdsSpec` pins the conflict-skip rule itself. */
+  def learnMergesBatched(spark: SparkSession, freqs: DataFrame, merges: Int,
+                         batch: Int, byteLevel: Boolean = false
+                        ): Seq[(Int, String, String, Long)] = {
     require(merges > 0, s"merges must be positive, got $merges")
+    require(batch > 0, s"batch must be positive, got $batch")
     var words = freqs
       .select(seedSyms(col("word"), byteLevel).as("s"),
         col("freq").cast("long").as("freq"))
@@ -229,6 +266,7 @@ object BpeTrain {
     var step = 1
     var done = false
     while (step <= merges && !done) {
+      val want = math.min(batch, merges - step + 1)
       val pairs = words
         // single-symbol words have no adjacent pairs — and Spark's
         // sequence(1, 0) DESCENDS rather than yielding empty
@@ -239,17 +277,42 @@ object BpeTrain {
               element_at(col("s"), i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (pairs.isEmpty) done = true
+      // batch = 1 keeps the classic single count+argmax job; larger
+      // batches materialize the count table once and re-query it
+      // `want` times (metadata-sized jobs, no words rescan)
+      val pairsM = if (want == 1) pairs else pairs.localCheckpoint()
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var blocked = Set.empty[String]
+      var exhausted = false
+      while (accepted.size < want && !exhausted) {
+        val cand =
+          (if (blocked.isEmpty) pairsM
+           else pairsM.filter(!col("l").isInCollection(blocked) &&
+             !col("r").isInCollection(blocked) &&
+             !concat(col("l"), col("r")).isInCollection(blocked)))
+            .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+            .limit(1).collect()
+        if (cand.isEmpty) exhausted = true
+        else {
+          val row = cand(0)
+          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          accepted += ((l, r, cnt))
+          blocked = blocked + l + r + (l + r)
+        }
+      }
+      if (accepted.isEmpty) done = true
       else {
-        val row = pairs(0)
-        val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-        out += ((step, l, r, cnt))
+        accepted.zipWithIndex.foreach { case ((l, r, cnt), i) =>
+          out += ((step + i, l, r, cnt))
+        }
         words = words
-          .select(mergePair(col("s"), l, r).as("s"), col("freq"))
-          .localCheckpoint() // k rounds would otherwise stack k folds in one plan
-        step += 1
+          .select(accepted.foldLeft(col("s")) {
+            case (syms, (l, r, _)) => mergePair(syms, l, r)
+          }.as("s"), col("freq"))
+          .localCheckpoint() // cut the fold chain between rounds
+        step += accepted.size
+        // fewer accepted than wanted means every remaining pair
+        // conflicts — the next round recounts and continues
       }
     }
     out.toSeq

@@ -27,6 +27,51 @@ class TextDedupSpec extends SparkSpec {
       out shouldBe Seq((1, "a", "a", 2L), (2, "aa", "a", 1L))
     }
 
+    it("batched learning skips conflicting pairs and recovers them next round") {
+      // (a,a)=10 wins round 1 slot 1 and blocks {a, aa}; (a,b)=9
+      // conflicts on 'a' and must be SKIPPED for (c,d)=8; round 2
+      // recounts and (a,b) — untouched by the disjoint merges — wins
+      val words = Seq(("aa", 10L), ("ab", 9L), ("cd", 8L), ("ef", 7L))
+        .toDF("word", "freq")
+      val out = graft.operators.BpeTrain
+        .learnMergesBatched(spark, words, merges = 4, batch = 2)
+      out shouldBe Seq(
+        (1, "a", "a", 10L), (2, "c", "d", 8L),
+        (3, "a", "b", 9L), (4, "e", "f", 7L))
+      // sequential on the same table takes them in plain rank order —
+      // the documented divergence the conflict guard exists to avoid
+      graft.operators.BpeTrain.learnMerges(spark, words, merges = 4) shouldBe
+        Seq((1, "a", "a", 10L), (2, "a", "b", 9L),
+          (3, "c", "d", 8L), (4, "e", "f", 7L))
+    }
+
+    it("batch=1 is exactly the sequential trajectory; batching cuts job count") {
+      val freqs = graft.operators.BpeTrain.wordFreqs(
+        Tables.documents(spark, "/root/testdata/sf0.001").limit(100), "text")
+        .localCheckpoint()
+      val sc = spark.sparkContext
+      def jobsOf(group: String)(f: => Unit): Int = {
+        sc.setJobGroup(group, "bpe job probe", interruptOnCancel = false)
+        try f finally sc.clearJobGroup()
+        sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      var seqT: Seq[(Int, String, String, Long)] = null
+      var batT: Seq[(Int, String, String, Long)] = null
+      val seqJobs = jobsOf("bpe-probe-seq") {
+        seqT = graft.operators.BpeTrain.learnMerges(spark, freqs, merges = 8)
+      }
+      val batJobs = jobsOf("bpe-probe-bat") {
+        batT = graft.operators.BpeTrain
+          .learnMergesBatched(spark, freqs, merges = 8, batch = 4)
+      }
+      seqT should have size 8
+      batT should have size 8
+      // the HEAVY work (count-scan + fold checkpoint) runs once per
+      // round: 8 rounds sequentially vs 2 batched — total job count
+      // must drop even counting the tiny per-accept selection jobs
+      batJobs should be < seqJobs
+    }
+
     it("encode applies learned merges in order and compresses") {
       val docs2 = Seq((1L, "newest widest"), (2L, "low lower"))
         .toDF("doc_id", "text")

@@ -1095,7 +1095,17 @@ object QueriesSimilarity {
         cent2, cb2, m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
       .orderBy($"q_id", $"rank")
   }
-  val q146Sql: String =
+  /** q146's oracle text with an optional live-row predicate on the
+    * union index — "" replays the plain append (q146); q201 passes
+    * the takedown filter so the stream-append + interleaved
+    * delete+compact end state replays as ADC serving over the
+    * filtered union (append ≡ rebuild composed with
+    * delete ≡ rebuild-without-ids). Codebooks fit on the unfiltered
+    * base either way (fit parameters are unchanged by document
+    * removal); only live rows are encoded and served — the
+    * post-compaction store's exact shape. */
+  private def twoTierAppendSqlWith(liveWhere: String): String = {
+    val live = if (liveWhere.isEmpty) "" else s" $liveWhere"
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |base AS (SELECT * FROM e WHERE id % 10 < 9),
        |delta AS (SELECT * FROM e WHERE id % 10 = 9),
@@ -1109,7 +1119,8 @@ object QueriesSimilarity {
        |  SELECT id, v, cluster FROM (
        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
        |  WHERE rn = 1),
-       |allidx AS (SELECT * FROM idx UNION ALL SELECT * FROM didx),
+       |allidx AS (
+       |  SELECT * FROM (SELECT * FROM idx UNION ALL SELECT * FROM didx)$live),
        |${pqCodebookSql("base", "allidx")},
        |${pqDtabSql},
        |qscored AS (
@@ -1142,6 +1153,10 @@ object QueriesSimilarity {
        |  FROM rcand)
        |SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+  val q146Sql: String = twoTierAppendSqlWith("")
+  private[graft] val q201Sql: String =
+    twoTierAppendSqlWith("WHERE id % 10 <> 3")
 
   // ---------------------------------------------------------------- q184
   /** Partitioned-NSW graph search ([[graft.operators.NswIndex]]) — the
@@ -1332,7 +1347,14 @@ object QueriesSimilarity {
       .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
       .orderBy($"q_id", $"rank")
   }
-  val q186Sql: String =
+  /** q186's oracle text with an optional live-row predicate applied to
+    * the union index — "" replays the plain append (q186/q187);
+    * q202 passes the takedown filter so the stream-append +
+    * interleaved-delete end state replays as a direct walk over the
+    * filtered union (append ≡ rebuild composed with
+    * delete ≡ rebuild-without-ids). */
+  private def nswAppendSqlWith(liveWhere: String): String = {
+    val live = if (liveWhere.isEmpty) "" else s" $liveWhere"
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |base AS (SELECT * FROM e WHERE id % 10 < 9),
        |delta AS (SELECT * FROM e WHERE id % 10 = 9),
@@ -1346,8 +1368,12 @@ object QueriesSimilarity {
        |  SELECT id, v, cluster FROM (
        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
        |  WHERE rn = 1),
-       |allidx AS MATERIALIZED (SELECT * FROM idx UNION ALL SELECT * FROM didx),
+       |allidx AS MATERIALIZED (
+       |  SELECT * FROM (SELECT * FROM idx UNION ALL SELECT * FROM didx)$live),
        |${nswWalkSql("allidx")}""".stripMargin
+  }
+  val q186Sql: String = nswAppendSqlWith("")
+  private[graft] val q202Sql: String = nswAppendSqlWith("WHERE id % 10 <> 3")
 
   // ---------------------------------------------------------------- q188
   /** NSW cell-size-cap maintenance

@@ -591,6 +591,170 @@ object QueriesStreaming {
       .orderBy($"dup_exact", $"dup_near")
   }
 
+  // ---------------------------------------------------------------- q201
+  /** STREAMING two-tier ingest with an INTERLEAVED takedown — the q187
+    * transport composed with [[graft.operators.PqIndex
+    * .deleteFromTwoTier]]/[[graft.operators.PqIndex.compactTwoTier]]:
+    * a base two-tier store is built, the delta arrives over four
+    * micro-batches of [[graft.operators.PqIndex.appendToTwoTier]],
+    * and BETWEEN batches (after batch 1) a delete of `id % 10 = 3`
+    * base rows commits and compacts — the
+    * right-to-be-forgotten-during-continuous-ingest shape. Append ≡
+    * rebuild and delete ≡ rebuild-without-ids compose, so the end
+    * state must serve identically to a direct build over
+    * (base ∪ delta) ∖ deleted with the SAME base-fitted models — the
+    * oracle replays exactly that (q146's text with the live filter).
+    * Batch replay guard: per-batch marker + an ALL-delta-ids presence
+    * check against the full tier; this single-session gate cannot
+    * crash mid-append, and the torn-append windows of the store
+    * itself are `StoreLifecycleSpec`'s contract. */
+  val q201StreamTwoTierDelete: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{IvfIndex, PqIndex}
+    val file = s"$dir/embeddings.parquet"
+    val e = s.read.parquet(file)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val storeBase = twoTierStreamDelCache.computeIfAbsent(dir, _ => {
+      val (b, stream) = stagedMultiBatchStream(s, file, "q201", dir,
+        _.filter(col("vec_id") % 10 === 9))
+      val p = b + "/store"
+      val base = e.filter($"id" % 10 < 9)
+      val cent = IvfIndex
+        .fitCentroids(s, base, k = 8, iterations = 1, orderedMean = true)
+        .localCheckpoint()
+      val indexed = IvfIndex.assign(base, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(s, base, m = 4, ks = 16, iterations = 1)
+      val codesIdx = PqIndex.encode(base, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      PqIndex.saveTwoTier(cent, cb, codesIdx,
+        indexed.select($"cluster", $"id", $"v"), p)
+      val query = stream.writeStream
+        .option("checkpointLocation", b + "/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val marker = s".tt_batch_${batchId}_applied"
+            val applied = graft.sources.StoreFs.childNames(b).contains(marker)
+            val delta = batch.toDF().select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("v"))
+            if (!applied && !delta.isEmpty) {
+              val (_, _, _, fullPrev) = PqIndex.loadTwoTier(s, p)
+              val landedAll = delta.select(col("id"))
+                .join(fullPrev.select(col("id")), Seq("id"), "left_anti")
+                .isEmpty
+              if (!landedAll)
+                PqIndex.appendToTwoTier(s, delta, p, m = 4, subDim = 16): Unit
+              // the INTERLEAVE: a takedown commits between micro-batches
+              // (deleted ids are base rows, disjoint from every delta,
+              // so the tombstone→compact cycle can never hide arrivals)
+              if (batchId == 1) {
+                PqIndex.deleteFromTwoTier(s, p,
+                  e.filter($"id" % 10 === 3).select($"id"))
+                PqIndex.compactTwoTier(s, p)
+              }
+              graft.sources.StoreFs.touchMarker(b, marker)
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      b
+    })
+    val (cent2, cb2, codes2, full2) =
+      PqIndex.loadTwoTier(s, storeBase + "/store")
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    PqIndex.ivfAdcSearch(s, queries, codes2, full2, cent2, cb2,
+        m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ---------------------------------------------------------------- q202
+  /** STREAMING NSW ingest with an INTERLEAVED takedown — q187's
+    * transport + replay guard composed with [[graft.operators
+    * .NswIndex.deleteFromNsw]] (the EAGER cell-local rebuild — the
+    * graph tier cannot lazy-tombstone): after batch 1's append
+    * commits, `id % 10 = 3` base vectors are deleted (affected flat
+    * partitions rewritten, their graph rows and entry points
+    * recomputed, new generation committed), and the remaining batches
+    * keep appending against the post-delete state. Every verb
+    * preserves store ≡ rebuild-of-current-live-set, so the final walk
+    * must equal a graph built directly on (base ∪ delta) ∖ deleted
+    * under the same centroids — q186's oracle with the live filter. */
+  val q202StreamNswDelete: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{IvfIndex, NswIndex}
+    val file = s"$dir/embeddings.parquet"
+    val e = s.read.parquet(file)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val base = nswStreamDelCache.computeIfAbsent(dir, _ => {
+      val (b, stream) = stagedMultiBatchStream(s, file, "q202", dir,
+        _.filter(col("vec_id") % 10 === 9))
+      val nswDir = b + "/nsw"
+      val flatDir = b + "/flat"
+      val baseRel = e.filter($"id" % 10 < 9)
+      val cent = IvfIndex
+        .fitCentroids(s, baseRel, k = 8, iterations = 1, orderedMean = true)
+        .localCheckpoint()
+      val idxBase = IvfIndex.assign(baseRel, cent).localCheckpoint()
+      IvfIndex.save(cent, idxBase, flatDir)
+      NswIndex.saveNsw(NswIndex.fitGraph(idxBase, degree = 4),
+        NswIndex.entryPoints(idxBase, cent), nswDir)
+      val query = stream.writeStream
+        .option("checkpointLocation", b + "/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            // the q187 replay guard (marker + ALL-delta-ids presence,
+            // torn flat append completed by missing-rows-only repair)
+            val marker = s".nsw_batch_${batchId}_applied"
+            val applied = graft.sources.StoreFs.childNames(b).contains(marker)
+            val delta = batch.toDF().select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("v"))
+            if (!applied && !delta.isEmpty) {
+              val (cent2, prevRaw) = IvfIndex.load(s, flatDir)
+              val prev = prevRaw.select(col("id"), col("v"), col("cluster"))
+                .localCheckpoint()
+              val missing = delta
+                .join(prev.select(col("id")), Seq("id"), "left_anti")
+                .localCheckpoint()
+              if (!missing.isEmpty) {
+                val anyPresent = !delta.select(col("id"))
+                  .join(prev, Seq("id"), "left_semi").isEmpty
+                val idxMissing = IvfIndex.assign(missing, cent2).localCheckpoint()
+                if (!anyPresent)
+                  NswIndex.appendToNsw(s, nswDir, prev, idxMissing, cent2,
+                    degree = 4)
+                idxMissing.write.mode("append").partitionBy("cluster")
+                  .parquet(s"$flatDir/index")
+              }
+              // the INTERLEAVE: an eager delete+rebuild generation
+              // commits between micro-batches (base ids only, disjoint
+              // from every delta)
+              if (batchId == 1)
+                NswIndex.deleteFromNsw(s, flatDir, nswDir,
+                  e.filter($"id" % 10 === 3).select($"id"), degree = 4): Unit
+              graft.sources.StoreFs.touchMarker(b, marker)
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      b
+    })
+    val (graph, entries) = NswIndex.loadNsw(s, base + "/nsw")
+    val (centF, idxAll) = IvfIndex.load(s, base + "/flat")
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    NswIndex.search(s, queries, graph,
+        idxAll.select(col("id"), col("v"), col("cluster")), centF, entries,
+        k = 5, nProbe = 2, ef = 8, rounds = 2)
+      .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val twoTierStreamDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val nswStreamDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val dedupStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** q187's stream-built two-tier stores, one scratch base per data
@@ -605,9 +769,13 @@ object QueriesStreaming {
     * (the [[QueriesText.clearSessionCaches]] contract). */
   private[graft] def clearSessionCaches(): Unit = {
     import scala.jdk.CollectionConverters._
-    nswIngestCache.values.asScala.foreach(p => rmTree(new java.io.File(p)))
+    (nswIngestCache.values.asScala ++ twoTierStreamDelCache.values.asScala ++
+        nswStreamDelCache.values.asScala)
+      .foreach(p => rmTree(new java.io.File(p)))
     dedupStoreCache.clear()
     nswIngestCache.clear()
+    twoTierStreamDelCache.clear()
+    nswStreamDelCache.clear()
   }
 
   /** Registry: name → (spark program, oracle sql). */
@@ -1020,5 +1188,10 @@ object QueriesStreaming {
     ("q189_dedup_delete", q189DedupDelete, Some(q189Sql)),
     // batch-frame q189 and the streaming transport must agree: one oracle
     ("q198_stream_dedup_delete", q198StreamDedupDelete, Some(q189Sql)),
+    // stream appends + interleaved delete ≡ direct build minus ids
+    ("q201_stream_twotier_delete", q201StreamTwoTierDelete,
+      Some(QueriesSimilarity.q201Sql)),
+    ("q202_stream_nsw_delete", q202StreamNswDelete,
+      Some(QueriesSimilarity.q202Sql)),
   )
 }

@@ -638,16 +638,23 @@ object QueriesStreaming {
             val applied = graft.sources.StoreFs.childNames(b).contains(marker)
             val delta = batch.toDF().select(col("vec_id").as("id"),
               col("embedding").cast("array<double>").as("v"))
-            if (!applied && !delta.isEmpty) {
-              val (_, _, _, fullPrev) = PqIndex.loadTwoTier(s, p)
-              val landedAll = delta.select(col("id"))
-                .join(fullPrev.select(col("id")), Seq("id"), "left_anti")
-                .isEmpty
-              if (!landedAll)
-                PqIndex.appendToTwoTier(s, delta, p, m = 4, subDim = 16): Unit
+            if (!applied) {
+              if (!delta.isEmpty) {
+                val (_, _, _, fullPrev) = PqIndex.loadTwoTier(s, p)
+                val landedAll = delta.select(col("id"))
+                  .join(fullPrev.select(col("id")), Seq("id"), "left_anti")
+                  .isEmpty
+                if (!landedAll)
+                  PqIndex.appendToTwoTier(s, delta, p, m = 4, subDim = 16): Unit
+              }
               // the INTERLEAVE: a takedown commits between micro-batches
               // (deleted ids are base rows, disjoint from every delta,
-              // so the tombstone→compact cycle can never hide arrivals)
+              // so the tombstone→compact cycle can never hide arrivals).
+              // Deliberately OUTSIDE the empty-delta guard: repartition
+              // can emit an empty part file, and skipping the takedown
+              // on an empty batch 1 would silently diverge from the
+              // live-filtered oracle; the tombstone append and eager
+              // rebuild are idempotent for these fixed base ids.
               if (batchId == 1) {
                 PqIndex.deleteFromTwoTier(s, p,
                   e.filter($"id" % 10 === 3).select($"id"))
@@ -710,26 +717,32 @@ object QueriesStreaming {
             val applied = graft.sources.StoreFs.childNames(b).contains(marker)
             val delta = batch.toDF().select(col("vec_id").as("id"),
               col("embedding").cast("array<double>").as("v"))
-            if (!applied && !delta.isEmpty) {
-              val (cent2, prevRaw) = IvfIndex.load(s, flatDir)
-              val prev = prevRaw.select(col("id"), col("v"), col("cluster"))
-                .localCheckpoint()
-              val missing = delta
-                .join(prev.select(col("id")), Seq("id"), "left_anti")
-                .localCheckpoint()
-              if (!missing.isEmpty) {
-                val anyPresent = !delta.select(col("id"))
-                  .join(prev, Seq("id"), "left_semi").isEmpty
-                val idxMissing = IvfIndex.assign(missing, cent2).localCheckpoint()
-                if (!anyPresent)
-                  NswIndex.appendToNsw(s, nswDir, prev, idxMissing, cent2,
-                    degree = 4)
-                idxMissing.write.mode("append").partitionBy("cluster")
-                  .parquet(s"$flatDir/index")
+            if (!applied) {
+              if (!delta.isEmpty) {
+                val (cent2, prevRaw) = IvfIndex.load(s, flatDir)
+                val prev = prevRaw.select(col("id"), col("v"), col("cluster"))
+                  .localCheckpoint()
+                val missing = delta
+                  .join(prev.select(col("id")), Seq("id"), "left_anti")
+                  .localCheckpoint()
+                if (!missing.isEmpty) {
+                  val anyPresent = !delta.select(col("id"))
+                    .join(prev, Seq("id"), "left_semi").isEmpty
+                  val idxMissing = IvfIndex.assign(missing, cent2)
+                    .localCheckpoint()
+                  if (!anyPresent)
+                    NswIndex.appendToNsw(s, nswDir, prev, idxMissing, cent2,
+                      degree = 4)
+                  idxMissing.write.mode("append").partitionBy("cluster")
+                    .parquet(s"$flatDir/index")
+                }
               }
               // the INTERLEAVE: an eager delete+rebuild generation
               // commits between micro-batches (base ids only, disjoint
-              // from every delta)
+              // from every delta). OUTSIDE the empty-delta guard — an
+              // empty batch 1 part file must not silently skip the
+              // takedown (the delete+rebuild is idempotent for these
+              // fixed base ids).
               if (batchId == 1)
                 NswIndex.deleteFromNsw(s, flatDir, nswDir,
                   e.filter($"id" % 10 === 3).select($"id"), degree = 4): Unit

@@ -1037,11 +1037,21 @@ object QueriesText {
            |b${e}a1 AS MATERIALIZED (
            |  SELECT l, r, cnt FROM b${e}p ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
            |b${e}a2 AS MATERIALIZED (
-           |  SELECT p.l, p.r, p.cnt FROM b${e}p p, b${e}a1 m
-           |  WHERE p.l NOT IN (m.l, m.r, m.l || m.r)
-           |    AND p.r NOT IN (m.l, m.r, m.l || m.r)
-           |    AND p.l || p.r NOT IN (m.l, m.r, m.l || m.r)
-           |  ORDER BY p.cnt DESC, p.l ASC, p.r ASC LIMIT 1)""".stripMargin
+           |  -- loud structural assert: this unrolled oracle encodes
+           |  -- EXACTLY two accepted merges per round; if the conflict
+           |  -- filter ever leaves no second candidate the engine would
+           |  -- accept one and recount (a different trajectory), so an
+           |  -- empty candidate set must fail the oracle, not silently
+           |  -- collapse the bw$e fold
+           |  SELECT CASE WHEN c.l IS NULL THEN error(
+           |           'q200 oracle: b${e}a2 empty - round $e accepted <2 merges; unrolled 2-per-round structure diverges from learnMergesBatched')
+           |         ELSE c.l END AS l, c.r AS r, c.cnt AS cnt
+           |  FROM (SELECT 1 AS one) LEFT JOIN (
+           |    SELECT p.l, p.r, p.cnt FROM b${e}p p, b${e}a1 m
+           |    WHERE p.l NOT IN (m.l, m.r, m.l || m.r)
+           |      AND p.r NOT IN (m.l, m.r, m.l || m.r)
+           |      AND p.l || p.r NOT IN (m.l, m.r, m.l || m.r)
+           |    ORDER BY p.cnt DESC, p.l ASC, p.r ASC LIMIT 1) c ON true)""".stripMargin
       if (!emitFold) sel
       else sel + ",\n" +
         s"""bw$e AS MATERIALIZED (

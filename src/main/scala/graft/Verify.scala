@@ -26,10 +26,25 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    val json = SparkEntry.oracleSql.filter(q => selected(q._1))
+    // MERGE-ON-WRITE: a subset re-run (dev loop, sf1.0 spot-fix) must
+    // not clobber the full catalog's oracle dump — check_oracle_big.py
+    // replays this file, so entries for queries not in this run are
+    // preserved and only the selected names are (re)written.
+    val dumpPath = Paths.get(s"$outDir/oracle_sql.json")
+    val existing: Map[String, String] =
+      if (only.isDefined && Files.exists(dumpPath)) {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(Files.readString(dumpPath)) match {
+          case JObject(fields) =>
+            fields.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty
+        }
+      } else Map.empty
+    val merged = existing ++ SparkEntry.oracleSql.filter(q => selected(q._1))
+    val json = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${JsonEscape.str(k)}: ${JsonEscape.str(v)}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(dumpPath, json)
     spark.stop()
   }
 }

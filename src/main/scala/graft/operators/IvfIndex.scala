@@ -461,6 +461,16 @@ object IvfIndex {
     val widths = tuning.select(col("n_probe"))
       .collect().map(_.getInt(0)).toSeq.sorted
     val width = loadTunedNProbe(spark, dir)
+    // A store tuned before the sample-persisting tuneNProbe has a
+    // tuning table but no tuning_sample — fail with the remedy instead
+    // of a raw path-not-found AnalysisException.
+    if (sampleQueries.isEmpty) {
+      val (fs, sp) = graft.sources.StoreFs.of(s"$dir/tuning_sample")
+      require(fs.exists(sp),
+        s"$dir has a tuning table but no tuning_sample: it was tuned " +
+          "before tuneNProbe persisted its held-out sample. Re-run " +
+          "tuneNProbe (which now saves the sample) or pass sampleQueries.")
+    }
     val queries = sampleQueries
       .getOrElse(spark.read.parquet(s"$dir/tuning_sample"))
       .localCheckpoint()

@@ -580,6 +580,16 @@ object NswIndex {
     val settings = tuning.select(col("ef"), col("rounds"))
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
     val point = loadTunedWalk(spark, nswDir)
+    // A store tuned before the sample-persisting tuneWalk has a tuning
+    // table but no tuning_sample — fail with the remedy instead of a
+    // raw path-not-found AnalysisException from the parquet read.
+    if (sampleQueries.isEmpty) {
+      val (fs, sp) = graft.sources.StoreFs.of(s"$nswDir/tuning_sample")
+      require(fs.exists(sp),
+        s"$nswDir has a tuning table but no tuning_sample: it was tuned " +
+          "before tuneWalk persisted its held-out sample. Re-run tuneWalk " +
+          "(which now saves the sample) or pass sampleQueries explicitly.")
+    }
     val queries = sampleQueries
       .getOrElse(spark.read.parquet(s"$nswDir/tuning_sample"))
       .localCheckpoint()

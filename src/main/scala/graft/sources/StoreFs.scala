@@ -71,16 +71,21 @@ object StoreFs {
         try in.readFully(0, buf) finally in.close()
         Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
       }
-    // One short retry on absence, but ONLY when the fallback
-    // (non-FileContext) commit path's rename-aside window is plausibly
-    // open — i.e. a `__tmp` or `__old` sibling exists. A legitimately
-    // absent manifest (first build, vacuum early-return, tombstone
-    // probe) returns None immediately instead of paying a 50 ms sleep.
+    // One short retry on absence. Pay the 50 ms sleep ONLY when the
+    // fallback (non-FileContext) commit path's rename-aside window is
+    // plausibly open — i.e. a `__tmp` or `__old` sibling exists. Even
+    // when it isn't, re-probe once without sleeping: the swap may have
+    // completed between the failed first read and the sibling checks,
+    // in which case the manifest now exists and a bare None would
+    // misreport a committed store as absent. A legitimately absent
+    // manifest (first build, vacuum early-return, tombstone probe)
+    // costs one extra exists() and still returns None immediately.
     once().orElse {
       val inFlight =
         try fs.exists(new Path(path + "__tmp")) || fs.exists(new Path(path + "__old"))
         catch { case _: java.io.IOException => false }
-      if (inFlight) { Thread.sleep(50); once() } else None
+      if (inFlight) Thread.sleep(50)
+      once()
     }
   }
 

@@ -726,16 +726,21 @@ object QueriesSimilarity {
 
   /** The raw-vector query-side distance tables (`pq_dtab(q_id, dtab)`
     * against `pq_cb`, from the `qs` CTE); q144's residual variant has
-    * its own per-(q_id, cluster) tables in its query text. */
-  private val pqDtabSql: String =
-    s"""pq_qsub AS (
+    * its own per-(q_id, cluster) tables in its query text. `p`
+    * prefixes every CTE name and `qsRel` names the query relation so
+    * q203 can build tables for TWO query samples over the same
+    * codebooks in one query. */
+  private def pqDtabSqlFor(p: String, qsRel: String): String =
+    s"""${p}pq_qsub AS (
        |  SELECT q.q_id, s.sub, list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
-       |  FROM qs q CROSS JOIN subs s),
-       |pq_dt AS (
+       |  FROM $qsRel q CROSS JOIN subs s),
+       |${p}pq_dt AS (
        |  SELECT t.q_id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
-       |  FROM pq_qsub t JOIN pq_cb c USING (sub)),
-       |pq_drows AS (SELECT q_id, sub, list(d2 ORDER BY code) AS drow FROM pq_dt GROUP BY q_id, sub),
-       |pq_dtab AS (SELECT q_id, list(drow ORDER BY sub) AS dtab FROM pq_drows GROUP BY q_id)""".stripMargin
+       |  FROM ${p}pq_qsub t JOIN pq_cb c USING (sub)),
+       |${p}pq_drows AS (SELECT q_id, sub, list(d2 ORDER BY code) AS drow FROM ${p}pq_dt GROUP BY q_id, sub),
+       |${p}pq_dtab AS (SELECT q_id, list(drow ORDER BY sub) AS dtab FROM ${p}pq_drows GROUP BY q_id)""".stripMargin
+
+  private val pqDtabSql: String = pqDtabSqlFor("", "qs")
 
   private def pqFitSql(src: String): String =
     pqCodebookSql(src) + ",\n" + pqDtabSql
@@ -1924,6 +1929,255 @@ object QueriesSimilarity {
        |ORDER BY phase, ef, rounds""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q203
+  /** Two-tier operating-point + CODEBOOK staleness refresh
+    * ([[graft.operators.PqIndex.refreshTwoTierTuning]]) — the q199
+    * loop closed on the PQ tier, which drifts on TWO surfaces: the
+    * probe width tuned at build time ([[graft.operators.PqIndex
+    * .tuneTwoTierNProbe]]) and the codebook fit itself
+    * ([[graft.operators.PqIndex.appendToTwoTier]] appends WITHOUT
+    * refitting, so the fixed code budget reconstructs drifted mass
+    * progressively worse). The gate: build + tune on the base corpus
+    * (cheapest floor-meeting width chosen; fit-time mean quantization
+    * error persisted as the codebook baseline), append the q199
+    * drifting delta (every vector's shifted twin, +0.1 per
+    * component), then refresh against the drifted workload: the
+    * stored width's recall@5 is re-measured and audited, the staleness
+    * rule re-tunes the grid when it fell below the floor, and the
+    * live store's mean quantization error vs the baseline gates the
+    * REFIT RECOMMENDATION flag. Output = base tuning ∪ check row
+    * (with the drifted error) ∪ drift row (baseline + refit flag) ∪
+    * final tuning — store round-trip, every search's recall
+    * arithmetic, both choice rules, the staleness rule AND the
+    * refit rule all on one hash. The oracle replays both corpus
+    * states (append ≡ rebuild with the same models collapses the
+    * appended store to a direct encode of the union under the
+    * base-fitted codebooks) and both ordered-fold error means. */
+  /** q203's shared fixture parameters — ONE definition for the Scala
+    * side and the oracle text. `rerank` is set high enough that the
+    * exact rerank absorbs the ADC approximation and recall@5 becomes
+    * a clean function of probe COVERAGE (the width dial the tuning
+    * grid actually turns); with the q139 rerank=10 the curve is flat
+    * in width (ADC quality bottlenecks it) and no floor separates the
+    * grid. */
+  private val q203Widths = Seq(1, 2, 4)
+  private val q203Rerank = 40
+  private val q203Floor = 0.8
+
+  val q203TwoTierRetune: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{IvfIndex, PqIndex}
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+    val cb = PqIndex.fitCodebooks(s, e, m = 4, ks = 16, iterations = 1)
+    val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
+      .join(indexed.select($"id", $"cluster"), Seq("id"))
+      .select($"cluster", $"id", $"codes")
+    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val p = s"/root/repo/target/tmp/graft_ttretune_$stem"
+    rmTree(new java.io.File(p))
+    PqIndex.saveTwoTier(cent, cb, codesIdx,
+      indexed.select($"cluster", $"id", $"v"), p)
+    val baseQ = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    PqIndex.tuneTwoTierNProbe(s, p, baseQ, k = 5, rerank = q203Rerank,
+      nProbes = q203Widths, recallFloor = q203Floor, m = 4, subDim = 16): Unit
+    def recRows(df: DataFrame, phase: String,
+                flag: org.apache.spark.sql.Column) =
+      df.select(lit(phase).as("phase"), $"n_probe", $"avg_recall",
+        $"min_recall", lit(null).cast("double").as("mean_qerr"),
+        flag.as("flag"))
+    val base = recRows(s.read.parquet(s"$p/tuning"), "base", $"chosen")
+      .localCheckpoint()
+    // the q199 drifting delta: the shifted twin of every base vector
+    val delta = e.select(($"id" + 100000).as("id"),
+      transform($"v", x => x + lit(0.1)).as("v"))
+    PqIndex.appendToTwoTier(s, delta, p, m = 4, subDim = 16): Unit
+    // the workload drifts WITH the corpus: shifted twins of the
+    // original held-out sample drive the staleness check
+    val driftQ = delta.filter($"id" < 100010)
+      .select($"id".as("q_id"), $"v".as("qv"))
+    PqIndex.refreshTwoTierTuning(s, p, Some(driftQ)): Unit
+    val ck = s.read.parquet(s"$p/tuning_check")
+    val check = ck.select(lit("check").as("phase"), $"n_probe",
+      $"avg_recall", $"min_recall", $"mean_qerr", $"stale".as("flag"))
+    val drift = ck.select(lit("drift").as("phase"),
+      lit(null).cast("int").as("n_probe"),
+      lit(null).cast("double").as("avg_recall"),
+      lit(null).cast("double").as("min_recall"),
+      $"fit_qerr".as("mean_qerr"), $"refit_recommended".as("flag"))
+    val fin = recRows(s.read.parquet(s"$p/tuning"), "final", $"chosen")
+    base.unionByName(check).unionByName(drift).unionByName(fin)
+      .orderBy($"phase", $"n_probe")
+  }
+
+  /** One probe→ADC→rerank→top-5 chain of the two-tier serving replay
+    * at probe width `nProbe`, CTE names `p`-prefixed so q203 can
+    * instantiate the tuning grid over BOTH corpus states in one
+    * query (the [[nswRoundCtes]] pattern; same arithmetic text as
+    * [[ivfAdcSql]] — fixed-order lookup folds, same tie-breaks). */
+  private def adcTopKCtes(p: String, idxRel: String, qsRel: String,
+                          dtabRel: String, nProbe: Int,
+                          rerank: Int = 10): String =
+    s"""${p}qsc AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM $qsRel q CROSS JOIN cent c),
+       |${p}pr AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM ${p}qsc)
+       |  WHERE rn <= $nProbe),
+       |${p}ac AS (
+       |  SELECT pp.q_id, i.id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
+       |           (a, b) -> a + b) AS ad2
+       |  FROM ${p}pr pp
+       |  JOIN $idxRel i USING (cluster)
+       |  JOIN pq_codes c ON c.id = i.id
+       |  JOIN $dtabRel d ON d.q_id = pp.q_id),
+       |${p}at AS (
+       |  SELECT q_id, id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, id ASC) AS rn FROM ${p}ac)
+       |  WHERE rn <= $rerank),
+       |${p}rc AS (
+       |  SELECT a.q_id, a.id AS n_id, ${l2SqSql("q.qv", "i.v")} AS d2
+       |  FROM ${p}at a JOIN $qsRel q ON q.q_id = a.q_id JOIN $idxRel i ON i.id = a.id),
+       |${p}top AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d2 ASC, n_id ASC) AS rank FROM ${p}rc)
+       |  WHERE rank <= 5)""".stripMargin
+
+  /** q203 oracle: the q141 fit replay instantiated once (fit on the
+    * base, ENCODE over the union — append ≡ rebuild with the same
+    * models), the tuning grid chains over both corpus states, exact-L2
+    * truths, both recall tables, both choice rules, the staleness
+    * rule, and the two ordered-fold quantization-error means feeding
+    * the refit rule. */
+  val q203Sql: String = {
+    val widths = q203Widths
+    val floor = q203Floor.toString
+    def gridChains(sp: String, idxRel: String, qsRel: String,
+                   dtabRel: String, truthRel: String): (String, String) = {
+      val parts = widths.map { np =>
+        val p = s"${sp}w${np}_"
+        val chain = adcTopKCtes(p, idxRel, qsRel, dtabRel, np, q203Rerank)
+        val hit =
+          s"""${p}hit AS (
+             |  SELECT q.q_id, count(t.n_id) AS n_hit
+             |  FROM $qsRel q LEFT JOIN (
+             |    SELECT tt.q_id, tt.n_id FROM ${p}top tt
+             |    JOIN $truthRel tr ON tr.q_id = tt.q_id AND tr.n_id = tt.n_id) t
+             |    ON t.q_id = q.q_id
+             |  GROUP BY q.q_id)""".stripMargin
+        val row =
+          s"""SELECT CAST($np AS INT) AS n_probe,
+             |       round(avg(n_hit / 5.0), 4) AS avg_recall,
+             |       round(min(n_hit / 5.0), 4) AS min_recall
+             |FROM ${p}hit""".stripMargin
+        (s"$chain,\n$hit", row)
+      }
+      (parts.map(_._1).mkString(",\n"),
+        parts.map(_._2).mkString("\nUNION ALL\n"))
+    }
+    // tuneTwoTierNProbe's choice: cheapest width whose ROUNDED avg
+    // recall meets the floor, else the widest
+    def pickSql(rec: String): String =
+      s"""SELECT n_probe FROM $rec
+         |ORDER BY (CASE WHEN avg_recall >= $floor THEN 0 ELSE 1 END),
+         |         (CASE WHEN avg_recall >= $floor THEN n_probe
+         |               ELSE -n_probe END)
+         |LIMIT 1""".stripMargin
+    def truthSql(name: String, qsRel: String, idxRel: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, i.id AS n_id,
+         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |             ${l2SqSql("q.qv", "i.v")} ASC, i.id ASC) AS rank
+         |    FROM $qsRel q CROSS JOIN $idxRel i)
+         |  WHERE rank <= 5)""".stripMargin
+    // ordered-fold mean quantization error over `idxRel`'s rows:
+    // per-cell id-ordered partial sums, then a cluster-ordered fold
+    def qerrSql(p: String, idxRel: String): String =
+      s"""${p}q_cell AS (
+         |  SELECT i.cluster,
+         |         list_reduce(list_prepend(0.0, list(r.qe ORDER BY r.id)), (a, b) -> a + b) AS s,
+         |         count(*) AS n
+         |  FROM qe_row r JOIN $idxRel i ON i.id = r.id
+         |  GROUP BY i.cluster),
+         |${p}qfit AS (
+         |  SELECT round(list_reduce(list_prepend(0.0, list(s ORDER BY cluster)), (a, b) -> a + b)
+         |           / sum(n), 4) AS mean_qerr
+         |  FROM ${p}q_cell)""".stripMargin
+    val (bChains, bRows) = gridChains("b", "idx", "qs", "pq_dtab", "btruth")
+    val (dChains, dRows) = gridChains("d", "idx2", "qs2", "dpq_dtab", "dtruth")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |delta AS (SELECT id + 100000 AS id, list_transform(v, x -> x + 0.1) AS v FROM e),
+       |u AS MATERIALIZED (SELECT * FROM e UNION ALL SELECT * FROM delta),
+       |qs2 AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM delta WHERE id < 100010),
+       |${pqCodebookSql("e", "u")},
+       |${pqDtabSqlFor("", "qs")},
+       |${pqDtabSqlFor("d", "qs2")},
+       |${lloydIdxSql("e", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster, ${nswCos("delta.v", "c.centroid")} AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |idx2 AS MATERIALIZED (
+       |  SELECT id, v, cluster FROM idx UNION ALL SELECT id, v, cluster FROM didx),
+       |${truthSql("btruth", "qs", "idx")},
+       |${truthSql("dtruth", "qs2", "idx2")},
+       |$bChains,
+       |brec AS MATERIALIZED (
+       |$bRows),
+       |bpick AS (${pickSql("brec")}),
+       |$dChains,
+       |drec AS MATERIALIZED (
+       |$dRows),
+       |dpick AS (${pickSql("drec")}),
+       |qe_min AS (SELECT id, sub, min(d2) AS d2 FROM pq_s1 GROUP BY id, sub),
+       |qe_row AS MATERIALIZED (
+       |  SELECT id, list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)), (a, b) -> a + b) AS qe
+       |  FROM qe_min GROUP BY id),
+       |${qerrSql("b", "idx")},
+       |${qerrSql("u", "idx2")},
+       |stale AS (
+       |  SELECT (d.avg_recall < $floor) AS st
+       |  FROM drec d JOIN bpick p ON d.n_probe = p.n_probe),
+       |refit AS (SELECT (u.mean_qerr > 1.05 * b.mean_qerr) AS rf
+       |          FROM uqfit u CROSS JOIN bqfit b)
+       |SELECT phase, n_probe, avg_recall, min_recall, mean_qerr, flag FROM (
+       |  SELECT 'base' AS phase, r.n_probe, r.avg_recall, r.min_recall,
+       |         CAST(NULL AS DOUBLE) AS mean_qerr,
+       |         (r.n_probe = p.n_probe) AS flag
+       |  FROM brec r CROSS JOIN bpick p
+       |  UNION ALL
+       |  SELECT 'check', d.n_probe, d.avg_recall, d.min_recall, u.mean_qerr, s.st
+       |  FROM drec d JOIN bpick p ON d.n_probe = p.n_probe
+       |  CROSS JOIN uqfit u CROSS JOIN stale s
+       |  UNION ALL
+       |  SELECT 'drift', CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+       |         CAST(NULL AS DOUBLE), b.mean_qerr, r.rf
+       |  FROM bqfit b CROSS JOIN refit r
+       |  UNION ALL
+       |  SELECT 'final', r.n_probe, r.avg_recall, r.min_recall,
+       |         CAST(NULL AS DOUBLE), (r.n_probe = p.n_probe)
+       |  FROM drec r CROSS JOIN dpick p CROSS JOIN stale s WHERE s.st
+       |  UNION ALL
+       |  SELECT 'final', r.n_probe, r.avg_recall, r.min_recall,
+       |         CAST(NULL AS DOUBLE), (r.n_probe = p.n_probe)
+       |  FROM brec r CROSS JOIN bpick p CROSS JOIN stale s WHERE NOT s.st)
+       |ORDER BY phase, n_probe""".stripMargin
+  }
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -1975,5 +2229,6 @@ object QueriesSimilarity {
     ("q194_nsw_autotune", q194NswAutotune, Some(q194Sql)),
     ("q197_adc_filtered", q197AdcFiltered, Some(q197Sql)),
     ("q199_nsw_retune", q199NswRetune, Some(q199Sql)),
+    ("q203_twotier_retune", q203TwoTierRetune, Some(q203Sql)),
   )
 }

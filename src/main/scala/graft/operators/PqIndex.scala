@@ -410,6 +410,231 @@ object PqIndex {
         (round(col("d2"), 4) + 0.0).as("d2"))
   }
 
+  /** Exact-L2 ground truth for a SAMPLE-sized query set over the live
+    * full tier: `(q_id, n_id)`, the top-`k` by ascending exact L2
+    * (ties toward the lower id). The `crossJoin(broadcast(queries))`
+    * is the small-query-set oracle shape — |queries| is a held-out
+    * sample, never a corpus. */
+  private def bruteL2TopK(queries: DataFrame, fullIdx: DataFrame,
+                          k: Int): DataFrame =
+    fullIdx.crossJoin(broadcast(queries.select(col("q_id"), col("qv"))))
+      .withColumn("d2", l2Sq(col("qv"), col("v")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(k, -col("d2"), col("id")).as("topk"))
+      .select(col("q_id"), explode(col("topk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("n_id"))
+
+  /** Recall@k of the FULL two-tier serving composition
+    * ([[ivfAdcSearch]]: probe → ADC → exact rerank) at each candidate
+    * probe width, against exact-L2 ground truth over the same live
+    * store — [[IvfIndex.recallAtK]] for the PQ tier. One row per
+    * width: `(n_probe, n_queries, total_hits, avg_recall,
+    * min_recall)`, recalls rounded to 4 (the choice and the oracle
+    * both read the rounded value). Ground truth is ONE sample-sized
+    * brute pass, eager-materialized; each width re-runs only the
+    * pruned probe/ADC/rerank join. */
+  def twoTierRecallAtK(spark: SparkSession, queries: DataFrame,
+                       codesIdx: DataFrame, fullIdx: DataFrame,
+                       centroids: DataFrame, codebooks: DataFrame,
+                       m: Int, subDim: Int, k: Int, rerank: Int,
+                       nProbes: Seq[Int],
+                       residual: Boolean = false): DataFrame = {
+    require(nProbes.nonEmpty, "twoTierRecallAtK needs at least one width")
+    val truth = bruteL2TopK(queries, fullIdx, k).localCheckpoint()
+    nProbes.map { np =>
+      val hits = ivfAdcSearch(spark, queries, codesIdx, fullIdx, centroids,
+          codebooks, m, subDim, k, rerank, np, residual)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hit")).as("total_hits"),
+          round(avg(col("n_hit").cast("double") / k), 4).as("avg_recall"),
+          round(min(col("n_hit").cast("double") / k), 4).as("min_recall"))
+        .select(lit(np).cast("int").as("n_probe"), col("n_queries"),
+          col("total_hits"), col("avg_recall"), col("min_recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Mean PQ quantization (reconstruction) error of the live store
+    * under its persisted codebooks — the codebook-FIT-DRIFT measure:
+    * per row, the sum over subspaces of the assigned codeword's
+    * squared L2 residual (exactly the argmin distance [[encode]]
+    * minimizes); the corpus mean is a strict ordered fold (per-cell
+    * id-ordered partial sums, then a cluster-ordered fold of the cell
+    * sums — cell-sized lists, never a corpus-sized collect) so the
+    * value is bit-reproducible cross-engine, then rounded to 4.
+    * Returns one row `(mean_qerr, n_rows)`. Rising mean_qerr after
+    * [[appendToTwoTier]] (append-without-refit) is exactly the drift
+    * the fixed code budget cannot express — the refit signal
+    * [[refreshTwoTierTuning]] gates on. */
+  def meanQuantError(spark: SparkSession, fullIdx: DataFrame,
+                     centroids: DataFrame, codebooks: DataFrame,
+                     m: Int, subDim: Int,
+                     residual: Boolean = false): DataFrame = {
+    val src =
+      if (residual) residuals(fullIdx.select(col("id"), col("v"),
+        col("cluster")), centroids).select(col("cluster"), col("id"), col("v"))
+      else fullIdx.select(col("cluster"), col("id"), col("v"))
+    val perRow = subVectors(src, Seq("cluster", "id"), "v", m, subDim)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2Sq(col("sv"), col("centroid")))
+      .groupBy(col("cluster"), col("id"), col("sub"))
+      .agg(min(col("d2")).as("d2"))
+      .groupBy(col("cluster"), col("id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("d2")))),
+          p => p.getField("d2")),
+        lit(0d), (acc, x) => acc + x).as("qe"))
+    perRow
+      .groupBy(col("cluster"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("id"), col("qe")))),
+          p => p.getField("qe")),
+        lit(0d), (acc, x) => acc + x).as("s"),
+        count(lit(1)).as("n"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("cluster"), col("s")))),
+          p => p.getField("s")),
+        lit(0d), (acc, x) => acc + x).as("s"),
+        sum(col("n")).as("n_rows"))
+      .select(round(col("s") / col("n_rows"), 4).as("mean_qerr"),
+        col("n_rows"))
+  }
+
+  /** Recall-driven probe-width AUTO-TUNING for the two-tier store —
+    * [[IvfIndex.tuneNProbe]] applied to the full serving composition:
+    * measure sample recall@k of [[ivfAdcSearch]] at each width over a
+    * held-out sample, choose the CHEAPEST width whose ROUNDED avg
+    * recall meets `recallFloor` (fall back to the widest — never
+    * silently under-deliver), and persist with the store:
+    *  - `dir/tuning`: one row per width + chosen flag and the full
+    *    provenance the refresh needs (`recall_floor, at_k, rerank, m,
+    *    sub_dim, residual`);
+    *  - `dir/tuning_sample`: the held-out sample, so lifecycle verbs
+    *    can re-measure without the caller re-supplying it;
+    *  - `dir/codebook_fit` (only when absent, or when
+    *    `resetQerrBaseline` — the baseline belongs to the CODEBOOK
+    *    fit, so a staleness re-tune must NOT move it; delete the file
+    *    or pass true when the codebooks are actually refit): the
+    *    store's [[meanQuantError]] at tune time.
+    * Returns the chosen width. */
+  def tuneTwoTierNProbe(spark: SparkSession, dir: String,
+                        sampleQueries: DataFrame, k: Int, rerank: Int,
+                        nProbes: Seq[Int], recallFloor: Double,
+                        m: Int, subDim: Int, residual: Boolean = false,
+                        resetQerrBaseline: Boolean = false): Int = {
+    require(recallFloor > 0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    val (cent, cb, codes, full) = loadTwoTier(spark, dir)
+    val rec = twoTierRecallAtK(spark, sampleQueries, codes, full, cent, cb,
+        m, subDim, k, rerank, nProbes, residual)
+      .localCheckpoint() // |nProbes| rows; feeds the choice AND the write
+    val byWidth = rec.select(col("n_probe"), col("avg_recall")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val chosen = byWidth.collectFirst { case (np, ar) if ar >= recallFloor => np }
+      .getOrElse(byWidth.last._1)
+    rec.withColumn("chosen", col("n_probe") === lit(chosen))
+      .withColumn("recall_floor", lit(recallFloor))
+      .withColumn("at_k", lit(k))
+      .withColumn("rerank", lit(rerank))
+      .withColumn("m", lit(m))
+      .withColumn("sub_dim", lit(subDim))
+      .withColumn("residual", lit(residual))
+      .write.mode("overwrite").parquet(s"$dir/tuning")
+    sampleQueries.select(col("q_id"), col("qv")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tuning_sample")
+    val (fs, fp) = graft.sources.StoreFs.of(s"$dir/codebook_fit")
+    if (resetQerrBaseline || !fs.exists(fp))
+      meanQuantError(spark, full, cent, cb, m, subDim, residual).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/codebook_fit")
+    chosen
+  }
+
+  /** The persisted operating point of [[tuneTwoTierNProbe]] plus its
+    * provenance: `(nProbe, k, rerank, m, subDim, residual, floor)`. */
+  def loadTunedTwoTier(spark: SparkSession, dir: String)
+      : (Int, Int, Int, Int, Int, Boolean, Double) = {
+    val r = spark.read.parquet(s"$dir/tuning").filter(col("chosen"))
+      .select(col("n_probe"), col("at_k"), col("rerank"), col("m"),
+        col("sub_dim"), col("residual"), col("recall_floor")).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      r.getBoolean(5), r.getDouble(6))
+  }
+
+  /** STALENESS REFRESH for the two-tier store — the closing of the
+    * staleness triad ([[IvfIndex.refreshNProbeTuning]] flat tier,
+    * [[NswIndex.refreshWalkTuning]] graph tier, and now the PQ tier,
+    * which has TWO drift surfaces):
+    *  1. the OPERATING POINT: re-measure recall@k at the persisted
+    *     width over the persisted held-out sample (or `sampleQueries`
+    *     when the workload itself drifted), append to the
+    *     `tuning_check` audit table, re-tune over the persisted grid
+    *     only when the rounded avg recall fell below the floor;
+    *  2. the CODEBOOK FIT: [[appendToTwoTier]] appends WITHOUT
+    *     refitting, so the fixed code budget reconstructs drifted mass
+    *     progressively worse — re-measure [[meanQuantError]] over the
+    *     live store, compare against the persisted fit-time baseline
+    *     (`dir/codebook_fit`), and RECOMMEND a refit when the rounded
+    *     mean error exceeds `qerrRefitRatio` × the baseline. The
+    *     recommendation is a flag in the audit row, not an automatic
+    *     refit: refitting changes every stored code (a full store
+    *     rebuild + re-tune), a deliberate operator action — the
+    *     documented remedy for the drift that was previously only a
+    *     comment on [[appendToTwoTier]].
+    * Returns `(nProbe, retuned, refitRecommended)`. Cost: one
+    * sample-sized recall pass + one corpus quantization scan when
+    * healthy; one [[tuneTwoTierNProbe]]-equivalent grid pass when
+    * stale. q203 gates check + refresh + refit flag against a
+    * drifted-delta fixture with the oracle replaying both corpus
+    * states. */
+  def refreshTwoTierTuning(spark: SparkSession, dir: String,
+                           sampleQueries: Option[DataFrame] = None,
+                           qerrRefitRatio: Double = 1.05
+                          ): (Int, Boolean, Boolean) = {
+    val tuning = spark.read.parquet(s"$dir/tuning")
+    val (point, k, rerank, m, subDim, residual, floor) =
+      loadTunedTwoTier(spark, dir)
+    val widths = tuning.select(col("n_probe"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // pre-sample-persisting stores: fail with the remedy, not a raw
+    // path-not-found (the refreshNProbeTuning/refreshWalkTuning guard)
+    if (sampleQueries.isEmpty) {
+      val (fs, sp) = graft.sources.StoreFs.of(s"$dir/tuning_sample")
+      require(fs.exists(sp),
+        s"$dir has a tuning table but no tuning_sample: it was tuned " +
+          "before tuneTwoTierNProbe persisted its held-out sample. Re-run " +
+          "tuneTwoTierNProbe or pass sampleQueries explicitly.")
+    }
+    val queries = sampleQueries
+      .getOrElse(spark.read.parquet(s"$dir/tuning_sample"))
+      .localCheckpoint()
+    val (cent, cb, codes, full) = loadTwoTier(spark, dir)
+    val check = twoTierRecallAtK(spark, queries, codes, full, cent, cb,
+        m, subDim, k, rerank, Seq(point), residual)
+      .localCheckpoint()
+    val avg = check.select(col("avg_recall")).head().getDouble(0)
+    val stale = avg < floor
+    val qerrNow = meanQuantError(spark, full, cent, cb, m, subDim, residual)
+      .select(col("mean_qerr")).head().getDouble(0)
+    val qerrFit = spark.read.parquet(s"$dir/codebook_fit")
+      .select(col("mean_qerr")).head().getDouble(0)
+    val refit = qerrNow > qerrRefitRatio * qerrFit
+    check.withColumn("recall_floor", lit(floor))
+      .withColumn("at_k", lit(k))
+      .withColumn("stale", lit(stale))
+      .withColumn("mean_qerr", lit(qerrNow))
+      .withColumn("fit_qerr", lit(qerrFit))
+      .withColumn("refit_recommended", lit(refit))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tuning_check")
+    if (!stale) (point, false, refit)
+    else (tuneTwoTierNProbe(spark, dir, queries, k, rerank, widths, floor,
+      m, subDim, residual), true, refit)
+  }
+
   /** ADC top-k: queries `(q_id, qv)` against the encoded corpus
     * `(id, codes)`. Builds the per-query `m × ks` distance table
     * (metadata-sized: |queries|·m·ks rows collapse to one row per

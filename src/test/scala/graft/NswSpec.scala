@@ -273,6 +273,12 @@ class NswSpec extends SparkSpec {
       spark.read.parquet(s"$nsw/tuning_check").count() shouldBe 2L
       // the refreshed table is a full re-measure of the same grid
       spark.read.parquet(s"$nsw/tuning").count() shouldBe 2L
+      // a store tuned before the sample-persisting tuneWalk (no
+      // tuning_sample) fails with the remedy, not a raw path-not-found
+      graft.sources.StoreFs.deleteChild(nsw, "tuning_sample")
+      val ex = the[IllegalArgumentException] thrownBy
+        NswIndex.refreshWalkTuning(spark, flat, nsw)
+      ex.getMessage should include("tuning_sample")
     }
 
     it("appendToNswRefreshing re-checks the operating point after the append") {

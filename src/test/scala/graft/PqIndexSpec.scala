@@ -187,6 +187,81 @@ class PqIndexSpec extends SparkSpec {
       }
     }
 
+    it("meanQuantError is zero for a corpus lying exactly on its codewords") {
+      val protos = (0 until 8).map(p =>
+        (p.toLong, (0 until 32).map(d => (p * 31 + d * 7 % 13).toDouble)))
+      val df = (0 until 32).map(i => (i.toLong, protos(i % 8)._2)).toDF("id", "v")
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, df, k = 2,
+        iterations = 1, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(df, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(spark, df, m = 2, ks = 8, iterations = 2)
+      val r = PqIndex.meanQuantError(spark,
+        indexed.select($"cluster", $"id", $"v"), cent, cb,
+        m = 2, subDim = 16).head()
+      r.getAs[Double]("mean_qerr") shouldBe 0.0
+      r.getAs[Long]("n_rows") shouldBe 32L
+    }
+
+    it("tuneTwoTierNProbe + refreshTwoTierTuning: healthy point kept, stale point re-tuned, codebook drift flagged") {
+      val e = corpus.localCheckpoint()
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, e, k = 8,
+        iterations = 1, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 16, iterations = 1)
+      val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-ref").toString
+      PqIndex.saveTwoTier(cent, cb, codesIdx,
+        indexed.select($"cluster", $"id", $"v"), dir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      // floor -> 0+: width 1 wins and cannot go stale on the same corpus
+      PqIndex.tuneTwoTierNProbe(spark, dir, queries, k = 5, rerank = 40,
+        nProbes = Seq(1, 2, 4), recallFloor = 1e-9,
+        m = 4, subDim = 16) shouldBe 1
+      PqIndex.loadTunedTwoTier(spark, dir)._1 shouldBe 1
+      val qerrFit = spark.read.parquet(s"$dir/codebook_fit")
+        .select($"mean_qerr").head().getDouble(0)
+      val (w1, retuned1, refit1) = PqIndex.refreshTwoTierTuning(spark, dir)
+      (w1, retuned1, refit1) shouldBe ((1, false, false))
+      val audit1 = spark.read.parquet(s"$dir/tuning_check").collect()
+      audit1.length shouldBe 1
+      audit1.head.getAs[Boolean]("stale") shouldBe false
+      audit1.head.getAs[Boolean]("refit_recommended") shouldBe false
+      // no drift yet: the live-store error equals the fit baseline
+      audit1.head.getAs[Double]("mean_qerr") shouldBe qerrFit
+      // drift: pin the floor to width 1's own measured recall, append
+      // shifted twins of the whole corpus, refresh against the drifted
+      // workload — and whatever the staleness verdict, the codebook
+      // baseline must NOT move (it belongs to the FIT, not the tune)
+      val r1 = spark.read.parquet(s"$dir/tuning")
+        .filter($"n_probe" === 1).select($"avg_recall").head().getDouble(0)
+      PqIndex.tuneTwoTierNProbe(spark, dir, queries, k = 5, rerank = 40,
+        nProbes = Seq(1, 2, 4), recallFloor = r1, m = 4, subDim = 16) shouldBe 1
+      val delta = e.select(($"id" + 100000).as("id"),
+        transform($"v", x => x + lit(0.1)).as("v"))
+      PqIndex.appendToTwoTier(spark, delta, dir, m = 4, subDim = 16): Unit
+      val driftQ = delta.filter($"id" < 100010)
+        .select($"id".as("q_id"), $"v".as("qv"))
+      val (w2, retuned2, refit2) =
+        PqIndex.refreshTwoTierTuning(spark, dir, Some(driftQ))
+      val audit2 = spark.read.parquet(s"$dir/tuning_check").collect()
+      audit2.length shouldBe 2
+      retuned2 shouldBe audit2.map(_.getAs[Boolean]("stale")).contains(true)
+      if (retuned2) PqIndex.loadTunedTwoTier(spark, dir)._1 shouldBe w2
+      // the shifted twins reconstruct strictly worse under the
+      // base-fitted codebooks: the refit recommendation must fire
+      refit2 shouldBe true
+      spark.read.parquet(s"$dir/codebook_fit")
+        .select($"mean_qerr").head().getDouble(0) shouldBe qerrFit
+      // pre-sample-persisting stores fail with the remedy, not a raw
+      // path-not-found
+      graft.sources.StoreFs.deleteChild(dir, "tuning_sample")
+      val ex = the[IllegalArgumentException] thrownBy
+        PqIndex.refreshTwoTierTuning(spark, dir)
+      ex.getMessage should include("tuning_sample")
+    }
+
     it("rejects dimensions not divisible by m") {
       val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
       an[IllegalArgumentException] should be thrownBy

@@ -212,6 +212,12 @@ class SimilaritySpec extends SparkSpec {
         IvfIndex.loadTunedNProbe(spark, dir) shouldBe w2
         w2 should be > 1
       }
+      // a store tuned before the sample-persisting tuneNProbe (no
+      // tuning_sample) fails with the remedy, not a raw path-not-found
+      graft.sources.StoreFs.deleteChild(dir, "tuning_sample")
+      val ex = the[IllegalArgumentException] thrownBy
+        IvfIndex.refreshNProbeTuning(spark, dir)
+      ex.getMessage should include("tuning_sample")
     }
   }
 

@@ -239,9 +239,12 @@ object BpeTrain {
     *     guard: disjoint merges can neither destroy nor create each
     *     other's occurrences, so applying the accepted batch in rank
     *     order inside one fold chain equals applying them as `batch`
-    *     separate rounds over unchanged counts. Each selection step is
-    *     a filter + limit(1) over the MATERIALIZED count table — a
-    *     metadata-sized job, not a corpus or words rescan;
+    *     separate rounds over unchanged counts. The selection is ONE
+    *     collect of the top 4·batch rows of the MATERIALIZED count
+    *     table with the conflict filter run driver-side — one
+    *     round-trip per round, falling back to per-accept filtered
+    *     re-queries only when that prefix exhausts all-conflicting
+    *     (identical trajectory either way; never a words rescan);
     *  3. one chained fold applies the whole batch, one checkpoint.
     *
     * `batch = 1` reduces exactly to the sequential algorithm. With
@@ -278,27 +281,48 @@ object BpeTrain {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
       // batch = 1 keeps the classic single count+argmax job; larger
-      // batches materialize the count table once and re-query it
-      // `want` times (metadata-sized jobs, no words rescan)
+      // batches materialize the count table once so the selection
+      // re-reads it instead of rescanning words
       val pairsM = if (want == 1) pairs else pairs.localCheckpoint()
       val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       var blocked = Set.empty[String]
-      var exhausted = false
-      while (accepted.size < want && !exhausted) {
-        val cand =
-          (if (blocked.isEmpty) pairsM
-           else pairsM.filter(!col("l").isInCollection(blocked) &&
-             !col("r").isInCollection(blocked) &&
-             !concat(col("l"), col("r")).isInCollection(blocked)))
-            .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-            .limit(1).collect()
-        if (cand.isEmpty) exhausted = true
-        else {
-          val row = cand(0)
-          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-          accepted += ((l, r, cnt))
-          blocked = blocked + l + r + (l + r)
+      def conflicts(l: String, r: String): Boolean =
+        blocked(l) || blocked(r) || blocked(l + r)
+      def accept(l: String, r: String, cnt: Long): Unit = {
+        accepted += ((l, r, cnt))
+        blocked = blocked + l + r + (l + r)
+      }
+      // ONE collect of the top 4·want rows in (cnt desc, l, r) order,
+      // conflict-filtered DRIVER-side — one round-trip per round
+      // instead of one per accepted merge. (cnt, l, r) is a total
+      // order over the distinct (l, r) keys, so walking the prefix and
+      // skipping conflicts is exactly the repeated filtered-argmax.
+      val prefixCap = 4 * want
+      val prefix = pairsM
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(prefixCap).collect()
+      prefix.iterator
+        .takeWhile(_ => accepted.size < want)
+        .foreach { row =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (!conflicts(l, r)) accept(l, r, row.getLong(2))
         }
+      // fallback (spec-pinned): the prefix exhausted all-conflicting
+      // but the table continues past it — resume the per-accept
+      // filtered re-query with the same blocked set, an identical
+      // trajectory. A prefix shorter than its cap covered the whole
+      // table, so there is nothing past it to query.
+      var exhausted = prefix.length < prefixCap
+      while (accepted.size < want && !exhausted) {
+        val cand = pairsM
+          .filter(!col("l").isInCollection(blocked) &&
+            !col("r").isInCollection(blocked) &&
+            !concat(col("l"), col("r")).isInCollection(blocked))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (cand.isEmpty) exhausted = true
+        else accept(cand(0).getString(0), cand(0).getString(1),
+          cand(0).getLong(2))
       }
       if (accepted.isEmpty) done = true
       else {

@@ -45,6 +45,21 @@ class TextDedupSpec extends SparkSpec {
           (3, "c", "d", 8L), (4, "e", "f", 7L))
     }
 
+    it("falls back to filtered re-queries when the collected prefix is all-conflicting") {
+      // batch=2 collects a top-8 prefix; rows 2..8 all touch the first
+      // accept's {a, b, ab}, so the second accept — the 9th-ranked
+      // (c,d) — is only reachable through the fallback re-query path,
+      // which must produce the same trajectory the old per-accept loop
+      // did
+      val words = Seq(
+        ("ab", 100L), ("ac", 95L), ("ad", 94L), ("ae", 93L), ("af", 92L),
+        ("ag", 91L), ("bc", 90L), ("bd", 89L), ("cd", 10L))
+        .toDF("word", "freq")
+      val out = graft.operators.BpeTrain
+        .learnMergesBatched(spark, words, merges = 2, batch = 2)
+      out shouldBe Seq((1, "a", "b", 100L), (2, "c", "d", 10L))
+    }
+
     it("batch=1 is exactly the sequential trajectory; batching cuts job count") {
       val freqs = graft.operators.BpeTrain.wordFreqs(
         Tables.documents(spark, "/root/testdata/sf0.001").limit(100), "text")

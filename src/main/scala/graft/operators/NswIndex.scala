@@ -388,7 +388,14 @@ object NswIndex {
   }
 
   /** Reload a [[saveNsw]]d tier (current committed generation):
-    * `(graph, entries)`. */
+    * `(graph, entries)`.
+    *
+    * CONTRACT: serving reads do NOT auto-repair — a store left with a
+    * pending-cells marker by a crash BETWEEN maintenance calls serves
+    * its committed (possibly stale) cells until [[repairNsw]] or any
+    * maintenance verb (which repairs first) runs.
+    * [[graft.tools.StoreDoctor]] surfaces the marker as an `error`
+    * finding with that remedy. */
   def loadNsw(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val root = graft.sources.StoreFs.readManifest(s"$dir/manifest") match {
       case Some(g) => s"$dir/g$g"

@@ -1,0 +1,332 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.StoreFs
+
+/** Ops-facing READ-ONLY audit of the engine's persisted generational
+  * stores — the one-command inspection surface for everything the
+  * lifecycle verbs leave on disk: manifest vs on-disk generations,
+  * tombstone weight vs live rows, orphan and vacuum-eligible
+  * generation directories, interrupted-swap leftovers, NSW
+  * pending-maintenance markers (the [[graft.operators.NswIndex
+  * .repairNsw]] state — serving reads do NOT auto-repair, so the
+  * doctor is how a crash between maintenance calls becomes visible),
+  * flat∖graph cell divergence, tuning-table provenance (a `tuning`
+  * without its `tuning_sample` breaks the staleness refresh), and the
+  * two-tier codebook-drift baseline. Never mutates anything: every
+  * finding names the remedy verb instead of running it.
+  *
+  * Four store families:
+  *  - `twotier <dir>` — [[graft.operators.PqIndex.saveTwoTier]]
+  *    (`manifest`, `g<n>/{centroids,codebooks,codes,full}`,
+  *    `tombstones`, tuning tables, `codebook_fit`);
+  *  - `nsw <flatDir> <nswDir>` — [[graft.operators.NswIndex.saveNsw]]
+  *    beside its flat index (`manifest`, `g<n>/{graph,entries}`,
+  *    `pending_cells`, tuning tables);
+  *  - `ivf <dir>` — [[graft.operators.IvfIndex.save]] (flat layout:
+  *    `centroids`, `index/cluster=*`, centroid-swap leftovers, tuning
+  *    tables);
+  *  - `dedup <pathPrefix>` — [[graft.operators.TextDedup
+  *    .writeDedupStoreBucketed]] (prefix layout:
+  *    `<prefix>_manifest`, `<prefix>_g<n>_{fp,bands,mh}`,
+  *    `<prefix>_tombstones`, legacy-fp format guard).
+  *
+  * CLI: `sbt "runMain graft.tools.StoreDoctor <family> <path...>"` —
+  * prints one line per finding, exit 1 iff any `error` finding.
+  */
+object StoreDoctor {
+
+  /** One audit observation. `severity` ∈ ok | info | warn | error:
+    * `error` = the store will misbehave (missing tables, pending
+    * maintenance, legacy format with tombstones); `warn` = degraded or
+    * at-risk (interrupted swap leftovers, in-flight generations, heavy
+    * tombstone weight, missing tuning sample); `info` = noteworthy
+    * state (vacuum-eligible history, stale audit rows); `ok` =
+    * positive confirmation of the store's spine. */
+  final case class Finding(store: String, kind: String, severity: String,
+                           detail: String)
+
+  private def exists(path: String): Boolean = {
+    val (fs, p) = StoreFs.of(path)
+    fs.exists(p)
+  }
+
+  private def rows(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).count()
+
+  private val genRe = "g(\\d+)".r
+
+  /** Audit the dir-style generational spine shared by the two-tier
+    * and NSW stores: manifest presence/agreement with on-disk `g<n>`
+    * children, expected tables inside the committed generation,
+    * in-flight (above-manifest) generations, vacuum-eligible history,
+    * and interrupted manifest-swap leftovers. */
+  private def auditGenerationalDir(dir: String,
+                                   tables: Seq[String]): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    val children = StoreFs.childNames(dir)
+    val gens = children.collect { case genRe(g) => g.toLong }.sorted
+    val manifest = StoreFs.readManifest(s"$dir/manifest")
+    manifest match {
+      case None =>
+        if (gens.nonEmpty)
+          out += Finding(dir, "manifest", "error",
+            s"generation dirs ${gens.map("g" + _).mkString(", ")} exist but " +
+              "no committed manifest — a first-build crash; rebuild the " +
+              "store (readers correctly see it as absent)")
+        else
+          out += Finding(dir, "manifest", "info",
+            "no committed store at this path")
+      case Some(g) =>
+        val missing = tables.filterNot(t => exists(s"$dir/g$g/$t"))
+        if (missing.nonEmpty)
+          out += Finding(dir, "tables", "error",
+            s"committed generation g$g is missing ${missing.mkString(", ")} " +
+              "— the manifest points at an incomplete generation")
+        else
+          out += Finding(dir, "manifest", "ok",
+            s"committed generation g$g with ${tables.mkString(", ")}")
+        val inFlight = gens.filter(_ > g)
+        if (inFlight.nonEmpty)
+          out += Finding(dir, "generations", "warn",
+            s"uncommitted generation(s) ${inFlight.map("g" + _).mkString(", ")} " +
+              "above the manifest — an in-flight or crashed writer; the next " +
+              "commit overwrites them")
+        val history = gens.filter(_ < g)
+        if (history.nonEmpty)
+          out += Finding(dir, "generations", "info",
+            s"${history.length} superseded committed generation(s) " +
+              s"(${history.map("g" + _).mkString(", ")}) retained — " +
+              "vacuum-eligible once no reader is pinned to them")
+    }
+    Seq("manifest__tmp", "manifest__old").filter(children.contains).foreach {
+      leftover =>
+        out += Finding(dir, "manifest-swap", "warn",
+          s"$leftover present — an interrupted manifest swap " +
+            "(readManifest covers the window; the next commit cleans it up)")
+    }
+    out.result()
+  }
+
+  /** Audit the tuning surface shared by all three tuned stores: a
+    * `tuning` table without its persisted `tuning_sample` cannot be
+    * staleness-refreshed, and the `tuning_check` audit trail reports
+    * how often the operating point was found stale. */
+  private def auditTuning(spark: SparkSession, dir: String): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    if (exists(s"$dir/tuning")) {
+      if (!exists(s"$dir/tuning_sample"))
+        out += Finding(dir, "tuning", "warn",
+          "tuning table without a persisted tuning_sample — tuned before " +
+            "the sample-persisting tuners; staleness refresh will refuse " +
+            "to run until the store is re-tuned")
+      else
+        out += Finding(dir, "tuning", "ok",
+          "operating point persisted with its held-out sample")
+      if (exists(s"$dir/tuning_check")) {
+        val checks = spark.read.parquet(s"$dir/tuning_check")
+        val n = checks.count()
+        val stale = checks.filter(org.apache.spark.sql.functions
+          .col("stale")).count()
+        out += Finding(dir, "tuning-audit", if (stale > 0) "info" else "ok",
+          s"$n staleness check(s), $stale found the stored point stale")
+      }
+    }
+    out.result()
+  }
+
+  /** Tombstone weight vs live rows — flags compaction when the dead
+    * weight passes a quarter of the live store. */
+  private def tombstoneFinding(spark: SparkSession, store: String,
+                               tombPath: String, livePath: String,
+                               compactVerb: String): Seq[Finding] =
+    if (!exists(tombPath)) Seq.empty
+    else {
+      val dead = rows(spark, tombPath)
+      val live = rows(spark, livePath)
+      val pct = if (live > 0) 100.0 * dead / live else 100.0
+      val sev = if (dead >= live / 4 && dead > 0) "warn" else "info"
+      Seq(Finding(store, "tombstones", sev,
+        f"$dead tombstoned id(s) against $live live rows ($pct%.1f%%)" +
+          (if (sev == "warn") s" — $compactVerb recommended" else "")))
+    }
+
+  /** Audit a [[graft.operators.PqIndex.saveTwoTier]] store. */
+  def auditTwoTier(spark: SparkSession, dir: String): Seq[Finding] = {
+    val spine = auditGenerationalDir(dir,
+      Seq("centroids", "codebooks", "codes", "full"))
+    val gen = StoreFs.readManifest(s"$dir/manifest")
+    val tomb = gen.toSeq.flatMap { g =>
+      tombstoneFinding(spark, dir, s"$dir/tombstones", s"$dir/g$g/full",
+        "PqIndex.compactTwoTier")
+    }
+    val drift =
+      if (exists(s"$dir/tuning") && !exists(s"$dir/codebook_fit"))
+        Seq(Finding(dir, "codebook-fit", "info",
+          "no codebook drift baseline (codebook_fit) — the next " +
+            "tuneTwoTierNProbe writes it; until then refreshTwoTierTuning " +
+            "cannot gate a refit recommendation"))
+      else Seq.empty
+    spine ++ tomb ++ drift ++ auditTuning(spark, dir)
+  }
+
+  /** Audit a flat [[graft.operators.IvfIndex.save]] store (the
+    * non-generational layout: `centroids` + `index/cluster=*`). */
+  def auditIvf(spark: SparkSession, dir: String): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    val haveCent = exists(s"$dir/centroids")
+    val haveIdx = exists(s"$dir/index")
+    if (!haveCent && !haveIdx)
+      out += Finding(dir, "layout", "info", "no flat index at this path")
+    else if (!haveCent || !haveIdx)
+      out += Finding(dir, "layout", "error",
+        s"flat index is missing ${if (haveCent) "index" else "centroids"} — " +
+          "half-written store")
+    else
+      out += Finding(dir, "layout", "ok",
+        s"centroids + ${StoreFs.childNames(s"$dir/index")
+          .count(_.startsWith("cluster="))} cell partition(s)")
+    Seq("centroids__tmp", "centroids__old")
+      .filter(n => StoreFs.childNames(dir).contains(n)).foreach { leftover =>
+        out += Finding(dir, "centroid-swap", "warn",
+          s"$leftover present — an interrupted splitOversizedCells swap; " +
+            "IvfIndex.load rolls it forward/back automatically")
+      }
+    out.result() ++ auditTuning(spark, dir)
+  }
+
+  /** Audit a [[graft.operators.NswIndex.saveNsw]] store beside its
+    * flat index. The pending-cells marker is the load-bearing check:
+    * serving reads do not auto-repair, so a crash between maintenance
+    * verbs silently serves stale cells until `repairNsw` runs — the
+    * doctor is where that state surfaces. */
+  def auditNsw(spark: SparkSession, flatDir: String,
+               nswDir: String): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    out ++= auditGenerationalDir(nswDir, Seq("graph", "entries"))
+    graft.operators.NswIndex.readPendingCells(nswDir) match {
+      case Some(cells) =>
+        out += Finding(nswDir, "pending-maintenance", "error",
+          s"pending-cells marker for ${cells.length} cell(s) " +
+            s"(${cells.mkString(", ")}) — an interrupted delete/split; " +
+            "serving reads do NOT auto-repair: run NswIndex.repairNsw " +
+            "(or any maintenance verb, which repairs first)")
+      case None =>
+        out += Finding(nswDir, "pending-maintenance", "ok",
+          "no pending-maintenance marker")
+    }
+    // flat∖graph divergence: cells present in the flat store but
+    // absent from the committed graph (the mid-split crash window
+    // repairNsw's cell diff exists for)
+    if (exists(s"$flatDir/index") &&
+        StoreFs.readManifest(s"$nswDir/manifest").isDefined) {
+      import org.apache.spark.sql.functions.col
+      val (_, indexed) = graft.operators.IvfIndex.load(spark, flatDir)
+      val (graph, _) = graft.operators.NswIndex.loadNsw(spark, nswDir)
+      val flatCells = indexed.select(col("cluster").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val graphCells = graph.select(col("cluster").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val missing = (flatCells -- graphCells).toSeq.sorted
+      if (missing.nonEmpty)
+        out += Finding(nswDir, "flat-vs-graph", "error",
+          s"flat store has cell(s) ${missing.mkString(", ")} absent from " +
+            "the graph — a crash inside a split before the marker named " +
+            "them; run NswIndex.repairNsw")
+      else
+        out += Finding(nswDir, "flat-vs-graph", "ok",
+          s"graph covers all ${flatCells.size} flat cell(s)")
+    }
+    out.result() ++ auditTuning(spark, nswDir)
+  }
+
+  /** Audit a [[graft.operators.TextDedup.writeDedupStoreBucketed]]
+    * store (prefix layout). */
+  def auditDedup(spark: SparkSession, pathPrefix: String): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    val parent = new org.apache.hadoop.fs.Path(pathPrefix).getParent.toString
+    val base = new org.apache.hadoop.fs.Path(pathPrefix).getName
+    val tblRe = (java.util.regex.Pattern.quote(base) +
+      "_g(\\d+)_(fp|bands|mh)").r
+    val byGen = StoreFs.childNames(parent)
+      .collect { case tblRe(g, t) => (g.toLong, t) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val manifest = StoreFs.readManifest(s"${pathPrefix}_manifest")
+    val all = Set("fp", "bands", "mh")
+    manifest match {
+      case None =>
+        if (byGen.nonEmpty)
+          out += Finding(pathPrefix, "manifest", "error",
+            s"generation tables for g${byGen.keys.toSeq.sorted.mkString(", g")} " +
+              "exist but no committed manifest — a first-build crash; " +
+              "rebuild the store")
+        else
+          out += Finding(pathPrefix, "manifest", "info",
+            "no committed store at this prefix")
+      case Some(g) =>
+        val have = byGen.getOrElse(g, Set.empty)
+        if (have != all)
+          out += Finding(pathPrefix, "tables", "error",
+            s"committed generation g$g is missing ${(all -- have).toSeq.sorted
+              .mkString(", ")} — the manifest points at an incomplete " +
+              "generation")
+        else
+          out += Finding(pathPrefix, "manifest", "ok",
+            s"committed generation g$g with fp, bands, mh")
+        val inFlight = byGen.keys.filter(_ > g).toSeq.sorted
+        if (inFlight.nonEmpty)
+          out += Finding(pathPrefix, "generations", "warn",
+            s"uncommitted generation table(s) at g${inFlight.mkString(", g")} " +
+              "above the manifest — an in-flight or crashed writer")
+        val history = byGen.keys.filter(_ < g).toSeq.sorted
+        if (history.nonEmpty)
+          out += Finding(pathPrefix, "generations", "info",
+            s"${history.length} superseded committed generation(s) " +
+              s"(g${history.mkString(", g")}) retained — vacuum-eligible")
+        if (exists(s"${pathPrefix}_tombstones")) {
+          out ++= tombstoneFinding(spark, pathPrefix,
+            s"${pathPrefix}_tombstones", s"${pathPrefix}_g${g}_fp",
+            "TextDedup.compactDedupStore")
+          // legacy distinct-fp layout cannot honor tombstones
+          val fp = spark.read.parquet(s"${pathPrefix}_g${g}_fp")
+          if (!fp.columns.contains("s_id"))
+            out += Finding(pathPrefix, "format", "error",
+              "tombstones present but the fp table is in the legacy " +
+                "distinct-fingerprint layout (no s_id) — deletes cannot be " +
+                "honored; rebuild with writeDedupStoreBucketed")
+        }
+    }
+    out.result()
+  }
+
+  private def render(findings: Seq[Finding]): Unit =
+    findings.foreach { f =>
+      println(f"${f.severity.toUpperCase}%-5s [${f.kind}] ${f.store}: ${f.detail}")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val usage = "usage: StoreDoctor twotier <dir> | nsw <flatDir> <nswDir> " +
+      "| ivf <dir> | dedup <pathPrefix>"
+    require(args.length >= 2, usage)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val findings = args(0) match {
+      case "twotier" => auditTwoTier(spark, args(1))
+      case "nsw" =>
+        require(args.length >= 3, usage)
+        auditNsw(spark, args(1), args(2))
+      case "ivf" => auditIvf(spark, args(1))
+      case "dedup" => auditDedup(spark, args(1))
+      case other => sys.error(s"unknown store family '$other'; $usage")
+    }
+    render(findings)
+    spark.stop()
+    if (findings.exists(_.severity == "error")) sys.exit(1)
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Failpoints, IvfIndex, NswIndex, PqIndex, TextDedup}
+import graft.tools.StoreDoctor
+
+/** [[graft.tools.StoreDoctor]] driven across all four store families,
+  * with crash-injected fixtures ([[graft.operators.Failpoints]]): a
+  * healthy store audits clean, a crashed refresh surfaces its orphan
+  * generation, an interrupted NSW maintenance surfaces its pending
+  * marker (the state serving reads silently ignore), and every error
+  * finding names a remedy that actually clears it. */
+class StoreDoctorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boom = new RuntimeException("injected crash")
+  private def crashAt(point: String): String => Unit =
+    p => if (p == point) throw boom
+
+  private def embeddings = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+
+  private def errors(fs: Seq[StoreDoctor.Finding]) =
+    fs.filter(_.severity == "error")
+  private def kinds(fs: Seq[StoreDoctor.Finding], sev: String) =
+    fs.filter(_.severity == sev).map(_.kind)
+
+  describe("StoreDoctor: two-tier store") {
+    it("audits a healthy store clean, flags a crashed refresh's orphan generation and tombstone weight") {
+      val e = embeddings.localCheckpoint()
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true).localCheckpoint()
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 16, iterations = 1)
+      val codes = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val full = indexed.select($"cluster", $"id", $"v")
+      val dir = java.nio.file.Files.createTempDirectory("graft-doc-tt").toString
+      PqIndex.saveTwoTier(cent, cb, codes, full, dir)
+      val healthy = StoreDoctor.auditTwoTier(spark, dir)
+      errors(healthy) shouldBe empty
+      kinds(healthy, "ok") should contain("manifest")
+      // crash-injected orphan: a refresh dies after the codes table,
+      // leaving g2 on disk above the g1 manifest
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("twotier:after-codes")) {
+          PqIndex.saveTwoTier(cent, cb, codes, full, dir)
+        }
+      } shouldBe boom
+      val crashed = StoreDoctor.auditTwoTier(spark, dir)
+      errors(crashed) shouldBe empty // readers still resolve g1 cleanly
+      kinds(crashed, "warn") should contain("generations")
+      crashed.find(_.kind == "generations").get.detail should include("g2")
+      // heavy tombstone weight recommends compaction; compacting clears it
+      PqIndex.deleteFromTwoTier(spark, dir,
+        e.filter($"id" % 3 === 0).select($"id"))
+      kinds(StoreDoctor.auditTwoTier(spark, dir), "warn") should
+        contain("tombstones")
+      PqIndex.compactTwoTier(spark, dir)
+      StoreDoctor.auditTwoTier(spark, dir)
+        .filter(_.kind == "tombstones") shouldBe empty
+      // tuning provenance: tuned store is ok; a store missing its
+      // persisted sample (pre-sample-tuner layout) is flagged
+      val queries = e.filter($"id" < 5).select($"id".as("q_id"), $"v".as("qv"))
+      PqIndex.tuneTwoTierNProbe(spark, dir, queries, k = 5, rerank = 10,
+        nProbes = Seq(1, 2), recallFloor = 1e-9, m = 4, subDim = 16): Unit
+      kinds(StoreDoctor.auditTwoTier(spark, dir), "ok") should
+        contain("tuning")
+      graft.sources.StoreFs.deleteChild(dir, "tuning_sample")
+      val noSample = StoreDoctor.auditTwoTier(spark, dir)
+      kinds(noSample, "warn") should contain("tuning")
+      noSample.find(_.kind == "tuning").get.detail should
+        include("tuning_sample")
+    }
+  }
+
+  describe("StoreDoctor: NSW store") {
+    it("flags an interrupted maintenance's pending marker and a flat-vs-graph divergence; repair clears both") {
+      val e = embeddings.localCheckpoint()
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true).localCheckpoint()
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val flat = java.nio.file.Files.createTempDirectory("graft-doc-nf").toString
+      val nsw = java.nio.file.Files.createTempDirectory("graft-doc-ng").toString
+      IvfIndex.save(cent, indexed, flat)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 4),
+        NswIndex.entryPoints(indexed, cent), nsw)
+      val healthy = StoreDoctor.auditNsw(spark, flat, nsw)
+      errors(healthy) shouldBe empty
+      kinds(healthy, "ok") should contain("pending-maintenance")
+      kinds(healthy, "ok") should contain("flat-vs-graph")
+      // crash-inject an interrupted delete AFTER the flat rewrite: the
+      // pending marker is on disk, the graph still cites deleted ids —
+      // exactly the state serving reads do not auto-repair
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("nswmaint:after-flat-rewrite")) {
+          NswIndex.deleteFromNsw(spark, flat, nsw,
+            e.filter($"id" % 5 === 0).select($"id"), degree = 4)
+        }
+      } shouldBe boom
+      val pending = StoreDoctor.auditNsw(spark, flat, nsw)
+      val err = errors(pending)
+      err.map(_.kind) should contain("pending-maintenance")
+      err.find(_.kind == "pending-maintenance").get.detail should
+        include("repairNsw")
+      // the named remedy clears the finding
+      NswIndex.repairNsw(spark, flat, nsw, degree = 4) should be > 0
+      errors(StoreDoctor.auditNsw(spark, flat, nsw)) shouldBe empty
+      // flat∖graph divergence (the mid-split crash shape): a graph
+      // committed from only one cell's rows while the flat store has two
+      NswIndex.saveNsw(
+        NswIndex.fitGraph(indexed.filter($"cluster" === 0), degree = 4),
+        NswIndex.entryPoints(indexed.filter($"cluster" === 0), cent), nsw)
+      val diverged = StoreDoctor.auditNsw(spark, flat, nsw)
+      errors(diverged).map(_.kind) should contain("flat-vs-graph")
+    }
+  }
+
+  describe("StoreDoctor: dedup store") {
+    it("audits healthy, first-build-crash and crashed-refresh states") {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .limit(60).select($"doc_id", $"text")
+      def build(name: String, path: String): Unit =
+        TextDedup.writeDedupStoreBucketed(docs, "doc_id", "text",
+          shingleN = 5, k = 8, rowsPerBand = 2,
+          namePrefix = name, pathPrefix = path, buckets = 4)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-doc-dd").toString + "/store"
+      build("sdoc_dd", path)
+      val healthy = StoreDoctor.auditDedup(spark, path)
+      errors(healthy) shouldBe empty
+      kinds(healthy, "ok") should contain("manifest")
+      // crashed refresh: orphan g2 tables above the g1 manifest
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("dedupstore:after-bands")) {
+          build("sdoc_dd", path)
+        }
+      } shouldBe boom
+      val crashed = StoreDoctor.auditDedup(spark, path)
+      errors(crashed) shouldBe empty
+      kinds(crashed, "warn") should contain("generations")
+      // tombstones are reported against live fp rows
+      TextDedup.deleteFromDedupStore(spark, path,
+        docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
+      StoreDoctor.auditDedup(spark, path)
+        .filter(_.kind == "tombstones") should not be empty
+      // first-build crash: tables on disk, no manifest — an error state
+      val path2 = java.nio.file.Files
+        .createTempDirectory("graft-doc-dd2").toString + "/store"
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("dedupstore:after-fp")) {
+          build("sdoc_dd2", path2)
+        }
+      } shouldBe boom
+      errors(StoreDoctor.auditDedup(spark, path2))
+        .map(_.kind) should contain("manifest")
+    }
+  }
+
+  describe("StoreDoctor: flat IVF store") {
+    it("audits the layout and flags a tuning table without its sample") {
+      val e = embeddings.localCheckpoint()
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true).localCheckpoint()
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val dir = java.nio.file.Files.createTempDirectory("graft-doc-ivf").toString
+      IvfIndex.save(cent, indexed, dir)
+      val healthy = StoreDoctor.auditIvf(spark, dir)
+      errors(healthy) shouldBe empty
+      kinds(healthy, "ok") should contain("layout")
+      val queries = e.filter($"id" < 5).select($"id".as("q_id"), $"v".as("qv"))
+      IvfIndex.tuneNProbe(spark, dir, queries, k = 5, nProbes = Seq(1, 2),
+        recallFloor = 1e-9): Unit
+      kinds(StoreDoctor.auditIvf(spark, dir), "ok") should contain("tuning")
+      graft.sources.StoreFs.deleteChild(dir, "tuning_sample")
+      kinds(StoreDoctor.auditIvf(spark, dir), "warn") should contain("tuning")
+    }
+  }
+}

@@ -17,7 +17,7 @@ import graft.sources.StoreFs
   * two-tier codebook-drift baseline. Never mutates anything: every
   * finding names the remedy verb instead of running it.
   *
-  * Four store families:
+  * Five store families:
   *  - `twotier <dir>` — [[graft.operators.PqIndex.saveTwoTier]]
   *    (`manifest`, `g<n>/{centroids,codebooks,codes,full}`,
   *    `tombstones`, tuning tables, `codebook_fit`);
@@ -30,7 +30,11 @@ import graft.sources.StoreFs
   *  - `dedup <pathPrefix>` — [[graft.operators.TextDedup
   *    .writeDedupStoreBucketed]] (prefix layout:
   *    `<prefix>_manifest`, `<prefix>_g<n>_{fp,bands,mh}`,
-  *    `<prefix>_tombstones`, legacy-fp format guard).
+  *    `<prefix>_tombstones`, legacy-fp format guard);
+  *  - `aggstore <dir>` — [[graft.streaming.EventStreams
+  *    .materializedAggStore]] (marker-committed `batch_id=<n>`
+  *    generations: torn unmarked dirs, markers with missing data,
+  *    vacuum-eligible history).
   *
   * CLI: `sbt "runMain graft.tools.StoreDoctor <family> <path...>"` —
   * prints one line per finding, exit 1 iff any `error` finding.
@@ -300,6 +304,62 @@ object StoreDoctor {
     out.result()
   }
 
+  /** Audit a [[graft.streaming.EventStreams.materializedAggStore]]
+    * store: every committed marker must have its data dir (a marker
+    * without data is real corruption — vacuum deletes markers FIRST,
+    * so no crash window produces it), unmarked data dirs below the
+    * committed watermark are torn crash debris the vacuum sweeps, and
+    * an unmarked dir at/above the watermark is an in-flight writer. */
+  def auditAggStore(spark: SparkSession, dir: String): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    val names = StoreFs.childNames(dir)
+    val markerRe = "\\.gen_(\\d+)_committed".r
+    val dataRe = "batch_id=(\\d+)".r
+    val committed = names.collect { case markerRe(id) => id.toLong }.sorted
+    val dataDirs = names.collect { case dataRe(id) => id.toLong }.toSet
+    if (committed.isEmpty && dataDirs.isEmpty) {
+      out += Finding(dir, "generations", "info",
+        "no committed store at this path")
+      return out.result()
+    }
+    if (committed.isEmpty)
+      out += Finding(dir, "generations", "error",
+        s"data dir(s) batch_id=${dataDirs.toSeq.sorted.mkString(", batch_id=")} " +
+          "but no commit marker — a first-batch crash; the stream's replay " +
+          "rewrites them (readers correctly see no committed generation)")
+    else {
+      val newest = committed.last
+      val missingData = committed.filterNot(dataDirs)
+      if (missingData.nonEmpty)
+        out += Finding(dir, "generations", "error",
+          s"commit marker(s) for batch ${missingData.mkString(", ")} have no " +
+            "data dir — markers are deleted before data on every legitimate " +
+            "path, so this is real corruption; restore the data or delete " +
+            "the marker(s)")
+      else
+        out += Finding(dir, "generations", "ok",
+          s"${committed.length} committed generation(s), newest batch_id=" +
+            s"$newest, every marker backed by data")
+      val torn = (dataDirs -- committed.toSet).filter(_ < newest).toSeq.sorted
+      if (torn.nonEmpty)
+        out += Finding(dir, "torn-writes", "warn",
+          s"unmarked data dir(s) batch_id=${torn.mkString(", batch_id=")} " +
+            "below the committed watermark — crash debris; " +
+            "vacuumGenerations sweeps them")
+      val inFlight = (dataDirs -- committed.toSet).filter(_ >= newest).toSeq.sorted
+      if (inFlight.nonEmpty)
+        out += Finding(dir, "generations", "warn",
+          s"unmarked data dir(s) batch_id=${inFlight.mkString(", batch_id=")} " +
+            "at/above the watermark — an in-flight or crashed batch; its " +
+            "replay rewrites the dir and commits the marker")
+      if (committed.length > 1)
+        out += Finding(dir, "generations", "info",
+          s"${committed.length - 1} superseded committed generation(s) " +
+            "retained — vacuum-eligible")
+    }
+    out.result()
+  }
+
   private def render(findings: Seq[Finding]): Unit =
     findings.foreach { f =>
       println(f"${f.severity.toUpperCase}%-5s [${f.kind}] ${f.store}: ${f.detail}")
@@ -307,7 +367,7 @@ object StoreDoctor {
 
   def main(args: Array[String]): Unit = {
     val usage = "usage: StoreDoctor twotier <dir> | nsw <flatDir> <nswDir> " +
-      "| ivf <dir> | dedup <pathPrefix>"
+      "| ivf <dir> | dedup <pathPrefix> | aggstore <dir>"
     require(args.length >= 2, usage)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -323,6 +383,7 @@ object StoreDoctor {
         auditNsw(spark, args(1), args(2))
       case "ivf" => auditIvf(spark, args(1))
       case "dedup" => auditDedup(spark, args(1))
+      case "aggstore" => auditAggStore(spark, args(1))
       case other => sys.error(s"unknown store family '$other'; $usage")
     }
     render(findings)

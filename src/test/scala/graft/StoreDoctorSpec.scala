@@ -158,6 +158,37 @@ class StoreDoctorSpec extends SparkSpec {
     }
   }
 
+  describe("StoreDoctor: streaming materialized-agg store") {
+    it("distinguishes healthy, torn-debris, in-flight and corrupted-marker generations") {
+      // the audit is pure layout inspection (marker/data dir names),
+      // so the fixture builds the layout directly
+      val dir = java.nio.file.Files.createTempDirectory("graft-doc-agg").toString
+      def mkData(id: Long): Unit =
+        new java.io.File(s"$dir/batch_id=$id").mkdirs()
+      def mark(id: Long): Unit =
+        graft.sources.StoreFs.touchMarker(dir, s".gen_${id}_committed")
+      StoreDoctor.auditAggStore(spark, dir)
+        .map(_.severity) shouldBe Seq("info")
+      // healthy: two committed generations, newest = 2
+      mkData(0); mark(0); mkData(2); mark(2)
+      val healthy = StoreDoctor.auditAggStore(spark, dir)
+      errors(healthy) shouldBe empty
+      healthy.find(_.severity == "ok").get.detail should include("batch_id=2")
+      // torn debris below the watermark + an in-flight dir above it
+      mkData(1); mkData(3)
+      val mixed = StoreDoctor.auditAggStore(spark, dir)
+      errors(mixed) shouldBe empty
+      kinds(mixed, "warn") should contain allOf ("torn-writes", "generations")
+      mixed.find(_.kind == "torn-writes").get.detail should
+        include("batch_id=1")
+      // a marker with no data dir is real corruption
+      mark(5)
+      val corrupt = StoreDoctor.auditAggStore(spark, dir)
+      errors(corrupt).map(_.kind) should contain("generations")
+      errors(corrupt).head.detail should include("5")
+    }
+  }
+
   describe("StoreDoctor: flat IVF store") {
     it("audits the layout and flags a tuning table without its sample") {
       val e = embeddings.localCheckpoint()

@@ -252,6 +252,24 @@ object PqIndex {
     * [[IvfIndex.tuneNProbe]]-style recall checks, refit when recall
     * decays. Same exclusive-access contract as
     * [[IvfIndex.appendToIndex]]. Returns the delta's assignments. */
+  /** [[appendToTwoTier]] + the staleness loop
+    * ([[graft.operators.NswIndex.appendToNswRefreshing]]'s contract on
+    * the PQ tier): after the append lands, re-check the persisted
+    * operating point AND the codebook fit against the appended corpus
+    * ([[refreshTwoTierTuning]] — re-tunes below the recall floor,
+    * flags a refit recommendation past the quantization-error drift
+    * ratio). A store with no tuning table appends without a check.
+    * Returns the delta's assignments (the [[appendToTwoTier]]
+    * contract). */
+  def appendToTwoTierRefreshing(spark: SparkSession, delta: DataFrame,
+                                dir: String, m: Int, subDim: Int,
+                                residual: Boolean = false): DataFrame = {
+    val assigned = appendToTwoTier(spark, delta, dir, m, subDim, residual)
+    val (fs, p) = graft.sources.StoreFs.of(s"$dir/tuning")
+    if (fs.exists(p)) refreshTwoTierTuning(spark, dir): Unit
+    assigned
+  }
+
   def appendToTwoTier(spark: SparkSession, delta: DataFrame, dir: String,
                       m: Int, subDim: Int,
                       residual: Boolean = false): DataFrame = {

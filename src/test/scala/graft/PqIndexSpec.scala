@@ -262,6 +262,45 @@ class PqIndexSpec extends SparkSpec {
       ex.getMessage should include("tuning_sample")
     }
 
+    it("appendToTwoTierRefreshing re-checks the operating point and codebook fit after the append") {
+      val e = corpus.localCheckpoint()
+      val base = e.filter($"id" % 10 < 9)
+      val delta = e.filter($"id" % 10 === 9)
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, base, k = 4,
+        iterations = 1, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(base, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(spark, base, m = 4, ks = 16, iterations = 1)
+      val codesIdx = PqIndex.encode(base, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-apr").toString
+      PqIndex.saveTwoTier(cent, cb, codesIdx,
+        indexed.select($"cluster", $"id", $"v"), dir)
+      // no tuning table yet: the refreshing face appends without a check
+      PqIndex.appendToTwoTierRefreshing(spark, delta, dir,
+        m = 4, subDim = 16): Unit
+      graft.sources.StoreFs
+        .childNames(dir) should not contain "tuning_check"
+      PqIndex.compactTwoTier(spark, dir) // no-op (no tombstones); keep state
+      val queries = base.filter($"id" < 10)
+        .select($"id".as("q_id"), $"v".as("qv"))
+      PqIndex.tuneTwoTierNProbe(spark, dir, queries, k = 5, rerank = 40,
+        nProbes = Seq(1, 2, 4), recallFloor = 1e-9, m = 4, subDim = 16): Unit
+      // tuned store: the next refreshing append leaves a check-audit row
+      val more = e.select(($"id" + 200000).as("id"),
+        transform($"v", x => x + lit(0.05)).as("v"))
+      PqIndex.appendToTwoTierRefreshing(spark, more, dir,
+        m = 4, subDim = 16): Unit
+      val checks = spark.read.parquet(s"$dir/tuning_check")
+      checks.count() shouldBe 1L
+      // the audit row carries both drift surfaces: recall at the
+      // stored point AND quantization error vs the fit baseline
+      val row = checks.head()
+      row.getAs[Double]("mean_qerr") should be > 0.0
+      row.getAs[Double]("fit_qerr") should be > 0.0
+      PqIndex.loadTunedTwoTier(spark, dir)._1 should be >= 1
+    }
+
     it("rejects dimensions not divisible by m") {
       val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
       an[IllegalArgumentException] should be thrownBy

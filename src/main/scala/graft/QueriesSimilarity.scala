@@ -2202,6 +2202,156 @@ object QueriesSimilarity {
        |ORDER BY phase, n_probe""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q204
+  /** Two-tier codebook REFIT ([[graft.operators.PqIndex
+    * .refitTwoTier]]) — the automated remedy q203's refit
+    * recommendation names, closing the drift loop end-to-end:
+    * detect (q203) → recommend → REFIT. The gate: build + tune on the
+    * base corpus, append the drifting delta (q199's shifted twins —
+    * the state whose quantization error q203 proves exceeds the
+    * baseline), then refit: NEW codebooks fitted over the live union
+    * (coarse centroids unchanged — they are the cell layout), every
+    * row re-encoded, a new generation committed, the drift baseline
+    * RESET to the fresh fit, and the width re-tuned at the persisted
+    * provenance over the persisted held-out sample. After the refit
+    * the store must equal a DIRECT build over the union with a fresh
+    * codebook fit — so the oracle needs NO trace of the pre-refit
+    * codebooks: it replays the union fit (seeds from the union's
+    * first ids), the full tuning grid under the new codebooks, the
+    * choice rule, and the new ordered-fold error baseline. Output =
+    * post-refit tuning table ∪ baseline row on one hash. */
+  val q204TwoTierRefit: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{IvfIndex, PqIndex}
+    // the q199/q203 session-cache contract: cold passes price the full
+    // build/tune/append/refit lifecycle, steady reads the post-refit
+    // store a deployment serves from
+    val p = twoTierRefitCache.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex
+        .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(s, e, m = 4, ks = 16, iterations = 1)
+      val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val store = s"/root/repo/target/tmp/graft_ttrefit_$stem"
+      rmTree(new java.io.File(store))
+      PqIndex.saveTwoTier(cent, cb, codesIdx,
+        indexed.select($"cluster", $"id", $"v"), store)
+      val baseQ = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      PqIndex.tuneTwoTierNProbe(s, store, baseQ, k = 5, rerank = q203Rerank,
+        nProbes = q203Widths, recallFloor = q203Floor,
+        m = 4, subDim = 16): Unit
+      val delta = e.select(($"id" + 100000).as("id"),
+        transform($"v", x => x + lit(0.1)).as("v"))
+      PqIndex.appendToTwoTier(s, delta, store, m = 4, subDim = 16): Unit
+      PqIndex.refitTwoTier(s, store, m = 4, subDim = 16, ks = 16,
+        iterations = 1)
+      store
+    })
+    val fin = s.read.parquet(s"$p/tuning")
+      .select(lit("refit_tuning").as("phase"), $"n_probe", $"avg_recall",
+        $"min_recall", lit(null).cast("double").as("mean_qerr"),
+        lit(null).cast("long").as("n_rows"), $"chosen".as("flag"))
+    val baseline = s.read.parquet(s"$p/codebook_fit")
+      .select(lit("refit_baseline").as("phase"),
+        lit(null).cast("int").as("n_probe"),
+        lit(null).cast("double").as("avg_recall"),
+        lit(null).cast("double").as("min_recall"),
+        $"mean_qerr", $"n_rows", lit(false).as("flag"))
+    fin.unionByName(baseline).orderBy($"phase", $"n_probe")
+  }
+
+  /** q204 oracle: the union-state machinery of q203 with the codebook
+    * fit ITSELF over the union (refit ≡ direct build with a fresh
+    * fit — the pre-refit codebooks leave no trace): union fit+encode,
+    * the tuning grid under the new codebooks over the persisted base
+    * sample, the choice rule, and the reset ordered-fold baseline. */
+  val q204Sql: String = {
+    val floor = q203Floor.toString
+    val parts = q203Widths.map { np =>
+      val p = s"rw${np}_"
+      val chain = adcTopKCtes(p, "idx2", "qs", "pq_dtab", np, q203Rerank)
+      val hit =
+        s"""${p}hit AS (
+           |  SELECT q.q_id, count(t.n_id) AS n_hit
+           |  FROM qs q LEFT JOIN (
+           |    SELECT tt.q_id, tt.n_id FROM ${p}top tt
+           |    JOIN rtruth tr ON tr.q_id = tt.q_id AND tr.n_id = tt.n_id) t
+           |    ON t.q_id = q.q_id
+           |  GROUP BY q.q_id)""".stripMargin
+      val row =
+        s"""SELECT CAST($np AS INT) AS n_probe,
+           |       round(avg(n_hit / 5.0), 4) AS avg_recall,
+           |       round(min(n_hit / 5.0), 4) AS min_recall
+           |FROM ${p}hit""".stripMargin
+      (s"$chain,\n$hit", row)
+    }
+    val chains = parts.map(_._1).mkString(",\n")
+    val rows = parts.map(_._2).mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |delta AS (SELECT id + 100000 AS id, list_transform(v, x -> x + 0.1) AS v FROM e),
+       |u AS MATERIALIZED (SELECT * FROM e UNION ALL SELECT * FROM delta),
+       |${pqCodebookSql("u")},
+       |${pqDtabSqlFor("", "qs")},
+       |${lloydIdxSql("e", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster, ${nswCos("delta.v", "c.centroid")} AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |idx2 AS MATERIALIZED (
+       |  SELECT id, v, cluster FROM idx UNION ALL SELECT id, v, cluster FROM didx),
+       |rtruth AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, i.id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${l2SqSql("q.qv", "i.v")} ASC, i.id ASC) AS rank
+       |    FROM qs q CROSS JOIN idx2 i)
+       |  WHERE rank <= 5),
+       |$chains,
+       |rrec AS MATERIALIZED (
+       |$rows),
+       |rpick AS (
+       |  SELECT n_probe FROM rrec
+       |  ORDER BY (CASE WHEN avg_recall >= $floor THEN 0 ELSE 1 END),
+       |           (CASE WHEN avg_recall >= $floor THEN n_probe
+       |                 ELSE -n_probe END)
+       |  LIMIT 1),
+       |qe_min AS (SELECT id, sub, min(d2) AS d2 FROM pq_s1 GROUP BY id, sub),
+       |qe_row AS MATERIALIZED (
+       |  SELECT id, list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)), (a, b) -> a + b) AS qe
+       |  FROM qe_min GROUP BY id),
+       |q_cell AS (
+       |  SELECT i.cluster,
+       |         list_reduce(list_prepend(0.0, list(r.qe ORDER BY r.id)), (a, b) -> a + b) AS s,
+       |         count(*) AS n
+       |  FROM qe_row r JOIN idx2 i ON i.id = r.id
+       |  GROUP BY i.cluster),
+       |qfit AS (
+       |  SELECT round(list_reduce(list_prepend(0.0, list(s ORDER BY cluster)), (a, b) -> a + b)
+       |           / sum(n), 4) AS mean_qerr,
+       |         CAST(sum(n) AS BIGINT) AS n_rows
+       |  FROM q_cell)
+       |SELECT phase, n_probe, avg_recall, min_recall, mean_qerr, n_rows, flag FROM (
+       |  SELECT 'refit_tuning' AS phase, r.n_probe, r.avg_recall, r.min_recall,
+       |         CAST(NULL AS DOUBLE) AS mean_qerr, CAST(NULL AS BIGINT) AS n_rows,
+       |         (r.n_probe = p.n_probe) AS flag
+       |  FROM rrec r CROSS JOIN rpick p
+       |  UNION ALL
+       |  SELECT 'refit_baseline', CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+       |         CAST(NULL AS DOUBLE), q.mean_qerr, q.n_rows, FALSE
+       |  FROM qfit q)
+       |ORDER BY phase, n_probe""".stripMargin
+  }
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -2213,6 +2363,8 @@ object QueriesSimilarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val twoTierRetuneCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val twoTierRefitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drop (and delete) the session-owned index stores — [[Bench]] calls
     * this before each COLD pass so cold numbers carry the fit + save
@@ -2221,7 +2373,7 @@ object QueriesSimilarity {
   private[graft] def clearSessionCaches(): Unit = {
     import scala.jdk.CollectionConverters._
     (twoTierStoreCache.values.asScala ++ twoTierAppendCache.values.asScala ++
-        twoTierRetuneCache.values.asScala)
+        twoTierRetuneCache.values.asScala ++ twoTierRefitCache.values.asScala)
       .foreach(p => rmTree(new java.io.File(p)))
     // the retune fixture owns a flat/nsw dir PAIR; the cache holds the
     // nsw path, the flat sibling differs only in the stem tag
@@ -2234,6 +2386,7 @@ object QueriesSimilarity {
     twoTierAppendCache.clear()
     nswRetuneCache.clear()
     twoTierRetuneCache.clear()
+    twoTierRefitCache.clear()
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
@@ -2268,5 +2421,6 @@ object QueriesSimilarity {
     ("q197_adc_filtered", q197AdcFiltered, Some(q197Sql)),
     ("q199_nsw_retune", q199NswRetune, Some(q199Sql)),
     ("q203_twotier_retune", q203TwoTierRetune, Some(q203Sql)),
+    ("q204_twotier_refit", q204TwoTierRefit, Some(q204Sql)),
   )
 }

@@ -653,6 +653,65 @@ object PqIndex {
       m, subDim, residual), true, refit)
   }
 
+  /** REFIT the two-tier store's codebooks — the automated remedy
+    * [[refreshTwoTierTuning]]'s refit recommendation names: fit NEW
+    * per-subspace codebooks over the store's CURRENT live rows
+    * (coarse centroids unchanged — they are the cell layout;
+    * re-fitting them is [[IvfIndex.splitOversizedCells]]'s job),
+    * re-encode every live row, commit both tiers as a new generation,
+    * fold any tombstones in (the new generation is built from live
+    * rows only, exactly [[compactTwoTier]]'s semantics), RESET the
+    * `codebook_fit` drift baseline (the baseline belongs to the fit —
+    * this is the one verb that moves it), and re-tune the probe width
+    * at the persisted provenance over the persisted held-out sample
+    * (or `sampleQueries`). After a refit,
+    * `store ≡ build(live rows, same centroids, fresh codebook fit)`
+    * EXACTLY — q204 gates it on a direct-build oracle. `ks` and
+    * `iterations` are the codebook fit parameters (not persisted
+    * provenance — the caller owns the fit budget). Cost: one codebook
+    * fit + one encode pass over the live corpus + the tune grid —
+    * the full-rebuild price the recommendation flag exists to defer
+    * until drift warrants it. */
+  def refitTwoTier(spark: SparkSession, dir: String, m: Int, subDim: Int,
+                   ks: Int, iterations: Int, residual: Boolean = false,
+                   retainGenerations: Int = 1,
+                   sampleQueries: Option[DataFrame] = None): Unit = {
+    val (cent, _, _, full) = loadTwoTier(spark, dir) // live rows only
+    val fullM = full.select(col("cluster"), col("id"), col("v"))
+      .localCheckpoint() // materialize before the generation swap
+    val centM = cent.localCheckpoint()
+    val src =
+      if (residual) residuals(fullM.select(col("id"), col("v"),
+        col("cluster")), centM).select(col("id"), col("v"))
+      else fullM.select(col("id"), col("v"))
+    val cb2 = fitCodebooks(spark, src, m, ks, iterations)
+    val codes2 = encode(src, cb2, m, subDim)
+      .join(fullM.select(col("id"), col("cluster")), Seq("id"))
+      .select(col("cluster"), col("id"), col("codes"))
+    saveTwoTier(centM, cb2, codes2, fullM, dir, retainGenerations)
+    // the new generation holds live rows only: tombstones are folded
+    graft.sources.StoreFs.deleteChild(dir, "tombstones")
+    val (fs, tp) = graft.sources.StoreFs.of(s"$dir/tuning")
+    if (fs.exists(tp)) {
+      val tuning = spark.read.parquet(s"$dir/tuning")
+      val (_, k, rerank, pm, psd, pres, floor) = loadTunedTwoTier(spark, dir)
+      require(pm == m && psd == subDim && pres == residual,
+        s"refitTwoTier called with (m=$m, subDim=$subDim, residual=$residual) " +
+          s"but the persisted tuning was measured at (m=$pm, subDim=$psd, " +
+          s"residual=$pres) — refit with the store's own shape")
+      val widths = tuning.select(col("n_probe"))
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val queries = sampleQueries
+        .getOrElse(spark.read.parquet(s"$dir/tuning_sample"))
+        .localCheckpoint()
+      tuneTwoTierNProbe(spark, dir, queries, k, rerank, widths, floor,
+        m, subDim, residual, resetQerrBaseline = true): Unit
+    } else
+      // untuned store: still reset the drift baseline to the new fit
+      meanQuantError(spark, fullM, centM, cb2, m, subDim, residual)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook_fit")
+  }
+
   /** ADC top-k: queries `(q_id, qv)` against the encoded corpus
     * `(id, codes)`. Builds the per-query `m × ks` distance table
     * (metadata-sized: |queries|·m·ks rows collapse to one row per

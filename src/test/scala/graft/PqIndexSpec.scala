@@ -301,6 +301,56 @@ class PqIndexSpec extends SparkSpec {
       PqIndex.loadTunedTwoTier(spark, dir)._1 should be >= 1
     }
 
+    it("refitTwoTier folds tombstones, resets the drift baseline, and clears the refit recommendation") {
+      val e = corpus.localCheckpoint()
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, e, k = 8,
+        iterations = 1, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 16, iterations = 1)
+      val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-refit").toString
+      PqIndex.saveTwoTier(cent, cb, codesIdx,
+        indexed.select($"cluster", $"id", $"v"), dir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      PqIndex.tuneTwoTierNProbe(spark, dir, queries, k = 5, rerank = 40,
+        nProbes = Seq(1, 2, 4), recallFloor = 0.8, m = 4, subDim = 16): Unit
+      // drift the store: shifted twins appended, some base rows deleted
+      val delta = e.select(($"id" + 100000).as("id"),
+        transform($"v", x => x + lit(0.1)).as("v"))
+      PqIndex.appendToTwoTier(spark, delta, dir, m = 4, subDim = 16): Unit
+      PqIndex.deleteFromTwoTier(spark, dir,
+        e.filter($"id" % 7 === 0).select($"id"))
+      val (_, _, refitRec) =
+        PqIndex.refreshTwoTierTuning(spark, dir,
+          Some(delta.filter($"id" < 100010)
+            .select($"id".as("q_id"), $"v".as("qv"))))
+      refitRec shouldBe true // the drifted store earns the recommendation
+      val preQerr = spark.read.parquet(s"$dir/tuning_check")
+        .orderBy($"mean_qerr".desc).select($"mean_qerr").head().getDouble(0)
+      // THE REMEDY
+      PqIndex.refitTwoTier(spark, dir, m = 4, subDim = 16, ks = 16,
+        iterations = 1)
+      // tombstones folded: the new generation holds live rows only
+      graft.sources.StoreFs.childNames(dir) should not contain "tombstones"
+      val (_, _, _, full2) = PqIndex.loadTwoTier(spark, dir)
+      full2.filter($"id" % 7 === 0 && $"id" < 100000).count() shouldBe 0
+      // baseline reset to the FRESH fit, strictly better than the
+      // drifted pre-refit error over the same live rows
+      val newBaseline = spark.read.parquet(s"$dir/codebook_fit")
+        .select($"mean_qerr").head().getDouble(0)
+      newBaseline should be < preQerr
+      // and the recommendation clears: live error == baseline now
+      val (_, _, refitRec2) = PqIndex.refreshTwoTierTuning(spark, dir)
+      refitRec2 shouldBe false
+      // provenance guard: a refit at the wrong shape must refuse
+      val ex = the[IllegalArgumentException] thrownBy
+        PqIndex.refitTwoTier(spark, dir, m = 2, subDim = 32, ks = 16,
+          iterations = 1)
+      ex.getMessage should include("persisted tuning")
+    }
+
     it("rejects dimensions not divisible by m") {
       val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
       an[IllegalArgumentException] should be thrownBy

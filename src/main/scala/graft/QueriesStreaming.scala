@@ -1135,6 +1135,9 @@ object QueriesStreaming {
             val applied = graft.sources.StoreFs.childNames(b).contains(marker)
             val delta = batch.toDF().select(col("vec_id").as("id"),
               col("embedding").cast("array<double>").as("v"))
+            // empty-delta guard is CORRECT here (unlike q201/q202, which
+            // hoist a takedown outside it): q187 has no interleaved
+            // delete, so an empty batch has genuinely nothing to do
             if (!applied && !delta.isEmpty) {
               val (cent2, prevRaw) = IvfIndex.load(s, flatDir)
               // pin the pre-batch snapshot before this batch appends

@@ -40,7 +40,15 @@ object Verify {
           case _ => Map.empty
         }
       } else Map.empty
-    val merged = existing ++ SparkEntry.oracleSql.filter(q => selected(q._1))
+    // Drop merged-in keys no longer in the catalog: check_oracle_big.py
+    // replays every dump entry, so a retired/renamed query's stale SQL
+    // would keep being certified against its stale parquet forever.
+    val stale = existing.keySet -- SparkEntry.oracleSql.keySet
+    if (stale.nonEmpty) System.err.println(
+      s"[verify] dropping ${stale.size} stale oracle entries not in the " +
+        s"current catalog: ${stale.toSeq.sorted.mkString(", ")}")
+    val merged = (existing -- stale) ++
+      SparkEntry.oracleSql.filter(q => selected(q._1))
     val json = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${JsonEscape.str(k)}: ${JsonEscape.str(v)}" }
       .mkString("{", ",", "}")

@@ -264,9 +264,22 @@ object PqIndex {
   def appendToTwoTierRefreshing(spark: SparkSession, delta: DataFrame,
                                 dir: String, m: Int, subDim: Int,
                                 residual: Boolean = false): DataFrame = {
-    val assigned = appendToTwoTier(spark, delta, dir, m, subDim, residual)
     val (fs, p) = graft.sources.StoreFs.of(s"$dir/tuning")
-    if (fs.exists(p)) refreshTwoTierTuning(spark, dir): Unit
+    val tuned = fs.exists(p)
+    // Guard BEFORE the append: appendToTwoTier is append-mode and NOT
+    // idempotent, so the refresh's pre-sample-persisting failure must
+    // fire while the store is untouched — a caller retrying a
+    // post-append failure would double-append the delta rows.
+    if (tuned) {
+      val (sfs, sp) = graft.sources.StoreFs.of(s"$dir/tuning_sample")
+      require(sfs.exists(sp),
+        s"$dir has a tuning table but no tuning_sample: it was tuned " +
+          "before tuneTwoTierNProbe persisted its held-out sample. Re-run " +
+          "tuneTwoTierNProbe first, or appendToTwoTier + " +
+          "refreshTwoTierTuning with explicit sampleQueries.")
+    }
+    val assigned = appendToTwoTier(spark, delta, dir, m, subDim, residual)
+    if (tuned) refreshTwoTierTuning(spark, dir): Unit
     assigned
   }
 
@@ -676,6 +689,34 @@ object PqIndex {
                    ks: Int, iterations: Int, residual: Boolean = false,
                    retainGenerations: Int = 1,
                    sampleQueries: Option[DataFrame] = None): Unit = {
+    // ALL validation runs BEFORE the first mutation: a wrong-shape call
+    // (or a pre-sample-persisting store) must refuse while the store is
+    // still intact — a post-saveTwoTier failure would leave codes at the
+    // new shape under a tuning table measured at the old one.
+    val (fs, tp) = graft.sources.StoreFs.of(s"$dir/tuning")
+    val preTune: Option[(DataFrame, Int, Int, Seq[Int], Double)] =
+      if (!fs.exists(tp)) None
+      else {
+        val tuning = spark.read.parquet(s"$dir/tuning")
+        val (_, k, rerank, pm, psd, pres, floor) = loadTunedTwoTier(spark, dir)
+        require(pm == m && psd == subDim && pres == residual,
+          s"refitTwoTier called with (m=$m, subDim=$subDim, residual=$residual) " +
+            s"but the persisted tuning was measured at (m=$pm, subDim=$psd, " +
+            s"residual=$pres) — refit with the store's own shape")
+        if (sampleQueries.isEmpty) {
+          val (sfs, sp) = graft.sources.StoreFs.of(s"$dir/tuning_sample")
+          require(sfs.exists(sp),
+            s"$dir has a tuning table but no tuning_sample: it was tuned " +
+              "before tuneTwoTierNProbe persisted its held-out sample. Re-run " +
+              "tuneTwoTierNProbe or pass sampleQueries explicitly.")
+        }
+        val widths = tuning.select(col("n_probe"))
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val queries = sampleQueries
+          .getOrElse(spark.read.parquet(s"$dir/tuning_sample"))
+          .localCheckpoint()
+        Some((queries, k, rerank, widths, floor))
+      }
     val (cent, _, _, full) = loadTwoTier(spark, dir) // live rows only
     val fullM = full.select(col("cluster"), col("id"), col("v"))
       .localCheckpoint() // materialize before the generation swap
@@ -691,25 +732,15 @@ object PqIndex {
     saveTwoTier(centM, cb2, codes2, fullM, dir, retainGenerations)
     // the new generation holds live rows only: tombstones are folded
     graft.sources.StoreFs.deleteChild(dir, "tombstones")
-    val (fs, tp) = graft.sources.StoreFs.of(s"$dir/tuning")
-    if (fs.exists(tp)) {
-      val tuning = spark.read.parquet(s"$dir/tuning")
-      val (_, k, rerank, pm, psd, pres, floor) = loadTunedTwoTier(spark, dir)
-      require(pm == m && psd == subDim && pres == residual,
-        s"refitTwoTier called with (m=$m, subDim=$subDim, residual=$residual) " +
-          s"but the persisted tuning was measured at (m=$pm, subDim=$psd, " +
-          s"residual=$pres) — refit with the store's own shape")
-      val widths = tuning.select(col("n_probe"))
-        .collect().map(_.getInt(0)).toSeq.sorted
-      val queries = sampleQueries
-        .getOrElse(spark.read.parquet(s"$dir/tuning_sample"))
-        .localCheckpoint()
-      tuneTwoTierNProbe(spark, dir, queries, k, rerank, widths, floor,
-        m, subDim, residual, resetQerrBaseline = true): Unit
-    } else
-      // untuned store: still reset the drift baseline to the new fit
-      meanQuantError(spark, fullM, centM, cb2, m, subDim, residual)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook_fit")
+    preTune match {
+      case Some((queries, k, rerank, widths, floor)) =>
+        tuneTwoTierNProbe(spark, dir, queries, k, rerank, widths, floor,
+          m, subDim, residual, resetQerrBaseline = true): Unit
+      case None =>
+        // untuned store: still reset the drift baseline to the new fit
+        meanQuantError(spark, fullM, centM, cb2, m, subDim, residual)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook_fit")
+    }
   }
 
   /** ADC top-k: queries `(q_id, qv)` against the encoded corpus

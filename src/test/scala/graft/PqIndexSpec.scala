@@ -345,10 +345,49 @@ class PqIndexSpec extends SparkSpec {
       val (_, _, refitRec2) = PqIndex.refreshTwoTierTuning(spark, dir)
       refitRec2 shouldBe false
       // provenance guard: a refit at the wrong shape must refuse
+      val genBefore = graft.sources.StoreFs.readManifest(s"$dir/manifest").get
       val ex = the[IllegalArgumentException] thrownBy
         PqIndex.refitTwoTier(spark, dir, m = 2, subDim = 32, ks = 16,
           iterations = 1)
       ex.getMessage should include("persisted tuning")
+      // ...and refuses BEFORE mutating: no new generation committed
+      graft.sources.StoreFs.readManifest(s"$dir/manifest").get shouldBe genBefore
+    }
+
+    it("pre-sample stores: refreshing verbs refuse with the remedy BEFORE mutating") {
+      val e = corpus.localCheckpoint()
+      val cent = graft.operators.IvfIndex.fitCentroids(spark, e, k = 8,
+        iterations = 1, orderedMean = true).localCheckpoint()
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 16, iterations = 1)
+      val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-presample").toString
+      PqIndex.saveTwoTier(cent, cb, codesIdx,
+        indexed.select($"cluster", $"id", $"v"), dir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      PqIndex.tuneTwoTierNProbe(spark, dir, queries, k = 5, rerank = 40,
+        nProbes = Seq(1, 2, 4), recallFloor = 0.5, m = 4, subDim = 16): Unit
+      // simulate a store tuned before tuneTwoTierNProbe persisted its sample
+      graft.sources.StoreFs.deleteChild(dir, "tuning_sample")
+      val genBefore = graft.sources.StoreFs.readManifest(s"$dir/manifest").get
+      val fullBefore = PqIndex.loadTwoTier(spark, dir)._4.count()
+      val delta = e.select(($"id" + 100000).as("id"), $"v")
+      // appendToTwoTierRefreshing must refuse BEFORE the append lands —
+      // the append is not idempotent, so a post-append failure invites
+      // a retry that double-appends the delta
+      val ex1 = the[IllegalArgumentException] thrownBy
+        PqIndex.appendToTwoTierRefreshing(spark, delta, dir, m = 4, subDim = 16)
+      ex1.getMessage should include("tuning_sample")
+      PqIndex.loadTwoTier(spark, dir)._4.count() shouldBe fullBefore
+      // refitTwoTier on the same pre-sample store: same remedy, and no
+      // generation was committed before the refusal
+      val ex2 = the[IllegalArgumentException] thrownBy
+        PqIndex.refitTwoTier(spark, dir, m = 4, subDim = 16, ks = 16,
+          iterations = 1)
+      ex2.getMessage should include("tuning_sample")
+      graft.sources.StoreFs.readManifest(s"$dir/manifest").get shouldBe genBefore
     }
 
     it("rejects dimensions not divisible by m") {

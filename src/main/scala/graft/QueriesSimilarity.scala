@@ -1976,54 +1976,68 @@ object QueriesSimilarity {
   private val q203Rerank = 40
   private val q203Floor = 0.8
 
-  val q203TwoTierRetune: Q = (s, dir) => {
+  private def ttRecRows(df: DataFrame, phase: String,
+                        flag: org.apache.spark.sql.Column): DataFrame =
+    df.select(lit(phase).as("phase"), col("n_probe"), col("avg_recall"),
+      col("min_recall"), lit(null).cast("double").as("mean_qerr"),
+      flag.as("flag"))
+
+  /** Shared builder for the two-tier retune-triad fixtures (q203 raw
+    * regime / q205 residual regime): build + tune the store at the
+    * regime, snapshot the pre-refresh base tuning beside it, append
+    * the drifting delta (shifted twins), refresh against the drifted
+    * sample. Returns the store path. Session-owned lifecycle cache —
+    * the q199/q142 contract: cold bench passes price the full
+    * fit/tune/append/refresh lifecycle, the steady pass reads the
+    * persisted operating point + audit trail a long-lived deployment
+    * serves from. */
+  private def ttRetuneFixture(s: SparkSession, dir: String, stemTag: String,
+                              residual: Boolean): String = {
     import s.implicits._
     import graft.operators.{IvfIndex, PqIndex}
-    def recRows(df: DataFrame, phase: String,
-                flag: org.apache.spark.sql.Column) =
-      df.select(lit(phase).as("phase"), $"n_probe", $"avg_recall",
-        $"min_recall", lit(null).cast("double").as("mean_qerr"),
-        flag.as("flag"))
-    // session-owned lifecycle cache — the q199/q142 contract: cold
-    // bench passes price the full fit/tune/append/refresh lifecycle,
-    // the steady pass reads the persisted operating point + audit
-    // trail a long-lived deployment serves from. The pre-refresh base
-    // tuning is snapshotted beside the store before the refresh
-    // overwrites it.
-    val p = twoTierRetuneCache.computeIfAbsent(dir, _ => {
-      val e = Tables.embeddings(s, dir)
-        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
-      val cent = IvfIndex
-        .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
-      val cb = PqIndex.fitCodebooks(s, e, m = 4, ks = 16, iterations = 1)
-      val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
-        .join(indexed.select($"id", $"cluster"), Seq("id"))
-        .select($"cluster", $"id", $"codes")
-      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val store = s"/root/repo/target/tmp/graft_ttretune_$stem"
-      rmTree(new java.io.File(store))
-      PqIndex.saveTwoTier(cent, cb, codesIdx,
-        indexed.select($"cluster", $"id", $"v"), store)
-      val baseQ = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
-      PqIndex.tuneTwoTierNProbe(s, store, baseQ, k = 5, rerank = q203Rerank,
-        nProbes = q203Widths, recallFloor = q203Floor,
-        m = 4, subDim = 16): Unit
-      recRows(s.read.parquet(s"$store/tuning"), "base", $"chosen")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$store/bench_base_tuning")
-      // the q199 drifting delta: the shifted twin of every base vector
-      val delta = e.select(($"id" + 100000).as("id"),
-        transform($"v", x => x + lit(0.1)).as("v"))
-      PqIndex.appendToTwoTier(s, delta, store, m = 4, subDim = 16): Unit
-      // the workload drifts WITH the corpus: shifted twins of the
-      // original held-out sample drive the staleness check
-      val driftQ = delta.filter($"id" < 100010)
-        .select($"id".as("q_id"), $"v".as("qv"))
-      PqIndex.refreshTwoTierTuning(s, store, Some(driftQ)): Unit
-      store
-    })
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+    // residual regime (q144): codebooks fit + encode on v − centroid
+    val encSrc =
+      if (residual) PqIndex.residuals(indexed, cent).select($"id", $"v")
+      else e
+    val cb = PqIndex.fitCodebooks(s, encSrc, m = 4, ks = 16, iterations = 1)
+    val codesIdx = PqIndex.encode(encSrc, cb, m = 4, subDim = 16)
+      .join(indexed.select($"id", $"cluster"), Seq("id"))
+      .select($"cluster", $"id", $"codes")
+    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val store = s"/root/repo/target/tmp/graft_${stemTag}_$stem"
+    rmTree(new java.io.File(store))
+    PqIndex.saveTwoTier(cent, cb, codesIdx,
+      indexed.select($"cluster", $"id", $"v"), store)
+    val baseQ = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    PqIndex.tuneTwoTierNProbe(s, store, baseQ, k = 5, rerank = q203Rerank,
+      nProbes = q203Widths, recallFloor = q203Floor,
+      m = 4, subDim = 16, residual = residual): Unit
+    ttRecRows(s.read.parquet(s"$store/tuning"), "base", $"chosen")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$store/bench_base_tuning")
+    // the q199 drifting delta: the shifted twin of every base vector
+    val delta = e.select(($"id" + 100000).as("id"),
+      transform($"v", x => x + lit(0.1)).as("v"))
+    PqIndex.appendToTwoTier(s, delta, store, m = 4, subDim = 16,
+      residual = residual): Unit
+    // the workload drifts WITH the corpus: shifted twins of the
+    // original held-out sample drive the staleness check
+    val driftQ = delta.filter($"id" < 100010)
+      .select($"id".as("q_id"), $"v".as("qv"))
+    PqIndex.refreshTwoTierTuning(s, store, Some(driftQ)): Unit
+    store
+  }
+
+  /** Phase-row assembly shared by q203/q205: base tuning snapshot ∪
+    * staleness-check row ∪ drift/refit row ∪ final tuning. */
+  private def ttRetunePhases(s: SparkSession, p: String): DataFrame = {
+    import s.implicits._
     val base = s.read.parquet(s"$p/bench_base_tuning")
     val ck = s.read.parquet(s"$p/tuning_check")
     val check = ck.select(lit("check").as("phase"), $"n_probe",
@@ -2033,9 +2047,15 @@ object QueriesSimilarity {
       lit(null).cast("double").as("avg_recall"),
       lit(null).cast("double").as("min_recall"),
       $"fit_qerr".as("mean_qerr"), $"refit_recommended".as("flag"))
-    val fin = recRows(s.read.parquet(s"$p/tuning"), "final", $"chosen")
+    val fin = ttRecRows(s.read.parquet(s"$p/tuning"), "final", $"chosen")
     base.unionByName(check).unionByName(drift).unionByName(fin)
       .orderBy($"phase", $"n_probe")
+  }
+
+  val q203TwoTierRetune: Q = (s, dir) => {
+    val p = twoTierRetuneCache.computeIfAbsent(dir,
+      _ => ttRetuneFixture(s, dir, "ttretune", residual = false))
+    ttRetunePhases(s, p)
   }
 
   /** One probe→ADC→rerank→top-5 chain of the two-tier serving replay
@@ -2076,104 +2096,127 @@ object QueriesSimilarity {
        |      ORDER BY d2 ASC, n_id ASC) AS rank FROM ${p}rc)
        |  WHERE rank <= 5)""".stripMargin
 
-  /** q203 oracle: the q141 fit replay instantiated once (fit on the
-    * base, ENCODE over the union — append ≡ rebuild with the same
-    * models), the tuning grid chains over both corpus states, exact-L2
-    * truths, both recall tables, both choice rules, the staleness
-    * rule, and the two ordered-fold quantization-error means feeding
-    * the refit rule. */
-  val q203Sql: String = {
-    val widths = q203Widths
-    val floor = q203Floor.toString
-    def gridChains(sp: String, idxRel: String, qsRel: String,
-                   dtabRel: String, truthRel: String): (String, String) = {
-      val parts = widths.map { np =>
-        val p = s"${sp}w${np}_"
-        val chain = adcTopKCtes(p, idxRel, qsRel, dtabRel, np, q203Rerank)
-        val hit =
-          s"""${p}hit AS (
-             |  SELECT q.q_id, count(t.n_id) AS n_hit
-             |  FROM $qsRel q LEFT JOIN (
-             |    SELECT tt.q_id, tt.n_id FROM ${p}top tt
-             |    JOIN $truthRel tr ON tr.q_id = tt.q_id AND tr.n_id = tt.n_id) t
-             |    ON t.q_id = q.q_id
-             |  GROUP BY q.q_id)""".stripMargin
-        val row =
-          s"""SELECT CAST($np AS INT) AS n_probe,
-             |       round(avg(n_hit / 5.0), 4) AS avg_recall,
-             |       round(min(n_hit / 5.0), 4) AS min_recall
-             |FROM ${p}hit""".stripMargin
-        (s"$chain,\n$hit", row)
-      }
-      (parts.map(_._1).mkString(",\n"),
-        parts.map(_._2).mkString("\nUNION ALL\n"))
+  /** The RESIDUAL-regime twin of [[adcTopKCtes]] (q144's serving
+    * arithmetic under the q203 grid machinery): the query side
+    * subtracts each PROBED cell's centroid before building its
+    * distance tables, so the tables are keyed `(q_id, cluster)` and
+    * built inside the chain (they depend on the probed cells — there
+    * is no shared query-level `dtab` relation to pass in). Same
+    * exact-rerank tail as the raw chain. */
+  private def adcTopKResidCtes(p: String, idxRel: String, qsRel: String,
+                               nProbe: Int, rerank: Int = 10): String =
+    s"""${p}qsc AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM $qsRel q CROSS JOIN cent c),
+       |${p}pr AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM ${p}qsc)
+       |  WHERE rn <= $nProbe),
+       |${p}rq AS (
+       |  SELECT pp.q_id, pp.cluster,
+       |         list_transform(generate_series(1, len(pp.qv)), j -> pp.qv[j] - c.centroid[j]) AS qv
+       |  FROM ${p}pr pp JOIN cent c USING (cluster)),
+       |${p}rqsub AS (
+       |  SELECT q_id, cluster, s.sub, list_slice(qv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+       |  FROM ${p}rq CROSS JOIN subs s),
+       |${p}rdt AS (
+       |  SELECT t.q_id, t.cluster, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
+       |  FROM ${p}rqsub t JOIN pq_cb c USING (sub)),
+       |${p}rdrows AS (SELECT q_id, cluster, sub, list(d2 ORDER BY code) AS drow FROM ${p}rdt GROUP BY q_id, cluster, sub),
+       |${p}rdtab AS (SELECT q_id, cluster, list(drow ORDER BY sub) AS dtab FROM ${p}rdrows GROUP BY q_id, cluster),
+       |${p}ac AS (
+       |  SELECT pp.q_id, i.id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
+       |           (a, b) -> a + b) AS ad2
+       |  FROM ${p}pr pp
+       |  JOIN $idxRel i USING (cluster)
+       |  JOIN pq_codes c ON c.id = i.id
+       |  JOIN ${p}rdtab d ON d.q_id = pp.q_id AND d.cluster = pp.cluster),
+       |${p}at AS (
+       |  SELECT q_id, id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, id ASC) AS rn FROM ${p}ac)
+       |  WHERE rn <= $rerank),
+       |${p}rc AS (
+       |  SELECT a.q_id, a.id AS n_id, ${l2SqSql("q.qv", "i.v")} AS d2
+       |  FROM ${p}at a JOIN $qsRel q ON q.q_id = a.q_id JOIN $idxRel i ON i.id = a.id),
+       |${p}top AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d2 ASC, n_id ASC) AS rank FROM ${p}rc)
+       |  WHERE rank <= 5)""".stripMargin
+
+  /** Tuning-grid chains for a two-tier oracle replay: one serving
+    * chain + recall row per width in [[q203Widths]]. `chain(p, np)`
+    * supplies the prefixed probe→ADC→rerank→top-5 CTE text at width
+    * `np` ([[adcTopKCtes]] for the raw regime, [[adcTopKResidCtes]]
+    * for residual) — shared by q203/q205 so the grid text cannot
+    * drift between regimes. */
+  private def ttGridChains(sp: String, qsRel: String, truthRel: String,
+                           chain: (String, Int) => String): (String, String) = {
+    val parts = q203Widths.map { np =>
+      val p = s"${sp}w${np}_"
+      val hit =
+        s"""${p}hit AS (
+           |  SELECT q.q_id, count(t.n_id) AS n_hit
+           |  FROM $qsRel q LEFT JOIN (
+           |    SELECT tt.q_id, tt.n_id FROM ${p}top tt
+           |    JOIN $truthRel tr ON tr.q_id = tt.q_id AND tr.n_id = tt.n_id) t
+           |    ON t.q_id = q.q_id
+           |  GROUP BY q.q_id)""".stripMargin
+      val row =
+        s"""SELECT CAST($np AS INT) AS n_probe,
+           |       round(avg(n_hit / 5.0), 4) AS avg_recall,
+           |       round(min(n_hit / 5.0), 4) AS min_recall
+           |FROM ${p}hit""".stripMargin
+      (s"${chain(p, np)},\n$hit", row)
     }
-    // tuneTwoTierNProbe's choice: cheapest width whose ROUNDED avg
-    // recall meets the floor, else the widest
-    def pickSql(rec: String): String =
-      s"""SELECT n_probe FROM $rec
-         |ORDER BY (CASE WHEN avg_recall >= $floor THEN 0 ELSE 1 END),
-         |         (CASE WHEN avg_recall >= $floor THEN n_probe
-         |               ELSE -n_probe END)
-         |LIMIT 1""".stripMargin
-    def truthSql(name: String, qsRel: String, idxRel: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT q_id, n_id FROM (
-         |    SELECT q.q_id, i.id AS n_id,
-         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |             ${l2SqSql("q.qv", "i.v")} ASC, i.id ASC) AS rank
-         |    FROM $qsRel q CROSS JOIN $idxRel i)
-         |  WHERE rank <= 5)""".stripMargin
-    // ordered-fold mean quantization error over `idxRel`'s rows:
-    // per-cell id-ordered partial sums, then a cluster-ordered fold
-    def qerrSql(p: String, idxRel: String): String =
-      s"""${p}q_cell AS (
-         |  SELECT i.cluster,
-         |         list_reduce(list_prepend(0.0, list(r.qe ORDER BY r.id)), (a, b) -> a + b) AS s,
-         |         count(*) AS n
-         |  FROM qe_row r JOIN $idxRel i ON i.id = r.id
-         |  GROUP BY i.cluster),
-         |${p}qfit AS (
-         |  SELECT round(list_reduce(list_prepend(0.0, list(s ORDER BY cluster)), (a, b) -> a + b)
-         |           / sum(n), 4) AS mean_qerr
-         |  FROM ${p}q_cell)""".stripMargin
-    val (bChains, bRows) = gridChains("b", "idx", "qs", "pq_dtab", "btruth")
-    val (dChains, dRows) = gridChains("d", "idx2", "qs2", "dpq_dtab", "dtruth")
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
-       |delta AS (SELECT id + 100000 AS id, list_transform(v, x -> x + 0.1) AS v FROM e),
-       |u AS MATERIALIZED (SELECT * FROM e UNION ALL SELECT * FROM delta),
-       |qs2 AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM delta WHERE id < 100010),
-       |${pqCodebookSql("e", "u")},
-       |${pqDtabSqlFor("", "qs")},
-       |${pqDtabSqlFor("d", "qs2")},
-       |${lloydIdxSql("e", "8")},
-       |dscored AS (
-       |  SELECT delta.id, delta.v, c.cluster, ${nswCos("delta.v", "c.centroid")} AS cos
-       |  FROM delta CROSS JOIN cent c),
-       |didx AS (
-       |  SELECT id, v, cluster FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
-       |  WHERE rn = 1),
-       |idx2 AS MATERIALIZED (
-       |  SELECT id, v, cluster FROM idx UNION ALL SELECT id, v, cluster FROM didx),
-       |${truthSql("btruth", "qs", "idx")},
-       |${truthSql("dtruth", "qs2", "idx2")},
-       |$bChains,
-       |brec AS MATERIALIZED (
-       |$bRows),
-       |bpick AS (${pickSql("brec")}),
-       |$dChains,
-       |drec AS MATERIALIZED (
-       |$dRows),
-       |dpick AS (${pickSql("drec")}),
-       |qe_min AS (SELECT id, sub, min(d2) AS d2 FROM pq_s1 GROUP BY id, sub),
-       |qe_row AS MATERIALIZED (
-       |  SELECT id, list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)), (a, b) -> a + b) AS qe
-       |  FROM qe_min GROUP BY id),
-       |${qerrSql("b", "idx")},
-       |${qerrSql("u", "idx2")},
-       |stale AS (
+    (parts.map(_._1).mkString(",\n"),
+      parts.map(_._2).mkString("\nUNION ALL\n"))
+  }
+
+  /** tuneTwoTierNProbe's choice rule: cheapest width whose ROUNDED avg
+    * recall meets the floor, else the widest. */
+  private def ttPickSql(rec: String): String = {
+    val floor = q203Floor.toString
+    s"""SELECT n_probe FROM $rec
+       |ORDER BY (CASE WHEN avg_recall >= $floor THEN 0 ELSE 1 END),
+       |         (CASE WHEN avg_recall >= $floor THEN n_probe
+       |               ELSE -n_probe END)
+       |LIMIT 1""".stripMargin
+  }
+
+  private def ttTruthSql(name: String, qsRel: String, idxRel: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, i.id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${l2SqSql("q.qv", "i.v")} ASC, i.id ASC) AS rank
+       |    FROM $qsRel q CROSS JOIN $idxRel i)
+       |  WHERE rank <= 5)""".stripMargin
+
+  /** Ordered-fold mean quantization error over `idxRel`'s rows:
+    * per-cell id-ordered partial sums, then a cluster-ordered fold
+    * (reads `qe_row` built from the shared `pq_s1`). */
+  private def ttQerrSql(p: String, idxRel: String): String =
+    s"""${p}q_cell AS (
+       |  SELECT i.cluster,
+       |         list_reduce(list_prepend(0.0, list(r.qe ORDER BY r.id)), (a, b) -> a + b) AS s,
+       |         count(*) AS n
+       |  FROM qe_row r JOIN $idxRel i ON i.id = r.id
+       |  GROUP BY i.cluster),
+       |${p}qfit AS (
+       |  SELECT round(list_reduce(list_prepend(0.0, list(s ORDER BY cluster)), (a, b) -> a + b)
+       |           / sum(n), 4) AS mean_qerr
+       |  FROM ${p}q_cell)""".stripMargin
+
+  /** The retune-triad tail shared by q203/q205: the staleness rule at
+    * the stored point, the refit rule over the two error means, and
+    * the base ∪ check ∪ drift ∪ final phase rows. */
+  private def ttRetuneTailSql: String = {
+    val floor = q203Floor.toString
+    s"""stale AS (
        |  SELECT (d.avg_recall < $floor) AS st
        |  FROM drec d JOIN bpick p ON d.n_probe = p.n_probe),
        |refit AS (SELECT (u.mean_qerr > 1.05 * b.mean_qerr) AS rf
@@ -2202,6 +2245,122 @@ object QueriesSimilarity {
        |ORDER BY phase, n_probe""".stripMargin
   }
 
+  /** q203 oracle: the q141 fit replay instantiated once (fit on the
+    * base, ENCODE over the union — append ≡ rebuild with the same
+    * models), the tuning grid chains over both corpus states, exact-L2
+    * truths, both recall tables, both choice rules, the staleness
+    * rule, and the two ordered-fold quantization-error means feeding
+    * the refit rule. */
+  val q203Sql: String = {
+    val (bChains, bRows) = ttGridChains("b", "qs", "btruth",
+      (p, np) => adcTopKCtes(p, "idx", "qs", "pq_dtab", np, q203Rerank))
+    val (dChains, dRows) = ttGridChains("d", "qs2", "dtruth",
+      (p, np) => adcTopKCtes(p, "idx2", "qs2", "dpq_dtab", np, q203Rerank))
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |delta AS (SELECT id + 100000 AS id, list_transform(v, x -> x + 0.1) AS v FROM e),
+       |u AS MATERIALIZED (SELECT * FROM e UNION ALL SELECT * FROM delta),
+       |qs2 AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM delta WHERE id < 100010),
+       |${pqCodebookSql("e", "u")},
+       |${pqDtabSqlFor("", "qs")},
+       |${pqDtabSqlFor("d", "qs2")},
+       |${lloydIdxSql("e", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster, ${nswCos("delta.v", "c.centroid")} AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |idx2 AS MATERIALIZED (
+       |  SELECT id, v, cluster FROM idx UNION ALL SELECT id, v, cluster FROM didx),
+       |${ttTruthSql("btruth", "qs", "idx")},
+       |${ttTruthSql("dtruth", "qs2", "idx2")},
+       |$bChains,
+       |brec AS MATERIALIZED (
+       |$bRows),
+       |bpick AS (${ttPickSql("brec")}),
+       |$dChains,
+       |drec AS MATERIALIZED (
+       |$dRows),
+       |dpick AS (${ttPickSql("drec")}),
+       |qe_min AS (SELECT id, sub, min(d2) AS d2 FROM pq_s1 GROUP BY id, sub),
+       |qe_row AS MATERIALIZED (
+       |  SELECT id, list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)), (a, b) -> a + b) AS qe
+       |  FROM qe_min GROUP BY id),
+       |${ttQerrSql("b", "idx")},
+       |${ttQerrSql("u", "idx2")},
+       |$ttRetuneTailSql""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q205
+  /** RESIDUAL-regime staleness triad — q203's detect → recommend loop
+    * run through q144's encoding ([[graft.operators.PqIndex]] with
+    * `residual = true`): codebooks fitted on `v − centroid(cluster)`,
+    * the index stores residual codes, and every serving pass builds
+    * per-(query, probed-cell) distance tables. The more fragile
+    * regime — the distance tables are keyed by cluster, so a stale
+    * operating point and a drifted codebook fit surface through
+    * different arithmetic than the raw path; this gate pins the whole
+    * loop (base grid, stale check at the stored point, refit flag
+    * against the residual-error baseline, re-chosen table) on one
+    * hash. The oracle replays BOTH corpus states in the residual
+    * arithmetic: fit on base residuals, encode over union residuals
+    * (append ≡ rebuild with the same models), residual grid chains,
+    * and both ordered-fold residual-reconstruction error means. */
+  val q205TwoTierResidRetune: Q = (s, dir) => {
+    val p = twoTierResidRetuneCache.computeIfAbsent(dir,
+      _ => ttRetuneFixture(s, dir, "ttrretune", residual = true))
+    ttRetunePhases(s, p)
+  }
+
+  val q205Sql: String = {
+    val (bChains, bRows) = ttGridChains("b", "qs", "btruth",
+      (p, np) => adcTopKResidCtes(p, "idx", "qs", np, q203Rerank))
+    val (dChains, dRows) = ttGridChains("d", "qs2", "dtruth",
+      (p, np) => adcTopKResidCtes(p, "idx2", "qs2", np, q203Rerank))
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |delta AS (SELECT id + 100000 AS id, list_transform(v, x -> x + 0.1) AS v FROM e),
+       |qs2 AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM delta WHERE id < 100010),
+       |${lloydIdxSql("e", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster, ${nswCos("delta.v", "c.centroid")} AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |idx2 AS MATERIALIZED (
+       |  SELECT id, v, cluster FROM idx UNION ALL SELECT id, v, cluster FROM didx),
+       |bresid AS MATERIALIZED (
+       |  SELECT i.id, list_transform(generate_series(1, len(i.v)), j -> i.v[j] - c.centroid[j]) AS v
+       |  FROM idx i JOIN cent c USING (cluster)),
+       |dresid AS (
+       |  SELECT i.id, list_transform(generate_series(1, len(i.v)), j -> i.v[j] - c.centroid[j]) AS v
+       |  FROM didx i JOIN cent c USING (cluster)),
+       |uresid AS MATERIALIZED (
+       |  SELECT * FROM bresid UNION ALL SELECT * FROM dresid),
+       |${pqCodebookSql("bresid", "uresid")},
+       |${ttTruthSql("btruth", "qs", "idx")},
+       |${ttTruthSql("dtruth", "qs2", "idx2")},
+       |$bChains,
+       |brec AS MATERIALIZED (
+       |$bRows),
+       |bpick AS (${ttPickSql("brec")}),
+       |$dChains,
+       |drec AS MATERIALIZED (
+       |$dRows),
+       |dpick AS (${ttPickSql("drec")}),
+       |qe_min AS (SELECT id, sub, min(d2) AS d2 FROM pq_s1 GROUP BY id, sub),
+       |qe_row AS MATERIALIZED (
+       |  SELECT id, list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)), (a, b) -> a + b) AS qe
+       |  FROM qe_min GROUP BY id),
+       |${ttQerrSql("b", "idx")},
+       |${ttQerrSql("u", "idx2")},
+       |$ttRetuneTailSql""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q204
   /** Two-tier codebook REFIT ([[graft.operators.PqIndex
     * .refitTwoTier]]) — the automated remedy q203's refit
@@ -2220,39 +2379,51 @@ object QueriesSimilarity {
     * first ids), the full tuning grid under the new codebooks, the
     * choice rule, and the new ordered-fold error baseline. Output =
     * post-refit tuning table ∪ baseline row on one hash. */
-  val q204TwoTierRefit: Q = (s, dir) => {
+  /** Shared builder for the two-tier refit fixtures (q204 raw / q206
+    * residual): build + tune at the regime, append the drifting
+    * delta, then [[graft.operators.PqIndex.refitTwoTier]]. Returns
+    * the store path. Session-cache contract as [[ttRetuneFixture]]:
+    * cold passes price the full build/tune/append/refit lifecycle,
+    * steady reads the post-refit store a deployment serves from. */
+  private def ttRefitFixture(s: SparkSession, dir: String, stemTag: String,
+                             residual: Boolean): String = {
     import s.implicits._
     import graft.operators.{IvfIndex, PqIndex}
-    // the q199/q203 session-cache contract: cold passes price the full
-    // build/tune/append/refit lifecycle, steady reads the post-refit
-    // store a deployment serves from
-    val p = twoTierRefitCache.computeIfAbsent(dir, _ => {
-      val e = Tables.embeddings(s, dir)
-        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
-      val cent = IvfIndex
-        .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
-      val cb = PqIndex.fitCodebooks(s, e, m = 4, ks = 16, iterations = 1)
-      val codesIdx = PqIndex.encode(e, cb, m = 4, subDim = 16)
-        .join(indexed.select($"id", $"cluster"), Seq("id"))
-        .select($"cluster", $"id", $"codes")
-      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val store = s"/root/repo/target/tmp/graft_ttrefit_$stem"
-      rmTree(new java.io.File(store))
-      PqIndex.saveTwoTier(cent, cb, codesIdx,
-        indexed.select($"cluster", $"id", $"v"), store)
-      val baseQ = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
-      PqIndex.tuneTwoTierNProbe(s, store, baseQ, k = 5, rerank = q203Rerank,
-        nProbes = q203Widths, recallFloor = q203Floor,
-        m = 4, subDim = 16): Unit
-      val delta = e.select(($"id" + 100000).as("id"),
-        transform($"v", x => x + lit(0.1)).as("v"))
-      PqIndex.appendToTwoTier(s, delta, store, m = 4, subDim = 16): Unit
-      PqIndex.refitTwoTier(s, store, m = 4, subDim = 16, ks = 16,
-        iterations = 1)
-      store
-    })
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val cent = IvfIndex
+      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+    val encSrc =
+      if (residual) PqIndex.residuals(indexed, cent).select($"id", $"v")
+      else e
+    val cb = PqIndex.fitCodebooks(s, encSrc, m = 4, ks = 16, iterations = 1)
+    val codesIdx = PqIndex.encode(encSrc, cb, m = 4, subDim = 16)
+      .join(indexed.select($"id", $"cluster"), Seq("id"))
+      .select($"cluster", $"id", $"codes")
+    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val store = s"/root/repo/target/tmp/graft_${stemTag}_$stem"
+    rmTree(new java.io.File(store))
+    PqIndex.saveTwoTier(cent, cb, codesIdx,
+      indexed.select($"cluster", $"id", $"v"), store)
+    val baseQ = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    PqIndex.tuneTwoTierNProbe(s, store, baseQ, k = 5, rerank = q203Rerank,
+      nProbes = q203Widths, recallFloor = q203Floor,
+      m = 4, subDim = 16, residual = residual): Unit
+    val delta = e.select(($"id" + 100000).as("id"),
+      transform($"v", x => x + lit(0.1)).as("v"))
+    PqIndex.appendToTwoTier(s, delta, store, m = 4, subDim = 16,
+      residual = residual): Unit
+    PqIndex.refitTwoTier(s, store, m = 4, subDim = 16, ks = 16,
+      iterations = 1, residual = residual)
+    store
+  }
+
+  /** Post-refit phase rows shared by q204/q206: re-tuned grid ∪ the
+    * reset drift baseline. */
+  private def ttRefitPhases(s: SparkSession, p: String): DataFrame = {
+    import s.implicits._
     val fin = s.read.parquet(s"$p/tuning")
       .select(lit("refit_tuning").as("phase"), $"n_probe", $"avg_recall",
         $"min_recall", lit(null).cast("double").as("mean_qerr"),
@@ -2264,6 +2435,12 @@ object QueriesSimilarity {
         lit(null).cast("double").as("min_recall"),
         $"mean_qerr", $"n_rows", lit(false).as("flag"))
     fin.unionByName(baseline).orderBy($"phase", $"n_probe")
+  }
+
+  val q204TwoTierRefit: Q = (s, dir) => {
+    val p = twoTierRefitCache.computeIfAbsent(dir,
+      _ => ttRefitFixture(s, dir, "ttrefit", residual = false))
+    ttRefitPhases(s, p)
   }
 
   /** q204 oracle: the union-state machinery of q203 with the codebook
@@ -2352,6 +2529,79 @@ object QueriesSimilarity {
        |ORDER BY phase, n_probe""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q206
+  /** RESIDUAL-regime codebook REFIT — q204's automated remedy run
+    * through q144's encoding, closing the loop q205 opens: after the
+    * drifting append, [[graft.operators.PqIndex.refitTwoTier]] with
+    * `residual = true` fits NEW codebooks over the live union's
+    * RESIDUALS (coarse centroids unchanged — the residuals' reference
+    * frame survives the refit, which is exactly why centroids are fit
+    * parameters), re-encodes every live row, resets the residual-error
+    * baseline, and re-tunes at the persisted residual provenance.
+    * After the refit the store must equal a direct residual-regime
+    * build over the union with a fresh fit — the oracle replays the
+    * union residual fit (no trace of the pre-refit codebooks), the
+    * residual grid chains under the new codebooks over the persisted
+    * base sample, the choice rule, and the reset ordered-fold
+    * residual baseline. */
+  val q206TwoTierResidRefit: Q = (s, dir) => {
+    val p = twoTierResidRefitCache.computeIfAbsent(dir,
+      _ => ttRefitFixture(s, dir, "ttrrefit", residual = true))
+    ttRefitPhases(s, p)
+  }
+
+  val q206Sql: String = {
+    val (chains, rows) = ttGridChains("r", "qs", "rtruth",
+      (p, np) => adcTopKResidCtes(p, "idx2", "qs", np, q203Rerank))
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |delta AS (SELECT id + 100000 AS id, list_transform(v, x -> x + 0.1) AS v FROM e),
+       |${lloydIdxSql("e", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster, ${nswCos("delta.v", "c.centroid")} AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |idx2 AS MATERIALIZED (
+       |  SELECT id, v, cluster FROM idx UNION ALL SELECT id, v, cluster FROM didx),
+       |uresid AS MATERIALIZED (
+       |  SELECT i.id, list_transform(generate_series(1, len(i.v)), j -> i.v[j] - c.centroid[j]) AS v
+       |  FROM idx2 i JOIN cent c USING (cluster)),
+       |${pqCodebookSql("uresid")},
+       |${ttTruthSql("rtruth", "qs", "idx2")},
+       |$chains,
+       |rrec AS MATERIALIZED (
+       |$rows),
+       |rpick AS (${ttPickSql("rrec")}),
+       |qe_min AS (SELECT id, sub, min(d2) AS d2 FROM pq_s1 GROUP BY id, sub),
+       |qe_row AS MATERIALIZED (
+       |  SELECT id, list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)), (a, b) -> a + b) AS qe
+       |  FROM qe_min GROUP BY id),
+       |q_cell AS (
+       |  SELECT i.cluster,
+       |         list_reduce(list_prepend(0.0, list(r.qe ORDER BY r.id)), (a, b) -> a + b) AS s,
+       |         count(*) AS n
+       |  FROM qe_row r JOIN idx2 i ON i.id = r.id
+       |  GROUP BY i.cluster),
+       |qfit AS (
+       |  SELECT round(list_reduce(list_prepend(0.0, list(s ORDER BY cluster)), (a, b) -> a + b)
+       |           / sum(n), 4) AS mean_qerr,
+       |         CAST(sum(n) AS BIGINT) AS n_rows
+       |  FROM q_cell)
+       |SELECT phase, n_probe, avg_recall, min_recall, mean_qerr, n_rows, flag FROM (
+       |  SELECT 'refit_tuning' AS phase, r.n_probe, r.avg_recall, r.min_recall,
+       |         CAST(NULL AS DOUBLE) AS mean_qerr, CAST(NULL AS BIGINT) AS n_rows,
+       |         (r.n_probe = p.n_probe) AS flag
+       |  FROM rrec r CROSS JOIN rpick p
+       |  UNION ALL
+       |  SELECT 'refit_baseline', CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+       |         CAST(NULL AS DOUBLE), q.mean_qerr, q.n_rows, FALSE
+       |  FROM qfit q)
+       |ORDER BY phase, n_probe""".stripMargin
+  }
+
   /** Session-owned persisted-store caches for the two-tier lifecycle
     * gates — see q142/q146. Values are store directories under
     * target/tmp, deleted on clear. */
@@ -2365,6 +2615,10 @@ object QueriesSimilarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val twoTierRefitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val twoTierResidRetuneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val twoTierResidRefitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drop (and delete) the session-owned index stores — [[Bench]] calls
     * this before each COLD pass so cold numbers carry the fit + save
@@ -2373,7 +2627,9 @@ object QueriesSimilarity {
   private[graft] def clearSessionCaches(): Unit = {
     import scala.jdk.CollectionConverters._
     (twoTierStoreCache.values.asScala ++ twoTierAppendCache.values.asScala ++
-        twoTierRetuneCache.values.asScala ++ twoTierRefitCache.values.asScala)
+        twoTierRetuneCache.values.asScala ++ twoTierRefitCache.values.asScala ++
+        twoTierResidRetuneCache.values.asScala ++
+        twoTierResidRefitCache.values.asScala)
       .foreach(p => rmTree(new java.io.File(p)))
     // the retune fixture owns a flat/nsw dir PAIR; the cache holds the
     // nsw path, the flat sibling differs only in the stem tag
@@ -2387,6 +2643,8 @@ object QueriesSimilarity {
     nswRetuneCache.clear()
     twoTierRetuneCache.clear()
     twoTierRefitCache.clear()
+    twoTierResidRetuneCache.clear()
+    twoTierResidRefitCache.clear()
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
@@ -2422,5 +2680,7 @@ object QueriesSimilarity {
     ("q199_nsw_retune", q199NswRetune, Some(q199Sql)),
     ("q203_twotier_retune", q203TwoTierRetune, Some(q203Sql)),
     ("q204_twotier_refit", q204TwoTierRefit, Some(q204Sql)),
+    ("q205_twotier_resid_retune", q205TwoTierResidRetune, Some(q205Sql)),
+    ("q206_twotier_resid_refit", q206TwoTierResidRefit, Some(q206Sql)),
   )
 }

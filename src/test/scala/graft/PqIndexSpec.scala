@@ -352,6 +352,12 @@ class PqIndexSpec extends SparkSpec {
       ex.getMessage should include("persisted tuning")
       // ...and refuses BEFORE mutating: no new generation committed
       graft.sources.StoreFs.readManifest(s"$dir/manifest").get shouldBe genBefore
+      // regime mismatch (raw-tuned store, residual refit) refuses too
+      val exR = the[IllegalArgumentException] thrownBy
+        PqIndex.refitTwoTier(spark, dir, m = 4, subDim = 16, ks = 16,
+          iterations = 1, residual = true)
+      exR.getMessage should include("persisted tuning")
+      graft.sources.StoreFs.readManifest(s"$dir/manifest").get shouldBe genBefore
     }
 
     it("pre-sample stores: refreshing verbs refuse with the remedy BEFORE mutating") {

@@ -79,5 +79,6 @@ class MaterializedViewSpec extends SparkSpec {
     EventStreams.latestGeneration(spark, store).get
       .agg(sum($"n")).as[Long].head() shouldBe 99L
     EventStreams.latestGeneration(spark, store, before = 7L) shouldBe None
+    assertCleanAudit(graft.tools.StoreDoctor.auditAggStore(spark, store))
   }
 }

@@ -96,6 +96,8 @@ class NswSpec extends SparkSpec {
         g.select($"cluster".cast("long").as("c"), $"entry")
           .orderBy($"c").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       canonE(appEntries) shouldBe canonE(NswIndex.entryPoints(all, cent))
+      assertCleanAudit(
+        graft.tools.StoreDoctor.auditNsw(spark, s"$dir/noflat", dir))
     }
 
     it("splitOversizedNswCells rebuilds split cells and keeps the rest verbatim") {
@@ -137,6 +139,7 @@ class NswSpec extends SparkSpec {
         cent2.select($"cluster".cast("long").as("cluster"), $"centroid")))
       // the post-split layout really has one more cell than the fit
       idx2.select($"cluster").distinct().count() shouldBe 5L
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flat, nsw))
     }
 
     it("filtered search: flat face is the exact filtered top-k; graph face never seats a non-matching row") {
@@ -194,6 +197,7 @@ class NswSpec extends SparkSpec {
           .orderBy($"c").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       canonE(entries2) shouldBe canonE(NswIndex.entryPoints(survivors,
         cent.select($"cluster".cast("long").as("cluster"), $"centroid")))
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flat, nsw))
     }
 
     it("splitOversizedNswCells is a no-op when no cell exceeds the cap") {
@@ -210,6 +214,7 @@ class NswSpec extends SparkSpec {
       NswIndex.splitOversizedNswCells(spark, flat, nsw,
         maxCellSize = 1000L, degree = 3) shouldBe 0
       graft.sources.StoreFs.readManifest(s"$nsw/manifest") shouldBe genBefore
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flat, nsw))
     }
 
     it("tuneWalk chooses the cheapest setting meeting the floor and round-trips") {
@@ -279,6 +284,7 @@ class NswSpec extends SparkSpec {
       val ex = the[IllegalArgumentException] thrownBy
         NswIndex.refreshWalkTuning(spark, flat, nsw)
       ex.getMessage should include("tuning_sample")
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flat, nsw))
     }
 
     it("appendToNswRefreshing re-checks the operating point after the append") {
@@ -306,6 +312,7 @@ class NswSpec extends SparkSpec {
       // the lifecycle verb left a check-audit row behind
       spark.read.parquet(s"$nsw/tuning_check").count() shouldBe 1L
       NswIndex.loadTunedWalk(spark, nsw)._1 should be >= 10
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flat, nsw))
     }
 
     it("recall >= the IVF+PQ-ADC tier at equal probe budget") {

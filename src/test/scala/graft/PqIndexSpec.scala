@@ -125,6 +125,7 @@ class PqIndexSpec extends SparkSpec {
       graft.sources.StoreFs.childNames(dir) should not contain "tombstones"
       val (c2, b2, k2, f2) = PqIndex.loadTwoTier(spark, dir)
       run(k2, f2, c2, b2) shouldBe want
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
     }
 
     it("residual ivfAdcSearch with full probe width and corpus-wide rerank equals exact L2 top-k") {
@@ -260,6 +261,7 @@ class PqIndexSpec extends SparkSpec {
       val ex = the[IllegalArgumentException] thrownBy
         PqIndex.refreshTwoTierTuning(spark, dir)
       ex.getMessage should include("tuning_sample")
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
     }
 
     it("appendToTwoTierRefreshing re-checks the operating point and codebook fit after the append") {
@@ -299,6 +301,7 @@ class PqIndexSpec extends SparkSpec {
       row.getAs[Double]("mean_qerr") should be > 0.0
       row.getAs[Double]("fit_qerr") should be > 0.0
       PqIndex.loadTunedTwoTier(spark, dir)._1 should be >= 1
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
     }
 
     it("refitTwoTier folds tombstones, resets the drift baseline, and clears the refit recommendation") {
@@ -358,6 +361,7 @@ class PqIndexSpec extends SparkSpec {
           iterations = 1, residual = true)
       exR.getMessage should include("persisted tuning")
       graft.sources.StoreFs.readManifest(s"$dir/manifest").get shouldBe genBefore
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
     }
 
     it("pre-sample stores: refreshing verbs refuse with the remedy BEFORE mutating") {
@@ -394,6 +398,7 @@ class PqIndexSpec extends SparkSpec {
           iterations = 1)
       ex2.getMessage should include("tuning_sample")
       graft.sources.StoreFs.readManifest(s"$dir/manifest").get shouldBe genBefore
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
     }
 
     it("rejects dimensions not divisible by m") {

@@ -33,4 +33,17 @@ trait SparkSpec extends AnyFunSpec with Matchers {
     * comparison. */
   def rowsOf(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  /** The StoreDoctor invariant: after a lifecycle spec's mutation
+    * sequence settles (every crash repaired, every retry committed),
+    * the relevant family audit must report zero `error` findings —
+    * warn/info states (retained history, tombstone weight, torn
+    * leftovers the next commit sweeps) are legitimate mid-lifecycle. */
+  def assertCleanAudit(findings: Seq[graft.tools.StoreDoctor.Finding]): Unit = {
+    val errs = findings.filter(_.severity == "error")
+    withClue(errs.map(f => s"${f.store} [${f.kind}]: ${f.detail}")
+        .mkString("audit errors:\n", "\n", "\n")) {
+      errs shouldBe empty
+    }
+  }
 }

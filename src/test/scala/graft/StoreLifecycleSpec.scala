@@ -48,6 +48,7 @@ class StoreLifecycleSpec extends SparkSpec {
       // a retry after the crash commits cleanly over the torn leftovers
       buildStore("slc_refresh", path)
       verdicts("slc_refresh", path) shouldBe before
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
     }
 
     it("a crashed first build leaves the store cleanly absent") {
@@ -65,6 +66,7 @@ class StoreLifecycleSpec extends SparkSpec {
       // and a clean retry makes the store readable
       buildStore("slc_first", path)
       verdicts("slc_first", path).size shouldBe 60
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
     }
   }
 
@@ -90,6 +92,7 @@ class StoreLifecycleSpec extends SparkSpec {
       new java.io.File(s"${path}_g1_fp").exists() shouldBe false
       new java.io.File(s"${path}_g2_fp").exists() shouldBe true
       verdicts("slc_vac", path) shouldBe before
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
     }
   }
 
@@ -128,6 +131,7 @@ class StoreLifecycleSpec extends SparkSpec {
       // a retry commits cleanly over the torn leftovers
       PqIndex.saveTwoTier(cent, cb, codes, full, dir)
       centSum(dir) shouldBe before
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
     }
 
     it("retention keeps history for pinned readers until vacuum reclaims it") {
@@ -145,6 +149,7 @@ class StoreLifecycleSpec extends SparkSpec {
       new java.io.File(s"$dir/g1").exists() shouldBe false
       new java.io.File(s"$dir/g2").exists() shouldBe true
       centSum(dir)._1 shouldBe 2L                       // g2 resolves
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
     }
   }
 
@@ -172,6 +177,8 @@ class StoreLifecycleSpec extends SparkSpec {
       NswIndex.vacuumNsw(dir, keepLast = 1)
       new java.io.File(s"$dir/g1").exists() shouldBe false
       NswIndex.loadNsw(spark, dir)._1.count() shouldBe before
+      assertCleanAudit(
+        graft.tools.StoreDoctor.auditNsw(spark, s"$dir/noflat", dir))
     }
   }
 
@@ -202,6 +209,7 @@ class StoreLifecycleSpec extends SparkSpec {
       cent.count() shouldBe 2L
       // and a re-run completes the split from that state
       IvfIndex.splitOversizedCells(spark, dir, maxCellSize = n / 4) should be >= 1
+      assertCleanAudit(graft.tools.StoreDoctor.auditIvf(spark, dir))
     }
 
     it("crash mid-centroid-swap: load rolls the commit forward") {
@@ -288,6 +296,7 @@ class StoreLifecycleSpec extends SparkSpec {
       NswIndex.deleteFromNsw(spark, flatDir, nswDir, delIds, degree = 3)
       NswIndex.readPendingCells(nswDir) shouldBe None
       graphRows(nswDir) shouldBe want
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flatDir, nswDir))
     }
 
     it("delete crash before the flat rewrite repairs to the original content") {
@@ -307,6 +316,7 @@ class StoreLifecycleSpec extends SparkSpec {
       NswIndex.deleteFromNsw(spark, flatDir, nswDir, delIds,
         degree = 3) should be >= 1
       graphRows(nswDir).exists(_._3.exists(_ < 20)) shouldBe false
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flatDir, nswDir))
     }
 
     it("split crash after the flat split is repaired, fresh cells included") {
@@ -333,6 +343,7 @@ class StoreLifecycleSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1),
           r.getSeq[Long](2).toSeq)).toSeq.sortBy(t => (t._1, t._2))
       graphRows(nswDir) shouldBe want
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flatDir, nswDir))
     }
   }
 }

@@ -1400,12 +1400,21 @@ object QueriesSimilarity {
     * on a multi-cell fixture. Corpus is the `id % 4 = 0` quarter so
     * the deliberately-degenerate one-cell graph build stays affordable
     * at every probed SF (documented cap; the operator itself is
-    * maintenance-sized, not corpus-sized). */
+    * maintenance-sized, not corpus-sized). Above sf1.0 the fixture
+    * ALSO keeps only the first ten ScaleUp replicas
+    * (`vec_id < 10·10⁹`; replica keys shift by 10⁹ per copy — the q34
+    * declared-cap pattern): the pre-split ONE-cell graph build is
+    * quadratic BY CONSTRUCTION (that is the worst case the gate
+    * exists to force), so an uncapped sf10 fixture spends ~45 min
+    * single-threaded building the degenerate input, not measuring the
+    * operator. No-op at the three gate SFs AND at sf1.0 (ids there
+    * are < 10¹⁰), so every committed hash and bench number is
+    * unchanged; at sf10 it bounds the fixture at sf1.0 size. */
   val q188NswSplit: Q = (s, dir) => {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
-      .filter($"id" % 4 === 0)
+      .filter($"id" % 4 === 0 && $"id" < 10000000000L)
       .localCheckpoint()
     val n = e.count()
     val cent1 = graft.operators.IvfIndex
@@ -1433,7 +1442,7 @@ object QueriesSimilarity {
   }
   val q188Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings WHERE vec_id % 4 = 0),
+       |           FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 10000000000),
        |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 40),
        |${lloydIdxSql("e", "2")},
        |${nswWalkSql("idx")}""".stripMargin
@@ -1489,11 +1498,19 @@ object QueriesSimilarity {
     * recomputed, untouched cells kept verbatim, new generation
     * committed), and the persisted walk must equal a graph built
     * DIRECTLY on the corpus minus the deleted ids under the same
-    * centroids — the oracle replays exactly that. */
+    * centroids — the oracle replays exactly that. Above sf1.0 the
+    * fixture keeps only the first ten ScaleUp replicas (the q188/q34
+    * declared-cap pattern): with the oracle-replayable pinned k=8 the
+    * per-cell graph build is quadratic in |cell| (measured: the
+    * uncapped sf10 fixture spills past 75 GB of disk); the at-scale
+    * posture is corpus-scaled k (~250 vectors/cell, ProbeNsw), which
+    * the pinned-k gate fixture deliberately does not use. No-op at
+    * the three gate SFs and sf1.0. */
   val q191NswDelete: Q = (s, dir) => {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      .filter($"id" < 10000000000L)
     val cent = graft.operators.IvfIndex
       .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1519,7 +1536,8 @@ object QueriesSimilarity {
       .orderBy($"q_id", $"rank")
   }
   val q191Sql: String =
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id < 10000000000),
        |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
        |${lloydIdxSql("e", "8")},
        |idxd AS MATERIALIZED (SELECT * FROM idx WHERE id % 10 <> 3),
@@ -1786,8 +1804,11 @@ object QueriesSimilarity {
     // part of the audit trail the steady read needs, so the builder
     // snapshots it beside the store before the refresh overwrites it.
     val nswDir = nswRetuneCache.computeIfAbsent(dir, _ => {
+      // q191's declared replica cap (no-op at gate SFs + sf1.0): the
+      // pinned-k graph fixture is per-cell quadratic above sf1.0
       val e = Tables.embeddings(s, dir)
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+        .filter($"id" < 10000000000L)
       val cent = IvfIndex
         .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1881,7 +1902,8 @@ object QueriesSimilarity {
          |LIMIT 1""".stripMargin
     val (bChains, bRows) = chains("b", "idx", "qs", "truth", "v0", "graph")
     val (dChains, dRows) = chains("d", "idx2", "qs2", "dtruth", "dv0", "dgraph")
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id < 10000000000),
        |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
        |${lloydIdxSql("e", "8")},
        |${nswWalkBaseCtes("idx")},

@@ -1163,6 +1163,93 @@ object QueriesSimilarity {
   private[graft] val q201Sql: String =
     twoTierAppendSqlWith("WHERE id % 10 <> 3")
 
+  /** q207 oracle (streaming refit-during-ingest): coarse centroids fit
+    * on the base and KEPT through the refit; codebooks REFIT over
+    * base ∪ the first two keyed micro-batches (`(id // 10) % 4 IN
+    * (0, 1)` of the delta — the corpus state at the batch-1 refit);
+    * every live row encoded under the refit codebooks (the refit
+    * re-encoded base + early batches, the post-swap appends encoded
+    * batches 2-3); the reset `codebook_fit` baseline is the
+    * ordered-fold error of exactly the refit-time rows under the
+    * refit codebooks. */
+  private[graft] val q207Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |base AS (SELECT * FROM e WHERE id % 10 < 9),
+       |delta AS (SELECT * FROM e WHERE id % 10 = 9),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("base", "8")},
+       |dscored AS (
+       |  SELECT delta.id, delta.v, c.cluster,
+       |         ${dotSql("delta.v", "c.centroid")} / sqrt(${norm2Sql("delta.v")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM delta CROSS JOIN cent c),
+       |didx AS (
+       |  SELECT id, v, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM dscored)
+       |  WHERE rn = 1),
+       |allidx AS MATERIALIZED (
+       |  SELECT * FROM idx UNION ALL SELECT * FROM didx),
+       |fitset AS MATERIALIZED (
+       |  SELECT id, v FROM base UNION ALL
+       |  SELECT id, v FROM delta WHERE (id // 10) % 4 IN (0, 1)),
+       |${pqCodebookSql("fitset", "allidx")},
+       |${pqDtabSql},
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |acand AS (
+       |  SELECT p.q_id, i.id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
+       |           (a, b) -> a + b) AS ad2
+       |  FROM probes p
+       |  JOIN allidx i USING (cluster)
+       |  JOIN pq_codes c ON c.id = i.id
+       |  JOIN pq_dtab d ON d.q_id = p.q_id),
+       |atop AS (
+       |  SELECT q_id, id, ad2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, id ASC) AS rn FROM acand)
+       |  WHERE rn <= 10),
+       |rcand AS (
+       |  SELECT a.q_id, a.id AS n_id, a.ad2, ${l2SqSql("q.qv", "i.v")} AS d2
+       |  FROM atop a JOIN qs q ON q.q_id = a.q_id JOIN allidx i ON i.id = a.id),
+       |ranked AS (
+       |  SELECT q_id, n_id, ad2, d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rank
+       |  FROM rcand),
+       |idxf AS (
+       |  SELECT * FROM allidx WHERE id % 10 < 9 OR (id // 10) % 4 IN (0, 1)),
+       |qe_min AS (SELECT id, sub, min(d2) AS d2 FROM pq_s1 GROUP BY id, sub),
+       |qe_row AS MATERIALIZED (
+       |  SELECT id, list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)), (a, b) -> a + b) AS qe
+       |  FROM qe_min GROUP BY id),
+       |q_cell AS (
+       |  SELECT i.cluster,
+       |         list_reduce(list_prepend(0.0, list(r.qe ORDER BY r.id)), (a, b) -> a + b) AS s,
+       |         count(*) AS n
+       |  FROM qe_row r JOIN idxf i ON i.id = r.id
+       |  GROUP BY i.cluster),
+       |qfit AS (
+       |  SELECT round(list_reduce(list_prepend(0.0, list(s ORDER BY cluster)), (a, b) -> a + b)
+       |           / sum(n), 4) AS mean_qerr,
+       |         CAST(sum(n) AS BIGINT) AS n_rows
+       |  FROM q_cell)
+       |SELECT phase, q_id, rank, n_id, ad2, d2, mean_qerr, n_rows FROM (
+       |  SELECT 'serve' AS phase, q_id, CAST(rank AS INT) AS rank, n_id,
+       |         round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2,
+       |         CAST(NULL AS DOUBLE) AS mean_qerr, CAST(NULL AS BIGINT) AS n_rows
+       |  FROM ranked WHERE rank <= 5
+       |  UNION ALL
+       |  SELECT 'fit_baseline', CAST(NULL AS BIGINT), CAST(NULL AS INT),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       |         q.mean_qerr, q.n_rows
+       |  FROM qfit q)
+       |ORDER BY phase, q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q184
   /** Partitioned-NSW graph search ([[graft.operators.NswIndex]]) — the
     * graph tier closing the ANN ladder: per-cell neighbor graphs

@@ -763,9 +763,101 @@ object QueriesStreaming {
       .orderBy($"q_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- q207
+  /** STREAMING codebook REFIT during ingest — q201's transport with
+    * the q204 remedy interleaved: a base two-tier store (NO tuning —
+    * this also gates [[graft.operators.PqIndex.refitTwoTier]]'s
+    * untuned branch, which q204/q206 do not cover) ingests the delta
+    * over four KEYED micro-batches (batch k = the `(id div 10) % 4 =
+    * k` slice of the delta — [[keyedMultiBatchStream]]; the
+    * hash-arbitrary repartition split would make the fit set
+    * unreplayable); after batch 1's append lands, `refitTwoTier`
+    * commits a NEW generation — codebooks refit over exactly
+    * base ∪ batches 0-1, coarse centroids kept, `codebook_fit`
+    * baseline reset — and batches 2-3 append THROUGH THE MANIFEST
+    * SWAP, encoding under the refit codebooks. End state: every live
+    * row carries refit-codebook codes (the refit re-encoded the early
+    * rows, the post-swap appends encoded the late ones), so the ADC
+    * serve replay + the reset baseline pin the whole
+    * generation-swap-during-live-ingest shape on one hash. Same
+    * single-session replay-guard caveat as q201. */
+  val q207StreamTwoTierRefit: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{IvfIndex, PqIndex}
+    val file = s"$dir/embeddings.parquet"
+    val e = s.read.parquet(file)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val storeBase = twoTierStreamRefitCache.computeIfAbsent(dir, _ => {
+      val (b, stream) = keyedMultiBatchStream(s, file, "q207", dir,
+        _.filter(col("vec_id") % 10 === 9),
+        expr("vec_id div 10") % 4)
+      val p = b + "/store"
+      val base = e.filter($"id" % 10 < 9)
+      val cent = IvfIndex
+        .fitCentroids(s, base, k = 8, iterations = 1, orderedMean = true)
+        .localCheckpoint()
+      val indexed = IvfIndex.assign(base, cent).localCheckpoint()
+      val cb = PqIndex.fitCodebooks(s, base, m = 4, ks = 16, iterations = 1)
+      val codesIdx = PqIndex.encode(base, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      PqIndex.saveTwoTier(cent, cb, codesIdx,
+        indexed.select($"cluster", $"id", $"v"), p)
+      val query = stream.writeStream
+        .option("checkpointLocation", b + "/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val marker = s".ttrf_batch_${batchId}_applied"
+            val applied = graft.sources.StoreFs.childNames(b).contains(marker)
+            val delta = batch.toDF().select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("v"))
+            if (!applied) {
+              if (!delta.isEmpty) {
+                val (_, _, _, fullPrev) = PqIndex.loadTwoTier(s, p)
+                val landedAll = delta.select(col("id"))
+                  .join(fullPrev.select(col("id")), Seq("id"), "left_anti")
+                  .isEmpty
+                if (!landedAll)
+                  PqIndex.appendToTwoTier(s, delta, p, m = 4, subDim = 16): Unit
+              }
+              // the INTERLEAVE: the refit generation commits between
+              // micro-batches. OUTSIDE the empty-delta guard (the q201
+              // contract): an empty batch-1 part file must not skip
+              // the refit, or batches 2-3 silently encode under the
+              // base codebooks and diverge from the refit-fit oracle.
+              if (batchId == 1)
+                PqIndex.refitTwoTier(s, p, m = 4, subDim = 16, ks = 16,
+                  iterations = 1)
+              graft.sources.StoreFs.touchMarker(b, marker)
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      b
+    })
+    val (cent2, cb2, codes2, full2) =
+      PqIndex.loadTwoTier(s, storeBase + "/store")
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    val serve = PqIndex.ivfAdcSearch(s, queries, codes2, full2, cent2, cb2,
+        m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
+      .select(lit("serve").as("phase"), $"q_id", $"rank", $"n_id",
+        $"ad2", $"d2", lit(null).cast("double").as("mean_qerr"),
+        lit(null).cast("long").as("n_rows"))
+    val baseline = s.read.parquet(s"${storeBase}/store/codebook_fit")
+      .select(lit("fit_baseline").as("phase"),
+        lit(null).cast("long").as("q_id"), lit(null).cast("int").as("rank"),
+        lit(null).cast("long").as("n_id"),
+        lit(null).cast("double").as("ad2"), lit(null).cast("double").as("d2"),
+        $"mean_qerr", $"n_rows")
+    serve.unionByName(baseline).orderBy($"phase", $"q_id", $"rank")
+  }
+
   private val twoTierStreamDelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val nswStreamDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val twoTierStreamRefitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val dedupStoreCache =
@@ -783,12 +875,14 @@ object QueriesStreaming {
   private[graft] def clearSessionCaches(): Unit = {
     import scala.jdk.CollectionConverters._
     (nswIngestCache.values.asScala ++ twoTierStreamDelCache.values.asScala ++
-        nswStreamDelCache.values.asScala)
+        nswStreamDelCache.values.asScala ++
+        twoTierStreamRefitCache.values.asScala)
       .foreach(p => rmTree(new java.io.File(p)))
     dedupStoreCache.clear()
     nswIngestCache.clear()
     twoTierStreamDelCache.clear()
     nswStreamDelCache.clear()
+    twoTierStreamRefitCache.clear()
   }
 
   /** Registry: name → (spark program, oracle sql). */
@@ -868,6 +962,46 @@ object QueriesStreaming {
     val schema = s.read.parquet(watch).schema
     (base, s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(watch))
+  }
+
+  /** [[stagedMultiBatchStream]] with a DETERMINISTIC, SQL-replayable
+    * batch split: one file per value of `key` (must range over
+    * 0..3), staged with strictly increasing modification times so
+    * `maxFilesPerTrigger=1` processes them oldest-first — batch k IS
+    * the `key = k` slice. The repartition(4) split is hash-arbitrary,
+    * fine for gates whose models never change mid-stream (q201/q202:
+    * the end state is batch-split-independent), unusable when a
+    * mid-stream verb's result depends on which rows arrived before it
+    * (q207's refit fits codebooks over exactly the pre-refit
+    * arrivals). */
+  private def keyedMultiBatchStream(s: SparkSession, srcFile: String,
+                                    tag: String, dir: String,
+                                    project: DataFrame => DataFrame,
+                                    key: org.apache.spark.sql.Column)
+      : (String, DataFrame) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val watch = new java.io.File(base + "/watch")
+    watch.mkdirs(): Unit
+    val src = project(s.read.parquet(srcFile))
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { k =>
+      val stage = s"$base/stage$k"
+      src.filter(key === k).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(watch, f"b$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath): Unit
+      // FileStreamSource orders candidate files by modification time
+      // (latestFirst=false): widely spaced stamps pin batch order even
+      // on coarse-mtime filesystems
+      dst.setLastModified(now - 40000L + k * 10000L): Unit
+    }
+    val schema = s.read.parquet(watch.toString).schema
+    (base, s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watch.toString))
   }
 
   /** Recursive scratch-dir delete (null-safe listFiles). */
@@ -1209,5 +1343,9 @@ object QueriesStreaming {
       Some(QueriesSimilarity.q201Sql)),
     ("q202_stream_nsw_delete", q202StreamNswDelete,
       Some(QueriesSimilarity.q202Sql)),
+    // stream appends + interleaved codebook refit ≡ fit over the
+    // pre-refit arrivals, every live row encoded under the new fit
+    ("q207_stream_twotier_refit", q207StreamTwoTierRefit,
+      Some(QueriesSimilarity.q207Sql)),
   )
 }

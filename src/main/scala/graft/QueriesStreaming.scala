@@ -986,6 +986,18 @@ object QueriesStreaming {
     val watch = new java.io.File(base + "/watch")
     watch.mkdirs(): Unit
     val src = project(s.read.parquet(srcFile))
+    // The 0..3 key contract is load-bearing, not advisory: a key
+    // expression that strays outside the range (or yields null) would
+    // silently DROP those rows from the staged corpus, so the fit set
+    // diverges from its oracle with no error — the exact
+    // non-determinism this helper exists to eliminate. One count job
+    // up front, cheap against the four staged writes that follow.
+    val outOfRange = src
+      .filter(key.isNull || key < 0 || key > 3).count()
+    require(outOfRange == 0,
+      s"keyedMultiBatchStream($tag): key expression must range over " +
+        s"0..3 but $outOfRange source rows fall outside (or are null) " +
+        "— those rows would be silently dropped from the staged corpus")
     val now = System.currentTimeMillis()
     (0 until 4).foreach { k =>
       val stage = s"$base/stage$k"

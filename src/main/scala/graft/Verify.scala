@@ -43,7 +43,23 @@ object Verify {
     // Drop merged-in keys no longer in the catalog: check_oracle_big.py
     // replays every dump entry, so a retired/renamed query's stale SQL
     // would keep being certified against its stale parquet forever.
-    val stale = existing.keySet -- SparkEntry.oracleSql.keySet
+    // ONLY on full-catalog runs (or with GRAFT_VERIFY_DROP_STALE=1): a
+    // subset run from a build where a query is temporarily disabled or
+    // renamed must not permanently discard its certified oracle SQL —
+    // the full sweep is the authority on catalog membership.
+    val dropStale = only.isEmpty ||
+      sys.env.get("GRAFT_VERIFY_DROP_STALE").contains("1")
+    val stale =
+      if (dropStale) existing.keySet -- SparkEntry.oracleSql.keySet
+      else {
+        val kept = existing.keySet -- SparkEntry.oracleSql.keySet
+        if (kept.nonEmpty) System.err.println(
+          s"[verify] ${kept.size} dump entries are absent from this " +
+            "build's catalog but PRESERVED (subset run; set " +
+            "GRAFT_VERIFY_DROP_STALE=1 to drop): " +
+            kept.toSeq.sorted.mkString(", "))
+        Set.empty[String]
+      }
     if (stale.nonEmpty) System.err.println(
       s"[verify] dropping ${stale.size} stale oracle entries not in the " +
         s"current catalog: ${stale.toSeq.sorted.mkString(", ")}")

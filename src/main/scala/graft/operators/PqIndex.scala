@@ -266,11 +266,20 @@ object PqIndex {
                                 residual: Boolean = false): DataFrame = {
     val (fs, p) = graft.sources.StoreFs.of(s"$dir/tuning")
     val tuned = fs.exists(p)
-    // Guard BEFORE the append: appendToTwoTier is append-mode and NOT
-    // idempotent, so the refresh's pre-sample-persisting failure must
-    // fire while the store is untouched — a caller retrying a
-    // post-append failure would double-append the delta rows.
+    // Guards BEFORE the append: appendToTwoTier is append-mode and NOT
+    // idempotent, so every refusal must fire while the store is
+    // untouched — a caller retrying a post-append failure would
+    // double-append the delta rows, and a shape/regime-mismatched call
+    // would encode the delta in the wrong space and append it silently
+    // (corruption invisible until recall decays). Mirrors
+    // [[refitTwoTier]]'s pre-mutation provenance guard.
     if (tuned) {
+      val (_, _, _, pm, psd, pres, _) = loadTunedTwoTier(spark, dir)
+      require(pm == m && psd == subDim && pres == residual,
+        s"appendToTwoTierRefreshing called with (m=$m, subDim=$subDim, " +
+          s"residual=$residual) but the persisted tuning was measured at " +
+          s"(m=$pm, subDim=$psd, residual=$pres) — append with the " +
+          "store's own shape/regime")
       val (sfs, sp) = graft.sources.StoreFs.of(s"$dir/tuning_sample")
       require(sfs.exists(sp),
         s"$dir has a tuning table but no tuning_sample: it was tuned " +

@@ -361,6 +361,21 @@ class PqIndexSpec extends SparkSpec {
           iterations = 1, residual = true)
       exR.getMessage should include("persisted tuning")
       graft.sources.StoreFs.readManifest(s"$dir/manifest").get shouldBe genBefore
+      // appendToTwoTierRefreshing carries the SAME pre-mutation guard
+      // (r14 ADVICE): a shape- or regime-mismatched call must refuse
+      // BEFORE the non-idempotent append — otherwise the delta is
+      // encoded in the wrong space and appended silently
+      val fullBefore = PqIndex.loadTwoTier(spark, dir)._4.count()
+      val delta2 = e.select(($"id" + 200000).as("id"), $"v")
+      val exA = the[IllegalArgumentException] thrownBy
+        PqIndex.appendToTwoTierRefreshing(spark, delta2, dir,
+          m = 2, subDim = 32)
+      exA.getMessage should include("persisted tuning")
+      val exA2 = the[IllegalArgumentException] thrownBy
+        PqIndex.appendToTwoTierRefreshing(spark, delta2, dir,
+          m = 4, subDim = 16, residual = true)
+      exA2.getMessage should include("persisted tuning")
+      PqIndex.loadTwoTier(spark, dir)._4.count() shouldBe fullBefore
       assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
     }
 

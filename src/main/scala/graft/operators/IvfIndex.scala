@@ -91,7 +91,17 @@ object IvfIndex {
     * corpus laid out one directory per cell the broadcast probe join
     * prunes to those directories (dynamic partition pruning) instead
     * of scanning the full corpus. */
-  def save(centroids: DataFrame, indexed: DataFrame, dir: String): Unit = {
+  /** Writer mutual exclusion for the flat store's mutation verbs —
+    * the [[PqIndex]]/[[NswIndex]] contract ([[graft.sources.StoreFs
+    * .withWriterLease]], re-entrant). NSW maintenance verbs that
+    * rewrite this store arrive holding THEIR store's lease and nest
+    * this one (always nsw-first; no reverse path, so no deadlock). */
+  private def withStoreLease[T](dir: String)(body: => T): T =
+    graft.sources.StoreFs.withWriterLease(
+      graft.sources.StoreFs.writerMarkerPath(dir))(body)
+
+  def save(centroids: DataFrame, indexed: DataFrame, dir: String): Unit =
+      withStoreLease(dir) {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     // co-locate each cell before the partitioned write: without it every
     // shuffle task writes a sliver into every cluster directory —
@@ -157,7 +167,8 @@ object IvfIndex {
     * mid-write (parquet append is per-file atomic, not per-directory).
     * Run maintenance from the single writer that owns the index, the
     * same contract as any non-transactional parquet layout. */
-  def appendToIndex(spark: SparkSession, delta: DataFrame, dir: String): DataFrame = {
+  def appendToIndex(spark: SparkSession, delta: DataFrame, dir: String): DataFrame =
+      withStoreLease(dir) {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val assigned = assign(delta, centroids)
     assigned.repartition(col("cluster"))
@@ -207,7 +218,8 @@ object IvfIndex {
     * index. Same semantics, same commit sequence. */
   def splitOversizedCellsDetailed(spark: SparkSession, dir: String,
                                   maxCellSize: Long, iterations: Int = 1,
-                                  orderedMean: Boolean = true): Seq[(Long, Long)] = {
+                                  orderedMean: Boolean = true): Seq[(Long, Long)] =
+      withStoreLease(dir) {
     require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
     val (cent0, indexed) = load(spark, dir)
     val oversized = indexed.groupBy(col("cluster")).count()
@@ -421,7 +433,8 @@ object IvfIndex {
     * (sample-sized brute truth + one pruned join per width); the
     * persisted table is |nProbes| rows. Returns the chosen width. */
   def tuneNProbe(spark: SparkSession, dir: String, sampleQueries: DataFrame,
-                 k: Int, nProbes: Seq[Int], recallFloor: Double): Int = {
+                 k: Int, nProbes: Seq[Int], recallFloor: Double): Int =
+      withStoreLease(dir) {
     require(recallFloor > 0 && recallFloor <= 1.0,
       s"recallFloor must be in (0, 1], got $recallFloor")
     val (centroids, indexed) = load(spark, dir)
@@ -454,7 +467,7 @@ object IvfIndex {
     * Returns `(nProbe, refreshed)`. */
   def refreshNProbeTuning(spark: SparkSession, dir: String,
                           sampleQueries: Option[DataFrame] = None
-                         ): (Int, Boolean) = {
+                         ): (Int, Boolean) = withStoreLease(dir) {
     val tuning = spark.read.parquet(s"$dir/tuning")
     val prov = tuning.select(col("recall_floor"), col("at_k")).head()
     val (floor, k) = (prov.getDouble(0), prov.getInt(1))

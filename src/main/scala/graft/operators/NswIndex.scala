@@ -99,7 +99,8 @@ object NswIndex {
   def appendToNswRefreshing(spark: SparkSession, flatDir: String, dir: String,
                             indexedBase: DataFrame, indexedDelta: DataFrame,
                             centroids: DataFrame, degree: Int,
-                            retainGenerations: Int = 1): Unit = {
+                            retainGenerations: Int = 1): Unit =
+      withStoreLease(dir) {
     appendToNsw(spark, dir, indexedBase, indexedDelta, centroids, degree,
       retainGenerations)
     val (fs, p) = graft.sources.StoreFs.of(s"$dir/tuning")
@@ -108,7 +109,7 @@ object NswIndex {
 
   def appendToNsw(spark: SparkSession, dir: String, indexedBase: DataFrame,
                   indexedDelta: DataFrame, centroids: DataFrame, degree: Int,
-                  retainGenerations: Int = 1): Unit = {
+                  retainGenerations: Int = 1): Unit = withStoreLease(dir) {
     require(degree > 0, s"appendToNsw needs degree > 0, got $degree")
     graft.plans.GraftFunctions.register(spark)
     val (graph, entries) = loadNsw(spark, dir)
@@ -178,7 +179,8 @@ object NswIndex {
   def splitOversizedNswCells(spark: SparkSession, flatDir: String,
                              nswDir: String, maxCellSize: Long, degree: Int,
                              iterations: Int = 1, orderedMean: Boolean = true,
-                             retainGenerations: Int = 1): Int = {
+                             retainGenerations: Int = 1): Int =
+      withStoreLease(nswDir) {
     // resume any interrupted maintenance before starting new work: a
     // prior crash between the flat rewrite and the NSW commit would
     // otherwise be invisible here (the flat store is already updated,
@@ -256,7 +258,8 @@ object NswIndex {
     * pending. Called automatically at the top of both maintenance
     * verbs; exposed for explicit ops-side repair. */
   def repairNsw(spark: SparkSession, flatDir: String, nswDir: String,
-                degree: Int, retainGenerations: Int = 1): Int = {
+                degree: Int, retainGenerations: Int = 1): Int =
+      withStoreLease(nswDir) {
     val marked = readPendingCells(nswDir).getOrElse(return 0)
     val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
     val indexed = idxRaw.select(col("id"), col("v"),
@@ -305,7 +308,7 @@ object NswIndex {
     * Returns the number of cells rebuilt. */
   def deleteFromNsw(spark: SparkSession, flatDir: String, nswDir: String,
                     ids: DataFrame, degree: Int,
-                    retainGenerations: Int = 1): Int = {
+                    retainGenerations: Int = 1): Int = withStoreLease(nswDir) {
     // resume any interrupted maintenance first — a crash between the
     // flat rewrite and the NSW commit makes this call's `affected`
     // recompute as empty (the ids are already gone from the flat
@@ -371,8 +374,21 @@ object NswIndex {
     * pattern), so a crashed refresh leaves readers on the previous
     * complete generation and `retainGenerations` keeps history for
     * pinned readers until [[vacuumNsw]] reclaims it. */
+  /** Writer mutual exclusion for the NSW store's mutation verbs — the
+    * [[graft.operators.PqIndex]] contract: every read-modify-write
+    * (append, delete, split, repair, tune, vacuum) brackets in the
+    * store's [[graft.sources.StoreFs.withWriterLease]]; re-entrant, so
+    * composed verbs (delete → repair → save → vacuum) take it once.
+    * The verbs that also rewrite the FLAT store do so through
+    * [[IvfIndex]]'s own leased verbs — nested on the flat dir's
+    * marker, always acquired nsw-first (no reverse path, so no
+    * deadlock). */
+  private def withStoreLease[T](nswDir: String)(body: => T): T =
+    graft.sources.StoreFs.withWriterLease(
+      graft.sources.StoreFs.writerMarkerPath(nswDir))(body)
+
   def saveNsw(graph: DataFrame, entries: DataFrame, dir: String,
-              retainGenerations: Int = 1): Unit = {
+              retainGenerations: Int = 1): Unit = withStoreLease(dir) {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
     val gen = graft.sources.StoreFs.readManifest(s"$dir/manifest")
@@ -406,7 +422,7 @@ object NswIndex {
 
   /** Retention for a [[saveNsw]] store — the uniform keep-newest-N
     * policy ([[PqIndex.vacuumTwoTier]] semantics). */
-  def vacuumNsw(dir: String, keepLast: Int): Unit = {
+  def vacuumNsw(dir: String, keepLast: Int): Unit = withStoreLease(dir) {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val current = graft.sources.StoreFs.readManifest(s"$dir/manifest")
       .getOrElse(return)
@@ -485,7 +501,8 @@ object NswIndex {
     * chosen `(ef, rounds)`. */
   def tuneWalk(spark: SparkSession, flatDir: String, nswDir: String,
                sampleQueries: DataFrame, k: Int, nProbe: Int,
-               settings: Seq[(Int, Int)], recallFloor: Double): (Int, Int) = {
+               settings: Seq[(Int, Int)], recallFloor: Double): (Int, Int) =
+      withStoreLease(nswDir) {
     require(recallFloor > 0 && recallFloor <= 1.0,
       s"recallFloor must be in (0, 1], got $recallFloor")
     require(settings.nonEmpty, "tuneWalk needs at least one (ef, rounds)")
@@ -579,7 +596,7 @@ object NswIndex {
     * walk, every recall and both rules. */
   def refreshWalkTuning(spark: SparkSession, flatDir: String, nswDir: String,
                         sampleQueries: Option[DataFrame] = None
-                       ): (Int, Int, Boolean) = {
+                       ): (Int, Int, Boolean) = withStoreLease(nswDir) {
     val tuning = spark.read.parquet(s"$nswDir/tuning")
     val prov = tuning.select(col("recall_floor"), col("at_k"), col("n_probe"))
       .head()

@@ -195,7 +195,7 @@ object PqIndex {
     * later. */
   def saveTwoTier(centroids: DataFrame, codebooks: DataFrame,
                   codesIdx: DataFrame, fullIdx: DataFrame, dir: String,
-                  retainGenerations: Int = 1): Unit = {
+                  retainGenerations: Int = 1): Unit = withStoreLease(dir) {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
     val gen = graft.sources.StoreFs.readManifest(s"$dir/manifest")
@@ -221,16 +221,27 @@ object PqIndex {
     * alone. Safe beside readers pinned to any RETAINED generation —
     * a reader's resolved `g<n>` paths stay valid until a vacuum with
     * a smaller `keepLast` reclaims them. */
-  def vacuumTwoTier(dir: String, keepLast: Int): Unit = {
+  def vacuumTwoTier(dir: String, keepLast: Int): Unit = withStoreLease(dir) {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val current = graft.sources.StoreFs.readManifest(s"$dir/manifest")
-      .getOrElse(return)
-    val genRe = "g(\\d+)".r
-    val committed = graft.sources.StoreFs.childNames(dir)
-      .collect { case genRe(g) if g.toLong <= current => g.toLong }.sorted
-    committed.dropRight(keepLast)
-      .foreach(g => graft.sources.StoreFs.deleteChild(dir, s"g$g"))
+    graft.sources.StoreFs.readManifest(s"$dir/manifest").foreach { current =>
+      val genRe = "g(\\d+)".r
+      val committed = graft.sources.StoreFs.childNames(dir)
+        .collect { case genRe(g) if g.toLong <= current => g.toLong }.sorted
+      committed.dropRight(keepLast)
+        .foreach(g => graft.sources.StoreFs.deleteChild(dir, s"g$g"))
+    }
   }
+
+  /** WRITER MUTUAL EXCLUSION for every two-tier mutation verb: the
+    * generational commit is single-writer by construction (two
+    * concurrent writers would build the same `g<n+1>` dir and the last
+    * manifest rename would orphan the loser), so each verb brackets
+    * its whole read-modify-write in the store's
+    * [[graft.sources.StoreFs.withWriterLease]] — re-entrant, so
+    * composed verbs (refit → save → vacuum) take it once. */
+  private def withStoreLease[T](dir: String)(body: => T): T =
+    graft.sources.StoreFs.withWriterLease(
+      graft.sources.StoreFs.writerMarkerPath(dir))(body)
 
   /** The current committed generation's root — or the legacy flat
     * layout (`dir/centroids` etc.) for stores written before the
@@ -263,7 +274,8 @@ object PqIndex {
     * contract). */
   def appendToTwoTierRefreshing(spark: SparkSession, delta: DataFrame,
                                 dir: String, m: Int, subDim: Int,
-                                residual: Boolean = false): DataFrame = {
+                                residual: Boolean = false): DataFrame =
+      withStoreLease(dir) {
     val (fs, p) = graft.sources.StoreFs.of(s"$dir/tuning")
     val tuned = fs.exists(p)
     // Guards BEFORE the append: appendToTwoTier is append-mode and NOT
@@ -294,7 +306,7 @@ object PqIndex {
 
   def appendToTwoTier(spark: SparkSession, delta: DataFrame, dir: String,
                       m: Int, subDim: Int,
-                      residual: Boolean = false): DataFrame = {
+                      residual: Boolean = false): DataFrame = withStoreLease(dir) {
     val root = twoTierRoot(dir)
     val cent = spark.read.parquet(s"$root/centroids")
     val cb = spark.read.parquet(s"$root/codebooks")
@@ -327,8 +339,10 @@ object PqIndex {
     * deleted id via [[appendToTwoTier]] requires [[compactTwoTier]]
     * first, or the anti-join hides the re-added rows. */
   def deleteFromTwoTier(spark: SparkSession, dir: String, ids: DataFrame): Unit =
-    ids.select(col("id").cast("long").as("id")).coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstones")
+    withStoreLease(dir) {
+      ids.select(col("id").cast("long").as("id")).coalesce(1)
+        .write.mode("append").parquet(s"$dir/tombstones")
+    }
 
   /** The store's tombstone ids, if any were ever written. */
   private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
@@ -342,11 +356,12 @@ object PqIndex {
     * drop the tombstone table. Crash between commit and drop is
     * harmless — the anti-join of already-absent ids is a no-op. */
   def compactTwoTier(spark: SparkSession, dir: String,
-                     retainGenerations: Int = 1): Unit = {
-    if (tombstones(spark, dir).isEmpty) return
-    val (cent, cb, codes, full) = loadTwoTier(spark, dir) // already filtered
-    saveTwoTier(cent, cb, codes, full, dir, retainGenerations)
-    graft.sources.StoreFs.deleteChild(dir, "tombstones")
+                     retainGenerations: Int = 1): Unit = withStoreLease(dir) {
+    if (tombstones(spark, dir).nonEmpty) {
+      val (cent, cb, codes, full) = loadTwoTier(spark, dir) // already filtered
+      saveTwoTier(cent, cb, codes, full, dir, retainGenerations)
+      graft.sources.StoreFs.deleteChild(dir, "tombstones")
+    }
   }
 
   /** Reload a [[saveTwoTier]]d index (its current committed
@@ -565,7 +580,8 @@ object PqIndex {
                         sampleQueries: DataFrame, k: Int, rerank: Int,
                         nProbes: Seq[Int], recallFloor: Double,
                         m: Int, subDim: Int, residual: Boolean = false,
-                        resetQerrBaseline: Boolean = false): Int = {
+                        resetQerrBaseline: Boolean = false): Int =
+      withStoreLease(dir) {
     require(recallFloor > 0 && recallFloor <= 1.0,
       s"recallFloor must be in (0, 1], got $recallFloor")
     val (cent, cb, codes, full) = loadTwoTier(spark, dir)
@@ -633,7 +649,7 @@ object PqIndex {
   def refreshTwoTierTuning(spark: SparkSession, dir: String,
                            sampleQueries: Option[DataFrame] = None,
                            qerrRefitRatio: Double = 1.05
-                          ): (Int, Boolean, Boolean) = {
+                          ): (Int, Boolean, Boolean) = withStoreLease(dir) {
     val tuning = spark.read.parquet(s"$dir/tuning")
     val (point, k, rerank, m, subDim, residual, floor) =
       loadTunedTwoTier(spark, dir)
@@ -697,7 +713,8 @@ object PqIndex {
   def refitTwoTier(spark: SparkSession, dir: String, m: Int, subDim: Int,
                    ks: Int, iterations: Int, residual: Boolean = false,
                    retainGenerations: Int = 1,
-                   sampleQueries: Option[DataFrame] = None): Unit = {
+                   sampleQueries: Option[DataFrame] = None): Unit =
+      withStoreLease(dir) {
     // ALL validation runs BEFORE the first mutation: a wrong-shape call
     // (or a pre-sample-persisting store) must refuse while the store is
     // still intact — a post-saveTwoTier failure would leave codes at the

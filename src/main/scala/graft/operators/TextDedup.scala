@@ -383,10 +383,19 @@ object TextDedup {
     * value leaves history for readers still pinned to an older
     * generation — [[vacuumDedupStore]] reclaims it later).
     * (`StoreLifecycleSpec` injects crashes at each gap.) */
+  /** Writer mutual exclusion for the dedup store's mutation verbs —
+    * the [[graft.operators.PqIndex]] contract on the PREFIX layout:
+    * the lease marker is the sibling file `<prefix>__writer` (the
+    * store has no root dir to put it under). Re-entrant, so
+    * build → commit → vacuum takes it once. */
+  private def withStoreLease[T](pathPrefix: String)(body: => T): T =
+    graft.sources.StoreFs.withWriterLease(s"${pathPrefix}__writer")(body)
+
   def writeDedupStoreBucketed(corpus: DataFrame, idCol: String, textCol: String,
                               shingleN: Int, k: Int, rowsPerBand: Int,
                               namePrefix: String, pathPrefix: String,
-                              buckets: Int, retainGenerations: Int = 1): Unit = {
+                              buckets: Int, retainGenerations: Int = 1): Unit =
+      withStoreLease(pathPrefix) {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
     val spark = corpus.sparkSession
@@ -452,9 +461,10 @@ object TextDedup {
     * previously deleted id requires compaction first (the
     * [[PqIndex.deleteFromTwoTier]] caveat). */
   def deleteFromDedupStore(spark: SparkSession, pathPrefix: String,
-                           ids: DataFrame): Unit =
+                           ids: DataFrame): Unit = withStoreLease(pathPrefix) {
     ids.select(col(ids.columns.head).cast("long").as("s_id")).coalesce(1)
       .write.mode("append").parquet(s"${pathPrefix}_tombstones")
+  }
 
   /** The store's tombstoned doc ids, if any. */
   private def dedupTombstones(spark: SparkSession,
@@ -488,7 +498,8 @@ object TextDedup {
     * ids is a no-op. */
   def compactDedupStore(spark: SparkSession, namePrefix: String,
                         pathPrefix: String, buckets: Int,
-                        retainGenerations: Int = 1): Unit = {
+                        retainGenerations: Int = 1): Unit =
+      withStoreLease(pathPrefix) {
     val tomb = dedupTombstones(spark, pathPrefix).getOrElse(return)
     val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(throw new IllegalStateException(
@@ -516,7 +527,8 @@ object TextDedup {
     * `_g<n>_*` tables stay valid until a smaller `keepLast` reclaims
     * them. */
   def vacuumDedupStore(spark: SparkSession, namePrefix: String,
-                       pathPrefix: String, keepLast: Int): Unit = {
+                       pathPrefix: String, keepLast: Int): Unit =
+      withStoreLease(pathPrefix) {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val current = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(return)

@@ -110,6 +110,186 @@ object StoreFs {
     fs.delete(p, false): Unit
   }
 
+  // ------------------------------------------------------------------
+  // WRITER LEASE — mutual exclusion for store mutation verbs.
+  //
+  // The generational commit (tmp + atomic rename over the manifest)
+  // makes any SINGLE writer crash-safe, but assumes one writer: two
+  // concurrent append/refit/compact calls against one store would both
+  // read generation g, both build g+1 (clobbering each other's table
+  // files inside the same g<n+1> dir — overwrite-mode writes), and the
+  // last manifest rename silently orphans the loser. On a real cluster
+  // a scheduler retrying a "stuck" job produces exactly this overlap.
+  //
+  // The lease is a marker file (`<store>/__writer` for dir-layout
+  // stores, `<prefix>__writer` for the dedup prefix layout) created
+  // with Hadoop's no-overwrite create — atomic on HDFS; on filesystems
+  // where create(overwrite=false) is check-then-create, same-process
+  // racers are still fully serialized by the JVM-local registry below
+  // (atomic ConcurrentHashMap.compute), which also gives RE-ENTRANCY:
+  // a composed verb (refitTwoTier → saveTwoTier → vacuumTwoTier) takes
+  // the lease once at the top and nested acquisitions on the same
+  // THREAD just increment a depth count, while a DIFFERENT thread in
+  // the same JVM refuses exactly like a different process would.
+  //
+  // A writer that crashes leaves its marker behind; the lease carries
+  // no heartbeat, so staleness is judged by the marker's modification
+  // time. acquire() auto-breaks a marker older than `staleAfterMs`
+  // (default 30 min — far above any verb's runtime, far below a
+  // scheduler's retry horizon) with a stderr warning; a fresher marker
+  // refuses with the holder and the remedy. `StoreDoctor` surfaces a
+  // held lease as `warn` (active writer) or `error` (stale — remedy:
+  // `StoreFs.breakWriterLease`).
+  //
+  // Residual race, documented not closed: a writer that stalls PAST
+  // the TTL can wake after its lease was broken and still commit over
+  // the usurper (rename has no compare-and-swap on a filesystem). The
+  // lease shrinks the unprotected window from the whole verb duration
+  // to that pathological stall; true CAS needs a coordination service
+  // the engine deliberately doesn't depend on.
+  // ------------------------------------------------------------------
+
+  /** A held writer lease on `markerPath`; `token` identifies this
+    * holder instance for safe release. */
+  final case class WriterLease(markerPath: String, token: String)
+
+  private final case class Held(token: String, threadId: Long, var depth: Int)
+
+  /** JVM-local lease registry keyed by the QUALIFIED marker path —
+    * serializes same-process writers and provides re-entrancy. */
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
+
+  /** The conventional marker path for a dir-layout store. */
+  def writerMarkerPath(storeDir: String): String = s"$storeDir/__writer"
+
+  private lazy val hostTag: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "localhost" }
+
+  private def qualified(path: String): String = {
+    val (fs, p) = of(path)
+    fs.makeQualified(p).toString
+  }
+
+  /** Acquire the writer lease at `markerPath` (refusing if another
+    * writer holds a fresh lease; auto-breaking one stale past
+    * `staleAfterMs`). Re-entrant per thread. Prefer
+    * [[withWriterLease]], which releases on every exit path. */
+  def acquireWriterLease(markerPath: String,
+                         staleAfterMs: Long = 30L * 60 * 1000): WriterLease = {
+    val key = qualified(markerPath)
+    val token = hostTag + ":" + ProcessHandle.current().pid() + ":" +
+      java.util.UUID.randomUUID().toString.take(8)
+    // JVM-local gate first: atomic, covers filesystems whose
+    // no-overwrite create is not atomic. compute() throws for a
+    // different-thread holder, increments depth for the same thread.
+    val me = Thread.currentThread().getId
+    val entry = held.compute(key, (_, cur) =>
+      if (cur == null) Held(token, me, 1)
+      else if (cur.threadId == me) { cur.depth += 1; cur }
+      else throw new IllegalStateException(
+        s"writer lease at $markerPath is held by another thread of this " +
+          s"process (${cur.token}) — one writer at a time per store"))
+    if (entry.depth > 1) return WriterLease(markerPath, entry.token)
+    // Cross-process gate: the marker file, no-overwrite create.
+    try {
+      createMarkerOrFail(markerPath, token, staleAfterMs)
+      WriterLease(markerPath, token)
+    } catch { case t: Throwable =>
+      held.remove(key): Unit // undo the registry claim
+      throw t
+    }
+  }
+
+  private def createMarkerOrFail(markerPath: String, token: String,
+                                 staleAfterMs: Long): Unit = {
+    val (fs, p) = of(markerPath)
+    if (p.getParent != null) fs.mkdirs(p.getParent): Unit
+    def tryCreate(): Boolean =
+      try {
+        // overwrite=false: throws when the marker exists (atomic on
+        // HDFS; the JVM registry covers non-atomic local create)
+        val out = fs.create(p, false)
+        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(p) => false
+      }
+    if (tryCreate()) return
+    val ageMs =
+      try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => -1L } // vanished: retry below
+    val holder = readSmallFile(markerPath).getOrElse("<unreadable>").trim
+    if (ageMs >= 0 && ageMs <= staleAfterMs)
+      sys.error(
+        s"writer lease at $markerPath is held by $holder " +
+          f"(age ${ageMs / 1000.0}%.1f s) — another writer is active on " +
+          "this store; retry after it finishes, or run " +
+          "StoreFs.breakWriterLease if you know it crashed")
+    if (ageMs > staleAfterMs) {
+      System.err.println(
+        s"[StoreFs] breaking STALE writer lease at $markerPath " +
+          f"(held by $holder, age ${ageMs / 1000.0}%.1f s > " +
+          f"${staleAfterMs / 1000.0}%.1f s TTL — abandoned by a crash)")
+      breakWriterLease(markerPath)
+    }
+    // one more attempt (post-break, or the holder released in between)
+    if (!tryCreate()) {
+      val h2 = readSmallFile(markerPath).getOrElse("<unreadable>").trim
+      sys.error(
+        s"writer lease at $markerPath could not be acquired — lost the " +
+          s"re-acquire race to $h2; retry after it finishes")
+    }
+  }
+
+  /** Release a lease taken with [[acquireWriterLease]]: deletes the
+    * marker only while it still carries OUR token — if a stale-break
+    * usurped us mid-write, the usurper's marker is left alone (its
+    * lease, not ours). */
+  def releaseWriterLease(lease: WriterLease): Unit = {
+    val key = qualified(lease.markerPath)
+    val cur = held.get(key)
+    if (cur != null && cur.token == lease.token) {
+      cur.depth -= 1
+      if (cur.depth > 0) return
+      held.remove(key): Unit
+    }
+    if (readSmallFile(lease.markerPath).map(_.trim).contains(lease.token))
+      deleteFile(lease.markerPath)
+  }
+
+  /** Forcibly remove a writer lease — the REMEDY verb for a marker
+    * abandoned by a crashed writer ([[graft.tools.StoreDoctor]] names
+    * it on a stale-lease finding). Never run it against a live
+    * writer. */
+  def breakWriterLease(markerPath: String): Unit =
+    deleteFile(markerPath)
+
+  /** The lease marker's `(holderToken, ageMs)` when one is present —
+    * the StoreDoctor inspection surface. */
+  def writerLeaseInfo(markerPath: String): Option[(String, Long)] = {
+    val (fs, p) = of(markerPath)
+    if (!fs.exists(p)) None
+    else
+      try {
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(p).getModificationTime
+        Some((readSmallFile(markerPath).getOrElse("<unreadable>").trim, age))
+      } catch { case _: java.io.IOException => None } // released mid-probe
+  }
+
+  /** Run `body` holding the writer lease at `markerPath`, releasing on
+    * every exit path. THE bracket every store mutation verb wraps its
+    * read-modify-write in — composed verbs nest freely (re-entrant on
+    * the acquiring thread). */
+  def withWriterLease[T](markerPath: String,
+                         staleAfterMs: Long = 30L * 60 * 1000)(body: => T): T = {
+    val lease = acquireWriterLease(markerPath, staleAfterMs)
+    try body finally releaseWriterLease(lease)
+  }
+
   /** COMMIT a generation: write `gen` to `path__tmp`, then swap it in
     * with an atomic overwrite rename ([[FileContext]] with
     * `Options.Rename.OVERWRITE` — atomic on HDFS and the local FS), so

@@ -140,6 +140,31 @@ object StoreDoctor {
     out.result()
   }
 
+  /** Writer-lease state ([[StoreFs.acquireWriterLease]]): a FRESH
+    * marker is an active writer (normal, but concurrent mutations will
+    * refuse), a marker past the TTL is a lease abandoned by a crashed
+    * writer — mutations auto-break it on their next acquire, and the
+    * explicit remedy is [[StoreFs.breakWriterLease]]. The aggstore
+    * family carries no lease: its single writer is the streaming
+    * query, whose checkpoint already enforces exclusivity. */
+  private def writerLeaseFinding(store: String, markerPath: String,
+                                 staleAfterMs: Long = 30L * 60 * 1000
+                                ): Seq[Finding] =
+    StoreFs.writerLeaseInfo(markerPath) match {
+      case None =>
+        Seq(Finding(store, "writer-lease", "ok", "no writer lease held"))
+      case Some((holder, age)) if age > staleAfterMs =>
+        Seq(Finding(store, "writer-lease", "error",
+          f"STALE writer lease held by $holder (age ${age / 1000.0}%.1f s > " +
+            f"${staleAfterMs / 1000.0}%.1f s TTL) — abandoned by a crashed " +
+            "writer; the next mutation auto-breaks it after the TTL, or run " +
+            "StoreFs.breakWriterLease to clear it now"))
+      case Some((holder, age)) =>
+        Seq(Finding(store, "writer-lease", "warn",
+          f"writer lease held by $holder (age ${age / 1000.0}%.1f s) — an " +
+            "active writer; concurrent mutations refuse until it releases"))
+    }
+
   /** Tombstone weight vs live rows — flags compaction when the dead
     * weight passes a quarter of the live store. */
   private def tombstoneFinding(spark: SparkSession, store: String,
@@ -172,7 +197,8 @@ object StoreDoctor {
             "tuneTwoTierNProbe writes it; until then refreshTwoTierTuning " +
             "cannot gate a refit recommendation"))
       else Seq.empty
-    spine ++ tomb ++ drift ++ auditTuning(spark, dir)
+    spine ++ tomb ++ drift ++ auditTuning(spark, dir) ++
+      writerLeaseFinding(dir, StoreFs.writerMarkerPath(dir))
   }
 
   /** Audit a flat [[graft.operators.IvfIndex.save]] store (the
@@ -197,7 +223,8 @@ object StoreDoctor {
           s"$leftover present — an interrupted splitOversizedCells swap; " +
             "IvfIndex.load rolls it forward/back automatically")
       }
-    out.result() ++ auditTuning(spark, dir)
+    out.result() ++ auditTuning(spark, dir) ++
+      writerLeaseFinding(dir, StoreFs.writerMarkerPath(dir))
   }
 
   /** Audit a [[graft.operators.NswIndex.saveNsw]] store beside its
@@ -242,7 +269,8 @@ object StoreDoctor {
         out += Finding(nswDir, "flat-vs-graph", "ok",
           s"graph covers all ${flatCells.size} flat cell(s)")
     }
-    out.result() ++ auditTuning(spark, nswDir)
+    out.result() ++ auditTuning(spark, nswDir) ++
+      writerLeaseFinding(nswDir, StoreFs.writerMarkerPath(nswDir))
   }
 
   /** Audit a [[graft.operators.TextDedup.writeDedupStoreBucketed]]
@@ -301,7 +329,8 @@ object StoreDoctor {
                 "honored; rebuild with writeDedupStoreBucketed")
         }
     }
-    out.result()
+    out.result() ++
+      writerLeaseFinding(pathPrefix, s"${pathPrefix}__writer")
   }
 
   /** Audit a [[graft.streaming.EventStreams.materializedAggStore]]

@@ -153,6 +153,91 @@ class StoreLifecycleSpec extends SparkSpec {
     }
   }
 
+  describe("writer mutual exclusion (StoreFs lease)") {
+    import graft.sources.StoreFs
+
+    it("a second concurrent writer refuses; nothing is orphaned; the doctor sees every lease state") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-lease").toString + "/store"
+      val marker = s"${path}__writer"
+      buildStore("slc_lease", path)                      // committed g1
+      val before = verdicts("slc_lease", path)
+
+      // 1. same-process concurrency: while this thread holds the lease,
+      // a refresh from ANOTHER thread refuses up front — no g2 tables,
+      // manifest untouched (the race that used to clobber g2 and orphan
+      // the loser's generation)
+      val lease = StoreFs.acquireWriterLease(marker)
+      @volatile var refusal: Throwable = null
+      val t = new Thread(() =>
+        try buildStore("slc_lease", path)
+        catch { case e: Throwable => refusal = e })
+      t.start(); t.join()
+      refusal should not be null
+      refusal.getMessage should include("held by another thread")
+      StoreFs.readManifest(s"${path}_manifest") shouldBe Some(1L)
+      StoreFs.childNames(new org.apache.hadoop.fs.Path(path)
+        .getParent.toString).count(_.contains("_g2_")) shouldBe 0
+      // the doctor reports the active writer as warn, not error
+      val whileHeld = graft.tools.StoreDoctor.auditDedup(spark, path)
+      whileHeld.filter(_.kind == "writer-lease").map(_.severity) shouldBe
+        Seq("warn")
+      assertCleanAudit(whileHeld)
+      StoreFs.releaseWriterLease(lease)
+      new java.io.File(marker).exists() shouldBe false
+
+      // 2. cross-process concurrency: a foreign writer's marker (fresh)
+      // refuses with the holder and the remedy verb in the message
+      StoreFs.writeFileAtomic(marker, "otherhost:424242:deadbeef")
+      val ex = intercept[RuntimeException] { buildStore("slc_lease", path) }
+      ex.getMessage should include("otherhost:424242:deadbeef")
+      ex.getMessage should include("breakWriterLease")
+      verdicts("slc_lease", path) shouldBe before
+
+      // 3. abandoned (crashed-writer) lease: past the TTL the doctor
+      // flags it as error with the remedy, and the next writer
+      // auto-breaks it and commits
+      new java.io.File(marker)
+        .setLastModified(System.currentTimeMillis() - 31 * 60 * 1000L) shouldBe true
+      val staleFindings = graft.tools.StoreDoctor.auditDedup(spark, path)
+        .filter(_.kind == "writer-lease")
+      staleFindings.map(_.severity) shouldBe Seq("error")
+      staleFindings.head.detail should include("breakWriterLease")
+      buildStore("slc_lease", path)                      // auto-break + g2
+      verdicts("slc_lease", path) shouldBe before
+      StoreFs.readManifest(s"${path}_manifest") shouldBe Some(2L)
+      new java.io.File(marker).exists() shouldBe false
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
+    }
+
+    it("composed verbs re-enter the lease they already hold (refit -> save -> vacuum)") {
+      // every buildStore in this suite already nests
+      // writeDedupStoreBucketed -> vacuumDedupStore under one lease;
+      // this pins the two-tier family's deeper chain explicitly
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(e, cent)
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 16, iterations = 1)
+      val codes = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val dir = java.nio.file.Files.createTempDirectory("graft-tt-lease").toString
+      PqIndex.saveTwoTier(cent, cb, codes,
+        indexed.select($"cluster", $"id", $"v"), dir)
+      PqIndex.deleteFromTwoTier(spark, dir, e.filter($"id" % 5 === 0).select($"id"))
+      // refit with tombstones: refit -> loadTwoTier -> saveTwoTier ->
+      // vacuumTwoTier all under ONE lease acquisition
+      PqIndex.refitTwoTier(spark, dir, m = 4, subDim = 16, ks = 16,
+        iterations = 1)
+      new java.io.File(s"$dir/__writer").exists() shouldBe false
+      val audit = graft.tools.StoreDoctor.auditTwoTier(spark, dir)
+      audit.filter(_.kind == "writer-lease").map(_.severity) shouldBe Seq("ok")
+      assertCleanAudit(audit)
+    }
+  }
+
   describe("saveNsw generations") {
     it("crashed refresh stays on the old generation; vacuum applies the uniform policy") {
       import graft.operators.NswIndex

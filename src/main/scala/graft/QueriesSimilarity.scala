@@ -1502,22 +1502,31 @@ object QueriesSimilarity {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
       .filter($"id" % 4 === 0 && $"id" < 10000000000L)
-      .localCheckpoint()
-    val n = e.count()
-    val cent1 = graft.operators.IvfIndex
-      .fitCentroids(s, e, k = 1, iterations = 1, orderedMean = true)
-      .localCheckpoint()
-    val idx1 = graft.operators.IvfIndex.assign(e, cent1).localCheckpoint()
-    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val flatDir = s"/root/repo/target/tmp/graft_nswsplit_flat_$stem"
-    val nswDir = s"/root/repo/target/tmp/graft_nswsplit_nsw_$stem"
-    graft.operators.IvfIndex.save(cent1, idx1, flatDir)
-    graft.operators.NswIndex.saveNsw(
-      graft.operators.NswIndex.fitGraph(idx1, degree = 4),
-      graft.operators.NswIndex.entryPoints(idx1, cent1), nswDir)
-    val split = graft.operators.NswIndex.splitOversizedNswCells(
-      s, flatDir, nswDir, maxCellSize = math.max(2L, n / 2), degree = 4)
-    require(split == 1, s"fixture must force exactly one split, got $split")
+    // session-owned lifecycle cache (the q142 contract): the
+    // deliberately-degenerate one-cell build + the split run ONCE per
+    // session; steady bench passes price the post-maintenance SERVE
+    // (load + walk), cold passes the full lifecycle
+    val nswDir = nswSplitCache.computeIfAbsent(dir, _ => {
+      val eM = e.localCheckpoint()
+      val n = eM.count()
+      val cent1 = graft.operators.IvfIndex
+        .fitCentroids(s, eM, k = 1, iterations = 1, orderedMean = true)
+        .localCheckpoint()
+      val idx1 = graft.operators.IvfIndex.assign(eM, cent1).localCheckpoint()
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fDir = s"/root/repo/target/tmp/graft_nswsplit_flat_$stem"
+      val nDir = s"/root/repo/target/tmp/graft_nswsplit_nsw_$stem"
+      rmTree(new java.io.File(fDir)); rmTree(new java.io.File(nDir))
+      graft.operators.IvfIndex.save(cent1, idx1, fDir)
+      graft.operators.NswIndex.saveNsw(
+        graft.operators.NswIndex.fitGraph(idx1, degree = 4),
+        graft.operators.NswIndex.entryPoints(idx1, cent1), nDir)
+      val split = graft.operators.NswIndex.splitOversizedNswCells(
+        s, fDir, nDir, maxCellSize = math.max(2L, n / 2), degree = 4)
+      require(split == 1, s"fixture must force exactly one split, got $split")
+      nDir
+    })
+    val flatDir = nswDir.replace("graft_nswsplit_nsw_", "graft_nswsplit_flat_")
     val (cent2, idx2) = graft.operators.IvfIndex.load(s, flatDir)
     val (graph, entries) = graft.operators.NswIndex.loadNsw(s, nswDir)
     val queries = e.filter($"id" < 40).select($"id".as("q_id"), $"v".as("qv"))
@@ -1549,17 +1558,29 @@ object QueriesSimilarity {
     * rewritten generation the same search must still hash-match. */
   val q190TwoTierDelete: Q = (s, dir) => {
     import s.implicits._
-    val (cent, cb, codesIdx, fullIdx, queries) = twoTierFit(s, dir)
-    val idxDir = "/root/repo/target/tmp/graft_pq_del_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
-    rmTree(new java.io.File(idxDir))
-    graft.operators.PqIndex.saveTwoTier(cent, cb, codesIdx, fullIdx, idxDir)
-    val deleted = Tables.embeddings(s, dir)
-      .select($"vec_id".as("id")).filter($"id" % 10 === 3)
-    graft.operators.PqIndex.deleteFromTwoTier(s, idxDir, deleted)
-    // fold the tombstones in, then serve from the compacted generation:
-    // the gate covers BOTH read paths (compaction must be invisible)
-    graft.operators.PqIndex.compactTwoTier(s, idxDir)
+    // session-owned lifecycle cache (the q142 contract): fit + save +
+    // tombstone + compact run ONCE per session; steady passes price
+    // serving from the compacted generation, cold the full lifecycle.
+    // NOTE the gate still covers BOTH read paths on every cold pass:
+    // the tombstone-anti-join read is exercised inside the builder
+    // (loadTwoTier between delete and compact, via compactTwoTier).
+    val idxDir = twoTierDeleteCache.computeIfAbsent(dir, _ => {
+      val (cent, cb, codesIdx, fullIdx, _) = twoTierFit(s, dir)
+      val p = "/root/repo/target/tmp/graft_pq_del_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      rmTree(new java.io.File(p))
+      graft.operators.PqIndex.saveTwoTier(cent, cb, codesIdx, fullIdx, p)
+      val deleted = Tables.embeddings(s, dir)
+        .select($"vec_id".as("id")).filter($"id" % 10 === 3)
+      graft.operators.PqIndex.deleteFromTwoTier(s, p, deleted)
+      // fold the tombstones in, then serve from the compacted
+      // generation: compaction must be invisible to the search
+      graft.operators.PqIndex.compactTwoTier(s, p)
+      p
+    })
+    val queries = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      .filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
     val (cent2, cb2, codes2, full2) =
       graft.operators.PqIndex.loadTwoTier(s, idxDir)
     graft.operators.PqIndex.ivfAdcSearch(s, queries, codes2, full2,
@@ -1598,21 +1619,28 @@ object QueriesSimilarity {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
       .filter($"id" < 10000000000L)
-    val cent = graft.operators.IvfIndex
-      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
-    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val flatDir = s"/root/repo/target/tmp/graft_nswdel_flat_$stem"
-    val nswDir = s"/root/repo/target/tmp/graft_nswdel_nsw_$stem"
-    rmTree(new java.io.File(flatDir)); rmTree(new java.io.File(nswDir))
-    graft.operators.IvfIndex.save(cent, indexed, flatDir)
-    graft.operators.NswIndex.saveNsw(
-      graft.operators.NswIndex.fitGraph(indexed, degree = 4),
-      graft.operators.NswIndex.entryPoints(indexed, cent), nswDir)
-    val rebuilt = graft.operators.NswIndex.deleteFromNsw(s, flatDir, nswDir,
-      e.filter($"id" % 10 === 3).select($"id"), degree = 4)
-    require(rebuilt >= 1, s"fixture must touch at least one cell, got $rebuilt")
+    // session-owned lifecycle cache (the q142 contract): build + save +
+    // cell-local delete-rebuild run ONCE per session; steady passes
+    // price the post-delete SERVE, cold passes the full lifecycle
+    val nswDir = nswDeleteCache.computeIfAbsent(dir, _ => {
+      val cent = graft.operators.IvfIndex
+        .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fDir = s"/root/repo/target/tmp/graft_nswdel_flat_$stem"
+      val nDir = s"/root/repo/target/tmp/graft_nswdel_nsw_$stem"
+      rmTree(new java.io.File(fDir)); rmTree(new java.io.File(nDir))
+      graft.operators.IvfIndex.save(cent, indexed, fDir)
+      graft.operators.NswIndex.saveNsw(
+        graft.operators.NswIndex.fitGraph(indexed, degree = 4),
+        graft.operators.NswIndex.entryPoints(indexed, cent), nDir)
+      val rebuilt = graft.operators.NswIndex.deleteFromNsw(s, fDir, nDir,
+        e.filter($"id" % 10 === 3).select($"id"), degree = 4)
+      require(rebuilt >= 1, s"fixture must touch at least one cell, got $rebuilt")
+      nDir
+    })
+    val flatDir = nswDir.replace("graft_nswdel_nsw_", "graft_nswdel_flat_")
     val (cent2, idx2) = graft.operators.IvfIndex.load(s, flatDir)
     val (graph, entries) = graft.operators.NswIndex.loadNsw(s, nswDir)
     val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
@@ -1744,24 +1772,32 @@ object QueriesSimilarity {
     * shared base CTEs plus the choice. */
   val q194NswAutotune: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
-    val cent = graft.operators.IvfIndex
-      .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val flatDir = s"/root/repo/target/tmp/q194_flat_$tag"
-    val nswDir = s"/root/repo/target/tmp/q194_nsw_$tag"
-    graft.operators.IvfIndex.save(cent, indexed, flatDir)
-    graft.operators.NswIndex.saveNsw(
-      graft.operators.NswIndex.fitGraph(indexed, degree = 4),
-      graft.operators.NswIndex.entryPoints(indexed, cent), nswDir)
-    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
-    graft.operators.NswIndex.tuneWalk(s, flatDir, nswDir, queries,
-      k = 10, nProbe = 2,
-      settings = Seq((10, 1), (10, 2), (16, 2), (16, 3)),
-      recallFloor = 0.6): Unit
+    // session-owned lifecycle cache (the q142 contract): build + save +
+    // the four-setting tuning grid run ONCE per session; steady passes
+    // read the PERSISTED tuning table (the serving artifact the gate
+    // hashes), cold passes re-run the whole grid
+    val nswDir = nswTuneCache.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = graft.operators.IvfIndex
+        .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val tag = new java.io.File(dir).getName.replace('.', '_')
+      val fDir = s"/root/repo/target/tmp/q194_flat_$tag"
+      val nDir = s"/root/repo/target/tmp/q194_nsw_$tag"
+      rmTree(new java.io.File(fDir)); rmTree(new java.io.File(nDir))
+      graft.operators.IvfIndex.save(cent, indexed, fDir)
+      graft.operators.NswIndex.saveNsw(
+        graft.operators.NswIndex.fitGraph(indexed, degree = 4),
+        graft.operators.NswIndex.entryPoints(indexed, cent), nDir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      graft.operators.NswIndex.tuneWalk(s, fDir, nDir, queries,
+        k = 10, nProbe = 2,
+        settings = Seq((10, 1), (10, 2), (16, 2), (16, 3)),
+        recallFloor = 0.6): Unit
+      nDir
+    })
     s.read.parquet(s"$nswDir/tuning")
       .select($"ef", $"rounds", $"cost", $"n_queries", $"total_hits",
         $"avg_recall", $"min_recall", $"chosen")
@@ -2728,6 +2764,17 @@ object QueriesSimilarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val twoTierResidRefitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // round-15: the heaviest steady lifecycle fixtures take the same
+  // contract (r14 verdict #2) — values are the NSW/two-tier end-state
+  // dirs; NSW pairs derive the flat sibling from the stem tag
+  private val nswSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val nswDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val nswTuneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val twoTierDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drop (and delete) the session-owned index stores — [[Bench]] calls
     * this before each COLD pass so cold numbers carry the fit + save
@@ -2738,15 +2785,19 @@ object QueriesSimilarity {
     (twoTierStoreCache.values.asScala ++ twoTierAppendCache.values.asScala ++
         twoTierRetuneCache.values.asScala ++ twoTierRefitCache.values.asScala ++
         twoTierResidRetuneCache.values.asScala ++
-        twoTierResidRefitCache.values.asScala)
+        twoTierResidRefitCache.values.asScala ++
+        twoTierDeleteCache.values.asScala)
       .foreach(p => rmTree(new java.io.File(p)))
-    // the retune fixture owns a flat/nsw dir PAIR; the cache holds the
+    // the NSW fixtures own a flat/nsw dir PAIR; each cache holds the
     // nsw path, the flat sibling differs only in the stem tag
-    nswRetuneCache.values.asScala.foreach { p =>
-      rmTree(new java.io.File(p))
-      rmTree(new java.io.File(p.replace("graft_retune_nsw_",
-        "graft_retune_flat_")))
-    }
+    (nswRetuneCache.values.asScala.map((_, "graft_retune_nsw_", "graft_retune_flat_")) ++
+        nswSplitCache.values.asScala.map((_, "graft_nswsplit_nsw_", "graft_nswsplit_flat_")) ++
+        nswDeleteCache.values.asScala.map((_, "graft_nswdel_nsw_", "graft_nswdel_flat_")) ++
+        nswTuneCache.values.asScala.map((_, "q194_nsw_", "q194_flat_")))
+      .foreach { case (p, nswTag, flatTag) =>
+        rmTree(new java.io.File(p))
+        rmTree(new java.io.File(p.replace(nswTag, flatTag)))
+      }
     twoTierStoreCache.clear()
     twoTierAppendCache.clear()
     nswRetuneCache.clear()
@@ -2754,6 +2805,10 @@ object QueriesSimilarity {
     twoTierRefitCache.clear()
     twoTierResidRetuneCache.clear()
     twoTierResidRefitCache.clear()
+    nswSplitCache.clear()
+    nswDeleteCache.clear()
+    nswTuneCache.clear()
+    twoTierDeleteCache.clear()
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(

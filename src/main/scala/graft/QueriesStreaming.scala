@@ -504,16 +504,6 @@ object QueriesStreaming {
     val corpus = s.read.parquet(file)
       .filter(graft.operators.Sampling.hashBucket($"doc_id", 10) < 8)
       .select($"doc_id", $"text")
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val p = s"q189_store_$tag"
-    val path = s"/root/repo/target/tmp/$p"
-    // fresh tombstones per invocation: the store rebuild resets state
-    rmTree(new java.io.File(s"${path}_tombstones"))
-    graft.operators.TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
-      shingleN = 5, k = 8, rowsPerBand = 2,
-      namePrefix = p, pathPrefix = path, buckets = 8)
-    graft.operators.TextDedup.deleteFromDedupStore(s, path,
-      corpus.filter($"doc_id" % 5 === 1).select($"doc_id"))
     val base = s.read.parquet(file)
       .withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
     val delta = base.filter($"b" >= 8).select($"doc_id", $"text")
@@ -524,18 +514,36 @@ object QueriesStreaming {
           concat($"text", lit(" zz qq")).as("text")))
       .unionByName(base.filter($"b" >= 8 && $"doc_id" % 13 === 0)
         .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
-    def flags() = graft.operators.TextDedup.ingestFlagsBucketed(
-        delta, "doc_id", "text", p, path,
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    def flags(p: String, path: String) = graft.operators.TextDedup
+      .ingestFlagsBucketed(delta, "doc_id", "text", p, path,
         shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
       .groupBy($"dup_exact", $"dup_near")
       .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
       .orderBy($"dup_exact", $"dup_near")
-    val tombstoned = flags().collect().toSeq
-    graft.operators.TextDedup.compactDedupStore(s, p, path, buckets = 8)
-    val out = flags()
-    require(out.collect().toSeq == tombstoned,
-      "compaction changed ingest verdicts")
-    out
+    // session-owned lifecycle cache (the q142 contract, r14 verdict #2):
+    // build + tombstone + the tombstoned-read classification + compact
+    // + the compaction-invariance check run ONCE per session (that
+    // whole sequence IS the lifecycle cold passes price); steady
+    // passes classify the same delta against the COMPACTED store —
+    // identical verdicts by the very invariance the builder asserts
+    val p = dedupDeleteStoreCache.computeIfAbsent(dir, _ => {
+      val name = s"q189_store_$tag"
+      val path = s"/root/repo/target/tmp/$name"
+      // fresh tombstones: the store rebuild resets state
+      rmTree(new java.io.File(s"${path}_tombstones"))
+      graft.operators.TextDedup.writeDedupStoreBucketed(corpus, "doc_id",
+        "text", shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = name, pathPrefix = path, buckets = 8)
+      graft.operators.TextDedup.deleteFromDedupStore(s, path,
+        corpus.filter($"doc_id" % 5 === 1).select($"doc_id"))
+      val tombstoned = flags(name, path).collect().toSeq
+      graft.operators.TextDedup.compactDedupStore(s, name, path, buckets = 8)
+      require(flags(name, path).collect().toSeq == tombstoned,
+        "compaction changed ingest verdicts")
+      name
+    })
+    flags(p, s"/root/repo/target/tmp/$p")
   }
   val q189Sql: String = nearDupIngestSql("doc_id % 5 <> 1")
 
@@ -560,14 +568,22 @@ object QueriesStreaming {
       .filter(graft.operators.Sampling.hashBucket($"doc_id", 10) < 8)
       .select($"doc_id", $"text")
     val tag = new java.io.File(dir).getName.replace('.', '_')
-    val p = s"q198_store_$tag"
+    // session-owned lifecycle cache (the q142 contract, r14 verdict #2):
+    // store build + tombstoning run ONCE per session; steady passes
+    // price the STREAMING transport against the tombstoned store (the
+    // thing this gate exists to cover), cold passes the full lifecycle
+    val p = dedupStreamDelStoreCache.computeIfAbsent(dir, _ => {
+      val name = s"q198_store_$tag"
+      val path = s"/root/repo/target/tmp/$name"
+      rmTree(new java.io.File(s"${path}_tombstones"))
+      graft.operators.TextDedup.writeDedupStoreBucketed(corpus, "doc_id",
+        "text", shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = name, pathPrefix = path, buckets = 8)
+      graft.operators.TextDedup.deleteFromDedupStore(s, path,
+        corpus.filter($"doc_id" % 5 === 1).select($"doc_id"))
+      name
+    })
     val path = s"/root/repo/target/tmp/$p"
-    rmTree(new java.io.File(s"${path}_tombstones"))
-    graft.operators.TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
-      shingleN = 5, k = 8, rowsPerBand = 2,
-      namePrefix = p, pathPrefix = path, buckets = 8)
-    graft.operators.TextDedup.deleteFromDedupStore(s, path,
-      corpus.filter($"doc_id" % 5 === 1).select($"doc_id"))
     def arriving = s.readStream.schema(schema).parquet(watch)
       .withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
     val delta = arriving.filter($"b" >= 8).select($"doc_id", $"text")
@@ -862,6 +878,13 @@ object QueriesStreaming {
 
   private val dedupStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // round-15 (r14 verdict #2): the q189/q198 delete-lifecycle stores
+  // take the same contract; values are name prefixes under target/tmp
+  // (the dedupStoreCache convention — builders reset their own state)
+  private val dedupDeleteStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dedupStreamDelStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** q187's stream-built two-tier stores, one scratch base per data
     * dir — the q142 serving contract: steady passes load+search the
     * stream-maintained store, cold passes re-run the whole 4-batch
@@ -879,6 +902,8 @@ object QueriesStreaming {
         twoTierStreamRefitCache.values.asScala)
       .foreach(p => rmTree(new java.io.File(p)))
     dedupStoreCache.clear()
+    dedupDeleteStoreCache.clear()
+    dedupStreamDelStoreCache.clear()
     nswIngestCache.clear()
     twoTierStreamDelCache.clear()
     nswStreamDelCache.clear()
@@ -1154,6 +1179,15 @@ object QueriesStreaming {
         mergeAggs = Seq(sum($"n").as("n"), sum($"v").as("v")),
         store = store, checkpoint = ckpt)
       try query.processAllAvailable() finally query.stop()
+      // the gate run itself must end with a clean store, not just the
+      // specs' engineered states: StoreDoctor's aggstore audit (pure
+      // layout inspection — marker/data-dir names) runs on every pass
+      // at every SF, so a torn or marker-orphaned generation the
+      // stream left behind fails the gate loudly here
+      val findings = graft.tools.StoreDoctor.auditAggStore(s, store)
+        .filter(_.severity == "error")
+      if (findings.nonEmpty) sys.error("q173: aggstore audit errors: " +
+        findings.map(f => s"[${f.kind}] ${f.detail}").mkString("; "))
       EventStreams.latestGeneration(s, store)
         .getOrElse(sys.error("q173: empty store"))
         .select($"user_id", $"n".as("n_events"),

@@ -61,6 +61,7 @@ object Bench {
       QueriesCurate.clearSessionCaches()
       QueriesStreaming.clearSessionCaches()
       QueriesSimilarity.clearSessionCaches()
+      QueriesPipeline.clearSessionCaches()
       val cold = once()
       val coldErr = err.isDefined
       val warm = if (!coldErr) once() else cold

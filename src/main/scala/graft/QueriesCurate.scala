@@ -578,59 +578,83 @@ object QueriesCurate {
     * removal, block split, density filter, entity decode, collapse) is
     * hash-gated. Both engines run per-row expression chains only —
     * shuffle-free, the shape that scales to raw-crawl input. */
+  /** The deterministic crawl-page shell of the q105 fixture (Spark
+    * side) — shared with the composed pipeline gate
+    * ([[QueriesPipeline]] wraps its planted corpus in the same shell;
+    * the q203 one-text discipline, Scala face). Expects `doc_id` and
+    * `text` columns on the input row. */
+  private[graft] val crawlShell: org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><div id=\"nav\">"),
+      expr("""repeat('<a href="/l">link</a> ', CAST(doc_id % 5 AS INT))"""),
+      lit("</div><!-- crawl &amp; noise --><p>"),
+      col("text"),
+      lit(" &amp; tail&nbsp;&lt;mark&gt;</p><div class=\"footer\">&copy; legal</div></body></html>"))
+
   val q105HtmlStrip: Q = (s, dir) => {
     import s.implicits._
     val html = Tables.documents(s, dir).select($"doc_id",
-      concat(
-        lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><div id=\"nav\">"),
-        expr("""repeat('<a href="/l">link</a> ', CAST(doc_id % 5 AS INT))"""),
-        lit("</div><!-- crawl &amp; noise --><p>"),
-        $"text",
-        lit(" &amp; tail&nbsp;&lt;mark&gt;</p><div class=\"footer\">&copy; legal</div></body></html>")
-      ).as("html"))
+      crawlShell.as("html"))
     html.select($"doc_id",
         graft.functions.TextAnalysis.mainContent($"html").as("main_text"),
         length(graft.functions.TextAnalysis.stripMarkup($"html")).as("n_all"))
       .withColumn("n_main", length($"main_text"))
       .orderBy($"doc_id")
   }
-  val q105Sql: String = {
-    // the exact Spark chains, restated: entity chain as nested plain
-    // replace (same literals), every regexp_replace global
-    def ent(x: String) =
-      s"replace(replace(replace(replace(replace(replace(replace($x, " +
-        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
-        "'&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')"
-    def clean(b: String) =
-      s"trim(regexp_replace(${ent(s"regexp_replace($b, '<[^>]+>', ' ', 'g')")}, '\\s+', ' ', 'g'))"
-    val invisible =
-      "regexp_replace(regexp_replace(regexp_replace(html, " +
-        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
-        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g')"
-    val boundary =
-      "'(?i)</?(p|div|td|th|li|ul|ol|h[1-6]|table|tr|section|article|aside|header|footer|nav|blockquote|br)[^>]*>'"
-    s"""WITH h AS (
+  // The exact Spark strip chains, restated for DuckDB: entity chain as
+  // nested plain replace (same literals), every regexp_replace global.
+  private def stripEnt(x: String) =
+    s"replace(replace(replace(replace(replace(replace(replace($x, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')"
+  private def stripClean(b: String) =
+    s"trim(regexp_replace(${stripEnt(s"regexp_replace($b, '<[^>]+>', ' ', 'g')")}, '\\s+', ' ', 'g'))"
+  private val stripInvisible =
+    "regexp_replace(regexp_replace(regexp_replace(html, " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g')"
+  private val stripBoundary =
+    "'(?i)</?(p|div|td|th|li|ul|ol|h[1-6]|table|tr|section|article|aside|header|footer|nav|blockquote|br)[^>]*>'"
+
+  /** The q105 strip chain as CTEs over `srcRel` `(doc_id, text)`:
+    * shell-wrap → invisible-block removal → block split → density
+    * filter — ends at `kept(doc_id, all_text, ks)`; [[stripMainOf]] is
+    * the `main_text` projection over `ks`. ONE text for q105 and the
+    * composed pipeline gate's strip stage ([[QueriesPipeline]] — the
+    * q203 discipline: the two gates' strip semantics cannot drift). */
+  private[graft] def htmlStripCtes(srcRel: String): String =
+    // NO internal stripMargin: the `||` concatenation lines begin with
+    // whitespace + '|' after a first strip, so a consumer's stripMargin
+    // would mangle them — this fragment keeps its margin characters and
+    // is stripped exactly ONCE by the consuming query text
+    s"""h AS (
        |  SELECT doc_id,
        |         '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><div id="nav">'
        |           || repeat('<a href="/l">link</a> ', CAST(doc_id % 5 AS INT))
        |           || '</div><!-- crawl &amp; noise --><p>' || text
        |           || ' &amp; tail&nbsp;&lt;mark&gt;</p><div class="footer">&copy; legal</div></body></html>' AS html
-       |  FROM documents),
-       |pre AS (SELECT doc_id, $invisible AS nohide FROM h),
-       |blk AS (SELECT doc_id, string_split_regex(nohide, $boundary) AS blocks,
-       |               ${clean("nohide")} AS all_text
+       |  FROM $srcRel),
+       |pre AS (SELECT doc_id, $stripInvisible AS nohide FROM h),
+       |blk AS (SELECT doc_id, string_split_regex(nohide, $stripBoundary) AS blocks,
+       |               ${stripClean("nohide")} AS all_text
        |        FROM pre),
        |kept AS (
        |  SELECT doc_id, all_text,
-       |         list_filter(blocks, b -> len(${clean("b")}) >= 30
-       |           AND len(regexp_extract_all(b, '(?i)<a[\\s>]')) * 25 <= len(${clean("b")})) AS ks
-       |  FROM blk)
+       |         list_filter(blocks, b -> len(${stripClean("b")}) >= 30
+       |           AND len(regexp_extract_all(b, '(?i)<a[\\s>]')) * 25 <= len(${stripClean("b")})) AS ks
+       |  FROM blk)"""
+
+  /** `main_text` as a SQL fragment over `kept`'s `ks`. */
+  private[graft] val stripMainOf: String =
+    s"array_to_string(list_transform(ks, b -> ${stripClean("b")}), ' ')"
+
+  val q105Sql: String =
+    s"""WITH ${htmlStripCtes("documents")}
        |SELECT doc_id,
-       |       array_to_string(list_transform(ks, b -> ${clean("b")}), ' ') AS main_text,
+       |       $stripMainOf AS main_text,
        |       length(all_text) AS n_all,
-       |       length(array_to_string(list_transform(ks, b -> ${clean("b")}), ' ')) AS n_main
+       |       length($stripMainOf) AS n_main
        |FROM kept ORDER BY doc_id""".stripMargin
-  }
 
   // --------------------------------------------------------------- q108
   /** Per-domain document quota ([[graft.operators.Curation.domainCap]]):

@@ -276,21 +276,21 @@ object QueriesScale {
       .select($"bucket", $"id".as("doc_id"), $"len".as("n_toks"), $"bin")
       .orderBy($"bucket", $"doc_id")
   }
-  val q121Sql: String = {
-    val digits = (1 to 8).map { p =>
-      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
-    }.mkString(" + ")
-    val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
-    s"""WITH tk AS (
-       |  SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS len
-       |  FROM documents),
-       |f0 AS (SELECT doc_id, len FROM tk WHERE len > 0 AND len <= 256),
-       |nb AS (
-       |  SELECT CAST(greatest(1, ceil(count(*) / 64.0)) AS BIGINT) AS b FROM f0),
-       |f AS (
-       |  SELECT doc_id, len, (($digits) % (SELECT b FROM nb)) AS bucket
-       |  FROM f0),
-       |g AS (
+  /** The deterministic md5-digit hash-bucket arithmetic over `doc_id`
+    * as a SQL fragment — mirrors [[graft.operators.Sampling
+    * .hashBucket]]'s first-32-bit decode. Shared with the composed
+    * pipeline gate ([[graft.QueriesPipeline]]). */
+  private[graft] val ffdBucketDigits: String = (1 to 8).map { p =>
+    s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+  }.mkString(" + ")
+
+  /** The [[Packing.ffdPack]] fold as CTEs over `f(doc_id, len,
+    * bucket)`: per-bucket descending sort (id tiebreak) → first-fit
+    * scan fold → `p(bucket, packed)`, with the per-doc unnest as the
+    * canonical projection. ONE text for q121 and the composed pipeline
+    * gate's pack stage (the q203 discipline). */
+  private[graft] def ffdFoldCtes(capacity: Long): String =
+    s"""g AS (
        |  SELECT bucket,
        |    list_sort(list({'nl': -len, 'id': doc_id, 'len': len})) AS ds
        |  FROM f GROUP BY bucket),
@@ -306,12 +306,29 @@ object QueriesScale {
        |              COALESCE(list_max(list_transform(a, s -> s.bin)), 0)),
        |            i -> list_sum(list_transform(
        |                   list_filter(a, s -> s.bin = i), s -> s.len))
-       |                 + x[1].len <= 256)[1],
+       |                 + x[1].len <= $capacity)[1],
        |          COALESCE(list_max(list_transform(a, s -> s.bin)), 0) + 1)}))
        |      AS packed
-       |  FROM g)
-       |SELECT bucket, a.id AS doc_id, a.len AS n_toks, a.bin AS bin
-       |FROM (SELECT bucket, unnest(packed) AS a FROM p)
+       |  FROM g)""".stripMargin
+
+  /** Per-doc assignment rows off `p` — `(bucket, doc_id, n_toks, bin)`. */
+  private[graft] val ffdUnnested: String =
+    """SELECT bucket, a.id AS doc_id, a.len AS n_toks, a.bin AS bin
+      |FROM (SELECT bucket, unnest(packed) AS a FROM p)""".stripMargin
+
+  val q121Sql: String = {
+    val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+    s"""WITH tk AS (
+       |  SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS len
+       |  FROM documents),
+       |f0 AS (SELECT doc_id, len FROM tk WHERE len > 0 AND len <= 256),
+       |nb AS (
+       |  SELECT CAST(greatest(1, ceil(count(*) / 64.0)) AS BIGINT) AS b FROM f0),
+       |f AS (
+       |  SELECT doc_id, len, (($ffdBucketDigits) % (SELECT b FROM nb)) AS bucket
+       |  FROM f0),
+       |${ffdFoldCtes(capacity = 256)}
+       |$ffdUnnested
        |ORDER BY bucket, doc_id""".stripMargin
   }
 

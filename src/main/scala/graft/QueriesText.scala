@@ -22,11 +22,14 @@ object QueriesText {
   import Queries.Q
 
   /** Normalization as a DuckDB SQL fragment — mirrors
-    * [[TextAnalysis.normalizeText]] exactly. */
-  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+    * [[TextAnalysis.normalizeText]] exactly. Shared with the composed
+    * pipeline gate ([[QueriesPipeline]]). */
+  private[graft] val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
 
-  /** corpus = documents ∪ perturbed copy (Spark side). */
-  private def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
+  /** corpus = documents ∪ perturbed copy (Spark side). Shared with the
+    * composed pipeline gate ([[QueriesPipeline]] plants the same
+    * re-crawl copies its dedup stages then remove). */
+  private[graft] def corpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir).select($"doc_id", $"text")
     val copy = Tables.documents(s, dir).select(
@@ -36,7 +39,7 @@ object QueriesText {
   }
 
   /** corpus as a DuckDB CTE body. */
-  private def corpusSql(perturb: Boolean): String = {
+  private[graft] def corpusSql(perturb: Boolean): String = {
     val copyText = if (perturb) "text || ' zz qq'" else "text"
     s"""SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -45,10 +48,13 @@ object QueriesText {
 
   /** Shared shingle-table CTEs (5-shingles over the corpus), mirroring
     * [[TextDedup.shingleTable]]: norm → tokens → distinct shingles with
-    * the per-doc distinct count riding along. */
-  private def shingleSql(perturb: Boolean): String =
+    * the per-doc distinct count riding along. `corpusBody` is the CTE
+    * body providing `(doc_id, text)` — parameterized so the composed
+    * pipeline gate can shingle its post-filter survivors with the SAME
+    * text (the q203 one-text discipline). */
+  private[graft] def shingleSqlOver(corpusBody: String): String =
     s"""corpus AS (
-       |  ${corpusSql(perturb)}),
+       |  $corpusBody),
        |toks AS (SELECT doc_id AS id, string_split($normSql, ' ') AS w FROM corpus),
        |shd AS (
        |  SELECT DISTINCT id, s FROM (
@@ -59,6 +65,9 @@ object QueriesText {
        |  SELECT shd.id, shd.s, sz.n_shingles
        |  FROM shd JOIN (SELECT id, count(*) AS n_shingles FROM shd GROUP BY id) sz
        |    ON shd.id = sz.id)""".stripMargin
+
+  private def shingleSql(perturb: Boolean): String =
+    shingleSqlOver(corpusSql(perturb))
 
   // ---------------------------------------------------------------- q24
   /** Token counting + quality scoring: one codegen'd scan, no shuffle
@@ -253,14 +262,16 @@ object QueriesText {
   /** Shared MinHash-LSH CTE chain (shingles → signatures → bands →
     * verified intersections), mirroring [[TextDedup.minHashLshPairs]]'s
     * md5-lane scheme: four 32-bit lanes per md5 call, second block
-    * salted with "1:". Used by q30 (pairs) and q58 (components). */
-  private def minhashCtes(perturb: Boolean): String = {
+    * salted with "1:". Used by q30 (pairs), q58 (components), and —
+    * via the `corpusBody` parameterization — the composed pipeline
+    * gate's near-dup stage ([[QueriesPipeline]]). */
+  private[graft] def minhashCtesOver(corpusBody: String): String = {
     val mins = (0 until 8).map { j =>
       val src = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
       s"min(substr($src, ${(j % 4) * 8 + 1}, 8)) AS h$j"
     }.mkString(",\n    ")
     val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
-    s"""${shingleSql(perturb)},
+    s"""${shingleSqlOver(corpusBody)},
        |mh AS (
        |  SELECT id, $mins
        |  FROM sh GROUP BY id),
@@ -279,6 +290,9 @@ object QueriesText {
        |              JOIN sh y ON y.id = c.b_id AND x.s = y.s
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  private def minhashCtes(perturb: Boolean): String =
+    minhashCtesOver(corpusSql(perturb))
 
   val q30Sql: String =
     s"""WITH ${minhashCtes(perturb = true)}

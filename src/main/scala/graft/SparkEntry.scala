@@ -16,7 +16,7 @@ object SparkEntry {
     Queries.catalog ++ QueriesAnalytic.catalog ++ QueriesText.catalog ++
       QueriesSimilarity.catalog ++ QueriesMultimodal.catalog ++
       QueriesSources.catalog ++ QueriesScale.catalog ++ QueriesStreaming.catalog ++
-      QueriesSelect.catalog ++ QueriesCurate.catalog
+      QueriesSelect.catalog ++ QueriesCurate.catalog ++ QueriesPipeline.catalog
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

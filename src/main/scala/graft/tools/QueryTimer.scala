@@ -39,6 +39,7 @@ object QueryTimer {
       graft.QueriesCurate.clearSessionCaches()
       graft.QueriesStreaming.clearSessionCaches()
       graft.QueriesSimilarity.clearSessionCaches()
+      graft.QueriesPipeline.clearSessionCaches()
       val cold = once()
       val steady = (1 to reps).map(_ => once()).min
       println(f"[probe] $name dir=$sfDir cold=$cold%.2fs steady=$steady%.2fs")

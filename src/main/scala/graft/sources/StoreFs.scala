@@ -159,6 +159,33 @@ object StoreFs {
     * serializes same-process writers and provides re-entrancy. */
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
 
+  /** FENCING at the commit point: before [[writeFileAtomic]] performs
+    * its rename, every lease the CURRENT THREAD holds is re-read from
+    * disk and must still carry our token. A writer that stalled past
+    * the TTL and was auto-broken (its lease usurped by a newer writer)
+    * thus REFUSES at its commit instead of renaming over the usurper's
+    * generation — the stall race documented on the lease shrinks from
+    * "any time before the rename" to the instant between this check
+    * and the rename itself. Costs one small-file read per held lease
+    * per commit (commits are per-generation, not per-row). Threads
+    * holding no lease (markers written outside a mutation verb, e.g.
+    * streaming batch markers) skip the check entirely. */
+  private def assertLeasesStillHeld(): Unit = {
+    val me = Thread.currentThread().getId
+    held.forEach { (key, h) =>
+      if (h.threadId == me) {
+        val onDisk = readSmallFile(key).map(_.trim)
+        if (!onDisk.contains(h.token))
+          sys.error(
+            s"writer lease at $key was broken while this writer was " +
+              s"working (now ${onDisk.getOrElse("<absent>")}, was " +
+              s"${h.token}) — a stale-lease break usurped it (this " +
+              "writer stalled past the TTL); REFUSING to commit over " +
+              "the new writer's store. Re-run this mutation.")
+      }
+    }
+  }
+
   /** The conventional marker path for a dir-layout store. */
   def writerMarkerPath(storeDir: String): String = s"$storeDir/__writer"
 
@@ -310,6 +337,7 @@ object StoreFs {
     * rename-aside fallback). Readers racing the swap see the old
     * complete content or the new, never a torn file. */
   def writeFileAtomic(path: String, content: String): Unit = {
+    assertLeasesStillHeld()
     val (fs, p) = of(path)
     val tmp = new Path(path + "__tmp")
     val out = fs.create(tmp, true)

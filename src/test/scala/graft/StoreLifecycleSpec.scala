@@ -210,6 +210,55 @@ class StoreLifecycleSpec extends SparkSpec {
       assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
     }
 
+    it("a writer whose lease was usurped mid-write refuses at the commit point") {
+      // the residual race on the lease: a writer stalls PAST the TTL,
+      // a newer writer auto-breaks the lease and proceeds — when the
+      // stalled writer wakes, its COMMIT must refuse (fencing at
+      // writeFileAtomic) instead of renaming over the usurper's store
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(e, cent)
+      val cb = PqIndex.fitCodebooks(spark, e, m = 4, ks = 16, iterations = 1)
+      val codes = PqIndex.encode(e, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      val full = indexed.select($"cluster", $"id", $"v")
+      val dir = java.nio.file.Files.createTempDirectory("graft-tt-fence").toString
+      PqIndex.saveTwoTier(cent, cb, codes, full, dir)     // g1
+      val marker = StoreFs.writerMarkerPath(dir)
+      // simulate the usurpation at the failpoint between the table
+      // writes and the manifest commit: break this writer's lease and
+      // install the newer writer's marker (raw create — the fenced
+      // writeFileAtomic is exactly what's under test)
+      def usurp(): Unit = {
+        StoreFs.breakWriterLease(marker)
+        val (fs, p) = StoreFs.of(marker)
+        val out = fs.create(p, true)
+        try out.write("usurper:424242:beef".getBytes("UTF-8"))
+        finally out.close()
+      }
+      val ex = intercept[RuntimeException] {
+        Failpoints.withHook(pt => if (pt == "twotier:after-codes") usurp()) {
+          PqIndex.saveTwoTier(cent, cb, codes, full, dir) // g2 attempt
+        }
+      }
+      ex.getMessage should include("REFUSING to commit")
+      // the usurper's store pointer is untouched, its lease intact
+      StoreFs.readManifest(s"$dir/manifest") shouldBe Some(1L)
+      StoreFs.readSmallFile(marker).map(_.trim) shouldBe
+        Some("usurper:424242:beef")
+      // the orphaned g2 above the manifest is warn-grade debris the
+      // next commit overwrites — never an error
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
+      // once the (simulated) usurper releases, a retry commits cleanly
+      StoreFs.breakWriterLease(marker)
+      PqIndex.saveTwoTier(cent, cb, codes, full, dir)     // g2 for real
+      StoreFs.readManifest(s"$dir/manifest") shouldBe Some(2L)
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
+    }
+
     it("composed verbs re-enter the lease they already hold (refit -> save -> vacuum)") {
       // every buildStore in this suite already nests
       // writeDedupStoreBucketed -> vacuumDedupStore under one lease;

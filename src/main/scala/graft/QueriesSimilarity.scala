@@ -1417,24 +1417,39 @@ object QueriesSimilarity {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
-    val base = e.filter($"id" % 10 < 9)
-    val delta = e.filter($"id" % 10 === 9)
-    val cent = graft.operators.IvfIndex
-      .fitCentroids(s, base, k = 8, iterations = 1, orderedMean = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idxBase = graft.operators.IvfIndex.assign(base, cent).localCheckpoint()
-    val idxDelta = graft.operators.IvfIndex.assign(delta, cent).localCheckpoint()
-    val idxDir = "/root/repo/target/tmp/graft_nsw_app_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
-    graft.operators.NswIndex.saveNsw(
-      graft.operators.NswIndex.fitGraph(idxBase, degree = 4),
-      graft.operators.NswIndex.entryPoints(idxBase, cent), idxDir)
-    graft.operators.NswIndex.appendToNsw(s, idxDir, idxBase, idxDelta, cent,
-      degree = 4)
+    // session-owned lifecycle cache (the q142 contract, round 15): the
+    // base fit + graph save + exact delta append run ONCE per session,
+    // with the flat union index and centroids persisted as aux tables
+    // BESIDE the graph store (serve inputs the NSW store itself does
+    // not carry); steady passes price the persisted walk — q185 proves
+    // walk-from-parquet ≡ in-memory bit-for-bit — cold passes the full
+    // lifecycle
+    val idxDir = nswAppendCache.computeIfAbsent(dir, _ => {
+      val base = e.filter($"id" % 10 < 9)
+      val delta = e.filter($"id" % 10 === 9)
+      val cent = graft.operators.IvfIndex
+        .fitCentroids(s, base, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val idxBase = graft.operators.IvfIndex.assign(base, cent).localCheckpoint()
+      val idxDelta = graft.operators.IvfIndex.assign(delta, cent).localCheckpoint()
+      val p = "/root/repo/target/tmp/graft_nsw_app_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      rmTree(new java.io.File(p))
+      graft.operators.NswIndex.saveNsw(
+        graft.operators.NswIndex.fitGraph(idxBase, degree = 4),
+        graft.operators.NswIndex.entryPoints(idxBase, cent), p)
+      graft.operators.NswIndex.appendToNsw(s, p, idxBase, idxDelta, cent,
+        degree = 4)
+      cent.write.mode("overwrite").parquet(s"$p/aux_cent")
+      idxBase.unionByName(idxDelta).repartition(col("cluster"))
+        .write.mode("overwrite").parquet(s"$p/aux_idx")
+      p
+    })
+    val cent2 = s.read.parquet(s"$idxDir/aux_cent")
+    val idxAll = s.read.parquet(s"$idxDir/aux_idx")
     val (graph, entries) = graft.operators.NswIndex.loadNsw(s, idxDir)
     val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
-    graft.operators.NswIndex.search(s, queries, graph,
-        idxBase.unionByName(idxDelta), cent, entries,
+    graft.operators.NswIndex.search(s, queries, graph, idxAll, cent2, entries,
         k = 5, nProbe = 2, ef = 8, rounds = 2)
       .select($"q_id", $"rank", $"n_id", ($"cos" + 0.0).as("cos"))
       .orderBy($"q_id", $"rank")
@@ -2775,6 +2790,8 @@ object QueriesSimilarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val twoTierDeleteCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val nswAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drop (and delete) the session-owned index stores — [[Bench]] calls
     * this before each COLD pass so cold numbers carry the fit + save
@@ -2786,7 +2803,8 @@ object QueriesSimilarity {
         twoTierRetuneCache.values.asScala ++ twoTierRefitCache.values.asScala ++
         twoTierResidRetuneCache.values.asScala ++
         twoTierResidRefitCache.values.asScala ++
-        twoTierDeleteCache.values.asScala)
+        twoTierDeleteCache.values.asScala ++
+        nswAppendCache.values.asScala)
       .foreach(p => rmTree(new java.io.File(p)))
     // the NSW fixtures own a flat/nsw dir PAIR; each cache holds the
     // nsw path, the flat sibling differs only in the stem tag
@@ -2809,6 +2827,7 @@ object QueriesSimilarity {
     nswDeleteCache.clear()
     nswTuneCache.clear()
     twoTierDeleteCache.clear()
+    nswAppendCache.clear()
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(

@@ -56,11 +56,15 @@ object QueriesPipeline {
 
   private val pipelineCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamPipelineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def clearSessionCaches(): Unit = {
     import scala.jdk.CollectionConverters._
-    pipelineCache.values.asScala.foreach(p => rmTree(new java.io.File(p)))
+    (pipelineCache.values.asScala ++ streamPipelineCache.values.asScala)
+      .foreach(p => rmTree(new java.io.File(p)))
     pipelineCache.clear()
+    streamPipelineCache.clear()
   }
 
   // ---------------------------------------------------------------- q208
@@ -216,7 +220,246 @@ object QueriesPipeline {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q209
+  /** STREAMING incremental corpus build — the streaming face of q208
+    * (round-16 queue item pulled forward): a base dedup store is
+    * persisted once, then new crawl shards arrive over FOUR
+    * deterministic micro-batches
+    * ([[QueriesStreaming.keyedMultiBatchStream]]: batch k ≡ the
+    * `doc_id % 4 = k` slice — the batch SPLIT is part of the
+    * semantics here, exactly the q207 lesson, because each batch
+    * packs and appends its own shard files). Each batch runs
+    *
+    *   intra-batch exact dedup (min-id per fingerprint) →
+    *   classification vs the PERSISTED store
+    *   ([[graft.operators.TextDedup.ingestFlagsBucketed]] — drop
+    *   `dup_exact`/`dup_near`) → intra-batch MinHash-LSH near-dup
+    *   removal → token count → per-batch FFD pack → shard APPEND
+    *   (partitioned by batch) + funnel append,
+    *
+    * guarded by the q207 replay marker. The gate hashes the per-batch
+    * funnel (5 rows × 4 batches) plus one read-back row over the
+    * appended shard store; the oracle replays every batch's chain from
+    * the prefixed factored CTEs ([[QueriesText.minhashCtesPrefixed]],
+    * [[QueriesScale.ffdFoldCtesPrefixed]],
+    * [[QueriesStreaming.ingestSigCtes]] — one text with the q128/q132/
+    * q189/q198 classification and the q30/q121 stages).
+    *
+    * CONTRACT (documented, deliberate): the store is FIXED during the
+    * stream — cross-batch arrivals dedup only within their own batch
+    * and against the base store, not against earlier batches'
+    * survivors (the cumulative-store extension needs an append verb on
+    * the dedup store — future work). The planted copies arrive in the
+    * SAME batch as their originals (`+200000/+300000/+400000 ≡ 0 mod
+    * 4`), so both dedup faces fire every batch: store copies via the
+    * classification, fresh-doc copies via the intra-batch stages. */
+  val q209StreamPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val base = streamPipelineCache.computeIfAbsent(dir, _ => {
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val b = s"/root/repo/target/tmp/graft_q209_$stem"
+      rmTree(new java.io.File(b))
+      val file = s"$dir/documents.parquet"
+      val bk10 = graft.operators.Sampling.hashBucket($"doc_id", 10)
+      val corpus = s.read.parquet(file).filter(bk10 < 8)
+        .select($"doc_id", $"text")
+      val storeName = s"q209_store_$stem"
+      TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = storeName, pathPrefix = s"$b/store", buckets = 8)
+      // the arriving crawl: fresh docs + the q128 planted copies, all
+      // congruent mod 4 with their originals (same batch)
+      def delta(df: DataFrame): DataFrame = {
+        val t = df.withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
+        t.filter($"b" >= 8).select($"doc_id", $"text")
+          .unionByName(t.filter($"b" < 8 && $"doc_id" % 7 === 0)
+            .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+          .unionByName(t.filter($"b" < 8 && $"doc_id" % 11 === 0)
+            .select(($"doc_id" + 300000L).as("doc_id"),
+              concat($"text", lit(" zz qq")).as("text")))
+          .unionByName(t.filter($"b" >= 8 && $"doc_id" % 13 === 0)
+            .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
+          // perturbed copies of FRESH docs: neither side is in the
+          // store, both survive the classification, and the copy falls
+          // to the INTRA-batch near-dup stage — without this planting
+          // that stage never fires (the +300000 perturbed copies
+          // target STORE docs and die at c_store)
+          .unionByName(t.filter($"b" >= 8 && $"doc_id" % 17 === 0)
+            .select(($"doc_id" + 500000L).as("doc_id"),
+              concat($"text", lit(" zz qq")).as("text")))
+      }
+      val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
+        s, file, "q209", dir, delta, col("doc_id") % 4)
+      val query = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val marker = s".q209_batch_${batchId}_applied"
+            if (!graft.sources.StoreFs.childNames(b).contains(marker)) {
+              val slice = batch.toDF().select($"doc_id", $"text")
+                .localCheckpoint()
+              val ex = slice
+                .withColumn("keep", min($"doc_id").over(org.apache.spark.sql
+                  .expressions.Window
+                  .partitionBy(TextAnalysis.fingerprint($"text"))))
+                .filter($"doc_id" === $"keep")
+                .select($"doc_id", $"text").localCheckpoint()
+              val ok = TextDedup.ingestFlagsBucketed(ex, "doc_id", "text",
+                  storeName, s"$b/store",
+                  shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+                .filter(!$"dup_exact" && !$"dup_near")
+                .select($"id".as("doc_id"))
+              val kept = ex.join(ok, Seq("doc_id")).localCheckpoint()
+              val sh = TextDedup.shingleTable(kept, "doc_id", "text", 5)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val nr =
+                try kept.join(
+                  TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2,
+                      threshold = 0.3, maxBandDf = Some(1024))
+                    .select($"b_id".as("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti").localCheckpoint()
+                finally sh.unpersist()
+              val withLen = nr.withColumn("len",
+                TextAnalysis.wsTokenCount($"text").cast("long"))
+              val eligible = withLen
+                .filter($"len" > 0 && $"len" <= 256).count()
+              val buckets = math.max(1L, math.ceil(eligible / 64.0).toLong).toInt
+              val packed = Packing.ffdPack(withLen.select($"doc_id", $"len"),
+                  "doc_id", "len", capacity = 256L, buckets = buckets)
+                .select(lit(batchId).cast("long").as("bk"), $"bucket",
+                  $"id".as("doc_id"), $"len".as("n_toks"), $"bin")
+                .localCheckpoint()
+              packed.write.mode("append").partitionBy("bk")
+                .parquet(s"$b/shards")
+              val binsTotal = packed.groupBy($"bucket")
+                .agg(max($"bin").as("mx"))
+                .agg(coalesce(sum($"mx"), lit(0L)).cast("long")).head().getLong(0)
+              def row(stage: String, df: DataFrame,
+                      w: org.apache.spark.sql.Column) =
+                df.agg(count(lit(1)).cast("long").as("n_rows"),
+                    coalesce(w, lit(0L)).cast("long").as("w"))
+                  .select(lit(batchId).cast("long").as("bk"),
+                    lit(stage).as("stage"), $"n_rows", $"w")
+              row("a_arrived", slice, sum($"doc_id"))
+                .unionByName(row("b_exact", ex, sum($"doc_id")))
+                .unionByName(row("c_store", kept, sum($"doc_id")))
+                .unionByName(row("d_near", nr, sum($"doc_id")))
+                .unionByName(row("e_packed", packed, lit(binsTotal)))
+                .coalesce(1).write.mode("append").parquet(s"$b/funnel")
+              graft.sources.StoreFs.touchMarker(b, marker)
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      rmTree(new java.io.File(staging))
+      b
+    })
+    // SERVE: the persisted funnel + one read-back row over the REAL
+    // appended shard store — a lossless append means read-back rows
+    // and token mass equal the sum of the four batches' pack stages
+    val back = s.read.parquet(s"$base/shards")
+    val shardRow = back
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"n_toks"), lit(0L)).cast("long").as("w"))
+      .select(lit(-1L).as("bk"), lit("f_shard").as("stage"), $"n_rows", $"w")
+    s.read.parquet(s"$base/funnel").unionByName(shardRow)
+      .orderBy($"bk", $"stage")
+  }
+
+  val q209Sql: String = {
+    val normSql = QueriesText.normSql
+    val perBatch = (0 until 4).map { k =>
+      val p = s"b${k}_"
+      s"""arr$k AS (SELECT doc_id, text FROM delta WHERE doc_id % 4 = $k),
+         |ex$k AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5($normSql)) AS keep
+         |    FROM arr$k)
+         |  WHERE doc_id = keep),
+         |st$k AS MATERIALIZED (
+         |  SELECT e.doc_id, e.text FROM ex$k e JOIN okstore o ON o.id = e.doc_id),
+         |${QueriesText.minhashCtesPrefixed(p, s"SELECT doc_id, text FROM st$k")},
+         |bdrop$k AS (
+         |  SELECT DISTINCT b_id FROM ${p}inter
+         |  WHERE i * 1.0 / (na + nb - i) >= 0.3),
+         |nr$k AS MATERIALIZED (
+         |  SELECT doc_id, text FROM st$k
+         |  WHERE doc_id NOT IN (SELECT b_id FROM bdrop$k)),
+         |${p}f0 AS (
+         |  SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS len
+         |  FROM nr$k
+         |  WHERE len(string_split($normSql, ' ')) BETWEEN 1 AND 256),
+         |${p}nb AS (
+         |  SELECT CAST(greatest(1, ceil(count(*) / 64.0)) AS BIGINT) AS b FROM ${p}f0),
+         |${p}f AS (
+         |  SELECT doc_id, len,
+         |         ((${QueriesScale.ffdBucketDigits}) % (SELECT b FROM ${p}nb)) AS bucket
+         |  FROM ${p}f0),
+         |${QueriesScale.ffdFoldCtesPrefixed(p, capacity = 256)},
+         |pk$k AS MATERIALIZED (
+         |  ${QueriesScale.ffdUnnestedPrefixed(p)})""".stripMargin
+    }.mkString(",\n")
+    val funnelRows = (0 until 4).map { k =>
+      s"""  SELECT CAST($k AS BIGINT) AS bk, 'a_arrived' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) AS w FROM arr$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'b_exact', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) FROM ex$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'c_store', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) FROM st$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'd_near', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) FROM nr$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'e_packed', CAST(count(*) AS BIGINT),
+         |         (SELECT COALESCE(CAST(sum(mx) AS BIGINT), 0) FROM
+         |            (SELECT max(bin) AS mx FROM pk$k GROUP BY bucket)) FROM pk$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH bkt AS (
+       |  SELECT doc_id, text, (${QueriesStreaming.ingestBktDigits}) % 10 AS bk
+       |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |corpus AS (SELECT doc_id, text FROM bkt WHERE bk < 8),
+       |delta AS MATERIALIZED (
+       |  SELECT doc_id, text FROM bkt WHERE bk >= 8
+       |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000 AS doc_id, text || ' zz qq' AS text
+       |    FROM corpus WHERE doc_id % 11 = 0
+       |  UNION ALL SELECT doc_id + 400000 AS doc_id, text
+       |    FROM bkt WHERE bk >= 8 AND doc_id % 13 = 0
+       |  UNION ALL SELECT doc_id + 500000 AS doc_id, text || ' zz qq' AS text
+       |    FROM bkt WHERE bk >= 8 AND doc_id % 17 = 0),
+       |sfp AS (SELECT DISTINCT md5($normSql) AS fp FROM corpus),
+       |${QueriesStreaming.ingestSigCtes("s_", "corpus")},
+       |${QueriesStreaming.ingestSigCtes("d_", "delta")},
+       |scand AS (
+       |  SELECT DISTINCT d.id AS d_id, s.id AS s_id
+       |  FROM d_bands d JOIN s_bands s ON d.b = s.b AND d.h = s.h),
+       |snear AS (
+       |  SELECT DISTINCT c.d_id AS id
+       |  FROM scand c JOIN d_mh dm ON dm.id = c.d_id JOIN s_mh sm ON sm.id = c.s_id
+       |  WHERE ${QueriesStreaming.ingestAgreeSum} >= 4),
+       |okstore AS MATERIALIZED (
+       |  SELECT f.id FROM (SELECT doc_id AS id, md5($normSql) AS fp FROM delta) f
+       |  LEFT JOIN sfp sf ON f.fp = sf.fp
+       |  LEFT JOIN snear nr ON f.id = nr.id
+       |  WHERE sf.fp IS NULL AND nr.id IS NULL),
+       |$perBatch
+       |SELECT bk, stage, n_rows, w FROM (
+       |  SELECT CAST(-1 AS BIGINT) AS bk, 'f_shard' AS stage,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         COALESCE(CAST(sum(n_toks) AS BIGINT), 0) AS w
+       |  FROM (SELECT * FROM pk0 UNION ALL SELECT * FROM pk1
+       |        UNION ALL SELECT * FROM pk2 UNION ALL SELECT * FROM pk3)
+       |  UNION ALL
+       |$funnelRows)
+       |ORDER BY bk, stage""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q208_pipeline_soak", q208PipelineSoak, Some(q208Sql)),
+    ("q209_stream_pipeline", q209StreamPipeline, Some(q209Sql)),
   )
 }

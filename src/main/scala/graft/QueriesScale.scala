@@ -290,11 +290,18 @@ object QueriesScale {
     * canonical projection. ONE text for q121 and the composed pipeline
     * gate's pack stage (the q203 discipline). */
   private[graft] def ffdFoldCtes(capacity: Long): String =
-    s"""g AS (
+    ffdFoldCtesPrefixed("", capacity)
+
+  /** [[ffdFoldCtes]] with every CTE name prefixed (reads `<pre>f`,
+    * emits `<pre>g`/`<pre>p`) so several instantiations — one per
+    * micro-batch slice in the q209 streaming-pipeline oracle — coexist
+    * in one WITH chain; `pre = ""` is byte-identical to q121's text. */
+  private[graft] def ffdFoldCtesPrefixed(pre: String, capacity: Long): String =
+    s"""${pre}g AS (
        |  SELECT bucket,
        |    list_sort(list({'nl': -len, 'id': doc_id, 'len': len})) AS ds
-       |  FROM f GROUP BY bucket),
-       |p AS (
+       |  FROM ${pre}f GROUP BY bucket),
+       |${pre}p AS (
        |  SELECT bucket,
        |    list_reduce(
        |      list_transform(ds,
@@ -309,12 +316,14 @@ object QueriesScale {
        |                 + x[1].len <= $capacity)[1],
        |          COALESCE(list_max(list_transform(a, s -> s.bin)), 0) + 1)}))
        |      AS packed
-       |  FROM g)""".stripMargin
+       |  FROM ${pre}g)""".stripMargin
 
   /** Per-doc assignment rows off `p` — `(bucket, doc_id, n_toks, bin)`. */
-  private[graft] val ffdUnnested: String =
-    """SELECT bucket, a.id AS doc_id, a.len AS n_toks, a.bin AS bin
-      |FROM (SELECT bucket, unnest(packed) AS a FROM p)""".stripMargin
+  private[graft] val ffdUnnested: String = ffdUnnestedPrefixed("")
+
+  private[graft] def ffdUnnestedPrefixed(pre: String): String =
+    s"""SELECT bucket, a.id AS doc_id, a.len AS n_toks, a.bin AS bin
+       |FROM (SELECT bucket, unnest(packed) AS a FROM ${pre}p)""".stripMargin
 
   val q121Sql: String = {
     val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""

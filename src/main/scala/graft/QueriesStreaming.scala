@@ -361,33 +361,51 @@ object QueriesStreaming {
     * complement; q128/q132 keep everything). The PLANTED DELTA is
     * always built from the FULL corpus — deleted docs' copies still
     * arrive and must classify against the shrunken store. */
+  /** The [[graft.operators.TextDedup.ingestFlags]] signature chain as
+    * prefixed CTEs over `src` `(doc_id, text)` — shingles → md5-lane
+    * minhash signature → band keys. ONE text for the q128/q132/q189/
+    * q198 classification oracle and the q209 streaming-pipeline
+    * oracle (the q203 discipline). */
+  private[graft] def ingestSigCtes(pre: String, src: String): String = {
+    val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+    val mins = (0 until 8).map { j =>
+      val m = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
+      s"min(substr($m, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+    }.mkString(",\n    ")
+    val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
+    s"""${pre}shd AS (
+       |  SELECT DISTINCT id, s FROM (
+       |    SELECT doc_id AS id, unnest(list_transform(
+       |      generate_series(1, len(string_split($normSql, ' '))-4),
+       |      i -> array_to_string(list_slice(string_split($normSql, ' '), i, i+4), ' '))) AS s
+       |    FROM $src)),
+       |${pre}mh AS (
+       |  SELECT id, $mins
+       |  FROM ${pre}shd GROUP BY id),
+       |${pre}bands AS (
+       |  SELECT id, b, h FROM (
+       |    SELECT id, unnest([0, 1, 2, 3]) AS b, unnest([$bandHashes]) AS h
+       |    FROM ${pre}mh))""".stripMargin
+  }
+
+  /** Signature-lane agreement count between a delta row (`dm`) and a
+    * store row (`sm`) — the MinHash Jaccard-estimate verification of
+    * [[graft.operators.TextDedup.ingestFlags]] (`minAgree` lanes). */
+  private[graft] def ingestAgreeSum: String = (0 until 8)
+    .map(j => s"(CASE WHEN dm.h$j = sm.h$j THEN 1 ELSE 0 END)").mkString("\n    + ")
+
+  /** The deterministic md5-digit hash bucket of `doc_id` (expects an
+    * `h = md5(CAST(doc_id AS VARCHAR))` column in scope) — mirrors
+    * [[graft.operators.Sampling.hashBucket]]. */
+  private[graft] def ingestBktDigits: String = (1 to 8).map { p =>
+    s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+  }.mkString(" + ")
+
   private def nearDupIngestSql(liveWhere: String): String = {
     val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
-    val digits = (1 to 8).map { p =>
-      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
-    }.mkString(" + ")
-    def sigCtes(pre: String, src: String): String = {
-      val mins = (0 until 8).map { j =>
-        val m = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
-        s"min(substr($m, ${(j % 4) * 8 + 1}, 8)) AS h$j"
-      }.mkString(",\n    ")
-      val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
-      s"""${pre}shd AS (
-         |  SELECT DISTINCT id, s FROM (
-         |    SELECT doc_id AS id, unnest(list_transform(
-         |      generate_series(1, len(string_split($normSql, ' '))-4),
-         |      i -> array_to_string(list_slice(string_split($normSql, ' '), i, i+4), ' '))) AS s
-         |    FROM $src)),
-         |${pre}mh AS (
-         |  SELECT id, $mins
-         |  FROM ${pre}shd GROUP BY id),
-         |${pre}bands AS (
-         |  SELECT id, b, h FROM (
-         |    SELECT id, unnest([0, 1, 2, 3]) AS b, unnest([$bandHashes]) AS h
-         |    FROM ${pre}mh))""".stripMargin
-    }
-    val agreeSum = (0 until 8)
-      .map(j => s"(CASE WHEN dm.h$j = sm.h$j THEN 1 ELSE 0 END)").mkString("\n    + ")
+    val digits = ingestBktDigits
+    def sigCtes(pre: String, src: String): String = ingestSigCtes(pre, src)
+    val agreeSum = ingestAgreeSum
     s"""WITH bkt AS (
        |  SELECT doc_id, text, ($digits) % 10 AS bk
        |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
@@ -999,7 +1017,7 @@ object QueriesStreaming {
     * mid-stream verb's result depends on which rows arrived before it
     * (q207's refit fits codebooks over exactly the pre-refit
     * arrivals). */
-  private def keyedMultiBatchStream(s: SparkSession, srcFile: String,
+  private[graft] def keyedMultiBatchStream(s: SparkSession, srcFile: String,
                                     tag: String, dir: String,
                                     project: DataFrame => DataFrame,
                                     key: org.apache.spark.sql.Column)

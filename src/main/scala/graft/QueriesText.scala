@@ -53,18 +53,25 @@ object QueriesText {
     * pipeline gate can shingle its post-filter survivors with the SAME
     * text (the q203 one-text discipline). */
   private[graft] def shingleSqlOver(corpusBody: String): String =
-    s"""corpus AS (
+    shingleSqlPrefixed("", corpusBody)
+
+  /** [[shingleSqlOver]] with every CTE name prefixed — so several
+    * instantiations (one per micro-batch slice in the q209 streaming
+    * pipeline oracle) coexist in one WITH chain. `pre = ""` emits the
+    * q30/q58 text byte-identically. */
+  private[graft] def shingleSqlPrefixed(pre: String, corpusBody: String): String =
+    s"""${pre}corpus AS (
        |  $corpusBody),
-       |toks AS (SELECT doc_id AS id, string_split($normSql, ' ') AS w FROM corpus),
-       |shd AS (
+       |${pre}toks AS (SELECT doc_id AS id, string_split($normSql, ' ') AS w FROM ${pre}corpus),
+       |${pre}shd AS (
        |  SELECT DISTINCT id, s FROM (
        |    SELECT id, unnest(list_transform(generate_series(1, len(w)-4),
        |             i -> array_to_string(list_slice(w, i, i+4), ' '))) AS s
-       |    FROM toks)),
-       |sh AS (
-       |  SELECT shd.id, shd.s, sz.n_shingles
-       |  FROM shd JOIN (SELECT id, count(*) AS n_shingles FROM shd GROUP BY id) sz
-       |    ON shd.id = sz.id)""".stripMargin
+       |    FROM ${pre}toks)),
+       |${pre}sh AS (
+       |  SELECT ${pre}shd.id, ${pre}shd.s, sz.n_shingles
+       |  FROM ${pre}shd JOIN (SELECT id, count(*) AS n_shingles FROM ${pre}shd GROUP BY id) sz
+       |    ON ${pre}shd.id = sz.id)""".stripMargin
 
   private def shingleSql(perturb: Boolean): String =
     shingleSqlOver(corpusSql(perturb))
@@ -265,29 +272,35 @@ object QueriesText {
     * salted with "1:". Used by q30 (pairs), q58 (components), and —
     * via the `corpusBody` parameterization — the composed pipeline
     * gate's near-dup stage ([[QueriesPipeline]]). */
-  private[graft] def minhashCtesOver(corpusBody: String): String = {
+  private[graft] def minhashCtesOver(corpusBody: String): String =
+    minhashCtesPrefixed("", corpusBody)
+
+  /** [[minhashCtesOver]] with every CTE name prefixed (the
+    * [[shingleSqlPrefixed]] contract); `pre = ""` is byte-identical to
+    * the q30/q58/q208 text. */
+  private[graft] def minhashCtesPrefixed(pre: String, corpusBody: String): String = {
     val mins = (0 until 8).map { j =>
       val src = if (j / 4 == 0) "md5(s)" else "md5('1:' || s)"
       s"min(substr($src, ${(j % 4) * 8 + 1}, 8)) AS h$j"
     }.mkString(",\n    ")
     val bandHashes = (0 until 4).map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString(", ")
-    s"""${shingleSqlOver(corpusBody)},
-       |mh AS (
+    s"""${shingleSqlPrefixed(pre, corpusBody)},
+       |${pre}mh AS (
        |  SELECT id, $mins
-       |  FROM sh GROUP BY id),
-       |bands AS (
+       |  FROM ${pre}sh GROUP BY id),
+       |${pre}bands AS (
        |  SELECT id, b, h FROM (
        |    SELECT id, unnest([0, 1, 2, 3]) AS b,
        |           unnest([$bandHashes]) AS h
-       |    FROM mh)),
-       |cand AS (
+       |    FROM ${pre}mh)),
+       |${pre}cand AS (
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.id < b.id),
-       |inter AS (
+       |  FROM ${pre}bands a JOIN ${pre}bands b ON a.b = b.b AND a.h = b.h AND a.id < b.id),
+       |${pre}inter AS (
        |  SELECT c.a_id, c.b_id, count(*) AS i,
        |         min(x.n_shingles) AS na, min(y.n_shingles) AS nb
-       |  FROM cand c JOIN sh x ON x.id = c.a_id
-       |              JOIN sh y ON y.id = c.b_id AND x.s = y.s
+       |  FROM ${pre}cand c JOIN ${pre}sh x ON x.id = c.a_id
+       |              JOIN ${pre}sh y ON y.id = c.b_id AND x.s = y.s
        |  GROUP BY 1, 2)""".stripMargin
   }
 

@@ -332,6 +332,22 @@ object TextDedup {
                          storeFp: DataFrame, storeBands: DataFrame,
                          storeMh: DataFrame, shingleN: Int, k: Int,
                          rowsPerBand: Int, minAgree: Int,
+                         hint: DataFrame => DataFrame): DataFrame =
+    ingestVerdicts(ingestHits(arriving, idCol, textCol, storeFp, storeBands,
+      storeMh, shingleN, k, rowsPerBand, minAgree, hint))
+
+  /** The PRE-AGGREGATION half of [[ingestCore]]: one row per (arriving
+    * doc × band) carrying `near_hit`/`exact_hit` against ONE store
+    * segment's tables. Split out so the SEGMENTED store
+    * ([[appendToDedupStoreBucketed]]) can union per-segment hit rows
+    * and fold them through a SINGLE [[ingestVerdicts]] aggregation —
+    * each segment's joins stay exchange-free on its own bucketed
+    * layout, and one aggregation keeps the streaming transports legal
+    * (chained stateful aggregations are not). */
+  private def ingestHits(arriving: DataFrame, idCol: String, textCol: String,
+                         storeFp: DataFrame, storeBands: DataFrame,
+                         storeMh: DataFrame, shingleN: Int, k: Int,
+                         rowsPerBand: Int, minAgree: Int,
                          hint: DataFrame => DataFrame): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     require(minAgree >= 1 && minAgree <= k, s"minAgree must be in [1, $k], got $minAgree")
@@ -355,10 +371,14 @@ object TextDedup {
       .withColumn("near_hit",
         coalesce(agree >= minAgree, lit(false)))
       .join(hint(storeFp.withColumn("exact_hit", lit(true))), Seq("fp"), "left")
-      .groupBy(col("id"))
+      .select(col("id"), col("near_hit"), col("exact_hit"))
+  }
+
+  /** The OR-fold over [[ingestHits]] rows — per-doc verdicts. */
+  private def ingestVerdicts(hits: DataFrame): DataFrame =
+    hits.groupBy(col("id"))
       .agg(max(coalesce(col("exact_hit"), lit(false))).as("dup_exact"),
         max(col("near_hit")).as("dup_near"))
-  }
 
   /** Write the [[ingestFlagsBucketed]] store: the [[buildDedupStore]]
     * state plus the PRE-COMPUTED band-key table, each as a BUCKETED

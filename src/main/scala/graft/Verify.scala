@@ -52,13 +52,19 @@ object Verify {
     val stale =
       if (dropStale) existing.keySet -- SparkEntry.oracleSql.keySet
       else {
-        val kept = existing.keySet -- SparkEntry.oracleSql.keySet
+        val gone = existing.keySet -- SparkEntry.oracleSql.keySet
+        // A stale key the caller EXPLICITLY NAMED in the subset is
+        // dropped even on a subset run: the caller asked about exactly
+        // this query, so the catalog's silence on it is authoritative
+        // (retired/renamed), not a temporarily-disabled build.
+        val named = gone.intersect(only.get)
+        val kept = gone -- named
         if (kept.nonEmpty) System.err.println(
           s"[verify] ${kept.size} dump entries are absent from this " +
             "build's catalog but PRESERVED (subset run; set " +
             "GRAFT_VERIFY_DROP_STALE=1 to drop): " +
             kept.toSeq.sorted.mkString(", "))
-        Set.empty[String]
+        named
       }
     if (stale.nonEmpty) System.err.println(
       s"[verify] dropping ${stale.size} stale oracle entries not in the " +

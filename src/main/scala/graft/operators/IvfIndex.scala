@@ -100,14 +100,28 @@ object IvfIndex {
     graft.sources.StoreFs.withWriterLease(
       graft.sources.StoreFs.writerMarkerPath(dir))(body)
 
+  /** Lease fence for the FLAT store's write points: this store's verbs
+    * overwrite/append parquet directly — there is no [[graft.sources
+    * .StoreFs.writeFileAtomic]] commit whose built-in fence would
+    * catch a usurped (TTL-broken, re-acquired by a rival) lease. So
+    * each verb re-checks its lease IMMEDIATELY before every
+    * destructive write: a usurped stalled writer refuses at the write
+    * instead of interleaving overwrite/append output with the
+    * usurper's, shrinking the unprotected window from the whole verb
+    * duration to the instant between check and write — the same
+    * guarantee the generational stores get at their commit point. */
+  private def fence(): Unit = graft.sources.StoreFs.assertLeasesStillHeld()
+
   def save(centroids: DataFrame, indexed: DataFrame, dir: String): Unit =
       withStoreLease(dir) {
+    fence()
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     // co-locate each cell before the partitioned write: without it every
     // shuffle task writes a sliver into every cluster directory —
     // tasks × cells files (measured 36× slower store IO at the ×100
     // probe); with it the store is ONE file per cell, the layout the
     // probe pattern wants
+    fence()
     indexed.repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
   }
@@ -171,6 +185,8 @@ object IvfIndex {
       withStoreLease(dir) {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val assigned = assign(delta, centroids)
+    Failpoints.hit("ivfappend:before-write")
+    fence()
     assigned.repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$dir/index")
     assigned
@@ -311,6 +327,7 @@ object IvfIndex {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       // one write; dynamic overwrite rewrites ONLY the split partitions
+      fence()
       remapped.repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
       Failpoints.hit("ivfsplit:after-index-overwrite")
@@ -321,6 +338,7 @@ object IvfIndex {
       val tmp = s"$dir/centroids__tmp"
       centroids.write.mode("overwrite").parquet(tmp)
       Failpoints.hit("ivfsplit:after-centroid-tmp")
+      fence() // last check before the live centroid table is replaced
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(conf)
@@ -444,6 +462,7 @@ object IvfIndex {
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
     val chosen = byWidth.collectFirst { case (np, ar) if ar >= recallFloor => np }
       .getOrElse(byWidth.last._1)
+    fence()
     rec.withColumn("chosen", col("n_probe") === lit(chosen))
       .withColumn("recall_floor", lit(recallFloor))
       .withColumn("at_k", lit(k))

@@ -348,9 +348,20 @@ object TextDedup {
                          storeFp: DataFrame, storeBands: DataFrame,
                          storeMh: DataFrame, shingleN: Int, k: Int,
                          rowsPerBand: Int, minAgree: Int,
-                         hint: DataFrame => DataFrame): DataFrame = {
+                         hint: DataFrame => DataFrame): DataFrame =
+    ingestHitsOn(ingestPrepared(arriving, idCol, textCol, shingleN, k,
+      rowsPerBand), storeFp, storeBands, storeMh, k, minAgree, hint)
+
+  /** The arriving side of [[ingestHits]], store-independent: one row
+    * per (doc × band) carrying `(id, fp, mh0..mh<k-1>, bh)` — split
+    * from the store joins so the SEGMENTED store can classify against
+    * N segments from ONE prepared projection (the per-segment join
+    * branches re-derive it per branch, but it is a stateless per-row
+    * expression chain, never a shuffle). */
+  private def ingestPrepared(arriving: DataFrame, idCol: String,
+                             textCol: String, shingleN: Int, k: Int,
+                             rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
-    require(minAgree >= 1 && minAgree <= k, s"minAgree must be in [1, $k], got $minAgree")
     val nBands = k / rowsPerBand
     val base = arriving.select(
       col(idCol).as("id") +:
@@ -361,11 +372,20 @@ object TextDedup {
         (b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(j => col(s"mh$j")): _*)))
     }: _*)
+    base.withColumn("bh", explode(bandArr))
+  }
+
+  /** The store joins of [[ingestHits]] against ONE segment's tables,
+    * over an [[ingestPrepared]] arriving side. */
+  private def ingestHitsOn(prepared: DataFrame, storeFp: DataFrame,
+                           storeBands: DataFrame, storeMh: DataFrame,
+                           k: Int, minAgree: Int,
+                           hint: DataFrame => DataFrame): DataFrame = {
+    require(minAgree >= 1 && minAgree <= k, s"minAgree must be in [1, $k], got $minAgree")
     val agree = (0 until k)
       .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    base
-      .withColumn("bh", explode(bandArr))
+    prepared
       .join(hint(storeBands), Seq("bh"), "left")
       .join(hint(storeMh), Seq("s_id"), "left")
       .withColumn("near_hit",
@@ -418,54 +438,157 @@ object TextDedup {
       withStoreLease(pathPrefix) {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
-    val spark = corpus.sparkSession
-    // fp is stored PER DOCUMENT (`(fp, s_id)`, not the distinct-fp set
-    // the broadcast path uses): document removal
-    // ([[deleteFromDedupStore]]) must be able to tell whether a
-    // fingerprint is still held by any LIVE document — with fps alone,
-    // deleting a doc whose text a surviving doc shares would break
-    // exact-dup detection for the survivor. The ingest reader projects
-    // back to fps after applying tombstones; the extra rows only
-    // multiply arriving band rows that the final per-doc max() fold
-    // collapses anyway.
+    storeTablesOf(corpus, idCol, textCol, shingleN, k, rowsPerBand) {
+      (fp, bands, mh) =>
+        writeStoreTables(corpus.sparkSession, fp, bands, mh, namePrefix,
+          pathPrefix, buckets, retainGenerations, carrySegments = Seq.empty)
+    }
+  }
+
+  /** APPEND a delta of documents to a bucketed dedup store — the
+    * missing lifecycle face between build and remove: the CUMULATIVE
+    * corpus-build shape, where each ingest batch's survivors must join
+    * the store so the NEXT batch dedups against them (the q210 gate;
+    * q209 documents the fixed-store contract this verb lifts). Cost is
+    * O(|delta|): the delta's three tables are written as ONE NEW
+    * SEGMENT, and the new generation's descriptor carries the prior
+    * generation's segments BY REFERENCE — no existing table is read or
+    * rewritten. [[ingestFlagsBucketed]] runs the banded joins per
+    * segment (each exchange-free on its own bucketed layout) and folds
+    * every segment's hit rows through the SINGLE per-doc verdict
+    * aggregation ([[ingestVerdicts]]), so verdicts equal those of a
+    * store rebuilt from the unioned corpus; a long append chain grows
+    * read cost by one small join set per segment —
+    * [[compactDedupStore]] folds the segments back into one.
+    *
+    * Commit/concurrency contract = the build's: scratch-isolated table
+    * writes, fenced swap, manifest rename as the single commit point —
+    * a crash or lease usurpation anywhere leaves readers on the prior
+    * complete generation. Caller contract: append docs AFTER
+    * classification (the batch's survivors); appending a doc that
+    * duplicates one already stored is not an error, just dead weight
+    * that classification double-counts harmlessly. */
+  def appendToDedupStoreBucketed(delta: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int, k: Int, rowsPerBand: Int,
+                                 namePrefix: String, pathPrefix: String,
+                                 buckets: Int, retainGenerations: Int = 1): Unit =
+      withStoreLease(pathPrefix) {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
+    val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed dedup store at ${pathPrefix}_manifest — " +
+          "run writeDedupStoreBucketed first"))
+    storeTablesOf(delta, idCol, textCol, shingleN, k, rowsPerBand) {
+      (fp, bands, mh) =>
+        writeStoreTables(delta.sparkSession, fp, bands, mh, namePrefix,
+          pathPrefix, buckets, retainGenerations,
+          carrySegments = segmentsOf(pathPrefix, gen))
+    }
+  }
+
+  /** Build the three store tables for one corpus/delta and hand them to
+    * `use` — the shared front half of build and append. fp is stored
+    * PER DOCUMENT (`(fp, s_id)`, not the distinct-fp set the broadcast
+    * path uses): document removal ([[deleteFromDedupStore]]) must be
+    * able to tell whether a fingerprint is still held by any LIVE
+    * document — with fps alone, deleting a doc whose text a surviving
+    * doc shares would break exact-dup detection for the survivor. The
+    * ingest reader projects back to fps after applying tombstones; the
+    * extra rows only multiply arriving band rows that the final
+    * per-doc max() fold collapses anyway. One corpus scan feeds both
+    * signature-derived tables (session-scoped persist). */
+  private def storeTablesOf(corpus: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, k: Int, rowsPerBand: Int)
+                           (use: (DataFrame, DataFrame, DataFrame) => Unit): Unit = {
     val fp = corpus.select(col(idCol).cast("long").as("s_id"),
       graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val sig = minHashSignature(shingleTable(corpus, idCol, textCol, shingleN), k)
-    // one corpus scan feeds both signature-derived tables
-    val sigC = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigC = minHashSignature(shingleTable(corpus, idCol, textCol, shingleN), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = signatureBands(sigC, k, rowsPerBand)
       .select(bandKey(col("band"), col("h")).as("bh"), col("id").as("s_id"))
     val mh = sigC.select(
       col("id").as("s_id") +: (0 until k).map(j => col(s"mh$j").as(s"smh$j")): _*)
-    try writeStoreTables(spark, fp, bands, mh, namePrefix, pathPrefix,
-      buckets, retainGenerations)
-    finally sigC.unpersist()
+    try use(fp, bands, mh) finally sigC.unpersist(): Unit
   }
 
-  /** Commit `(fp, bands, mh)` as the next generation of a bucketed
-    * dedup store — the write half of [[writeDedupStoreBucketed]],
-    * shared with [[compactDedupStore]]. */
+  /** Segment ids of a COMMITTED generation: the descriptor file
+    * `<prefix>_g<gen>_segments` (newline-separated), falling back to
+    * the single-segment layout (`g<gen>` itself) for stores written
+    * before segmentation. A segment id `g<k>` names the three tables
+    * `<namePrefix>_g<k>_{fp,bands,mh}` at `<pathPrefix>_g<k>_*`;
+    * segment ids ARE generation numbers (each generation contributes
+    * exactly one new segment — its own), so ids are unique across any
+    * build/append/compact history. */
+  private[graft] def segmentsOf(pathPrefix: String, gen: Long): Seq[String] =
+    graft.sources.StoreFs.readSmallFile(s"${pathPrefix}_g${gen}_segments")
+      .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(s"g$gen"))
+
+  /** Commit `(fp, bands, mh)` as the new segment of the next
+    * generation of a bucketed dedup store — the write half of
+    * [[writeDedupStoreBucketed]] / [[appendToDedupStoreBucketed]],
+    * shared with [[compactDedupStore]]. `carrySegments` lists the
+    * prior generation's segments the new generation keeps by
+    * reference (empty for a full build/compact).
+    *
+    * In-flight writes are SCRATCH-ISOLATED per writer: each table
+    * lands under a lease-token-suffixed path
+    * (`<prefix>_g<n>_<table>__<token>`) and is renamed into its final
+    * `_g<n>_*` location only at the FENCED commit — so a stalled
+    * writer whose lease was TTL-broken and usurped can never
+    * interleave files with the usurper's generation: its writes stay
+    * inside its own scratch dirs, and its fence refuses before the
+    * first rename. Orphaned scratch dirs (crash or usurpation debris)
+    * are flagged by [[graft.tools.StoreDoctor.auditDedup]] and swept
+    * by the next writer's [[vacuumDedupStore]]. */
   private def writeStoreTables(spark: SparkSession, fp: DataFrame,
                                bands: DataFrame, mh: DataFrame,
                                namePrefix: String, pathPrefix: String,
-                               buckets: Int, retainGenerations: Int): Unit = {
-    val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+                               buckets: Int, retainGenerations: Int,
+                               carrySegments: Seq[String]): Unit = {
+    import graft.sources.StoreFs
+    val gen = StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(0L) + 1L
-    def write(df: DataFrame, suffix: String, bucketCol: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_g${gen}_$suffix")
+    val seg = s"g$gen"
+    val tok = StoreFs.heldLeaseToken(s"${pathPrefix}__writer")
+      .map(_.replaceAll("[^a-zA-Z0-9]", "").takeRight(12))
+      .getOrElse(throw new IllegalStateException(
+        s"writeStoreTables requires the writer lease at ${pathPrefix}__writer"))
+    def scratch(sfx: String) = s"${pathPrefix}_${seg}_${sfx}__$tok"
+    def finalPath(sfx: String) = s"${pathPrefix}_${seg}_$sfx"
+    def table(sfx: String) = s"${namePrefix}_${seg}_$sfx"
+    def write(df: DataFrame, sfx: String, bucketCol: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS ${table(sfx)}")
       df.write.mode("overwrite")
-        .option("path", s"${pathPrefix}_g${gen}_$suffix")
+        .option("path", scratch(sfx))
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .format("parquet").saveAsTable(s"${namePrefix}_g${gen}_$suffix")
+        .format("parquet").saveAsTable(table(sfx))
     }
     write(fp, "fp", "fp")
     Failpoints.hit("dedupstore:after-fp")
     write(bands, "bands", "bh")
     Failpoints.hit("dedupstore:after-bands")
     write(mh, "mh", "s_id")
-    // COMMIT: swap the manifest to the new generation ([[StoreFs]]
-    // tmp+rename), then apply the retention policy
-    graft.sources.StoreFs.commitManifest(s"${pathPrefix}_manifest", gen)
+    Failpoints.hit("dedupstore:before-swap")
+    // FENCED swap: a usurped lease refuses HERE, before any final
+    // location is touched — the usurper's generation stays byte-clean
+    // and this writer's output is orphaned scratch the doctor flags
+    StoreFs.assertLeasesStillHeld()
+    Seq("fp", "bands", "mh").foreach { sfx =>
+      val (fs, fin) = StoreFs.of(finalPath(sfx))
+      fs.delete(fin, true): Unit // a crashed predecessor's uncommitted leftovers
+      require(fs.rename(new org.apache.hadoop.fs.Path(scratch(sfx)), fin),
+        s"dedup store commit: rename ${scratch(sfx)} -> $fin failed")
+      spark.sql(
+        s"ALTER TABLE ${table(sfx)} SET LOCATION '${fs.makeQualified(fin)}'")
+    }
+    Failpoints.hit("dedupstore:after-swap")
+    // the generation's segment list (atomic write, itself fenced),
+    // then THE commit: the manifest swap
+    StoreFs.writeFileAtomic(s"${pathPrefix}_g${gen}_segments",
+      (carrySegments :+ seg).mkString("\n"))
+    StoreFs.commitManifest(s"${pathPrefix}_manifest", gen)
     vacuumDedupStore(spark, namePrefix, pathPrefix, keepLast = retainGenerations)
   }
 
@@ -511,75 +634,130 @@ object TextDedup {
     fp
   }
 
-  /** Fold the tombstones into the store: rewrite the current
-    * generation's three tables WITHOUT the tombstoned docs as a new
-    * committed generation, then drop the tombstone table. Crash
-    * between commit and drop is harmless — anti-joining already-absent
-    * ids is a no-op. */
+  /** Fold the store back to ONE segment: rewrite the current
+    * generation's live rows — every segment's tables, minus any
+    * tombstoned docs — as a new single-segment committed generation,
+    * then drop the tombstone table. The compaction face of BOTH
+    * incremental verbs: [[deleteFromDedupStore]] tombstones and
+    * [[appendToDedupStoreBucketed]] segments accumulate read-side cost
+    * that this verb folds away. No-op when there is nothing to fold
+    * (single segment, no tombstones). Crash between commit and
+    * tombstone drop is harmless — anti-joining already-absent ids is a
+    * no-op. */
   def compactDedupStore(spark: SparkSession, namePrefix: String,
                         pathPrefix: String, buckets: Int,
                         retainGenerations: Int = 1): Unit =
       withStoreLease(pathPrefix) {
-    val tomb = dedupTombstones(spark, pathPrefix).getOrElse(return)
+    val tomb = dedupTombstones(spark, pathPrefix)
     val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(throw new IllegalStateException(
         s"no committed dedup store at ${pathPrefix}_manifest"))
+    val segs = segmentsOf(pathPrefix, gen)
+    if (tomb.isEmpty && segs.size == 1) return
     def live(suffix: String): DataFrame = {
-      val t = graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_$suffix")
-      val checked = if (suffix == "fp") requireTombstonableFp(t, pathPrefix) else t
-      checked.join(broadcast(tomb), Seq("s_id"), "left_anti")
+      val unioned = segs.map { seg =>
+        val t = graft.sources.Bucketing.readBucketed(
+          spark, s"${namePrefix}_${seg}_$suffix")
+        if (suffix == "fp" && tomb.nonEmpty) requireTombstonableFp(t, pathPrefix)
+        else t
+      }.reduce(_ unionByName _)
+      tomb match {
+        case Some(t) => unioned.join(broadcast(t), Seq("s_id"), "left_anti")
+        case None => unioned
+      }
     }
     // materialize before the write path can vacuum the source tables
     val (fp, bands, mh) = (live("fp").localCheckpoint(),
       live("bands").localCheckpoint(), live("mh").localCheckpoint())
     writeStoreTables(spark, fp, bands, mh, namePrefix, pathPrefix,
-      buckets, retainGenerations)
+      buckets, retainGenerations, carrySegments = Seq.empty)
     graft.sources.StoreFs.of(s"${pathPrefix}_tombstones")
       match { case (fs, p) => fs.delete(p, true): Unit }
   }
 
   /** Retention for a [[writeDedupStoreBucketed]] store: drop all but
-    * the newest `keepLast` COMMITTED generations (catalog tables AND
-    * data paths, all three tables per generation). Generations above
-    * the manifest — an in-flight writer's — are never touched; no
-    * manifest means nothing is committed and nothing is dropped. Safe
-    * beside readers pinned to any RETAINED generation: their resolved
-    * `_g<n>_*` tables stay valid until a smaller `keepLast` reclaims
-    * them. */
+    * the newest `keepLast` COMMITTED generations. SEGMENT-AWARE: a
+    * dropped generation's segments are deleted (catalog tables AND
+    * data paths) only when NO retained generation still references
+    * them — an append chain's old generations share almost all their
+    * segments with the current one, so vacuuming them reclaims only
+    * the descriptor files until a compact/rebuild cuts the lineage.
+    * Generations above the manifest — an in-flight writer's — are
+    * never touched; no manifest means nothing is committed and
+    * nothing is dropped. Safe beside readers pinned to any RETAINED
+    * generation: their resolved segment tables stay valid until a
+    * smaller `keepLast` reclaims them. Also sweeps ORPHANED SCRATCH
+    * dirs (`_g<n>_<tbl>__<token>` staging left by a crashed or
+    * usurped writer) belonging to any token but the current
+    * writer's — a TTL-broken stall may re-create one mid-sweep, in
+    * which case its fenced commit still refuses and the next vacuum
+    * re-sweeps. */
   def vacuumDedupStore(spark: SparkSession, namePrefix: String,
                        pathPrefix: String, keepLast: Int): Unit =
       withStoreLease(pathPrefix) {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val current = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(return)
-    // Discover generations from the UNION of all three suffix globs,
-    // not just `_fp`: a vacuum that crashed after deleting a
-    // generation's fp dir but before its bands/mh dirs would otherwise
-    // hide those orphans from every later vacuum, leaking them forever.
     val probe = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_fp")
     val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def glob(pattern: String): Seq[String] =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(pattern)))
+        .map(_.toSeq).getOrElse(Seq.empty).map(_.getPath.getName)
+    // Discover generations from the UNION of all three suffix globs
+    // (not just `_fp` — a vacuum that crashed after deleting a
+    // generation's fp dir would otherwise hide the bands/mh orphans
+    // from every later vacuum) plus the descriptor files (an append
+    // generation may own no tables under its own number once shared
+    // segments outlive the descriptor's deletion round).
     val genRe = ".*_g(\\d+)_(?:fp|bands|mh)".r
-    val committed = Seq("fp", "bands", "mh").flatMap { sfx =>
-      val glob = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_$sfx")
-      Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
-        .map(_.getPath.getName)
+    val descRe = ".*_g(\\d+)_segments".r
+    val committed = (Seq("fp", "bands", "mh").flatMap { sfx =>
+      glob(s"${pathPrefix}_g*_$sfx")
         .collect { case genRe(g) if g.toLong <= current => g.toLong }
-    }.distinct.sorted
+    } ++ glob(s"${pathPrefix}_g*_segments")
+      .collect { case descRe(g) if g.toLong <= current => g.toLong }
+    ).distinct.sorted
+    val keptSegs = committed.takeRight(keepLast)
+      .flatMap(g => segmentsOf(pathPrefix, g)).toSet
     committed.dropRight(keepLast).foreach { g =>
-      Seq("fp", "bands", "mh").foreach { sfx =>
-        spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_g${g}_$sfx")
-        fs.delete(new org.apache.hadoop.fs.Path(s"${pathPrefix}_g${g}_$sfx"), true)
+      segmentsOf(pathPrefix, g).filterNot(keptSegs).foreach { seg =>
+        Seq("fp", "bands", "mh").foreach { sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_${seg}_$sfx")
+          fs.delete(
+            new org.apache.hadoop.fs.Path(s"${pathPrefix}_${seg}_$sfx"), true)
+        }
       }
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"${pathPrefix}_g${g}_segments"), false)
     }
+    // orphaned per-writer staging: any scratch dir not ours is a
+    // crashed/usurped writer's pre-commit debris
+    val myTok = graft.sources.StoreFs.heldLeaseToken(s"${pathPrefix}__writer")
+      .map(_.replaceAll("[^a-zA-Z0-9]", "").takeRight(12))
+    val scratchRe = ".*_g\\d+_(?:fp|bands|mh)__([a-zA-Z0-9]+)".r
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*__*")))
+      .map(_.toSeq).getOrElse(Seq.empty).foreach { st =>
+        st.getPath.getName match {
+          case scratchRe(t) if !myTok.contains(t) =>
+            fs.delete(st.getPath, true): Unit
+          case _ => ()
+        }
+      }
   }
 
   /** [[ingestFlags]] with a BUCKETED store — the non-broadcast scale
     * variant for a store too large to ship to every task: resolves the
-    * committed generation from the store manifest, reads its three
-    * [[writeDedupStoreBucketed]] tables and runs the same
-    * classification with NO broadcast hint, so each store side joins
-    * from its bucketed layout exchange-free while only the arriving
-    * micro-batch shuffles onto the join keys. Identical verdicts to
+    * committed generation from the store manifest, reads each
+    * SEGMENT's three tables ([[writeDedupStoreBucketed]] writes one
+    * segment; each [[appendToDedupStoreBucketed]] adds one) and runs
+    * the same classification with NO broadcast hint, so every store
+    * side joins from its bucketed layout exchange-free while only the
+    * arriving micro-batch shuffles onto the join keys. Per-segment hit
+    * rows union into the SINGLE per-doc verdict aggregation — one
+    * stateful fold regardless of segment count, which keeps the plan
+    * legal inside a streaming micro-batch (chained stateful
+    * aggregations are not) and makes verdicts EXACTLY those of a
+    * store rebuilt from the unioned corpus. Identical verdicts to
     * [[ingestFlags]] by construction (same core, same band keys). */
   def ingestFlagsBucketed(arriving: DataFrame, idCol: String, textCol: String,
                           namePrefix: String, pathPrefix: String,
@@ -604,12 +782,18 @@ object TextDedup {
       case Some(_) => live(requireTombstonableFp(df, pathPrefix))
       case None => df
     }
-    ingestCore(arriving, idCol, textCol,
-      liveFp(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_fp"))
-        .select(col("fp")),
-      live(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_bands")),
-      live(graft.sources.Bucketing.readBucketed(spark, s"${namePrefix}_g${gen}_mh")),
-      shingleN, k, rowsPerBand, minAgree, identity)
+    val prepared = ingestPrepared(arriving, idCol, textCol, shingleN, k,
+      rowsPerBand)
+    ingestVerdicts(segmentsOf(pathPrefix, gen).map { seg =>
+      ingestHitsOn(prepared,
+        liveFp(graft.sources.Bucketing.readBucketed(
+          spark, s"${namePrefix}_${seg}_fp")).select(col("fp")),
+        live(graft.sources.Bucketing.readBucketed(
+          spark, s"${namePrefix}_${seg}_bands")),
+        live(graft.sources.Bucketing.readBucketed(
+          spark, s"${namePrefix}_${seg}_mh")),
+        k, minAgree, identity)
+    }.reduce(_ unionByName _))
   }
 
   /** 32-bit SimHash over whitespace tokens: token hash = first 8 hex

@@ -142,11 +142,15 @@ object StoreFs {
   // `StoreFs.breakWriterLease`).
   //
   // Residual race, documented not closed: a writer that stalls PAST
-  // the TTL can wake after its lease was broken and still commit over
-  // the usurper (rename has no compare-and-swap on a filesystem). The
-  // lease shrinks the unprotected window from the whole verb duration
-  // to that pathological stall; true CAS needs a coordination service
-  // the engine deliberately doesn't depend on.
+  // the TTL can wake after its lease was broken and still write over
+  // the usurper (rename has no compare-and-swap on a filesystem).
+  // Fencing shrinks that window — GENERATIONAL stores re-check the
+  // lease inside [[writeFileAtomic]] at their single commit point;
+  // FLAT stores (direct parquet overwrite/append, e.g. IvfIndex) call
+  // [[assertLeasesStillHeld]] explicitly before each destructive
+  // write — so the exposure is the instant between check and write,
+  // not the verb duration. True CAS needs a coordination service the
+  // engine deliberately doesn't depend on.
   // ------------------------------------------------------------------
 
   /** A held writer lease on `markerPath`; `token` identifies this
@@ -164,13 +168,19 @@ object StoreFs {
     * disk and must still carry our token. A writer that stalled past
     * the TTL and was auto-broken (its lease usurped by a newer writer)
     * thus REFUSES at its commit instead of renaming over the usurper's
-    * generation — the stall race documented on the lease shrinks from
-    * "any time before the rename" to the instant between this check
-    * and the rename itself. Costs one small-file read per held lease
-    * per commit (commits are per-generation, not per-row). Threads
-    * holding no lease (markers written outside a mutation verb, e.g.
-    * streaming batch markers) skip the check entirely. */
-  private def assertLeasesStillHeld(): Unit = {
+    * generation — for GENERATIONAL stores (manifest-committed) the
+    * stall race documented on the lease shrinks from "any time before
+    * the rename" to the instant between this check and the rename
+    * itself. PUBLIC so that FLAT stores — verbs that overwrite/append
+    * parquet directly with no [[writeFileAtomic]] commit point, e.g.
+    * [[graft.operators.IvfIndex.save]]/`appendToIndex` — can fence
+    * each of their writes explicitly and get the same guarantee per
+    * write instead of none at all. Costs one small-file read per held
+    * lease per call (calls are per-table-write or per-commit, never
+    * per-row). Threads holding no lease (markers written outside a
+    * mutation verb, e.g. streaming batch markers) skip the check
+    * entirely. */
+  def assertLeasesStillHeld(): Unit = {
     val me = Thread.currentThread().getId
     held.forEach { (key, h) =>
       if (h.threadId == me) {
@@ -189,6 +199,14 @@ object StoreFs {
   /** The conventional marker path for a dir-layout store. */
   def writerMarkerPath(storeDir: String): String = s"$storeDir/__writer"
 
+  /** THE writer-lease staleness TTL — one constant shared by
+    * [[acquireWriterLease]]/[[withWriterLease]] (auto-break threshold)
+    * and [[graft.tools.StoreDoctor]] (warn/error classification), so
+    * the doctor's diagnosis can never disagree with the auto-break
+    * behavior. 30 min: far above any verb's runtime, far below a
+    * scheduler's retry horizon. */
+  val DefaultLeaseTtlMs: Long = 30L * 60 * 1000
+
   private lazy val hostTag: String =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: java.net.UnknownHostException => "localhost" }
@@ -203,7 +221,7 @@ object StoreFs {
     * `staleAfterMs`). Re-entrant per thread. Prefer
     * [[withWriterLease]], which releases on every exit path. */
   def acquireWriterLease(markerPath: String,
-                         staleAfterMs: Long = 30L * 60 * 1000): WriterLease = {
+                         staleAfterMs: Long = DefaultLeaseTtlMs): WriterLease = {
     val key = qualified(markerPath)
     val token = hostTag + ":" + ProcessHandle.current().pid() + ":" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -260,7 +278,7 @@ object StoreFs {
         s"[StoreFs] breaking STALE writer lease at $markerPath " +
           f"(held by $holder, age ${ageMs / 1000.0}%.1f s > " +
           f"${staleAfterMs / 1000.0}%.1f s TTL — abandoned by a crash)")
-      breakWriterLease(markerPath)
+      breakStaleMarkerIfUnchanged(markerPath, holder, staleAfterMs)
     }
     // one more attempt (post-break, or the holder released in between)
     if (!tryCreate()) {
@@ -271,20 +289,70 @@ object StoreFs {
     }
   }
 
+  /** COMPARE-AND-DELETE for a stale-observed marker. An unconditional
+    * delete after the staleness read is racy: a second process may
+    * have broken the same stale marker and re-created its own FRESH
+    * lease in the window, and the delete would then remove the rival's
+    * live lease — two writers proceed. Instead the marker is renamed
+    * aside to a UNIQUE tombstone (atomic capture of whatever the
+    * marker slot holds right now), the tombstone's content and mtime
+    * are re-checked against the stale observation, and only a
+    * confirmed-stale capture is deleted. A captured FRESH rival marker
+    * is renamed back; if a third writer claimed the slot in that
+    * instant, the tombstone is dropped and the rival's commit-point
+    * fence ([[assertLeasesStillHeld]]) catches the loss — the same
+    * refusal a TTL usurpation produces. Rename preserves mtime on
+    * HDFS and the local FS, so the staleness re-check is sound. */
+  private[graft] def breakStaleMarkerIfUnchanged(markerPath: String,
+                                                 observedHolder: String,
+                                                 staleAfterMs: Long): Unit = {
+    val (fs, p) = of(markerPath)
+    val tomb = new Path(markerPath + "__tomb_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val captured =
+      try fs.rename(p, tomb)
+      catch { case _: java.io.IOException => false }
+    // marker vanished or the FS refused: nothing broken — the caller's
+    // retry create resolves against whatever holds the slot now
+    if (!captured) return
+    val content = readSmallFile(tomb.toString).map(_.trim)
+    val ageNow =
+      try System.currentTimeMillis() - fs.getFileStatus(tomb).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    if (content.contains(observedHolder) && ageNow > staleAfterMs) {
+      fs.delete(tomb, false): Unit // confirmed: the exact marker we observed stale
+    } else {
+      // a rival's fresh marker got captured — restore it and let the
+      // retry create refuse against it like any lost acquire race
+      if (!fs.rename(tomb, p)) fs.delete(tomb, false): Unit
+    }
+  }
+
   /** Release a lease taken with [[acquireWriterLease]]: deletes the
     * marker only while it still carries OUR token — if a stale-break
     * usurped us mid-write, the usurper's marker is left alone (its
-    * lease, not ours). */
+    * lease, not ours). ORDER MATTERS: the on-disk marker goes first
+    * and the JVM-local registry entry last — the reverse order opens
+    * a window where a same-process acquirer passes the registry gate,
+    * hits the not-yet-deleted marker, and gets a spurious
+    * "another writer is active" refusal naming the just-released
+    * holder. With disk-first, an acquirer that reaches the disk gate
+    * finds the slot free; one racing the release itself refuses at
+    * the registry while the lease is genuinely still held — correct,
+    * not spurious. */
   def releaseWriterLease(lease: WriterLease): Unit = {
     val key = qualified(lease.markerPath)
     val cur = held.get(key)
-    if (cur != null && cur.token == lease.token) {
+    if (cur != null && cur.token == lease.token && cur.depth > 1) {
       cur.depth -= 1
-      if (cur.depth > 0) return
-      held.remove(key): Unit
+      return
     }
     if (readSmallFile(lease.markerPath).map(_.trim).contains(lease.token))
       deleteFile(lease.markerPath)
+    if (cur != null && cur.token == lease.token) {
+      cur.depth -= 1
+      held.remove(key): Unit
+    }
   }
 
   /** Forcibly remove a writer lease — the REMEDY verb for a marker
@@ -293,6 +361,17 @@ object StoreFs {
     * writer. */
   def breakWriterLease(markerPath: String): Unit =
     deleteFile(markerPath)
+
+  /** The token of the lease the CURRENT THREAD holds on `markerPath`,
+    * if any — lets a writer derive per-writer SCRATCH names (e.g.
+    * `g<n>__<token>` staging dirs) so concurrent/usurped writers'
+    * in-flight files can never collide. */
+  def heldLeaseToken(markerPath: String): Option[String] = {
+    val cur = held.get(qualified(markerPath))
+    if (cur != null && cur.threadId == Thread.currentThread().getId)
+      Some(cur.token)
+    else None
+  }
 
   /** The lease marker's `(holderToken, ageMs)` when one is present —
     * the StoreDoctor inspection surface. */
@@ -312,7 +391,7 @@ object StoreFs {
     * read-modify-write in — composed verbs nest freely (re-entrant on
     * the acquiring thread). */
   def withWriterLease[T](markerPath: String,
-                         staleAfterMs: Long = 30L * 60 * 1000)(body: => T): T = {
+                         staleAfterMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
     val lease = acquireWriterLease(markerPath, staleAfterMs)
     try body finally releaseWriterLease(lease)
   }

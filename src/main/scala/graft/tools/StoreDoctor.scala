@@ -148,7 +148,7 @@ object StoreDoctor {
     * family carries no lease: its single writer is the streaming
     * query, whose checkpoint already enforces exclusivity. */
   private def writerLeaseFinding(store: String, markerPath: String,
-                                 staleAfterMs: Long = 30L * 60 * 1000
+                                 staleAfterMs: Long = StoreFs.DefaultLeaseTtlMs
                                 ): Seq[Finding] =
     StoreFs.writerLeaseInfo(markerPath) match {
       case None =>
@@ -170,10 +170,17 @@ object StoreDoctor {
   private def tombstoneFinding(spark: SparkSession, store: String,
                                tombPath: String, livePath: String,
                                compactVerb: String): Seq[Finding] =
+    tombstoneFinding(spark, store, tombPath, Seq(livePath), compactVerb)
+
+  /** Multi-path variant: live weight summed over a segmented store's
+    * per-segment tables. */
+  private def tombstoneFinding(spark: SparkSession, store: String,
+                               tombPath: String, livePaths: Seq[String],
+                               compactVerb: String): Seq[Finding] =
     if (!exists(tombPath)) Seq.empty
     else {
       val dead = rows(spark, tombPath)
-      val live = rows(spark, livePath)
+      val live = livePaths.map(rows(spark, _)).sum
       val pct = if (live > 0) 100.0 * dead / live else 100.0
       val sev = if (dead >= live / 4 && dead > 0) "warn" else "info"
       Seq(Finding(store, "tombstones", sev,
@@ -274,18 +281,33 @@ object StoreDoctor {
   }
 
   /** Audit a [[graft.operators.TextDedup.writeDedupStoreBucketed]]
-    * store (prefix layout). */
+    * store (prefix layout, SEGMENTED: the committed generation's
+    * descriptor lists the segments it references — each
+    * [[graft.operators.TextDedup.appendToDedupStoreBucketed]] adds
+    * one). */
   def auditDedup(spark: SparkSession, pathPrefix: String): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
     val parent = new org.apache.hadoop.fs.Path(pathPrefix).getParent.toString
     val base = new org.apache.hadoop.fs.Path(pathPrefix).getName
     val tblRe = (java.util.regex.Pattern.quote(base) +
       "_g(\\d+)_(fp|bands|mh)").r
-    val byGen = StoreFs.childNames(parent)
+    val scratchRe = (java.util.regex.Pattern.quote(base) +
+      "_g(\\d+)_(?:fp|bands|mh)__[a-zA-Z0-9]+").r
+    val children = StoreFs.childNames(parent)
+    val byGen = children
       .collect { case tblRe(g, t) => (g.toLong, t) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val manifest = StoreFs.readManifest(s"${pathPrefix}_manifest")
     val all = Set("fp", "bands", "mh")
+    // pre-commit staging left by a crashed or usurped writer — never
+    // referenced by any committed generation
+    val scratch = children.collect { case n @ scratchRe(_) => n }.sorted
+    if (scratch.nonEmpty)
+      out += Finding(pathPrefix, "scratch", "warn",
+        s"${scratch.size} orphaned scratch dir(s) from a crashed or " +
+          s"usurped writer (${scratch.mkString(", ")}) — uncommitted " +
+          "debris; the next mutation's vacuum sweeps it, or delete the " +
+          "dir(s)")
     manifest match {
       case None =>
         if (byGen.nonEmpty)
@@ -297,36 +319,48 @@ object StoreDoctor {
           out += Finding(pathPrefix, "manifest", "info",
             "no committed store at this prefix")
       case Some(g) =>
-        val have = byGen.getOrElse(g, Set.empty)
-        if (have != all)
+        val segs = graft.operators.TextDedup.segmentsOf(pathPrefix, g)
+        val segNums = segs.flatMap(s => s.stripPrefix("g").toLongOption)
+        val missing = segs.filter { seg =>
+          seg.stripPrefix("g").toLongOption
+            .forall(n => byGen.getOrElse(n, Set.empty) != all)
+        }
+        if (missing.nonEmpty)
           out += Finding(pathPrefix, "tables", "error",
-            s"committed generation g$g is missing ${(all -- have).toSeq.sorted
-              .mkString(", ")} — the manifest points at an incomplete " +
-              "generation")
+            s"committed generation g$g references segment(s) " +
+              s"${missing.mkString(", ")} with missing or incomplete " +
+              "tables — the manifest points at an unreadable generation")
         else
           out += Finding(pathPrefix, "manifest", "ok",
-            s"committed generation g$g with fp, bands, mh")
+            s"committed generation g$g with fp, bands, mh across " +
+              s"${segs.size} segment(s)")
         val inFlight = byGen.keys.filter(_ > g).toSeq.sorted
         if (inFlight.nonEmpty)
           out += Finding(pathPrefix, "generations", "warn",
             s"uncommitted generation table(s) at g${inFlight.mkString(", g")} " +
               "above the manifest — an in-flight or crashed writer")
-        val history = byGen.keys.filter(_ < g).toSeq.sorted
+        // tables below the manifest that are NOT live segments of the
+        // committed generation are superseded history
+        val history = byGen.keys
+          .filter(n => n < g && !segNums.contains(n)).toSeq.sorted
         if (history.nonEmpty)
           out += Finding(pathPrefix, "generations", "info",
             s"${history.length} superseded committed generation(s) " +
               s"(g${history.mkString(", g")}) retained — vacuum-eligible")
         if (exists(s"${pathPrefix}_tombstones")) {
           out ++= tombstoneFinding(spark, pathPrefix,
-            s"${pathPrefix}_tombstones", s"${pathPrefix}_g${g}_fp",
+            s"${pathPrefix}_tombstones",
+            segs.map(seg => s"${pathPrefix}_${seg}_fp"),
             "TextDedup.compactDedupStore")
           // legacy distinct-fp layout cannot honor tombstones
-          val fp = spark.read.parquet(s"${pathPrefix}_g${g}_fp")
-          if (!fp.columns.contains("s_id"))
-            out += Finding(pathPrefix, "format", "error",
-              "tombstones present but the fp table is in the legacy " +
-                "distinct-fingerprint layout (no s_id) — deletes cannot be " +
-                "honored; rebuild with writeDedupStoreBucketed")
+          segs.foreach { seg =>
+            val fp = spark.read.parquet(s"${pathPrefix}_${seg}_fp")
+            if (!fp.columns.contains("s_id"))
+              out += Finding(pathPrefix, "format", "error",
+                s"tombstones present but segment $seg's fp table is in the " +
+                  "legacy distinct-fingerprint layout (no s_id) — deletes " +
+                  "cannot be honored; rebuild with writeDedupStoreBucketed")
+          }
         }
     }
     out.result() ++

@@ -131,7 +131,9 @@ class StoreDoctorSpec extends SparkSpec {
       val healthy = StoreDoctor.auditDedup(spark, path)
       errors(healthy) shouldBe empty
       kinds(healthy, "ok") should contain("manifest")
-      // crashed refresh: orphan g2 tables above the g1 manifest
+      // crashed refresh BEFORE the swap: the writer's tables are
+      // scratch-isolated, so the debris is orphaned scratch dirs —
+      // warn-grade, never an error, and the committed store untouched
       intercept[RuntimeException] {
         Failpoints.withHook(crashAt("dedupstore:after-bands")) {
           build("sdoc_dd", path)
@@ -139,22 +141,45 @@ class StoreDoctorSpec extends SparkSpec {
       } shouldBe boom
       val crashed = StoreDoctor.auditDedup(spark, path)
       errors(crashed) shouldBe empty
-      kinds(crashed, "warn") should contain("generations")
+      kinds(crashed, "warn") should contain("scratch")
+      // crashed refresh AFTER the swap (before the manifest commit):
+      // final g2 tables above the g1 manifest — the in-flight warn
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("dedupstore:after-swap")) {
+          build("sdoc_dd", path)
+        }
+      } shouldBe boom
+      val postSwap = StoreDoctor.auditDedup(spark, path)
+      errors(postSwap) shouldBe empty
+      kinds(postSwap, "warn") should contain("generations")
       // tombstones are reported against live fp rows
       TextDedup.deleteFromDedupStore(spark, path,
         docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
       StoreDoctor.auditDedup(spark, path)
         .filter(_.kind == "tombstones") should not be empty
-      // first-build crash: tables on disk, no manifest — an error state
+      // first-build crash after the swap: tables on disk, no
+      // manifest — an error state (rebuild)
       val path2 = java.nio.file.Files
         .createTempDirectory("graft-doc-dd2").toString + "/store"
       intercept[RuntimeException] {
-        Failpoints.withHook(crashAt("dedupstore:after-fp")) {
+        Failpoints.withHook(crashAt("dedupstore:after-swap")) {
           build("sdoc_dd2", path2)
         }
       } shouldBe boom
       errors(StoreDoctor.auditDedup(spark, path2))
         .map(_.kind) should contain("manifest")
+      // first-build crash before the swap: only scratch debris — the
+      // store reads as cleanly absent, warn-grade
+      val path3 = java.nio.file.Files
+        .createTempDirectory("graft-doc-dd3").toString + "/store"
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("dedupstore:after-fp")) {
+          build("sdoc_dd3", path3)
+        }
+      } shouldBe boom
+      val preSwap = StoreDoctor.auditDedup(spark, path3)
+      errors(preSwap) shouldBe empty
+      kinds(preSwap, "warn") should contain("scratch")
     }
   }
 

@@ -285,6 +285,216 @@ class StoreLifecycleSpec extends SparkSpec {
       audit.filter(_.kind == "writer-lease").map(_.severity) shouldBe Seq("ok")
       assertCleanAudit(audit)
     }
+
+    it("a stale-lease break is compare-and-delete: a rival's fresh lease survives") {
+      // the double-break race: two processes both observe writer A's
+      // marker stale; the first breaks it and creates its OWN fresh
+      // lease; the second's break must then be a no-op (its stale
+      // observation no longer matches the marker), not a delete of the
+      // rival's live lease
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lease-cad").toString
+      val marker = s"$dir/__writer"
+      val (fs, p) = StoreFs.of(marker)
+      def plant(token: String, ageMs: Long): Unit = {
+        val out = fs.create(p, true)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+      }
+      val ttl = 60L * 1000
+      // 1. unchanged stale marker -> confirmed, deleted
+      plant("crashed:1:aaaa", ageMs = 10 * ttl)
+      StoreFs.breakStaleMarkerIfUnchanged(marker, "crashed:1:aaaa", ttl)
+      fs.exists(p) shouldBe false
+      // 2. the marker CHANGED to a rival's fresh lease between the
+      //    stale observation and the break -> restored byte-identical
+      plant("rival:2:bbbb", ageMs = 0)
+      StoreFs.breakStaleMarkerIfUnchanged(marker, "crashed:1:aaaa", ttl)
+      StoreFs.readSmallFile(marker).map(_.trim) shouldBe Some("rival:2:bbbb")
+      // 3. same holder token but a refreshed mtime (no longer stale)
+      //    -> restored, not broken
+      plant("crashed:1:aaaa", ageMs = 0)
+      StoreFs.breakStaleMarkerIfUnchanged(marker, "crashed:1:aaaa", ttl)
+      StoreFs.readSmallFile(marker).map(_.trim) shouldBe Some("crashed:1:aaaa")
+      // no tombstone debris in any path
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+        .filter(_.contains("__tomb")) shouldBe empty
+    }
+
+    it("a usurped FLAT-store writer refuses before its parquet write") {
+      // flat stores (direct overwrite/append, no writeFileAtomic commit
+      // point) fence each destructive write explicitly — a stalled
+      // appendToIndex whose lease was TTL-broken and re-acquired by a
+      // rival must refuse BEFORE touching the rival's files
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-fence").toString + "/ivf"
+      IvfIndex.save(cent, IvfIndex.assign(e, cent), dir)
+      val before = spark.read.parquet(s"$dir/index").count()
+      val marker = StoreFs.writerMarkerPath(dir)
+      def usurp(): Unit = {
+        StoreFs.breakWriterLease(marker)
+        val (fs, p) = StoreFs.of(marker)
+        val out = fs.create(p, true)
+        try out.write("usurper:424242:beef".getBytes("UTF-8"))
+        finally out.close()
+      }
+      val delta = e.limit(5).select(($"id" + 100000L).as("id"), $"v")
+      val ex = intercept[RuntimeException] {
+        Failpoints.withHook(pt => if (pt == "ivfappend:before-write") usurp()) {
+          IvfIndex.appendToIndex(spark, delta, dir)
+        }
+      }
+      ex.getMessage should include("REFUSING to commit")
+      // the store is byte-count-clean: nothing appended, the usurper's
+      // lease intact
+      spark.read.parquet(s"$dir/index").count() shouldBe before
+      StoreFs.readSmallFile(marker).map(_.trim) shouldBe
+        Some("usurper:424242:beef")
+      StoreFs.breakWriterLease(marker)
+      IvfIndex.appendToIndex(spark, delta, dir)
+      spark.read.parquet(s"$dir/index").count() shouldBe before + 5
+    }
+  }
+
+  describe("appendToDedupStoreBucketed (segmented store)") {
+    import graft.sources.StoreFs
+
+    it("appended survivors classify later arrivals; compact folds the segments; verdicts match a rebuilt store") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-seg").toString + "/store"
+      // pin ONE evaluation: corpus is limit(60) over a parallel scan,
+      // so re-evaluation between the append action and the probe
+      // action could select different rows
+      val pinned = corpus.localCheckpoint()
+      val base = pinned.filter($"doc_id" % 3 =!= 0)
+      val delta = pinned.filter($"doc_id" % 3 === 0)
+      TextDedup.writeDedupStoreBucketed(base, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_seg", pathPrefix = path, buckets = 4)  // g1
+      // probe: exact copies of the DELTA docs under fresh ids — clean
+      // against the base-only store, dup_exact once the delta is in
+      val probe = delta.select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      def flags(name: String, p: String) =
+        TextDedup.ingestFlagsBucketed(probe, "doc_id", "text", name, p,
+          shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+      // against the base-only store most probes are clean (a delta
+      // text could coincide with a base text, so strict-zero is not
+      // assumed); after the append EVERY probe has its original stored
+      val preDup = flags("slc_seg", path).filter($"dup_exact").count()
+      preDup should be < delta.count()
+      TextDedup.appendToDedupStoreBucketed(delta, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_seg", pathPrefix = path, buckets = 4)  // g2 = [g1, g2]
+      StoreFs.readManifest(s"${path}_manifest") shouldBe Some(2L)
+      StoreFs.readSmallFile(s"${path}_g2_segments")
+        .map(_.trim.linesIterator.toSeq) shouldBe Some(Seq("g1", "g2"))
+      val appended = flags("slc_seg", path).orderBy($"id").collect().toSeq
+      appended.count(_.getBoolean(1)) shouldBe delta.count() // all dup_exact
+      // verdict equivalence: a store REBUILT from base ∪ delta gives
+      // byte-identical verdicts to the segmented append
+      val path2 = java.nio.file.Files
+        .createTempDirectory("graft-store-seg2").toString + "/store"
+      TextDedup.writeDedupStoreBucketed(base.unionByName(delta), "doc_id",
+        "text", shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_seg_rb", pathPrefix = path2, buckets = 4)
+      flags("slc_seg_rb", path2).orderBy($"id").collect().toSeq shouldBe appended
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
+      // compact folds the two segments into one generation; verdicts
+      // unchanged, old segments vacuumed
+      TextDedup.compactDedupStore(spark, "slc_seg", path, buckets = 4) // g3 = [g3]
+      StoreFs.readManifest(s"${path}_manifest") shouldBe Some(3L)
+      StoreFs.readSmallFile(s"${path}_g3_segments")
+        .map(_.trim) shouldBe Some("g3")
+      flags("slc_seg", path).orderBy($"id").collect().toSeq shouldBe appended
+      val (fs, _) = StoreFs.of(path)
+      fs.exists(new org.apache.hadoop.fs.Path(s"${path}_g1_fp")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(s"${path}_g2_fp")) shouldBe false
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
+    }
+
+    it("a usurped writer's in-flight writes stay in its own scratch; the committed store is byte-clean") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-usurp").toString + "/store"
+      buildStore("slc_usurp", path)                              // g1
+      val before = verdicts("slc_usurp", path)
+      val marker = s"${path}__writer"
+      def usurp(): Unit = {
+        StoreFs.breakWriterLease(marker)
+        val (fs, p) = StoreFs.of(marker)
+        val out = fs.create(p, true)
+        try out.write("usurper:424242:beef".getBytes("UTF-8"))
+        finally out.close()
+      }
+      // usurped mid-append: the mh table write AFTER the usurpation
+      // still lands in the stalled writer's OWN scratch dirs; the
+      // fenced swap refuses before any final location is touched
+      val delta = corpus.limit(10)
+        .select(($"doc_id" + 50000L).as("doc_id"), $"text").localCheckpoint()
+      val ex = intercept[RuntimeException] {
+        Failpoints.withHook(pt => if (pt == "dedupstore:after-bands") usurp()) {
+          TextDedup.appendToDedupStoreBucketed(delta, "doc_id", "text",
+            shingleN = 5, k = 8, rowsPerBand = 2,
+            namePrefix = "slc_usurp", pathPrefix = path, buckets = 4)
+        }
+      }
+      ex.getMessage should include("REFUSING to commit")
+      // committed store byte-clean: manifest on g1, NO final g2 paths,
+      // the stalled writer's output confined to token-suffixed scratch
+      StoreFs.readManifest(s"${path}_manifest") shouldBe Some(1L)
+      val (fs, _) = StoreFs.of(path)
+      Seq("fp", "bands", "mh").foreach { sfx =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"${path}_g2_$sfx")) shouldBe false
+      }
+      val parent = new org.apache.hadoop.fs.Path(path).getParent
+      val scratch = fs.listStatus(parent).map(_.getPath.getName)
+        .filter(_.matches(".*_g2_(?:fp|bands|mh)__[a-zA-Z0-9]+")).toSeq
+      scratch should not be empty
+      // the doctor names the debris with its remedy; the usurper's
+      // lease is intact; verdicts unchanged
+      val audit = graft.tools.StoreDoctor.auditDedup(spark, path)
+      audit.filter(_.kind == "scratch").map(_.severity) shouldBe Seq("warn")
+      audit.filter(_.kind == "scratch").head.detail should include("vacuum")
+      StoreFs.readSmallFile(marker).map(_.trim) shouldBe
+        Some("usurper:424242:beef")
+      verdicts("slc_usurp", path) shouldBe before
+      // once the usurper releases, a retry appends cleanly AND sweeps
+      // the orphaned scratch
+      StoreFs.breakWriterLease(marker)
+      TextDedup.appendToDedupStoreBucketed(delta, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_usurp", pathPrefix = path, buckets = 4)
+      StoreFs.readManifest(s"${path}_manifest") shouldBe Some(2L)
+      fs.listStatus(parent).map(_.getPath.getName)
+        .filter(_.matches(".*__[a-zA-Z0-9]+$"))
+        .filterNot(_.endsWith("__writer")).toSeq shouldBe empty
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
+    }
+
+    it("vacuum keeps segments shared with a retained generation and reclaims them after compact") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-segvac").toString + "/store"
+      buildStore("slc_segvac", path)                             // g1 = [g1]
+      val delta = corpus.limit(8)
+        .select(($"doc_id" + 70000L).as("doc_id"), $"text").localCheckpoint()
+      TextDedup.appendToDedupStoreBucketed(delta, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_segvac", pathPrefix = path, buckets = 4) // g2 = [g1, g2]
+      // default retention (keepLast=1) vacuumed generation g1's
+      // DESCRIPTOR but must keep its segment tables — g2 references them
+      val (fs, _) = StoreFs.of(path)
+      fs.exists(new org.apache.hadoop.fs.Path(s"${path}_g1_fp")) shouldBe true
+      verdicts("slc_segvac", path).size shouldBe 60
+      // compact cuts the lineage; the next vacuum reclaims g1 and g2
+      TextDedup.compactDedupStore(spark, "slc_segvac", path, buckets = 4)
+      fs.exists(new org.apache.hadoop.fs.Path(s"${path}_g1_fp")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(s"${path}_g2_fp")) shouldBe false
+      verdicts("slc_segvac", path).size shouldBe 60
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
+    }
   }
 
   describe("saveNsw generations") {

@@ -458,8 +458,296 @@ object QueriesPipeline {
        |ORDER BY bk, stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q210
+  /** The CUMULATIVE streaming corpus build — q209 with the one
+    * production semantics it documented as missing: each batch's
+    * survivors are APPENDED to the dedup store
+    * ([[graft.operators.TextDedup.appendToDedupStoreBucketed]] — one
+    * O(batch) segment per batch, under the writer lease), so batch k
+    * classifies against the base corpus PLUS batches 0..k-1's
+    * survivors. The fixture plants copies of BATCH-0 fresh survivors
+    * into BATCH 2 (`+2000002` exact, `+3000002` perturbed — both
+    * ≡ 2 mod 4 while their originals are ≡ 0), which q209's fixed
+    * store would wave through and this gate must kill at the store
+    * classification (`c_store` shrinks in batch 2 relative to the
+    * q209 contract). The q209 same-batch plantings are kept, so all
+    * THREE dedup faces fire: store copies at classification,
+    * fresh-doc copies at the intra-batch stage, CROSS-BATCH copies at
+    * the classification against an appended segment.
+    *
+    * The oracle replays the growing store per batch: for batch k the
+    * store relations are the base corpus's signature CTEs plus one
+    * prefixed [[QueriesStreaming.ingestSigCtes]] set per earlier
+    * batch's survivor relation. The per-SEGMENT join structure is
+    * mirrored exactly (candidate pairs verify against the SEGMENT
+    * whose band produced them, as the engine's per-segment
+    * [[graft.operators.TextDedup.ingestFlagsBucketed]] joins do —
+    * store ids can collide across segments at sf1.0, where unioned
+    * store relations would diverge).
+    *
+    * Read-backs: `f_shard` (lossless shard append, q209) plus
+    * `g_store` — the final store's per-document fp rows across ALL
+    * segments must equal corpus + every batch's survivors, the direct
+    * gate on the append verb's on-disk result. */
+  val q210CumulativeBuild: Q = (s, dir) => {
+    import s.implicits._
+    val base = streamPipelineCache.computeIfAbsent("q210:" + dir, _ => {
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val b = s"/root/repo/target/tmp/graft_q210_$stem"
+      rmTree(new java.io.File(b))
+      val file = s"$dir/documents.parquet"
+      val bk10 = graft.operators.Sampling.hashBucket($"doc_id", 10)
+      val corpus = s.read.parquet(file).filter(bk10 < 8)
+        .select($"doc_id", $"text")
+      val storeName = s"q210_store_$stem"
+      TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = storeName, pathPrefix = s"$b/store", buckets = 8)
+      def delta(df: DataFrame): DataFrame = {
+        val t = df.withColumn("b", graft.operators.Sampling.hashBucket($"doc_id", 10))
+        t.filter($"b" >= 8).select($"doc_id", $"text")
+          .unionByName(t.filter($"b" < 8 && $"doc_id" % 7 === 0)
+            .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+          .unionByName(t.filter($"b" < 8 && $"doc_id" % 11 === 0)
+            .select(($"doc_id" + 300000L).as("doc_id"),
+              concat($"text", lit(" zz qq")).as("text")))
+          .unionByName(t.filter($"b" >= 8 && $"doc_id" % 13 === 0)
+            .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
+          .unionByName(t.filter($"b" >= 8 && $"doc_id" % 17 === 0)
+            .select(($"doc_id" + 500000L).as("doc_id"),
+              concat($"text", lit(" zz qq")).as("text")))
+          // CROSS-BATCH plantings: copies of batch-0 fresh docs
+          // (≡ 0 mod 4) landing in batch 2 (+2000002 ≡ +3000002 ≡ 2
+          // mod 4) — dead only if batch 0's survivors entered the store
+          .unionByName(t.filter($"b" >= 8 && $"doc_id" % 4 === 0 &&
+              $"doc_id" % 19 === 0)
+            .select(($"doc_id" + 2000002L).as("doc_id"), $"text"))
+          .unionByName(t.filter($"b" >= 8 && $"doc_id" % 4 === 0 &&
+              $"doc_id" % 23 === 0)
+            .select(($"doc_id" + 3000002L).as("doc_id"),
+              concat($"text", lit(" zz qq")).as("text")))
+      }
+      val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
+        s, file, "q210", dir, delta, col("doc_id") % 4)
+      val query = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val marker = s".q210_batch_${batchId}_applied"
+            if (!graft.sources.StoreFs.childNames(b).contains(marker)) {
+              val slice = batch.toDF().select($"doc_id", $"text")
+                .localCheckpoint()
+              val ex = slice
+                .withColumn("keep", min($"doc_id").over(org.apache.spark.sql
+                  .expressions.Window
+                  .partitionBy(TextAnalysis.fingerprint($"text"))))
+                .filter($"doc_id" === $"keep")
+                .select($"doc_id", $"text").localCheckpoint()
+              // classify vs base corpus PLUS every earlier batch's
+              // appended survivor segment
+              val ok = TextDedup.ingestFlagsBucketed(ex, "doc_id", "text",
+                  storeName, s"$b/store",
+                  shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+                .filter(!$"dup_exact" && !$"dup_near")
+                .select($"id".as("doc_id"))
+              val kept = ex.join(ok, Seq("doc_id")).localCheckpoint()
+              val sh = TextDedup.shingleTable(kept, "doc_id", "text", 5)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val nr =
+                try kept.join(
+                  TextDedup.minHashLshPairs(sh, k = 8, rowsPerBand = 2,
+                      threshold = 0.3, maxBandDf = Some(1024))
+                    .select($"b_id".as("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti").localCheckpoint()
+                finally sh.unpersist()
+              // THE cumulative step: this batch's survivors become a
+              // store segment the NEXT batch classifies against
+              TextDedup.appendToDedupStoreBucketed(nr, "doc_id", "text",
+                shingleN = 5, k = 8, rowsPerBand = 2,
+                namePrefix = storeName, pathPrefix = s"$b/store", buckets = 8)
+              val withLen = nr.withColumn("len",
+                TextAnalysis.wsTokenCount($"text").cast("long"))
+              val eligible = withLen
+                .filter($"len" > 0 && $"len" <= 256).count()
+              val buckets = math.max(1L, math.ceil(eligible / 64.0).toLong).toInt
+              val packed = Packing.ffdPack(withLen.select($"doc_id", $"len"),
+                  "doc_id", "len", capacity = 256L, buckets = buckets)
+                .select(lit(batchId).cast("long").as("bk"), $"bucket",
+                  $"id".as("doc_id"), $"len".as("n_toks"), $"bin")
+                .localCheckpoint()
+              packed.write.mode("append").partitionBy("bk")
+                .parquet(s"$b/shards")
+              val binsTotal = packed.groupBy($"bucket")
+                .agg(max($"bin").as("mx"))
+                .agg(coalesce(sum($"mx"), lit(0L)).cast("long")).head().getLong(0)
+              def row(stage: String, df: DataFrame,
+                      w: org.apache.spark.sql.Column) =
+                df.agg(count(lit(1)).cast("long").as("n_rows"),
+                    coalesce(w, lit(0L)).cast("long").as("w"))
+                  .select(lit(batchId).cast("long").as("bk"),
+                    lit(stage).as("stage"), $"n_rows", $"w")
+              row("a_arrived", slice, sum($"doc_id"))
+                .unionByName(row("b_exact", ex, sum($"doc_id")))
+                .unionByName(row("c_store", kept, sum($"doc_id")))
+                .unionByName(row("d_near", nr, sum($"doc_id")))
+                .unionByName(row("e_packed", packed, lit(binsTotal)))
+                .coalesce(1).write.mode("append").parquet(s"$b/funnel")
+              graft.sources.StoreFs.touchMarker(b, marker)
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      rmTree(new java.io.File(staging))
+      b
+    })
+    // SERVE: funnel + shard read-back (q209) + the STORE read-back —
+    // every committed segment's per-document fp rows, the on-disk
+    // proof the append chain lost nothing
+    val back = s.read.parquet(s"$base/shards")
+    val shardRow = back
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"n_toks"), lit(0L)).cast("long").as("w"))
+      .select(lit(-1L).as("bk"), lit("f_shard").as("stage"), $"n_rows", $"w")
+    val gen = graft.sources.StoreFs.readManifest(s"$base/store_manifest")
+      .getOrElse(sys.error(s"q210: no committed store at $base/store_manifest"))
+    val fpAll = TextDedup.segmentsOf(s"$base/store", gen)
+      .map(seg => s.read.parquet(s"$base/store_${seg}_fp"))
+      .reduce(_ unionByName _)
+    val storeRow = fpAll
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"s_id"), lit(0L)).cast("long").as("w"))
+      .select(lit(-2L).as("bk"), lit("g_store").as("stage"), $"n_rows", $"w")
+    s.read.parquet(s"$base/funnel")
+      .unionByName(shardRow).unionByName(storeRow)
+      .orderBy($"bk", $"stage")
+  }
+
+  val q210Sql: String = {
+    val normSql = QueriesText.normSql
+    val agreeSum = QueriesStreaming.ingestAgreeSum
+    // per-segment near check of batch k's arrivals against ONE store
+    // source (the base corpus `s_` or an earlier batch's survivors
+    // `v<j>_`): candidates from THAT segment's bands verify against
+    // THAT segment's signatures — the engine's per-segment join
+    def nearVs(k: Int, pre: String, name: String): String =
+      s"""$name AS (
+         |  SELECT DISTINCT c.d_id AS id
+         |  FROM (SELECT DISTINCT d.id AS d_id, s.id AS s_id
+         |        FROM d_bands d JOIN ${pre}bands s ON d.b = s.b AND d.h = s.h
+         |        WHERE d.id % 4 = $k) c
+         |  JOIN d_mh dm ON dm.id = c.d_id JOIN ${pre}mh sm ON sm.id = c.s_id
+         |  WHERE $agreeSum >= 4)""".stripMargin
+    val perBatch = (0 until 4).map { k =>
+      val p = s"b${k}_"
+      val sources = "s_" +: (0 until k).map(j => s"v${j}_")
+      val nearCtes = sources.zipWithIndex
+        .map { case (pre, i) => nearVs(k, pre, s"sn${k}x$i") }
+        .mkString(",\n")
+      val nearUnion = sources.indices
+        .map(i => s"SELECT id FROM sn${k}x$i").mkString(" UNION ")
+      val fpUnion = (s"SELECT fp FROM sfp" +:
+        (0 until k).map(j =>
+          s"SELECT DISTINCT md5($normSql) AS fp FROM nr$j")).mkString(" UNION ")
+      s"""arr$k AS (SELECT doc_id, text FROM delta WHERE doc_id % 4 = $k),
+         |ex$k AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5($normSql)) AS keep
+         |    FROM arr$k)
+         |  WHERE doc_id = keep),
+         |$nearCtes,
+         |snear$k AS ($nearUnion),
+         |stfp$k AS ($fpUnion),
+         |okstore$k AS MATERIALIZED (
+         |  SELECT f.id FROM (
+         |    SELECT doc_id AS id, md5($normSql) AS fp FROM ex$k) f
+         |  LEFT JOIN stfp$k sf ON f.fp = sf.fp
+         |  LEFT JOIN snear$k nr ON f.id = nr.id
+         |  WHERE sf.fp IS NULL AND nr.id IS NULL),
+         |st$k AS MATERIALIZED (
+         |  SELECT e.doc_id, e.text FROM ex$k e JOIN okstore$k o ON o.id = e.doc_id),
+         |${QueriesText.minhashCtesPrefixed(p, s"SELECT doc_id, text FROM st$k")},
+         |bdrop$k AS (
+         |  SELECT DISTINCT b_id FROM ${p}inter
+         |  WHERE i * 1.0 / (na + nb - i) >= 0.3),
+         |nr$k AS MATERIALIZED (
+         |  SELECT doc_id, text FROM st$k
+         |  WHERE doc_id NOT IN (SELECT b_id FROM bdrop$k)),
+         |${QueriesStreaming.ingestSigCtes(s"v${k}_", s"nr$k")},
+         |${p}f0 AS (
+         |  SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS len
+         |  FROM nr$k
+         |  WHERE len(string_split($normSql, ' ')) BETWEEN 1 AND 256),
+         |${p}nb AS (
+         |  SELECT CAST(greatest(1, ceil(count(*) / 64.0)) AS BIGINT) AS b FROM ${p}f0),
+         |${p}f AS (
+         |  SELECT doc_id, len,
+         |         ((${QueriesScale.ffdBucketDigits}) % (SELECT b FROM ${p}nb)) AS bucket
+         |  FROM ${p}f0),
+         |${QueriesScale.ffdFoldCtesPrefixed(p, capacity = 256)},
+         |pk$k AS MATERIALIZED (
+         |  ${QueriesScale.ffdUnnestedPrefixed(p)})""".stripMargin
+    }.mkString(",\n")
+    val funnelRows = (0 until 4).map { k =>
+      s"""  SELECT CAST($k AS BIGINT) AS bk, 'a_arrived' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) AS w FROM arr$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'b_exact', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) FROM ex$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'c_store', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) FROM st$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'd_near', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) FROM nr$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'e_packed', CAST(count(*) AS BIGINT),
+         |         (SELECT COALESCE(CAST(sum(mx) AS BIGINT), 0) FROM
+         |            (SELECT max(bin) AS mx FROM pk$k GROUP BY bucket)) FROM pk$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val storeParts = "SELECT doc_id FROM corpus" +:
+      (0 until 4).map(j => s"SELECT doc_id FROM nr$j")
+    s"""WITH bkt AS (
+       |  SELECT doc_id, text, (${QueriesStreaming.ingestBktDigits}) % 10 AS bk
+       |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |corpus AS MATERIALIZED (SELECT doc_id, text FROM bkt WHERE bk < 8),
+       |delta AS MATERIALIZED (
+       |  SELECT doc_id, text FROM bkt WHERE bk >= 8
+       |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000 AS doc_id, text || ' zz qq' AS text
+       |    FROM corpus WHERE doc_id % 11 = 0
+       |  UNION ALL SELECT doc_id + 400000 AS doc_id, text
+       |    FROM bkt WHERE bk >= 8 AND doc_id % 13 = 0
+       |  UNION ALL SELECT doc_id + 500000 AS doc_id, text || ' zz qq' AS text
+       |    FROM bkt WHERE bk >= 8 AND doc_id % 17 = 0
+       |  UNION ALL SELECT doc_id + 2000002 AS doc_id, text
+       |    FROM bkt WHERE bk >= 8 AND doc_id % 4 = 0 AND doc_id % 19 = 0
+       |  UNION ALL SELECT doc_id + 3000002 AS doc_id, text || ' zz qq' AS text
+       |    FROM bkt WHERE bk >= 8 AND doc_id % 4 = 0 AND doc_id % 23 = 0),
+       |sfp AS (SELECT DISTINCT md5($normSql) AS fp FROM corpus),
+       |${QueriesStreaming.ingestSigCtes("s_", "corpus")},
+       |${QueriesStreaming.ingestSigCtes("d_", "delta")},
+       |$perBatch
+       |SELECT bk, stage, n_rows, w FROM (
+       |  SELECT CAST(-2 AS BIGINT) AS bk, 'g_store' AS stage,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) AS w
+       |  FROM (${storeParts.mkString(" UNION ALL ")})
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT) AS bk, 'f_shard' AS stage,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         COALESCE(CAST(sum(n_toks) AS BIGINT), 0) AS w
+       |  FROM (SELECT * FROM pk0 UNION ALL SELECT * FROM pk1
+       |        UNION ALL SELECT * FROM pk2 UNION ALL SELECT * FROM pk3)
+       |  UNION ALL
+       |$funnelRows)
+       |ORDER BY bk, stage""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q208_pipeline_soak", q208PipelineSoak, Some(q208Sql)),
     ("q209_stream_pipeline", q209StreamPipeline, Some(q209Sql)),
+    ("q210_cumulative_build", q210CumulativeBuild, Some(q210Sql)),
   )
 }

@@ -78,13 +78,20 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // cold per-query beside the steady map: cold totals price the full
+    // lifecycles (session caches dropped per query), and without a
+    // per-query decomposition a cold-total move across rounds is
+    // unattributable (r15 lesson: +244s driver-vs-session cold gap
+    // with no way to name the movers)
+    val coldQs = results.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, Some(e)) => (k, e) }
     val errsJson = failed
       .map { case (k, e) => JsonEscape.str(k) + ":" + JsonEscape.str(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":${failed.size},"errors":$errsJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":${failed.size},"errors":$errsJson,"queries":$qs,"cold_queries":$coldQs,"sf":"$sfDir"}""")
     // the driver's capture keeps only the stdout TAIL (~2 KB), and the
     // full JSON line above exceeds it at 125 queries — echo the headline
     // numbers LAST so they survive truncation regardless of catalog size

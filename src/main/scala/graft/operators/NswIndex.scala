@@ -393,12 +393,16 @@ object NswIndex {
       s"retainGenerations must be >= 1, got $retainGenerations")
     val gen = graft.sources.StoreFs.readManifest(s"$dir/manifest")
       .getOrElse(0L) + 1L
-    val g = s"$dir/g$gen"
-    // one file per cell, not one per (task, cell) — see IvfIndex.save
-    graph.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/graph")
-    Failpoints.hit("nsw:after-graph")
-    entries.write.mode("overwrite").parquet(s"$g/entries")
+    // per-writer scratch isolation + fenced swap (the TextDedup store
+    // contract — see StoreFs.stageGenerationDir)
+    graft.sources.StoreFs.stageGenerationDir(
+      graft.sources.StoreFs.writerMarkerPath(dir), s"$dir/g$gen") { g =>
+      // one file per cell, not one per (task, cell) — see IvfIndex.save
+      graph.repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/graph")
+      Failpoints.hit("nsw:after-graph")
+      entries.write.mode("overwrite").parquet(s"$g/entries")
+    }
     graft.sources.StoreFs.commitManifest(s"$dir/manifest", gen)
     vacuumNsw(dir, keepLast = retainGenerations)
   }
@@ -431,6 +435,8 @@ object NswIndex {
       .collect { case genRe(g) if g.toLong <= current => g.toLong }.sorted
       .dropRight(keepLast)
       .foreach(g => graft.sources.StoreFs.deleteChild(dir, s"g$g"))
+    graft.sources.StoreFs.sweepScratchDirs(dir,
+      graft.sources.StoreFs.writerMarkerPath(dir))
   }
 
   /** Batched greedy beam search: `queries` `(q_id, qv)` against a

@@ -200,16 +200,22 @@ object PqIndex {
       s"retainGenerations must be >= 1, got $retainGenerations")
     val gen = graft.sources.StoreFs.readManifest(s"$dir/manifest")
       .getOrElse(0L) + 1L
-    val g = s"$dir/g$gen"
-    centroids.write.mode("overwrite").parquet(s"$g/centroids")
-    Failpoints.hit("twotier:after-centroids")
-    codebooks.write.mode("overwrite").parquet(s"$g/codebooks")
-    // one file per cell, not one per (task, cell) — see IvfIndex.save
-    codesIdx.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")
-    Failpoints.hit("twotier:after-codes")
-    fullIdx.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/full")
+    // per-writer scratch isolation + fenced swap (the TextDedup store
+    // contract): in-flight tables can never interleave with a
+    // usurper's generation; the manifest swap below stays the single
+    // commit point
+    graft.sources.StoreFs.stageGenerationDir(
+      graft.sources.StoreFs.writerMarkerPath(dir), s"$dir/g$gen") { g =>
+      centroids.write.mode("overwrite").parquet(s"$g/centroids")
+      Failpoints.hit("twotier:after-centroids")
+      codebooks.write.mode("overwrite").parquet(s"$g/codebooks")
+      // one file per cell, not one per (task, cell) — see IvfIndex.save
+      codesIdx.repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")
+      Failpoints.hit("twotier:after-codes")
+      fullIdx.repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/full")
+    }
     graft.sources.StoreFs.commitManifest(s"$dir/manifest", gen)
     vacuumTwoTier(dir, keepLast = retainGenerations)
   }
@@ -229,6 +235,8 @@ object PqIndex {
         .collect { case genRe(g) if g.toLong <= current => g.toLong }.sorted
       committed.dropRight(keepLast)
         .foreach(g => graft.sources.StoreFs.deleteChild(dir, s"g$g"))
+      graft.sources.StoreFs.sweepScratchDirs(dir,
+        graft.sources.StoreFs.writerMarkerPath(dir))
     }
   }
 

@@ -467,11 +467,19 @@ object TextDedup {
     * complete generation. Caller contract: append docs AFTER
     * classification (the batch's survivors); appending a doc that
     * duplicates one already stored is not an error, just dead weight
-    * that classification double-counts harmlessly. */
+    * that classification double-counts harmlessly.
+    *
+    * `compactAfterSegments` (0 = never, the default) is the LSM-style
+    * amortization knob: when the committed segment count exceeds it,
+    * the append immediately folds the store back to one segment
+    * ([[compactDedupStore]], re-entrant under the same lease) — a
+    * long-running ingest then pays one O(store) fold every N appends
+    * instead of unbounded per-read segment fan-out. */
   def appendToDedupStoreBucketed(delta: DataFrame, idCol: String, textCol: String,
                                  shingleN: Int, k: Int, rowsPerBand: Int,
                                  namePrefix: String, pathPrefix: String,
-                                 buckets: Int, retainGenerations: Int = 1): Unit =
+                                 buckets: Int, retainGenerations: Int = 1,
+                                 compactAfterSegments: Int = 0): Unit =
       withStoreLease(pathPrefix) {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
@@ -484,6 +492,13 @@ object TextDedup {
         writeStoreTables(delta.sparkSession, fp, bands, mh, namePrefix,
           pathPrefix, buckets, retainGenerations,
           carrySegments = segmentsOf(pathPrefix, gen))
+    }
+    if (compactAfterSegments > 0) {
+      val genNow = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+        .getOrElse(gen + 1L)
+      if (segmentsOf(pathPrefix, genNow).size > compactAfterSegments)
+        compactDedupStore(delta.sparkSession, namePrefix, pathPrefix,
+          buckets, retainGenerations)
     }
   }
 
@@ -551,8 +566,7 @@ object TextDedup {
     val gen = StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(0L) + 1L
     val seg = s"g$gen"
-    val tok = StoreFs.heldLeaseToken(s"${pathPrefix}__writer")
-      .map(_.replaceAll("[^a-zA-Z0-9]", "").takeRight(12))
+    val tok = StoreFs.scratchTag(s"${pathPrefix}__writer")
       .getOrElse(throw new IllegalStateException(
         s"writeStoreTables requires the writer lease at ${pathPrefix}__writer"))
     def scratch(sfx: String) = s"${pathPrefix}_${seg}_${sfx}__$tok"
@@ -732,8 +746,7 @@ object TextDedup {
     }
     // orphaned per-writer staging: any scratch dir not ours is a
     // crashed/usurped writer's pre-commit debris
-    val myTok = graft.sources.StoreFs.heldLeaseToken(s"${pathPrefix}__writer")
-      .map(_.replaceAll("[^a-zA-Z0-9]", "").takeRight(12))
+    val myTok = graft.sources.StoreFs.scratchTag(s"${pathPrefix}__writer")
     val scratchRe = ".*_g\\d+_(?:fp|bands|mh)__([a-zA-Z0-9]+)".r
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*__*")))
       .map(_.toSeq).getOrElse(Seq.empty).foreach { st =>

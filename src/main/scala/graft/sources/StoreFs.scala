@@ -373,6 +373,53 @@ object StoreFs {
     else None
   }
 
+  /** Filesystem- and table-name-safe short form of the CURRENT
+    * THREAD's lease token on `markerPath` (12 alnum chars — the
+    * token's UUID entropy), for per-writer scratch naming. */
+  def scratchTag(markerPath: String): Option[String] =
+    heldLeaseToken(markerPath)
+      .map(_.replaceAll("[^a-zA-Z0-9]", "").takeRight(12))
+
+  /** Stage-then-swap for a DIR-PER-GENERATION store commit: `write`
+    * receives a lease-token-suffixed SCRATCH dir (`<finalDir>__<tag>`)
+    * to build the generation in; at the FENCED swap the scratch
+    * renames into `finalDir` (one atomic dir rename — a crashed
+    * predecessor's uncommitted finalDir is deleted first). A stalled
+    * writer whose lease was TTL-broken and usurped therefore never
+    * interleaves files with the usurper's generation: its writes stay
+    * inside its own scratch dir and [[assertLeasesStillHeld]] refuses
+    * before the rename, leaving the debris for the store's vacuum
+    * sweep (and [[graft.tools.StoreDoctor]] to flag). Callers commit
+    * the manifest AFTER this returns — the manifest swap stays the
+    * single commit point. */
+  def stageGenerationDir(markerPath: String, finalDir: String)
+                        (write: String => Unit): Unit = {
+    val tag = scratchTag(markerPath).getOrElse(throw new IllegalStateException(
+      s"stageGenerationDir requires the writer lease at $markerPath"))
+    val scratch = s"${finalDir}__$tag"
+    val (fs, fin) = of(finalDir)
+    fs.delete(new Path(scratch), true): Unit // this writer's own stale retry debris
+    write(scratch)
+    assertLeasesStillHeld()
+    fs.delete(fin, true): Unit // a crashed predecessor's uncommitted leftovers
+    require(fs.rename(new Path(scratch), fin),
+      s"generation commit: rename $scratch -> $finalDir failed")
+  }
+
+  /** Sweep ORPHANED generation-scratch dirs (`g<n>__<tag>` children of
+    * `storeDir` left by a crashed or usurped writer) belonging to any
+    * token but the current writer's. Called from the stores' vacuum
+    * verbs under the lease. */
+  def sweepScratchDirs(storeDir: String, markerPath: String): Unit = {
+    val mine = scratchTag(markerPath)
+    val scratchRe = "g\\d+__([a-zA-Z0-9]+)".r
+    childNames(storeDir).foreach {
+      case name @ scratchRe(tag) if !mine.contains(tag) =>
+        deleteChild(storeDir, name)
+      case _ => ()
+    }
+  }
+
   /** The lease marker's `(holderToken, ageMs)` when one is present —
     * the StoreDoctor inspection surface. */
   def writerLeaseInfo(markerPath: String): Option[(String, Long)] = {

@@ -110,6 +110,15 @@ object StoreDoctor {
           s"$leftover present — an interrupted manifest swap " +
             "(readManifest covers the window; the next commit cleans it up)")
     }
+    // per-writer generation staging left behind by a crashed or
+    // usurped writer ([[StoreFs.stageGenerationDir]])
+    val scratch = children.filter(_.matches("g\\d+__[a-zA-Z0-9]+")).sorted
+    if (scratch.nonEmpty)
+      out += Finding(dir, "scratch", "warn",
+        s"${scratch.size} orphaned generation-scratch dir(s) " +
+          s"(${scratch.mkString(", ")}) — uncommitted debris from a " +
+          "crashed or usurped writer; the next mutation's vacuum sweeps " +
+          "it, or delete the dir(s)")
     out.result()
   }
 
@@ -334,6 +343,17 @@ object StoreDoctor {
           out += Finding(pathPrefix, "manifest", "ok",
             s"committed generation g$g with fp, bands, mh across " +
               s"${segs.size} segment(s)")
+        // read-side cost grows with the append chain: every ingest
+        // joins each segment's three tables
+        if (segs.size > 16)
+          out += Finding(pathPrefix, "segments", "warn",
+            s"${segs.size} segments — every classification joins each " +
+              "segment's tables; TextDedup.compactDedupStore folds them " +
+              "(or pass compactAfterSegments to the append)")
+        else if (segs.size > 1)
+          out += Finding(pathPrefix, "segments", "info",
+            s"${segs.size} segments from the append chain — " +
+              "compact-eligible (TextDedup.compactDedupStore)")
         val inFlight = byGen.keys.filter(_ > g).toSeq.sorted
         if (inFlight.nonEmpty)
           out += Finding(pathPrefix, "generations", "warn",

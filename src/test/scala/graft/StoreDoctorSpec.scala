@@ -41,8 +41,9 @@ class StoreDoctorSpec extends SparkSpec {
       val healthy = StoreDoctor.auditTwoTier(spark, dir)
       errors(healthy) shouldBe empty
       kinds(healthy, "ok") should contain("manifest")
-      // crash-injected orphan: a refresh dies after the codes table,
-      // leaving g2 on disk above the g1 manifest
+      // crash-injected orphan: a refresh dies after the codes table —
+      // with scratch-isolated staging the debris is the writer's OWN
+      // g2__<token> dir, never a final generation path
       intercept[RuntimeException] {
         Failpoints.withHook(crashAt("twotier:after-codes")) {
           PqIndex.saveTwoTier(cent, cb, codes, full, dir)
@@ -50,8 +51,8 @@ class StoreDoctorSpec extends SparkSpec {
       } shouldBe boom
       val crashed = StoreDoctor.auditTwoTier(spark, dir)
       errors(crashed) shouldBe empty // readers still resolve g1 cleanly
-      kinds(crashed, "warn") should contain("generations")
-      crashed.find(_.kind == "generations").get.detail should include("g2")
+      kinds(crashed, "warn") should contain("scratch")
+      crashed.find(_.kind == "scratch").get.detail should include("g2__")
       // heavy tombstone weight recommends compaction; compacting clears it
       PqIndex.deleteFromTwoTier(spark, dir,
         e.filter($"id" % 3 === 0).select($"id"))

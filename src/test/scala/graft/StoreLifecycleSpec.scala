@@ -474,6 +474,46 @@ class StoreLifecycleSpec extends SparkSpec {
       assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
     }
 
+    it("compactAfterSegments folds the append chain in place; verdicts unchanged") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-autocomp").toString + "/store"
+      val pinned = corpus.localCheckpoint()
+      buildStore("slc_ac", path)                                 // g1 = [g1]
+      def append(offset: Long): Unit =
+        TextDedup.appendToDedupStoreBucketed(
+          pinned.limit(12).select(($"doc_id" + offset).as("doc_id"), $"text"),
+          "doc_id", "text", shingleN = 5, k = 8, rowsPerBand = 2,
+          namePrefix = "slc_ac", pathPrefix = path, buckets = 4,
+          compactAfterSegments = 2)
+      append(80000L)                                             // g2 = [g1, g2]
+      StoreFs.readSmallFile(s"${path}_g2_segments")
+        .map(_.trim.linesIterator.size) shouldBe Some(2)
+      graft.tools.StoreDoctor.auditDedup(spark, path)
+        .filter(_.kind == "segments").map(_.severity) shouldBe Seq("info")
+      def pinnedVerdicts() =
+        TextDedup.ingestFlagsBucketed(pinned, "doc_id", "text", "slc_ac", path,
+          shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+          .orderBy($"id").collect().toSeq
+      val before = pinnedVerdicts()
+      // third segment exceeds the threshold: the append itself folds
+      // the store back to ONE segment (g3 = [g1,g2,g3] -> g4 = [g4])
+      append(90000L)
+      StoreFs.readManifest(s"${path}_manifest") shouldBe Some(4L)
+      StoreFs.readSmallFile(s"${path}_g4_segments")
+        .map(_.trim) shouldBe Some("g4")
+      graft.tools.StoreDoctor.auditDedup(spark, path)
+        .filter(_.kind == "segments") shouldBe empty
+      // the fold is verdict-invariant for already-stored content and
+      // the folded store classifies the newest append's content too
+      pinnedVerdicts() shouldBe before
+      TextDedup.ingestFlagsBucketed(
+          pinned.limit(12).select(($"doc_id" + 700000L).as("doc_id"), $"text"),
+          "doc_id", "text", "slc_ac", path,
+          shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+        .filter($"dup_exact").count() shouldBe 12
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
+    }
+
     it("vacuum keeps segments shared with a retained generation and reclaims them after compact") {
       val path = java.nio.file.Files
         .createTempDirectory("graft-store-segvac").toString + "/store"

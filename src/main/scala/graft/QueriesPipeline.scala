@@ -745,9 +745,244 @@ object QueriesPipeline {
        |ORDER BY bk, stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q211
+  /** CUMULATIVE streaming SEMANTIC dedup — the q210 contract carried
+    * from the fingerprint/MinHash store to the VECTOR store: the
+    * production "don't re-embed what you already hold" loop
+    * (SemDeDup's serving face) where crawl embeddings arrive in
+    * micro-batches, each batch is screened against a persisted ANN
+    * index and its survivors are APPENDED to that index
+    * ([[graft.operators.IvfIndex.appendToIndex]] — delta assigned to
+    * the FIXED centroids, files appended into the touched cell
+    * directories, under the writer lease), so batch k drops semantic
+    * near-dups of base vectors AND of batches 0..k-1's survivors.
+    *
+    * Per batch: intra-batch exact-vector dedup (min-id per identical
+    * vector) → semantic classification vs the PERSISTED index
+    * ([[graft.operators.IvfIndex.search]] k=1, nProbe=2; dup iff top
+    * cosine ≥ 0.8 — organic cross-cosines in this corpus top out
+    * ~0.51, planted copies sit at ~1.0, so the threshold is
+    * boundary-safe in both engines) → index append. Fixture plants
+    * every face: exact (+200000) and SCALED (+300000, ×1.01 —
+    * cosine-invariant, so the semantic stage must catch what exact
+    * equality cannot) copies of INDEX members, same-batch exact
+    * copies of fresh arrivals (+400000 ≡ 0 mod 4 → intra-batch kill),
+    * and CROSS-BATCH exact (+2000002) and scaled (+3000002) copies of
+    * batch-0 fresh survivors landing in batch 2 (≡ 2 mod 4) — dead
+    * only because batch 0's survivors entered the index.
+    *
+    * Gate: per-batch 3-row funnel (arrived / exact-deduped /
+    * index-screened, count + id-sum — all-integer, no float columns)
+    * + `f_serve` (top-3, nProbe=2 search over the FINAL cumulative
+    * index for 5 queries, checksummed as Σ rank·n_id) + `g_index`
+    * (count + id-sum over the on-disk index — the append chain's
+    * lossless read-back). The oracle replays the deterministic Lloyd
+    * fit ([[QueriesSimilarity.lloydIdxSql]] — the q39/q100/q122 one
+    * text), then per batch the probe/candidate/threshold chain with a
+    * GROWING store relation (st0 = base index; st(k+1) = stk ∪ batch
+    * k's survivors assigned to the fixed centroids — q122's append
+    * semantics iterated).
+    *
+    * Scale shape: centroids broadcast everywhere (dimension-sized);
+    * per batch the only shuffles are the intra-exact vector groupBy
+    * and search's bounded-heap top-k fold; the indexed corpus never
+    * shuffles (broadcast probe join against the cell-partitioned
+    * layout); appends touch only the delta's cells. Funnel and serve
+    * rows are metadata-sized — no corpus-scale driver action. */
+  val q211SemStreamBuild: Q = (s, dir) => {
+    import s.implicits._
+    val base = streamPipelineCache.computeIfAbsent("q211:" + dir, _ => {
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val b = s"/root/repo/target/tmp/graft_q211_$stem"
+      rmTree(new java.io.File(b))
+      val file = s"$dir/embeddings.parquet"
+      val bk10 = graft.operators.Sampling.hashBucket($"vec_id", 10)
+      val corpus = s.read.parquet(file).filter(bk10 < 8)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = graft.operators.IvfIndex
+        .fitCentroids(s, corpus, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.IvfIndex.save(cent,
+        graft.operators.IvfIndex.assign(corpus, cent), s"$b/ivf")
+      finally cent.unpersist(): Unit
+      def delta(df: DataFrame): DataFrame = {
+        val t = df
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+          .withColumn("b", graft.operators.Sampling.hashBucket($"vec_id", 10))
+        val scaled = transform($"v", x => x * 1.01)
+        t.filter($"b" >= 8).select($"vec_id", $"v")
+          .unionByName(t.filter($"b" < 8 && $"vec_id" % 7 === 0)
+            .select(($"vec_id" + 200000L).as("vec_id"), $"v"))
+          .unionByName(t.filter($"b" < 8 && $"vec_id" % 11 === 0)
+            .select(($"vec_id" + 300000L).as("vec_id"), scaled.as("v")))
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 13 === 0)
+            .select(($"vec_id" + 400000L).as("vec_id"), $"v"))
+          // CROSS-BATCH plantings: copies of batch-0 fresh vectors
+          // (≡ 0 mod 4) landing in batch 2 (+2000002 ≡ +3000002 ≡ 2
+          // mod 4) — dead only if batch 0's survivors were appended
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 4 === 0)
+            .select(($"vec_id" + 2000002L).as("vec_id"), $"v"))
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 4 === 0 &&
+              $"vec_id" % 3 === 0)
+            .select(($"vec_id" + 3000002L).as("vec_id"), scaled.as("v")))
+      }
+      val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
+        s, file, "q211", dir, delta, col("vec_id") % 4)
+      val query = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val marker = s".q211_batch_${batchId}_applied"
+            if (!graft.sources.StoreFs.childNames(b).contains(marker)) {
+              val slice = batch.toDF().select($"vec_id", $"v")
+                .localCheckpoint()
+              val ex = slice
+                .withColumn("keep", min($"vec_id").over(org.apache.spark.sql
+                  .expressions.Window.partitionBy($"v")))
+                .filter($"vec_id" === $"keep")
+                .select($"vec_id", $"v").localCheckpoint()
+              val (centK, idxK) = graft.operators.IvfIndex.load(s, s"$b/ivf")
+              val dups = graft.operators.IvfIndex.search(s,
+                  ex.select($"vec_id".as("q_id"), $"v".as("qv")),
+                  idxK, centK, k = 1, nProbe = 2)
+                .filter($"cos" >= 0.8)
+                .select($"q_id".as("vec_id"))
+              val kept = ex.join(dups, Seq("vec_id"), "left_anti")
+                .localCheckpoint()
+              // THE cumulative step: this batch's survivors join the
+              // index the NEXT batch screens against
+              graft.operators.IvfIndex.appendToIndex(s,
+                kept.select($"vec_id".as("id"), $"v"), s"$b/ivf"): Unit
+              def row(stage: String, df: DataFrame) =
+                df.agg(count(lit(1)).cast("long").as("n_rows"),
+                    coalesce(sum($"vec_id"), lit(0L)).cast("long").as("w"))
+                  .select(lit(batchId).cast("long").as("bk"),
+                    lit(stage).as("stage"), $"n_rows", $"w")
+              row("a_arrived", slice)
+                .unionByName(row("b_exact", ex))
+                .unionByName(row("c_store", kept))
+                .coalesce(1).write.mode("append").parquet(s"$b/funnel")
+              graft.sources.StoreFs.touchMarker(b, marker)
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      rmTree(new java.io.File(staging))
+      b
+    })
+    // SERVE: funnel + the cumulative index's serving face (the search a
+    // retrieval job runs) + the on-disk read-back
+    val (centF, idxF) = graft.operators.IvfIndex.load(s, s"$base/ivf")
+    val qs = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val serveRow = graft.operators.IvfIndex
+      .search(s, qs, idxF, centF, k = 3, nProbe = 2)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"rank".cast("long") * $"n_id"), lit(0L))
+          .cast("long").as("w"))
+      .select(lit(-1L).as("bk"), lit("f_serve").as("stage"), $"n_rows", $"w")
+    val indexRow = idxF
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"id"), lit(0L)).cast("long").as("w"))
+      .select(lit(-2L).as("bk"), lit("g_index").as("stage"), $"n_rows", $"w")
+    s.read.parquet(s"$base/funnel")
+      .unionByName(serveRow).unionByName(indexRow)
+      .orderBy($"bk", $"stage")
+  }
+
+  val q211Sql: String = {
+    import QueriesSimilarity.{dotSql, norm2Sql, lloydIdxSql}
+    def cosSql(a: String, b: String): String =
+      s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
+    // top-`n` centroid probe of relation `src(id, v)` — the engine's
+    // probeCells tie-break (cos DESC, cluster ASC), q122's replay
+    def probeSql(name: String, src: String, n: Int): String =
+      s"""$name AS (
+         |  SELECT id, v, cluster FROM (
+         |    SELECT e.id, e.v, c.cluster,
+         |           row_number() OVER (PARTITION BY e.id
+         |             ORDER BY ${cosSql("e.v", "c.centroid")} DESC, c.cluster ASC) AS rn
+         |    FROM $src e CROSS JOIN cent c)
+         |  WHERE rn <= $n)""".stripMargin
+    val perBatch = (0 until 4).map { k =>
+      s"""arr$k AS (SELECT id, v FROM delta WHERE id % 4 = $k),
+         |ex$k AS MATERIALIZED (
+         |  SELECT id, v FROM (
+         |    SELECT *, min(id) OVER (PARTITION BY v) AS keep FROM arr$k)
+         |  WHERE id = keep),
+         |${probeSql(s"pr$k", s"ex$k", 2)},
+         |dup$k AS (
+         |  SELECT DISTINCT p.id FROM pr$k p JOIN st$k i USING (cluster)
+         |  WHERE round(${cosSql("p.v", "i.v")}, 4) >= 0.8),
+         |sv$k AS MATERIALIZED (
+         |  SELECT id, v FROM ex$k WHERE id NOT IN (SELECT id FROM dup$k)),
+         |${probeSql(s"svidx$k", s"sv$k", 1)},
+         |st${k + 1} AS MATERIALIZED (
+         |  SELECT * FROM st$k UNION ALL SELECT id, v, cluster FROM svidx$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val funnelRows = (0 until 4).map { k =>
+      s"""  SELECT CAST($k AS BIGINT) AS bk, 'a_arrived' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) AS w FROM arr$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'b_exact', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM ex$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'c_store', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM sv$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH eb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         (${QueriesStreaming.ingestBktDigits}) % 10 AS bk
+       |  FROM (SELECT vec_id, embedding,
+       |               md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings)),
+       |src AS MATERIALIZED (SELECT vec_id AS id, v FROM eb WHERE bk < 8),
+       |${lloydIdxSql("src", "8")},
+       |delta AS MATERIALIZED (
+       |  SELECT vec_id AS id, v FROM eb WHERE bk >= 8
+       |  UNION ALL SELECT vec_id + 200000 AS id, v FROM eb
+       |    WHERE bk < 8 AND vec_id % 7 = 0
+       |  UNION ALL SELECT vec_id + 300000 AS id,
+       |    list_transform(v, x -> x * 1.01) AS v FROM eb
+       |    WHERE bk < 8 AND vec_id % 11 = 0
+       |  UNION ALL SELECT vec_id + 400000 AS id, v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 13 = 0
+       |  UNION ALL SELECT vec_id + 2000002 AS id, v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 4 = 0
+       |  UNION ALL SELECT vec_id + 3000002 AS id,
+       |    list_transform(v, x -> x * 1.01) AS v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 4 = 0 AND vec_id % 3 = 0),
+       |st0 AS MATERIALIZED (SELECT id, v, cluster FROM idx),
+       |$perBatch,
+       |qs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |       FROM embeddings WHERE vec_id < 5),
+       |${probeSql("qpr", "qs", 2)},
+       |qrank AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT p.id AS q_id, i.id AS n_id,
+       |           row_number() OVER (PARTITION BY p.id
+       |             ORDER BY ${cosSql("p.v", "i.v")} DESC, i.id ASC) AS rank
+       |    FROM qpr p JOIN st4 i USING (cluster))
+       |  WHERE rank <= 3)
+       |SELECT bk, stage, n_rows, w FROM (
+       |  SELECT CAST(-1 AS BIGINT) AS bk, 'f_serve' AS stage,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         COALESCE(CAST(sum(rank * n_id) AS BIGINT), 0) AS w FROM qrank
+       |  UNION ALL
+       |  SELECT CAST(-2 AS BIGINT), 'g_index', CAST(count(*) AS BIGINT),
+       |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM st4
+       |  UNION ALL
+       |$funnelRows)
+       |ORDER BY bk, stage""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q208_pipeline_soak", q208PipelineSoak, Some(q208Sql)),
     ("q209_stream_pipeline", q209StreamPipeline, Some(q209Sql)),
     ("q210_cumulative_build", q210CumulativeBuild, Some(q210Sql)),
+    ("q211_semantic_stream_build", q211SemStreamBuild, Some(q211Sql)),
   )
 }

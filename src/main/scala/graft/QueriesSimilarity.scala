@@ -69,11 +69,11 @@ object QueriesSimilarity {
     nearDupCorpusText("WHERE vec_id < 2000000000")
 
   /** DuckDB fragment: sequential-fold dot of `$a` · `$b`. */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
   /** DuckDB fragment: norm² of `$a` as a sequential fold. */
-  private def norm2Sql(a: String): String =
+  private[graft] def norm2Sql(a: String): String =
     s"list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)"
 
   /** Shared CTE chain replaying [[graft.operators.IvfIndex]]'s
@@ -82,7 +82,7 @@ object QueriesSimilarity {
     * seeds → s0 → a0 → upd → cent → s1 → `idx(id, v, cluster)`. ONE
     * text used by every fit-replaying oracle (q39, q100) so the SQL
     * cannot drift from the Scala semantics in just one of them. */
-  private def lloydIdxSql(src: String, k: String): String =
+  private[graft] def lloydIdxSql(src: String, k: String): String =
     s"""seeds AS (
        |  SELECT rn - 1 AS cluster, v AS centroid
        |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM $src)

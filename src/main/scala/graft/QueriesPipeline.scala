@@ -979,10 +979,189 @@ object QueriesPipeline {
        |ORDER BY bk, stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q212
+  /** TIME-TRAVEL reads of the generational dedup store
+    * ([[graft.operators.TextDedup.ingestFlagsBucketed]]'s
+    * `atGeneration`) — the audit/reproducibility face of the append
+    * chain: re-run an old batch's classification byte-for-byte while
+    * the head moves on. Build g1 on the base corpus, append two
+    * disjoint crawl deltas (g2, g3; `retainGenerations = 3` — the
+    * retention dial that keeps history readable), then classify ONE
+    * fixed probe set against all three generations. The probes plant
+    * exact and near copies of documents from EVERY era (base, delta 1,
+    * delta 2) plus never-seen reversed texts, so the verdict matrix is
+    * the proof: a g2-era copy reads clean at g1, dup at g2 and g3 —
+    * the store's history, not its head, answered.
+    *
+    * Gate: per (generation, verdict) funnel — x_exact / y_near
+    * (near-and-not-exact) / z_clean with count + id-sum — plus a
+    * `gens` row over [[graft.operators.TextDedup.committedGenerations]]
+    * (count + sum of readable generations — the retention contract
+    * itself, computed LIVE at serve time from store metadata). The
+    * oracle replays each generation's classification with the store
+    * relations of exactly the segments that generation references
+    * (base; base∪d1; base∪d1∪d2), per-segment joins as the engine
+    * runs them. The vacuumed-generation refusal and
+    * tombstones-apply-to-history semantics are spec-pinned
+    * (`StoreLifecycleSpec`).
+    *
+    * Scale shape: history is BY REFERENCE (a generation descriptor
+    * lists segments; no table is copied to keep it readable), so
+    * retention costs zero extra bytes until compaction cuts the
+    * lineage; a historic read prices exactly like a head read of the
+    * same segment set. The serve-path `gens` row is metadata-only. */
+  val q212TimeTravel: Q = (s, dir) => {
+    import s.implicits._
+    val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val storeName = s"q212_store_$stem"
+    val base = pipelineCache.computeIfAbsent("q212:" + dir, _ => {
+      val b = s"/root/repo/target/tmp/graft_q212_$stem"
+      rmTree(new java.io.File(b))
+      val file = s"$dir/documents.parquet"
+      val bk10 = graft.operators.Sampling.hashBucket($"doc_id", 10)
+      val t = s.read.parquet(file)
+      val corpus = t.filter(bk10 < 8).select($"doc_id", $"text")
+      val d1 = t.filter(bk10 >= 8 && $"doc_id" % 2 === 0)
+        .select($"doc_id", $"text")
+      val d2 = t.filter(bk10 >= 8 && $"doc_id" % 2 === 1)
+        .select($"doc_id", $"text")
+      TextDedup.writeDedupStoreBucketed(corpus, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = storeName, pathPrefix = s"$b/store", buckets = 8,
+        retainGenerations = 3)
+      TextDedup.appendToDedupStoreBucketed(d1, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = storeName, pathPrefix = s"$b/store", buckets = 8,
+        retainGenerations = 3)
+      TextDedup.appendToDedupStoreBucketed(d2, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = storeName, pathPrefix = s"$b/store", buckets = 8,
+        retainGenerations = 3)
+      def copies(src: DataFrame, off: Long) =
+        src.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + off).as("doc_id"), $"text")
+          .unionByName(src.filter($"doc_id" % 11 === 0)
+            .select(($"doc_id" + off + 50000L).as("doc_id"),
+              concat($"text", lit(" zz qq")).as("text")))
+      val probes = copies(corpus, 100000L)
+        .unionByName(copies(d1, 200000L))
+        .unionByName(copies(d2, 300000L))
+        .unionByName(t.filter($"doc_id" % 13 === 0)
+          .select(($"doc_id" + 900000L).as("doc_id"),
+            reverse($"text").as("text")))
+        .localCheckpoint()
+      (1L to 3L).map { g =>
+        val v = TextDedup.ingestFlagsBucketed(probes, "doc_id", "text",
+          storeName, s"$b/store", shingleN = 5, k = 8, rowsPerBand = 2,
+          minAgree = 4, atGeneration = Some(g))
+        def row(stage: String, f: org.apache.spark.sql.Column) =
+          v.filter(f).agg(count(lit(1)).cast("long").as("n_rows"),
+              coalesce(sum($"id"), lit(0L)).cast("long").as("w"))
+            .select(lit(g).as("gen"), lit(stage).as("stage"),
+              $"n_rows", $"w")
+        row("x_exact", $"dup_exact")
+          .unionByName(row("y_near", !$"dup_exact" && $"dup_near"))
+          .unionByName(row("z_clean", !$"dup_exact" && !$"dup_near"))
+      }.reduce(_ unionByName _)
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/out")
+      b
+    })
+    // SERVE: the cached verdict matrix + the retention contract read
+    // LIVE from store metadata (committedGenerations is the
+    // time-travel discovery surface a caller uses first)
+    val gens = TextDedup.committedGenerations(s, s"$base/store")
+    val gensRow = Seq((0L, "gens", gens.size.toLong, gens.sum))
+      .toDF("gen", "stage", "n_rows", "w")
+    s.read.parquet(s"$base/out").unionByName(gensRow)
+      .orderBy($"gen", $"stage")
+  }
+
+  val q212Sql: String = {
+    val normSql = QueriesText.normSql
+    val agreeSum = QueriesStreaming.ingestAgreeSum
+    // near-verdict of the probe set against ONE store segment
+    // (candidates from THAT segment's bands verify against THAT
+    // segment's signatures — the engine's per-segment join)
+    def nearVs(pre: String, name: String): String =
+      s"""$name AS (
+         |  SELECT DISTINCT c.p_id AS id
+         |  FROM (SELECT DISTINCT p.id AS p_id, s.id AS s_id
+         |        FROM p_bands p JOIN ${pre}bands s ON p.b = s.b AND p.h = s.h) c
+         |  JOIN p_mh dm ON dm.id = c.p_id JOIN ${pre}mh sm ON sm.id = c.s_id
+         |  WHERE $agreeSum >= 4)""".stripMargin
+    val perGen = (1 to 3).map { g =>
+      val sources = Seq("s_", "v1_", "v2_").take(g)
+      val nearCtes = sources.zipWithIndex
+        .map { case (pre, i) => nearVs(pre, s"nr${g}x$i") }
+        .mkString(",\n")
+      val nearUnion = sources.indices
+        .map(i => s"SELECT id FROM nr${g}x$i").mkString(" UNION ")
+      val fpUnion = Seq("sfp", "v1fp", "v2fp").take(g)
+        .map(r => s"SELECT fp FROM $r").mkString(" UNION ")
+      s"""$nearCtes,
+         |near$g AS ($nearUnion),
+         |exact$g AS (
+         |  SELECT p.doc_id AS id FROM pfp p JOIN ($fpUnion) sf ON p.fp = sf.fp)"""
+        .stripMargin
+    }.mkString(",\n")
+    val verdictRows = (1 to 3).map { g =>
+      s"""  SELECT CAST($g AS BIGINT) AS gen, 'x_exact' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0) AS w
+         |  FROM probes WHERE doc_id IN (SELECT id FROM exact$g)
+         |  UNION ALL
+         |  SELECT CAST($g AS BIGINT), 'y_near', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0)
+         |  FROM probes WHERE doc_id NOT IN (SELECT id FROM exact$g)
+         |    AND doc_id IN (SELECT id FROM near$g)
+         |  UNION ALL
+         |  SELECT CAST($g AS BIGINT), 'z_clean', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(doc_id) AS BIGINT), 0)
+         |  FROM probes WHERE doc_id NOT IN (SELECT id FROM exact$g)
+         |    AND doc_id NOT IN (SELECT id FROM near$g)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH bkt AS (
+       |  SELECT doc_id, text, (${QueriesStreaming.ingestBktDigits}) % 10 AS bk
+       |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)),
+       |corpus AS MATERIALIZED (SELECT doc_id, text FROM bkt WHERE bk < 8),
+       |d1 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM bkt WHERE bk >= 8 AND doc_id % 2 = 0),
+       |d2 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM bkt WHERE bk >= 8 AND doc_id % 2 = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT doc_id + 100000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 150000, text || ' zz qq' FROM corpus
+       |    WHERE doc_id % 11 = 0
+       |  UNION ALL SELECT doc_id + 200000, text FROM d1 WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 250000, text || ' zz qq' FROM d1
+       |    WHERE doc_id % 11 = 0
+       |  UNION ALL SELECT doc_id + 300000, text FROM d2 WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 350000, text || ' zz qq' FROM d2
+       |    WHERE doc_id % 11 = 0
+       |  UNION ALL SELECT doc_id + 900000, reverse(text) FROM bkt
+       |    WHERE doc_id % 13 = 0),
+       |${QueriesStreaming.ingestSigCtes("p_", "probes")},
+       |${QueriesStreaming.ingestSigCtes("s_", "corpus")},
+       |${QueriesStreaming.ingestSigCtes("v1_", "d1")},
+       |${QueriesStreaming.ingestSigCtes("v2_", "d2")},
+       |pfp AS MATERIALIZED (SELECT doc_id, md5($normSql) AS fp FROM probes),
+       |sfp AS MATERIALIZED (SELECT DISTINCT md5($normSql) AS fp FROM corpus),
+       |v1fp AS MATERIALIZED (SELECT DISTINCT md5($normSql) AS fp FROM d1),
+       |v2fp AS MATERIALIZED (SELECT DISTINCT md5($normSql) AS fp FROM d2),
+       |$perGen
+       |SELECT gen, stage, n_rows, w FROM (
+       |  SELECT CAST(0 AS BIGINT) AS gen, 'gens' AS stage,
+       |         CAST(3 AS BIGINT) AS n_rows, CAST(6 AS BIGINT) AS w
+       |  UNION ALL
+       |$verdictRows)
+       |ORDER BY gen, stage""".stripMargin
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
     ("q208_pipeline_soak", q208PipelineSoak, Some(q208Sql)),
     ("q209_stream_pipeline", q209StreamPipeline, Some(q209Sql)),
     ("q210_cumulative_build", q210CumulativeBuild, Some(q210Sql)),
     ("q211_semantic_stream_build", q211SemStreamBuild, Some(q211Sql)),
+    ("q212_time_travel", q212TimeTravel, Some(q212Sql)),
   )
 }

@@ -758,6 +758,34 @@ object TextDedup {
       }
   }
 
+  /** Generations of a bucketed dedup store that are READABLE — valid
+    * time-travel targets for [[ingestFlagsBucketed]]'s `atGeneration`:
+    * committed at or below the manifest head, with a generation
+    * descriptor on disk (plus the head itself for legacy
+    * pre-segmentation stores, which never wrote one) and EVERY
+    * referenced segment's tables still present. Vacuum
+    * ([[vacuumDedupStore]]) deletes a dropped generation's descriptor
+    * and any segment no retained generation references, so a
+    * generation past the retention window drops out of this list —
+    * `retainGenerations` on the mutation verbs is the retention dial.
+    * Metadata-only: one descriptor glob + one existence probe per
+    * segment, no table read. */
+  def committedGenerations(spark: SparkSession, pathPrefix: String): Seq[Long] = {
+    val head = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+      .getOrElse(return Seq.empty)
+    val probe = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_segments")
+    val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val descRe = ".*_g(\\d+)_segments$".r
+    val withDesc = Option(fs.globStatus(probe)).map(_.toSeq)
+      .getOrElse(Seq.empty).map(_.getPath.toString)
+      .collect { case descRe(g) if g.toLong <= head => g.toLong }
+    (withDesc :+ head).distinct.sorted.filter { g =>
+      segmentsOf(pathPrefix, g).forall { seg =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"${pathPrefix}_${seg}_fp"))
+      }
+    }
+  }
+
   /** [[ingestFlags]] with a BUCKETED store — the non-broadcast scale
     * variant for a store too large to ship to every task: resolves the
     * committed generation from the store manifest, reads each
@@ -775,12 +803,35 @@ object TextDedup {
   def ingestFlagsBucketed(arriving: DataFrame, idCol: String, textCol: String,
                           namePrefix: String, pathPrefix: String,
                           shingleN: Int, k: Int,
-                          rowsPerBand: Int, minAgree: Int): DataFrame = {
+                          rowsPerBand: Int, minAgree: Int,
+                          atGeneration: Option[Long] = None): DataFrame = {
     val spark = arriving.sparkSession
-    val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
+    val head = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(throw new IllegalStateException(
         s"no committed dedup store at ${pathPrefix}_manifest — " +
           "run writeDedupStoreBucketed first"))
+    // TIME-TRAVEL read: classify against the store AS OF a retained
+    // historical generation — reproducibility/audit (re-run an old
+    // batch's classification byte-for-byte while the head moves on).
+    // Only READABLE generations qualify ([[committedGenerations]]);
+    // vacuum trims history, `retainGenerations` on the mutation verbs
+    // is the retention dial. Tombstones deliberately apply to EVERY
+    // generation including historic reads: a deletion
+    // ([[deleteFromDedupStore]] — takedown, right-to-be-forgotten) is
+    // a property of the DOCUMENT, not of a generation, and history
+    // must not be an escape hatch for deleted content.
+    val gen = atGeneration match {
+      case None => head
+      case Some(g) =>
+        val readable = committedGenerations(spark, pathPrefix)
+        if (!readable.contains(g)) throw new IllegalStateException(
+          s"generation $g of dedup store $pathPrefix is not readable " +
+            "(vacuumed or never committed); readable generations: " +
+            readable.mkString("[", ", ", "]") +
+            " — raise retainGenerations on the mutation verbs to keep " +
+            "more history")
+        g
+    }
     // apply any deleteFromDedupStore tombstones: broadcast anti-joins
     // keep every static side's bucketed partitioning (no exchange is
     // added; with no tombstones the plans are untouched — the

@@ -537,6 +537,108 @@ class StoreLifecycleSpec extends SparkSpec {
     }
   }
 
+  describe("dedup store time-travel reads (atGeneration)") {
+    import graft.sources.StoreFs
+
+    it("a historic generation classifies as the store stood then; the head sees the delta") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-tt").toString + "/store"
+      val pinned = corpus.localCheckpoint()
+      val base = pinned.filter($"doc_id" % 3 =!= 0)
+      val delta = pinned.filter($"doc_id" % 3 === 0)
+      TextDedup.writeDedupStoreBucketed(base, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_tt", pathPrefix = path, buckets = 4,
+        retainGenerations = 2)                                   // g1 = [g1]
+      TextDedup.appendToDedupStoreBucketed(delta, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_tt", pathPrefix = path, buckets = 4,
+        retainGenerations = 2)                                   // g2 = [g1, g2]
+      TextDedup.committedGenerations(spark, path) shouldBe Seq(1L, 2L)
+      val probe = delta.select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      def flags(at: Option[Long]) =
+        TextDedup.ingestFlagsBucketed(probe, "doc_id", "text", "slc_tt", path,
+          shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4,
+          atGeneration = at).orderBy($"id").collect().toSeq
+      // head: every probe's original is stored
+      flags(None).count(_.getBoolean(1)) shouldBe delta.count()
+      flags(Some(2L)) shouldBe flags(None)
+      // at g1 the delta is not yet in the store — and the historic
+      // verdicts are byte-identical to a store BUILT from base only
+      val atG1 = flags(Some(1L))
+      atG1.count(_.getBoolean(1)).toLong should be < delta.count()
+      val path2 = java.nio.file.Files
+        .createTempDirectory("graft-store-tt-rb").toString + "/store"
+      TextDedup.writeDedupStoreBucketed(base, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_tt_rb", pathPrefix = path2, buckets = 4)
+      TextDedup.ingestFlagsBucketed(probe, "doc_id", "text", "slc_tt_rb",
+        path2, shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
+        .orderBy($"id").collect().toSeq shouldBe atG1
+    }
+
+    it("a vacuumed generation refuses and names the readable ones") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-ttvac").toString + "/store"
+      buildStore("slc_ttvac", path)                              // g1 = [g1]
+      val delta = corpus.limit(8)
+        .select(($"doc_id" + 70000L).as("doc_id"), $"text").localCheckpoint()
+      TextDedup.appendToDedupStoreBucketed(delta, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_ttvac", pathPrefix = path, buckets = 4) // g2, retain 1
+      // default retention vacuumed g1's DESCRIPTOR while g2 still
+      // references its segment — the tables exist, but reading "g1"
+      // via the descriptor-absent fallback would silently return the
+      // wrong store state, so it must REFUSE, not fall back
+      val (fs, _) = StoreFs.of(path)
+      fs.exists(new org.apache.hadoop.fs.Path(s"${path}_g1_fp")) shouldBe true
+      TextDedup.committedGenerations(spark, path) shouldBe Seq(2L)
+      def at(g: Long) =
+        TextDedup.ingestFlagsBucketed(corpus, "doc_id", "text", "slc_ttvac",
+          path, shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4,
+          atGeneration = Some(g))
+      val ex = intercept[IllegalStateException](at(1L))
+      ex.getMessage should include("generation 1")
+      ex.getMessage should include("[2]")
+      intercept[IllegalStateException](at(99L)).getMessage should
+        include("not readable")
+    }
+
+    it("tombstones apply to historic reads: deleted content stays deleted in history") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-tttomb").toString + "/store"
+      val pinned = corpus.localCheckpoint()
+      TextDedup.writeDedupStoreBucketed(pinned, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_tttomb", pathPrefix = path, buckets = 4,
+        retainGenerations = 2)                                   // g1
+      val delta = pinned.limit(4)
+        .select(($"doc_id" + 70000L).as("doc_id"), $"text").localCheckpoint()
+      TextDedup.appendToDedupStoreBucketed(delta, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_tttomb", pathPrefix = path, buckets = 4,
+        retainGenerations = 2)                                   // g2
+      val victim = pinned.orderBy($"doc_id").limit(1)
+        .select($"doc_id").collect().head.getLong(0)
+      TextDedup.deleteFromDedupStore(spark, path,
+        pinned.filter($"doc_id" === victim).select($"doc_id"))
+      // a probe copy of the deleted doc reads CLEAN at BOTH the head
+      // and the historic generation — history is not an escape hatch
+      // for deleted content (right-to-be-forgotten)
+      val probe = pinned.filter($"doc_id" === victim)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      Seq(None, Some(1L)).foreach { at =>
+        val v = TextDedup.ingestFlagsBucketed(probe, "doc_id", "text",
+          "slc_tttomb", path, shingleN = 5, k = 8, rowsPerBand = 2,
+          minAgree = 4, atGeneration = at).collect().head
+        withClue(s"atGeneration=$at: ") {
+          v.getBoolean(1) shouldBe false // dup_exact
+          v.getBoolean(2) shouldBe false // dup_near
+        }
+      }
+    }
+  }
+
   describe("saveNsw generations") {
     it("crashed refresh stays on the old generation; vacuum applies the uniform policy") {
       import graft.operators.NswIndex

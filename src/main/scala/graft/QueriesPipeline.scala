@@ -788,7 +788,16 @@ object QueriesPipeline {
     * and search's bounded-heap top-k fold; the indexed corpus never
     * shuffles (broadcast probe join against the cell-partitioned
     * layout); appends touch only the delta's cells. Funnel and serve
-    * rows are metadata-sized — no corpus-scale driver action. */
+    * rows are metadata-sized — no corpus-scale driver action. Above
+    * sf1.0 the fixture keeps only the first ten ScaleUp replicas (the
+    * q188/q34 declared-cap pattern): with the oracle-replayable
+    * pinned k=8 the per-arrival candidate set is |cell| ≈ n/8, so
+    * screening cost grows n²/16 (measured ×51 at the uncapped sf10
+    * decade probe); the at-scale posture is corpus-scaled k
+    * (bounded-|cell| probes, [[graft.operators.IvfIndex
+    * .splitOversizedCells]]), which the pinned-k gate fixture
+    * deliberately does not use. No-op at the three gate SFs and
+    * sf1.0. */
   val q211SemStreamBuild: Q = (s, dir) => {
     import s.implicits._
     val base = streamPipelineCache.computeIfAbsent("q211:" + dir, _ => {
@@ -797,7 +806,8 @@ object QueriesPipeline {
       rmTree(new java.io.File(b))
       val file = s"$dir/embeddings.parquet"
       val bk10 = graft.operators.Sampling.hashBucket($"vec_id", 10)
-      val corpus = s.read.parquet(file).filter(bk10 < 8)
+      val corpus = s.read.parquet(file)
+        .filter(bk10 < 8 && $"vec_id" < 10000000000L)
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
       val cent = graft.operators.IvfIndex
         .fitCentroids(s, corpus, k = 8, iterations = 1, orderedMean = true)
@@ -806,7 +816,7 @@ object QueriesPipeline {
         graft.operators.IvfIndex.assign(corpus, cent), s"$b/ivf")
       finally cent.unpersist(): Unit
       def delta(df: DataFrame): DataFrame = {
-        val t = df
+        val t = df.filter($"vec_id" < 10000000000L)
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
           .withColumn("b", graft.operators.Sampling.hashBucket($"vec_id", 10))
         val scaled = transform($"v", x => x * 1.01)
@@ -938,7 +948,8 @@ object QueriesPipeline {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         (${QueriesStreaming.ingestBktDigits}) % 10 AS bk
        |  FROM (SELECT vec_id, embedding,
-       |               md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings)),
+       |               md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+       |        WHERE vec_id < 10000000000)),
        |src AS MATERIALIZED (SELECT vec_id AS id, v FROM eb WHERE bk < 8),
        |${lloydIdxSql("src", "8")},
        |delta AS MATERIALIZED (

@@ -82,33 +82,34 @@ object QueriesSimilarity {
     * seeds → s0 → a0 → upd → cent → s1 → `idx(id, v, cluster)`. ONE
     * text used by every fit-replaying oracle (q39, q100) so the SQL
     * cannot drift from the Scala semantics in just one of them. */
-  private[graft] def lloydIdxSql(src: String, k: String): String =
-    s"""seeds AS (
+  private[graft] def lloydIdxSql(src: String, k: String,
+                                 p: String = ""): String =
+    s"""${p}seeds AS (
        |  SELECT rn - 1 AS cluster, v AS centroid
        |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM $src)
        |  WHERE rn <= $k),
-       |s0 AS (
+       |${p}s0 AS (
        |  SELECT $src.id, $src.v, s.cluster,
        |         ${dotSql(s"$src.v", "s.centroid")} / sqrt(${norm2Sql(s"$src.v")} * ${norm2Sql("s.centroid")}) AS cos
-       |  FROM $src CROSS JOIN seeds s),
-       |a0 AS (
+       |  FROM $src CROSS JOIN ${p}seeds s),
+       |${p}a0 AS (
        |  SELECT id, v, cluster FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s0)
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM ${p}s0)
        |  WHERE rn = 1),
-       |upd AS (
+       |${p}upd AS (
        |  SELECT cluster, dim,
        |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
        |           / count(*) AS m
-       |  FROM (SELECT cluster, id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM a0)
+       |  FROM (SELECT cluster, id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM ${p}a0)
        |  GROUP BY cluster, dim),
-       |cent AS MATERIALIZED (SELECT cluster, list(m ORDER BY dim) AS centroid FROM upd GROUP BY cluster),
-       |s1 AS (
+       |${p}cent AS MATERIALIZED (SELECT cluster, list(m ORDER BY dim) AS centroid FROM ${p}upd GROUP BY cluster),
+       |${p}s1 AS (
        |  SELECT $src.id, $src.v, c.cluster,
        |         ${dotSql(s"$src.v", "c.centroid")} / sqrt(${norm2Sql(s"$src.v")} * ${norm2Sql("c.centroid")}) AS cos
-       |  FROM $src CROSS JOIN cent c),
-       |idx AS MATERIALIZED (
+       |  FROM $src CROSS JOIN ${p}cent c),
+       |${p}idx AS MATERIALIZED (
        |  SELECT id, v, cluster FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM s1)
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster ASC) AS rn FROM ${p}s1)
        |  WHERE rn = 1)""".stripMargin
 
   // ---------------------------------------------------------------- q33
@@ -686,42 +687,43 @@ object QueriesSimilarity {
     * pq_codes(id, codes)`. `pq_`-prefixed so it composes with
     * [[lloydIdxSql]] in one query (q141). ONE text for q139/q141 so
     * the SQL cannot drift from the Scala semantics in just one. */
-  private def pqCodebookSql(src: String, encodeSrc: String = ""): String = {
+  private def pqCodebookSql(src: String, encodeSrc: String = "",
+                            p: String = ""): String = {
     val enc = if (encodeSrc.isEmpty) src else encodeSrc
-    s"""subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
-       |pq_subv AS (
+    s"""${p}subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |${p}pq_subv AS (
        |  SELECT $src.id, s.sub, list_slice($src.v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
-       |  FROM $src CROSS JOIN subs s),
-       |pq_seeds AS (
+       |  FROM $src CROSS JOIN ${p}subs s),
+       |${p}pq_seeds AS (
        |  SELECT sub, rn - 1 AS code, sv AS centroid FROM (
-       |    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM pq_subv)
+       |    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM ${p}pq_subv)
        |  WHERE rn <= 16),
-       |pq_s0 AS (
+       |${p}pq_s0 AS (
        |  SELECT t.id, t.sub, t.sv, sd.code, ${l2SqSql("t.sv", "sd.centroid")} AS d2
-       |  FROM pq_subv t JOIN pq_seeds sd USING (sub)),
-       |pq_a0 AS (
+       |  FROM ${p}pq_subv t JOIN ${p}pq_seeds sd USING (sub)),
+       |${p}pq_a0 AS (
        |  SELECT id, sub, sv, code FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM pq_s0)
+       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM ${p}pq_s0)
        |  WHERE rn = 1),
-       |pq_upd AS (
+       |${p}pq_upd AS (
        |  SELECT sub, code, dim,
        |         list_reduce(list_prepend(0.0, list(x ORDER BY id)), (a, b) -> a + b)
        |           / count(*) AS mv
-       |  FROM (SELECT id, sub, code, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x FROM pq_a0)
+       |  FROM (SELECT id, sub, code, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x FROM ${p}pq_a0)
        |  GROUP BY sub, code, dim),
-       |pq_cb0 AS (SELECT sub, code, list(mv ORDER BY dim) AS centroid FROM pq_upd GROUP BY sub, code),
-       |pq_cb AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY code) - 1 AS code, centroid FROM pq_cb0),
-       |pq_encsubv AS (
+       |${p}pq_cb0 AS (SELECT sub, code, list(mv ORDER BY dim) AS centroid FROM ${p}pq_upd GROUP BY sub, code),
+       |${p}pq_cb AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY code) - 1 AS code, centroid FROM ${p}pq_cb0),
+       |${p}pq_encsubv AS (
        |  SELECT $enc.id, s.sub, list_slice($enc.v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
-       |  FROM $enc CROSS JOIN subs s),
-       |pq_s1 AS (
+       |  FROM $enc CROSS JOIN ${p}subs s),
+       |${p}pq_s1 AS (
        |  SELECT t.id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
-       |  FROM pq_encsubv t JOIN pq_cb c USING (sub)),
-       |pq_asg AS (
+       |  FROM ${p}pq_encsubv t JOIN ${p}pq_cb c USING (sub)),
+       |${p}pq_asg AS (
        |  SELECT id, sub, code FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM pq_s1)
+       |    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn FROM ${p}pq_s1)
        |  WHERE rn = 1),
-       |pq_codes AS (SELECT id, list(code ORDER BY sub) AS codes FROM pq_asg GROUP BY id)""".stripMargin
+       |${p}pq_codes AS (SELECT id, list(code ORDER BY sub) AS codes FROM ${p}pq_asg GROUP BY id)""".stripMargin
   }
 
   /** The raw-vector query-side distance tables (`pq_dtab(q_id, dtab)`
@@ -730,13 +732,14 @@ object QueriesSimilarity {
     * prefixes every CTE name and `qsRel` names the query relation so
     * q203 can build tables for TWO query samples over the same
     * codebooks in one query. */
-  private def pqDtabSqlFor(p: String, qsRel: String): String =
+  private def pqDtabSqlFor(p: String, qsRel: String,
+                           cbp: String = ""): String =
     s"""${p}pq_qsub AS (
        |  SELECT q.q_id, s.sub, list_slice(q.qv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
-       |  FROM $qsRel q CROSS JOIN subs s),
+       |  FROM $qsRel q CROSS JOIN ${cbp}subs s),
        |${p}pq_dt AS (
        |  SELECT t.q_id, t.sub, c.code, ${l2SqSql("t.sv", "c.centroid")} AS d2
-       |  FROM ${p}pq_qsub t JOIN pq_cb c USING (sub)),
+       |  FROM ${p}pq_qsub t JOIN ${cbp}pq_cb c USING (sub)),
        |${p}pq_drows AS (SELECT q_id, sub, list(d2 ORDER BY code) AS drow FROM ${p}pq_dt GROUP BY q_id, sub),
        |${p}pq_dtab AS (SELECT q_id, list(drow ORDER BY sub) AS dtab FROM ${p}pq_drows GROUP BY q_id)""".stripMargin
 
@@ -1162,6 +1165,133 @@ object QueriesSimilarity {
   val q146Sql: String = twoTierAppendSqlWith("")
   private[graft] val q201Sql: String =
     twoTierAppendSqlWith("WHERE id % 10 <> 3")
+
+  // ---------------------------------------------------------------- q213
+  /** TIME-TRAVEL serving of the generational two-tier store
+    * ([[graft.operators.PqIndex.loadTwoTierAt]] /
+    * [[graft.operators.PqIndex.committedTwoTierGenerations]]) — the
+    * q212 contract on the ANN side: after a periodic REFRESH commits
+    * a new generation (models refitted on the grown corpus), serve
+    * the SAME queries against the retained pre-refresh generation and
+    * the head — pre/post-refresh recall attribution, audit replay of
+    * an old batch's retrieval, byte-for-byte. g1 = fit + encode on
+    * the base corpus (the q141 constants: k=8 cells, m=4×ks=16
+    * codebooks, one Lloyd step each), g2 = the refresh (same fit
+    * recipe over the FULL corpus), both under `retainGenerations = 2`
+    * — the retention dial that keeps g1 readable. The result is both
+    * generations' IVFADC top-5 tagged by generation plus a live
+    * `gens` row (count + sum of readable generations, computed from
+    * store metadata at serve time). The oracle runs TWO independent
+    * fit/encode/serve replays — the prefixed [[lloydIdxSql]] /
+    * [[pqCodebookSql]] instantiated per generation (prefixes emit
+    * byte-identical text at "" so the q39/q100/q122/q139-family
+    * oracles are untouched) — and the vacuumed-generation refusal +
+    * tombstones-on-history semantics are spec-pinned
+    * (`StoreLifecycleSpec`).
+    *
+    * Scale shape: history is one retained generation DIRECTORY (no
+    * copy; vacuum reclaims it on the normal dial); a historic search
+    * prices exactly like a head search — same broadcast probe join
+    * into the cluster-partitioned layout, same bounded-heap trims.
+    * The `gens` row is one directory listing. */
+  val q213TwoTierTimeTravel: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val idxDir = twoTierTtCache.computeIfAbsent(dir, _ => {
+      val p = "/root/repo/target/tmp/graft_pq_tt_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + java.util.UUID.randomUUID().toString.take(8)
+      def fitSave(corpus: org.apache.spark.sql.DataFrame): Unit = {
+        val cent = graft.operators.IvfIndex
+          .fitCentroids(s, corpus, k = 8, iterations = 1, orderedMean = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val indexed = graft.operators.IvfIndex.assign(corpus, cent)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cb = graft.operators.PqIndex.fitCodebooks(s, corpus, m = 4,
+          ks = 16, iterations = 1)
+        val codesIdx = graft.operators.PqIndex
+          .encode(corpus, cb, m = 4, subDim = 16)
+          .join(indexed.select($"id", $"cluster"), Seq("id"))
+          .select($"cluster", $"id", $"codes")
+        val fullIdx = indexed.select($"cluster", $"id", $"v")
+        try graft.operators.PqIndex.saveTwoTier(cent, cb, codesIdx, fullIdx,
+          p, retainGenerations = 2)
+        finally { cent.unpersist(); indexed.unpersist(): Unit }
+      }
+      fitSave(e.filter($"id" % 10 < 9)) // g1: the base-era fit
+      fitSave(e)                        // g2: the periodic refresh
+      p
+    })
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    val gens = graft.operators.PqIndex.committedTwoTierGenerations(idxDir)
+    def at(g: Long) = {
+      val (c, cb, codes, full) =
+        graft.operators.PqIndex.loadTwoTierAt(s, idxDir, Some(g))
+      graft.operators.PqIndex.ivfAdcSearch(s, queries, codes, full, c, cb,
+          m = 4, subDim = 16, k = 5, rerank = 10, nProbe = 2)
+        .select(lit(g).as("gen"), $"q_id", $"rank", $"n_id", $"ad2", $"d2")
+    }
+    val gensRow = Seq((0L, -1L, gens.size, gens.sum, 0.0, 0.0))
+      .toDF("gen", "q_id", "rank", "n_id", "ad2", "d2")
+    at(1L).unionByName(at(2L)).unionByName(gensRow)
+      .orderBy($"gen", $"q_id", $"rank")
+  }
+
+  val q213Sql: String = {
+    // one generation's IVFADC serve replay (probe 2 cells, ADC top-10,
+    // exact-L2 rerank to top-5 — the q146 serving arithmetic) over
+    // that generation's own fit relations
+    def serve(p: String, centRel: String, idxRel: String,
+              codesRel: String, dtabRel: String): String =
+      s"""${p}qsc AS (
+         |  SELECT q.q_id, q.qv, c.cluster,
+         |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+         |  FROM qs q CROSS JOIN $centRel c),
+         |${p}pr AS (
+         |  SELECT q_id, qv, cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM ${p}qsc)
+         |  WHERE rn <= 2),
+         |${p}ac AS (
+         |  SELECT pp.q_id, i.id,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(generate_series(1, len(c.codes)), j -> d.dtab[j][c.codes[j] + 1])),
+         |           (a, b) -> a + b) AS ad2
+         |  FROM ${p}pr pp
+         |  JOIN $idxRel i USING (cluster)
+         |  JOIN $codesRel c ON c.id = i.id
+         |  JOIN $dtabRel d ON d.q_id = pp.q_id),
+         |${p}at AS (
+         |  SELECT q_id, id, ad2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, id ASC) AS rn FROM ${p}ac)
+         |  WHERE rn <= 10),
+         |${p}rc AS (
+         |  SELECT a.q_id, a.id AS n_id, a.ad2, ${l2SqSql("q.qv", "i.v")} AS d2
+         |  FROM ${p}at a JOIN qs q ON q.q_id = a.q_id JOIN $idxRel i ON i.id = a.id),
+         |${p}out AS (
+         |  SELECT q_id, rank, n_id, round(ad2, 4) + 0.0 AS ad2, round(d2, 4) + 0.0 AS d2 FROM (
+         |    SELECT q_id, n_id, ad2, d2,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rank
+         |    FROM ${p}rc)
+         |  WHERE rank <= 5)""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |base AS MATERIALIZED (SELECT * FROM e WHERE id % 10 < 9),
+       |qs AS MATERIALIZED (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("base", "8")},
+       |${pqCodebookSql("base")},
+       |${pqDtabSqlFor("", "qs")},
+       |${lloydIdxSql("e", "8", "r")},
+       |${pqCodebookSql("e", "", "r")},
+       |${pqDtabSqlFor("r", "qs", "r")},
+       |${serve("a", "cent", "idx", "pq_codes", "pq_dtab")},
+       |${serve("b", "rcent", "ridx", "rpq_codes", "rpq_dtab")}
+       |SELECT gen, q_id, rank, n_id, ad2, d2 FROM (
+       |  SELECT CAST(1 AS BIGINT) AS gen, * FROM aout
+       |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM bout
+       |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+       |            CAST(2 AS INT), CAST(3 AS BIGINT), 0.0, 0.0)
+       |ORDER BY gen, q_id, rank""".stripMargin
+  }
 
   /** q207 oracle (streaming refit-during-ingest): coarse centroids fit
     * on the base and KEPT through the refit; codebooks REFIT over
@@ -2769,6 +2899,8 @@ object QueriesSimilarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val twoTierAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val twoTierTtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val nswRetuneCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val twoTierRetuneCache =
@@ -2800,6 +2932,7 @@ object QueriesSimilarity {
   private[graft] def clearSessionCaches(): Unit = {
     import scala.jdk.CollectionConverters._
     (twoTierStoreCache.values.asScala ++ twoTierAppendCache.values.asScala ++
+        twoTierTtCache.values.asScala ++
         twoTierRetuneCache.values.asScala ++ twoTierRefitCache.values.asScala ++
         twoTierResidRetuneCache.values.asScala ++
         twoTierResidRefitCache.values.asScala ++
@@ -2818,6 +2951,7 @@ object QueriesSimilarity {
       }
     twoTierStoreCache.clear()
     twoTierAppendCache.clear()
+    twoTierTtCache.clear()
     nswRetuneCache.clear()
     twoTierRetuneCache.clear()
     twoTierRefitCache.clear()
@@ -2849,6 +2983,7 @@ object QueriesSimilarity {
     ("q144_ivf_pq_residual", q144IvfPqResidual, Some(q144Sql)),
     ("q145_jl_project", q145JlProject, Some(q145Sql)),
     ("q146_two_tier_append", q146TwoTierAppend, Some(q146Sql)),
+    ("q213_twotier_time_travel", q213TwoTierTimeTravel, Some(q213Sql)),
     ("q184_nsw_search", q184NswSearch, Some(q184Sql)),
     // persisted-graph walk must equal the in-memory walk: q184's oracle
     ("q185_nsw_persist", q185NswPersist, Some(q184Sql)),

@@ -260,6 +260,25 @@ object PqIndex {
       case None => dir
     }
 
+  /** Generations of a two-tier store that are READABLE — valid
+    * time-travel targets for [[loadTwoTierAt]]: committed `g<n>` dirs
+    * at or below the manifest head. A generation dir exists iff its
+    * fenced commit renamed it in whole ([[graft.sources.StoreFs
+    * .stageGenerationDir]]), so presence implies all four tables;
+    * in-flight scratch (`g<n>__<token>`) never matches.
+    * [[vacuumTwoTier]] trims history — `retainGenerations` on the
+    * mutating verbs is the retention dial. Metadata-only (one
+    * directory listing). Empty for a legacy flat or never-committed
+    * store. */
+  def committedTwoTierGenerations(dir: String): Seq[Long] =
+    graft.sources.StoreFs.readManifest(s"$dir/manifest") match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val genRe = "^g(\\d+)$".r
+        graft.sources.StoreFs.childNames(dir)
+          .collect { case genRe(g) if g.toLong <= cur => g.toLong }.sorted
+    }
+
   /** INCREMENTAL two-tier maintenance: append a `delta` of `(id, v)`
     * rows to a [[saveTwoTier]]d index WITHOUT refitting — assign the
     * delta to the persisted coarse centroids, encode it with the
@@ -368,7 +387,18 @@ object PqIndex {
     if (tombstones(spark, dir).nonEmpty) {
       val (cent, cb, codes, full) = loadTwoTier(spark, dir) // already filtered
       saveTwoTier(cent, cb, codes, full, dir, retainGenerations)
-      graft.sources.StoreFs.deleteChild(dir, "tombstones")
+      // Tombstones OUTLIVE the compact while any OTHER generation
+      // stays readable: a retained pre-compact generation still
+      // carries the deleted ids' rows, and a [[loadTwoTierAt]]
+      // historic read (or a reader pinned mid-swap) must not
+      // resurrect right-to-be-forgotten content. Against the
+      // compacted generation they match nothing (written filtered) —
+      // head serving is untouched. The file goes once no pre-compact
+      // generation remains readable (the TextDedup compact contract).
+      val newGen = graft.sources.StoreFs
+        .readManifest(s"$dir/manifest").getOrElse(0L)
+      if (committedTwoTierGenerations(dir).forall(_ == newGen))
+        graft.sources.StoreFs.deleteChild(dir, "tombstones")
     }
   }
 
@@ -378,8 +408,38 @@ object PqIndex {
     * (broadcast anti-join — the static sides keep their partitioning,
     * no exchange is added when the store has no tombstones). */
   def loadTwoTier(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    loadTwoTierAt(spark, dir, None)
+
+  /** [[loadTwoTier]] AS OF a retained generation — the time-travel
+    * face of the generational layout (the [[graft.operators.TextDedup
+    * .ingestFlagsBucketed]] `atGeneration` contract on the ANN side):
+    * serve a search against the store's HISTORY, byte-for-byte —
+    * pre-refresh/pre-refit recall attribution, audit replay of an old
+    * batch's retrieval. Only generations in
+    * [[committedTwoTierGenerations]] qualify; anything else REFUSES
+    * naming the readable list (vacuum trims history;
+    * `retainGenerations` is the dial). Tombstones deliberately apply
+    * to EVERY generation including historic reads — deletion
+    * ([[deleteFromTwoTier]]) is a property of the vector, and history
+    * must not resurrect right-to-be-forgotten content (the compact
+    * verbs keep the tombstone file alive while any pre-compact
+    * generation remains readable, for exactly this read). */
+  def loadTwoTierAt(spark: SparkSession, dir: String,
+                    atGeneration: Option[Long])
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val root = twoTierRoot(dir)
+    val root = atGeneration match {
+      case None => twoTierRoot(dir)
+      case Some(g) =>
+        val readable = committedTwoTierGenerations(dir)
+        if (!readable.contains(g)) throw new IllegalStateException(
+          s"generation $g of two-tier store $dir is not readable " +
+            "(vacuumed or never committed); readable generations: " +
+            readable.mkString("[", ", ", "]") +
+            " — raise retainGenerations on the mutating verbs to keep " +
+            "more history")
+        s"$dir/g$g"
+    }
     val drop = tombstones(spark, dir)
     def live(df: DataFrame): DataFrame = drop match {
       case Some(t) => df.join(broadcast(t), Seq("id"), "left_anti")

@@ -615,8 +615,11 @@ object TextDedup {
     * applied by [[ingestFlagsBucketed]]'s broadcast anti-joins
     * (q189 gates the ≡-rebuild equivalence). [[compactDedupStore]]
     * folds tombstones into a rewritten generation. Re-ingesting a
-    * previously deleted id requires compaction first (the
-    * [[PqIndex.deleteFromTwoTier]] caveat). */
+    * previously deleted id requires a compaction after which no
+    * pre-compact generation remains readable (the
+    * [[PqIndex.deleteFromTwoTier]] caveat — and note the compact
+    * deliberately KEEPS the tombstones while retained history could
+    * otherwise serve the deleted docs via `atGeneration` reads). */
   def deleteFromDedupStore(spark: SparkSession, pathPrefix: String,
                            ids: DataFrame): Unit = withStoreLease(pathPrefix) {
     ids.select(col(ids.columns.head).cast("long").as("s_id")).coalesce(1)
@@ -685,8 +688,22 @@ object TextDedup {
       live("bands").localCheckpoint(), live("mh").localCheckpoint())
     writeStoreTables(spark, fp, bands, mh, namePrefix, pathPrefix,
       buckets, retainGenerations, carrySegments = Seq.empty)
-    graft.sources.StoreFs.of(s"${pathPrefix}_tombstones")
-      match { case (fs, p) => fs.delete(p, true): Unit }
+    // Tombstones OUTLIVE the compact while any OTHER generation stays
+    // readable: a retained pre-compact generation still carries the
+    // deleted documents' rows, and a time-travel read
+    // ([[ingestFlagsBucketed]]'s `atGeneration`) must not resurrect
+    // right-to-be-forgotten content — the anti-join is what keeps the
+    // contract there. Against the freshly compacted generation the
+    // lingering tombstones match nothing (its tables were written
+    // filtered), so head reads are semantically untouched. Once no
+    // pre-compact generation remains readable (retention 1, or a
+    // later vacuum reclaimed the history and a compact re-runs), the
+    // fold is complete everywhere and the file goes.
+    val newGen = graft.sources.StoreFs
+      .readManifest(s"${pathPrefix}_manifest").getOrElse(0L)
+    if (committedGenerations(spark, pathPrefix).forall(_ == newGen))
+      graft.sources.StoreFs.of(s"${pathPrefix}_tombstones")
+        match { case (fs, p) => fs.delete(p, true): Unit }
   }
 
   /** Retention for a [[writeDedupStoreBucketed]] store: drop all but

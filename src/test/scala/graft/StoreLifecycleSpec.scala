@@ -153,6 +153,86 @@ class StoreLifecycleSpec extends SparkSpec {
     }
   }
 
+  describe("two-tier time-travel reads (loadTwoTierAt)") {
+    def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    def fitOn(src: org.apache.spark.sql.DataFrame) = {
+      val cent = IvfIndex.fitCentroids(spark, src, k = 2, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(src, cent)
+      val cb = PqIndex.fitCodebooks(spark, src, m = 4, ks = 16, iterations = 1)
+      val codes = PqIndex.encode(src, cb, m = 4, subDim = 16)
+        .join(indexed.select($"id", $"cluster"), Seq("id"))
+        .select($"cluster", $"id", $"codes")
+      (cent, cb, codes, indexed.select($"cluster", $"id", $"v"))
+    }
+    def search(qs: org.apache.spark.sql.DataFrame,
+               t: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      PqIndex.ivfAdcSearch(spark, qs, t._3, t._4, t._1, t._2,
+          m = 4, subDim = 16, k = 3, rerank = 5, nProbe = 2)
+        .orderBy($"q_id", $"rank").collect().toSeq
+
+    it("a historic generation serves the pre-refresh search; vacuum turns it into a refusal") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tt-hist").toString
+      val all = emb.localCheckpoint()
+      val base = all.filter($"id" % 3 =!= 0)
+      val (c1, cb1, co1, f1) = fitOn(base)
+      PqIndex.saveTwoTier(c1, cb1, co1, f1, dir, retainGenerations = 2) // g1
+      val (c2, cb2, co2, f2) = fitOn(all)
+      PqIndex.saveTwoTier(c2, cb2, co2, f2, dir, retainGenerations = 2) // g2
+      PqIndex.committedTwoTierGenerations(dir) shouldBe Seq(1L, 2L)
+      val qs = all.filter($"id" < 5).select($"id".as("q_id"), $"v".as("qv"))
+      // the historic read is byte-identical to a store that never
+      // refreshed, and the head read is untouched by history
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft-tt-hist-rb").toString
+      PqIndex.saveTwoTier(c1, cb1, co1, f1, dir2)
+      search(qs, PqIndex.loadTwoTierAt(spark, dir, Some(1L))) shouldBe
+        search(qs, PqIndex.loadTwoTier(spark, dir2))
+      search(qs, PqIndex.loadTwoTierAt(spark, dir, Some(2L))) shouldBe
+        search(qs, PqIndex.loadTwoTier(spark, dir))
+      intercept[IllegalStateException](
+        PqIndex.loadTwoTierAt(spark, dir, Some(99L)))
+        .getMessage should include("not readable")
+      PqIndex.vacuumTwoTier(dir, keepLast = 1)
+      PqIndex.committedTwoTierGenerations(dir) shouldBe Seq(2L)
+      val ex = intercept[IllegalStateException](
+        PqIndex.loadTwoTierAt(spark, dir, Some(1L)))
+      ex.getMessage should include("generation 1")
+      ex.getMessage should include("[2]")
+    }
+
+    it("compaction keeps tombstones while history is readable: no resurrection at a historic read") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tt-tomb").toString
+      val all = emb.localCheckpoint()
+      val (c, cb, co, f) = fitOn(all)
+      PqIndex.saveTwoTier(c, cb, co, f, dir, retainGenerations = 2)   // g1
+      val victim = all.orderBy($"id").limit(1)
+        .select($"id").collect().head.getLong(0)
+      PqIndex.deleteFromTwoTier(spark, dir, Seq(victim).toDF("id"))
+      PqIndex.compactTwoTier(spark, dir, retainGenerations = 2)       // g2
+      // g1 still readable -> the tombstone file must OUTLIVE the
+      // compact, or a historic read resurrects the deleted vector
+      new java.io.File(s"$dir/tombstones").exists() shouldBe true
+      val (_, _, codes1, full1) = PqIndex.loadTwoTierAt(spark, dir, Some(1L))
+      full1.filter($"id" === victim).count() shouldBe 0L
+      codes1.filter($"id" === victim).count() shouldBe 0L
+      // the compacted head was written filtered — the lingering
+      // tombstones match nothing there
+      val (_, _, codes2, full2) = PqIndex.loadTwoTier(spark, dir)
+      full2.filter($"id" === victim).count() shouldBe 0L
+      // once no pre-compact generation remains readable the fold is
+      // complete and a re-compact releases the file
+      PqIndex.vacuumTwoTier(dir, keepLast = 1)
+      PqIndex.compactTwoTier(spark, dir)                              // g3
+      new java.io.File(s"$dir/tombstones").exists() shouldBe false
+      assertCleanAudit(graft.tools.StoreDoctor.auditTwoTier(spark, dir))
+    }
+  }
+
   describe("writer mutual exclusion (StoreFs lease)") {
     import graft.sources.StoreFs
 
@@ -636,6 +716,42 @@ class StoreLifecycleSpec extends SparkSpec {
           v.getBoolean(2) shouldBe false // dup_near
         }
       }
+    }
+
+    it("compaction keeps tombstones while history is readable: no resurrection via atGeneration") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-store-ttcomp").toString + "/store"
+      val pinned = corpus.localCheckpoint()
+      TextDedup.writeDedupStoreBucketed(pinned, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "slc_ttcomp", pathPrefix = path, buckets = 4,
+        retainGenerations = 2)                                   // g1
+      val ids = pinned.orderBy($"doc_id").limit(2)
+        .select($"doc_id").collect().map(_.getLong(0))
+      val (victim, control) = (ids(0), ids(1))
+      TextDedup.deleteFromDedupStore(spark, path,
+        pinned.filter($"doc_id" === victim).select($"doc_id"))
+      TextDedup.compactDedupStore(spark, "slc_ttcomp", path, buckets = 4,
+        retainGenerations = 2)                                   // g2
+      // g1 still readable -> tombstones must OUTLIVE the compact
+      new java.io.File(s"${path}_tombstones").exists() shouldBe true
+      def flagsAt(id: Long, at: Option[Long]) =
+        TextDedup.ingestFlagsBucketed(
+          pinned.filter($"doc_id" === id)
+            .select(($"doc_id" + 100000L).as("doc_id"), $"text"),
+          "doc_id", "text", "slc_ttcomp", path,
+          shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4,
+          atGeneration = at).collect().head
+      // the deleted doc's copy reads clean at the HISTORIC generation
+      // (no resurrection); a surviving doc's copy still reads dup
+      // there (history serves the rest)
+      flagsAt(victim, Some(1L)).getBoolean(1) shouldBe false
+      flagsAt(control, Some(1L)).getBoolean(1) shouldBe true
+      // once no pre-compact generation remains readable the fold is
+      // complete and a re-compact releases the file
+      TextDedup.compactDedupStore(spark, "slc_ttcomp", path, buckets = 4)
+      new java.io.File(s"${path}_tombstones").exists() shouldBe false
+      assertCleanAudit(graft.tools.StoreDoctor.auditDedup(spark, path))
     }
   }
 

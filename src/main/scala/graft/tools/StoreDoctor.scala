@@ -178,23 +178,37 @@ object StoreDoctor {
     * weight passes a quarter of the live store. */
   private def tombstoneFinding(spark: SparkSession, store: String,
                                tombPath: String, livePath: String,
-                               compactVerb: String): Seq[Finding] =
-    tombstoneFinding(spark, store, tombPath, Seq(livePath), compactVerb)
+                               compactVerb: String,
+                               historyGens: Long = 0L): Seq[Finding] =
+    tombstoneFinding(spark, store, tombPath, Seq(livePath), compactVerb,
+      historyGens)
 
   /** Multi-path variant: live weight summed over a segmented store's
-    * per-segment tables. */
+    * per-segment tables. `historyGens` counts readable generations
+    * besides the head: while it is positive a compact deliberately
+    * KEEPS the tombstone file (a historic read must not resurrect
+    * deleted content), so the finding explains the retention instead
+    * of recommending a compact that would not release it. */
   private def tombstoneFinding(spark: SparkSession, store: String,
                                tombPath: String, livePaths: Seq[String],
-                               compactVerb: String): Seq[Finding] =
+                               compactVerb: String,
+                               historyGens: Long): Seq[Finding] =
     if (!exists(tombPath)) Seq.empty
     else {
       val dead = rows(spark, tombPath)
       val live = livePaths.map(rows(spark, _)).sum
       val pct = if (live > 0) 100.0 * dead / live else 100.0
       val sev = if (dead >= live / 4 && dead > 0) "warn" else "info"
+      val note =
+        if (historyGens > 0)
+          s" — retained while $historyGens historical generation(s) stay " +
+            "readable (deleted content must stay deleted on time-travel " +
+            "reads); the file is released by a compact once history is " +
+            "vacuumed"
+        else if (sev == "warn") s" — $compactVerb recommended"
+        else ""
       Seq(Finding(store, "tombstones", sev,
-        f"$dead tombstoned id(s) against $live live rows ($pct%.1f%%)" +
-          (if (sev == "warn") s" — $compactVerb recommended" else "")))
+        f"$dead tombstoned id(s) against $live live rows ($pct%.1f%%)" + note))
     }
 
   /** Audit a [[graft.operators.PqIndex.saveTwoTier]] store. */
@@ -204,7 +218,9 @@ object StoreDoctor {
     val gen = StoreFs.readManifest(s"$dir/manifest")
     val tomb = gen.toSeq.flatMap { g =>
       tombstoneFinding(spark, dir, s"$dir/tombstones", s"$dir/g$g/full",
-        "PqIndex.compactTwoTier")
+        "PqIndex.compactTwoTier",
+        historyGens = math.max(0,
+          graft.operators.PqIndex.committedTwoTierGenerations(dir).size - 1))
     }
     val drift =
       if (exists(s"$dir/tuning") && !exists(s"$dir/codebook_fit"))
@@ -371,7 +387,9 @@ object StoreDoctor {
           out ++= tombstoneFinding(spark, pathPrefix,
             s"${pathPrefix}_tombstones",
             segs.map(seg => s"${pathPrefix}_${seg}_fp"),
-            "TextDedup.compactDedupStore")
+            "TextDedup.compactDedupStore",
+            historyGens = math.max(0, graft.operators.TextDedup
+              .committedGenerations(spark, pathPrefix).size - 1))
           // legacy distinct-fp layout cannot honor tombstones
           segs.foreach { seg =>
             val fp = spark.read.parquet(s"${pathPrefix}_${seg}_fp")

@@ -217,6 +217,11 @@ class StoreLifecycleSpec extends SparkSpec {
       // g1 still readable -> the tombstone file must OUTLIVE the
       // compact, or a historic read resurrects the deleted vector
       new java.io.File(s"$dir/tombstones").exists() shouldBe true
+      // the doctor explains the retention instead of recommending a
+      // compact that would not release the file
+      graft.tools.StoreDoctor.auditTwoTier(spark, dir)
+        .find(_.kind == "tombstones").get.detail should
+        include("historical generation")
       val (_, _, codes1, full1) = PqIndex.loadTwoTierAt(spark, dir, Some(1L))
       full1.filter($"id" === victim).count() shouldBe 0L
       codes1.filter($"id" === victim).count() shouldBe 0L

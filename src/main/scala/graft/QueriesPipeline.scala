@@ -796,8 +796,21 @@ object QueriesPipeline {
     * decade probe); the at-scale posture is corpus-scaled k
     * (bounded-|cell| probes, [[graft.operators.IvfIndex
     * .splitOversizedCells]]), which the pinned-k gate fixture
-    * deliberately does not use. No-op at the three gate SFs and
-    * sf1.0. */
+    * deliberately does not use — `StreamingSemanticScaleSpec` gates
+    * that posture (mid-stream cell splits + recall floor) at the spec
+    * level. No-op at the three gate SFs and sf1.0.
+    *
+    * Replay semantics, AT-LEAST-ONCE window (documented, not closed):
+    * the per-batch marker is written only AFTER the index append and
+    * the funnel append, and neither is transactional — a foreachBatch
+    * RETRY that failed between the [[graft.operators.IvfIndex
+    * .appendToIndex]] raw parquet append and the marker touch would
+    * re-append the batch's survivors and funnel rows (breaking
+    * g_index/f_serve). Exact for this gate's single-attempt
+    * `processAllAvailable` fixture; a production cumulative build
+    * wants the q210 shape instead, where the store append is
+    * manifest-committed (scratch-staged, fenced swap) and a replayed
+    * batch re-reads the committed generation idempotently. */
   val q211SemStreamBuild: Q = (s, dir) => {
     import s.implicits._
     val base = streamPipelineCache.computeIfAbsent("q211:" + dir, _ => {
@@ -1020,7 +1033,15 @@ object QueriesPipeline {
     * lists segments; no table is copied to keep it readable), so
     * retention costs zero extra bytes until compaction cuts the
     * lineage; a historic read prices exactly like a head read of the
-    * same segment set. The serve-path `gens` row is metadata-only. */
+    * same segment set. The serve-path `gens` row is metadata-only.
+    *
+    * Probe-id spacing: the planted probe classes are offset by
+    * multiples of 5·10⁸ (10⁹ per era, +5·10⁸ for the near variant,
+    * 9·10⁹ for never-seen), so no two classes can mint the same
+    * doc_id until the source corpus itself exceeds 5·10⁸ ids (~sf10⁵)
+    * — [[ingestVerdicts]] collapses duplicate ids to one verdict row
+    * while the oracle counts probe ROWS, so an id collision would
+    * diverge the gate (the r16 ADVICE finding this spacing closes). */
   val q212TimeTravel: Q = (s, dir) => {
     import s.implicits._
     val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1052,13 +1073,13 @@ object QueriesPipeline {
         src.filter($"doc_id" % 7 === 0)
           .select(($"doc_id" + off).as("doc_id"), $"text")
           .unionByName(src.filter($"doc_id" % 11 === 0)
-            .select(($"doc_id" + off + 50000L).as("doc_id"),
+            .select(($"doc_id" + off + 500000000L).as("doc_id"),
               concat($"text", lit(" zz qq")).as("text")))
-      val probes = copies(corpus, 100000L)
-        .unionByName(copies(d1, 200000L))
-        .unionByName(copies(d2, 300000L))
+      val probes = copies(corpus, 1000000000L)
+        .unionByName(copies(d1, 2000000000L))
+        .unionByName(copies(d2, 3000000000L))
         .unionByName(t.filter($"doc_id" % 13 === 0)
-          .select(($"doc_id" + 900000L).as("doc_id"),
+          .select(($"doc_id" + 9000000000L).as("doc_id"),
             reverse($"text").as("text")))
         .localCheckpoint()
       (1L to 3L).map { g =>
@@ -1140,16 +1161,17 @@ object QueriesPipeline {
        |d2 AS MATERIALIZED (
        |  SELECT doc_id, text FROM bkt WHERE bk >= 8 AND doc_id % 2 = 1),
        |probes AS MATERIALIZED (
-       |  SELECT doc_id + 100000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
-       |  UNION ALL SELECT doc_id + 150000, text || ' zz qq' FROM corpus
+       |  SELECT doc_id + 1000000000 AS doc_id, text FROM corpus
+       |    WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 1500000000, text || ' zz qq' FROM corpus
        |    WHERE doc_id % 11 = 0
-       |  UNION ALL SELECT doc_id + 200000, text FROM d1 WHERE doc_id % 7 = 0
-       |  UNION ALL SELECT doc_id + 250000, text || ' zz qq' FROM d1
+       |  UNION ALL SELECT doc_id + 2000000000, text FROM d1 WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 2500000000, text || ' zz qq' FROM d1
        |    WHERE doc_id % 11 = 0
-       |  UNION ALL SELECT doc_id + 300000, text FROM d2 WHERE doc_id % 7 = 0
-       |  UNION ALL SELECT doc_id + 350000, text || ' zz qq' FROM d2
+       |  UNION ALL SELECT doc_id + 3000000000, text FROM d2 WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 3500000000, text || ' zz qq' FROM d2
        |    WHERE doc_id % 11 = 0
-       |  UNION ALL SELECT doc_id + 900000, reverse(text) FROM bkt
+       |  UNION ALL SELECT doc_id + 9000000000, reverse(text) FROM bkt
        |    WHERE doc_id % 13 = 0),
        |${QueriesStreaming.ingestSigCtes("p_", "probes")},
        |${QueriesStreaming.ingestSigCtes("s_", "corpus")},

@@ -23,11 +23,27 @@ object ExactQuantile {
 
   /** Value at rank k per key (k 1-based: smallest v with
     * count(≤ v) ≥ k), where k = ceil(q·n) per key. `valCol` must be an
-    * integral column (fixed-point). Returns (key, n, rank k, value). */
+    * integral column (fixed-point). Returns (key, n, rank k, value).
+    *
+    * DRIVER-STATE BOUND: the bracketing loop keeps ONE driver-side map
+    * entry `(lo, hi, kth, n)` PER DISTINCT KEY (the pass-0 `collect`
+    * below), and every pass collects up to keys×`buckets` count rows —
+    * driver memory and broadcast size are linear in key cardinality,
+    * not in data volume. That is the deliberate trade: exact selection
+    * over DIMENSION-cardinality groups (event types, regions, status
+    * codes — up to `maxKeys`). A high-cardinality key column (user
+    * ids, doc ids) belongs on the distributed approximate path —
+    * `percentile_approx` or the mergeable t-digest sketch
+    * ([[graft.functions.TDigest]], whose state lives in the
+    * aggregation buffers, never on the driver) — and the `maxKeys`
+    * guard fails fast with that remedy instead of OOMing the driver
+    * mid-loop. */
   def atQuantile(spark: SparkSession, df: DataFrame, keyCol: String,
-                 valCol: String, q: Double, buckets: Int = 4096): DataFrame = {
+                 valCol: String, q: Double, buckets: Int = 4096,
+                 maxKeys: Int = 100000): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
     require(buckets >= 2, s"buckets must be ≥ 2, got $buckets")
+    require(maxKeys >= 1, s"maxKeys must be ≥ 1, got $maxKeys")
     import spark.implicits._
 
     // nulls are excluded from ranks (standard quantile semantics) —
@@ -36,7 +52,17 @@ object ExactQuantile {
     val base = df.select(col(keyCol).cast("string").as("k"),
       col(valCol).cast("long").as("v"))
       .where(col("v").isNotNull)
-    // pass 0: per-key extent and target rank
+    // pass 0: per-key extent and target rank — the per-distinct-key
+    // driver map the scaladoc bounds; guarded BEFORE the collect so a
+    // high-cardinality key fails with the remedy, not a driver OOM
+    val nKeys = base.select($"k").distinct().count()
+    require(nKeys <= maxKeys,
+      s"ExactQuantile.atQuantile: $keyCol has $nKeys distinct keys > " +
+        s"maxKeys=$maxKeys — driver bracketing state is per-key; for " +
+        "high-cardinality keys use percentile_approx or the t-digest " +
+        "sketch (graft.functions.TDigest), whose state stays in the " +
+        "executors' aggregation buffers (raise maxKeys only if the " +
+        "driver is provisioned for keys x buckets count rows per pass)")
     var state: Map[String, (Long, Long, Long, Long)] = // k -> (lo, hi, kth, n)
       base.groupBy($"k")
         .agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("n"))

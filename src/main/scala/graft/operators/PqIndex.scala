@@ -271,13 +271,7 @@ object PqIndex {
     * directory listing). Empty for a legacy flat or never-committed
     * store. */
   def committedTwoTierGenerations(dir: String): Seq[Long] =
-    graft.sources.StoreFs.readManifest(s"$dir/manifest") match {
-      case None => Seq.empty
-      case Some(cur) =>
-        val genRe = "^g(\\d+)$".r
-        graft.sources.StoreFs.childNames(dir)
-          .collect { case genRe(g) if g.toLong <= cur => g.toLong }.sorted
-    }
+    graft.sources.StoreFs.committedGenerationDirs(dir)
 
   /** INCREMENTAL two-tier maintenance: append a `delta` of `(id, v)`
     * rows to a [[saveTwoTier]]d index WITHOUT refitting — assign the
@@ -363,8 +357,12 @@ object PqIndex {
     *
     * Caveat (documented, not checked — the check would cost a join per
     * append): tombstones are store-wide, so RE-ingesting a previously
-    * deleted id via [[appendToTwoTier]] requires [[compactTwoTier]]
-    * first, or the anti-join hides the re-added rows. */
+    * deleted id via [[appendToTwoTier]] requires a compaction after
+    * which NO pre-compact generation remains readable — the compact
+    * deliberately KEEPS the tombstone file while retained history
+    * could otherwise serve the deleted ids via [[loadTwoTierAt]], and
+    * a lingering tombstone would hide the re-added rows (the
+    * [[graft.operators.TextDedup.deleteFromDedupStore]] contract). */
   def deleteFromTwoTier(spark: SparkSession, dir: String, ids: DataFrame): Unit =
     withStoreLease(dir) {
       ids.select(col("id").cast("long").as("id")).coalesce(1)
@@ -432,12 +430,9 @@ object PqIndex {
       case None => twoTierRoot(dir)
       case Some(g) =>
         val readable = committedTwoTierGenerations(dir)
-        if (!readable.contains(g)) throw new IllegalStateException(
-          s"generation $g of two-tier store $dir is not readable " +
-            "(vacuumed or never committed); readable generations: " +
-            readable.mkString("[", ", ", "]") +
-            " — raise retainGenerations on the mutating verbs to keep " +
-            "more history")
+        if (!readable.contains(g))
+          graft.sources.StoreFs.unreadableGeneration(
+            "two-tier store", dir, g, readable)
         s"$dir/g$g"
     }
     val drop = tombstones(spark, dir)

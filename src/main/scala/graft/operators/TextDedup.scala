@@ -491,12 +491,12 @@ object TextDedup {
       (fp, bands, mh) =>
         writeStoreTables(delta.sparkSession, fp, bands, mh, namePrefix,
           pathPrefix, buckets, retainGenerations,
-          carrySegments = segmentsOf(pathPrefix, gen))
+          carrySegments = segmentsOfStrict(pathPrefix, gen))
     }
     if (compactAfterSegments > 0) {
       val genNow = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
         .getOrElse(gen + 1L)
-      if (segmentsOf(pathPrefix, genNow).size > compactAfterSegments)
+      if (segmentsOfStrict(pathPrefix, genNow).size > compactAfterSegments)
         compactDedupStore(delta.sparkSession, namePrefix, pathPrefix,
           buckets, retainGenerations)
     }
@@ -534,11 +534,52 @@ object TextDedup {
     * `<namePrefix>_g<k>_{fp,bands,mh}` at `<pathPrefix>_g<k>_*`;
     * segment ids ARE generation numbers (each generation contributes
     * exactly one new segment — its own), so ids are unique across any
-    * build/append/compact history. */
+    * build/append/compact history.
+    *
+    * LENIENT on a missing descriptor — the right contract ONLY for
+    * cleanup ([[vacuumDedupStore]] walks generations whose descriptors
+    * a crashed earlier vacuum may already have deleted, and must still
+    * name their own tables to reclaim them). Every READ/CARRY path
+    * goes through [[segmentsOfStrict]] instead: for a segmented store,
+    * silently treating a lost head descriptor as "one segment, no
+    * carries" would classify against a store missing all prior
+    * segments — wrong verdicts with no error. */
   private[graft] def segmentsOf(pathPrefix: String, gen: Long): Seq[String] =
     graft.sources.StoreFs.readSmallFile(s"${pathPrefix}_g${gen}_segments")
       .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq(s"g$gen"))
+
+  /** Whether ANY generation descriptor exists for this store — the
+    * segmented-format marker: a store written (or ever appended) by
+    * the segmented layout always has one per committed generation, a
+    * true legacy pre-segmentation store has none. One glob. */
+  private def hasAnyDescriptor(pathPrefix: String): Boolean = {
+    val probe = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_segments")
+    val fs = probe.getFileSystem(
+      graft.sources.StoreFs.of(pathPrefix)._1.getConf)
+    Option(fs.globStatus(probe)).exists(_.nonEmpty)
+  }
+
+  /** [[segmentsOf]] for READ/CARRY paths: the descriptor-absent
+    * fallback applies only to a true legacy store (no `_g*_segments`
+    * descriptor anywhere); a SEGMENTED store missing the requested
+    * generation's descriptor REFUSES — its segment set is unknowable,
+    * and the lenient single-segment guess would silently drop every
+    * carried segment (the exact silent-fallback hazard the
+    * vacuumed-generation refusal guards against for non-head
+    * generations; r16 ADVICE). */
+  private[graft] def segmentsOfStrict(pathPrefix: String, gen: Long): Seq[String] =
+    graft.sources.StoreFs.readSmallFile(s"${pathPrefix}_g${gen}_segments")
+      .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse {
+        if (hasAnyDescriptor(pathPrefix)) throw new IllegalStateException(
+          s"generation $gen of segmented dedup store $pathPrefix has no " +
+            s"${pathPrefix}_g${gen}_segments descriptor — its segment set " +
+            "is unknowable (lost/deleted descriptor?); refusing to guess. " +
+            "Rebuild the store (writeDedupStoreBucketed) or restore the " +
+            "descriptor file.")
+        Seq(s"g$gen")
+      }
 
   /** Commit `(fp, bands, mh)` as the new segment of the next
     * generation of a bucketed dedup store — the write half of
@@ -669,7 +710,7 @@ object TextDedup {
     val gen = graft.sources.StoreFs.readManifest(s"${pathPrefix}_manifest")
       .getOrElse(throw new IllegalStateException(
         s"no committed dedup store at ${pathPrefix}_manifest"))
-    val segs = segmentsOf(pathPrefix, gen)
+    val segs = segmentsOfStrict(pathPrefix, gen)
     if (tomb.isEmpty && segs.size == 1) return
     def live(suffix: String): DataFrame = {
       val unioned = segs.map { seg =>
@@ -793,10 +834,20 @@ object TextDedup {
     val probe = new org.apache.hadoop.fs.Path(s"${pathPrefix}_g*_segments")
     val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val descRe = ".*_g(\\d+)_segments$".r
-    val withDesc = Option(fs.globStatus(probe)).map(_.toSeq)
+    val allDesc = Option(fs.globStatus(probe)).map(_.toSeq)
       .getOrElse(Seq.empty).map(_.getPath.toString)
-      .collect { case descRe(g) if g.toLong <= head => g.toLong }
-    (withDesc :+ head).distinct.sorted.filter { g =>
+      .collect { case descRe(g) => g.toLong }
+    val withDesc = allDesc.filter(_ <= head)
+    // The head joins the candidate list WITHOUT a descriptor only on a
+    // true legacy pre-segmentation store (no descriptor anywhere) —
+    // for a segmented store, a head whose descriptor is lost has an
+    // UNKNOWABLE segment set, and reporting it readable would bless
+    // the same carry-segment-less guess [[segmentsOfStrict]] refuses
+    // (r16 ADVICE: the silent-fallback hazard the vacuumed-generation
+    // refusal exists to prevent).
+    val candidates =
+      if (allDesc.isEmpty) withDesc :+ head else withDesc
+    candidates.distinct.sorted.filter { g =>
       segmentsOf(pathPrefix, g).forall { seg =>
         fs.exists(new org.apache.hadoop.fs.Path(s"${pathPrefix}_${seg}_fp"))
       }
@@ -841,12 +892,9 @@ object TextDedup {
       case None => head
       case Some(g) =>
         val readable = committedGenerations(spark, pathPrefix)
-        if (!readable.contains(g)) throw new IllegalStateException(
-          s"generation $g of dedup store $pathPrefix is not readable " +
-            "(vacuumed or never committed); readable generations: " +
-            readable.mkString("[", ", ", "]") +
-            " — raise retainGenerations on the mutation verbs to keep " +
-            "more history")
+        if (!readable.contains(g))
+          graft.sources.StoreFs.unreadableGeneration(
+            "dedup store", pathPrefix, g, readable)
         g
     }
     // apply any deleteFromDedupStore tombstones: broadcast anti-joins
@@ -865,7 +913,7 @@ object TextDedup {
     }
     val prepared = ingestPrepared(arriving, idCol, textCol, shingleN, k,
       rowsPerBand)
-    ingestVerdicts(segmentsOf(pathPrefix, gen).map { seg =>
+    ingestVerdicts(segmentsOfStrict(pathPrefix, gen).map { seg =>
       ingestHitsOn(prepared,
         liveFp(graft.sources.Bucketing.readBucketed(
           spark, s"${namePrefix}_${seg}_fp")).select(col("fp")),

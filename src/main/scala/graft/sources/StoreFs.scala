@@ -111,6 +111,49 @@ object StoreFs {
   }
 
   // ------------------------------------------------------------------
+  // TIME-TRAVEL SURFACE — the shared half of the historic-read
+  // contract all generational store families expose (dedup q212,
+  // two-tier q213, NSW q214): discover READABLE generations, refuse
+  // an unreadable one with the readable list and the retention
+  // remedy. Families with a dir-per-generation layout (two-tier ANN,
+  // NSW) share [[committedGenerationDirs]] verbatim; the dedup
+  // store's prefix/segment layout keeps its own listing (segment
+  // descriptors make readability more than a dir listing) but shares
+  // the refusal, so the three families cannot drift apart in either
+  // the discovery rule or the error contract.
+  // ------------------------------------------------------------------
+
+  /** Generations of a DIR-PER-GENERATION store that are READABLE —
+    * committed `g<n>` children at or below the manifest head. A
+    * generation dir exists iff its fenced commit renamed it in whole
+    * ([[stageGenerationDir]]), so presence implies every table inside;
+    * in-flight scratch (`g<n>__<token>`) never matches the anchored
+    * pattern, and generations above the manifest (an in-flight
+    * writer's) are never listed. Metadata-only: one manifest read +
+    * one directory listing. Empty for a legacy flat or
+    * never-committed store. */
+  def committedGenerationDirs(dir: String): Seq[Long] =
+    readManifest(s"$dir/manifest") match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val genRe = "^g(\\d+)$".r
+        childNames(dir)
+          .collect { case genRe(g) if g.toLong <= cur => g.toLong }.sorted
+    }
+
+  /** THE unreadable-generation refusal — one text for every store
+    * family's time-travel read, so the error contract (what happened,
+    * what IS readable, which dial fixes it) cannot drift per family. */
+  def unreadableGeneration(kind: String, store: String, g: Long,
+                           readable: Seq[Long]): Nothing =
+    throw new IllegalStateException(
+      s"generation $g of $kind $store is not readable " +
+        "(vacuumed or never committed); readable generations: " +
+        readable.mkString("[", ", ", "]") +
+        " — raise retainGenerations on the mutating verbs to keep " +
+        "more history")
+
+  // ------------------------------------------------------------------
   // WRITER LEASE — mutual exclusion for store mutation verbs.
   //
   // The generational commit (tmp + atomic rename over the manifest)

@@ -1463,13 +1463,24 @@ object QueriesSimilarity {
     * and the seeded visited set `v0`. `p` prefixes every CTE name so
     * q199 can instantiate the chain for TWO corpus states (base and
     * post-append) in one query; `qsRel`/`centRel` name the query
-    * sample and centroid relations the instance reads. */
+    * sample and centroid relations the instance reads. `structRel`
+    * (default: `idxRel`, emitting byte-identical text — the q213
+    * prefix convention) names the relation the graph STRUCTURE
+    * (pairs, entries) builds from when it differs from the relation
+    * vectors are scored against: q214's historic replay builds the
+    * graph on the FULL pre-delete corpus while scoring only live
+    * vectors — a dead neighbor or entry point then drops exactly
+    * where the engine's ledger scrub drops it, because a scrubbed
+    * citation and a citation whose vector no longer exists are the
+    * same absence to the walk. */
   private def nswWalkBaseCtes(idxRel: String, p: String = "",
                               qsRel: String = "qs",
-                              centRel: String = "cent"): String =
+                              centRel: String = "cent",
+                              structRel: String = ""): String = {
+    val sRel = if (structRel.isEmpty) idxRel else structRel
     s"""${p}pairs AS (
        |  SELECT a.cluster, a.id AS src, b.id AS dst, ${nswCos("a.v", "b.v")} AS cos
-       |  FROM $idxRel a JOIN $idxRel b ON a.cluster = b.cluster AND a.id <> b.id),
+       |  FROM $sRel a JOIN $sRel b ON a.cluster = b.cluster AND a.id <> b.id),
        |${p}graph AS MATERIALIZED (
        |  SELECT cluster, src, dst FROM (
        |    SELECT *, row_number() OVER (PARTITION BY cluster, src
@@ -1479,7 +1490,7 @@ object QueriesSimilarity {
        |  SELECT cluster, id AS entry FROM (
        |    SELECT i.cluster, i.id, row_number() OVER (PARTITION BY i.cluster
        |      ORDER BY ${nswCos("i.v", "c.centroid")} DESC, i.id ASC) AS rn
-       |    FROM $idxRel i JOIN $centRel c USING (cluster))
+       |    FROM $sRel i JOIN $centRel c USING (cluster))
        |  WHERE rn = 1),
        |${p}qscored AS (
        |  SELECT q.q_id, q.qv, c.cluster, ${nswCos("q.qv", "c.centroid")} AS cos
@@ -1494,6 +1505,7 @@ object QueriesSimilarity {
        |  FROM ${p}probes p JOIN ${p}entries en USING (cluster)
        |  JOIN $idxRel i ON i.cluster = en.cluster AND i.id = en.entry
        |  JOIN $qsRel q ON q.q_id = p.q_id)""".stripMargin
+  }
 
   val q184Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1802,6 +1814,118 @@ object QueriesSimilarity {
        |${lloydIdxSql("e", "8")},
        |idxd AS MATERIALIZED (SELECT * FROM idx WHERE id % 10 <> 3),
        |${nswWalkSql("idxd")}""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  /** TIME-TRAVEL reads of the generational NSW store
+    * ([[graft.operators.NswIndex.loadNswAt]] /
+    * [[graft.operators.NswIndex.committedNswGenerations]]) — the
+    * q212/q213 historic-read contract on the LAST store family
+    * without it: build the q184 flat+graph stores (k=8 cells,
+    * degree 4) under `retainGenerations = 2` (g1), delete every
+    * `id % 10 = 3` vector via the eager cell-local rebuild (g2), then
+    * walk the SAME queries against BOTH generations — pre/post-delete
+    * recall attribution, audit replay of what the old graph served.
+    *
+    * The deletion semantics differ from the sibling families by
+    * construction, and the gate pins exactly that: the HEAD (g2) is
+    * an exact rebuild (q191's contract — neighbor lists backfilled
+    * from surviving cell-mates), while the HISTORIC read (g1) applies
+    * the generation-scoped deletion ledger lazily — deleted ids lose
+    * their node rows, their citations in survivors' neighbor lists
+    * (scrubbed, NOT backfilled: the replacement lies beyond the
+    * stored top-degree), and any entry-point seat. A historic walk
+    * therefore serves the pre-delete graph TOPOLOGY minus the deleted
+    * content — never the deleted ids themselves (tombstones apply to
+    * every generation; history is not an escape hatch). The oracle
+    * replays both walks: the head as a direct build on the live
+    * relation (q191's text), the historic as the full-corpus graph
+    * walked with only live vectors — equivalent to the engine's scrub
+    * because a scrubbed citation and a citation whose vector no
+    * longer exists are the same absence to the walk. A live `gens`
+    * row (count + sum over [[graft.operators.NswIndex
+    * .committedNswGenerations]]) pins the retention contract; the
+    * vacuumed-generation refusal and ledger no-resurrection semantics
+    * are spec-pinned (`StoreLifecycleSpec`).
+    *
+    * Scale shape: history is one retained generation directory (no
+    * copy); a historic read adds one explode/re-aggregate over that
+    * generation's cluster-partitioned graph — delta-priced by the
+    * ledger size, zero cost on head reads (the ledger never touches
+    * them). Above sf1.0 the fixture keeps the first ten ScaleUp
+    * replicas (the q188/q34/q191 declared-cap pattern — pinned k=8
+    * makes the graph build quadratic in |cell|); no-op at the three
+    * gate SFs and sf1.0. */
+  val q214NswTimeTravel: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      .filter($"id" < 10000000000L)
+    val nswDir = nswTtCache.computeIfAbsent(dir, _ => {
+      val cent = graft.operators.IvfIndex
+        .fitCentroids(s, e, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val indexed = graft.operators.IvfIndex.assign(e, cent).localCheckpoint()
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fDir = s"/root/repo/target/tmp/graft_nswtt_flat_$stem"
+      val nDir = s"/root/repo/target/tmp/graft_nswtt_nsw_$stem"
+      rmTree(new java.io.File(fDir)); rmTree(new java.io.File(nDir))
+      graft.operators.IvfIndex.save(cent, indexed, fDir)
+      graft.operators.NswIndex.saveNsw(
+        graft.operators.NswIndex.fitGraph(indexed, degree = 4),
+        graft.operators.NswIndex.entryPoints(indexed, cent), nDir,
+        retainGenerations = 2)
+      val rebuilt = graft.operators.NswIndex.deleteFromNsw(s, fDir, nDir,
+        e.filter($"id" % 10 === 3).select($"id"), degree = 4,
+        retainGenerations = 2)
+      require(rebuilt >= 1, s"fixture must touch at least one cell, got $rebuilt")
+      nDir
+    })
+    val flatDir = nswDir.replace("graft_nswtt_nsw_", "graft_nswtt_flat_")
+    val (cent2, idx2) = graft.operators.IvfIndex.load(s, flatDir)
+    val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+    val gens = graft.operators.NswIndex.committedNswGenerations(nswDir)
+    def at(g: Long) = {
+      val (graph, entries) =
+        graft.operators.NswIndex.loadNswAt(s, nswDir, Some(g))
+      graft.operators.NswIndex.search(s, queries, graph,
+          idx2.select($"id", $"v", $"cluster"), cent2, entries,
+          k = 5, nProbe = 2, ef = 8, rounds = 2)
+        .select(lit(g).as("gen"), $"q_id", $"rank", $"n_id",
+          ($"cos" + 0.0).as("cos"))
+    }
+    val gensRow = Seq((0L, -1L, gens.size, gens.sum, 0.0))
+      .toDF("gen", "q_id", "rank", "n_id", "cos")
+    at(1L).unionByName(at(2L)).unionByName(gensRow)
+      .orderBy($"gen", $"q_id", $"rank")
+  }
+
+  val q214Sql: String = {
+    def trim(src: String, gen: Int): String =
+      s"""SELECT CAST($gen AS BIGINT) AS gen, q_id, rank, id AS n_id,
+         |         round(cos, 4) + 0.0 AS cos FROM (
+         |    SELECT q_id, id, cos, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, id ASC) AS INT) AS rank FROM $src)
+         |  WHERE rank <= 5""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id < 10000000000),
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |${lloydIdxSql("e", "8")},
+       |idxd AS MATERIALIZED (SELECT * FROM idx WHERE id % 10 <> 3),
+       |${nswWalkBaseCtes("idxd")},
+       |${nswRoundCtes("idxd", 1, "v0", "v0", 8, "")},
+       |${nswRoundCtes("idxd", 2, "nv1", "nf1", 8, "")},
+       |${nswWalkBaseCtes("idxd", "h", structRel = "idx")},
+       |${nswRoundCtes("idxd", 1, "hv0", "hv0", 8, "h", "hgraph")},
+       |${nswRoundCtes("idxd", 2, "hnv1", "hnf1", 8, "h", "hgraph")}
+       |SELECT gen, q_id, rank, n_id, cos FROM (
+       |  ${trim("hnv2", 1)}
+       |  UNION ALL
+       |  ${trim("nv2", 2)}
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(2 AS INT),
+       |         CAST(3 AS BIGINT), 0.0)
+       |ORDER BY gen, q_id, rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q192
   /** FILTERED flat-tier ANN search
@@ -2924,6 +3048,8 @@ object QueriesSimilarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val nswAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val nswTtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drop (and delete) the session-owned index stores — [[Bench]] calls
     * this before each COLD pass so cold numbers carry the fit + save
@@ -2944,6 +3070,7 @@ object QueriesSimilarity {
     (nswRetuneCache.values.asScala.map((_, "graft_retune_nsw_", "graft_retune_flat_")) ++
         nswSplitCache.values.asScala.map((_, "graft_nswsplit_nsw_", "graft_nswsplit_flat_")) ++
         nswDeleteCache.values.asScala.map((_, "graft_nswdel_nsw_", "graft_nswdel_flat_")) ++
+        nswTtCache.values.asScala.map((_, "graft_nswtt_nsw_", "graft_nswtt_flat_")) ++
         nswTuneCache.values.asScala.map((_, "q194_nsw_", "q194_flat_")))
       .foreach { case (p, nswTag, flatTag) =>
         rmTree(new java.io.File(p))
@@ -2962,6 +3089,7 @@ object QueriesSimilarity {
     nswTuneCache.clear()
     twoTierDeleteCache.clear()
     nswAppendCache.clear()
+    nswTtCache.clear()
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
@@ -2991,6 +3119,7 @@ object QueriesSimilarity {
     ("q188_nsw_split", q188NswSplit, Some(q188Sql)),
     ("q190_twotier_delete", q190TwoTierDelete, Some(q190Sql)),
     ("q191_nsw_delete", q191NswDelete, Some(q191Sql)),
+    ("q214_nsw_time_travel", q214NswTimeTravel, Some(q214Sql)),
     ("q192_ivf_filtered", q192IvfFiltered, Some(q192Sql)),
     ("q193_nsw_filtered", q193NswFiltered, Some(q193Sql)),
     ("q194_nsw_autotune", q194NswAutotune, Some(q194Sql)),

@@ -306,6 +306,36 @@ object NswIndex {
     * rewrites — delta-bounded, never corpus-sized. Same
     * exclusive-access contract as every flat-index maintenance op.
     * Returns the number of cells rebuilt. */
+  /** The NSW DELETION LEDGER — the graph tier's answer to the
+    * tombstones-apply-to-history contract (q212/q213): unlike the
+    * dedup and two-tier families, [[deleteFromNsw]] is an EAGER
+    * rebuild (the head generation physically drops the ids), so the
+    * head never needs a tombstone — but with `retainGenerations ≥ 2`
+    * a retained PRE-delete generation still carries the deleted ids'
+    * graph rows, neighbor citations and entry points, and a
+    * [[loadNswAt]] historic read must not resurrect them. The ledger
+    * records `(id, deleted_at_gen)` where `deleted_at_gen` is the
+    * generation the delete's rebuild committed; a historic read at
+    * generation `g` scrubs exactly the entries with
+    * `deleted_at_gen > g` (the generations that still contained the
+    * id). GENERATION-SCOPED, so — unlike the sibling families'
+    * store-wide tombstones — RE-appending a previously deleted id
+    * needs no compaction caveat: post-re-append generations are
+    * ≥ `deleted_at_gen` and never scrubbed.
+    *
+    * Crash ordering: the ledger is appended BEFORE the irreversible
+    * flat rewrite, citing the generation the delete is ABOUT to
+    * commit. A crash mid-delete therefore errs in the conservative
+    * direction — historic reads already hide the ids whose deletion
+    * was requested but never completed (deletion INTENT is recorded;
+    * the caller re-runs the delete, whose repair path completes the
+    * physical removal) — never in the resurrection direction.
+    * [[vacuumNsw]] releases the ledger once no readable generation
+    * predates any recorded delete; a lingering ledger is
+    * semantically inert (it only ever scrubs generations older than
+    * the delete). */
+  private def ledgerPath(nswDir: String): String = s"$nswDir/tombstones"
+
   def deleteFromNsw(spark: SparkSession, flatDir: String, nswDir: String,
                     ids: DataFrame, degree: Int,
                     retainGenerations: Int = 1): Int = withStoreLease(nswDir) {
@@ -332,6 +362,14 @@ object NswIndex {
     // means "the flat store may be ahead of the graph for these cells"
     // and [[repairNsw]] replays the rebuild from the flat state
     writePendingCells(nswDir, affected)
+    // DELETION LEDGER entry before the irreversible flat rewrite (see
+    // [[ledgerPath]]): the delete's rebuild will commit head+1, and
+    // every generation ≤ head still contains these ids
+    val headGen = graft.sources.StoreFs.readManifest(s"$nswDir/manifest")
+      .getOrElse(0L)
+    del.select(col("_del_id").as("id"))
+      .withColumn("deleted_at_gen", lit(headGen + 1L))
+      .coalesce(1).write.mode("append").parquet(ledgerPath(nswDir))
     Failpoints.hit("nswmaint:after-pending")
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -416,12 +454,101 @@ object NswIndex {
     * maintenance verb (which repairs first) runs.
     * [[graft.tools.StoreDoctor]] surfaces the marker as an `error`
     * finding with that remedy. */
-  def loadNsw(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val root = graft.sources.StoreFs.readManifest(s"$dir/manifest") match {
-      case Some(g) => s"$dir/g$g"
-      case None => dir
+  def loadNsw(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    loadNswAt(spark, dir, None)
+
+  /** Generations of an NSW store that are READABLE — valid
+    * time-travel targets for [[loadNswAt]] (the
+    * [[PqIndex.committedTwoTierGenerations]] contract on the graph
+    * tier): committed `g<n>` dirs at or below the manifest head; a
+    * generation dir exists iff its fenced commit renamed it in whole
+    * ([[graft.sources.StoreFs.stageGenerationDir]]), so presence
+    * implies both tables. [[vacuumNsw]] trims history —
+    * `retainGenerations` on the mutating verbs is the retention dial.
+    * Metadata-only (one directory listing). */
+  def committedNswGenerations(dir: String): Seq[Long] =
+    graft.sources.StoreFs.committedGenerationDirs(dir)
+
+  /** [[loadNsw]] AS OF a retained generation — the time-travel face
+    * of the graph tier (the [[PqIndex.loadTwoTierAt]] /
+    * [[TextDedup.ingestFlagsBucketed]] `atGeneration` contract):
+    * replay an old batch's walk, attribute recall across a
+    * maintenance event, audit what an earlier index served. Only
+    * generations in [[committedNswGenerations]] qualify; anything
+    * else REFUSES naming the readable list.
+    *
+    * Deletions apply to EVERY generation including historic reads —
+    * the [[ledgerPath]] deletion ledger scrubs, from any generation
+    * older than a recorded delete (`deleted_at_gen > g`), the
+    * deleted ids' node rows, every neighbor-list citation of them
+    * (order-preserving filter of the stored `(nbrs, nscores)` pairs;
+    * lists are NOT backfilled — the replacement neighbor lies beyond
+    * the stored top-degree, which is exactly why the HEAD uses the
+    * eager rebuild), and any entry point that was a deleted id (that
+    * cell seeds nothing historically). So historic walks may be
+    * recall-degraded NEAR deletions — by design: history is an audit
+    * surface, not an escape hatch for deleted content; the head
+    * generation is always an exact rebuild. Head reads
+    * (`atGeneration = None`) skip the ledger entirely — their plans
+    * are byte-identical to the pre-ledger ones. Scrub cost is one
+    * explode/re-aggregate over the affected generation's graph, paid
+    * only on historic reads of a store with an applicable ledger. */
+  def loadNswAt(spark: SparkSession, dir: String,
+                atGeneration: Option[Long]): (DataFrame, DataFrame) = {
+    val root = atGeneration match {
+      case None =>
+        graft.sources.StoreFs.readManifest(s"$dir/manifest") match {
+          case Some(g) => s"$dir/g$g"
+          case None => dir
+        }
+      case Some(g) =>
+        val readable = committedNswGenerations(dir)
+        if (!readable.contains(g))
+          graft.sources.StoreFs.unreadableGeneration("NSW store", dir, g, readable)
+        s"$dir/g$g"
     }
-    (spark.read.parquet(s"$root/graph"), spark.read.parquet(s"$root/entries"))
+    val graph0 = spark.read.parquet(s"$root/graph")
+    val entries0 = spark.read.parquet(s"$root/entries")
+    atGeneration match {
+      case None => (graph0, entries0)
+      case Some(g) =>
+        val (fs, tp) = graft.sources.StoreFs.of(ledgerPath(dir))
+        if (!fs.exists(tp)) (graph0, entries0)
+        else {
+          val dead = spark.read.parquet(tp.toString)
+            .filter(col("deleted_at_gen") > g)
+            .select(col("id").as("dead_id")).distinct()
+          // node rows of deleted ids go entirely
+          val liveNodes = graph0
+            .join(broadcast(dead), graph0("id") === dead("dead_id"), "left_anti")
+          // neighbor-list scrub: explode the stored (nbr, score) pairs
+          // with their position, drop citations of dead ids, and
+          // rebuild each list in its original order (pos-sorted — the
+          // stored score-desc/id-asc order survives the filter)
+          val z = liveNodes.select(col("cluster"), col("id"),
+              posexplode_outer(arrays_zip(col("nbrs"), col("nscores")))
+                .as(Seq("pos", "z")))
+            .filter(col("z").isNotNull)
+          val rebuilt = z
+            .join(broadcast(dead), col("z.nbrs") === col("dead_id"), "left_anti")
+            .groupBy(col("cluster"), col("id"))
+            .agg(array_sort(collect_list(struct(col("pos"),
+              col("z.nbrs").as("nbr"), col("z.nscores").as("nscore")))).as("zs"))
+            .select(col("cluster"), col("id"),
+              expr("transform(zs, x -> x.nbr)").as("nbrs"),
+              expr("transform(zs, x -> x.nscore)").as("nscores"))
+          // a node whose every neighbor died keeps an EMPTY list (it
+          // is still reachable through others' lists and still scores)
+          val scrubbed = liveNodes.select(col("cluster"), col("id"))
+            .join(rebuilt, Seq("cluster", "id"), "left")
+            .select(col("cluster"), col("id"),
+              coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"),
+              coalesce(col("nscores"), array().cast("array<double>")).as("nscores"))
+          val liveEntries = entries0.join(broadcast(dead),
+            entries0("entry") === dead("dead_id"), "left_anti")
+          (scrubbed, liveEntries)
+        }
+    }
   }
 
   /** Retention for a [[saveNsw]] store — the uniform keep-newest-N
@@ -437,6 +564,23 @@ object NswIndex {
       .foreach(g => graft.sources.StoreFs.deleteChild(dir, s"g$g"))
     graft.sources.StoreFs.sweepScratchDirs(dir,
       graft.sources.StoreFs.writerMarkerPath(dir))
+    // Release the deletion ledger once NO readable generation predates
+    // any recorded delete (oldest readable ≥ every deleted_at_gen):
+    // every generation a ledger entry could scrub is gone, so the
+    // ledger is inert — the [[PqIndex.compactTwoTier]] release rule in
+    // the generation-scoped form. A lingering ledger (no active
+    // session to read it, or a crash before this sweep) is harmless:
+    // entries only ever apply to generations older than their delete.
+    val (lfs, lp) = graft.sources.StoreFs.of(ledgerPath(dir))
+    if (lfs.exists(lp)) SparkSession.getActiveSession.foreach { spark =>
+      val readable = committedNswGenerations(dir)
+      if (readable.nonEmpty) {
+        val maxDel = spark.read.parquet(lp.toString)
+          .agg(max(col("deleted_at_gen"))).head().getLong(0)
+        if (readable.min >= maxDel)
+          graft.sources.StoreFs.deleteChild(dir, "tombstones")
+      }
+    }
   }
 
   /** Batched greedy beam search: `queries` `(q_id, qv)` against a

@@ -23,7 +23,8 @@ import graft.sources.StoreFs
   *    `tombstones`, tuning tables, `codebook_fit`);
   *  - `nsw <flatDir> <nswDir>` — [[graft.operators.NswIndex.saveNsw]]
   *    beside its flat index (`manifest`, `g<n>/{graph,entries}`,
-  *    `pending_cells`, tuning tables);
+  *    `pending_cells`, the generation-scoped deletion ledger
+  *    `tombstones`, tuning tables);
   *  - `ivf <dir>` — [[graft.operators.IvfIndex.save]] (flat layout:
   *    `centroids`, `index/cluster=*`, centroid-swap leftovers, tuning
   *    tables);
@@ -278,6 +279,31 @@ object StoreDoctor {
       case None =>
         out += Finding(nswDir, "pending-maintenance", "ok",
           "no pending-maintenance marker")
+    }
+    // the generation-scoped deletion ledger ([[graft.operators
+    // .NswIndex.deleteFromNsw]]): unlike the sibling families' store-
+    // wide tombstones it never affects head reads (the head is an
+    // eager rebuild) — it exists solely so loadNswAt historic reads
+    // cannot resurrect deleted ids, and vacuumNsw releases it once no
+    // readable generation predates any recorded delete
+    if (exists(s"$nswDir/tombstones")) {
+      import org.apache.spark.sql.functions.{col, max}
+      val led = spark.read.parquet(s"$nswDir/tombstones")
+      val n = led.count()
+      val maxDel = led.agg(max(col("deleted_at_gen"))).head().getLong(0)
+      val readable = graft.operators.NswIndex.committedNswGenerations(nswDir)
+      if (readable.nonEmpty && readable.min < maxDel)
+        out += Finding(nswDir, "deletion-ledger", "info",
+          s"$n deletion-ledger entr(y/ies) scrubbing historic reads of " +
+            s"generation(s) ${readable.filter(_ < maxDel).map("g" + _)
+              .mkString(", ")} (deleted content must stay deleted on " +
+            "time-travel reads); released by vacuumNsw once history is " +
+            "vacuumed — head reads are unaffected (eager rebuild)")
+      else
+        out += Finding(nswDir, "deletion-ledger", "info",
+          s"$n inert deletion-ledger entr(y/ies) — no readable generation " +
+            "predates a recorded delete; the next vacuumNsw releases the " +
+            "ledger")
     }
     // flat∖graph divergence: cells present in the flat store but
     // absent from the committed graph (the mid-split crash window

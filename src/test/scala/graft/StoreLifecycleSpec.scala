@@ -789,6 +789,123 @@ class StoreLifecycleSpec extends SparkSpec {
     }
   }
 
+  describe("NSW time-travel reads (loadNswAt)") {
+    import graft.operators.NswIndex
+    def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+
+    def buildPair(retain: Int): (String, String, org.apache.spark.sql.DataFrame) = {
+      val e = emb.localCheckpoint()
+      val cent = IvfIndex.fitCentroids(spark, e, k = 2, iterations = 1,
+        orderedMean = true)
+      val indexed = IvfIndex.assign(e, cent).localCheckpoint()
+      val fDir = java.nio.file.Files.createTempDirectory("graft-nswtt-flat").toString
+      val nDir = java.nio.file.Files.createTempDirectory("graft-nswtt-nsw").toString
+      IvfIndex.save(cent, indexed, fDir)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 3),
+        NswIndex.entryPoints(indexed, cent), nDir, retainGenerations = retain)
+      (fDir, nDir, e)
+    }
+
+    it("a historic read scrubs deleted ids everywhere; the head stays the exact rebuild") {
+      val (fDir, nDir, _) = buildPair(retain = 2)
+      // victims picked FROM a neighbor list, so the citation scrub is
+      // observable, not vacuously true
+      val (gPre, _) = NswIndex.loadNsw(spark, nDir)
+      val vset = gPre.orderBy($"id").select($"nbrs")
+        .head().getSeq[Long](0).take(2).toSet
+      val victims = vset.toSeq.toDF("id")
+      NswIndex.deleteFromNsw(spark, fDir, nDir, victims, degree = 3,
+        retainGenerations = 2) should be >= 1
+      NswIndex.committedNswGenerations(nDir) shouldBe Seq(1L, 2L)
+      // the historic generation: no node rows, no citations, no entry
+      // seats for the deleted ids — and the score lists stay aligned
+      val (hg, he) = NswIndex.loadNswAt(spark, nDir, Some(1L))
+      hg.filter($"id".isInCollection(vset)).count() shouldBe 0L
+      hg.select(explode($"nbrs").as("n"))
+        .filter($"n".isInCollection(vset)).count() shouldBe 0L
+      he.filter($"entry".isInCollection(vset)).count() shouldBe 0L
+      hg.filter(org.apache.spark.sql.functions.size($"nbrs") =!=
+        org.apache.spark.sql.functions.size($"nscores")).count() shouldBe 0L
+      // the head is the eager rebuild — untouched by the ledger
+      val (hd, _) = NswIndex.loadNsw(spark, nDir)
+      hd.filter($"id".isInCollection(vset)).count() shouldBe 0L
+      // the doctor names the ledger (info, not error) while history
+      // predates the delete
+      val audit = graft.tools.StoreDoctor.auditNsw(spark, fDir, nDir)
+      audit.find(_.kind == "deletion-ledger").get.detail should include("g1")
+      assertCleanAudit(audit)
+      intercept[IllegalStateException](
+        NswIndex.loadNswAt(spark, nDir, Some(99L)))
+        .getMessage should include("not readable")
+      // vacuum the history: g1 refuses with the readable list, and the
+      // now-inert ledger is released
+      NswIndex.vacuumNsw(nDir, keepLast = 1)
+      NswIndex.committedNswGenerations(nDir) shouldBe Seq(2L)
+      val ex = intercept[IllegalStateException](
+        NswIndex.loadNswAt(spark, nDir, Some(1L)))
+      ex.getMessage should include("generation 1")
+      ex.getMessage should include("[2]")
+      new java.io.File(s"$nDir/tombstones").exists() shouldBe false
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, fDir, nDir))
+    }
+
+    it("the generation-scoped ledger never scrubs a re-appended id") {
+      val (fDir, nDir, e) = buildPair(retain = 3)
+      val (gPre, _) = NswIndex.loadNsw(spark, nDir)
+      val victim = gPre.orderBy($"id").select($"nbrs")
+        .head().getSeq[Long](0).head
+      NswIndex.deleteFromNsw(spark, fDir, nDir, Seq(victim).toDF("id"),
+        degree = 3, retainGenerations = 3)                          // g2
+      // re-ingest the deleted id under the same centroids — the
+      // sibling families' compaction caveat deliberately does NOT
+      // apply here: the ledger is scoped to the delete's generation
+      val (cent, indexed) = IvfIndex.load(spark, fDir)
+      val delta = IvfIndex.assign(e.filter($"id" === victim), cent)
+        .localCheckpoint()
+      NswIndex.appendToNsw(spark, nDir,
+        indexed.select($"id", $"v", $"cluster"), delta, cent,
+        degree = 3, retainGenerations = 3)                          // g3
+      NswIndex.committedNswGenerations(nDir) shouldBe Seq(1L, 2L, 3L)
+      NswIndex.loadNswAt(spark, nDir, Some(3L))._1
+        .filter($"id" === victim).count() shouldBe 1L
+      // generations older than the delete still scrub it; the delete's
+      // own rebuild is physically clean
+      NswIndex.loadNswAt(spark, nDir, Some(1L))._1
+        .filter($"id" === victim).count() shouldBe 0L
+      NswIndex.loadNswAt(spark, nDir, Some(2L))._1
+        .filter($"id" === victim).count() shouldBe 0L
+    }
+
+    it("a delete that crashes before the flat rewrite errs conservative: history hides the ids whose deletion was requested") {
+      val (fDir, nDir, _) = buildPair(retain = 2)
+      val (gPre, _) = NswIndex.loadNsw(spark, nDir)
+      val victim = gPre.orderBy($"id").select($"nbrs")
+        .head().getSeq[Long](0).head
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("nswmaint:after-pending")) {
+          NswIndex.deleteFromNsw(spark, fDir, nDir, Seq(victim).toDF("id"),
+            degree = 3, retainGenerations = 2)
+        }
+      } shouldBe boom
+      // the delete never committed: the head still serves the id
+      NswIndex.loadNsw(spark, nDir)._1
+        .filter($"id" === victim).count() shouldBe 1L
+      // but the deletion INTENT is on the ledger — a historic read of
+      // g1 (the only committed generation) hides the id rather than
+      // ever resurrecting content whose removal was requested
+      NswIndex.loadNswAt(spark, nDir, Some(1L))._1
+        .filter($"id" === victim).count() shouldBe 0L
+      // the re-run completes the delete and the repair path clears the
+      // pending marker
+      NswIndex.deleteFromNsw(spark, fDir, nDir, Seq(victim).toDF("id"),
+        degree = 3, retainGenerations = 2) should be >= 1
+      NswIndex.loadNsw(spark, nDir)._1
+        .filter($"id" === victim).count() shouldBe 0L
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, fDir, nDir))
+    }
+  }
+
   describe("splitOversizedCells crash windows") {
     def freshIndex(): String = {
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

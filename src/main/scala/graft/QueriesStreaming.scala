@@ -1218,6 +1218,84 @@ object QueriesStreaming {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS value_sum
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** TIME-TRAVEL reads of the materialized-view store
+    * ([[EventStreams.loadAggStoreAt]] /
+    * [[EventStreams.committedAggGenerations]]) — the FOURTH store
+    * family to take the q212/q213/q214 historic-read contract, made
+    * cheap by the shared [[graft.sources.StoreFs]] surface: every
+    * [[EventStreams.materializedAggStore]] generation is already a
+    * COMPLETE point-in-time snapshot (each batch folds the previous
+    * full state with its partial), so time travel is just
+    * marker-committed discovery + the uniform unreadable refusal —
+    * no tombstone overlay (the family has no delete verb).
+    *
+    * The q207 transport lesson applies in full: reading snapshots
+    * AS OF a batch makes the batch SPLIT part of the semantics, so
+    * the fixture stages one file per `event_id % 4` slice
+    * ([[keyedMultiBatchStream]]) — batch k ≡ the key-k slice and
+    * every generation is SQL-replayable as the aggregate over slices
+    * 0..k. Values ride as integer cents (the q177 precedent) so the
+    * per-generation checksums are exact across engines. Gate: one
+    * compact row per generation (users / events / cents at that
+    * point in time) + the live `gens` discovery row; the refusal and
+    * vacuum semantics are spec-pinned (`MaterializedViewSpec`).
+    *
+    * Scale shape: each snapshot read is one partition-pruned parquet
+    * read of a state-sized dir; the serve rows are metadata-sized
+    * aggregates of key-cardinality frames; `gens` is one directory
+    * listing. History cost is the store's own generational layout —
+    * nothing extra is written to keep it readable. */
+  val q215AggTimeTravel: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/events.parquet"
+    val (base, stream) = keyedMultiBatchStream(s, file, "q215", dir,
+      _.select($"event_id", $"user_id",
+        round($"value" * 100).cast("long").as("cents")),
+      col("event_id") % 4)
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    try {
+      val query = EventStreams.materializedAggStore(stream,
+        keyCols = Seq("user_id"),
+        batchAggs = Seq(count(lit(1)).as("n"), sum($"cents").as("c")),
+        mergeAggs = Seq(sum($"n").as("n"), sum($"c").as("c")),
+        store = store, checkpoint = ckpt)
+      try query.processAllAvailable() finally query.stop()
+      val gens = EventStreams.committedAggGenerations(store)
+      require(gens == Seq(0L, 1L, 2L, 3L),
+        s"q215: expected 4 committed generations, got $gens")
+      val perGen = gens.map { g =>
+        EventStreams.loadAggStoreAt(s, store, Some(g))
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum($"n").cast("long").as("n_events"),
+            sum($"c").cast("long").as("cents"))
+          .select(lit(g).as("gen"), $"n_users", $"n_events", $"cents")
+      }.reduce(_ unionByName _)
+      val gensRow = Seq((-1L, gens.size.toLong, gens.sum, 0L))
+        .toDF("gen", "n_users", "n_events", "cents")
+      perGen.unionByName(gensRow).orderBy($"gen")
+        .localCheckpoint() // 5 rows; pre-cleanup (store lives under base)
+    } finally rmTree(new java.io.File(base))
+  }
+  val q215Sql: String = {
+    val perGen = (0 to 3).map { g =>
+      s"""  SELECT CAST($g AS BIGINT) AS gen,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |         CAST(count(*) AS BIGINT) AS n_events,
+         |         CAST(sum(cents) AS BIGINT) AS cents
+         |  FROM ev WHERE event_id % 4 <= $g""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ev AS (SELECT event_id, user_id,
+       |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+       |SELECT gen, n_users, n_events, cents FROM (
+       |$perGen
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(4 AS BIGINT), CAST(6 AS BIGINT),
+       |         CAST(0 AS BIGINT))
+       |ORDER BY gen""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q177
   /** Streaming EXACT order statistics: for a bounded integer domain
     * (cent-scaled values), the mergeable exact-quantile state is simply
@@ -1392,6 +1470,7 @@ object QueriesStreaming {
     // incrementally-built bitmaps must count exactly like q165's
     ("q172_stream_bitmap", q172StreamBitmap, Some(QueriesScale.q165Sql)),
     ("q173_materialized_view", q173MaterializedView, Some(q173Sql)),
+    ("q215_agg_time_travel", q215AggTimeTravel, Some(q215Sql)),
     // stream-maintained frequency state must select the SAME exact
     // median as q170's batch bracketing: one oracle, two engines
     ("q177_stream_exact_median", q177StreamExactMedian,

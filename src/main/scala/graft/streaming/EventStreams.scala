@@ -409,6 +409,47 @@ object EventStreams {
     else Some(spark.read.parquet(s"$store/batch_id=${gens.max}"))
   }
 
+  /** Generations of a [[materializedAggStore]] store that are
+    * READABLE — valid time-travel targets for [[loadAggStoreAt]] (the
+    * fourth store family to take the q212/q213/q214 historic-read
+    * contract, via the shared [[graft.sources.StoreFs]] surface):
+    * marker-committed `batch_id` snapshots. Every generation is a
+    * COMPLETE point-in-time state by construction (each batch folds
+    * the previous full state with its partial), so any committed id
+    * serves, not just the newest; torn unmarked dirs never qualify.
+    * [[vacuumGenerations]] trims history — `keepLast` is the
+    * retention dial. Metadata-only (one directory listing). */
+  def committedAggGenerations(store: String): Seq[Long] = {
+    val marker = "\\.gen_(\\d+)_committed".r
+    graft.sources.StoreFs.childNames(store)
+      .collect { case marker(id) => id.toLong }.sorted
+  }
+
+  /** [[latestGeneration]] AS OF a retained generation — the
+    * time-travel face of the materialized-view store: read the view's
+    * state exactly as it stood after batch `atGeneration` committed
+    * (audit an old snapshot, attribute a metric change to a batch,
+    * replay a downstream job byte-for-byte) while the stream moves
+    * the head on. Only [[committedAggGenerations]] qualify; anything
+    * else REFUSES with the shared readable-list error. `None` reads
+    * the newest committed snapshot, refusing (rather than returning
+    * an empty frame) when the store has none. The family has no
+    * delete verb, so — unlike the dedup/ANN stores — there is no
+    * tombstone overlay: a snapshot IS its generation's bytes. */
+  def loadAggStoreAt(spark: SparkSession, store: String,
+                     atGeneration: Option[Long] = None): DataFrame =
+    atGeneration match {
+      case None => latestGeneration(spark, store)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed generation at agg store $store"))
+      case Some(g) =>
+        val readable = committedAggGenerations(store)
+        if (!readable.contains(g))
+          graft.sources.StoreFs.unreadableGeneration(
+            "agg store", store, g, readable)
+        spark.read.parquet(s"$store/batch_id=$g")
+    }
+
   /** Retention for a [[materializedAggStore]] store: drop all but the
     * newest `keepLast` COMMITTED generations (markers + data dirs), and
     * sweep torn data dirs older than the newest committed generation —

@@ -1,0 +1,224 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+
+/** The AT-SCALE posture of cumulative streaming semantic dedup — the
+  * regime the q211 gate's pinned-k cap deliberately excludes, run as
+  * ONE shared loop for both its spec (`StreamingSemanticScaleSpec`)
+  * and the decade probe (`main`).
+  *
+  * q211 certifies CORRECTNESS of the cumulative contract with a
+  * pinned k=8 cell layout, which makes per-arrival screening cost
+  * |cell| ≈ n/8 and total cost n²/16 — measured ×51 per decade at the
+  * uncapped sf10 probe (round 16). The scale answer is CELL-SIZE
+  * MAINTENANCE BETWEEN MICRO-BATCHES: after each batch's survivors
+  * append, [[IvfIndex.splitOversizedCells]] loops until every cell is
+  * back under `maxCellSize`, so per-arrival screening is bounded by
+  * nProbe × maxCellSize forever and total cost is linear in the
+  * stream.
+  *
+  * The trade is PRECISELY a detection-recall one, and the spec pins
+  * its shape rather than overclaiming invariance: a split fits
+  * sub-centroids on ONE cell's vectors only, so a later copy's
+  * GLOBAL top-nProbe probe can rank other cells above its source's
+  * sub-cell and miss it — under maintenance, dup detection is
+  * recall-typed (measured ≥ 98% planted-kill at the spec fixture; the
+  * pinned regime kills 100%). What never degrades is the survivor
+  * side: a FALSE kill needs an indexed vector at cos ≥ 0.8, which the
+  * corpus has none of organically (cross-cosines ≈ 0.5), so every
+  * true survivor is indexed in both regimes and the maintained index
+  * is exactly the pinned index plus the few leaked near-dups. The
+  * spec pins the cell bound, the superset-by-leakage-only membership
+  * relation, the detection floor, and a brute-force serving-recall
+  * floor over the final split store.
+  *
+  * Mid-stream splits are WHY this is spec-level, not a q-gate: the
+  * split's sub-centroid fits depend on batch boundaries, so the cell
+  * map is not SQL-replayable — but membership is, and membership is
+  * what the gate needs (the q211 oracle already replays it for the
+  * pinned regime). */
+object SemStreamScale {
+
+  /** End-state summary of one [[run]]: `storeDir` is left on disk for
+    * the caller to inspect (and delete); `nProbe` is the end-of-stream
+    * screening width (the tuned operating point in the maintained
+    * regime, the pinned 2 otherwise); `retunes` counts how often the
+    * staleness loop found the persisted width stale and re-tuned. */
+  final case class Summary(storeDir: String, splits: Int, cells: Long,
+                           maxCell: Long, indexRows: Long,
+                           plantedArrived: Long, plantedIndexed: Long,
+                           nProbe: Int, retunes: Int,
+                           avgRecall: Double, secs: Double)
+
+  /** q211's planted-duplicate-face construction over `t`
+    * `(vec_id, v, b)` (b = hashBucket 10): organic fresh arrivals
+    * (`b >= 8`) plus exact (+200000) and cosine-scaled (+300000,
+    * ×1.01) copies of BASE members, and cross-batch exact (+2000002)
+    * and scaled (+3000002) copies of batch-0 fresh arrivals landing
+    * in batch 2 — dead only if batch 0's survivors joined the index.
+    * Offsets stay below the 10⁹ ScaleUp replica stride and above any
+    * per-replica organic id, so planted ⟺ `vec_id % 10⁹ ≥ 200000` at
+    * every probe scale. */
+  def arrivals(t: DataFrame): DataFrame = {
+    val scaled = transform(col("v"), x => x * 1.01)
+    t.filter(col("b") >= 8).select(col("vec_id"), col("v"))
+      .unionByName(t.filter(col("b") < 8 && col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("v")))
+      .unionByName(t.filter(col("b") < 8 && col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 300000L).as("vec_id"), scaled.as("v")))
+      .unionByName(t.filter(col("b") >= 8 && col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 2000002L).as("vec_id"), col("v")))
+      .unionByName(t.filter(col("b") >= 8 && col("vec_id") % 4 === 0 &&
+          col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 3000002L).as("vec_id"), scaled.as("v")))
+  }
+
+  /** Build the base store (`b < 8`, `buildK` coarse cells), stream the
+    * [[arrivals]] in 4 keyed micro-batches (`vec_id % 4` — the q207
+    * deterministic transport), per batch: intra-batch exact dedup →
+    * screen vs the GROWING index (k=1, dup iff cos ≥ 0.8) → append
+    * survivors → and, when `maxCellSize > 0`, drive every cell back
+    * under the bound before the next batch. `maxCellSize = 0` runs
+    * the pinned regime (no maintenance, nProbe 2 — q211's exact
+    * shape) for A/B comparison.
+    *
+    * The maintained regime screens at the TUNED operating point, not
+    * a fixed width: splits refit sub-centroids locally, so a fixed
+    * nProbe silently loses detection recall as cells multiply — the
+    * same drift [[IvfIndex.refreshNProbeTuning]] exists for. The loop
+    * composes the engine's own verbs: [[IvfIndex.tuneNProbe]] at
+    * build (recall@1 over a SELF-RETRIEVAL sample — "does a query
+    * find its own vector", which is exactly the screening failure
+    * mode: an exact copy missing its source's sub-cell), then one
+    * staleness refresh per batch after maintenance. Per-batch refresh
+    * cost is sample × corpus brute force — linear, the q199 staleness
+    * price. */
+  def run(spark: SparkSession, sfDir: String, maxCellSize: Long,
+          buildK: Int): Summary = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val scratch = sys.props("java.io.tmpdir") + "/graft_semscale_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val store = s"$scratch/ivf"
+    val file = s"$sfDir/embeddings.parquet"
+    val withB = (df: DataFrame) => df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("b", graft.operators.Sampling.hashBucket(col("vec_id"), 10))
+    val base = withB(spark.read.parquet(file)).filter(col("b") < 8)
+      .select(col("vec_id").as("id"), col("v"))
+    val cent = IvfIndex.fitCentroids(spark, base, k = buildK, iterations = 1,
+      orderedMean = true)
+    IvfIndex.save(cent, IvfIndex.assign(base, cent), store)
+    var splits = 0
+    var retunes = 0
+    val maintained = maxCellSize > 0
+    def maintain(): Unit = if (maintained) {
+      var n = 0
+      var any = false
+      while ({ n = IvfIndex.splitOversizedCells(spark, store, maxCellSize)
+               splits += n; any ||= n > 0; n > 0 }) ()
+      // staleness loop after maintenance: re-measure the persisted
+      // width's self-retrieval recall, re-tune only when it fell
+      // below the floor
+      val (fs, tp) = graft.sources.StoreFs.of(s"$store/tuning")
+      if (fs.exists(tp) && IvfIndex.refreshNProbeTuning(spark, store)._2)
+        retunes += 1
+    }
+    maintain() // the base build itself must respect the bound
+    if (maintained) {
+      // self-retrieval sample: ~50 members per ScaleUp replica. Floor
+      // 1.0 = the cheapest width at which EVERY sampled member finds
+      // itself — the screening task is self-retrieval averaged over
+      // all members, so the residual leak is the sample's tail, not a
+      // conceded 5%. (A production deployment would cap the sample
+      // count; here it stays ~1-2.5% of the corpus at every probe SF.)
+      val sample = base.filter(col("id") % 1000000000L < 50L)
+        .select(col("id").as("q_id"), col("v").as("qv"))
+      IvfIndex.tuneNProbe(spark, store, sample, k = 1,
+        nProbes = Seq(1, 2, 4, 8, 16), recallFloor = 1.0): Unit
+    }
+    val (staging, stream) = graft.QueriesStreaming.keyedMultiBatchStream(
+      spark, file, "semscale", sfDir + maxCellSize, d => arrivals(withB(d)),
+      col("vec_id") % 4)
+    val query = stream.writeStream
+      .option("checkpointLocation", s"$staging/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val slice = batch.toDF().select($"vec_id", $"v").localCheckpoint()
+          val ex = slice
+            .withColumn("keep", min($"vec_id").over(org.apache.spark.sql
+              .expressions.Window.partitionBy($"v")))
+            .filter($"vec_id" === $"keep")
+            .select($"vec_id", $"v").localCheckpoint()
+          val (centK, idxK) = IvfIndex.load(spark, store)
+          val np = if (maintained) IvfIndex.loadTunedNProbe(spark, store)
+                   else 2
+          val dups = IvfIndex.search(spark,
+              ex.select($"vec_id".as("q_id"), $"v".as("qv")),
+              idxK, centK, k = 1, nProbe = np)
+            .filter($"cos" >= 0.8)
+            .select($"q_id".as("vec_id"))
+          val kept = ex.join(dups, Seq("vec_id"), "left_anti").localCheckpoint()
+          IvfIndex.appendToIndex(spark,
+            kept.select($"vec_id".as("id"), $"v"), store): Unit
+          maintain()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    rmTree(new java.io.File(staging))
+    val (centF, idxF) = IvfIndex.load(spark, store)
+    val idx = idxF.localCheckpoint()
+    val sizes = idx.groupBy(col("cluster")).count()
+      .agg(count(lit(1)).as("cells"), max(col("count")).as("maxc")).head()
+    val plantedArrived = arrivals(withB(spark.read.parquet(file)))
+      .filter(col("vec_id") % 1000000000L >= 200000L).count()
+    val plantedIndexed = idx
+      .filter(col("id") % 1000000000L >= 200000L).count()
+    val npFinal = if (maintained) IvfIndex.loadTunedNProbe(spark, store)
+                  else 2
+    val qs = idx.filter(col("id") % 1000000000L < 10L)
+      .select(col("id").as("q_id"), col("v").as("qv"))
+    val recall = IvfIndex.recallAtK(spark, qs, idx, centF, k = 3,
+        nProbes = Seq(npFinal))
+      .select(col("avg_recall")).head().getDouble(0)
+    Summary(scratch, splits, sizes.getLong(0), sizes.getLong(1), idx.count(),
+      plantedArrived, plantedIndexed, npFinal, retunes, recall,
+      (System.nanoTime() - t0) / 1e9)
+  }
+
+  def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+    }
+    f.delete(): Unit
+  }
+
+  /** Decade probe: `runMain graft.tools.SemStreamScale <sfDir>
+    * <maxCellSize> <buildK>` — one summary line; compare the
+    * split-maintained regime's wall clock across sf1.0/sf10 against
+    * the recorded ×51 pinned-regime factor. */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, maxCell, k) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = run(spark, sfDir, maxCell.toLong, k.toInt)
+    println(s"""{"probe":"semscale","sfDir":"$sfDir","maxCell":$maxCell,""" +
+      s""""splits":${s.splits},"cells":${s.cells},"maxCellSeen":${s.maxCell},""" +
+      s""""indexRows":${s.indexRows},"plantedArrived":${s.plantedArrived},""" +
+      s""""plantedIndexed":${s.plantedIndexed},"nProbe":${s.nProbe},""" +
+      s""""retunes":${s.retunes},"avgRecall":${s.avgRecall},""" +
+      s""""secs":${f"${s.secs}%.1f"}}""")
+    rmTree(new java.io.File(s.storeDir))
+    spark.stop()
+  }
+}

@@ -81,4 +81,46 @@ class MaterializedViewSpec extends SparkSpec {
     EventStreams.latestGeneration(spark, store, before = 7L) shouldBe None
     assertCleanAudit(graft.tools.StoreDoctor.auditAggStore(spark, store))
   }
+
+  it("time-travel reads serve any committed snapshot and refuse vacuumed ones") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val base = java.nio.file.Files.createTempDirectory("mv-tt").toString
+    val store = s"$base/store"
+    val query = EventStreams.materializedAggStore(
+      mem.toDF().toDF("k", "x"),
+      keyCols = Seq("k"),
+      batchAggs = Seq(count(lit(1)).as("n"), sum($"x").as("v")),
+      mergeAggs = Seq(sum($"n").as("n"), sum($"v").as("v")),
+      store = store, checkpoint = s"$base/ckpt")
+    try {
+      mem.addData(("a", 1.0), ("b", 10.0))
+      query.processAllAvailable()
+      mem.addData(("a", 4.0))
+      query.processAllAvailable()
+      mem.addData(("c", 2.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    EventStreams.committedAggGenerations(store) shouldBe Seq(0L, 1L, 2L)
+    // every committed generation is a complete point-in-time snapshot
+    EventStreams.loadAggStoreAt(spark, store, Some(0L))
+      .agg(sum($"n")).as[Long].head() shouldBe 2L
+    EventStreams.loadAggStoreAt(spark, store, Some(1L))
+      .agg(sum($"n")).as[Long].head() shouldBe 3L
+    // None = the newest committed snapshot
+    EventStreams.loadAggStoreAt(spark, store)
+      .agg(sum($"n")).as[Long].head() shouldBe 4L
+    // the shared refusal contract: unreadable generations name the
+    // readable list and the retention remedy
+    intercept[IllegalStateException](
+      EventStreams.loadAggStoreAt(spark, store, Some(9L)))
+      .getMessage should include("not readable")
+    EventStreams.vacuumGenerations(store, keepLast = 1)
+    EventStreams.committedAggGenerations(store) shouldBe Seq(2L)
+    val ex = intercept[IllegalStateException](
+      EventStreams.loadAggStoreAt(spark, store, Some(0L)))
+    ex.getMessage should include("generation 0")
+    ex.getMessage should include("[2]")
+    assertCleanAudit(graft.tools.StoreDoctor.auditAggStore(spark, store))
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tools.SemStreamScale
+
+/** The AT-SCALE posture of cumulative streaming semantic dedup
+  * ([[graft.tools.SemStreamScale]]) — the corpus-scaled-k regime the
+  * q211 gate's pinned-k cap deliberately excludes (r16 verdict #2):
+  * cell-size maintenance BETWEEN micro-batches keeps per-arrival
+  * screening bounded by nProbe × maxCellSize while the store grows
+  * without limit. Mid-stream splits make the cell map batch-dependent
+  * (not SQL-replayable), so the contract is pinned here instead of a
+  * q-gate: the cell bound holds at end of stream, the pinned regime
+  * kills every planted duplicate face, the maintained regime's
+  * detection stays within a pinned floor (recall-typed — a split's
+  * LOCAL sub-centroid fit means a later copy's global probe can miss
+  * its source's sub-cell), no true survivor is ever lost in either
+  * regime, and the split store still meets a brute-force
+  * serving-recall floor. */
+class StreamingSemanticScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  it("mid-stream cell splits bound screening cost; detection stays within a pinned floor") {
+    // split-maintained regime: base k=2 cells (~200 rows each) with a
+    // 60-row bound forces maintenance both at build time and after
+    // appends — the mid-stream split path is genuinely exercised
+    val maintained = SemStreamScale.run(spark, sfDir, maxCellSize = 60,
+      buildK = 2)
+    // pinned regime (q211's shape): same stream, no maintenance
+    val pinned = SemStreamScale.run(spark, sfDir, maxCellSize = 0, buildK = 2)
+    try {
+      maintained.splits should be > 0
+      maintained.maxCell should be <= 60L
+      maintained.cells should be > pinned.cells
+      // the pinned regime (q211's shape) kills every planted face:
+      // exact and cosine-scaled copies of base members, and the
+      // cross-batch copies that die only because batch 0's survivors
+      // joined the growing index
+      maintained.plantedArrived should be > 0L
+      pinned.plantedIndexed shouldBe 0L
+      // under maintenance, detection is RECALL-typed: a split's local
+      // sub-centroid fit lets a later copy's global top-2 probe miss
+      // its source's sub-cell — pin the floor, not invariance
+      val leaked = maintained.plantedIndexed
+      leaked.toDouble / maintained.plantedArrived should be <= 0.05
+      // ...but no TRUE SURVIVOR is ever lost: a false kill needs an
+      // indexed vector at cos >= 0.8, which the corpus has none of
+      // organically — so the maintained index is exactly the pinned
+      // index plus the leaked near-dups, nothing else differs
+      val mIds = spark.read.parquet(s"${maintained.storeDir}/ivf/index")
+        .select($"id").collect().map(_.getLong(0)).toSet
+      val pIds = spark.read.parquet(s"${pinned.storeDir}/ivf/index")
+        .select($"id").collect().map(_.getLong(0)).toSet
+      pIds.subsetOf(mIds) shouldBe true
+      (mIds -- pIds).size.toLong shouldBe leaked
+      (mIds -- pIds).forall(_ % 1000000000L >= 200000L) shouldBe true
+      // the split store is still a working index: brute-force recall
+      // floor at the serving budget (k=3, nProbe=2) over many small
+      // cells — the number is deterministic for this fixture
+      maintained.avgRecall should be >= 0.5
+    } finally {
+      SemStreamScale.rmTree(new java.io.File(maintained.storeDir))
+      SemStreamScale.rmTree(new java.io.File(pinned.storeDir))
+    }
+  }
+}

@@ -1036,12 +1036,17 @@ object QueriesPipeline {
     * same segment set. The serve-path `gens` row is metadata-only.
     *
     * Probe-id spacing: the planted probe classes are offset by
-    * multiples of 5·10⁸ (10⁹ per era, +5·10⁸ for the near variant,
-    * 9·10⁹ for never-seen), so no two classes can mint the same
-    * doc_id until the source corpus itself exceeds 5·10⁸ ids (~sf10⁵)
-    * — [[ingestVerdicts]] collapses duplicate ids to one verdict row
-    * while the oracle counts probe ROWS, so an id collision would
-    * diverge the gate (the r16 ADVICE finding this spacing closes). */
+    * multiples of 5·10⁷ (10⁸ per era, +5·10⁷ for the near variant,
+    * 9·10⁸ for never-seen) — far above any contiguous per-corpus id
+    * range yet BELOW the 10⁹ ScaleUp replica stride, so a probe
+    * minted from replica r's documents stays inside replica r's id
+    * gap instead of landing on replica r+k's organic or probe ids
+    * (the first widening attempt used 10⁹-scale offsets and collided
+    * with the stride itself at sf1.0 — caught by the full sf1.0
+    * sweep). [[ingestVerdicts]] collapses duplicate ids to one
+    * verdict row while the oracle counts probe ROWS, so any id
+    * collision diverges the gate (the r16 ADVICE finding this
+    * spacing closes). */
   val q212TimeTravel: Q = (s, dir) => {
     import s.implicits._
     val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1073,13 +1078,13 @@ object QueriesPipeline {
         src.filter($"doc_id" % 7 === 0)
           .select(($"doc_id" + off).as("doc_id"), $"text")
           .unionByName(src.filter($"doc_id" % 11 === 0)
-            .select(($"doc_id" + off + 500000000L).as("doc_id"),
+            .select(($"doc_id" + off + 50000000L).as("doc_id"),
               concat($"text", lit(" zz qq")).as("text")))
-      val probes = copies(corpus, 1000000000L)
-        .unionByName(copies(d1, 2000000000L))
-        .unionByName(copies(d2, 3000000000L))
+      val probes = copies(corpus, 100000000L)
+        .unionByName(copies(d1, 200000000L))
+        .unionByName(copies(d2, 300000000L))
         .unionByName(t.filter($"doc_id" % 13 === 0)
-          .select(($"doc_id" + 9000000000L).as("doc_id"),
+          .select(($"doc_id" + 900000000L).as("doc_id"),
             reverse($"text").as("text")))
         .localCheckpoint()
       (1L to 3L).map { g =>
@@ -1161,17 +1166,17 @@ object QueriesPipeline {
        |d2 AS MATERIALIZED (
        |  SELECT doc_id, text FROM bkt WHERE bk >= 8 AND doc_id % 2 = 1),
        |probes AS MATERIALIZED (
-       |  SELECT doc_id + 1000000000 AS doc_id, text FROM corpus
+       |  SELECT doc_id + 100000000 AS doc_id, text FROM corpus
        |    WHERE doc_id % 7 = 0
-       |  UNION ALL SELECT doc_id + 1500000000, text || ' zz qq' FROM corpus
+       |  UNION ALL SELECT doc_id + 150000000, text || ' zz qq' FROM corpus
        |    WHERE doc_id % 11 = 0
-       |  UNION ALL SELECT doc_id + 2000000000, text FROM d1 WHERE doc_id % 7 = 0
-       |  UNION ALL SELECT doc_id + 2500000000, text || ' zz qq' FROM d1
+       |  UNION ALL SELECT doc_id + 200000000, text FROM d1 WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 250000000, text || ' zz qq' FROM d1
        |    WHERE doc_id % 11 = 0
-       |  UNION ALL SELECT doc_id + 3000000000, text FROM d2 WHERE doc_id % 7 = 0
-       |  UNION ALL SELECT doc_id + 3500000000, text || ' zz qq' FROM d2
+       |  UNION ALL SELECT doc_id + 300000000, text FROM d2 WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 350000000, text || ' zz qq' FROM d2
        |    WHERE doc_id % 11 = 0
-       |  UNION ALL SELECT doc_id + 9000000000, reverse(text) FROM bkt
+       |  UNION ALL SELECT doc_id + 900000000, reverse(text) FROM bkt
        |    WHERE doc_id % 13 = 0),
        |${QueriesStreaming.ingestSigCtes("p_", "probes")},
        |${QueriesStreaming.ingestSigCtes("s_", "corpus")},

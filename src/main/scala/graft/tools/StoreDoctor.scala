@@ -370,7 +370,18 @@ object StoreDoctor {
           out += Finding(pathPrefix, "manifest", "info",
             "no committed store at this prefix")
       case Some(g) =>
-        val segs = graft.operators.TextDedup.segmentsOf(pathPrefix, g)
+        // STRICT segment resolution (the read-path rule): a segmented
+        // store whose head descriptor is lost has an UNKNOWABLE
+        // segment set — the lenient fallback would audit it healthy
+        // with a carry-segment-less guess, hiding exactly the state
+        // the reads now refuse
+        val segsOrErr =
+          try Right(graft.operators.TextDedup.segmentsOfStrict(pathPrefix, g))
+          catch { case e: IllegalStateException => Left(e.getMessage) }
+        val segs = segsOrErr.getOrElse(Seq.empty)
+        segsOrErr.left.foreach { msg =>
+          out += Finding(pathPrefix, "manifest", "error", msg)
+        }
         val segNums = segs.flatMap(s => s.stripPrefix("g").toLongOption)
         val missing = segs.filter { seg =>
           seg.stripPrefix("g").toLongOption
@@ -381,7 +392,7 @@ object StoreDoctor {
             s"committed generation g$g references segment(s) " +
               s"${missing.mkString(", ")} with missing or incomplete " +
               "tables — the manifest points at an unreadable generation")
-        else
+        else if (segsOrErr.isRight)
           out += Finding(pathPrefix, "manifest", "ok",
             s"committed generation g$g with fp, bands, mh across " +
               s"${segs.size} segment(s)")

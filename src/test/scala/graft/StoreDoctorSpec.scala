@@ -182,6 +182,37 @@ class StoreDoctorSpec extends SparkSpec {
       errors(preSwap) shouldBe empty
       kinds(preSwap, "warn") should contain("scratch")
     }
+
+    it("flags a segmented store whose head descriptor is lost instead of auditing a guess") {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .limit(40).select($"doc_id", $"text")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-doc-desc").toString + "/store"
+      TextDedup.writeDedupStoreBucketed(docs, "doc_id", "text",
+        shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "sdoc_desc", pathPrefix = path, buckets = 4,
+        retainGenerations = 2)
+      TextDedup.appendToDedupStoreBucketed(
+        docs.limit(5).select(($"doc_id" + 700000L).as("doc_id"), $"text"),
+        "doc_id", "text", shingleN = 5, k = 8, rowsPerBand = 2,
+        namePrefix = "sdoc_desc", pathPrefix = path, buckets = 4,
+        retainGenerations = 2)
+      errors(StoreDoctor.auditDedup(spark, path)) shouldBe empty
+      // lose the head's segment descriptor: its segment set is now
+      // unknowable — the audit must say so (the lenient fallback would
+      // report a healthy single-segment store, the exact silent-guess
+      // hazard the strict read path refuses)
+      graft.sources.StoreFs.deleteFile(s"${path}_g2_segments")
+      val lost = StoreDoctor.auditDedup(spark, path)
+      errors(lost).map(_.kind) should contain("manifest")
+      errors(lost).map(_.detail).mkString should include("descriptor")
+      // the read path refuses identically
+      intercept[IllegalStateException] {
+        TextDedup.ingestFlagsBucketed(docs, "doc_id", "text",
+          "sdoc_desc", path, shingleN = 5, k = 8, rowsPerBand = 2,
+          minAgree = 4).count()
+      }.getMessage should include("descriptor")
+    }
   }
 
   describe("StoreDoctor: streaming materialized-agg store") {

@@ -137,8 +137,20 @@ object SemStreamScale {
       // count; here it stays ~1-2.5% of the corpus at every probe SF.)
       val sample = base.filter(col("id") % 1000000000L < 50L)
         .select(col("id").as("q_id"), col("v").as("qv"))
+      // CORPUS-SCALED width grid: powers of two up to the post-
+      // maintenance cell count (min 16) — a fixed grid caps out as
+      // splits multiply cells (the r17 sf10 probe hit nProbe=16 of
+      // 319 cells with the floor unmet and leaked 3.1%); deriving the
+      // ceiling from the store lets the tuner keep buying recall as
+      // long as the floor demands it. The stream grows cells ~|delta|/
+      // maxCellSize past this ceiling — a production loop re-derives
+      // the grid at refit; the staleness refresh re-tunes over the
+      // PERSISTED grid by contract.
+      val cells0 = spark.read.parquet(s"$store/centroids").count()
+      val widths = Iterator.iterate(1L)(_ * 2)
+        .takeWhile(_ <= math.max(16L, cells0)).map(_.toInt).toSeq
       IvfIndex.tuneNProbe(spark, store, sample, k = 1,
-        nProbes = Seq(1, 2, 4, 8, 16), recallFloor = 1.0): Unit
+        nProbes = widths, recallFloor = 1.0): Unit
     }
     val (staging, stream) = graft.QueriesStreaming.keyedMultiBatchStream(
       spark, file, "semscale", sfDir + maxCellSize, d => arrivals(withB(d)),

@@ -1003,6 +1003,270 @@ object QueriesPipeline {
        |ORDER BY bk, stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q216
+  /** The q211 cumulative semantic build with an NSW SCREENING TIER —
+    * the answer to the flat probe's scaling wall (r17 verdict #2):
+    * q211 screens each arrival against nProbe FLAT cells, so its
+    * per-arrival candidate cost is nProbe × |cell| — bounded only by
+    * cell-size maintenance, and the maintained regime's tuner keeps
+    * BUYING nProbe as cells multiply (the SemStreamScale decade probes
+    * watch exactly that number grow). The graph tier removes the cell
+    * size from the exponent entirely: a batched greedy walk
+    * ([[graft.operators.NswIndex.search]], nProbe 2, ef 8, rounds 2,
+    * degree 4) scores `nProbe + rounds·ef·degree` ≈ 66 vectors per
+    * arrival REGARDLESS of cell size — the per-arrival budget is a
+    * CONSTANT of the walk settings, not a function of the corpus.
+    *
+    * Per batch: intra-batch exact dedup → NSW walk vs the PERSISTED
+    * graph store (dup iff top-1 cos ≥ 0.8) → survivors appended to
+    * BOTH tiers ([[graft.operators.IvfIndex.appendToIndex]] for the
+    * vectors, [[graft.operators.NswIndex.appendToNsw]] for the graph —
+    * the EXACT merge, `append ≡ fitGraph(base ∪ delta)` per q186, so
+    * the growing graph never drifts from a direct build). Same planted
+    * faces as q211 (exact/scaled copies of index members, same-batch
+    * and cross-batch copies of fresh survivors).
+    *
+    * The trade is q211's correctness-vs-cost fork made explicit:
+    * detection through a walk is RECALL-typed (a beam can miss its
+    * source — the SemStreamScale lesson), but DETERMINISTICALLY so —
+    * every trim tie-breaks (score desc, id asc) and the scoring is
+    * fixed-order, so the oracle replays the ENTIRE funnel including
+    * any leak: per batch the full walk over the growing store
+    * relation (the q184 CTE chain instantiated per batch), the
+    * threshold, the survivor assignment, and the append-≡-rebuild
+    * graph equivalence. What leaks is identical in both engines —
+    * the gate certifies the funnel's determinism, the spec suite
+    * (`StreamingSemanticScaleSpec`) owns the recall floor story.
+    *
+    * Gate rows: q211's per-batch funnel + `f_serve` (final-store walk,
+    * k=3, Σ rank·n_id) + `g_index` (flat read-back) + `h_graph`
+    * (edge count + Σ dst over the final PERSISTED graph — equal to a
+    * direct fitGraph over the final corpus only because four exact
+    * appends composed losslessly). Above sf1.0 the fixture keeps the
+    * first TWO ScaleUp replicas (declared-cap pattern, q188/q34/q211):
+    * the oracle rebuilds the per-batch graphs as |cell|² pair joins,
+    * which the cap keeps DuckDB-sized; no-op at the three gate SFs.
+    * At-least-once window: q211's caveat applies verbatim (marker
+    * after append; single-attempt fixture). */
+  val q216NswScreenBuild: Q = (s, dir) => {
+    import s.implicits._
+    val cap = 2000000000L
+    val base = streamPipelineCache.computeIfAbsent("q216:" + dir, _ => {
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val b = s"/root/repo/target/tmp/graft_q216_$stem"
+      rmTree(new java.io.File(b))
+      val file = s"$dir/embeddings.parquet"
+      val bk10 = graft.operators.Sampling.hashBucket($"vec_id", 10)
+      val corpus = s.read.parquet(file)
+        .filter(bk10 < 8 && $"vec_id" < cap)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = graft.operators.IvfIndex
+        .fitCentroids(s, corpus, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val idxBase = graft.operators.IvfIndex.assign(corpus, cent)
+          .localCheckpoint()
+        graft.operators.IvfIndex.save(cent, idxBase, s"$b/ivf")
+        graft.operators.NswIndex.saveNsw(
+          graft.operators.NswIndex.fitGraph(idxBase, degree = 4),
+          graft.operators.NswIndex.entryPoints(idxBase, cent), s"$b/nsw")
+      } finally cent.unpersist(): Unit
+      def delta(df: DataFrame): DataFrame = {
+        val t = df.filter($"vec_id" < cap)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+          .withColumn("b", graft.operators.Sampling.hashBucket($"vec_id", 10))
+        val scaled = transform($"v", x => x * 1.01)
+        t.filter($"b" >= 8).select($"vec_id", $"v")
+          .unionByName(t.filter($"b" < 8 && $"vec_id" % 7 === 0)
+            .select(($"vec_id" + 200000L).as("vec_id"), $"v"))
+          .unionByName(t.filter($"b" < 8 && $"vec_id" % 11 === 0)
+            .select(($"vec_id" + 300000L).as("vec_id"), scaled.as("v")))
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 13 === 0)
+            .select(($"vec_id" + 400000L).as("vec_id"), $"v"))
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 4 === 0)
+            .select(($"vec_id" + 2000002L).as("vec_id"), $"v"))
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 4 === 0 &&
+              $"vec_id" % 3 === 0)
+            .select(($"vec_id" + 3000002L).as("vec_id"), scaled.as("v")))
+      }
+      val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
+        s, file, "q216", dir, delta, col("vec_id") % 4)
+      val query = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val marker = s".q216_batch_${batchId}_applied"
+            if (!graft.sources.StoreFs.childNames(b).contains(marker)) {
+              val slice = batch.toDF().select($"vec_id", $"v")
+                .localCheckpoint()
+              val ex = slice
+                .withColumn("keep", min($"vec_id").over(org.apache.spark.sql
+                  .expressions.Window.partitionBy($"v")))
+                .filter($"vec_id" === $"keep")
+                .select($"vec_id", $"v").localCheckpoint()
+              val (centK, idxK) = graft.operators.IvfIndex.load(s, s"$b/ivf")
+              // capture the pre-append base: appendToNsw's exact merge
+              // scores existing nodes against the delta only
+              val idxCk = idxK.localCheckpoint()
+              val (graphK, entriesK) =
+                graft.operators.NswIndex.loadNsw(s, s"$b/nsw")
+              // THE screening tier: constant per-arrival walk budget
+              // (nProbe + rounds·ef·degree scored vectors) instead of
+              // the flat probe's nProbe × |cell|
+              val dups = graft.operators.NswIndex.search(s,
+                  ex.select($"vec_id".as("q_id"), $"v".as("qv")),
+                  graphK, idxCk, centK, entriesK,
+                  k = 1, nProbe = 2, ef = 8, rounds = 2)
+                .filter($"cos" >= 0.8)
+                .select($"q_id".as("vec_id"))
+              val kept = ex.join(dups, Seq("vec_id"), "left_anti")
+                .localCheckpoint()
+              val idxDelta = graft.operators.IvfIndex
+                .assign(kept.select($"vec_id".as("id"), $"v"), centK)
+                .localCheckpoint()
+              graft.operators.IvfIndex.appendToIndex(s,
+                kept.select($"vec_id".as("id"), $"v"), s"$b/ivf"): Unit
+              graft.operators.NswIndex.appendToNsw(s, s"$b/nsw",
+                idxCk, idxDelta, centK, degree = 4)
+              def row(stage: String, df: DataFrame) =
+                df.agg(count(lit(1)).cast("long").as("n_rows"),
+                    coalesce(sum($"vec_id"), lit(0L)).cast("long").as("w"))
+                  .select(lit(batchId).cast("long").as("bk"),
+                    lit(stage).as("stage"), $"n_rows", $"w")
+              row("a_arrived", slice)
+                .unionByName(row("b_exact", ex))
+                .unionByName(row("c_store", kept))
+                .coalesce(1).write.mode("append").parquet(s"$b/funnel")
+              graft.sources.StoreFs.touchMarker(b, marker)
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      rmTree(new java.io.File(staging))
+      b
+    })
+    val (centF, idxF) = graft.operators.IvfIndex.load(s, s"$base/ivf")
+    val (graphF, entriesF) = graft.operators.NswIndex.loadNsw(s, s"$base/nsw")
+    val qs = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val serveRow = graft.operators.NswIndex
+      .search(s, qs, graphF, idxF, centF, entriesF,
+        k = 3, nProbe = 2, ef = 8, rounds = 2)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"rank".cast("long") * $"n_id"), lit(0L))
+          .cast("long").as("w"))
+      .select(lit(-1L).as("bk"), lit("f_serve").as("stage"), $"n_rows", $"w")
+    val indexRow = idxF
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"id"), lit(0L)).cast("long").as("w"))
+      .select(lit(-2L).as("bk"), lit("g_index").as("stage"), $"n_rows", $"w")
+    val graphRow = graphF.select(explode($"nbrs").as("dst"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"dst"), lit(0L)).cast("long").as("w"))
+      .select(lit(-3L).as("bk"), lit("h_graph").as("stage"), $"n_rows", $"w")
+    s.read.parquet(s"$base/funnel")
+      .unionByName(serveRow).unionByName(indexRow).unionByName(graphRow)
+      .orderBy($"bk", $"stage")
+  }
+
+  val q216Sql: String = {
+    import QueriesSimilarity.{dotSql, norm2Sql, lloydIdxSql, nswCos,
+      nswWalkBaseCtes, nswRoundCtes}
+    // assign relation `src(id, v)` to its argmax-cosine fitted cell —
+    // the engine's IvfIndex.assign tie-break (cos DESC, cluster ASC)
+    def assignSql(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT id, v, cluster FROM (
+         |    SELECT e.id, e.v, c.cluster,
+         |           row_number() OVER (PARTITION BY e.id
+         |             ORDER BY ${nswCos("e.v", "c.centroid")} DESC, c.cluster ASC) AS rn
+         |    FROM $src e CROSS JOIN cent c)
+         |  WHERE rn = 1)""".stripMargin
+    val perBatch = (0 until 4).map { k =>
+      s"""arr$k AS (SELECT id, v FROM delta WHERE id % 4 = $k),
+         |ex$k AS MATERIALIZED (
+         |  SELECT id, v FROM (
+         |    SELECT *, min(id) OVER (PARTITION BY v) AS keep FROM arr$k)
+         |  WHERE id = keep),
+         |qs$k AS (SELECT id AS q_id, v AS qv FROM ex$k),
+         |${nswWalkBaseCtes(s"st$k", s"b$k", s"qs$k", "cent")},
+         |${nswRoundCtes(s"st$k", 1, s"b${k}v0", s"b${k}v0", 8, s"b$k",
+                         s"b${k}graph", s"qs$k")},
+         |${nswRoundCtes(s"st$k", 2, s"b${k}nv1", s"b${k}nf1", 8, s"b$k",
+                         s"b${k}graph", s"qs$k")},
+         |dup$k AS (
+         |  SELECT q_id AS id FROM (
+         |    SELECT q_id, id, cos, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, id ASC) AS rn FROM b${k}nv2)
+         |  WHERE rn = 1 AND round(cos, 4) >= 0.8),
+         |sv$k AS MATERIALIZED (
+         |  SELECT id, v FROM ex$k WHERE id NOT IN (SELECT id FROM dup$k)),
+         |${assignSql(s"svidx$k", s"sv$k")},
+         |st${k + 1} AS MATERIALIZED (
+         |  SELECT * FROM st$k UNION ALL SELECT id, v, cluster FROM svidx$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val funnelRows = (0 until 4).map { k =>
+      s"""  SELECT CAST($k AS BIGINT) AS bk, 'a_arrived' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) AS w FROM arr$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'b_exact', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM ex$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'c_store', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM sv$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH eb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         (${QueriesStreaming.ingestBktDigits}) % 10 AS bk
+       |  FROM (SELECT vec_id, embedding,
+       |               md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+       |        WHERE vec_id < 2000000000)),
+       |src AS MATERIALIZED (SELECT vec_id AS id, v FROM eb WHERE bk < 8),
+       |${lloydIdxSql("src", "8")},
+       |delta AS MATERIALIZED (
+       |  SELECT vec_id AS id, v FROM eb WHERE bk >= 8
+       |  UNION ALL SELECT vec_id + 200000 AS id, v FROM eb
+       |    WHERE bk < 8 AND vec_id % 7 = 0
+       |  UNION ALL SELECT vec_id + 300000 AS id,
+       |    list_transform(v, x -> x * 1.01) AS v FROM eb
+       |    WHERE bk < 8 AND vec_id % 11 = 0
+       |  UNION ALL SELECT vec_id + 400000 AS id, v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 13 = 0
+       |  UNION ALL SELECT vec_id + 2000002 AS id, v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 4 = 0
+       |  UNION ALL SELECT vec_id + 3000002 AS id,
+       |    list_transform(v, x -> x * 1.01) AS v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 4 = 0 AND vec_id % 3 = 0),
+       |st0 AS MATERIALIZED (SELECT id, v, cluster FROM idx),
+       |$perBatch,
+       |qsv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |        FROM embeddings WHERE vec_id < 5),
+       |${nswWalkBaseCtes("st4", "f", "qsv", "cent")},
+       |${nswRoundCtes("st4", 1, "fv0", "fv0", 8, "f", "fgraph", "qsv")},
+       |${nswRoundCtes("st4", 2, "fnv1", "fnf1", 8, "f", "fgraph", "qsv")},
+       |serve AS (
+       |  SELECT q_id, id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, id ASC) AS BIGINT) AS rank FROM fnv2
+       |  QUALIFY rank <= 3)
+       |SELECT bk, stage, n_rows, w FROM (
+       |  SELECT CAST(-1 AS BIGINT) AS bk, 'f_serve' AS stage,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         COALESCE(CAST(sum(rank * id) AS BIGINT), 0) AS w FROM serve
+       |  UNION ALL
+       |  SELECT CAST(-2 AS BIGINT), 'g_index', CAST(count(*) AS BIGINT),
+       |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM st4
+       |  UNION ALL
+       |  SELECT CAST(-3 AS BIGINT), 'h_graph', CAST(count(*) AS BIGINT),
+       |         COALESCE(CAST(sum(dst) AS BIGINT), 0) FROM fgraph
+       |  UNION ALL
+       |$funnelRows)
+       |ORDER BY bk, stage""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q212
   /** TIME-TRAVEL reads of the generational dedup store
     * ([[graft.operators.TextDedup.ingestFlagsBucketed]]'s
@@ -1201,5 +1465,6 @@ object QueriesPipeline {
     ("q210_cumulative_build", q210CumulativeBuild, Some(q210Sql)),
     ("q211_semantic_stream_build", q211SemStreamBuild, Some(q211Sql)),
     ("q212_time_travel", q212TimeTravel, Some(q212Sql)),
+    ("q216_nsw_screen_build", q216NswScreenBuild, Some(q216Sql)),
   )
 }

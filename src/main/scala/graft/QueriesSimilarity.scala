@@ -1431,13 +1431,13 @@ object QueriesSimilarity {
        |${nswRoundCtes(idxRel, 1, "v0", "v0", 8, "")},
        |${nswRoundCtes(idxRel, 2, "nv1", "nf1", 8, "")}""".stripMargin
 
-  private def nswCos(a: String, b: String): String =
+  private[graft] def nswCos(a: String, b: String): String =
     s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
 
   /** One beam round of the walk replay, CTE names prefixed with `p` so
     * q194 can instantiate several (ef, rounds) settings over the SAME
     * graph/probes/v0 base in one query. */
-  private def nswRoundCtes(idxRel: String, i: Int, prevV: String,
+  private[graft] def nswRoundCtes(idxRel: String, i: Int, prevV: String,
                            prevF: String, ef: Int, p: String,
                            graphRel: String = "graph",
                            qsRel: String = "qs"): String =
@@ -1473,7 +1473,7 @@ object QueriesSimilarity {
     * where the engine's ledger scrub drops it, because a scrubbed
     * citation and a citation whose vector no longer exists are the
     * same absence to the walk. */
-  private def nswWalkBaseCtes(idxRel: String, p: String = "",
+  private[graft] def nswWalkBaseCtes(idxRel: String, p: String = "",
                               qsRel: String = "qs",
                               centRel: String = "cent",
                               structRel: String = ""): String = {

@@ -555,6 +555,10 @@ object QueriesStreaming {
         namePrefix = name, pathPrefix = path, buckets = 8)
       graft.operators.TextDedup.deleteFromDedupStore(s, path,
         corpus.filter($"doc_id" % 5 === 1).select($"doc_id"))
+      // two collects on purpose, NOT a compute-once candidate: the
+      // first materializes the verdicts BEFORE the compaction mutates
+      // the store, the second re-evaluates the (lazy) frame AGAINST the
+      // compacted store — the pair IS the compaction-invariance check
       val tombstoned = flags(name, path).collect().toSeq
       graft.operators.TextDedup.compactDedupStore(s, name, path, buckets = 8)
       require(flags(name, path).collect().toSeq == tombstoned,
@@ -1296,6 +1300,92 @@ object QueriesStreaming {
        |ORDER BY gen""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q217
+  /** KEYED RETRACTION from the materialized-view store
+    * ([[EventStreams.retractFromAggStore]]) — the fourth family's
+    * right-to-be-forgotten verb, closing the q215 asymmetry (r17
+    * verdict #3: time travel made the store retain user-keyed
+    * aggregates across generations forever while the other three
+    * families had tombstone/ledger stories). The verb is
+    * generation-scoped like the NSW deletion ledger — an append-only
+    * overlay `(key, retracted_at_gen = newest committed + 1)`, never
+    * an in-place snapshot rewrite (which would open the
+    * marker-with-torn-data window the family defines as corruption) —
+    * and every read of generation `g` scrubs keys with
+    * `retracted_at_gen > g`: head and history forget immediately, the
+    * stream's NEXT fold reads the scrubbed head so physical
+    * forgetting rides the store's own write path, and a re-arriving
+    * key returns with only post-retraction contributions.
+    *
+    * Fixture: the q215 keyed 4-batch store (batch k ≡ `event_id % 4 =
+    * k`, integer cents), then retract every `user_id % 7 = 3` key.
+    * Gate: one row per generation AFTER the retraction (users /
+    * events / cents — each snapshot minus the retracted keys' rows,
+    * SQL-replayable as the slice-prefix aggregate over surviving
+    * users) + a meta row (count of retracted keys, live `gens`
+    * discovery). The in-flight refusal, forward-fold physical
+    * removal, re-arrival, vacuum release and torn-overlay semantics
+    * are spec-pinned (`MaterializedViewSpec`).
+    *
+    * Scale shape: the overlay is retraction-sized and broadcast into
+    * every snapshot read's anti-join; recording is one append;
+    * nothing rewrites — the cost of forgetting is one small table
+    * until vacuum retires the history that needed it. */
+  val q217AggRetraction: Q = (s, dir) => {
+    import s.implicits._
+    val file = s"$dir/events.parquet"
+    val (base, stream) = keyedMultiBatchStream(s, file, "q217", dir,
+      _.select($"event_id", $"user_id",
+        round($"value" * 100).cast("long").as("cents")),
+      col("event_id") % 4)
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    try {
+      val query = EventStreams.materializedAggStore(stream,
+        keyCols = Seq("user_id"),
+        batchAggs = Seq(count(lit(1)).as("n"), sum($"cents").as("c")),
+        mergeAggs = Seq(sum($"n").as("n"), sum($"c").as("c")),
+        store = store, checkpoint = ckpt)
+      try query.processAllAvailable() finally query.stop()
+      val gens = EventStreams.committedAggGenerations(store)
+      require(gens == Seq(0L, 1L, 2L, 3L),
+        s"q217: expected 4 committed generations, got $gens")
+      val nRetracted = EventStreams.retractFromAggStore(s, store,
+        s.read.parquet(file).filter($"user_id" % 7 === 3).select($"user_id"))
+      val perGen = gens.map { g =>
+        EventStreams.loadAggStoreAt(s, store, Some(g))
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum($"n").cast("long").as("n_events"),
+            sum($"c").cast("long").as("cents"))
+          .select(lit(g).as("gen"), $"n_users", $"n_events", $"cents")
+      }.reduce(_ unionByName _)
+      val metaRow = Seq((-1L, nRetracted, gens.size.toLong, gens.sum))
+        .toDF("gen", "n_users", "n_events", "cents")
+      perGen.unionByName(metaRow).orderBy($"gen")
+        .localCheckpoint() // 5 rows; pre-cleanup (store lives under base)
+    } finally rmTree(new java.io.File(base))
+  }
+  val q217Sql: String = {
+    val perGen = (0 to 3).map { g =>
+      s"""  SELECT CAST($g AS BIGINT) AS gen,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |         CAST(count(*) AS BIGINT) AS n_events,
+         |         CAST(sum(cents) AS BIGINT) AS cents
+         |  FROM live WHERE event_id % 4 <= $g""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ev AS (SELECT event_id, user_id,
+       |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |live AS (SELECT * FROM ev WHERE user_id % 7 <> 3)
+       |SELECT gen, n_users, n_events, cents FROM (
+       |$perGen
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT),
+       |         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev
+       |          WHERE user_id % 7 = 3),
+       |         CAST(4 AS BIGINT), CAST(6 AS BIGINT))
+       |ORDER BY gen""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q177
   /** Streaming EXACT order statistics: for a bounded integer domain
     * (cent-scaled values), the mergeable exact-quantile state is simply
@@ -1471,6 +1561,7 @@ object QueriesStreaming {
     ("q172_stream_bitmap", q172StreamBitmap, Some(QueriesScale.q165Sql)),
     ("q173_materialized_view", q173MaterializedView, Some(q173Sql)),
     ("q215_agg_time_travel", q215AggTimeTravel, Some(q215Sql)),
+    ("q217_agg_retraction", q217AggRetraction, Some(q217Sql)),
     // stream-maintained frequency state must select the SAME exact
     // median as q170's batch bracketing: one oracle, two engines
     ("q177_stream_exact_median", q177StreamExactMedian,

@@ -37,13 +37,23 @@ object ExactQuantile {
     * ([[graft.functions.TDigest]], whose state lives in the
     * aggregation buffers, never on the driver) — and the `maxKeys`
     * guard fails fast with that remedy instead of OOMing the driver
-    * mid-loop. */
+    * mid-loop.
+    *
+    * `maxKeys ≤ 0` (the default) derives the bound FROM `buckets` so
+    * the worst-case per-pass collect stays driver-sized regardless of
+    * how the caller dials the bucket count: keys×buckets is capped at
+    * ~16M count rows (≈ a few hundred MB of driver rows at the
+    * default B = 4096 ⇒ 4096 keys). The guard itself reuses the
+    * pass-0 aggregate (persisted, counted, then collected) — no
+    * separate distinct() scan of the fact table. */
   def atQuantile(spark: SparkSession, df: DataFrame, keyCol: String,
                  valCol: String, q: Double, buckets: Int = 4096,
-                 maxKeys: Int = 100000): DataFrame = {
+                 maxKeys: Int = 0): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
     require(buckets >= 2, s"buckets must be ≥ 2, got $buckets")
-    require(maxKeys >= 1, s"maxKeys must be ≥ 1, got $maxKeys")
+    val keyBound =
+      if (maxKeys > 0) maxKeys
+      else math.max(1, (16L * 1024 * 1024 / buckets).toInt)
     import spark.implicits._
 
     // nulls are excluded from ranks (standard quantile semantics) —
@@ -53,24 +63,33 @@ object ExactQuantile {
       col(valCol).cast("long").as("v"))
       .where(col("v").isNotNull)
     // pass 0: per-key extent and target rank — the per-distinct-key
-    // driver map the scaladoc bounds; guarded BEFORE the collect so a
-    // high-cardinality key fails with the remedy, not a driver OOM
-    val nKeys = base.select($"k").distinct().count()
-    require(nKeys <= maxKeys,
-      s"ExactQuantile.atQuantile: $keyCol has $nKeys distinct keys > " +
-        s"maxKeys=$maxKeys — driver bracketing state is per-key; for " +
-        "high-cardinality keys use percentile_approx or the t-digest " +
-        "sketch (graft.functions.TDigest), whose state stays in the " +
-        "executors' aggregation buffers (raise maxKeys only if the " +
-        "driver is provisioned for keys x buckets count rows per pass)")
+    // driver map the scaladoc bounds. The aggregate is persisted so
+    // the cardinality guard COUNTS it (distributed, never on the
+    // driver) before the collect materializes it driver-side — a
+    // high-cardinality key fails with the remedy, not a driver OOM,
+    // and the fact table is scanned exactly once for pass 0
+    val pass0 = base.groupBy($"k")
+      .agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("n"))
+      .persist()
     var state: Map[String, (Long, Long, Long, Long)] = // k -> (lo, hi, kth, n)
-      base.groupBy($"k")
-        .agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("n"))
-        .collect().map { r =>
+      try {
+        val nKeys = pass0.count()
+        require(nKeys <= keyBound,
+          s"ExactQuantile.atQuantile: $keyCol has $nKeys distinct keys > " +
+            s"$keyBound (maxKeys${if (maxKeys > 0) "" else
+              s" derived from buckets=$buckets"}) — driver bracketing " +
+            "state is per-key; for high-cardinality keys use " +
+            "percentile_approx or the t-digest sketch " +
+            "(graft.functions.TDigest), whose state stays in the " +
+            "executors' aggregation buffers (pass maxKeys explicitly only " +
+            "if the driver is provisioned for keys x buckets count rows " +
+            "per pass)")
+        pass0.collect().map { r =>
           val n = r.getLong(3)
           val kth = math.ceil(q * n).toLong.max(1L)
           r.getString(0) -> (r.getLong(1), r.getLong(2), kth, n)
         }.toMap
+      } finally pass0.unpersist(): Unit
 
     // bracketing passes: scan-count-narrow until every key's range is
     // a single value; each pass shrinks ranges ≥ buckets-fold

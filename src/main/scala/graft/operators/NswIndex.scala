@@ -261,15 +261,20 @@ object NswIndex {
                 degree: Int, retainGenerations: Int = 1): Int =
       withStoreLease(nswDir) {
     val marked = readPendingCells(nswDir).getOrElse(return 0)
+    val headBefore = graft.sources.StoreFs.readManifest(s"$nswDir/manifest")
+      .getOrElse(0L)
     val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
     val indexed = idxRaw.select(col("id"), col("v"),
       col("cluster").cast("long").as("cluster"))
     val (graph, entries) = loadNsw(spark, nswDir)
-    val flatCells = indexed.select(col("cluster")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val graphCells = graph.select(col("cluster").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val affected = (marked.toSet ++ (flatCells -- graphCells)).toSeq.sorted
+    // flat-present-but-graph-absent cells: the set DIFFERENCE stays in
+    // Spark (left_anti of two one-column cell frames) — only the
+    // (typically empty) diff itself is collected, not both cell sets
+    val missingCells = indexed.select(col("cluster")).distinct()
+      .join(graph.select(col("cluster").cast("long").as("cluster")).distinct(),
+        Seq("cluster"), "left_anti")
+      .collect().map(_.getLong(0))
+    val affected = (marked.toSet ++ missingCells).toSeq.sorted
     if (affected.isEmpty) { clearPendingCells(nswDir); return 0 }
     def hit(c: org.apache.spark.sql.Column) =
       c.cast("long").isInCollection(affected)
@@ -284,6 +289,21 @@ object NswIndex {
       .unionByName(entryPoints(slice, centSlice))
     saveNsw(mergedGraph, mergedEntries, nswDir, retainGenerations)
     clearPendingCells(nswDir)
+    // LEDGER RECONCILIATION (see [[ledgerPath]]): an intent citing a
+    // generation beyond the pre-repair head whose id SURVIVES in the
+    // flat store just committed is a delete that never physically
+    // happened (the crash landed before the flat rewrite) — revoke it
+    // so historic reads agree with the head again. Ids ABSENT from
+    // the flat store keep their intent: this repair just completed
+    // their physical removal. Append-only (a torn append merely stays
+    // conservative); delta-sized (crashed-delete ids only).
+    effectiveLedger(spark, nswDir).foreach { led =>
+      val phantom = led.filter(col("deleted_at_gen") > lit(headBefore))
+        .join(indexed.select(col("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("deleted_at_gen")).distinct()
+      if (!phantom.isEmpty)
+        phantom.coalesce(1).write.mode("append").parquet(droppedPath(nswDir))
+    }
     affected.length
   }
 
@@ -326,15 +346,57 @@ object NswIndex {
     * Crash ordering: the ledger is appended BEFORE the irreversible
     * flat rewrite, citing the generation the delete is ABOUT to
     * commit. A crash mid-delete therefore errs in the conservative
-    * direction — historic reads already hide the ids whose deletion
-    * was requested but never completed (deletion INTENT is recorded;
-    * the caller re-runs the delete, whose repair path completes the
-    * physical removal) — never in the resurrection direction.
-    * [[vacuumNsw]] releases the ledger once no readable generation
-    * predates any recorded delete; a lingering ledger is
-    * semantically inert (it only ever scrubs generations older than
-    * the delete). */
+    * direction — historic reads hide the ids whose deletion was
+    * requested but never completed (deletion INTENT is recorded) —
+    * never in the resurrection direction. The conservatism lasts
+    * until [[repairNsw]] adjudicates the crash: an intent citing an
+    * uncommitted generation whose id SURVIVES at the repaired head is
+    * a delete that never physically happened (the crash landed before
+    * the flat rewrite), and repair REVOKES it — appending the entry to
+    * the [[droppedPath]] revocation table, never rewriting the ledger
+    * in place (an interrupted in-place rewrite could lose genuine
+    * older entries = resurrection; a torn revocation append merely
+    * stays conservative) — so `loadNswAt(Some(head))` and `loadNsw`
+    * agree again. A crash AFTER the flat rewrite is completed by
+    * repair instead (the id is gone at the head, the intent stands).
+    * The caller re-running the delete records a fresh intent either
+    * way. [[vacuumNsw]] releases ledger + revocations once no
+    * readable generation predates any un-revoked delete; a lingering
+    * ledger is semantically inert (it only ever scrubs generations
+    * older than the delete). */
   private def ledgerPath(nswDir: String): String = s"$nswDir/tombstones"
+
+  /** The revocation table beside the ledger: `(id, deleted_at_gen)`
+    * pairs [[repairNsw]] verified were never-completed deletes (see
+    * [[ledgerPath]]); historic reads subtract them from the scrub
+    * set. Append-only for the same crash-direction reason as the
+    * ledger itself. */
+  private def droppedPath(nswDir: String): String =
+    s"$nswDir/tombstones_dropped"
+
+  /** [[graft.sources.StoreFs.committedParquet]] — the torn-append
+    * guard: a ledger dir holding only `_temporary` debris (a crash
+    * inside the [[deleteFromNsw]] append before any part file
+    * committed) reads as absent, which is the truthful state — no
+    * deletion intent committed, and the flat rewrite that FOLLOWS the
+    * append never ran either. Keeps [[vacuumNsw]] (invoked by every
+    * saveNsw commit), [[loadNswAt]] historic reads and the
+    * StoreDoctor audit degrading instead of wedging. */
+  private[graft] def committedParquet(spark: SparkSession,
+                                      path: String): Option[DataFrame] =
+    graft.sources.StoreFs.committedParquet(spark, path)
+
+  /** The deletion ledger MINUS revoked entries — the effective scrub
+    * set every historic-read/vacuum/audit consumer shares. */
+  private[graft] def effectiveLedger(spark: SparkSession,
+                                     nswDir: String): Option[DataFrame] =
+    committedParquet(spark, ledgerPath(nswDir)).map { led =>
+      committedParquet(spark, droppedPath(nswDir)) match {
+        case None => led
+        case Some(dropped) =>
+          led.join(dropped, Seq("id", "deleted_at_gen"), "left_anti")
+      }
+    }
 
   def deleteFromNsw(spark: SparkSession, flatDir: String, nswDir: String,
                     ids: DataFrame, degree: Int,
@@ -512,10 +574,12 @@ object NswIndex {
     atGeneration match {
       case None => (graph0, entries0)
       case Some(g) =>
-        val (fs, tp) = graft.sources.StoreFs.of(ledgerPath(dir))
-        if (!fs.exists(tp)) (graph0, entries0)
-        else {
-          val dead = spark.read.parquet(tp.toString)
+        // effectiveLedger: committed entries minus repair-revoked ones;
+        // a torn (never-committed) ledger append reads as absent
+        effectiveLedger(spark, dir) match {
+          case None => (graph0, entries0)
+          case Some(led) =>
+          val dead = led
             .filter(col("deleted_at_gen") > g)
             .select(col("id").as("dead_id")).distinct()
           // node rows of deleted ids go entirely
@@ -565,20 +629,36 @@ object NswIndex {
     graft.sources.StoreFs.sweepScratchDirs(dir,
       graft.sources.StoreFs.writerMarkerPath(dir))
     // Release the deletion ledger once NO readable generation predates
-    // any recorded delete (oldest readable ≥ every deleted_at_gen):
-    // every generation a ledger entry could scrub is gone, so the
-    // ledger is inert — the [[PqIndex.compactTwoTier]] release rule in
-    // the generation-scoped form. A lingering ledger (no active
-    // session to read it, or a crash before this sweep) is harmless:
-    // entries only ever apply to generations older than their delete.
-    val (lfs, lp) = graft.sources.StoreFs.of(ledgerPath(dir))
-    if (lfs.exists(lp)) SparkSession.getActiveSession.foreach { spark =>
-      val readable = committedNswGenerations(dir)
-      if (readable.nonEmpty) {
-        val maxDel = spark.read.parquet(lp.toString)
-          .agg(max(col("deleted_at_gen"))).head().getLong(0)
-        if (readable.min >= maxDel)
-          graft.sources.StoreFs.deleteChild(dir, "tombstones")
+    // any un-revoked delete (oldest readable ≥ every effective
+    // deleted_at_gen): every generation a ledger entry could scrub is
+    // gone, so the ledger is inert — the [[PqIndex.compactTwoTier]]
+    // release rule in the generation-scoped form. A lingering ledger
+    // (no active session to read it, or a crash before this sweep) is
+    // harmless: entries only ever apply to generations older than
+    // their delete. Torn (never-committed) ledger/revocation appends
+    // read as absent and their `_temporary`-only debris is swept here;
+    // a revocation table outliving its ledger is inert debris too.
+    SparkSession.getActiveSession.foreach { spark =>
+      def tornOnly(path: String): Boolean =
+        graft.sources.StoreFs.tornParquetDebris(path)
+      def release(): Unit = {
+        graft.sources.StoreFs.deleteChild(dir, "tombstones")
+        graft.sources.StoreFs.deleteChild(dir, "tombstones_dropped")
+      }
+      if (tornOnly(ledgerPath(dir))) release()
+      else if (committedParquet(spark, ledgerPath(dir)).isEmpty) {
+        // no ledger at all: a revocation table (or its torn debris)
+        // without one is unreferenced — sweep it
+        if (tornOnly(droppedPath(dir)) ||
+            committedParquet(spark, droppedPath(dir)).isDefined)
+          graft.sources.StoreFs.deleteChild(dir, "tombstones_dropped")
+      } else effectiveLedger(spark, dir).foreach { led =>
+        val readable = committedNswGenerations(dir)
+        if (readable.nonEmpty) {
+          val maxDel = led.agg(max(col("deleted_at_gen"))).head()
+          if (maxDel.isNullAt(0) || readable.min >= maxDel.getLong(0))
+            release()
+        }
       }
     }
   }

@@ -21,6 +21,10 @@ object Reports {
     * The window runs over the aggregated (small) result, not the fact. */
   def freqTable(df: DataFrame, key: String, cnt: Column = lit(1)): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(cnt).as("cnt"))
+    // the empty-partition window DOES plan a single-partition
+    // WindowExec (Spark warns) — deliberately safe here: it runs over
+    // `counts`, a group-CARDINALITY frame (one row per key value,
+    // dimension-sized at any corpus scale), never over the fact table
     counts.withColumn("pct",
       round(lit(100.0) * col("cnt") / sum("cnt").over(Window.partitionBy()), 4))
   }

@@ -110,6 +110,33 @@ object StoreFs {
     fs.delete(p, false): Unit
   }
 
+  /** The COMMITTED rows of the small parquet table at `path`, or None
+    * when it is absent — or exists with no committed `part-*` file (a
+    * crash inside an append's FIRST write leaves only `_temporary`
+    * debris, which `spark.read.parquet` refuses with "unable to infer
+    * schema"): no row ever committed, so absent is the truthful
+    * reading. The torn-append guard every append-only overlay table
+    * (the NSW deletion ledger and its revocations, the aggstore
+    * retraction table) reads through, so vacuum/audit/historic-read
+    * paths degrade instead of wedging on the debris. */
+  def committedParquet(spark: SparkSession,
+                       path: String): Option[org.apache.spark.sql.DataFrame] = {
+    val (fs, p) = of(path)
+    if (!fs.exists(p)) None
+    else if (!fs.listStatus(p).exists(_.getPath.getName.startsWith("part-")))
+      None
+    else Some(spark.read.parquet(path))
+  }
+
+  /** True when the dir at `path` exists but holds no committed
+    * `part-*` file — a torn first append's debris, sweepable by the
+    * owning store's vacuum. */
+  def tornParquetDebris(path: String): Boolean = {
+    val (fs, p) = of(path)
+    fs.exists(p) &&
+      !fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+  }
+
   // ------------------------------------------------------------------
   // TIME-TRAVEL SURFACE — the shared half of the historic-read
   // contract all generational store families expose (dedup q212,

@@ -398,7 +398,11 @@ object EventStreams {
     * store (strictly before `before`, for the replay path); None if
     * absent. Only marker-committed generations are visible — a torn
     * partition dir from a crash between data write and marker is
-    * skipped until its batch replays. */
+    * skipped until its batch replays. Retraction-aware: keys recorded
+    * by [[retractFromAggStore]] are scrubbed here, which is also what
+    * makes retraction apply FORWARD — the stream's next fold reads
+    * this scrubbed state, so the generation it commits is physically
+    * key-free. */
   def latestGeneration(spark: SparkSession, store: String,
                        before: Long = Long.MaxValue): Option[DataFrame] = {
     val marker = "\\.gen_(\\d+)_committed".r
@@ -406,8 +410,97 @@ object EventStreams {
       case marker(id) if id.toLong < before => id.toLong
     }
     if (gens.isEmpty) None
-    else Some(spark.read.parquet(s"$store/batch_id=${gens.max}"))
+    else Some(applyRetractions(spark, store, gens.max,
+      spark.read.parquet(s"$store/batch_id=${gens.max}")))
   }
+
+  /** The RETRACTION overlay of a [[materializedAggStore]] store — the
+    * fourth store family's right-to-be-forgotten verb, closing the
+    * asymmetry with the dedup/two-tier/NSW families (tombstones /
+    * deletion ledger): with time travel (q215) the store retains
+    * user-keyed aggregates across generations forever, so "a snapshot
+    * IS its generation's bytes" needs a keyed forget path.
+    *
+    * Shape: generation-scoped like the NSW ledger, never an in-place
+    * snapshot rewrite — rewriting data UNDER a committed marker would
+    * open exactly the marker-with-torn-data window the family defines
+    * as real corruption, and losing the overlay mid-rewrite would err
+    * in the resurrection direction. Instead [[retractFromAggStore]]
+    * appends `(key columns, retracted_at_gen = newest committed + 1)`
+    * — the first generation the retraction is effective at, i.e. the
+    * NSW ledger's exact `deleted_at_gen` convention — and every read
+    * of generation `g` scrubs keys with `retracted_at_gen > g`:
+    *  - historic reads of pre-retraction snapshots hide the keys
+    *    (deleted content must stay deleted on time-travel reads);
+    *  - the head read hides them, so the stream's next fold commits a
+    *    generation that is PHYSICALLY key-free — physical forgetting
+    *    rides the store's own write path instead of a rewrite verb;
+    *  - a key RE-ARRIVING at batch b > watermark lands in generation
+    *    b ≥ retracted_at_gen, which the rule never scrubs: it
+    *    reappears with only its post-retraction contributions.
+    * [[vacuumGenerations]] releases the overlay once no readable
+    * generation predates any recorded retraction (the NSW release
+    * rule); a torn append reads as absent ([[graft.sources.StoreFs
+    * .committedParquet]]) — conservative: nothing recorded, nothing
+    * scrubbed, the caller re-runs the retraction. */
+  private def retractionsPath(store: String): String = s"$store/retractions"
+
+  /** Scrub [[retractFromAggStore]]-recorded keys from a read of
+    * generation `gen` (see [[retractionsPath]]). Join keys are the
+    * overlay's own columns, so callers need not re-supply `keyCols`;
+    * the overlay is retraction-sized — broadcast. */
+  private def applyRetractions(spark: SparkSession, store: String, gen: Long,
+                               snap: DataFrame): DataFrame =
+    graft.sources.StoreFs.committedParquet(spark, retractionsPath(store)) match {
+      case None => snap
+      case Some(r) =>
+        val dead = r.filter(col("retracted_at_gen") > gen)
+          .drop("retracted_at_gen").distinct()
+        snap.join(broadcast(dead), dead.columns.toSeq, "left_anti")
+    }
+
+  /** RETRACT `keys` (a frame of the store's key columns, any other
+    * columns rejected by the read-side join) from a
+    * [[materializedAggStore]] — head, history and all future folds;
+    * see [[retractionsPath]] for the full contract. Returns the
+    * number of distinct keys recorded. REFUSES while an in-flight
+    * (unmarked, at/above the head) batch dir exists: that batch
+    * folded pre-retraction state and would commit the keys into a
+    * generation the scrub rule deliberately never touches — quiesce
+    * the stream (stop it, or call between micro-batches) first. */
+  def retractFromAggStore(spark: SparkSession, store: String,
+                          keys: DataFrame): Long = {
+    val committed = committedAggGenerations(store)
+    require(committed.nonEmpty,
+      s"no committed generation at agg store $store — nothing to retract")
+    val newest = committed.last
+    val dataRe = "batch_id=(\\d+)".r
+    val inFlight = graft.sources.StoreFs.childNames(store)
+      .collect { case dataRe(id) => id.toLong }
+      .filter(id => id >= newest && !committed.contains(id)).sorted
+    require(inFlight.isEmpty,
+      s"agg store $store has in-flight batch dir(s) " +
+        s"batch_id=${inFlight.mkString(", batch_id=")} — that fold read " +
+        "pre-retraction state and would re-commit the keys past the " +
+        "retraction watermark; stop the stream (quiesce between " +
+        "micro-batches) before retracting")
+    val rows = keys.distinct()
+      .withColumn("retracted_at_gen", lit(newest + 1L))
+      .localCheckpoint()
+    rows.coalesce(1).write.mode("append").parquet(retractionsPath(store))
+    rows.count()
+  }
+
+  /** The newest `retracted_at_gen` the committed retraction overlay
+    * records, if any — the [[graft.tools.StoreDoctor]] inspection
+    * surface (generations strictly below it are scrubbed on historic
+    * reads). */
+  def retractionWatermark(spark: SparkSession, store: String): Option[Long] =
+    graft.sources.StoreFs.committedParquet(spark, retractionsPath(store))
+      .flatMap { r =>
+        val m = r.agg(max(col("retracted_at_gen"))).head()
+        if (m.isNullAt(0)) None else Some(m.getLong(0))
+      }
 
   /** Generations of a [[materializedAggStore]] store that are
     * READABLE — valid time-travel targets for [[loadAggStoreAt]] (the
@@ -433,9 +526,11 @@ object EventStreams {
     * the head on. Only [[committedAggGenerations]] qualify; anything
     * else REFUSES with the shared readable-list error. `None` reads
     * the newest committed snapshot, refusing (rather than returning
-    * an empty frame) when the store has none. The family has no
-    * delete verb, so — unlike the dedup/ANN stores — there is no
-    * tombstone overlay: a snapshot IS its generation's bytes. */
+    * an empty frame) when the store has none. A snapshot is its
+    * generation's bytes MINUS the retraction overlay
+    * ([[retractFromAggStore]] — retracted keys must stay forgotten on
+    * time-travel reads, the same contract as the sibling families'
+    * tombstones/ledger). */
   def loadAggStoreAt(spark: SparkSession, store: String,
                      atGeneration: Option[Long] = None): DataFrame =
     atGeneration match {
@@ -447,7 +542,8 @@ object EventStreams {
         if (!readable.contains(g))
           graft.sources.StoreFs.unreadableGeneration(
             "agg store", store, g, readable)
-        spark.read.parquet(s"$store/batch_id=$g")
+        applyRetractions(spark, store, g,
+          spark.read.parquet(s"$store/batch_id=$g"))
     }
 
   /** Retention for a [[materializedAggStore]] store: drop all but the
@@ -476,6 +572,22 @@ object EventStreams {
         case dataDir(id) if id.toLong < newest && !keep.contains(id.toLong) =>
           graft.sources.StoreFs.deleteChild(store, name) // torn debris below the committed watermark
         case _ =>
+      }
+    }
+    // Release the retraction overlay once NO readable generation
+    // predates any recorded retraction (every snapshot it could scrub
+    // is gone and every retained one was folded post-retraction, so
+    // the overlay is inert) — the NswIndex.vacuumNsw release rule on
+    // the fourth family. Torn (never-committed) overlay debris is
+    // swept; a lingering overlay is harmless (it only ever scrubs
+    // generations older than its watermark).
+    SparkSession.getActiveSession.foreach { spark =>
+      if (graft.sources.StoreFs.tornParquetDebris(retractionsPath(store)))
+        graft.sources.StoreFs.deleteChild(store, "retractions")
+      else retractionWatermark(spark, store).foreach { wm =>
+        val readable = committedAggGenerations(store)
+        if (readable.nonEmpty && readable.min >= wm)
+          graft.sources.StoreFs.deleteChild(store, "retractions")
       }
     }
   }

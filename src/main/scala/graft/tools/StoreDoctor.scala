@@ -62,11 +62,74 @@ object StoreDoctor {
 
   private val genRe = "g(\\d+)".r
 
+  /** The SHARED TIME-TRAVEL audit — one implementation of the
+    * historic-read contract's doctor face for all four store families
+    * (the discovery/refusal surface was hoisted into
+    * [[StoreFs.committedGenerationDirs]]/`unreadableGeneration`; this
+    * is its audit half):
+    *  - COHERENCE: the committed head must itself be in the family's
+    *    readable-generation set — a head the family's `loadXAt`
+    *    discovery cannot resolve means head reads and historic reads
+    *    disagree about what exists;
+    *  - HISTORY: readable generations below the head are listed
+    *    uniformly as time-travel targets (vacuum-eligible only once no
+    *    reader is pinned to them);
+    *  - OVERLAY RETENTION: while any readable generation predates a
+    *    recorded delete (`overlay = (name, maxDeleteGen)` — the NSW
+    *    deletion ledger, the aggstore retraction table), the overlay
+    *    must be retained (deleted content must stay deleted on
+    *    time-travel reads); once nothing readable predates it, it is
+    *    inert and the family's vacuum releases it. Families whose
+    *    tombstones are store-wide rather than generation-scoped
+    *    (two-tier, dedup) carry that retention note on their
+    *    `tombstones` weight finding instead. */
+  private[tools] def auditTimeTravel(store: String, kind: String,
+                                     head: Option[Long], readable: Seq[Long],
+                                     overlay: Option[(String, Long)] = None
+                                    ): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    head.foreach { h =>
+      if (!readable.contains(h))
+        out += Finding(store, "time-travel", "error",
+          s"committed head generation g$h of this $kind is not in the " +
+            s"readable set ${readable.map("g" + _).mkString("[", ", ", "]")} " +
+            "— head and historic reads disagree about what exists; repair " +
+            "the store before trusting any read")
+      else {
+        val hist = readable.filter(_ < h)
+        if (hist.nonEmpty)
+          out += Finding(store, "time-travel", "info",
+            s"${hist.size} readable historical generation(s) " +
+              s"(${hist.map("g" + _).mkString(", ")}) besides head g$h — " +
+              "time-travel targets; vacuum-eligible once no reader is " +
+              "pinned to them")
+        else
+          out += Finding(store, "time-travel", "ok",
+            s"head g$h is the only readable generation")
+      }
+    }
+    overlay.foreach { case (name, maxGen) =>
+      val scrubbed = readable.filter(_ < maxGen)
+      if (scrubbed.nonEmpty)
+        out += Finding(store, "time-travel", "info",
+          s"$name records deletes through generation g$maxGen — historic " +
+            s"reads of ${scrubbed.map("g" + _).mkString(", ")} scrub them " +
+            "(deleted content must stay deleted on time-travel reads); " +
+            "the overlay is retained until that history is vacuumed")
+      else
+        out += Finding(store, "time-travel", "info",
+          s"$name is inert — no readable generation predates a recorded " +
+            "delete; the family's vacuum releases it")
+    }
+    out.result()
+  }
+
   /** Audit the dir-style generational spine shared by the two-tier
     * and NSW stores: manifest presence/agreement with on-disk `g<n>`
     * children, expected tables inside the committed generation,
-    * in-flight (above-manifest) generations, vacuum-eligible history,
-    * and interrupted manifest-swap leftovers. */
+    * in-flight (above-manifest) generations, and interrupted
+    * manifest-swap leftovers. Readable-history listing lives in the
+    * shared [[auditTimeTravel]], which both callers invoke. */
   private def auditGenerationalDir(dir: String,
                                    tables: Seq[String]): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
@@ -98,12 +161,6 @@ object StoreDoctor {
             s"uncommitted generation(s) ${inFlight.map("g" + _).mkString(", ")} " +
               "above the manifest — an in-flight or crashed writer; the next " +
               "commit overwrites them")
-        val history = gens.filter(_ < g)
-        if (history.nonEmpty)
-          out += Finding(dir, "generations", "info",
-            s"${history.length} superseded committed generation(s) " +
-              s"(${history.map("g" + _).mkString(", ")}) retained — " +
-              "vacuum-eligible once no reader is pinned to them")
     }
     Seq("manifest__tmp", "manifest__old").filter(children.contains).foreach {
       leftover =>
@@ -230,7 +287,10 @@ object StoreDoctor {
             "tuneTwoTierNProbe writes it; until then refreshTwoTierTuning " +
             "cannot gate a refit recommendation"))
       else Seq.empty
-    spine ++ tomb ++ drift ++ auditTuning(spark, dir) ++
+    spine ++
+      auditTimeTravel(dir, "two-tier store", gen,
+        graft.operators.PqIndex.committedTwoTierGenerations(dir)) ++
+      tomb ++ drift ++ auditTuning(spark, dir) ++
       writerLeaseFinding(dir, StoreFs.writerMarkerPath(dir))
   }
 
@@ -269,6 +329,16 @@ object StoreDoctor {
                nswDir: String): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
     out ++= auditGenerationalDir(nswDir, Seq("graph", "entries"))
+    out ++= auditTimeTravel(nswDir, "NSW store",
+      StoreFs.readManifest(s"$nswDir/manifest"),
+      graft.operators.NswIndex.committedNswGenerations(nswDir),
+      overlay = graft.operators.NswIndex.effectiveLedger(spark, nswDir)
+        .flatMap { led =>
+          import org.apache.spark.sql.functions.{col, max}
+          val m = led.agg(max(col("deleted_at_gen"))).head()
+          if (m.isNullAt(0)) None
+          else Some(("the deletion ledger", m.getLong(0)))
+        })
     graft.operators.NswIndex.readPendingCells(nswDir) match {
       case Some(cells) =>
         out += Finding(nswDir, "pending-maintenance", "error",
@@ -288,22 +358,34 @@ object StoreDoctor {
     // readable generation predates any recorded delete
     if (exists(s"$nswDir/tombstones")) {
       import org.apache.spark.sql.functions.{col, max}
-      val led = spark.read.parquet(s"$nswDir/tombstones")
-      val n = led.count()
-      val maxDel = led.agg(max(col("deleted_at_gen"))).head().getLong(0)
-      val readable = graft.operators.NswIndex.committedNswGenerations(nswDir)
-      if (readable.nonEmpty && readable.min < maxDel)
-        out += Finding(nswDir, "deletion-ledger", "info",
-          s"$n deletion-ledger entr(y/ies) scrubbing historic reads of " +
-            s"generation(s) ${readable.filter(_ < maxDel).map("g" + _)
-              .mkString(", ")} (deleted content must stay deleted on " +
-            "time-travel reads); released by vacuumNsw once history is " +
-            "vacuumed — head reads are unaffected (eager rebuild)")
-      else
-        out += Finding(nswDir, "deletion-ledger", "info",
-          s"$n inert deletion-ledger entr(y/ies) — no readable generation " +
-            "predates a recorded delete; the next vacuumNsw releases the " +
-            "ledger")
+      graft.operators.NswIndex.effectiveLedger(spark, nswDir) match {
+        case None =>
+          // dir exists but no part file ever committed: a crash inside
+          // the deleteFromNsw ledger append — no intent was recorded
+          // and the flat rewrite that follows it never ran; reads and
+          // vacuum treat it as absent (vacuumNsw sweeps the debris)
+          out += Finding(nswDir, "deletion-ledger", "warn",
+            "tombstones/ holds only a torn append's uncommitted debris " +
+              "(no part file) — a crash during the deletion-ledger " +
+              "append; no deletion intent committed, historic reads " +
+              "ignore it, the next vacuumNsw sweeps it; re-run the " +
+              "delete if it is still wanted")
+        case Some(led) =>
+          // which historic generations the ledger scrubs (and when it
+          // is releasable) is the shared time-travel finding's job —
+          // this one carries the family-specific counts
+          val n = led.count()
+          val revoked = graft.operators.NswIndex
+            .committedParquet(spark, s"$nswDir/tombstones_dropped")
+            .map(_.count()).getOrElse(0L)
+          val rev = if (revoked > 0)
+            s" ($revoked revoked by repairNsw — deletes verified never " +
+              "completed)" else ""
+          out += Finding(nswDir, "deletion-ledger", "info",
+            s"$n effective deletion-ledger entr(y/ies)$rev — head reads " +
+              "are unaffected (eager rebuild); see the time-travel " +
+              "finding for the generations it scrubs")
+      }
     }
     // flat∖graph divergence: cells present in the flat store but
     // absent from the committed graph (the mid-split crash window
@@ -313,11 +395,14 @@ object StoreDoctor {
       import org.apache.spark.sql.functions.col
       val (_, indexed) = graft.operators.IvfIndex.load(spark, flatDir)
       val (graph, _) = graft.operators.NswIndex.loadNsw(spark, nswDir)
-      val flatCells = indexed.select(col("cluster").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      val graphCells = graph.select(col("cluster").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      val missing = (flatCells -- graphCells).toSeq.sorted
+      // the diff stays in Spark (left_anti of two one-column cell
+      // frames); only the (typically empty) diff is collected
+      val flatCells = indexed.select(col("cluster").cast("long").as("cluster"))
+        .distinct()
+      val missing = flatCells
+        .join(graph.select(col("cluster").cast("long").as("cluster")).distinct(),
+          Seq("cluster"), "left_anti")
+        .collect().map(_.getLong(0)).sorted
       if (missing.nonEmpty)
         out += Finding(nswDir, "flat-vs-graph", "error",
           s"flat store has cell(s) ${missing.mkString(", ")} absent from " +
@@ -325,7 +410,7 @@ object StoreDoctor {
             "them; run NswIndex.repairNsw")
       else
         out += Finding(nswDir, "flat-vs-graph", "ok",
-          s"graph covers all ${flatCells.size} flat cell(s)")
+          s"graph covers all ${flatCells.count()} flat cell(s)")
     }
     out.result() ++ auditTuning(spark, nswDir) ++
       writerLeaseFinding(nswDir, StoreFs.writerMarkerPath(nswDir))
@@ -378,64 +463,86 @@ object StoreDoctor {
         val segsOrErr =
           try Right(graft.operators.TextDedup.segmentsOfStrict(pathPrefix, g))
           catch { case e: IllegalStateException => Left(e.getMessage) }
-        val segs = segsOrErr.getOrElse(Seq.empty)
-        segsOrErr.left.foreach { msg =>
-          out += Finding(pathPrefix, "manifest", "error", msg)
-        }
-        val segNums = segs.flatMap(s => s.stripPrefix("g").toLongOption)
-        val missing = segs.filter { seg =>
-          seg.stripPrefix("g").toLongOption
-            .forall(n => byGen.getOrElse(n, Set.empty) != all)
-        }
-        if (missing.nonEmpty)
-          out += Finding(pathPrefix, "tables", "error",
-            s"committed generation g$g references segment(s) " +
-              s"${missing.mkString(", ")} with missing or incomplete " +
-              "tables — the manifest points at an unreadable generation")
-        else if (segsOrErr.isRight)
-          out += Finding(pathPrefix, "manifest", "ok",
-            s"committed generation g$g with fp, bands, mh across " +
-              s"${segs.size} segment(s)")
-        // read-side cost grows with the append chain: every ingest
-        // joins each segment's three tables
-        if (segs.size > 16)
-          out += Finding(pathPrefix, "segments", "warn",
-            s"${segs.size} segments — every classification joins each " +
-              "segment's tables; TextDedup.compactDedupStore folds them " +
-              "(or pass compactAfterSegments to the append)")
-        else if (segs.size > 1)
-          out += Finding(pathPrefix, "segments", "info",
-            s"${segs.size} segments from the append chain — " +
-              "compact-eligible (TextDedup.compactDedupStore)")
+        // in-flight tables depend only on the manifest, never on the
+        // segment set — checked under both branches below
         val inFlight = byGen.keys.filter(_ > g).toSeq.sorted
         if (inFlight.nonEmpty)
           out += Finding(pathPrefix, "generations", "warn",
             s"uncommitted generation table(s) at g${inFlight.mkString(", g")} " +
               "above the manifest — an in-flight or crashed writer")
-        // tables below the manifest that are NOT live segments of the
-        // committed generation are superseded history
-        val history = byGen.keys
-          .filter(n => n < g && !segNums.contains(n)).toSeq.sorted
-        if (history.nonEmpty)
-          out += Finding(pathPrefix, "generations", "info",
-            s"${history.length} superseded committed generation(s) " +
-              s"(g${history.mkString(", g")}) retained — vacuum-eligible")
-        if (exists(s"${pathPrefix}_tombstones")) {
-          out ++= tombstoneFinding(spark, pathPrefix,
-            s"${pathPrefix}_tombstones",
-            segs.map(seg => s"${pathPrefix}_${seg}_fp"),
-            "TextDedup.compactDedupStore",
-            historyGens = math.max(0, graft.operators.TextDedup
-              .committedGenerations(spark, pathPrefix).size - 1))
-          // legacy distinct-fp layout cannot honor tombstones
-          segs.foreach { seg =>
-            val fp = spark.read.parquet(s"${pathPrefix}_${seg}_fp")
-            if (!fp.columns.contains("s_id"))
-              out += Finding(pathPrefix, "format", "error",
-                s"tombstones present but segment $seg's fp table is in the " +
-                  "legacy distinct-fingerprint layout (no s_id) — deletes " +
-                  "cannot be honored; rebuild with writeDedupStoreBucketed")
-          }
+        segsOrErr match {
+          case Left(msg) =>
+            // the head descriptor is lost: the segment set is
+            // UNKNOWABLE, so every segment-dependent sub-check
+            // (superseded history, segment count, tombstone weight,
+            // legacy-format scan) is skipped — a guessed set would
+            // report live carried segments as "superseded ...
+            // vacuum-eligible" and tempt an operator into deleting
+            // tables the head still depends on
+            out += Finding(pathPrefix, "manifest", "error", msg)
+          case Right(segs) =>
+            val readableGens =
+              graft.operators.TextDedup.committedGenerations(spark, pathPrefix)
+            out ++= auditTimeTravel(pathPrefix, "dedup store", Some(g),
+              readableGens)
+            // segments LIVE if any READABLE generation references them —
+            // not just the head: after a compact with retention ≥ 2 the
+            // retained pre-compact generation still reads through its
+            // own (pre-fold) segments, and flagging those vacuum-eligible
+            // would tempt an operator into breaking its historic reads
+            val segNums = (segs ++ readableGens.filter(_ != g).flatMap(h =>
+                graft.operators.TextDedup.segmentsOf(pathPrefix, h)))
+              .flatMap(s => s.stripPrefix("g").toLongOption).toSet
+            val missing = segs.filter { seg =>
+              seg.stripPrefix("g").toLongOption
+                .forall(n => byGen.getOrElse(n, Set.empty) != all)
+            }
+            if (missing.nonEmpty)
+              out += Finding(pathPrefix, "tables", "error",
+                s"committed generation g$g references segment(s) " +
+                  s"${missing.mkString(", ")} with missing or incomplete " +
+                  "tables — the manifest points at an unreadable generation")
+            else
+              out += Finding(pathPrefix, "manifest", "ok",
+                s"committed generation g$g with fp, bands, mh across " +
+                  s"${segs.size} segment(s)")
+            // read-side cost grows with the append chain: every ingest
+            // joins each segment's three tables
+            if (segs.size > 16)
+              out += Finding(pathPrefix, "segments", "warn",
+                s"${segs.size} segments — every classification joins each " +
+                  "segment's tables; TextDedup.compactDedupStore folds them " +
+                  "(or pass compactAfterSegments to the append)")
+            else if (segs.size > 1)
+              out += Finding(pathPrefix, "segments", "info",
+                s"${segs.size} segments from the append chain — " +
+                  "compact-eligible (TextDedup.compactDedupStore)")
+            // tables below the manifest that are NOT live segments of
+            // the committed generation are superseded history
+            val history = byGen.keys
+              .filter(n => n < g && !segNums.contains(n)).toSeq.sorted
+            if (history.nonEmpty)
+              out += Finding(pathPrefix, "generations", "info",
+                s"${history.length} superseded committed generation(s) " +
+                  s"(g${history.mkString(", g")}) retained — vacuum-eligible")
+            if (exists(s"${pathPrefix}_tombstones")) {
+              out ++= tombstoneFinding(spark, pathPrefix,
+                s"${pathPrefix}_tombstones",
+                segs.map(seg => s"${pathPrefix}_${seg}_fp"),
+                "TextDedup.compactDedupStore",
+                historyGens = math.max(0, graft.operators.TextDedup
+                  .committedGenerations(spark, pathPrefix).size - 1))
+              // legacy distinct-fp layout cannot honor tombstones
+              segs.foreach { seg =>
+                val fp = spark.read.parquet(s"${pathPrefix}_${seg}_fp")
+                if (!fp.columns.contains("s_id"))
+                  out += Finding(pathPrefix, "format", "error",
+                    s"tombstones present but segment $seg's fp table is in " +
+                      "the legacy distinct-fingerprint layout (no s_id) — " +
+                      "deletes cannot be honored; rebuild with " +
+                      "writeDedupStoreBucketed")
+              }
+            }
         }
     }
     out.result() ++
@@ -490,10 +597,11 @@ object StoreDoctor {
           s"unmarked data dir(s) batch_id=${inFlight.mkString(", batch_id=")} " +
             "at/above the watermark — an in-flight or crashed batch; its " +
             "replay rewrites the dir and commits the marker")
-      if (committed.length > 1)
-        out += Finding(dir, "generations", "info",
-          s"${committed.length - 1} superseded committed generation(s) " +
-            "retained — vacuum-eligible")
+      out ++= auditTimeTravel(dir, "agg store", committed.lastOption,
+        committed,
+        overlay = graft.streaming.EventStreams
+          .retractionWatermark(spark, dir)
+          .map(("the retraction table", _)))
     }
     out.result()
   }

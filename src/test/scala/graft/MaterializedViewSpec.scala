@@ -123,4 +123,86 @@ class MaterializedViewSpec extends SparkSpec {
     ex.getMessage should include("[2]")
     assertCleanAudit(graft.tools.StoreDoctor.auditAggStore(spark, store))
   }
+
+  it("keyed retraction forgets across head + history, folds forward physically, and re-arrival returns clean") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val base = java.nio.file.Files.createTempDirectory("mv-retract").toString
+    val store = s"$base/store"
+    val query = EventStreams.materializedAggStore(
+      mem.toDF().toDF("k", "x"),
+      keyCols = Seq("k"),
+      batchAggs = Seq(count(lit(1)).as("n"), sum($"x").as("v")),
+      mergeAggs = Seq(sum($"n").as("n"), sum($"v").as("v")),
+      store = store, checkpoint = s"$base/ckpt")
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      query.processAllAvailable()
+      mem.addData(("a", 4.0), ("c", 7.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def keysAt(at: Option[Long]): Set[String] =
+      EventStreams.loadAggStoreAt(spark, store, at)
+        .select($"k").collect().map(_.getString(0)).toSet
+
+    // an empty store refuses
+    intercept[IllegalArgumentException](
+      EventStreams.retractFromAggStore(spark, s"$base/nostore",
+        Seq("a").toDF("k"))).getMessage should include("no committed")
+
+    EventStreams.retractFromAggStore(spark, store,
+      Seq("a", "a").toDF("k")) shouldBe 1L // distinct keys recorded
+    // head AND every historic snapshot forget immediately
+    keysAt(None) shouldBe Set("b", "c")
+    keysAt(Some(0L)) shouldBe Set("b")
+    keysAt(Some(1L)) shouldBe Set("b", "c")
+    // the physical bytes still carry the key (no rewrite) — only the
+    // overlay hides it; the NEXT fold makes removal physical
+    readGen(store, 1).map(_._1) should contain("a")
+
+    // in-flight refusal: an unmarked dir at/above the head means a
+    // fold read pre-retraction state — the verb must refuse
+    Seq(("x", 1L, 0.0)).toDF("k", "n", "v")
+      .write.parquet(s"$store/batch_id=2")
+    intercept[IllegalArgumentException](
+      EventStreams.retractFromAggStore(spark, store, Seq("b").toDF("k")))
+      .getMessage should include("in-flight")
+    graft.sources.StoreFs.deleteChild(store, "batch_id=2")
+
+    // the next fold (what the stream's foreachBatch runs): reads the
+    // SCRUBBED head, so the generation it commits is physically
+    // key-free except for the re-arriving key's fresh contribution
+    val partial = Seq(("a", 1L, 5.0), ("b", 1L, 1.0)).toDF("k", "n", "v")
+    val merged = EventStreams.latestGeneration(spark, store).get
+      .unionByName(partial).groupBy($"k")
+      .agg(sum($"n").as("n"), sum($"v").as("v"))
+    EventStreams.writeBatchIdempotent(merged, 2L, store)
+    graft.sources.StoreFs.touchMarker(store, ".gen_2_committed")
+    // re-arrival: "a" returns with ONLY its post-retraction data
+    readGen(store, 2) shouldBe
+      Set(("a", 1L, 5.0), ("b", 2L, 11.0), ("c", 1L, 7.0))
+    // generation 2 >= the retraction watermark: never scrubbed
+    keysAt(Some(2L)) shouldBe Set("a", "b", "c")
+    // pre-retraction history stays scrubbed
+    keysAt(Some(0L)) shouldBe Set("b")
+
+    // release: once nothing readable predates the watermark the
+    // overlay is inert and vacuum drops it
+    new java.io.File(store, "retractions").exists() shouldBe true
+    EventStreams.vacuumGenerations(store, keepLast = 1)
+    EventStreams.committedAggGenerations(store) shouldBe Seq(2L)
+    new java.io.File(store, "retractions").exists() shouldBe false
+    keysAt(None) shouldBe Set("a", "b", "c")
+    assertCleanAudit(graft.tools.StoreDoctor.auditAggStore(spark, store))
+
+    // torn overlay debris (a crash inside the FIRST retraction append:
+    // only _temporary, no part file) reads as absent — conservative,
+    // nothing recorded — and the next vacuum sweeps it
+    new java.io.File(s"$store/retractions/_temporary").mkdirs() shouldBe true
+    keysAt(None) shouldBe Set("a", "b", "c")
+    EventStreams.retractionWatermark(spark, store) shouldBe None
+    EventStreams.vacuumGenerations(store, keepLast = 1)
+    new java.io.File(store, "retractions").exists() shouldBe false
+  }
 }

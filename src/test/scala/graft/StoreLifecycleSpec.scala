@@ -830,10 +830,13 @@ class StoreLifecycleSpec extends SparkSpec {
       // the head is the eager rebuild — untouched by the ledger
       val (hd, _) = NswIndex.loadNsw(spark, nDir)
       hd.filter($"id".isInCollection(vset)).count() shouldBe 0L
-      // the doctor names the ledger (info, not error) while history
-      // predates the delete
+      // the doctor names the ledger (info, not error), and the SHARED
+      // time-travel finding — one implementation for all four store
+      // families — names the generation the ledger scrubs
       val audit = graft.tools.StoreDoctor.auditNsw(spark, fDir, nDir)
-      audit.find(_.kind == "deletion-ledger").get.detail should include("g1")
+      audit.find(_.kind == "deletion-ledger").get.severity shouldBe "info"
+      audit.filter(_.kind == "time-travel")
+        .map(_.detail).mkString("\n") should include("g1")
       assertCleanAudit(audit)
       intercept[IllegalStateException](
         NswIndex.loadNswAt(spark, nDir, Some(99L)))
@@ -902,6 +905,60 @@ class StoreLifecycleSpec extends SparkSpec {
         degree = 3, retainGenerations = 2) should be >= 1
       NswIndex.loadNsw(spark, nDir)._1
         .filter($"id" === victim).count() shouldBe 0L
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, fDir, nDir))
+    }
+
+    it("repair adjudicates a pre-rewrite delete crash: the never-completed intent is revoked and head/history agree again") {
+      val (fDir, nDir, _) = buildPair(retain = 2)
+      val (gPre, _) = NswIndex.loadNsw(spark, nDir)
+      val victim = gPre.orderBy($"id").select($"nbrs")
+        .head().getSeq[Long](0).head
+      intercept[RuntimeException] {
+        Failpoints.withHook(crashAt("nswmaint:after-pending")) {
+          NswIndex.deleteFromNsw(spark, fDir, nDir, Seq(victim).toDF("id"),
+            degree = 3, retainGenerations = 2)
+        }
+      } shouldBe boom
+      // in the crash window the intent hides conservatively (the
+      // sibling spec's pin)
+      NswIndex.loadNswAt(spark, nDir, Some(1L))._1
+        .filter($"id" === victim).count() shouldBe 0L
+      // repair finds the id ALIVE in the flat store it re-commits —
+      // the delete never physically happened — and revokes the intent
+      NswIndex.repairNsw(spark, fDir, nDir, degree = 3,
+        retainGenerations = 2) should be >= 1
+      new java.io.File(s"$nDir/tombstones_dropped").exists() shouldBe true
+      NswIndex.loadNsw(spark, nDir)._1
+        .filter($"id" === victim).count() shouldBe 1L
+      // agreement restored: history serves exactly what the head does
+      NswIndex.loadNswAt(spark, nDir, Some(1L))._1
+        .filter($"id" === victim).count() shouldBe 1L
+      val head = graft.sources.StoreFs.readManifest(s"$nDir/manifest").get
+      NswIndex.loadNswAt(spark, nDir, Some(head))._1
+        .filter($"id" === victim).count() shouldBe 1L
+      // a RE-REQUESTED delete records a fresh intent and completes:
+      // history hides the id again, via the new entry
+      NswIndex.deleteFromNsw(spark, fDir, nDir, Seq(victim).toDF("id"),
+        degree = 3, retainGenerations = 2) should be >= 1
+      NswIndex.loadNsw(spark, nDir)._1
+        .filter($"id" === victim).count() shouldBe 0L
+      NswIndex.loadNswAt(spark, nDir, Some(head))._1
+        .filter($"id" === victim).count() shouldBe 0L
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, fDir, nDir))
+    }
+
+    it("a torn deletion-ledger append (no committed part file) reads as absent and vacuum sweeps it") {
+      val (fDir, nDir, _) = buildPair(retain = 2)
+      new java.io.File(s"$nDir/tombstones/_temporary").mkdirs() shouldBe true
+      // historic reads, the doctor and vacuum all degrade instead of
+      // throwing "unable to infer schema"
+      NswIndex.loadNswAt(spark, nDir, Some(1L))._1.count() should be > 0L
+      val findings = graft.tools.StoreDoctor.auditNsw(spark, fDir, nDir)
+      findings.find(_.kind == "deletion-ledger").get.severity shouldBe "warn"
+      findings.find(_.kind == "deletion-ledger").get.detail should
+        include("torn")
+      NswIndex.vacuumNsw(nDir, keepLast = 2)
+      new java.io.File(s"$nDir/tombstones").exists() shouldBe false
       assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, fDir, nDir))
     }
   }

@@ -454,6 +454,72 @@ object QueriesSimilarity {
        |SELECT q_id, rank, n_id, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** GLOBAL REFIT of a flat IVF store
+    * ([[graft.operators.IvfIndex.refitIndex]]) — the probe-selection
+    * restoration verb the sf10 decade probes demanded: recursive
+    * local splits keep cells bounded but decay the GLOBAL centroid
+    * ranking a probe relies on (measured: the split-chain store
+    * needed nProbe 128 of 316 cells to hold its recall floor; the
+    * same corpus under a fresh global fit needed 16). The verb's
+    * contract is `refit(store, k) ≡ build(all stored vectors, k)`
+    * EXACTLY — orderedMean Lloyd is ingestion-order-independent, so
+    * the store's file order (base cells + appended delta files)
+    * cannot leak into the fit. Gate: k=8 base build + 10% append
+    * (q122's lifecycle), then refit to k=4 and serve — the oracle is
+    * the DIRECT k=4 build over the full corpus + the q122 search
+    * replay; any order-dependence, stale-read or partial-rewrite
+    * defect in the refit path flips the hash. */
+  val q218IvfRefit: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val base = e.filter($"id" % 10 < 9)
+    val delta = e.filter($"id" % 10 === 9)
+    val cent = graft.operators.IvfIndex
+      .fitCentroids(s, base, k = 8, iterations = 1, orderedMean = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxDir = sys.props("java.io.tmpdir") +
+      "/graft_ivf_refit_" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      graft.operators.IvfIndex.save(cent,
+        graft.operators.IvfIndex.assign(base, cent), idxDir)
+      graft.operators.IvfIndex.appendToIndex(s, delta, idxDir)
+      graft.operators.IvfIndex.refitIndex(s, idxDir, k = 4)
+      val (cent2, indexed2) = graft.operators.IvfIndex.load(s, idxDir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      graft.operators.IvfIndex.search(s, queries, indexed2, cent2,
+          k = 5, nProbe = 2)
+        .orderBy($"q_id", $"rank")
+        .localCheckpoint() // materialize before the scratch dir is deleted
+    } finally {
+      cent.unpersist(): Unit
+      rmTree(new java.io.File(idxDir))
+    }
+  }
+  val q218Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${lloydIdxSql("e", "4")},
+       |qs AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 10),
+       |qscored AS (
+       |  SELECT q.q_id, q.qv, c.cluster,
+       |         ${dotSql("q.qv", "c.centroid")} / sqrt(${norm2Sql("q.qv")} * ${norm2Sql("c.centroid")}) AS cos
+       |  FROM qs q CROSS JOIN cent c),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cluster ASC) AS rn FROM qscored)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.q_id, i.id AS n_id,
+       |         ${dotSql("p.qv", "i.v")} / sqrt(${norm2Sql("p.qv")} * ${norm2Sql("i.v")}) AS cos
+       |  FROM probes p JOIN idx i USING (cluster)),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q129
   /** IVF recall@k instrumentation
     * ([[graft.operators.IvfIndex.recallAtK]]) — the accuracy/cost dial
@@ -3121,6 +3187,7 @@ object QueriesSimilarity {
     ("q191_nsw_delete", q191NswDelete, Some(q191Sql)),
     ("q214_nsw_time_travel", q214NswTimeTravel, Some(q214Sql)),
     ("q192_ivf_filtered", q192IvfFiltered, Some(q192Sql)),
+    ("q218_ivf_refit", q218IvfRefit, Some(q218Sql)),
     ("q193_nsw_filtered", q193NswFiltered, Some(q193Sql)),
     ("q194_nsw_autotune", q194NswAutotune, Some(q194Sql)),
     ("q197_adc_filtered", q197AdcFiltered, Some(q197Sql)),

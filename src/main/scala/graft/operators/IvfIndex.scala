@@ -126,6 +126,46 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/index")
   }
 
+  /** GLOBAL REFIT of a flat store — the probe-selection restoration
+    * verb the decade probes demanded ([[PqIndex.refitTwoTier]]'s story
+    * on the flat family): [[splitOversizedCells]] keeps CELLS bounded,
+    * but every sub-centroid is fitted on ONE cell's vectors, so the
+    * global centroid ranking a probe relies on decays with the split
+    * chain. Measured at the sf10 decade probe: after 308 recursive
+    * splits the staleness tuner held its 1.0 self-retrieval floor
+    * only at nProbe 128 of 316 cells — a 128k-candidate budget on a
+    * 200k corpus, graceful degeneration toward brute force — while
+    * the SAME corpus under a fresh global k=160 fit needed nProbe 16
+    * (16k budget), leaked nothing, and ran 2.2× faster end-to-end.
+    * Refit cost is one Lloyd pass + full reassign + rewrite — linear,
+    * amortized over the append/split chain that caused the decay;
+    * production picks `k ≈ corpus / targetCellSize`.
+    *
+    * Runs under the writer lease; `refit(store, k) ≡ save(fit(all
+    * vectors, k), assign(...))` EXACTLY (orderedMean Lloyd is
+    * ingestion-order-independent — the q39 determinism, gated by
+    * q218 against the direct-build oracle). When a tuning table
+    * exists the persisted nProbe is staleness-refreshed afterwards:
+    * the refit moves the optimal width DOWN, and a stale wide width
+    * would silently keep paying the pre-refit budget. Returns the
+    * new cell count. */
+  def refitIndex(spark: SparkSession, dir: String, k: Int,
+                 iterations: Int = 1, orderedMean: Boolean = true): Long =
+      withStoreLease(dir) {
+    val (_, indexed) = load(spark, dir)
+    // materialize BEFORE the overwrite below rewrites the files being
+    // read
+    val corpus = indexed.select(col("id"), col("v")).localCheckpoint()
+    val cent = fitCentroids(spark, corpus, k, iterations, orderedMean)
+      .localCheckpoint()
+    save(cent, assign(corpus, cent), dir)
+    spark.catalog.refreshByPath(s"$dir/index")
+    spark.catalog.refreshByPath(s"$dir/centroids")
+    val (fs, tp) = graft.sources.StoreFs.of(s"$dir/tuning")
+    if (fs.exists(tp)) refreshNProbeTuning(spark, dir): Unit
+    cent.count()
+  }
+
   /** Reload a [[save]]d index: `(centroids, indexed)`. The partition
     * column comes back from directory names; everything else is the
     * written schema. Repairs an interrupted

@@ -675,13 +675,27 @@ object NswIndex {
     * per-round joins broadcast the frontier against the
     * cluster-partitioned graph and vector tables — the corpus never
     * shuffles; `localCheckpoint` cuts each round's lineage (the
-    * [[Components]] loop pattern). */
+    * [[Components]] loop pattern).
+    *
+    * `seedsPerCell > 1` seeds the beam with the entry point PLUS the
+    * `seedsPerCell - 1` LOWEST-ID members of each probed cell — the
+    * navigability patch for large cells: a pure top-cosine kNN graph
+    * has no long-range links (the structural piece real NSW gets from
+    * insertion-order edges), so on a clustered corpus a single-entry
+    * beam can be confined to the entry's local cluster no matter how
+    * many rounds it runs; ids are assignment-agnostic, so lowest-M
+    * ids are a deterministic spread across the cell's clusters, each
+    * walked locally from wherever it lands. Deterministic and
+    * SQL-replayable (min-M ids per cell); costs `seedsPerCell` extra
+    * exact scores per probed cell. Default 1 plans byte-identically
+    * to the original walk. */
   def search(spark: SparkSession, queries: DataFrame, graph: DataFrame,
              indexed: DataFrame, centroids: DataFrame, entries: DataFrame,
-             k: Int, nProbe: Int, ef: Int, rounds: Int): DataFrame = {
+             k: Int, nProbe: Int, ef: Int, rounds: Int,
+             seedsPerCell: Int = 1): DataFrame = {
     require(k > 0 && ef >= k, s"need ef >= k > 0, got k=$k ef=$ef")
     val visited = walkVisited(spark, queries, graph, indexed, centroids,
-      entries, nProbe, ef, rounds)
+      entries, nProbe, ef, rounds, seedsPerCell)
     trimTopK(visited, k)
   }
 
@@ -886,18 +900,43 @@ object NswIndex {
   private def walkVisited(spark: SparkSession, queries: DataFrame,
                           graph: DataFrame, indexed: DataFrame,
                           centroids: DataFrame, entries: DataFrame,
-                          nProbe: Int, ef: Int, rounds: Int): DataFrame = {
+                          nProbe: Int, ef: Int, rounds: Int,
+                          seedsPerCell: Int = 1): DataFrame = {
     require(rounds >= 0, s"negative rounds: $rounds")
+    require(seedsPerCell >= 1, s"seedsPerCell must be >= 1, got $seedsPerCell")
     val probes = IvfIndex.probeCells(spark, queries, centroids, nProbe)
     val qv = queries.select(col("q_id"), col("qv"))
     // seed: each probed cell's entry point, scored exactly
-    var visited = probes
+    val entrySeeds = probes
       .join(broadcast(entries), Seq("cluster"))
       .select(col("q_id"), col("qv"), col("cluster"), col("entry").as("id"))
+    // plus, when asked, a deterministic SPREAD per probed cell (the
+    // lowest seedsPerCell - 1 ids — see [[search]]); map-side bounded
+    // heap, so the spread costs one linear pass over the index, no
+    // corpus shuffle
+    val seeds =
+      if (seedsPerCell <= 1) entrySeeds
+      else {
+        val spread = indexed
+          .groupBy(col("cluster"))
+          .agg(graft.functions.TopKAgg(seedsPerCell - 1,
+            -col("id").cast("double"), col("id")).as("topk"))
+          .select(col("cluster"), explode(col("topk.items")).as("e"))
+          .select(col("cluster"), col("e.id").as("id"))
+        entrySeeds.unionByName(
+          probes.select(col("q_id"), col("qv"), col("cluster"))
+            .join(spread, Seq("cluster")))
+      }
+    var visited = seeds
       .join(indexed, Seq("cluster", "id"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
       .select(col("q_id"), col("cluster"), col("id"), col("cos"))
-      .localCheckpoint()
+    // an entry point can coincide with a spread seed — dedup so a
+    // duplicate id can never occupy two top-k slots downstream
+    if (seedsPerCell > 1)
+      visited = visited.groupBy(col("q_id"), col("cluster"), col("id"))
+        .agg(max(col("cos")).as("cos"))
+    visited = visited.localCheckpoint()
     var frontier = visited
     (1 to rounds).foreach { _ =>
       val expanded = frontier

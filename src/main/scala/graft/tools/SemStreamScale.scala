@@ -42,15 +42,20 @@ import graft.operators.IvfIndex
   * pinned regime). */
 object SemStreamScale {
 
-  /** End-state summary of one [[run]]: `storeDir` is left on disk for
-    * the caller to inspect (and delete); `nProbe` is the end-of-stream
-    * screening width (the tuned operating point in the maintained
-    * regime, the pinned 2 otherwise); `retunes` counts how often the
-    * staleness loop found the persisted width stale and re-tuned. */
+  /** End-state summary of one [[run]]/[[runNsw]]: `storeDir` is left
+    * on disk for the caller to inspect (and delete); `nProbe` is the
+    * end-of-stream screening width (the tuned operating point in the
+    * maintained flat regime, the pinned 2 otherwise); `candBudget` is
+    * the per-arrival CANDIDATE budget that width implies — the number
+    * the two regimes are really racing: flat = nProbe × maxCellSize
+    * (grows with the corpus through the tuner), NSW walk = nProbe +
+    * rounds·ef·degree (a constant of the walk settings); `retunes`
+    * counts how often the staleness loop found the persisted width
+    * stale and re-tuned (flat regime only). */
   final case class Summary(storeDir: String, splits: Int, cells: Long,
                            maxCell: Long, indexRows: Long,
                            plantedArrived: Long, plantedIndexed: Long,
-                           nProbe: Int, retunes: Int,
+                           nProbe: Int, candBudget: Long, retunes: Int,
                            avgRecall: Double, secs: Double)
 
   /** q211's planted-duplicate-face construction over `t`
@@ -198,8 +203,125 @@ object SemStreamScale {
         nProbes = Seq(npFinal))
       .select(col("avg_recall")).head().getDouble(0)
     Summary(scratch, splits, sizes.getLong(0), sizes.getLong(1), idx.count(),
-      plantedArrived, plantedIndexed, npFinal, retunes, recall,
-      (System.nanoTime() - t0) / 1e9)
+      plantedArrived, plantedIndexed, npFinal,
+      npFinal.toLong * math.max(maxCellSize, sizes.getLong(1)), retunes,
+      recall, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The NSW-SCREENED regime of the same cumulative build — the
+    * answer to the flat regime's remaining wall (and the q216 gate's
+    * at-scale twin): [[run]]'s maintained flat probe screens
+    * nProbe × maxCellSize candidates per arrival, and its recall
+    * tuner keeps WIDENING nProbe as cells multiply (sf1.0 → sf10
+    * measured 8 → 128), so the per-arrival budget grows with the
+    * corpus even though each term is bounded. Screening through the
+    * graph tier ([[NswIndex.search]]) makes the budget a CONSTANT of
+    * the walk settings — nProbe + rounds·ef·degree scored vectors —
+    * with the trade that detection recall is bought by walk budget,
+    * not probe width, and is measured (self-retrieval through the
+    * walk), never assumed.
+    *
+    * Per batch: intra-exact dedup → walk screen (k=1, dup iff top
+    * cos ≥ 0.8) → survivors appended to BOTH tiers (flat rows +
+    * exact graph merge) → cell-size maintenance via
+    * [[NswIndex.splitOversizedNswCells]] — needed here to bound the
+    * APPEND's |delta|·|cell| pair work and the split rebuilds, not
+    * the search. The walk budget stays fixed across the stream (a
+    * production loop would ride [[NswIndex.refreshWalkTuning]]; the
+    * probe measures what the fixed budget leaks). */
+  def runNsw(spark: SparkSession, sfDir: String, maxCellSize: Long,
+             buildK: Int, degree: Int, ef: Int, rounds: Int,
+             nProbe: Int = 2, seedsPerCell: Int = 1): Summary = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val scratch = sys.props("java.io.tmpdir") + "/graft_semnsw_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val flat = s"$scratch/ivf"
+    val nsw = s"$scratch/nsw"
+    val file = s"$sfDir/embeddings.parquet"
+    val withB = (df: DataFrame) => df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("b", graft.operators.Sampling.hashBucket(col("vec_id"), 10))
+    val base = withB(spark.read.parquet(file)).filter(col("b") < 8)
+      .select(col("vec_id").as("id"), col("v"))
+    val cent = IvfIndex.fitCentroids(spark, base, k = buildK, iterations = 1,
+      orderedMean = true)
+    val idxBase = IvfIndex.assign(base, cent).localCheckpoint()
+    IvfIndex.save(cent, idxBase, flat)
+    graft.operators.NswIndex.saveNsw(
+      graft.operators.NswIndex.fitGraph(idxBase, degree),
+      graft.operators.NswIndex.entryPoints(idxBase, cent), nsw)
+    var splits = 0
+    def maintain(): Unit = {
+      var n = 0
+      while ({ n = graft.operators.NswIndex.splitOversizedNswCells(
+                 spark, flat, nsw, maxCellSize, degree)
+               splits += n; n > 0 }) ()
+    }
+    maintain() // the base build itself must respect the bound
+    val (staging, stream) = graft.QueriesStreaming.keyedMultiBatchStream(
+      spark, file, "semnsw", sfDir + maxCellSize, d => arrivals(withB(d)),
+      col("vec_id") % 4)
+    val query = stream.writeStream
+      .option("checkpointLocation", s"$staging/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val slice = batch.toDF().select($"vec_id", $"v").localCheckpoint()
+          val ex = slice
+            .withColumn("keep", min($"vec_id").over(org.apache.spark.sql
+              .expressions.Window.partitionBy($"v")))
+            .filter($"vec_id" === $"keep")
+            .select($"vec_id", $"v").localCheckpoint()
+          val (centK, idxK) = IvfIndex.load(spark, flat)
+          val idxCk = idxK.localCheckpoint()
+          val (g, en) = graft.operators.NswIndex.loadNsw(spark, nsw)
+          val dups = graft.operators.NswIndex.search(spark,
+              ex.select($"vec_id".as("q_id"), $"v".as("qv")),
+              g, idxCk, centK, en, k = 1, nProbe = nProbe, ef = ef,
+              rounds = rounds, seedsPerCell = seedsPerCell)
+            .filter($"cos" >= 0.8)
+            .select($"q_id".as("vec_id"))
+          val kept = ex.join(dups, Seq("vec_id"), "left_anti").localCheckpoint()
+          val idxDelta = IvfIndex
+            .assign(kept.select($"vec_id".as("id"), $"v"), centK)
+            .localCheckpoint()
+          IvfIndex.appendToIndex(spark,
+            kept.select($"vec_id".as("id"), $"v"), flat): Unit
+          graft.operators.NswIndex.appendToNsw(spark, nsw, idxCk, idxDelta,
+            centK, degree)
+          maintain()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    rmTree(new java.io.File(staging))
+    val (centF, idxF) = IvfIndex.load(spark, flat)
+    val idx = idxF.localCheckpoint()
+    val (gF, enF) = graft.operators.NswIndex.loadNsw(spark, nsw)
+    val sizes = idx.groupBy(col("cluster")).count()
+      .agg(count(lit(1)).as("cells"), max(col("count")).as("maxc")).head()
+    val plantedArrived = arrivals(withB(spark.read.parquet(file)))
+      .filter(col("vec_id") % 1000000000L >= 200000L).count()
+    val plantedIndexed = idx
+      .filter(col("id") % 1000000000L >= 200000L).count()
+    // screening recall measured THROUGH the walk: the same
+    // self-retrieval task the flat tuner floors at 1.0 — a member
+    // query whose walk tops out below ~1.0 cosine failed to reach
+    // itself (or an identical leaked copy), which is exactly the
+    // screening failure mode
+    val sample = idx.filter(col("id") % 1000000000L < 50L)
+      .select(col("id").as("q_id"), col("v").as("qv")).localCheckpoint()
+    val nSample = sample.count()
+    val hits = graft.operators.NswIndex.search(spark, sample, gF, idx,
+        centF, enF, k = 1, nProbe = nProbe, ef = ef, rounds = rounds,
+        seedsPerCell = seedsPerCell)
+      .filter(col("rank") === 1 && col("cos") >= 0.9999).count()
+    val recall = if (nSample == 0) 1.0 else hits.toDouble / nSample
+    Summary(scratch, splits, sizes.getLong(0), sizes.getLong(1), idx.count(),
+      plantedArrived, plantedIndexed, nProbe = nProbe,
+      candBudget = nProbe.toLong * seedsPerCell + rounds.toLong * ef * degree,
+      retunes = 0,
+      avgRecall = recall, secs = (System.nanoTime() - t0) / 1e9)
   }
 
   def rmTree(f: java.io.File): Unit = {
@@ -211,11 +333,14 @@ object SemStreamScale {
   }
 
   /** Decade probe: `runMain graft.tools.SemStreamScale <sfDir>
-    * <maxCellSize> <buildK>` — one summary line; compare the
-    * split-maintained regime's wall clock across sf1.0/sf10 against
-    * the recorded ×51 pinned-regime factor. */
+    * <maxCellSize> <buildK> [flat|nsw [degree ef rounds nProbe seeds]]`
+    * — one
+    * summary line; compare the two regimes' wall clock, leak and
+    * per-arrival candidate budget across sf1.0/sf10 (and both
+    * against the recorded ×51 pinned-regime factor). */
   def main(args: Array[String]): Unit = {
     val Array(sfDir, maxCell, k) = args.take(3)
+    val screen = if (args.length > 3) args(3) else "flat"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -223,13 +348,23 @@ object SemStreamScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = run(spark, sfDir, maxCell.toLong, k.toInt)
-    println(s"""{"probe":"semscale","sfDir":"$sfDir","maxCell":$maxCell,""" +
+    val s = screen match {
+      case "flat" => run(spark, sfDir, maxCell.toLong, k.toInt)
+      case "nsw" =>
+        val Array(degree, ef, rounds, nProbe, seeds) =
+          if (args.length > 8) args.slice(4, 9).map(_.toInt)
+          else Array(8, 16, 8, 8, 16)
+        runNsw(spark, sfDir, maxCell.toLong, k.toInt, degree, ef, rounds,
+          nProbe, seeds)
+      case other => sys.error(s"unknown screen '$other' (flat|nsw)")
+    }
+    println(s"""{"probe":"semscale","screen":"$screen","sfDir":"$sfDir",""" +
+      s""""maxCell":$maxCell,""" +
       s""""splits":${s.splits},"cells":${s.cells},"maxCellSeen":${s.maxCell},""" +
       s""""indexRows":${s.indexRows},"plantedArrived":${s.plantedArrived},""" +
       s""""plantedIndexed":${s.plantedIndexed},"nProbe":${s.nProbe},""" +
-      s""""retunes":${s.retunes},"avgRecall":${s.avgRecall},""" +
-      s""""secs":${f"${s.secs}%.1f"}}""")
+      s""""candBudget":${s.candBudget},"retunes":${s.retunes},""" +
+      s""""avgRecall":${s.avgRecall},"secs":${f"${s.secs}%.1f"}}""")
     rmTree(new java.io.File(s.storeDir))
     spark.stop()
   }

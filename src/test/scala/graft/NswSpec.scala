@@ -72,6 +72,38 @@ class NswSpec extends SparkSpec {
       check.filter($"cos" =!= $"true_cos").count() shouldBe 0L
     }
 
+    it("multi-seeding widens the visited set monotonically and stays exact") {
+      val (e, cent, indexed, queries) = fitted()
+      val graph = NswIndex.fitGraph(indexed, degree = 4).localCheckpoint()
+      val entries = NswIndex.entryPoints(indexed, cent)
+      def top(seeds: Int) = NswIndex.search(spark, queries, graph, indexed,
+          cent, entries, k = 5, nProbe = 2, ef = 16, rounds = 3,
+          seedsPerCell = seeds).localCheckpoint()
+      val one = top(1)
+      val many = top(8)
+      // seedsPerCell = 1 is byte-identical to the original walk
+      one.orderBy($"q_id", $"rank").collect() shouldBe
+        NswIndex.search(spark, queries, graph, indexed, cent, entries,
+          k = 5, nProbe = 2, ef = 16, rounds = 3)
+          .orderBy($"q_id", $"rank").collect()
+      // extra seeds only ADD visited candidates: per query, the
+      // multi-seed top-1 cosine is >= the single-seed top-1 cosine
+      val t1 = one.filter($"rank" === 1)
+        .select($"q_id", $"cos".as("cos1"))
+      val tm = many.filter($"rank" === 1)
+        .select($"q_id", $"cos".as("cosM"))
+      t1.join(tm, Seq("q_id")).filter($"cosM" < $"cos1")
+        .count() shouldBe 0L
+      // no duplicate neighbor may occupy two slots (the seed-dedup pin)
+      many.groupBy($"q_id", $"n_id").count()
+        .filter($"count" > 1).count() shouldBe 0L
+      // every reported cos is still the true cosine
+      val check = many.join(queries, Seq("q_id"))
+        .join(e.select($"id".as("n_id"), $"v"), Seq("n_id"))
+        .withColumn("true_cos", round(Similarity.cosine($"qv", $"v"), 4))
+      check.filter($"cos" =!= $"true_cos").count() shouldBe 0L
+    }
+
     it("appendToNsw reproduces the full rebuild bit-for-bit") {
       val e = corpus
       val base = e.filter($"id" % 10 < 9)

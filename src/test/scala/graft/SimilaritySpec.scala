@@ -115,6 +115,40 @@ class SimilaritySpec extends SparkSpec {
       rows.head.getAs[Double]("avg_recall") should be < 1.0
     }
 
+    it("refitIndex equals a direct build and refreshes a persisted tuning point") {
+      import graft.operators.IvfIndex
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+        .localCheckpoint()
+      val base = e.filter($"id" % 10 < 9)
+      val cent8 = IvfIndex
+        .fitCentroids(spark, base, k = 8, iterations = 1, orderedMean = true)
+        .localCheckpoint()
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-refit").toString
+      IvfIndex.save(cent8, IvfIndex.assign(base, cent8), dir)
+      IvfIndex.appendToIndex(spark, e.filter($"id" % 10 === 9), dir)
+      val queries = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      IvfIndex.tuneNProbe(spark, dir, queries,
+        k = 10, nProbes = Seq(1, 2, 4), recallFloor = 0.9): Unit
+      // refit to a DIFFERENT k: the store must equal the direct build
+      // over its full vector set (orderedMean ⇒ file order cannot leak)
+      IvfIndex.refitIndex(spark, dir, k = 4) shouldBe 4L
+      val (centR, idxR) = IvfIndex.load(spark, dir)
+      val centD = IvfIndex
+        .fitCentroids(spark, e, k = 4, iterations = 1, orderedMean = true)
+      val want = IvfIndex.assign(e, centD)
+        .select($"id", $"cluster".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      idxR.select($"id", $"cluster".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe want
+      centR.count() shouldBe 4L
+      // the persisted operating point was re-measured against the new
+      // layout (a tuning_check row exists past the tuneNProbe write)
+      spark.read.parquet(s"$dir/tuning_check").count() should be >= 1L
+      IvfIndex.loadTunedNProbe(spark, dir) should be >= 1
+      graft.tools.SemStreamScale.rmTree(new java.io.File(dir))
+    }
+
     it("tuneNProbe picks the cheapest width meeting the floor and persists the choice") {
       import graft.operators.IvfIndex
       val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

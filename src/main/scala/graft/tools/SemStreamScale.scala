@@ -56,7 +56,8 @@ object SemStreamScale {
                            maxCell: Long, indexRows: Long,
                            plantedArrived: Long, plantedIndexed: Long,
                            nProbe: Int, candBudget: Long, retunes: Int,
-                           avgRecall: Double, secs: Double)
+                           avgRecall: Double, secs: Double,
+                           refits: Int = 0)
 
   /** q211's planted-duplicate-face construction over `t`
     * `(vec_id, v, b)` (b = hashBucket 10): organic fresh arrivals
@@ -100,9 +101,22 @@ object SemStreamScale {
     * mode: an exact copy missing its source's sub-cell), then one
     * staleness refresh per batch after maintenance. Per-batch refresh
     * cost is sample × corpus brute force — linear, the q199 staleness
-    * price. */
+    * price.
+    *
+    * `refitAtBudget > 0` adds the REFIT CADENCE the sf10 probes
+    * proved decisive: whenever the tuned operating point's
+    * per-arrival candidate budget (nProbe × maxCellSize) crosses the
+    * threshold, the loop runs [[IvfIndex.refitIndex]] with
+    * k = corpus / (maxCellSize / 2) — a fresh GLOBAL fit that
+    * restores probe-selection quality the recursive local splits
+    * decayed — then re-derives the width grid from the NEW cell
+    * count and re-tunes over the persisted sample. Measured without
+    * the cadence at sf10: the tuner held the floor only at
+    * nProbe 128 × 1000 = 128k candidates/arrival; the same corpus
+    * under a global fit needs 16 × 1000 = 16k. The cadence makes
+    * that a standing property instead of a one-shot experiment. */
   def run(spark: SparkSession, sfDir: String, maxCellSize: Long,
-          buildK: Int): Summary = {
+          buildK: Int, refitAtBudget: Long = 0L): Summary = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val scratch = sys.props("java.io.tmpdir") + "/graft_semscale_" +
@@ -119,7 +133,31 @@ object SemStreamScale {
     IvfIndex.save(cent, IvfIndex.assign(base, cent), store)
     var splits = 0
     var retunes = 0
+    var refits = 0
     val maintained = maxCellSize > 0
+    // self-retrieval sample: ~50 members per ScaleUp replica. Floor
+    // 1.0 = the cheapest width at which EVERY sampled member finds
+    // itself — the screening task is self-retrieval averaged over
+    // all members, so the residual leak is the sample's tail, not a
+    // conceded 5%. (A production deployment would cap the sample
+    // count; here it stays ~1-2.5% of the corpus at every probe SF.)
+    val sample = base.filter(col("id") % 1000000000L < 50L)
+      .select(col("id").as("q_id"), col("v").as("qv"))
+    // CORPUS-SCALED width grid: powers of two up to the current cell
+    // count (min 16) — a fixed grid caps out as splits multiply cells
+    // (the r17 sf10 probe hit nProbe=16 of 319 cells with the floor
+    // unmet and leaked 3.1%); deriving the ceiling from the store
+    // lets the tuner keep buying recall as long as the floor demands
+    // it. Re-derived at every (re)tune — the refit cadence changes
+    // the cell count; the staleness refresh still re-tunes over the
+    // PERSISTED grid by contract.
+    def tuneOverCurrentGrid(): Unit = {
+      val cells = spark.read.parquet(s"$store/centroids").count()
+      val widths = Iterator.iterate(1L)(_ * 2)
+        .takeWhile(_ <= math.max(16L, cells)).map(_.toInt).toSeq
+      IvfIndex.tuneNProbe(spark, store, sample, k = 1,
+        nProbes = widths, recallFloor = 1.0): Unit
+    }
     def maintain(): Unit = if (maintained) {
       var n = 0
       var any = false
@@ -131,32 +169,21 @@ object SemStreamScale {
       val (fs, tp) = graft.sources.StoreFs.of(s"$store/tuning")
       if (fs.exists(tp) && IvfIndex.refreshNProbeTuning(spark, store)._2)
         retunes += 1
+      // REFIT CADENCE (see the run() scaladoc): the tuner buying more
+      // than the budget is the decay signal — restore probe-selection
+      // quality with a global fit, then re-tune on the fresh layout
+      if (refitAtBudget > 0 && fs.exists(tp) &&
+          IvfIndex.loadTunedNProbe(spark, store).toLong * maxCellSize >
+            refitAtBudget) {
+        val n = spark.read.parquet(s"$store/index").count()
+        val k = math.max(8L, n / math.max(1L, maxCellSize / 2)).toInt
+        IvfIndex.refitIndex(spark, store, k): Unit
+        refits += 1
+        tuneOverCurrentGrid()
+      }
     }
     maintain() // the base build itself must respect the bound
-    if (maintained) {
-      // self-retrieval sample: ~50 members per ScaleUp replica. Floor
-      // 1.0 = the cheapest width at which EVERY sampled member finds
-      // itself — the screening task is self-retrieval averaged over
-      // all members, so the residual leak is the sample's tail, not a
-      // conceded 5%. (A production deployment would cap the sample
-      // count; here it stays ~1-2.5% of the corpus at every probe SF.)
-      val sample = base.filter(col("id") % 1000000000L < 50L)
-        .select(col("id").as("q_id"), col("v").as("qv"))
-      // CORPUS-SCALED width grid: powers of two up to the post-
-      // maintenance cell count (min 16) — a fixed grid caps out as
-      // splits multiply cells (the r17 sf10 probe hit nProbe=16 of
-      // 319 cells with the floor unmet and leaked 3.1%); deriving the
-      // ceiling from the store lets the tuner keep buying recall as
-      // long as the floor demands it. The stream grows cells ~|delta|/
-      // maxCellSize past this ceiling — a production loop re-derives
-      // the grid at refit; the staleness refresh re-tunes over the
-      // PERSISTED grid by contract.
-      val cells0 = spark.read.parquet(s"$store/centroids").count()
-      val widths = Iterator.iterate(1L)(_ * 2)
-        .takeWhile(_ <= math.max(16L, cells0)).map(_.toInt).toSeq
-      IvfIndex.tuneNProbe(spark, store, sample, k = 1,
-        nProbes = widths, recallFloor = 1.0): Unit
-    }
+    if (maintained) tuneOverCurrentGrid()
     val (staging, stream) = graft.QueriesStreaming.keyedMultiBatchStream(
       spark, file, "semscale", sfDir + maxCellSize, d => arrivals(withB(d)),
       col("vec_id") % 4)
@@ -205,7 +232,7 @@ object SemStreamScale {
     Summary(scratch, splits, sizes.getLong(0), sizes.getLong(1), idx.count(),
       plantedArrived, plantedIndexed, npFinal,
       npFinal.toLong * math.max(maxCellSize, sizes.getLong(1)), retunes,
-      recall, (System.nanoTime() - t0) / 1e9)
+      recall, (System.nanoTime() - t0) / 1e9, refits)
   }
 
   /** The NSW-SCREENED regime of the same cumulative build — the
@@ -333,8 +360,8 @@ object SemStreamScale {
   }
 
   /** Decade probe: `runMain graft.tools.SemStreamScale <sfDir>
-    * <maxCellSize> <buildK> [flat|nsw [degree ef rounds nProbe seeds]]`
-    * — one
+    * <maxCellSize> <buildK> [flat [refitAtBudget] | nsw [degree ef
+    * rounds nProbe seeds]]` — one
     * summary line; compare the two regimes' wall clock, leak and
     * per-arrival candidate budget across sf1.0/sf10 (and both
     * against the recorded ×51 pinned-regime factor). */
@@ -349,7 +376,9 @@ object SemStreamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = screen match {
-      case "flat" => run(spark, sfDir, maxCell.toLong, k.toInt)
+      case "flat" =>
+        val refitAt = if (args.length > 4) args(4).toLong else 0L
+        run(spark, sfDir, maxCell.toLong, k.toInt, refitAt)
       case "nsw" =>
         val Array(degree, ef, rounds, nProbe, seeds) =
           if (args.length > 8) args.slice(4, 9).map(_.toInt)
@@ -364,7 +393,8 @@ object SemStreamScale {
       s""""indexRows":${s.indexRows},"plantedArrived":${s.plantedArrived},""" +
       s""""plantedIndexed":${s.plantedIndexed},"nProbe":${s.nProbe},""" +
       s""""candBudget":${s.candBudget},"retunes":${s.retunes},""" +
-      s""""avgRecall":${s.avgRecall},"secs":${f"${s.secs}%.1f"}}""")
+      s""""refits":${s.refits},"avgRecall":${s.avgRecall},""" +
+      s""""secs":${f"${s.secs}%.1f"}}""")
     rmTree(new java.io.File(s.storeDir))
     spark.stop()
   }

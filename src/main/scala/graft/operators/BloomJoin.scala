@@ -59,7 +59,18 @@ object BloomJoin {
     * udf: one deserialization per executor instead of per task, at the
     * cost of breaking the codegen span at the filter. The right variant
     * only when the sketch itself is big enough (tens of MB) that
-    * per-task deserialization outweighs a codegen break. */
+    * per-task deserialization outweighs a codegen break.
+    *
+    * Why NOT the native `might_contain` here (it IS the probe in
+    * [[reduce]], the hot path): `BloomFilterMightContain` requires its
+    * sketch operand to be a foldable expression — a binary literal or
+    * scalar subquery embedded in the plan — so every task that compiles
+    * the predicate deserializes those bytes once. There is no form of
+    * the native expression that can probe a `Broadcast` handle, which
+    * is the entire point of this variant: for a 10⁸-item sketch the
+    * per-executor broadcast amortization beats codegen, and the closure
+    * udf is the only way to reach it. Equivalence with [[reduce]] is
+    * spec-pinned (`SelectOpsSpec`). */
   def reduceBroadcast(fact: DataFrame, factKey: String, filter: BloomFilter): DataFrame = {
     val bcast = fact.sparkSession.sparkContext.broadcast(filter)
     val might = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))

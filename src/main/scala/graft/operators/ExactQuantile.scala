@@ -39,21 +39,31 @@ object ExactQuantile {
     * guard fails fast with that remedy instead of OOMing the driver
     * mid-loop.
     *
-    * `maxKeys ≤ 0` (the default) derives the bound FROM `buckets` so
+    * `maxKeys = 0` (the default) derives the bound FROM `buckets` so
     * the worst-case per-pass collect stays driver-sized regardless of
     * how the caller dials the bucket count: keys×buckets is capped at
     * ~16M count rows (≈ a few hundred MB of driver rows at the
     * default B = 4096 ⇒ 4096 keys). The guard itself reuses the
     * pass-0 aggregate (persisted, counted, then collected) — no
-    * separate distinct() scan of the fact table. */
+    * separate distinct() scan of the fact table.
+    *
+    * DEFAULT CHANGE (round 17): the default was a flat `maxKeys =
+    * 100000`; it is now 0 = derived (4096 keys at the default bucket
+    * count). A caller with 4097–100000 distinct keys who relied on
+    * the old default must now size the driver and pass `maxKeys`
+    * explicitly — the guard's message says so. Only 0 means
+    * "derived"; a negative value is rejected (it was rejected before
+    * the change too, and silently repurposing it would hide typos). */
   def atQuantile(spark: SparkSession, df: DataFrame, keyCol: String,
                  valCol: String, q: Double, buckets: Int = 4096,
                  maxKeys: Int = 0): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
     require(buckets >= 2, s"buckets must be ≥ 2, got $buckets")
+    require(maxKeys >= 0,
+      s"maxKeys must be ≥ 0 (0 = derived from buckets), got $maxKeys")
     val keyBound =
       if (maxKeys > 0) maxKeys
-      else math.max(1, (16L * 1024 * 1024 / buckets).toInt)
+      else math.max(1, (16L * 1024 * 1024 / buckets).toInt) // maxKeys == 0
     import spark.implicits._
 
     // nulls are excluded from ranks (standard quantile semantics) —

@@ -261,8 +261,16 @@ object NswIndex {
                 degree: Int, retainGenerations: Int = 1): Int =
       withStoreLease(nswDir) {
     val marked = readPendingCells(nswDir).getOrElse(return 0)
-    val headBefore = graft.sources.StoreFs.readManifest(s"$nswDir/manifest")
-      .getOrElse(0L)
+    // None when the manifest is missing/corrupt: the ledger step below
+    // then SKIPS phantom revocation rather than defaulting the
+    // pre-repair head to 0 — with headBefore=0 every intent reads as
+    // "beyond the head", so a COMPLETED delete of an id that was later
+    // re-added would be revoked, resurrecting it on historic reads
+    // (the exact direction the ledger design forbids). Skipping errs
+    // conservative: a genuinely-crashed delete keeps its intent and
+    // history hides a requested deletion, the family's safe side.
+    val headBefore: Option[Long] =
+      graft.sources.StoreFs.readManifest(s"$nswDir/manifest")
     val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
     val indexed = idxRaw.select(col("id"), col("v"),
       col("cluster").cast("long").as("cluster"))
@@ -297,8 +305,8 @@ object NswIndex {
     // the flat store keep their intent: this repair just completed
     // their physical removal. Append-only (a torn append merely stays
     // conservative); delta-sized (crashed-delete ids only).
-    effectiveLedger(spark, nswDir).foreach { led =>
-      val phantom = led.filter(col("deleted_at_gen") > lit(headBefore))
+    for (head <- headBefore; led <- effectiveLedger(spark, nswDir)) {
+      val phantom = led.filter(col("deleted_at_gen") > lit(head))
         .join(indexed.select(col("id")), Seq("id"), "left_semi")
         .select(col("id"), col("deleted_at_gen")).distinct()
       if (!phantom.isEmpty)
@@ -719,10 +727,11 @@ object NswIndex {
   def searchFiltered(spark: SparkSession, queries: DataFrame, graph: DataFrame,
                      indexed: DataFrame, centroids: DataFrame,
                      entries: DataFrame, k: Int, nProbe: Int, ef: Int,
-                     rounds: Int, pred: org.apache.spark.sql.Column): DataFrame = {
+                     rounds: Int, pred: org.apache.spark.sql.Column,
+                     seedsPerCell: Int = 1): DataFrame = {
     require(k > 0 && ef >= k, s"need ef >= k > 0, got k=$k ef=$ef")
     val visited = walkVisited(spark, queries, graph, indexed, centroids,
-      entries, nProbe, ef, rounds)
+      entries, nProbe, ef, rounds, seedsPerCell)
     val allowed = indexed.filter(pred).select(col("cluster"), col("id"))
     trimTopK(visited.join(allowed, Seq("cluster", "id"), "left_semi"), k)
   }
@@ -745,29 +754,77 @@ object NswIndex {
     * chosen `(ef, rounds)`. */
   def tuneWalk(spark: SparkSession, flatDir: String, nswDir: String,
                sampleQueries: DataFrame, k: Int, nProbe: Int,
-               settings: Seq[(Int, Int)], recallFloor: Double): (Int, Int) =
-      withStoreLease(nswDir) {
-    require(recallFloor > 0 && recallFloor <= 1.0,
-      s"recallFloor must be in (0, 1], got $recallFloor")
+               settings: Seq[(Int, Int)], recallFloor: Double): (Int, Int) = {
     require(settings.nonEmpty, "tuneWalk needs at least one (ef, rounds)")
     settings.foreach { case (ef, r) =>
       require(ef >= k && r >= 0, s"need ef >= k and rounds >= 0, got ($ef, $r)") }
+    // legacy two-dial cost = ef·rounds, the original scored-vector
+    // proxy with nProbe, seeds and degree all fixed — kept exactly so
+    // existing tuning tables/oracles (q194/q199) are bit-stable
+    val costed = settings.map { case (ef, r) =>
+      (WalkSetting(nProbe, ef, r, 1), ef.toLong * r) }
+    val c = tuneWalkGrid(spark, flatDir, nswDir, sampleQueries, k, costed,
+      recallFloor)
+    (c.ef, c.rounds)
+  }
+
+  /** One serving configuration of the graph walk — all four dials.
+    * `seeds` is [[search]]'s `seedsPerCell`. */
+  final case class WalkSetting(nProbe: Int, ef: Int, rounds: Int, seeds: Int)
+
+  /** JOINT auto-tune over all four walk dials — [[tuneWalk]] widened
+    * so the tuner can DISCOVER the multi-seed operating points that
+    * beat single-seed flat probing on clustered corpora (measured at
+    * sf1.0: leak 66% → 1.9% at ×5.2 less budget — a configuration the
+    * two-dial grid structurally cannot reach because `seedsPerCell`
+    * and `nProbe` trade off against each other). Same machinery as
+    * [[tuneWalk]] (one shared brute-force truth pass, one walk per
+    * setting, cheapest-at-floor choice, persisted table + held-out
+    * sample); cost is the walk's TRUE per-query scored-vector budget
+    * `nProbe·seeds + rounds·ef·degree` (seed scoring + beam
+    * expansion), which needs the build-time `degree` dial. The
+    * persisted table carries per-row `n_probe`/`seeds`, so
+    * [[refreshWalkTuning]] re-measures and re-chooses over the full
+    * joint grid. */
+  def tuneWalkJoint(spark: SparkSession, flatDir: String, nswDir: String,
+                    sampleQueries: DataFrame, k: Int, degree: Int,
+                    settings: Seq[WalkSetting],
+                    recallFloor: Double): WalkSetting = {
+    require(settings.nonEmpty, "tuneWalkJoint needs at least one setting")
+    require(degree >= 1, s"degree must be >= 1, got $degree")
+    settings.foreach { s =>
+      require(s.ef >= k && s.rounds >= 0 && s.nProbe >= 1 && s.seeds >= 1,
+        s"need ef >= k, rounds >= 0, nProbe >= 1, seeds >= 1, got $s") }
+    val costed = settings.map { s =>
+      (s, s.nProbe.toLong * s.seeds + s.rounds.toLong * s.ef * degree) }
+    tuneWalkGrid(spark, flatDir, nswDir, sampleQueries, k, costed, recallFloor)
+  }
+
+  /** Shared tuner core for [[tuneWalk]]/[[tuneWalkJoint]]: measure
+    * every costed setting, choose, persist table + sample. */
+  private def tuneWalkGrid(spark: SparkSession, flatDir: String,
+                           nswDir: String, sampleQueries: DataFrame, k: Int,
+                           costed: Seq[(WalkSetting, Long)],
+                           recallFloor: Double): WalkSetting =
+      withStoreLease(nswDir) {
+    require(recallFloor > 0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
     val queries = sampleQueries.localCheckpoint()
-    val rec = measureWalkRecall(spark, flatDir, nswDir, queries, k, nProbe,
-      settings).localCheckpoint()
-    val chosen = chooseWalkSetting(rec, recallFloor)
+    val rec = measureWalkRecall(spark, flatDir, nswDir, queries, k, costed)
+      .localCheckpoint()
+    val c = chooseWalkSetting(rec, recallFloor)
     rec.withColumn("chosen",
-        col("ef") === chosen._1 && col("rounds") === chosen._2)
+        col("n_probe") === c.nProbe && col("ef") === c.ef &&
+          col("rounds") === c.rounds && col("seeds") === c.seeds)
       .withColumn("recall_floor", lit(recallFloor))
       .withColumn("at_k", lit(k))
-      .withColumn("n_probe", lit(nProbe))
       .write.mode("overwrite").parquet(s"$nswDir/tuning")
     // persist the held-out sample WITH the operating point: the
     // staleness check ([[refreshWalkTuning]]) re-measures after
     // lifecycle verbs without the caller having to re-supply it
     queries.select(col("q_id"), col("qv")).coalesce(1)
       .write.mode("overwrite").parquet(s"$nswDir/tuning_sample")
-    chosen
+    c
   }
 
   /** The measurement core shared by [[tuneWalk]] and
@@ -779,17 +836,16 @@ object NswIndex {
     * reads). */
   private def measureWalkRecall(spark: SparkSession, flatDir: String,
                                 nswDir: String, queries: DataFrame, k: Int,
-                                nProbe: Int,
-                                settings: Seq[(Int, Int)]): DataFrame = {
+                                costed: Seq[(WalkSetting, Long)]): DataFrame = {
     val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
     val indexed = idxRaw.select(col("id"), col("v"), col("cluster"))
     val (graph, entries) = loadNsw(spark, nswDir)
     val truth = Similarity.bruteForceTopKAgg(spark, queries,
         indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
       .select(col("q_id"), col("n_id")).localCheckpoint()
-    settings.map { case (ef, rounds) =>
+    costed.map { case (s, cost) =>
       val hits = search(spark, queries, graph, indexed, cent, entries,
-          k, nProbe, ef, rounds)
+          k, s.nProbe, s.ef, s.rounds, s.seeds)
         .select(col("q_id"), col("n_id"))
         .join(truth, Seq("q_id", "n_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
@@ -799,25 +855,33 @@ object NswIndex {
           sum(col("n_hit")).as("total_hits"),
           round(avg(col("n_hit").cast("double") / k), 4).as("avg_recall"),
           round(min(col("n_hit").cast("double") / k), 4).as("min_recall"))
-        .select(lit(ef).cast("int").as("ef"),
-          lit(rounds).cast("int").as("rounds"),
-          lit(ef.toLong * rounds).as("cost"),
+        .select(lit(s.nProbe).cast("int").as("n_probe"),
+          lit(s.ef).cast("int").as("ef"),
+          lit(s.rounds).cast("int").as("rounds"),
+          lit(s.seeds).cast("int").as("seeds"),
+          lit(cost).as("cost"),
           col("n_queries"), col("total_hits"),
           col("avg_recall"), col("min_recall"))
     }.reduce(_ unionByName _)
   }
 
-  /** [[tuneWalk]]'s choice rule over a measured settings table: the
-    * CHEAPEST (cost, ef, rounds) setting whose rounded avg recall
-    * meets `recallFloor`; highest-recall fallback when none does. */
+  /** [[tuneWalk]]/[[tuneWalkJoint]]'s choice rule over a measured
+    * settings table: the CHEAPEST (cost, nProbe, ef, rounds, seeds)
+    * setting whose rounded avg recall meets `recallFloor`;
+    * highest-recall fallback when none does. On a legacy two-dial grid
+    * (constant nProbe, seeds = 1) this orders identically to the
+    * original (cost, ef, rounds) rule. */
   private def chooseWalkSetting(rec: DataFrame,
-                                recallFloor: Double): (Int, Int) = {
-    val rows = rec.select(col("ef"), col("rounds"), col("cost"),
-        col("avg_recall")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    rows.filter(_._4 >= recallFloor).sortBy(t => (t._3, t._1, t._2)).headOption
-      .orElse(rows.sortBy(t => (-t._4, t._3, t._1, t._2)).headOption)
-      .map(t => (t._1, t._2)).get
+                                recallFloor: Double): WalkSetting = {
+    val rows = rec.select(col("n_probe"), col("ef"), col("rounds"),
+        col("seeds"), col("cost"), col("avg_recall")).collect()
+      .map(r => (WalkSetting(r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)), r.getLong(4), r.getDouble(5)))
+    def order(t: (WalkSetting, Long, Double)) =
+      (t._2, t._1.nProbe, t._1.ef, t._1.rounds, t._1.seeds)
+    rows.filter(_._3 >= recallFloor).sortBy(order).headOption
+      .orElse(rows.sortBy(t => (-t._3, order(t))).headOption)
+      .map(_._1).get
   }
 
   /** STALENESS REFRESH for the persisted walk operating point — the
@@ -842,12 +906,21 @@ object NswIndex {
                         sampleQueries: Option[DataFrame] = None
                        ): (Int, Int, Boolean) = withStoreLease(nswDir) {
     val tuning = spark.read.parquet(s"$nswDir/tuning")
-    val prov = tuning.select(col("recall_floor"), col("at_k"), col("n_probe"))
-      .head()
-    val (floor, k, nProbe) = (prov.getDouble(0), prov.getInt(1), prov.getInt(2))
-    val settings = tuning.select(col("ef"), col("rounds"))
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
-    val point = loadTunedWalk(spark, nswDir)
+    val prov = tuning.select(col("recall_floor"), col("at_k")).head()
+    val (floor, k) = (prov.getDouble(0), prov.getInt(1))
+    // settings + cost read back from the table (a joint grid's costs
+    // embed the build-time degree, which refresh need not re-derive);
+    // a pre-seeds table reads as seeds = 1
+    val hasSeeds = tuning.columns.contains("seeds")
+    val costed = tuning.select(col("n_probe"), col("ef"), col("rounds"),
+        (if (hasSeeds) col("seeds") else lit(1)).as("seeds"), col("cost"))
+      .collect()
+      .map(r => (WalkSetting(r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)), r.getLong(4)))
+      .toSeq.sortBy(t => (t._1.nProbe, t._1.ef, t._1.rounds, t._1.seeds))
+    val point = loadTunedWalkSetting(spark, nswDir)
+    val pointCost = costed.find(_._1 == point).map(_._2)
+      .getOrElse(point.ef.toLong * point.rounds)
     // A store tuned before the sample-persisting tuneWalk has a tuning
     // table but no tuning_sample — fail with the remedy instead of a
     // raw path-not-found AnalysisException from the parquet read.
@@ -861,8 +934,8 @@ object NswIndex {
     val queries = sampleQueries
       .getOrElse(spark.read.parquet(s"$nswDir/tuning_sample"))
       .localCheckpoint()
-    val check = measureWalkRecall(spark, flatDir, nswDir, queries, k, nProbe,
-      Seq(point)).localCheckpoint()
+    val check = measureWalkRecall(spark, flatDir, nswDir, queries, k,
+      Seq((point, pointCost))).localCheckpoint()
     val avg = check.select(col("avg_recall")).head().getDouble(0)
     val stale = avg < floor
     check.withColumn("recall_floor", lit(floor))
@@ -870,20 +943,30 @@ object NswIndex {
       .withColumn("stale", lit(stale))
       .coalesce(1)
       .write.mode("append").parquet(s"$nswDir/tuning_check")
-    if (!stale) (point._1, point._2, false)
+    if (!stale) (point.ef, point.rounds, false)
     else {
-      val (ef, rounds) = tuneWalk(spark, flatDir, nswDir, queries, k, nProbe,
-        settings, floor)
-      (ef, rounds, true)
+      val c = tuneWalkGrid(spark, flatDir, nswDir, queries, k, costed, floor)
+      (c.ef, c.rounds, true)
     }
   }
 
-  /** The persisted operating point of [[tuneWalk]], read back from the
-    * graph store. */
+  /** The persisted `(ef, rounds)` operating point of [[tuneWalk]],
+    * read back from the graph store — the legacy two-dial view of
+    * [[loadTunedWalkSetting]]. */
   def loadTunedWalk(spark: SparkSession, nswDir: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$nswDir/tuning")
-      .filter(col("chosen")).select(col("ef"), col("rounds")).head()
-    (r.getInt(0), r.getInt(1))
+    val s = loadTunedWalkSetting(spark, nswDir)
+    (s.ef, s.rounds)
+  }
+
+  /** The persisted FULL operating point — all four dials — of
+    * [[tuneWalk]]/[[tuneWalkJoint]]; a pre-seeds tuning table reads
+    * as seeds = 1. */
+  def loadTunedWalkSetting(spark: SparkSession, nswDir: String): WalkSetting = {
+    val t = spark.read.parquet(s"$nswDir/tuning").filter(col("chosen"))
+    val hasSeeds = t.columns.contains("seeds")
+    val r = t.select(col("n_probe"), col("ef"), col("rounds"),
+      (if (hasSeeds) col("seeds") else lit(1)).as("seeds")).head()
+    WalkSetting(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
 
   /** Final per-query trim shared by the search faces: best `k` of the

@@ -390,6 +390,15 @@ object EventStreams {
         // ([[graft.sources.StoreFs]]) so a non-local store (HDFS/S3)
         // keeps data and markers on the SAME filesystem.
         graft.sources.StoreFs.touchMarker(store, s".gen_${batchId}_committed")
+        // KEY-COLUMN META, so [[retractFromAggStore]] can validate a
+        // caller's key frame against the store's actual keys instead of
+        // discovering a mis-shaped overlay at read time (which would
+        // wedge every read AND the next fold until hand repair).
+        // Idempotent atomic rewrite; skipped when already current.
+        val keyMeta = keyCols.mkString("\n")
+        if (!graft.sources.StoreFs.readSmallFile(keyColsPath(store))
+              .contains(keyMeta))
+          graft.sources.StoreFs.writeFileAtomic(keyColsPath(store), keyMeta)
       }
       .start()
   }
@@ -445,6 +454,21 @@ object EventStreams {
     * scrubbed, the caller re-runs the retraction. */
   private def retractionsPath(store: String): String = s"$store/retractions"
 
+  /** Meta file recording a [[materializedAggStore]]'s key columns
+    * (newline-joined, written idempotently on every fold) — the
+    * authority [[retractFromAggStore]] validates caller key frames
+    * against. Kept out of the snapshot schema on purpose: deriving
+    * "keys = snapshot columns minus aggregate columns" would need the
+    * agg list too, and the fold loop already knows the keys. */
+  private def keyColsPath(store: String): String = s"$store/.keycols"
+
+  /** The key columns a [[materializedAggStore]] store was folded with,
+    * per its committed meta file; None for a store that predates the
+    * meta (its next fold records it). */
+  def aggStoreKeyColumns(store: String): Option[Seq[String]] =
+    graft.sources.StoreFs.readSmallFile(keyColsPath(store))
+      .map(_.split("\n", -1).toSeq)
+
   /** Scrub [[retractFromAggStore]]-recorded keys from a read of
     * generation `gen` (see [[retractionsPath]]). Join keys are the
     * overlay's own columns, so callers need not re-supply `keyCols`;
@@ -484,6 +508,25 @@ object EventStreams {
         "pre-retraction state and would re-commit the keys past the " +
         "retraction watermark; stop the stream (quiesce between " +
         "micro-batches) before retracting")
+    // Validate the caller's frame against the store's recorded key
+    // columns BEFORE the overlay append. A mis-shaped overlay would
+    // only surface inside applyRetractions — wedging every read and
+    // the stream's next fold (so no newer generation could commit and
+    // vacuum could never release) — and an extra column that collides
+    // with an aggregate column would silently join on it and scrub
+    // only part of the key's rows: a silent incomplete forget.
+    val storeKeys = aggStoreKeyColumns(store).getOrElse(
+      throw new IllegalArgumentException(
+        s"agg store $store has no .keycols meta (created before the " +
+          "retraction contract?) — run one more fold of its stream to " +
+          "record the key columns, then retract"))
+    require(keys.columns.toSet == storeKeys.toSet &&
+        keys.columns.length == storeKeys.length,
+      s"retraction frame columns [${keys.columns.mkString(", ")}] do " +
+        s"not match agg store $store key columns " +
+        s"[${storeKeys.mkString(", ")}] — a mismatched overlay would " +
+        "wedge reads or silently part-scrub on an aggregate-column " +
+        "name collision, so it is rejected up front")
     val rows = keys.distinct()
       .withColumn("retracted_at_gen", lit(newest + 1L))
       .localCheckpoint()

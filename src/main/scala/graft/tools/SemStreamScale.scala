@@ -380,8 +380,16 @@ object SemStreamScale {
         val refitAt = if (args.length > 4) args(4).toLong else 0L
         run(spark, sfDir, maxCell.toLong, k.toInt, refitAt)
       case "nsw" =>
+        // All-or-none: a PARTIAL walk-parameter list must fail fast,
+        // not silently fall back to the defaults — the probe would
+        // otherwise run (and record in its JSON evidence line) a
+        // different configuration than the operator asked for.
+        require(args.length == 4 || args.length == 9,
+          s"nsw mode takes exactly 5 walk parameters " +
+            s"(degree ef rounds nProbe seeds) or none — got " +
+            s"${args.length - 4}: [${args.drop(4).mkString(" ")}]")
         val Array(degree, ef, rounds, nProbe, seeds) =
-          if (args.length > 8) args.slice(4, 9).map(_.toInt)
+          if (args.length == 9) args.slice(4, 9).map(_.toInt)
           else Array(8, 16, 8, 8, 16)
         runNsw(spark, sfDir, maxCell.toLong, k.toInt, degree, ef, rounds,
           nProbe, seeds)

@@ -205,4 +205,57 @@ class MaterializedViewSpec extends SparkSpec {
     EventStreams.vacuumGenerations(store, keepLast = 1)
     new java.io.File(store, "retractions").exists() shouldBe false
   }
+
+  it("retraction validates the key frame against the store's recorded key columns") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val base = java.nio.file.Files.createTempDirectory("mv-keychk").toString
+    val store = s"$base/store"
+    val query = EventStreams.materializedAggStore(
+      mem.toDF().toDF("k", "x"),
+      keyCols = Seq("k"),
+      batchAggs = Seq(count(lit(1)).as("n"), sum($"x").as("v")),
+      mergeAggs = Seq(sum($"n").as("n"), sum($"v").as("v")),
+      store = store, checkpoint = s"$base/ckpt")
+    try {
+      mem.addData(("a", 1.0), ("b", 10.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // the fold recorded its key columns
+    EventStreams.aggStoreKeyColumns(store) shouldBe Some(Seq("k"))
+
+    // wrong column name: rejected up front, nothing appended
+    intercept[IllegalArgumentException](
+      EventStreams.retractFromAggStore(spark, store,
+        Seq("a").toDF("key"))).getMessage should include("do not match")
+    // extra column COLLIDING with an aggregate column ('n'): without
+    // validation this would silently join on (k, n) and part-scrub;
+    // with it the call is refused before the overlay append
+    intercept[IllegalArgumentException](
+      EventStreams.retractFromAggStore(spark, store,
+        Seq(("a", 1L)).toDF("k", "n"))).getMessage should include("do not match")
+    new java.io.File(store, "retractions").exists() shouldBe false
+
+    // a store predating the meta refuses with the remedy (re-fold)
+    graft.sources.StoreFs.deleteFile(s"$store/.keycols")
+    intercept[IllegalArgumentException](
+      EventStreams.retractFromAggStore(spark, store,
+        Seq("a").toDF("k"))).getMessage should include("no .keycols meta")
+
+    // the meta is idempotently restored by the next fold
+    val q2 = EventStreams.materializedAggStore(
+      mem.toDF().toDF("k", "x"),
+      keyCols = Seq("k"),
+      batchAggs = Seq(count(lit(1)).as("n"), sum($"x").as("v")),
+      mergeAggs = Seq(sum($"n").as("n"), sum($"v").as("v")),
+      store = store, checkpoint = s"$base/ckpt")
+    try {
+      mem.addData(("c", 2.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    EventStreams.aggStoreKeyColumns(store) shouldBe Some(Seq("k"))
+    EventStreams.retractFromAggStore(spark, store,
+      Seq("a").toDF("k")) shouldBe 1L
+  }
 }

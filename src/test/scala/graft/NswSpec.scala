@@ -280,6 +280,70 @@ class NswSpec extends SparkSpec {
       }
     }
 
+    it("tuneWalkJoint discovers (nProbe, seeds) jointly and refresh rides the 4-dial point") {
+      import NswIndex.WalkSetting
+      val (e, cent, indexed, _) = fitted()
+      val flat = java.nio.file.Files.createTempDirectory("graft-nswjt-f").toString
+      val nsw = java.nio.file.Files.createTempDirectory("graft-nswjt-g").toString
+      IvfIndex.save(cent, indexed, flat)
+      NswIndex.saveNsw(NswIndex.fitGraph(indexed, degree = 4),
+        NswIndex.entryPoints(indexed, cent), nsw)
+      val sample = e.filter($"id" < 10).select($"id".as("q_id"), $"v".as("qv"))
+      val grid = Seq(WalkSetting(2, 10, 1, 1), WalkSetting(2, 10, 1, 4),
+        WalkSetting(4, 10, 1, 1), WalkSetting(2, 16, 2, 1))
+      // floor -> 0+: cheapest by the TRUE scored-vector budget
+      // nProbe·seeds + rounds·ef·degree wins — the grid's costs are
+      // (2,10,1,1)=42, (4,10,1,1)=44, (2,10,1,4)=48, (2,16,2,1)=130
+      NswIndex.tuneWalkJoint(spark, flat, nsw, sample, k = 10, degree = 4,
+        grid, recallFloor = 1e-9) shouldBe WalkSetting(2, 10, 1, 1)
+      val table = spark.read.parquet(s"$nsw/tuning")
+      table.count() shouldBe 4L
+      table.filter($"n_probe" === 2 && $"ef" === 10 && $"rounds" === 1 &&
+        $"seeds" === 1).select($"cost").head().getLong(0) shouldBe 42L
+      // more seeds only ADD visited nodes (visited-set monotonicity),
+      // so recall is monotone in seeds at a fixed (nProbe, ef, rounds)
+      val rec1 = table.filter($"seeds" === 1 && $"n_probe" === 2 &&
+        $"ef" === 10).select($"avg_recall").head().getDouble(0)
+      val rec4 = table.filter($"seeds" === 4).select($"avg_recall")
+        .head().getDouble(0)
+      rec4 should be >= rec1
+      // floor at the multi-seed row's measured recall: the tuner must
+      // discover the cheapest row meeting it — replay the choice rule
+      val chosen = NswIndex.tuneWalkJoint(spark, flat, nsw, sample, k = 10,
+        degree = 4, grid, recallFloor = rec4)
+      val rows = spark.read.parquet(s"$nsw/tuning")
+        .select($"n_probe", $"ef", $"rounds", $"seeds", $"cost",
+          $"avg_recall", $"chosen").collect()
+      val expect = rows.filter(_.getDouble(5) >= rec4)
+        .sortBy(r => (r.getLong(4), r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getInt(3))).head
+      chosen shouldBe WalkSetting(expect.getInt(0), expect.getInt(1),
+        expect.getInt(2), expect.getInt(3))
+      rows.count(_.getBoolean(6)) shouldBe 1
+      NswIndex.loadTunedWalkSetting(spark, nsw) shouldBe chosen
+      // refresh measures AT the chosen 4-dial point (healthy: the same
+      // corpus and sample cannot have gone stale) and keeps it
+      val (ef1, r1, refreshed1) = NswIndex.refreshWalkTuning(spark, flat, nsw)
+      (ef1, r1) shouldBe ((chosen.ef, chosen.rounds))
+      refreshed1 shouldBe false
+      NswIndex.loadTunedWalkSetting(spark, nsw) shouldBe chosen
+      val check = spark.read.parquet(s"$nsw/tuning_check")
+      check.count() shouldBe 1L
+      check.select($"n_probe", $"seeds").head() match {
+        case row => (row.getInt(0), row.getInt(1)) shouldBe
+          ((chosen.nProbe, chosen.seeds))
+      }
+      // stale at an unreachable floor: the re-tune re-measures the
+      // FULL joint grid (costs carried from the table, degree not
+      // re-supplied) and falls back to the highest-recall setting
+      NswIndex.tuneWalkJoint(spark, flat, nsw, sample, k = 10, degree = 4,
+        grid, recallFloor = 1.0): Unit
+      val (_, _, refreshed2) = NswIndex.refreshWalkTuning(spark, flat, nsw)
+      refreshed2 shouldBe true
+      spark.read.parquet(s"$nsw/tuning").count() shouldBe 4L
+      assertCleanAudit(graft.tools.StoreDoctor.auditNsw(spark, flat, nsw))
+    }
+
     it("refreshWalkTuning keeps a healthy point and re-tunes a stale one") {
       val (e, cent, indexed, _) = fitted()
       val flat = java.nio.file.Files.createTempDirectory("graft-nswref-f").toString

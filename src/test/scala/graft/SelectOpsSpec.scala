@@ -49,6 +49,16 @@ class SelectOpsSpec extends SparkSpec {
       // (the executedPlan toString marks codegen stages as "*(n)")
       plan should include("*(1) Filter might_contain")
     }
+
+    it("broadcast variant (huge-sketch path) selects exactly the native probe's rows") {
+      val dim = Tables.orders(spark, sf).select($"o_orderkey").limit(100)
+      val fact = Tables.lineitem(spark, sf).select($"l_orderkey")
+      val bf = BloomJoin.keyFilter(dim, "o_orderkey", expectedItems = 1000L)
+      val native = BloomJoin.reduce(fact, "l_orderkey", bf)
+      val bcast = BloomJoin.reduceBroadcast(fact, "l_orderkey", bf)
+      bcast.count() shouldBe native.count()
+      bcast.except(native).count() shouldBe 0L
+    }
   }
 
   describe("Sampling.stratifiedSample") {

@@ -244,6 +244,57 @@ class StoreDoctorSpec extends SparkSpec {
       errors(corrupt).map(_.kind) should contain("generations")
       errors(corrupt).head.detail should include("5")
     }
+
+    it("tracks the retraction overlay from retained through releasable-by-vacuum") {
+      // real retract-then-vacuum fixture: the doctor must tell the
+      // operator (a) while readable history predates the watermark the
+      // overlay is load-bearing, and (b) once nothing readable predates
+      // it the forget path has physically completed and vacuum releases
+      // the overlay
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EventStreams
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(String, Double)]
+      val base = java.nio.file.Files.createTempDirectory("graft-doc-ret").toString
+      val store = s"$base/store"
+      val query = EventStreams.materializedAggStore(
+        mem.toDF().toDF("k", "x"),
+        keyCols = Seq("k"),
+        batchAggs = Seq(count(lit(1)).as("n"), sum($"x").as("v")),
+        mergeAggs = Seq(sum($"n").as("n"), sum($"v").as("v")),
+        store = store, checkpoint = s"$base/ckpt")
+      try {
+        mem.addData(("a", 1.0), ("b", 10.0))
+        query.processAllAvailable()
+        mem.addData(("a", 4.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      EventStreams.retractFromAggStore(spark, store, Seq("a").toDF("k"))
+      // watermark = 2; generations 0 and 1 are readable and predate it
+      val retained = StoreDoctor.auditAggStore(spark, store)
+        .filter(_.kind == "time-travel").map(_.detail).mkString
+      retained should include("records deletes through generation g2")
+      retained should include("retained")
+      // the fold past the watermark + vacuum of pre-watermark history:
+      // simulate the release crash window (generations trimmed, overlay
+      // still on disk) by trimming markers+data by hand — the doctor
+      // must now say the overlay is inert and vacuum releases it
+      val merged = EventStreams.latestGeneration(spark, store).get
+      EventStreams.writeBatchIdempotent(merged, 2L, store)
+      graft.sources.StoreFs.touchMarker(store, ".gen_2_committed")
+      Seq(0L, 1L).foreach { g =>
+        graft.sources.StoreFs.deleteChild(store, s".gen_${g}_committed")
+        graft.sources.StoreFs.deleteChild(store, s"batch_id=$g")
+      }
+      new java.io.File(store, "retractions").exists() shouldBe true
+      val releasable = StoreDoctor.auditAggStore(spark, store)
+        .filter(_.kind == "time-travel").map(_.detail).mkString
+      releasable should include("inert")
+      releasable should include("vacuum releases it")
+      // and vacuum does release it
+      EventStreams.vacuumGenerations(store, keepLast = 1)
+      new java.io.File(store, "retractions").exists() shouldBe false
+    }
   }
 
   describe("StoreDoctor: flat IVF store") {

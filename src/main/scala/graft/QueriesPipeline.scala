@@ -1267,6 +1267,286 @@ object QueriesPipeline {
        |ORDER BY bk, stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q219
+  /** REFIT CADENCE inside the cumulative semantic build — the r18
+    * at-scale recipe ([[graft.tools.SemStreamScale]] `run(refitAtBudget)`,
+    * measured at sf10: candidate budget 128k → 1k at leak 0.012%)
+    * promoted from probe tool to oracle-gated contract: the q211
+    * funnel with a MID-STREAM [[graft.operators.IvfIndex.refitIndex]]
+    * — the trigger arithmetic, the refit itself, and the
+    * read-after-write path (later batches screening against the
+    * refitted layout) all on the hash.
+    *
+    * Trigger: the production loop fires when the TUNED width's
+    * per-arrival candidate budget (nProbe × maxCellSize) crosses a
+    * threshold — recall-typed, so the gate twin rides the equivalent
+    * DETERMINISTIC term instead: under a fixed k the expected cell
+    * size (hence the budget) is proportional to corpus/k, so corpus
+    * growth OVER THE LAST FIT is the budget growth. After every
+    * batch's append the loop compares 1000·n_store > 1165·n_at_fit
+    * (integer, both engines exact); on fire it refits at k doubled
+    * (the power-of-two cadence of corpus-proportional k) and resets
+    * n_at_fit. On this fixture's measured funnel (survivor growth
+    * ≈ 6%/batch at every SF, margins ≥ 2.7 points both sides) the
+    * trigger fires exactly once, after batch 2 — so batch 3's screen
+    * and the serve run against the refitted store. The recall-typed
+    * production trigger (tuner + staleness floor) stays measured in
+    * `StreamingSemanticScaleSpec` and the decade probes; this gate
+    * certifies the cadence's trigger → refit → read-after-write
+    * composition is deterministic and lossless.
+    *
+    * Gate rows: q211's funnel + per-batch `d_budget` (n_store after
+    * the append, n_at_fit used by that batch's trigger check) +
+    * `e_refit` at the firing batch (new cell count, k') + `f_serve`
+    * over the REFITTED store + `g_index` read-back. The oracle
+    * replays batches 0–2 against the k=8 fit, the trigger compare,
+    * the k=16 global Lloyd refit over exactly the post-batch-2 store
+    * ([[QueriesSimilarity.lloydIdxSql]] — refit ≡ rebuild, q218's
+    * contract), then batch 3 and the serve against the refitted
+    * centroids. Declared replica cap `vec_id < 10¹⁰` (q211's) keeps
+    * the oracle DuckDB-sized; at-least-once caveat as q211. */
+  val q219RefitCadence: Q = (s, dir) => {
+    import s.implicits._
+    val base = streamPipelineCache.computeIfAbsent("q219:" + dir, _ => {
+      val stem = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val b = s"/root/repo/target/tmp/graft_q219_$stem"
+      rmTree(new java.io.File(b))
+      val file = s"$dir/embeddings.parquet"
+      val bk10 = graft.operators.Sampling.hashBucket($"vec_id", 10)
+      val corpus = s.read.parquet(file)
+        .filter(bk10 < 8 && $"vec_id" < 10000000000L)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cent = graft.operators.IvfIndex
+        .fitCentroids(s, corpus, k = 8, iterations = 1, orderedMean = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.IvfIndex.save(cent,
+        graft.operators.IvfIndex.assign(corpus, cent), s"$b/ivf")
+      finally cent.unpersist(): Unit
+      def delta(df: DataFrame): DataFrame = {
+        val t = df.filter($"vec_id" < 10000000000L)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+          .withColumn("b", graft.operators.Sampling.hashBucket($"vec_id", 10))
+        val scaled = transform($"v", x => x * 1.01)
+        t.filter($"b" >= 8).select($"vec_id", $"v")
+          .unionByName(t.filter($"b" < 8 && $"vec_id" % 7 === 0)
+            .select(($"vec_id" + 200000L).as("vec_id"), $"v"))
+          .unionByName(t.filter($"b" < 8 && $"vec_id" % 11 === 0)
+            .select(($"vec_id" + 300000L).as("vec_id"), scaled.as("v")))
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 13 === 0)
+            .select(($"vec_id" + 400000L).as("vec_id"), $"v"))
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 4 === 0)
+            .select(($"vec_id" + 2000002L).as("vec_id"), $"v"))
+          .unionByName(t.filter($"b" >= 8 && $"vec_id" % 4 === 0 &&
+              $"vec_id" % 3 === 0)
+            .select(($"vec_id" + 3000002L).as("vec_id"), scaled.as("v")))
+      }
+      // n_at_fit: the store size the live fit was computed over — the
+      // trigger's denominator, reset by a refit. Driver-sequential
+      // (foreachBatch runs batches in order on this single-attempt
+      // fixture); the funnel's d_budget rows put every value it ever
+      // takes on the hash.
+      var nAtFit = graft.operators.IvfIndex.load(s, s"$b/ivf")._2.count()
+      val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
+        s, file, "q219", dir, delta, col("vec_id") % 4)
+      val query = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val marker = s".q219_batch_${batchId}_applied"
+            if (!graft.sources.StoreFs.childNames(b).contains(marker)) {
+              val slice = batch.toDF().select($"vec_id", $"v")
+                .localCheckpoint()
+              val ex = slice
+                .withColumn("keep", min($"vec_id").over(org.apache.spark.sql
+                  .expressions.Window.partitionBy($"v")))
+                .filter($"vec_id" === $"keep")
+                .select($"vec_id", $"v").localCheckpoint()
+              val (centK, idxK) = graft.operators.IvfIndex.load(s, s"$b/ivf")
+              val dups = graft.operators.IvfIndex.search(s,
+                  ex.select($"vec_id".as("q_id"), $"v".as("qv")),
+                  idxK, centK, k = 1, nProbe = 2)
+                .filter($"cos" >= 0.8)
+                .select($"q_id".as("vec_id"))
+              val kept = ex.join(dups, Seq("vec_id"), "left_anti")
+                .localCheckpoint()
+              graft.operators.IvfIndex.appendToIndex(s,
+                kept.select($"vec_id".as("id"), $"v"), s"$b/ivf"): Unit
+              // THE CADENCE: trigger arithmetic after the append (all
+              // long integers — exact in both engines)
+              val nStore = graft.operators.IvfIndex
+                .load(s, s"$b/ivf")._2.count()
+              val nFitUsed = nAtFit
+              val fired = 1000L * nStore > 1165L * nAtFit
+              def row(stage: String, df: DataFrame) =
+                df.agg(count(lit(1)).cast("long").as("n_rows"),
+                    coalesce(sum($"vec_id"), lit(0L)).cast("long").as("w"))
+                  .select(lit(batchId).cast("long").as("bk"),
+                    lit(stage).as("stage"), $"n_rows", $"w")
+              var rows = row("a_arrived", slice)
+                .unionByName(row("b_exact", ex))
+                .unionByName(row("c_store", kept))
+                .unionByName(Seq((batchId, "d_budget", nStore, nFitUsed))
+                  .toDF("bk", "stage", "n_rows", "w"))
+              if (fired) {
+                val cells = graft.operators.IvfIndex
+                  .refitIndex(s, s"$b/ivf", k = 16)
+                nAtFit = nStore
+                rows = rows.unionByName(
+                  Seq((batchId, "e_refit", cells, 16L))
+                    .toDF("bk", "stage", "n_rows", "w"))
+              }
+              rows.coalesce(1).write.mode("append").parquet(s"$b/funnel")
+              graft.sources.StoreFs.touchMarker(b, marker)
+            }
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      rmTree(new java.io.File(staging))
+      b
+    })
+    val (centF, idxF) = graft.operators.IvfIndex.load(s, s"$base/ivf")
+    val qs = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val serveRow = graft.operators.IvfIndex
+      .search(s, qs, idxF, centF, k = 3, nProbe = 2)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"rank".cast("long") * $"n_id"), lit(0L))
+          .cast("long").as("w"))
+      .select(lit(-1L).as("bk"), lit("f_serve").as("stage"), $"n_rows", $"w")
+    val indexRow = idxF
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum($"id"), lit(0L)).cast("long").as("w"))
+      .select(lit(-2L).as("bk"), lit("g_index").as("stage"), $"n_rows", $"w")
+    s.read.parquet(s"$base/funnel")
+      .unionByName(serveRow).unionByName(indexRow)
+      .orderBy($"bk", $"stage")
+  }
+
+  val q219Sql: String = {
+    import QueriesSimilarity.{dotSql, norm2Sql, lloydIdxSql}
+    def cosSql(a: String, b: String): String =
+      s"${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)})"
+    // top-`n` centroid probe of relation `src(id, v)` against centroid
+    // relation `c` — q211's probeSql with the centroid side
+    // parameterized (pre- vs post-refit batches probe different fits)
+    def probeSql(name: String, src: String, c: String, n: Int): String =
+      s"""$name AS (
+         |  SELECT id, v, cluster FROM (
+         |    SELECT e.id, e.v, c.cluster,
+         |           row_number() OVER (PARTITION BY e.id
+         |             ORDER BY ${cosSql("e.v", "c.centroid")} DESC, c.cluster ASC) AS rn
+         |    FROM $src e CROSS JOIN $c c)
+         |  WHERE rn <= $n)""".stripMargin
+    // batches 0-2 against the base k=8 fit (q211's chain verbatim)
+    val preRefit = (0 until 3).map { k =>
+      s"""arr$k AS (SELECT id, v FROM delta WHERE id % 4 = $k),
+         |ex$k AS MATERIALIZED (
+         |  SELECT id, v FROM (
+         |    SELECT *, min(id) OVER (PARTITION BY v) AS keep FROM arr$k)
+         |  WHERE id = keep),
+         |${probeSql(s"pr$k", s"ex$k", "cent", 2)},
+         |dup$k AS (
+         |  SELECT DISTINCT p.id FROM pr$k p JOIN st$k i USING (cluster)
+         |  WHERE round(${cosSql("p.v", "i.v")}, 4) >= 0.8),
+         |sv$k AS MATERIALIZED (
+         |  SELECT id, v FROM ex$k WHERE id NOT IN (SELECT id FROM dup$k)),
+         |${probeSql(s"svidx$k", s"sv$k", "cent", 1)},
+         |st${k + 1} AS MATERIALIZED (
+         |  SELECT * FROM st$k UNION ALL SELECT id, v, cluster FROM svidx$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    // THE REFIT, after batch 2's append: a fresh global k=16 Lloyd
+    // over exactly the store's rows (refit ≡ rebuild — q218), then
+    // batch 3 and the serve run against the refitted layout
+    val postRefit =
+      s"""rsrc AS MATERIALIZED (SELECT id, v FROM st3),
+         |${lloydIdxSql("rsrc", "16", "rf")},
+         |arr3 AS (SELECT id, v FROM delta WHERE id % 4 = 3),
+         |ex3 AS MATERIALIZED (
+         |  SELECT id, v FROM (
+         |    SELECT *, min(id) OVER (PARTITION BY v) AS keep FROM arr3)
+         |  WHERE id = keep),
+         |${probeSql("pr3", "ex3", "rfcent", 2)},
+         |dup3 AS (
+         |  SELECT DISTINCT p.id FROM pr3 p JOIN rfidx i USING (cluster)
+         |  WHERE round(${cosSql("p.v", "i.v")}, 4) >= 0.8),
+         |sv3 AS MATERIALIZED (
+         |  SELECT id, v FROM ex3 WHERE id NOT IN (SELECT id FROM dup3)),
+         |${probeSql("svidx3", "sv3", "rfcent", 1)},
+         |st4 AS MATERIALIZED (
+         |  SELECT * FROM rfidx UNION ALL SELECT id, v, cluster FROM svidx3)"""
+        .stripMargin
+    val funnelRows = (0 until 4).map { k =>
+      // d_budget: n_store after batch k's append vs the n_at_fit its
+      // trigger compared against (base fit for 0-2, the refit for 3)
+      val nFitRel = if (k < 3) "st0" else "st3"
+      s"""  SELECT CAST($k AS BIGINT) AS bk, 'a_arrived' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) AS w FROM arr$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'b_exact', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM ex$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'c_store', CAST(count(*) AS BIGINT),
+         |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM sv$k
+         |  UNION ALL
+         |  SELECT CAST($k AS BIGINT), 'd_budget',
+         |         (SELECT CAST(count(*) AS BIGINT) FROM st${k + 1}),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM $nFitRel)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH eb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         (${QueriesStreaming.ingestBktDigits}) % 10 AS bk
+       |  FROM (SELECT vec_id, embedding,
+       |               md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+       |        WHERE vec_id < 10000000000)),
+       |src AS MATERIALIZED (SELECT vec_id AS id, v FROM eb WHERE bk < 8),
+       |${lloydIdxSql("src", "8")},
+       |delta AS MATERIALIZED (
+       |  SELECT vec_id AS id, v FROM eb WHERE bk >= 8
+       |  UNION ALL SELECT vec_id + 200000 AS id, v FROM eb
+       |    WHERE bk < 8 AND vec_id % 7 = 0
+       |  UNION ALL SELECT vec_id + 300000 AS id,
+       |    list_transform(v, x -> x * 1.01) AS v FROM eb
+       |    WHERE bk < 8 AND vec_id % 11 = 0
+       |  UNION ALL SELECT vec_id + 400000 AS id, v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 13 = 0
+       |  UNION ALL SELECT vec_id + 2000002 AS id, v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 4 = 0
+       |  UNION ALL SELECT vec_id + 3000002 AS id,
+       |    list_transform(v, x -> x * 1.01) AS v FROM eb
+       |    WHERE bk >= 8 AND vec_id % 4 = 0 AND vec_id % 3 = 0),
+       |st0 AS MATERIALIZED (SELECT id, v, cluster FROM idx),
+       |$preRefit,
+       |$postRefit,
+       |qs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |       FROM embeddings WHERE vec_id < 5),
+       |${probeSql("qpr", "qs", "rfcent", 2)},
+       |qrank AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT p.id AS q_id, i.id AS n_id,
+       |           row_number() OVER (PARTITION BY p.id
+       |             ORDER BY ${cosSql("p.v", "i.v")} DESC, i.id ASC) AS rank
+       |    FROM qpr p JOIN st4 i USING (cluster))
+       |  WHERE rank <= 3)
+       |SELECT bk, stage, n_rows, w FROM (
+       |  SELECT CAST(-1 AS BIGINT) AS bk, 'f_serve' AS stage,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         COALESCE(CAST(sum(rank * n_id) AS BIGINT), 0) AS w FROM qrank
+       |  UNION ALL
+       |  SELECT CAST(-2 AS BIGINT), 'g_index', CAST(count(*) AS BIGINT),
+       |         COALESCE(CAST(sum(id) AS BIGINT), 0) FROM st4
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'e_refit',
+       |         (SELECT CAST(count(*) AS BIGINT) FROM rfcent),
+       |         CAST(16 AS BIGINT)
+       |  UNION ALL
+       |$funnelRows)
+       |ORDER BY bk, stage""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q212
   /** TIME-TRAVEL reads of the generational dedup store
     * ([[graft.operators.TextDedup.ingestFlagsBucketed]]'s
@@ -1466,5 +1746,6 @@ object QueriesPipeline {
     ("q211_semantic_stream_build", q211SemStreamBuild, Some(q211Sql)),
     ("q212_time_travel", q212TimeTravel, Some(q212Sql)),
     ("q216_nsw_screen_build", q216NswScreenBuild, Some(q216Sql)),
+    ("q219_refit_cadence", q219RefitCadence, Some(q219Sql)),
   )
 }

@@ -68,6 +68,24 @@ object ScaleUp {
     }
 
   def scaleTable(df: DataFrame, table: String, copies: Int): DataFrame = {
+    // CHAINED scaling (src itself a ScaleUp output) folds replicas onto
+    // each other: this run's replica r shifts an id already at s×10⁹ to
+    // (r+s)×10⁹ — colliding with replica r+s (a ×10-of-×10 build keeps
+    // only ~19 of 100 intended id spaces). Refuse it: scale from the
+    // BASE directory with more copies instead — the 10⁹ stride holds
+    // thousands of replicas inside int64.
+    val bigs = df.columns.filter(bigKeys).toSeq
+    if (bigs.nonEmpty && copies > 1) {
+      val row = df.agg(max(col(bigs.head).cast("long")).as(bigs.head),
+        bigs.tail.map(c => max(col(c).cast("long")).as(c)): _*).head()
+      bigs.zipWithIndex.foreach { case (c, j) =>
+        val m = if (row.isNullAt(j)) 0L else row.getLong(j)
+        require(m < 1000000000L,
+          s"$table.$c max id $m >= 1e9 — the source looks like ScaleUp " +
+            "output, and chained scaling collides the replica stride; " +
+            "scale from the base directory with a larger copy count")
+      }
+    }
     val shifted = (0 until copies).map { i =>
       val keyed = df.columns.foldLeft(df) { (d, c) =>
         if (bigKeys(c)) d.withColumn(c, col(c) + i * 1000000000L)

@@ -114,7 +114,13 @@ object SemStreamScale {
     * the cadence at sf10: the tuner held the floor only at
     * nProbe 128 × 1000 = 128k candidates/arrival; the same corpus
     * under a global fit needs 16 × 1000 = 16k. The cadence makes
-    * that a standing property instead of a one-shot experiment. */
+    * that a standing property instead of a one-shot experiment.
+    * Serving-side note: the post-refit operating point is the
+    * SCREENING floor's choice (self-retrieval recall@1 = 1.0 at the
+    * cheapest width — at sf10 that lands on nProbe 1); a serving
+    * top-k workload tunes its own, typically wider, point against
+    * its own recall target (q134's dial) — the two tunings share the
+    * store but not the floor. */
   def run(spark: SparkSession, sfDir: String, maxCellSize: Long,
           buildK: Int, refitAtBudget: Long = 0L): Summary = {
     import spark.implicits._

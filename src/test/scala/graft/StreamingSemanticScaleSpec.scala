@@ -65,4 +65,32 @@ class StreamingSemanticScaleSpec extends SparkSpec {
       SemStreamScale.rmTree(new java.io.File(pinned.storeDir))
     }
   }
+
+  it("refit cadence: budget-threshold trigger fires mid-stream, restores a cheap operating point, loses nothing") {
+    // The PRODUCTION at-scale recipe (r18's sf10 measurement: budget
+    // 128k -> 1k at leak 0.012%) composed end-to-end: splits bound
+    // cells, the tuner rides the staleness floor, and when the tuned
+    // width's per-arrival budget (nProbe x maxCell) crosses the
+    // threshold the loop refits globally (k = corpus / (maxCell/2)),
+    // re-derives the width grid from the fresh cell count and
+    // re-tunes on the persisted sample. The deterministic trigger ->
+    // refit -> read-after-write slice of this loop is oracle-gated
+    // (q219); this spec pins the full composition INCLUDING the
+    // recall-typed tuner. Without the cadence this fixture settles at
+    // nProbe 4 (budget 240, recall 0.77); with it, one mid-stream
+    // refit restores nProbe 1 (budget 60) — cheaper AND better-fitted.
+    val cadence = SemStreamScale.run(spark, sfDir, maxCellSize = 60,
+      buildK = 2, refitAtBudget = 120)
+    try {
+      cadence.refits shouldBe 1
+      cadence.plantedIndexed shouldBe 0L // no duplicate ever leaks here
+      cadence.maxCell should be <= 60L
+      cadence.indexRows shouldBe 500L
+      // the cadence's point: the post-refit tuned budget is back under
+      // the threshold (the no-cadence twin above pays 4x that)
+      cadence.candBudget should be <= 120L
+      cadence.avgRecall should be >= 0.9
+    } finally
+      SemStreamScale.rmTree(new java.io.File(cadence.storeDir))
+  }
 }

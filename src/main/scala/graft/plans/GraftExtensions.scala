@@ -163,5 +163,20 @@ object GraftFunctions {
       if (!registry.functionExists(ident))
         registry.registerFunction(ident, info, builder)
     }
+    // TypedImperativeAggregates (TopKAgg, the sketches) plan as
+    // ObjectHashAggregate, which FALLS BACK to sort-based aggregation
+    // once a task sees more than this many distinct groups — default
+    // 128. Our top-k folds routinely group by thousands of query ids
+    // per task over a cross-join/probe-join input, and the fallback
+    // then SORTS that input (the corpus × queries stream!) through
+    // disk: measured at the sf100 probe as a multi-TB spill that
+    // filled the volume, where the intended bounded-heap path touches
+    // only |groups| × k rows of state. Raise the threshold once per
+    // session (only if the user hasn't set their own) — the buffers
+    // are k-bounded heaps, so a few million groups of hash-map state
+    // stay executor-sized by construction.
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.getOption(fallbackKey).forall(_ == "128"))
+      spark.conf.set(fallbackKey, "4194304")
   }
 }

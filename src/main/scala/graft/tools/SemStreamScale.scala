@@ -261,10 +261,19 @@ object SemStreamScale {
     * APPEND's |delta|·|cell| pair work and the split rebuilds, not
     * the search. The walk budget stays fixed across the stream (a
     * production loop would ride [[NswIndex.refreshWalkTuning]]; the
-    * probe measures what the fixed budget leaks). */
+    * probe measures what the fixed budget leaks).
+    *
+    * `walkSliceRows` bounds the PER-CALL walk footprint: the screen
+    * slices each batch's queries into ⌈|batch|/walkSliceRows⌉
+    * independent walks (exactly equivalent — walks are per-query),
+    * so memory degrades gracefully with corpus scale instead of
+    * cliffing (the r18 sf10 OOM at the sf1.0-winning settings was
+    * one batch-wide walk materializing |arrivals| × nProbe × seeds
+    * seed rows plus per-round visited sets in a single lineage). */
   def runNsw(spark: SparkSession, sfDir: String, maxCellSize: Long,
              buildK: Int, degree: Int, ef: Int, rounds: Int,
-             nProbe: Int = 2, seedsPerCell: Int = 1): Summary = {
+             nProbe: Int = 2, seedsPerCell: Int = 1,
+             walkSliceRows: Long = 16384L): Summary = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val scratch = sys.props("java.io.tmpdir") + "/graft_semnsw_" +
@@ -309,12 +318,28 @@ object SemStreamScale {
           val (centK, idxK) = IvfIndex.load(spark, flat)
           val idxCk = idxK.localCheckpoint()
           val (g, en) = graft.operators.NswIndex.loadNsw(spark, nsw)
-          val dups = graft.operators.NswIndex.search(spark,
-              ex.select($"vec_id".as("q_id"), $"v".as("qv")),
-              g, idxCk, centK, en, k = 1, nProbe = nProbe, ef = ef,
-              rounds = rounds, seedsPerCell = seedsPerCell)
-            .filter($"cos" >= 0.8)
-            .select($"q_id".as("vec_id"))
+          // SLICED walk screen: the walk's working set (seed rows +
+          // per-round visited) is |queries| × nProbe × seeds — itself
+          // corpus-coupled, and at sf10 × the sf1.0-winning settings
+          // it exhausts a 100 GB heap in ONE batch-wide call (the r18
+          // negative result). Walks are per-query independent, so
+          // slicing the query side is EXACTLY equivalent and bounds
+          // the in-flight block-manager footprint to one slice's walk;
+          // each slice's result is materialized (localCheckpoint) so
+          // its walk lineage — and the blocks it pinned — release
+          // before the next slice starts.
+          val queries = ex.select($"vec_id".as("q_id"), $"v".as("qv"))
+          val nQ = queries.count()
+          val nSlices = math.max(1L, (nQ + walkSliceRows - 1) / walkSliceRows)
+          val dups = (0L until nSlices).map { sl =>
+            graft.operators.NswIndex.search(spark,
+                queries.filter(pmod($"q_id", lit(nSlices)) === sl),
+                g, idxCk, centK, en, k = 1, nProbe = nProbe, ef = ef,
+                rounds = rounds, seedsPerCell = seedsPerCell)
+              .filter($"cos" >= 0.8)
+              .select($"q_id".as("vec_id"))
+              .localCheckpoint()
+          }.reduce(_ unionByName _)
           val kept = ex.join(dups, Seq("vec_id"), "left_anti").localCheckpoint()
           val idxDelta = IvfIndex
             .assign(kept.select($"vec_id".as("id"), $"v"), centK)
@@ -345,10 +370,16 @@ object SemStreamScale {
     val sample = idx.filter(col("id") % 1000000000L < 50L)
       .select(col("id").as("q_id"), col("v").as("qv")).localCheckpoint()
     val nSample = sample.count()
-    val hits = graft.operators.NswIndex.search(spark, sample, gF, idx,
-        centF, enF, k = 1, nProbe = nProbe, ef = ef, rounds = rounds,
-        seedsPerCell = seedsPerCell)
-      .filter(col("rank") === 1 && col("cos") >= 0.9999).count()
+    // sliced like the batch screen (same footprint bound, same
+    // per-query equivalence)
+    val smSlices = math.max(1L, (nSample + walkSliceRows - 1) / walkSliceRows)
+    val hits = (0L until smSlices).map { sl =>
+      graft.operators.NswIndex.search(spark,
+          sample.filter(pmod(col("q_id"), lit(smSlices)) === sl),
+          gF, idx, centF, enF, k = 1, nProbe = nProbe, ef = ef,
+          rounds = rounds, seedsPerCell = seedsPerCell)
+        .filter(col("rank") === 1 && col("cos") >= 0.9999).count()
+    }.sum
     val recall = if (nSample == 0) 1.0 else hits.toDouble / nSample
     Summary(scratch, splits, sizes.getLong(0), sizes.getLong(1), idx.count(),
       plantedArrived, plantedIndexed, nProbe = nProbe,
@@ -390,15 +421,17 @@ object SemStreamScale {
         // not silently fall back to the defaults — the probe would
         // otherwise run (and record in its JSON evidence line) a
         // different configuration than the operator asked for.
-        require(args.length == 4 || args.length == 9,
+        require(args.length == 4 || args.length == 9 || args.length == 10,
           s"nsw mode takes exactly 5 walk parameters " +
-            s"(degree ef rounds nProbe seeds) or none — got " +
+            s"(degree ef rounds nProbe seeds), optionally followed by " +
+            s"walkSliceRows, or none — got " +
             s"${args.length - 4}: [${args.drop(4).mkString(" ")}]")
         val Array(degree, ef, rounds, nProbe, seeds) =
-          if (args.length == 9) args.slice(4, 9).map(_.toInt)
+          if (args.length >= 9) args.slice(4, 9).map(_.toInt)
           else Array(8, 16, 8, 8, 16)
+        val sliceRows = if (args.length == 10) args(9).toLong else 16384L
         runNsw(spark, sfDir, maxCell.toLong, k.toInt, degree, ef, rounds,
-          nProbe, seeds)
+          nProbe, seeds, sliceRows)
       case other => sys.error(s"unknown screen '$other' (flat|nsw)")
     }
     println(s"""{"probe":"semscale","screen":"$screen","sfDir":"$sfDir",""" +

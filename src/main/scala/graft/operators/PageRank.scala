@@ -18,21 +18,28 @@ import org.apache.spark.sql.functions._
   * (the systematic ≤1-unit-per-division truncation is identical
   * everywhere and irrelevant at 10⁻⁹ scale).
   *
-  * Scale shape: one join + one keyed aggregation per iteration (the
-  * standard dataflow PageRank — contributions shuffle on dst, the
-  * rank table is node-sized), ranks re-derived against the NODE set
-  * each round so isolated-source nodes keep receiving the teleport
-  * mass. DANGLING nodes (out-degree 0 — real web/host graphs always
-  * have sinks) don't leak their mass: each iteration folds the sink
-  * ranks into a one-row aggregate and redistributes `sinkMass div N`
-  * to every node's incoming mass before damping — the standard
-  * dangling-mass correction, kept exact-integer (the `div N` truncates
-  * < N·10⁻⁹ of total mass per iteration, the same systematic
-  * truncation the per-edge `div outdeg` already accepts). The sink
-  * aggregate reaches the update as `crossJoin(broadcast(1-row))` — no
-  * driver round-trip, no extra exchange on the node table. Iteration
-  * plans are cut with `localCheckpoint` (the [[Components]] loop
-  * pattern) so lineage stays bounded. */
+  * Scale shape (r19 rework, guide §2.4 "remove shuffles outright" /
+  * §1.2 "don't compute things twice"): everything loop-invariant is
+  * materialized ONCE — the edge list pre-joined with its out-degree
+  * (`eDeg`) and the node table carrying an `is_sink` flag. The
+  * previous shape re-derived `deg` (an edge-sized aggregation) three
+  * times per iteration — once under the contribution join and twice
+  * under the sink anti-join — at 8 exchanges/iteration; hoisting
+  * leaves one edge-sized contribution shuffle plus node-sized joins
+  * (which AQE plans as broadcasts at these node counts). DANGLING
+  * nodes (out-degree 0 — real web/host graphs always have sinks)
+  * don't leak their mass: the hoisted `is_sink` flag turns the former
+  * per-iteration anti-join into a filter over the rank table, the
+  * sink ranks fold into a one-row aggregate, and `sinkMass div N`
+  * redistributes to every node's incoming mass before damping — the
+  * standard dangling-mass correction, kept exact-integer (the `div N`
+  * truncates < N·10⁻⁹ of total mass per iteration, the same
+  * systematic truncation the per-edge `div outdeg` already accepts).
+  * The sink aggregate reaches the update as
+  * `crossJoin(broadcast(1-row))` — no driver round-trip, no extra
+  * exchange on the node table. Iteration plans are cut with
+  * `localCheckpoint` (the [[Components]] loop pattern) so lineage
+  * stays bounded. */
 object PageRank {
 
   private val Scale = 1000000000L
@@ -47,7 +54,7 @@ object PageRank {
     val g = Graph(edges, dampingPct)
     var ranks = g.initial
     (1 to iterations).foreach(_ => ranks = g.step(ranks))
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** CONVERGENCE-DRIVEN fixed point — the serving mode for graphs
@@ -58,9 +65,12 @@ object PageRank {
     * integer total of integer ranks — partition-order-proof like the
     * ranks themselves, so the stop decision replays in SQL verbatim
     * (q195's oracle unrolls the cap, computes every movement, and
-    * picks the same first-below-ε iteration). Per iteration this adds
-    * one node-sized join + one scalar aggregate to the fixed-point
-    * step; the scalar is the only driver round-trip. Returns
+    * picks the same first-below-ε iteration). The previous rank rides
+    * INSIDE the step's node join (`withPrev` — all three frames meet
+    * on `node`, so carrying it adds no exchange) and the movement
+    * total is one aggregate over the already-checkpointed step output,
+    * replacing the former per-iteration join of two checkpoint scans;
+    * the scalar is the only driver round-trip. Returns
     * `(ranks, iterationsRun)`. */
   def pageRankConverged(edges: DataFrame, epsPerNode: Long,
                         maxIterations: Int,
@@ -69,18 +79,17 @@ object PageRank {
     require(epsPerNode >= 0, s"negative epsPerNode: $epsPerNode")
     val g = Graph(edges, dampingPct)
     val epsTotal = epsPerNode * g.n
-    var ranks = g.initial.localCheckpoint()
+    var ranks = g.initial
     var iters = 0
     var moved = Long.MaxValue
     while (moved > epsTotal && iters < maxIterations) {
-      val next = g.step(ranks)
-      moved = next.join(ranks.withColumnRenamed("rank", "prev"), Seq("node"))
-        .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+      val next = g.step(ranks, withPrev = true)
+      moved = next.agg(sum(abs(col("rank") - col("prev"))).as("d"))
         .head().getLong(0)
       ranks = next
       iters += 1
     }
-    (ranks, iters)
+    (ranks.select(col("node"), col("rank")), iters)
   }
 
   /** The shared per-iteration machinery: ONE implementation of the
@@ -91,33 +100,61 @@ object PageRank {
     require(dampingPct > 0 && dampingPct < 100, s"bad damping $dampingPct")
     private val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
+    private val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // LOOP-INVARIANT, hoisted and materialized once: the edge list
+    // pre-joined with its out-degree. The previous shape recomputed
+    // `deg` under the contribution join EVERY iteration (and twice
+    // more under the sink anti-join below) — an edge-sized aggregation
+    // per recompute.
+    private val eDeg = e.join(deg, Seq("src")).localCheckpoint()
+    // node table with the sink flag precomputed ONCE — the former
+    // per-iteration `ranks ANTI JOIN srcNodes` existed only to find
+    // out-degree-0 nodes, which are loop-invariant.
     private val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    private val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    private val srcNodes = deg.select(col("src").as("node"))
+      .distinct()
+      .join(deg.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), col("has_out").isNull.as("is_sink"))
+      .localCheckpoint()
     // node count: one scalar, fixed across iterations (nodes is
     // checkpointed, so this is a cheap count over materialized rows)
     val n: Long = nodes.count()
     private val teleport = (100L - dampingPct) * Scale / 100L
-    def initial: DataFrame = nodes.select(col("node"), lit(Scale).as("rank"))
-    def step(ranks: DataFrame): DataFrame = {
-      val contrib = e.join(deg, Seq("src"))
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+    def initial: DataFrame =
+      nodes.select(col("node"), col("is_sink"), lit(Scale).as("rank"))
+    /** One damped update. Input `(node, is_sink, rank)` (the shape
+      * [[initial]] and this method emit); output the same, plus the
+      * incoming rank as `prev` when `withPrev` is set. */
+    def step(ranks: DataFrame, withPrev: Boolean = false): DataFrame = {
+      val contrib = eDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       // total rank sitting on out-degree-0 nodes this iteration (0 when
-      // the graph has no sinks — the correction is then the identity)
-      val sinkMass = ranks.join(srcNodes, Seq("node"), "left_anti")
+      // the graph has no sinks — the correction is then the identity):
+      // a filter over the rank table, not a join (is_sink is hoisted)
+      val sinkMass = ranks.filter(col("is_sink"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("sink_mass"))
-      nodes
+      val withContrib = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      val joined = // the prev-rank ride-along: only when the caller folds
+        if (withPrev) // a movement total, and exchange-free (meets on node)
+          withContrib.join(
+            ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+        else withContrib
+      val next = joined
         .crossJoin(broadcast(sinkMass))
-        .select(col("node"),
+        .select(Seq(col("node"), col("is_sink"),
           (lit(teleport) +
             expr(s"($dampingPct * (coalesce(in_mass, 0L) + sink_mass div $n)) div 100"))
-            .as("rank"))
-        .localCheckpoint()
+            .as("rank")) ++
+          (if (withPrev) Seq(col("prev")) else Seq.empty): _*)
+      // plan audit hook: the per-iteration dataflow is otherwise hidden
+      // behind the eager checkpoint (explain on the query result shows
+      // only the final checkpoint scan)
+      if (sys.env.contains("GRAFT_PR_EXPLAIN")) next.explain("formatted")
+      next.localCheckpoint()
     }
   }
 }

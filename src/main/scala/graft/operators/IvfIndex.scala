@@ -409,7 +409,20 @@ object IvfIndex {
     * cannot drift between them. */
   private[operators] def probeCells(spark: SparkSession, queries: DataFrame,
                                     centroids: DataFrame,
-                                    nProbe: Int): DataFrame = {
+                                    nProbe: Int): DataFrame =
+    probeCellsRanked(spark, queries, centroids, nProbe)
+      .select(col("q_id"), col("qv"), col("cluster"))
+
+  /** [[probeCells]] keeping the probe rank (`rn` = 1-based
+    * closeness order of the cell for that query): a consumer that
+    * evaluates SEVERAL probe widths in one pass ([[recallAtK]])
+    * filters `rn <= width` per width over ONE materialized candidate
+    * set — probing the `width` nearest cells and probing the widest
+    * then keeping `rn <= width` are the same set by construction. */
+  private[operators] def probeCellsRanked(spark: SparkSession,
+                                          queries: DataFrame,
+                                          centroids: DataFrame,
+                                          nProbe: Int): DataFrame = {
     require(nProbe > 0, s"probeCells needs nProbe > 0 cells, got $nProbe")
     GraftFunctions.register(spark)
     val qScored = queries.crossJoin(broadcast(centroids))
@@ -418,7 +431,7 @@ object IvfIndex {
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("cluster").asc)
     qScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cluster"))
+      .select(col("q_id"), col("qv"), col("cluster"), col("rn"))
   }
 
   def search(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
@@ -640,9 +653,26 @@ object IvfIndex {
         indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
       .select(col("q_id"), col("n_id"))
       .localCheckpoint()
+    // ONE candidate pass for every width (guide §1.2 — don't redo
+    // passes): probe at the WIDEST width keeping the probe rank, score
+    // each candidate once, materialize (q_id, rn, id, cos) with the
+    // vectors projected away (§2.3 — the per-width aggregations below
+    // need only the score). A width-np search is then TopKAgg over the
+    // `rn <= np` slice — the same candidate multiset and the same
+    // bounded-heap selection [[search]] runs, so the per-width results
+    // are identical to the former one-search-per-width loop (which
+    // re-joined and re-scored the corpus once PER width).
+    val probes = probeCellsRanked(spark, queries, centroids, nProbes.max)
+    val cand = indexed.join(broadcast(probes), Seq("cluster"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .select(col("q_id"), col("rn"), col("id"), col("cos"))
+      .localCheckpoint()
     nProbes.map { np =>
-      val hits = search(spark, queries, indexed, centroids, k, np)
-        .select(col("q_id"), col("n_id"))
+      val hits = cand.filter(col("rn") <= np)
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKAgg(k, col("cos"), col("id")).as("topk"))
+        .select(col("q_id"), explode(col("topk.items")).as("c"))
+        .select(col("q_id"), col("c.id").as("n_id"))
         .join(truth, Seq("q_id", "n_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
       queries.select(col("q_id")).join(hits, Seq("q_id"), "left")

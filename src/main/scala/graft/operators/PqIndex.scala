@@ -499,24 +499,16 @@ object PqIndex {
                    nProbe: Int, residual: Boolean = false): DataFrame = {
     require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
     requireCodebookShape(codebooks, m, subDim)
-    val probes = IvfIndex.probeCells(spark, queries, centroids, nProbe)
-    val dtabKeys = if (residual) Seq("q_id", "cluster") else Seq("q_id")
-    val dtab =
-      if (residual) {
-        val rq = probes.join(broadcast(centroids), Seq("cluster"))
-          .select(col("q_id"), col("cluster"),
-            zip_with(col("qv"), col("centroid"), (x, c) => x - c).as("qv"))
-        distanceTables(rq, codebooks, m, subDim, dtabKeys)
-      } else distanceTables(queries, codebooks, m, subDim, dtabKeys)
-    val approx = codesIdx
-      .join(broadcast(probes.select(col("q_id"), col("cluster"))), Seq("cluster"))
-      .join(broadcast(dtab), dtabKeys)
-      .withColumn("ad2", adcDistance(col("codes"), col("dtab")))
+    val probes = IvfIndex.probeCellsRanked(spark, queries, centroids, nProbe)
+    val approx = adcScoredCandidates(queries, codesIdx, centroids, codebooks,
+        m, subDim, probes, residual)
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg(rerank, -col("ad2"), col("id")).as("topk"))
       .select(col("q_id"), explode(col("topk.items")).as("c"))
       .select(col("q_id"), col("c.id").as("id"), (-col("c.score")).as("ad2"))
-    val fullCand = fullIdx.join(broadcast(probes), Seq("cluster"))
+    val fullCand = fullIdx.join(
+      broadcast(probes.select(col("q_id"), col("qv"), col("cluster"))),
+      Seq("cluster"))
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("d2").asc, col("id").asc)
     fullCand.join(broadcast(approx), Seq("q_id", "id"))
@@ -526,6 +518,37 @@ object PqIndex {
       .select(col("q_id"), col("rank").cast("int").as("rank"),
         col("id").as("n_id"), (round(col("ad2"), 4) + 0.0).as("ad2"),
         (round(col("d2"), 4) + 0.0).as("d2"))
+  }
+
+  /** The shared ADC scoring pass of [[ivfAdcSearch]] and
+    * [[twoTierRecallAtK]] — candidates of the probed cells with their
+    * approximate distance, the probe rank riding along:
+    * `(q_id, rn, id, ad2)`. `probes` is
+    * [[IvfIndex.probeCellsRanked]] output; a multi-width consumer
+    * probes at its WIDEST width and slices `rn <= width` per width —
+    * the same candidate multiset each per-width search would build
+    * (the width-np probe set IS the `rn <= np` prefix of the widest).
+    * ONE implementation of distance-table construction + ADC lookup
+    * for both the serving and the evaluation path, so they cannot
+    * drift. */
+  private def adcScoredCandidates(queries: DataFrame, codesIdx: DataFrame,
+                                  centroids: DataFrame, codebooks: DataFrame,
+                                  m: Int, subDim: Int, probes: DataFrame,
+                                  residual: Boolean): DataFrame = {
+    val dtabKeys = if (residual) Seq("q_id", "cluster") else Seq("q_id")
+    val dtab =
+      if (residual) {
+        val rq = probes.join(broadcast(centroids), Seq("cluster"))
+          .select(col("q_id"), col("cluster"),
+            zip_with(col("qv"), col("centroid"), (x, c) => x - c).as("qv"))
+        distanceTables(rq, codebooks, m, subDim, dtabKeys)
+      } else distanceTables(queries, codebooks, m, subDim, dtabKeys)
+    codesIdx
+      .join(broadcast(
+        probes.select(col("q_id"), col("cluster"), col("rn"))), Seq("cluster"))
+      .join(broadcast(dtab), dtabKeys)
+      .withColumn("ad2", adcDistance(col("codes"), col("dtab")))
+      .select(col("q_id"), col("rn"), col("id"), col("ad2"))
   }
 
   /** Exact-L2 ground truth for a SAMPLE-sized query set over the live
@@ -558,10 +581,44 @@ object PqIndex {
                        nProbes: Seq[Int],
                        residual: Boolean = false): DataFrame = {
     require(nProbes.nonEmpty, "twoTierRecallAtK needs at least one width")
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    requireCodebookShape(codebooks, m, subDim)
     val truth = bruteL2TopK(queries, fullIdx, k).localCheckpoint()
+    // ONE code-tier pass and ONE full-tier pass for every width (guide
+    // §1.2): probe at the widest width keeping the probe rank, ADC-score
+    // each candidate once via the SAME [[adcScoredCandidates]] the
+    // serving path runs, then per width trim the `rn <= width` slice to
+    // its rerank survivors (the width-np candidate set IS that slice).
+    // The exact rerank joins the width-tagged survivor union against
+    // the probed full tier once, ranking per (width, query) — identical
+    // arithmetic and tie-breaks to [[ivfAdcSearch]]'s per-width rerank,
+    // which previously re-scanned both tiers once PER width.
+    val probes = IvfIndex.probeCellsRanked(spark, queries, centroids,
+      nProbes.max)
+    val cand = adcScoredCandidates(queries, codesIdx, centroids, codebooks,
+        m, subDim, probes, residual)
+      .localCheckpoint()
+    val survivors = nProbes.map { np =>
+      cand.filter(col("rn") <= np)
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKAgg(rerank, -col("ad2"), col("id")).as("topk"))
+        .select(col("q_id"), explode(col("topk.items")).as("c"))
+        .select(lit(np).cast("int").as("np"), col("q_id"),
+          col("c.id").as("id"))
+    }.reduce(_ unionByName _)
+    val wr = Window.partitionBy(col("np"), col("q_id"))
+      .orderBy(col("d2").asc, col("id").asc)
+    val reranked = fullIdx
+      .join(broadcast(probes.select(col("q_id"), col("qv"), col("cluster"))),
+        Seq("cluster"))
+      .join(broadcast(survivors), Seq("q_id", "id"))
+      .withColumn("d2", l2Sq(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("np"), col("q_id"), col("id").as("n_id"))
+      .localCheckpoint()
     nProbes.map { np =>
-      val hits = ivfAdcSearch(spark, queries, codesIdx, fullIdx, centroids,
-          codebooks, m, subDim, k, rerank, np, residual)
+      val hits = reranked.filter(col("np") === np)
         .select(col("q_id"), col("n_id"))
         .join(truth, Seq("q_id", "n_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))

@@ -43,25 +43,50 @@ object IvfIndex {
       .select(row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("id")))
         .minus(1).as("cluster"), col("v").as("centroid"))
-    val mean: Column =
-      if (orderedMean)
-        (aggregate(
-          transform(array_sort(collect_list(struct(col("id"), col("x")))),
-            p => p.getField("x")),
-          lit(0d), (acc, x) => acc + x) / count(lit(1))).as("m")
-      else avg(col("x")).as("m")
     (1 to iterations).foreach { _ =>
       val assigned = assign(corpus, centroids)
-      centroids = assigned
-        .select(col("cluster"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim")).agg(mean)
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cluster"),
-          expr("transform(pairs, p -> p.m)").as("centroid"))
+      centroids =
+        if (orderedMean)
+          orderedMeanByGroup(assigned, Seq("cluster"), "v", "centroid")
+        else assigned
+          .select(col("cluster"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+          .select(col("cluster"),
+            expr("transform(pairs, p -> p.m)").as("centroid"))
+      // plan audit hook (the [[PageRank]] pattern): callers persist or
+      // checkpoint the fit, so its dataflow never reaches a query-level
+      // explain
+      if (sys.env.contains("GRAFT_FIT_EXPLAIN")) centroids.explain("formatted")
     }
     centroids
   }
+
+  /** The ORDERED centroid mean in one grouped pass (r19, guide §2.3
+    * "shuffle fewer bytes"): collect each group's `(id, vector)` rows,
+    * sort by id, and fold each dimension sequentially. Replaces the
+    * former posexplode → groupBy(group, dim) collect_list →
+    * groupBy(group) rebuild, which shuffled n·dim struct ROWS and
+    * aggregated twice — this shuffles n vector rows and aggregates
+    * once. Arithmetic is IDENTICAL: per dimension the same addends in
+    * the same id order, divided by the same member count, so the fit
+    * is bit-reproducible against the old form (oracle-gated). The
+    * per-group buffer is |group|·dim doubles — cell-sized by the
+    * corpus-scaled-k contract, never corpus-sized. Null vectors are
+    * filtered exactly as the exploded form dropped them (a null array
+    * explodes to no rows). */
+  private[operators] def orderedMeanByGroup(df: DataFrame, keys: Seq[String],
+                                            vCol: String,
+                                            outCol: String): DataFrame =
+    df.filter(col(vCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("id"), col(vCol).as("v"))))
+        .as("ms"))
+      .select(keys.map(col) :+
+        expr("transform(sequence(0, size(ms[0].v) - 1), " +
+          "d -> aggregate(ms, CAST(0 AS DOUBLE), (acc, m) -> acc + m.v[d])" +
+          " / size(ms))").as(outCol): _*)
 
   /** Assign every corpus vector to its argmax-cosine centroid.
     * Centroids are broadcast; ties break toward the lower cluster id
@@ -312,22 +337,18 @@ object IvfIndex {
           struct(col("sim"), (-col("sub")).as("tb"))).as("best"))
         .select(col("cell"), col("id"), col("best.v").as("v"),
           col("best.sub").as("sub"))
-    val mean: Column =
-      if (orderedMean)
-        (aggregate(
-          transform(array_sort(collect_list(struct(col("id"), col("x")))),
-            p => p.getField("x")),
-          lit(0d), (acc, x) => acc + x) / count(lit(1))).as("m")
-      else avg(col("x")).as("m")
     (1 to iterations).foreach { _ =>
-      sub = assignGrouped(sub)
-        .select(col("cell"), col("sub"), col("id"),
-          posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("sub"), col("dim")).agg(mean)
-        .groupBy(col("cell"), col("sub"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cell"), col("sub"),
-          expr("transform(pairs, p -> p.m)").as("centroid"))
+      val assigned = assignGrouped(sub)
+      sub = (if (orderedMean)
+          orderedMeanByGroup(assigned, Seq("cell", "sub"), "v", "centroid")
+        else assigned
+          .select(col("cell"), col("sub"), col("id"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("sub"), col("dim")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cell"), col("sub"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+          .select(col("cell"), col("sub"),
+            expr("transform(pairs, p -> p.m)").as("centroid")))
         .localCheckpoint()
     }
     val assigned = assignGrouped(sub).localCheckpoint()

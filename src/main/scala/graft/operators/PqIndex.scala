@@ -118,18 +118,12 @@ object PqIndex {
       .filter(col("rn") <= ks)
       .select(col("sub"), (col("rn") - 1).as("code"), col("sv").as("centroid"))
     (1 to iterations).foreach { _ =>
-      cb = assign(subv, cb)
-        .select(col("sub"), col("code"), col("id"),
-          posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("sub"), col("code"), col("dim"))
-        .agg((aggregate(
-          transform(array_sort(collect_list(struct(col("id"), col("x")))),
-            p => p.getField("x")),
-          lit(0d), (acc, x) => acc + x) / count(lit(1))).as("mv"))
-        .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("pairs"))
-        .select(col("sub"), col("code"),
-          expr("transform(pairs, p -> p.mv)").as("centroid"))
+      // ordered mean in ONE grouped pass over whole subvectors
+      // ([[IvfIndex.orderedMeanByGroup]] — bit-identical to the former
+      // posexplode → per-(sub, code, dim) fold, at n rows shuffled
+      // instead of n·subDim)
+      cb = IvfIndex.orderedMeanByGroup(
+        assign(subv, cb), Seq("sub", "code"), "sv", "centroid")
     }
     // dense renumber per subspace: an empty codeword drops out of the
     // grouped update on every engine identically; dense ids keep the

@@ -843,9 +843,20 @@ object NswIndex {
     val truth = Similarity.bruteForceTopKAgg(spark, queries,
         indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
       .select(col("q_id"), col("n_id")).localCheckpoint()
+    // ONE walk per distinct (nProbe, ef, seeds) — settings differing
+    // only in `rounds` read that walk's per-round snapshots
+    // ([[walkVisitedSnapshots]]: round r's visited set is the state of
+    // the shorter walk, bit-identical), instead of re-walking from the
+    // seeds once per grid point (guide §1.2).
+    val walked: Map[WalkSetting, DataFrame] = costed.map(_._1)
+      .groupBy(s => (s.nProbe, s.ef, s.seeds))
+      .flatMap { case ((np, ef, seeds), ss) =>
+        val snaps = walkVisitedSnapshots(spark, queries, graph, indexed,
+          cent, entries, np, ef, ss.map(_.rounds).distinct, seeds)
+        ss.map(s => s -> trimTopK(snaps(s.rounds), k))
+      }.toMap
     costed.map { case (s, cost) =>
-      val hits = search(spark, queries, graph, indexed, cent, entries,
-          k, s.nProbe, s.ef, s.rounds, s.seeds)
+      val hits = walked(s)
         .select(col("q_id"), col("n_id"))
         .join(truth, Seq("q_id", "n_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
@@ -984,8 +995,28 @@ object NswIndex {
                           graph: DataFrame, indexed: DataFrame,
                           centroids: DataFrame, entries: DataFrame,
                           nProbe: Int, ef: Int, rounds: Int,
-                          seedsPerCell: Int = 1): DataFrame = {
-    require(rounds >= 0, s"negative rounds: $rounds")
+                          seedsPerCell: Int = 1): DataFrame =
+    walkVisitedSnapshots(spark, queries, graph, indexed, centroids, entries,
+      nProbe, ef, Seq(rounds), seedsPerCell)(rounds)
+
+  /** [[walkVisited]] returning the visited set AFTER EACH round in
+    * `roundsWanted` (0 = the scored seeds) from ONE walk to
+    * `roundsWanted.max`. The beam loop's state after round r does not
+    * depend on later rounds and every round is already materialized by
+    * its `localCheckpoint`, so the snapshots are free — a tuner
+    * evaluating several `rounds` values at the same (nProbe, ef,
+    * seeds) walks ONCE instead of once per value ([[tuneWalk]]'s
+    * measurement core, guide §1.2), and each snapshot is
+    * bit-identical to the standalone walk of that length. */
+  private def walkVisitedSnapshots(spark: SparkSession, queries: DataFrame,
+                                   graph: DataFrame, indexed: DataFrame,
+                                   centroids: DataFrame, entries: DataFrame,
+                                   nProbe: Int, ef: Int,
+                                   roundsWanted: Seq[Int],
+                                   seedsPerCell: Int = 1): Map[Int, DataFrame] = {
+    require(roundsWanted.nonEmpty, "walkVisitedSnapshots needs >= 1 rounds value")
+    require(roundsWanted.forall(_ >= 0), s"negative rounds: $roundsWanted")
+    val rounds = roundsWanted.max
     require(seedsPerCell >= 1, s"seedsPerCell must be >= 1, got $seedsPerCell")
     val probes = IvfIndex.probeCells(spark, queries, centroids, nProbe)
     val qv = queries.select(col("q_id"), col("qv"))
@@ -1020,8 +1051,10 @@ object NswIndex {
       visited = visited.groupBy(col("q_id"), col("cluster"), col("id"))
         .agg(max(col("cos")).as("cos"))
     visited = visited.localCheckpoint()
+    val snapshots = scala.collection.mutable.Map.empty[Int, DataFrame]
+    snapshots(0) = visited
     var frontier = visited
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val expanded = frontier
         .join(graph, Seq("cluster", "id"))
         .select(col("q_id"), col("cluster"), explode(col("nbrs")).as("id"))
@@ -1036,6 +1069,7 @@ object NswIndex {
         .groupBy(col("q_id"), col("cluster"), col("id"))
         .agg(max(col("cos")).as("cos"))
         .localCheckpoint()
+      snapshots(r) = visited
       // beam: best ef visited per query (map-side trimmed)
       frontier = visited
         .groupBy(col("q_id"))
@@ -1045,6 +1079,6 @@ object NswIndex {
         .join(visited.select(col("q_id"), col("cluster"), col("id"), col("cos")),
           Seq("q_id", "id"))
     }
-    visited
+    roundsWanted.map(r => r -> snapshots(r)).toMap
   }
 }

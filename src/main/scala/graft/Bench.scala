@@ -91,7 +91,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":${failed.size},"errors":$errsJson,"queries":$qs,"cold_queries":$coldQs,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":${failed.size},"errors":$errsJson,"queries":$qs,"cold_queries":$coldQs,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // ALSO write the same JSON to a file: the one-line stdout contract
+    // stays (the driver parses it), but a truncated stdout capture cost
+    // the r18→r19 round-over-round comparison entirely (PERF_r19
+    // n_common=0) — a durable copy makes the next diff robust.
+    // $SPARK_GRAFT_BENCH_OUT overrides the default ./bench_out.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (jsonLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     // the driver's capture keeps only the stdout TAIL (~2 KB), and the
     // full JSON line above exceeds it at 125 queries — echo the headline
     // numbers LAST so they survive truncation regardless of catalog size

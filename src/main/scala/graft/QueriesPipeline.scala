@@ -290,7 +290,7 @@ object QueriesPipeline {
       }
       val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
         s, file, "q209", dir, delta, col("doc_id") % 4)
-      val query = stream.writeStream
+      graft.streaming.EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", s"$staging/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -351,7 +351,7 @@ object QueriesPipeline {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       rmTree(new java.io.File(staging))
       b
     })
@@ -529,7 +529,7 @@ object QueriesPipeline {
       }
       val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
         s, file, "q210", dir, delta, col("doc_id") % 4)
-      val query = stream.writeStream
+      graft.streaming.EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", s"$staging/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -597,7 +597,7 @@ object QueriesPipeline {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       rmTree(new java.io.File(staging))
       b
     })
@@ -851,7 +851,7 @@ object QueriesPipeline {
       }
       val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
         s, file, "q211", dir, delta, col("vec_id") % 4)
-      val query = stream.writeStream
+      graft.streaming.EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", s"$staging/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -890,7 +890,7 @@ object QueriesPipeline {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       rmTree(new java.io.File(staging))
       b
     })
@@ -1091,7 +1091,7 @@ object QueriesPipeline {
       }
       val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
         s, file, "q216", dir, delta, col("vec_id") % 4)
-      val query = stream.writeStream
+      graft.streaming.EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", s"$staging/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1142,7 +1142,7 @@ object QueriesPipeline {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       rmTree(new java.io.File(staging))
       b
     })
@@ -1348,7 +1348,7 @@ object QueriesPipeline {
       var nAtFit = graft.operators.IvfIndex.load(s, s"$b/ivf")._2.count()
       val (staging, stream) = QueriesStreaming.keyedMultiBatchStream(
         s, file, "q219", dir, delta, col("vec_id") % 4)
-      val query = stream.writeStream
+      graft.streaming.EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", s"$staging/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1401,7 +1401,7 @@ object QueriesPipeline {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       rmTree(new java.io.File(staging))
       b
     })

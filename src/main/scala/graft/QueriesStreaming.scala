@@ -56,10 +56,10 @@ object QueriesStreaming {
     val schema = s.read.parquet(file).schema
     val stream = Tables.repairTs(s.readStream.schema(schema).parquet(watch))
     val name = s"q45_win_${System.nanoTime()}"
-    val query = EventStreams.windowedTypeCounts(stream)
+    EventStreams.runMicroBatches(s)(EventStreams.windowedTypeCounts(stream)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).start()
-    try query.processAllAvailable() finally query.stop()
+    )
     s.table(name)
       .select(unix_timestamp($"window_start").as("ws"),
         $"event_type", $"n", $"value_sum")
@@ -223,9 +223,9 @@ object QueriesStreaming {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_users"), sum($"user_id").as("user_sum"))
     val name = s"q68_dedup_${System.nanoTime()}"
-    val query = stream.writeStream.format("memory").queryName(name)
+    EventStreams.runMicroBatches(s)(stream.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).start()
-    try query.processAllAvailable() finally query.stop()
+    )
     s.table(name).orderBy($"event_type")
   }
   val q68Sql: String =
@@ -269,9 +269,9 @@ object QueriesStreaming {
       .agg(count(lit(1)).as("n_accepted"),
         sum(conv(substring($"fp", 1, 8), 16, 10).cast("long")).as("fp_sum"))
     val name = s"q110_ingest_${System.nanoTime()}"
-    val query = stream.writeStream.format("memory").queryName(name)
+    EventStreams.runMicroBatches(s)(stream.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).start()
-    try query.processAllAvailable() finally query.stop()
+    )
     s.table(name).orderBy($"bucket")
   }
   val q110Sql: String = {
@@ -346,9 +346,9 @@ object QueriesStreaming {
     val flags = graft.operators.TextDedup.ingestFlags(delta, "doc_id", "text",
       sFp, sSig, shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
     val name = s"q128_neardup_${System.nanoTime()}"
-    val query = flags.writeStream.format("memory").queryName(name)
+    EventStreams.runMicroBatches(s)(flags.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).start()
-    try query.processAllAvailable() finally query.stop()
+    )
     s.table(name)
       .groupBy($"dup_exact", $"dup_near")
       .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
@@ -489,9 +489,9 @@ object QueriesStreaming {
       delta, "doc_id", "text", prefix, s"/root/repo/target/tmp/$prefix",
       shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
     val name = s"q132_neardup_${System.nanoTime()}"
-    val query = flags.writeStream.format("memory").queryName(name)
+    EventStreams.runMicroBatches(s)(flags.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).start()
-    try query.processAllAvailable() finally query.stop()
+    )
     s.table(name)
       .groupBy($"dup_exact", $"dup_near")
       .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
@@ -620,9 +620,9 @@ object QueriesStreaming {
       delta, "doc_id", "text", p, path,
       shingleN = 5, k = 8, rowsPerBand = 2, minAgree = 4)
     val name = s"q198_deldup_${System.nanoTime()}"
-    val query = flags.writeStream.format("memory").queryName(name)
+    EventStreams.runMicroBatches(s)(flags.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).start()
-    try query.processAllAvailable() finally query.stop()
+    )
     s.table(name)
       .groupBy($"dup_exact", $"dup_near")
       .agg(count(lit(1)).as("n_docs"), sum($"id").as("id_sum"))
@@ -667,7 +667,7 @@ object QueriesStreaming {
         .select($"cluster", $"id", $"codes")
       PqIndex.saveTwoTier(cent, cb, codesIdx,
         indexed.select($"cluster", $"id", $"v"), p)
-      val query = stream.writeStream
+      EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", b + "/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -702,7 +702,7 @@ object QueriesStreaming {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       b
     })
     val (cent2, cb2, codes2, full2) =
@@ -744,7 +744,7 @@ object QueriesStreaming {
       IvfIndex.save(cent, idxBase, flatDir)
       NswIndex.saveNsw(NswIndex.fitGraph(idxBase, degree = 4),
         NswIndex.entryPoints(idxBase, cent), nswDir)
-      val query = stream.writeStream
+      EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", b + "/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -788,7 +788,7 @@ object QueriesStreaming {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       b
     })
     val (graph, entries) = NswIndex.loadNsw(s, base + "/nsw")
@@ -841,7 +841,7 @@ object QueriesStreaming {
         .select($"cluster", $"id", $"codes")
       PqIndex.saveTwoTier(cent, cb, codesIdx,
         indexed.select($"cluster", $"id", $"v"), p)
-      val query = stream.writeStream
+      EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", b + "/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -871,7 +871,7 @@ object QueriesStreaming {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       b
     })
     val (cent2, cb2, codes2, full2) =
@@ -961,7 +961,7 @@ object QueriesStreaming {
       val stream = initials(staged)
       val acc = new java.util.concurrent.atomic.AtomicReference[
         (Seq[graft.functions.MisraGriesAgg.Entry], Long)]((Seq.empty, 0L))
-      val query = stream.writeStream
+      EventStreams.runMicroBatches(s)(stream.writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            _: Long) =>
@@ -977,7 +977,7 @@ object QueriesStreaming {
             }: Unit
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       val (summary, n) = acc.get()
       graft.operators.HeavyHitters
         .verifyCandidates(initials(s.read.parquet(file)),
@@ -1118,7 +1118,7 @@ object QueriesStreaming {
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      val query = stream.writeStream
+      EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1129,7 +1129,7 @@ object QueriesStreaming {
               batchId, store)
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       val docs = s.read.parquet(file)
         .select($"source", $"n_chars".cast("double").as("x"))
       QueriesScale.digestFlagReport(s,
@@ -1155,7 +1155,7 @@ object QueriesStreaming {
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      val query = stream.writeStream
+      EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1170,7 +1170,7 @@ object QueriesStreaming {
               batchId, store)
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       QueriesScale.bitmapDistinctReport(s,
         s.read.parquet(store).select($"event_type", $"bkt", $"bm"))
     } finally rmTree(new java.io.File(base))
@@ -1195,12 +1195,12 @@ object QueriesStreaming {
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      val query = EventStreams.materializedAggStore(stream,
+      EventStreams.runMicroBatches(s)(EventStreams.materializedAggStore(stream,
         keyCols = Seq("user_id"),
         batchAggs = Seq(count(lit(1)).as("n"), sum($"value").as("v")),
         mergeAggs = Seq(sum($"n").as("n"), sum($"v").as("v")),
         store = store, checkpoint = ckpt)
-      try query.processAllAvailable() finally query.stop()
+      )
       // the gate run itself must end with a clean store, not just the
       // specs' engineered states: StoreDoctor's aggstore audit (pure
       // layout inspection — marker/data-dir names) runs on every pass
@@ -1260,12 +1260,12 @@ object QueriesStreaming {
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      val query = EventStreams.materializedAggStore(stream,
+      EventStreams.runMicroBatches(s)(EventStreams.materializedAggStore(stream,
         keyCols = Seq("user_id"),
         batchAggs = Seq(count(lit(1)).as("n"), sum($"cents").as("c")),
         mergeAggs = Seq(sum($"n").as("n"), sum($"c").as("c")),
         store = store, checkpoint = ckpt)
-      try query.processAllAvailable() finally query.stop()
+      )
       val gens = EventStreams.committedAggGenerations(store)
       require(gens == Seq(0L, 1L, 2L, 3L),
         s"q215: expected 4 committed generations, got $gens")
@@ -1341,12 +1341,12 @@ object QueriesStreaming {
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      val query = EventStreams.materializedAggStore(stream,
+      EventStreams.runMicroBatches(s)(EventStreams.materializedAggStore(stream,
         keyCols = Seq("user_id"),
         batchAggs = Seq(count(lit(1)).as("n"), sum($"cents").as("c")),
         mergeAggs = Seq(sum($"n").as("n"), sum($"c").as("c")),
         store = store, checkpoint = ckpt)
-      try query.processAllAvailable() finally query.stop()
+      )
       val gens = EventStreams.committedAggGenerations(store)
       require(gens == Seq(0L, 1L, 2L, 3L),
         s"q217: expected 4 committed generations, got $gens")
@@ -1408,12 +1408,12 @@ object QueriesStreaming {
     val store = base + "/store"
     val ckpt = base + "/ckpt"
     try {
-      val query = EventStreams.materializedAggStore(stream,
+      EventStreams.runMicroBatches(s)(EventStreams.materializedAggStore(stream,
         keyCols = Seq("event_type", "cents"),
         batchAggs = Seq(count(lit(1)).as("cnt")),
         mergeAggs = Seq(sum($"cnt").as("cnt")),
         store = store, checkpoint = ckpt)
-      try query.processAllAvailable() finally query.stop()
+      )
       val freq = EventStreams.latestGeneration(s, store)
         .getOrElse(sys.error("q177: empty store"))
       val w = org.apache.spark.sql.expressions.Window
@@ -1472,7 +1472,7 @@ object QueriesStreaming {
       IvfIndex.save(cent, idxBase, flatDir)
       NswIndex.saveNsw(NswIndex.fitGraph(idxBase, degree = 4),
         NswIndex.entryPoints(idxBase, cent), nswDir)
-      val query = stream.writeStream
+      EventStreams.runMicroBatches(s)(stream.writeStream
         .option("checkpointLocation", b + "/ckpt")
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1528,7 +1528,7 @@ object QueriesStreaming {
             }
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      )
       b
     })
     val (graph, entries) = NswIndex.loadNsw(s, base + "/nsw")

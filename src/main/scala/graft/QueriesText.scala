@@ -1376,7 +1376,7 @@ object QueriesText {
     val outDir = sys.props("java.io.tmpdir") +
       "/graft_tokshards_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + java.util.UUID.randomUUID().toString.take(8)
-    val query = encoded.writeStream
+    graft.streaming.EventStreams.runMicroBatches(s)(encoded.writeStream
       .option("checkpointLocation", s"${outDir}_ckpt")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1388,8 +1388,8 @@ object QueriesText {
             packTokenShards(docs, n), batchId, outDir)
       }
       .start()
+    )
     try {
-      try query.processAllAvailable() finally query.stop()
       s.read.parquet(outDir)
         .select($"bin_key", $"n_docs", $"first_doc", $"last_doc",
           $"bin_tokens", $"digest")

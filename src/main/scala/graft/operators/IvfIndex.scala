@@ -11,9 +11,9 @@ import graft.plans.GraftFunctions
   * The centroid fit is a deterministic, fully distributed Lloyd's
   * k-means expressed in DataFrame ops (no MLlib dependency, no RNG):
   * seeds are the first k vectors by id, assignment is a broadcast-join
-  * + argmax-cosine, and the centroid update is a posexplode →
-  * groupBy(cluster, dim) → avg → rebuild — every step shuffles on
-  * (cluster, dim), never on pairs.
+  * + argmax-cosine, and the centroid update is one grouped vector-mean
+  * aggregation ([[graft.functions.VectorMeanAgg]] unordered,
+  * [[orderedMeanByGroup]] bit-reproducible) — never a pair shuffle.
   *
   * Scale shape: centroids are dimension-sized (k × dim) and always
   * broadcast; the corpus is scanned once per fit iteration and once at
@@ -49,12 +49,14 @@ object IvfIndex {
         if (orderedMean)
           orderedMeanByGroup(assigned, Seq("cluster"), "v", "centroid")
         else assigned
-          .select(col("cluster"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+          // unordered mean WITHOUT the n·dim posexplode (r20): one
+          // dim-sized partial-agg buffer per group instead of exploding
+          // every vector into per-dimension rows and aggregating twice
+          // (guide §2.3 — shuffle fewer bytes). Same avg semantics
+          // (per-dim counts), same unordered-float caveat.
           .groupBy(col("cluster"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-          .select(col("cluster"),
-            expr("transform(pairs, p -> p.m)").as("centroid"))
+          .agg(graft.functions.VectorMeanAgg(col("v")).as("m"))
+          .select(col("cluster"), col("m.mean").as("centroid"))
       // plan audit hook (the [[PageRank]] pattern): callers persist or
       // checkpoint the fit, so its dataflow never reaches a query-level
       // explain
@@ -73,20 +75,43 @@ object IvfIndex {
     * the same id order, divided by the same member count, so the fit
     * is bit-reproducible against the old form (oracle-gated). The
     * per-group buffer is |group|·dim doubles — cell-sized by the
-    * corpus-scaled-k contract, never corpus-sized. Null vectors are
-    * filtered exactly as the exploded form dropped them (a null array
-    * explodes to no rows). */
+    * corpus-scaled-k contract, never corpus-sized. Null AND empty
+    * vectors are filtered exactly as the exploded form dropped them (a
+    * null or empty array explodes to no rows; without the size filter
+    * an empty lowest-id vector would poison its group's dimension
+    * sequence). The bit-equivalence claim is scoped to FIXED-DIMENSION
+    * input — a group whose members disagree on length has no
+    * well-defined per-dimension mean in either form (the exploded form
+    * averaged ragged dims over present values; this form would null
+    * them), and no caller feeds one (the embedding tables are
+    * fixed-dim by construction). */
   private[operators] def orderedMeanByGroup(df: DataFrame, keys: Seq[String],
-                                            vCol: String,
-                                            outCol: String): DataFrame =
-    df.filter(col(vCol).isNotNull)
+                                            vCol: String, outCol: String,
+                                            maxGroupSize: Option[Long] = None
+                                           ): DataFrame = {
+    val grouped = df.filter(col(vCol).isNotNull && size(col(vCol)) > 0)
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(col("id"), col(vCol).as("v"))))
         .as("ms"))
-      .select(keys.map(col) :+
-        expr("transform(sequence(0, size(ms[0].v) - 1), " +
-          "d -> aggregate(ms, CAST(0 AS DOUBLE), (acc, m) -> acc + m.v[d])" +
-          " / size(ms))").as(outCol): _*)
+    // SKEW GUARD (r20): the collect_list buffer is |group|·dim doubles,
+    // cell-sized ONLY under the corpus-scaled-k contract — a skewed
+    // group arriving BEFORE splitOversizedCells has run lands the whole
+    // group in one task. When the caller knows the contract bound, the
+    // guard fails fast (per-group check on the k aggregated rows, zero
+    // plan change when unset) instead of silently buffering it.
+    val guarded = maxGroupSize match {
+      case None => grouped
+      case Some(bound) => grouped.filter(assert_true(
+          size(col("ms")) <= lit(bound),
+          concat(lit(s"orderedMeanByGroup: group exceeds maxGroupSize=$bound" +
+            " (run splitOversizedCells first): size="),
+            size(col("ms")).cast("string"))).isNull)
+    }
+    guarded.select(keys.map(col) :+
+      expr("transform(sequence(0, size(ms[0].v) - 1), " +
+        "d -> aggregate(ms, CAST(0 AS DOUBLE), (acc, m) -> acc + m.v[d])" +
+        " / size(ms))").as(outCol): _*)
+  }
 
   /** Assign every corpus vector to its argmax-cosine centroid.
     * Centroids are broadcast; ties break toward the lower cluster id
@@ -342,13 +367,10 @@ object IvfIndex {
       sub = (if (orderedMean)
           orderedMeanByGroup(assigned, Seq("cell", "sub"), "v", "centroid")
         else assigned
-          .select(col("cell"), col("sub"), col("id"),
-            posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cell"), col("sub"), col("dim")).agg(avg(col("x")).as("m"))
+          // the fitCentroids unordered-mean form: no posexplode (r20)
           .groupBy(col("cell"), col("sub"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-          .select(col("cell"), col("sub"),
-            expr("transform(pairs, p -> p.m)").as("centroid")))
+          .agg(graft.functions.VectorMeanAgg(col("v")).as("m"))
+          .select(col("cell"), col("sub"), col("m.mean").as("centroid")))
         .localCheckpoint()
     }
     val assigned = assignGrouped(sub).localCheckpoint()
@@ -525,12 +547,14 @@ object IvfIndex {
     * (sample-sized brute truth + one pruned join per width); the
     * persisted table is |nProbes| rows. Returns the chosen width. */
   def tuneNProbe(spark: SparkSession, dir: String, sampleQueries: DataFrame,
-                 k: Int, nProbes: Seq[Int], recallFloor: Double): Int =
+                 k: Int, nProbes: Seq[Int], recallFloor: Double,
+                 sharedTruth: Option[DataFrame] = None): Int =
       withStoreLease(dir) {
     require(recallFloor > 0 && recallFloor <= 1.0,
       s"recallFloor must be in (0, 1], got $recallFloor")
     val (centroids, indexed) = load(spark, dir)
-    val rec = recallAtK(spark, sampleQueries, indexed, centroids, k, nProbes)
+    val rec = recallAtK(spark, sampleQueries, indexed, centroids, k, nProbes,
+        sharedTruth)
       .localCheckpoint() // |nProbes| rows; feeds the choice AND the write
     val byWidth = rec.select(col("n_probe"), col("avg_recall")).collect()
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
@@ -581,7 +605,12 @@ object IvfIndex {
       .getOrElse(spark.read.parquet(s"$dir/tuning_sample"))
       .localCheckpoint()
     val (centroids, indexed) = load(spark, dir)
-    val check = recallAtK(spark, queries, indexed, centroids, k, Seq(width))
+    // ONE truth pass for the check AND the (possible) re-tune (guide
+    // §1.2): the store cannot mutate between them — this verb holds the
+    // store lease — so the re-tune's truth is bit-identical to this one
+    val truth = truthTopK(spark, queries, indexed, k).localCheckpoint()
+    val check = recallAtK(spark, queries, indexed, centroids, k, Seq(width),
+        Some(truth))
       .localCheckpoint()
     val avg = check.select(col("avg_recall")).head().getDouble(0)
     val stale = avg < floor
@@ -591,7 +620,7 @@ object IvfIndex {
       .coalesce(1)
       .write.mode("append").parquet(s"$dir/tuning_check")
     if (!stale) (width, false)
-    else (tuneNProbe(spark, dir, queries, k, widths, floor), true)
+    else (tuneNProbe(spark, dir, queries, k, widths, floor, Some(truth)), true)
   }
 
   /** The persisted operating point of [[tuneNProbe]]: the chosen probe
@@ -667,13 +696,19 @@ object IvfIndex {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** `sharedTruth`, when supplied, is a `(q_id, n_id)` ground-truth
+    * table computed by [[truthTopK]] over the SAME (queries, indexed,
+    * k) — the r20 lifecycle-sharing hook (guide §1.2): a staleness
+    * refresh that measures the operating point and then re-tunes the
+    * grid runs ONE brute-force corpus×queries pass instead of two.
+    * Callers own the equivalence (the store must not mutate between
+    * the passes — the refresh verbs hold the store lease throughout). */
   def recallAtK(spark: SparkSession, queries: DataFrame, indexed: DataFrame,
-                centroids: DataFrame, k: Int, nProbes: Seq[Int]): DataFrame = {
+                centroids: DataFrame, k: Int, nProbes: Seq[Int],
+                sharedTruth: Option[DataFrame] = None): DataFrame = {
     require(nProbes.nonEmpty, "recallAtK needs at least one nProbe width")
-    val truth = Similarity.bruteForceTopKAgg(spark, queries,
-        indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
-      .select(col("q_id"), col("n_id"))
-      .localCheckpoint()
+    val truth = sharedTruth.getOrElse(
+      truthTopK(spark, queries, indexed, k).localCheckpoint())
     // ONE candidate pass for every width (guide §1.2 — don't redo
     // passes): probe at the WIDEST width keeping the probe rank, score
     // each candidate once, materialize (q_id, rn, id, cos) with the
@@ -683,6 +718,13 @@ object IvfIndex {
     // bounded-heap selection [[search]] runs, so the per-width results
     // are identical to the former one-search-per-width loop (which
     // re-joined and re-scored the corpus once PER width).
+    // FOOTPRINT BOUND: the checkpoint below materializes the full
+    // widest-width candidate set — |queries| × (nProbes.max probed
+    // cells' members) rows of (q_id, rn, id, cos), ~28 bytes each with
+    // the vectors projected away. Fine for the documented use (tuning
+    // over a dimension-sized held-out sample); a corpus-sized query set
+    // with a wide nProbes.max would trade the removed per-width corpus
+    // joins for local-disk footprint — sample the queries first.
     val probes = probeCellsRanked(spark, queries, centroids, nProbes.max)
     val cand = indexed.join(broadcast(probes), Seq("cluster"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
@@ -706,4 +748,13 @@ object IvfIndex {
           col("total_hits"), col("avg_recall"), col("min_recall"))
     }.reduce(_ unionByName _)
   }
+
+  /** The flat tier's `(q_id, n_id)` brute-force ground truth —
+    * [[recallAtK]]'s truth pass factored out so a lifecycle can run it
+    * ONCE and share it across a staleness check and a re-tune. */
+  private[operators] def truthTopK(spark: SparkSession, queries: DataFrame,
+                                   indexed: DataFrame, k: Int): DataFrame =
+    Similarity.bruteForceTopKAgg(spark, queries,
+        indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
+      .select(col("q_id"), col("n_id"))
 }

@@ -50,15 +50,37 @@ object NswIndex {
     graft.plans.GraftFunctions.register(indexed.sparkSession)
     val a = indexed.select(col("cluster"), col("id").as("a_id"), col("v").as("av"))
     val b = indexed.select(col("cluster"), col("id").as("b_id"), col("v").as("bv"))
-    a.join(b, Seq("cluster"))
-      .filter(col("a_id") =!= col("b_id"))
-      .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
+    // SYMMETRY HALVING (r20, guide §1.2 — don't compute what you can
+    // derive): cosine is bit-exactly symmetric (the kernel's per-element
+    // products and the na·nb norm product all commute), so score each
+    // unordered pair ONCE (a_id < b_id — half the join output survives
+    // the filter, so half the O(dim) cosine folds) and emit both
+    // orientations from the scored row. The multiset reaching the
+    // TopKAgg is exactly the old one-row-per-ordered-pair stream —
+    // bit-identical graphs (oracle-gated), Σ|cell|²/2 kernel evals.
+    mirrorPairs(
+      a.join(b, Seq("cluster"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", Similarity.cosine(col("av"), col("bv"))))
       .groupBy(col("cluster"), col("a_id"))
       .agg(graft.functions.TopKAgg(degree, col("cos"), col("b_id")).as("topk"))
       .select(col("cluster"), col("a_id").as("id"),
         expr("transform(topk.items, x -> x.id)").as("nbrs"),
         expr("transform(topk.items, x -> x.score)").as("nscores"))
   }
+
+  /** Both orientations of once-scored pairs: `(cluster, a_id, b_id,
+    * cos)` rows from each input row's `(a_id, b_id, cos)` AND
+    * `(b_id, a_id, cos)` — one Generate, the cosine computed once per
+    * unordered pair upstream and carried, never re-evaluated. */
+  private def mirrorPairs(scored: DataFrame): DataFrame =
+    scored
+      .select(col("cluster"), col("cos"),
+        explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("cluster"), col("e.src").as("a_id"),
+        col("e.dst").as("b_id"), col("cos"))
 
   /** One entry point per cell: the node most cosine-similar to its
     * centroid (ties toward the lower id), with its score (`escore`) so
@@ -115,15 +137,26 @@ object NswIndex {
     val (graph, entries) = loadNsw(spark, dir)
     val deltaB = indexedDelta.select(col("cluster"), col("id").as("b_id"),
       col("v").as("bv"))
-    val all = indexedBase.unionByName(indexedDelta)
-    // new nodes: exact top-degree among ALL cell-mates (base and delta)
-    val newRows = indexedDelta
+    // SYMMETRY HALVING (r20, the [[fitGraph]] trick): the old shape
+    // scored every delta×base pair TWICE — once under the new nodes'
+    // delta×all join and once mirrored under the existing nodes'
+    // base×delta join. Score each unordered pair ONCE (delta×base
+    // appears once because base and delta ids are disjoint — the append
+    // contract; delta×delta by a_id < b_id) and emit both orientations
+    // from the scored row: the same row multiset reaches the trim,
+    // bit-identical (q186's rebuild oracle), half the kernel evals.
+    val deltaA = indexedDelta
       .select(col("cluster"), col("id").as("a_id"), col("v").as("av"))
-      .join(all.select(col("cluster"), col("id").as("b_id"), col("v").as("bv")),
-        Seq("cluster"))
+    val crossScored = deltaA
+      .join(indexedBase.select(col("cluster"), col("id").as("b_id"),
+        col("v").as("bv")), Seq("cluster"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
-      .select(col("cluster"), col("a_id"), col("b_id"), col("cos"))
+    val deltaScored = deltaA
+      .join(deltaB, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
+    val pairRows = mirrorPairs(crossScored).unionByName(mirrorPairs(deltaScored))
     // existing nodes: stored exact lists (score-carrying) + scored
     // delta candidates, re-trimmed; ids are disjoint so the union is
     // duplicate-free and the trim reproduces the rebuild exactly
@@ -132,12 +165,7 @@ object NswIndex {
         explode(arrays_zip(col("nbrs"), col("nscores"))).as("z"))
       .select(col("cluster"), col("a_id"),
         col("z.nbrs").as("b_id"), col("z.nscores").as("cos"))
-    val deltaRows = indexedBase
-      .select(col("cluster"), col("id").as("a_id"), col("v").as("av"))
-      .join(deltaB, Seq("cluster"))
-      .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
-      .select(col("cluster"), col("a_id"), col("b_id"), col("cos"))
-    val merged = storedRows.unionByName(deltaRows).unionByName(newRows)
+    val merged = storedRows.unionByName(pairRows)
       .groupBy(col("cluster"), col("a_id"))
       .agg(graft.functions.TopKAgg(degree, col("cos"), col("b_id")).as("topk"))
       .select(col("cluster"), col("a_id").as("id"),
@@ -805,12 +833,14 @@ object NswIndex {
   private def tuneWalkGrid(spark: SparkSession, flatDir: String,
                            nswDir: String, sampleQueries: DataFrame, k: Int,
                            costed: Seq[(WalkSetting, Long)],
-                           recallFloor: Double): WalkSetting =
+                           recallFloor: Double,
+                           sharedTruth: Option[DataFrame] = None): WalkSetting =
       withStoreLease(nswDir) {
     require(recallFloor > 0 && recallFloor <= 1.0,
       s"recallFloor must be in (0, 1], got $recallFloor")
     val queries = sampleQueries.localCheckpoint()
-    val rec = measureWalkRecall(spark, flatDir, nswDir, queries, k, costed)
+    val rec = measureWalkRecall(spark, flatDir, nswDir, queries, k, costed,
+        sharedTruth)
       .localCheckpoint()
     val c = chooseWalkSetting(rec, recallFloor)
     rec.withColumn("chosen",
@@ -834,15 +864,31 @@ object NswIndex {
     * cost, n_queries, total_hits, avg_recall, min_recall)` with the
     * recalls ROUNDED (the cross-engine-gateable values the choice rule
     * reads). */
+  /** `sharedTruth`, when supplied, is a `(q_id, n_id)` brute-force
+    * truth table over the SAME (queries, flat store, k) — the r20
+    * lifecycle-sharing hook (guide §1.2, the [[IvfIndex.recallAtK]]
+    * contract): [[refreshWalkTuning]]'s stale path measures the point
+    * and re-tunes the grid on ONE brute pass, not two (lease held
+    * across both, so the store cannot mutate between them). */
   private def measureWalkRecall(spark: SparkSession, flatDir: String,
                                 nswDir: String, queries: DataFrame, k: Int,
-                                costed: Seq[(WalkSetting, Long)]): DataFrame = {
+                                costed: Seq[(WalkSetting, Long)],
+                                sharedTruth: Option[DataFrame] = None
+                               ): DataFrame = {
+    // the [[search]] precondition, re-checked here because this path is
+    // also reached through [[refreshWalkTuning]] reading a PERSISTED
+    // tuning table — a corrupt or hand-edited table must fail fast, not
+    // silently measure an ef < k walk
+    require(k > 0, s"measureWalkRecall needs k > 0, got $k")
+    costed.foreach { case (s, _) =>
+      require(s.ef >= k, s"need ef >= k ($k), got $s") }
     val (cent, idxRaw) = IvfIndex.load(spark, flatDir)
     val indexed = idxRaw.select(col("id"), col("v"), col("cluster"))
     val (graph, entries) = loadNsw(spark, nswDir)
-    val truth = Similarity.bruteForceTopKAgg(spark, queries,
-        indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
-      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val truth = sharedTruth.getOrElse(
+      Similarity.bruteForceTopKAgg(spark, queries,
+          indexed.select(col("id").as("n_id"), col("v").as("cv")), k)
+        .select(col("q_id"), col("n_id")).localCheckpoint())
     // ONE walk per distinct (nProbe, ef, seeds) — settings differing
     // only in `rounds` read that walk's per-round snapshots
     // ([[walkVisitedSnapshots]]: round r's visited set is the state of
@@ -945,8 +991,16 @@ object NswIndex {
     val queries = sampleQueries
       .getOrElse(spark.read.parquet(s"$nswDir/tuning_sample"))
       .localCheckpoint()
+    // ONE brute-force truth pass for the check AND the (possible)
+    // re-tune (guide §1.2): this verb holds the store lease, so the
+    // flat store cannot mutate between them — the re-tune's truth is
+    // bit-identical to this one
+    val (_, idxRaw) = IvfIndex.load(spark, flatDir)
+    val truth = Similarity.bruteForceTopKAgg(spark, queries,
+        idxRaw.select(col("id").as("n_id"), col("v").as("cv")), k)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
     val check = measureWalkRecall(spark, flatDir, nswDir, queries, k,
-      Seq((point, pointCost))).localCheckpoint()
+      Seq((point, pointCost)), Some(truth)).localCheckpoint()
     val avg = check.select(col("avg_recall")).head().getDouble(0)
     val stale = avg < floor
     check.withColumn("recall_floor", lit(floor))
@@ -956,7 +1010,8 @@ object NswIndex {
       .write.mode("append").parquet(s"$nswDir/tuning_check")
     if (!stale) (point.ef, point.rounds, false)
     else {
-      val c = tuneWalkGrid(spark, flatDir, nswDir, queries, k, costed, floor)
+      val c = tuneWalkGrid(spark, flatDir, nswDir, queries, k, costed, floor,
+        Some(truth))
       (c.ef, c.rounds, true)
     }
   }

@@ -568,16 +568,24 @@ object PqIndex {
     * both read the rounded value). Ground truth is ONE sample-sized
     * brute pass, eager-materialized; each width re-runs only the
     * pruned probe/ADC/rerank join. */
+  /** `sharedTruth`, when supplied, is a `(q_id, n_id)` exact-L2 truth
+    * table from [[bruteL2TopK]] over the SAME (queries, fullIdx, k) —
+    * the r20 lifecycle-sharing hook (guide §1.2, the
+    * [[IvfIndex.recallAtK]] contract): a staleness refresh measures
+    * the point and re-tunes the grid on ONE brute pass, not two. The
+    * caller owns the equivalence (store lease held across both). */
   def twoTierRecallAtK(spark: SparkSession, queries: DataFrame,
                        codesIdx: DataFrame, fullIdx: DataFrame,
                        centroids: DataFrame, codebooks: DataFrame,
                        m: Int, subDim: Int, k: Int, rerank: Int,
                        nProbes: Seq[Int],
-                       residual: Boolean = false): DataFrame = {
+                       residual: Boolean = false,
+                       sharedTruth: Option[DataFrame] = None): DataFrame = {
     require(nProbes.nonEmpty, "twoTierRecallAtK needs at least one width")
     require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
     requireCodebookShape(codebooks, m, subDim)
-    val truth = bruteL2TopK(queries, fullIdx, k).localCheckpoint()
+    val truth = sharedTruth.getOrElse(
+      bruteL2TopK(queries, fullIdx, k).localCheckpoint())
     // ONE code-tier pass and ONE full-tier pass for every width (guide
     // §1.2): probe at the widest width keeping the probe rank, ADC-score
     // each candidate once via the SAME [[adcScoredCandidates]] the
@@ -694,13 +702,14 @@ object PqIndex {
                         sampleQueries: DataFrame, k: Int, rerank: Int,
                         nProbes: Seq[Int], recallFloor: Double,
                         m: Int, subDim: Int, residual: Boolean = false,
-                        resetQerrBaseline: Boolean = false): Int =
+                        resetQerrBaseline: Boolean = false,
+                        sharedTruth: Option[DataFrame] = None): Int =
       withStoreLease(dir) {
     require(recallFloor > 0 && recallFloor <= 1.0,
       s"recallFloor must be in (0, 1], got $recallFloor")
     val (cent, cb, codes, full) = loadTwoTier(spark, dir)
     val rec = twoTierRecallAtK(spark, sampleQueries, codes, full, cent, cb,
-        m, subDim, k, rerank, nProbes, residual)
+        m, subDim, k, rerank, nProbes, residual, sharedTruth)
       .localCheckpoint() // |nProbes| rows; feeds the choice AND the write
     val byWidth = rec.select(col("n_probe"), col("avg_recall")).collect()
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
@@ -782,8 +791,12 @@ object PqIndex {
       .getOrElse(spark.read.parquet(s"$dir/tuning_sample"))
       .localCheckpoint()
     val (cent, cb, codes, full) = loadTwoTier(spark, dir)
+    // ONE exact-L2 truth pass for the check AND the (possible) re-tune
+    // (guide §1.2): this verb holds the store lease, so the full tier
+    // cannot mutate between them — the re-tune's truth is bit-identical
+    val truth = bruteL2TopK(queries, full, k).localCheckpoint()
     val check = twoTierRecallAtK(spark, queries, codes, full, cent, cb,
-        m, subDim, k, rerank, Seq(point), residual)
+        m, subDim, k, rerank, Seq(point), residual, Some(truth))
       .localCheckpoint()
     val avg = check.select(col("avg_recall")).head().getDouble(0)
     val stale = avg < floor
@@ -802,7 +815,7 @@ object PqIndex {
       .write.mode("append").parquet(s"$dir/tuning_check")
     if (!stale) (point, false, refit)
     else (tuneTwoTierNProbe(spark, dir, queries, k, rerank, widths, floor,
-      m, subDim, residual), true, refit)
+      m, subDim, residual, sharedTruth = Some(truth)), true, refit)
   }
 
   /** REFIT the two-tier store's codebooks — the automated remedy

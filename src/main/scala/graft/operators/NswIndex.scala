@@ -50,18 +50,20 @@ object NswIndex {
     graft.plans.GraftFunctions.register(indexed.sparkSession)
     val a = indexed.select(col("cluster"), col("id").as("a_id"), col("v").as("av"))
     val b = indexed.select(col("cluster"), col("id").as("b_id"), col("v").as("bv"))
-    // SYMMETRY HALVING (r20, guide §1.2 — don't compute what you can
-    // derive): cosine is bit-exactly symmetric (the kernel's per-element
-    // products and the na·nb norm product all commute), so score each
-    // unordered pair ONCE (a_id < b_id — half the join output survives
-    // the filter, so half the O(dim) cosine folds) and emit both
-    // orientations from the scored row. The multiset reaching the
-    // TopKAgg is exactly the old one-row-per-ordered-pair stream —
-    // bit-identical graphs (oracle-gated), Σ|cell|²/2 kernel evals.
-    mirrorPairs(
-      a.join(b, Seq("cluster"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("cos", Similarity.cosine(col("av"), col("bv"))))
+    // SYMMETRY HALVING — tried and REVERTED for this path (r20): cosine
+    // is bit-exactly symmetric, so scoring each unordered pair once
+    // (a_id < b_id) and mirroring via [[mirrorPairs]] is bit-identical
+    // with half the kernel evals — but the JOIN still produces all
+    // |cell|² rows (the filter discards after production), so only the
+    // cosine halves while the Generate adds per-row allocation; at the
+    // fixtures' dim=64 the measured net is ~8% MORE process CPU
+    // (ProbeNsw 20k rows / 8 cells of ~2500, 3 runs each: cpu ~27.7 s
+    // plain vs ~30.0 s mirrored; stack() mirror worse still). The
+    // halving stays where it removes a whole join PASS, not just
+    // kernel evals — [[appendToNsw]].
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
       .groupBy(col("cluster"), col("a_id"))
       .agg(graft.functions.TopKAgg(degree, col("cos"), col("b_id")).as("topk"))
       .select(col("cluster"), col("a_id").as("id"),

@@ -108,10 +108,17 @@ object ProbeNsw {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // process-CPU seconds beside wall: this host has heavy external CPU
+    // interference (the r19 lesson) — wall alone cannot A/B two
+    // implementations of the same stage
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
       val r = f
-      println(f"[nsw] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[nsw] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  (cpu ${(osBean.getProcessCpuTime - c0) / 1e9}%.1f s)")
       r
     }
 

@@ -724,7 +724,10 @@ object QueriesAnalytic {
       .distinct()
     val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
       .unionByName(pairs.select($"supp".as("src"), $"cust".as("dst")))
-    graft.operators.PageRank.pageRankFixedPoint(edges, iterations = 3)
+    // edgesDistinct: pairs is distinct() and the two directions are
+    // disjoint (c/s key prefixes) - skip the operator's defensive dedup
+    graft.operators.PageRank.pageRankFixedPoint(edges, iterations = 3,
+        edgesDistinct = true)
       .orderBy($"rank".desc, $"node").limit(20)
   }
   /** One oracle iteration of the q148 fixed-point update — shared by
@@ -787,8 +790,9 @@ object QueriesAnalytic {
       .distinct()
     val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
       .unionByName(pairs.select($"supp".as("src"), $"cust".as("dst")))
+    // edgesDistinct: same provably-duplicate-free trade graph as q148
     val (ranks, iters) = graft.operators.PageRank.pageRankConverged(edges,
-      epsPerNode = 840000000L, maxIterations = 8)
+      epsPerNode = 840000000L, maxIterations = 8, edgesDistinct = true)
     ranks.orderBy($"rank".desc, $"node").limit(20)
       .withColumn("iters", lit(iters).cast("int"))
   }
@@ -1378,7 +1382,9 @@ object QueriesAnalytic {
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("s"), $"l_suppkey").as("dst"))
       .distinct()
-    graft.operators.PageRank.pageRankFixedPoint(edges, iterations = 3)
+    // edgesDistinct: edges is itself a distinct() projection
+    graft.operators.PageRank.pageRankFixedPoint(edges, iterations = 3,
+        edgesDistinct = true)
       .orderBy($"rank".desc, $"node").limit(20)
   }
   val q181Sql: String = {

@@ -49,11 +49,20 @@ object PageRank {
     * object doc). Returns `(node, rank)`, rank 10⁻⁹-scaled (initial
     * mass `Scale` per node). */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
-                         dampingPct: Int = 85): DataFrame = {
+                         dampingPct: Int = 85,
+                         edgesDistinct: Boolean = false): DataFrame = {
     require(iterations >= 0, s"negative iterations: $iterations")
-    val g = Graph(edges, dampingPct)
+    val g = Graph(edges, dampingPct, edgesDistinct)
     var ranks = g.initial
-    (1 to iterations).foreach(_ => ranks = g.step(ranks))
+    // the LAST iteration skips its checkpoint: its output feeds exactly
+    // one action (the caller's), and its inputs are the materialized
+    // previous round — one job saved per call. Earlier rounds still
+    // checkpoint: `ranks` feeds both the contribution join and the
+    // sink-mass aggregate, so an unmaterialized round would recompute
+    // its whole subtree twice per consumer, compounding per level
+    // (measured: fully checkpoint-free is NOT faster — see step()).
+    (1 to iterations).foreach(i =>
+      ranks = g.step(ranks, checkpoint = i < iterations))
     ranks.select(col("node"), col("rank"))
   }
 
@@ -74,10 +83,11 @@ object PageRank {
     * `(ranks, iterationsRun)`. */
   def pageRankConverged(edges: DataFrame, epsPerNode: Long,
                         maxIterations: Int,
-                        dampingPct: Int = 85): (DataFrame, Int) = {
+                        dampingPct: Int = 85,
+                        edgesDistinct: Boolean = false): (DataFrame, Int) = {
     require(maxIterations >= 1, s"need maxIterations >= 1, got $maxIterations")
     require(epsPerNode >= 0, s"negative epsPerNode: $epsPerNode")
-    val g = Graph(edges, dampingPct)
+    val g = Graph(edges, dampingPct, edgesDistinct)
     val epsTotal = epsPerNode * g.n
     var ranks = g.initial
     var iters = 0
@@ -96,9 +106,18 @@ object PageRank {
     * damped, dangling-corrected update for both the fixed-iteration
     * and the convergence-driven faces — their arithmetic cannot
     * drift. */
-  private case class Graph(edges: DataFrame, dampingPct: Int) {
+  private case class Graph(edges: DataFrame, dampingPct: Int,
+                           edgesDistinct: Boolean = false) {
     require(dampingPct > 0 && dampingPct < 100, s"bad damping $dampingPct")
-    private val e = edges.select(col("src"), col("dst")).distinct()
+    // `edgesDistinct = true` (r20): the caller asserts its edge list is
+    // already duplicate-free, so the defensive dedup — a full
+    // edge-sized shuffle, the exact "distinct on data that is already
+    // unique" accidental exchange of guide §2.4 — is skipped. The
+    // catalog's trade-graph callers build edges from a distinct() pair
+    // table (directions disjoint by the c/s key prefixes), so they
+    // qualify; the forgiving default keeps multigraph inputs deduped.
+    private val e0 = edges.select(col("src"), col("dst"))
+    private val e = (if (edgesDistinct) e0 else e0.distinct())
       .localCheckpoint()
     private val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // LOOP-INVARIANT, hoisted and materialized once: the edge list
@@ -125,8 +144,17 @@ object PageRank {
       nodes.select(col("node"), col("is_sink"), lit(Scale).as("rank"))
     /** One damped update. Input `(node, is_sink, rank)` (the shape
       * [[initial]] and this method emit); output the same, plus the
-      * incoming rank as `prev` when `withPrev` is set. */
-    def step(ranks: DataFrame, withPrev: Boolean = false): DataFrame = {
+      * incoming rank as `prev` when `withPrev` is set.
+      *
+      * `checkpoint = false` (r20) skips the materialization — used by
+      * the fixed-iteration face for its LAST round only, whose output
+      * feeds exactly one action. Skipping it for EVERY round was tried
+      * and measured NOT faster: `ranks` feeds both the contribution
+      * join and the sink-mass aggregate, so each unmaterialized round
+      * recomputes its subtree twice per consumer, compounding per
+      * level — the doubled recomputation eats the saved job. */
+    def step(ranks: DataFrame, withPrev: Boolean = false,
+             checkpoint: Boolean = true): DataFrame = {
       val contrib = eDeg
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -154,7 +182,7 @@ object PageRank {
       // behind the eager checkpoint (explain on the query result shows
       // only the final checkpoint scan)
       if (sys.env.contains("GRAFT_PR_EXPLAIN")) next.explain("formatted")
-      next.localCheckpoint()
+      if (checkpoint) next.localCheckpoint() else next
     }
   }
 }

@@ -180,6 +180,10 @@ object NswIndex {
         struct(col("escore"), (-col("entry")).as("tb"))).as("e"))
       .select(col("cluster"), col("e.entry").as("entry"),
         col("e.escore").as("escore"))
+    // plan audit hook (the [[PageRank]] GRAFT_PR_EXPLAIN pattern): the
+    // merge dataflow runs eagerly under saveNsw's write, so it never
+    // reaches a query-level explain
+    if (sys.env.contains("GRAFT_NSW_EXPLAIN")) merged.explain("formatted")
     saveNsw(merged, mergedEntries, dir, retainGenerations)
   }
 

@@ -30,6 +30,11 @@ object QueryTimer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dev knob: arbitrary session confs (k=v;k=v) for A/B-ing
+    // conf-gated behavior (e.g. graft.streaming.shufflePartitions)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     names.split(",").foreach { name =>
       val fn = graft.SparkEntry.queries(name)
